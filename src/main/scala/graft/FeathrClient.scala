@@ -1,0 +1,49 @@
+package graft
+
+import graft.model._
+import graft.operators._
+import graft.project._
+import graft.sources._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** In-process replacement for the reference's submit-to-remote-Spark
+  * client path (SURVEY.md §3.1 steps 2-5 collapsed): parse DSL → feature
+  * DAG → one Catalyst plan, lazily executed at the sink write.
+  */
+object FeathrClient {
+
+  /** `get_offline_features` (python/src/lib.rs:1538-1595): PIT join of
+    * the requested features onto the observation.
+    */
+  def getOfflineFeatures(
+      spark: SparkSession,
+      project: FeatureProject,
+      observation: ObservationSettings,
+      queries: Seq[FeatureQuery]): DataFrame = {
+    val obsDf = SourceResolver.read(spark, observation.location)
+    joinFeatures(spark, project, obsDf, observation.timestampColumn
+      .map(c => (c, observation.timestampFormat)), queries)
+  }
+
+  /** Same, with a caller-supplied observation DataFrame. */
+  def joinFeatures(
+      spark: SparkSession,
+      project: FeatureProject,
+      observation: DataFrame,
+      obsTime: Option[(String, String)],
+      queries: Seq[FeatureQuery]): DataFrame =
+    PointInTimeJoin.run(spark, project, observation, obsTime, queries)
+
+  /** `materialize_features` (python/src/lib.rs:1656-1742). */
+  def materializeFeatures(
+      spark: SparkSession,
+      project: FeatureProject,
+      features: Seq[String],
+      keyColumns: Seq[String],
+      start: java.time.Instant,
+      end: java.time.Instant,
+      resolution: DateTimeResolution,
+      sinks: Seq[OutputSink]): Seq[DataFrame] =
+    Materializer.backfill(spark, project, features, keyColumns, start, end, resolution, sinks)
+}

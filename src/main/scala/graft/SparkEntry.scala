@@ -1,13 +1,686 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.operators._
+import graft.project._
+import graft.sources._
+
+import graft.functions.FeathrExpr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2, each with a DuckDB oracle in `oracleSql`
+  * where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism notes (the driver hash-compares values):
+  *  - floating-point aggregates are rounded to 4 decimals on BOTH sides
+  *    (partial-agg order differs between engines at ~1e-9 relative);
+  *  - dot products cast to double element-wise and fold sequentially,
+  *    so cosine scores are bit-identical across engines (see
+  *    [[graft.operators.Similarity.dot]]);
+  *  - set-valued features are sorted before comparison.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** The driver's `events.parquet` stores TIMESTAMP(NANOS), which the
+    * Spark 4 parquet reader rejects. Read nanos as long and convert to
+    * micros — lossless here (the data has no sub-microsecond component)
+    * and exactly what DuckDB's TIMESTAMP does, so the oracle agrees.
+    */
+  private def nanosConf(s: SparkSession): Unit =
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  private def fixTs(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    nanosConf(s)
+    fixTs(s.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  private val userKey = TypedKey("user_id", ValueType.INT64)
+
+  /** Canonical demo project over `events` (the NYC-taxi e2e shape,
+    * FIXTURES.md §4): source = purchase events with event-time `ts`
+    * (preprocessing hook filters the type — S6), features keyed by
+    * `user_id`: two row-level (as-of) + window aggregations + derived.
+    */
+  private def purchaseProject(dir: String): FeatureProject = {
+    val p = FeatureProject("events_demo")
+    val purchases = Source(
+      "purchases",
+      DataLocation.Hdfs(s"$dir/events.parquet"),
+      timeWindow = Some(TimeWindowParameters("ts", "native")),
+      preprocessing = Some(df => fixTs(df).where(col("event_type") === "purchase")))
+    p.addAnchorGroup("purchase_anchor", purchases, Seq(
+      AnchorFeature("f_last_value", FeatureType.DOUBLE,
+        Transformation.Expr("value"), Seq(userKey)),
+      AnchorFeature("f_last_type", FeatureType.STRING,
+        Transformation.Expr("event_type"), Seq(userKey)),
+      AnchorFeature("f_sum_7d", FeatureType.DOUBLE,
+        Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+      AnchorFeature("f_avg_7d", FeatureType.DOUBLE,
+        // integer-valued measure: cross-engine bit-identical average
+        Transformation.windowAgg("round(value * 100)", "AVG", "7d"), Seq(userKey)),
+      AnchorFeature("f_max_7d", FeatureType.DOUBLE,
+        Transformation.windowAgg("value", "MAX", "7d"), Seq(userKey)),
+      AnchorFeature("f_min_7d", FeatureType.DOUBLE,
+        Transformation.windowAgg("value", "MIN", "7d"), Seq(userKey)),
+      AnchorFeature("f_cnt_7d", FeatureType.INT64,
+        Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey))))
+    p.addDerived(DerivedFeature("f_ratio", FeatureType.DOUBLE,
+      "f_last_value / (f_sum_7d + 1.0)",
+      Seq(InputFeature("f_last_value", Seq(userKey)),
+          InputFeature("f_sum_7d", Seq(userKey))), Seq(userKey)))
+    p.addDerived(DerivedFeature("f_ratio_mod", FeatureType.DOUBLE,
+      "f_ratio % 10.0",
+      Seq(InputFeature("f_ratio", Seq(userKey))), Seq(userKey)))
+    p
+  }
+
+  /** Observation spine: click events. */
+  private def clicks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+
+  private val clicksSql =
+    "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'"
+  private val purchasesSql =
+    "SELECT * FROM events WHERE event_type = 'purchase'"
+
+  /** Flagship query on sf=0.001: the full e2e shape — passthrough +
+    * as-of + SWA + derived features PIT-joined onto the click spine.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val proj = purchaseProject(dir)
+    val obs = clicks(spark, dir)
+    FeathrClient.joinFeatures(spark, proj, obs, Some(("ts", "native")),
+      Seq(FeatureQuery(
+        Seq("f_last_value", "f_sum_7d", "f_avg_7d", "f_ratio", "f_ratio_mod"),
+        Seq("user_id"))))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2: grouped aggregation (SUM/AVG/MIN/MAX/COUNT) over lineitem.
+    "q_agg_basic" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          round(avg(round(col("l_discount") * 100)) / 100, 6).as("avg_disc"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // S1+E1/E2/E3/E4: HDFS scan + projection/filter with Feathr
+    // extension scalars rewritten to Catalyst builtins.
+    "q_scan_project" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+      src.where(FeathrExpr.column("cast_float(value) > 90 and isPresent(props)"))
+        .select(col("event_id"), col("user_id"),
+          FeathrExpr.column("cast_float(value)").as("f_value_f"),
+          FeathrExpr.column("cast_int(get_json_object(props, '$.k'))").as("f_k"),
+          (dayofweek(col("ts"))).as("f_dow"))
+    }),
+
+    // S4: generic-format source (format + options map with __-encoded keys).
+    "q_generic_scan" -> ((s, dir) => {
+      SourceResolver.read(s, DataLocation.Generic(
+        "parquet", options = Map.empty, path = Some(s"$dir/orders.parquet")))
+        .where(col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // E1 passthrough (INPUT_CONTEXT / DUMMY_KEY): features computed on
+    // observation rows, no join.
+    "q_passthrough" -> ((s, dir) => {
+      val p = FeatureProject("passthrough_demo")
+      p.addAnchorGroup("ctx", Source.INPUT_CONTEXT, Seq(
+        AnchorFeature("f_dow", FeatureType.INT32,
+          Transformation.Expr("dayofweek(ts)"), Seq(TypedKey.DUMMY_KEY)),
+        AnchorFeature("f_big", FeatureType.BOOLEAN,
+          Transformation.Expr("value > 50"), Seq(TypedKey.DUMMY_KEY)),
+        AnchorFeature("f_vf", FeatureType.FLOAT,
+          Transformation.Expr("cast_float(value)"), Seq(TypedKey.DUMMY_KEY))))
+      val obs = t(s, dir, "events").select("event_id", "ts", "value")
+      FeathrClient.joinFeatures(s, p, obs, None,
+        Seq(FeatureQuery(Seq("f_dow", "f_big", "f_vf"), Nil)))
+    }),
+
+    // J1: snapshot equi left join (customer features onto orders spine).
+    "q_snapshot_join" -> ((s, dir) => {
+      val p = FeatureProject("snap")
+      val custKey = TypedKey("c_custkey", ValueType.INT64)
+      p.addAnchorGroup("cust", Source("customer",
+        DataLocation.Hdfs(s"$dir/customer.parquet")), Seq(
+        AnchorFeature("f_acctbal", FeatureType.DOUBLE,
+          Transformation.Expr("c_acctbal"), Seq(custKey)),
+        AnchorFeature("f_mktsegment", FeatureType.STRING,
+          Transformation.Expr("c_mktsegment"), Seq(custKey)),
+        AnchorFeature("f_nationkey", FeatureType.INT32,
+          Transformation.Expr("c_nationkey"), Seq(custKey))))
+      val obs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      FeathrClient.joinFeatures(s, p, obs, None,
+        Seq(FeatureQuery(Seq("f_acctbal", "f_mktsegment", "f_nationkey"),
+          Seq("o_custkey"))))
+    }),
+
+    // J2: as-of join — latest purchase row per user at click time.
+    "q_asof_join" -> ((s, dir) => {
+      FeathrClient.joinFeatures(s, purchaseProject(dir), clicks(s, dir),
+        Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_last_value", "f_last_type"), Seq("user_id"))))
+    }),
+
+    // S7: observation timestamp parsing (epoch seconds) + as-of join.
+    "q_obs_epoch" -> ((s, dir) => {
+      val obs = clicks(s, dir)
+        .withColumn("ts_epoch", unix_timestamp(col("ts")))
+        .drop("ts")
+      FeathrClient.joinFeatures(s, purchaseProject(dir), obs,
+        Some(("ts_epoch", "epoch")),
+        Seq(FeatureQuery(Seq("f_last_value"), Seq("user_id"))))
+        .withColumn("obs_ts", to_timestamp(from_unixtime(col("ts_epoch"))))
+    }),
+
+    // J3 + A1/A2: sliding-window aggregations (SUM/AVG/MIN/MAX/COUNT)
+    // over (obs_ts - 7d, obs_ts].
+    "q_swa_basic" -> ((s, dir) => {
+      FeathrClient.joinFeatures(s, purchaseProject(dir), clicks(s, dir),
+        Some(("ts", "native")),
+        Seq(FeatureQuery(
+          Seq("f_sum_7d", "f_avg_7d", "f_max_7d", "f_min_7d", "f_cnt_7d"),
+          Seq("user_id"))))
+        .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
+        .withColumn("f_avg_7d", round(col("f_avg_7d") / 100, 4))
+    }),
+
+    // A3 LATEST + A4 UNION window aggregations.
+    "q_swa_latest_union" -> ((s, dir) => {
+      val p = FeatureProject("lu")
+      val all = Source("all_events", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(fixTs))
+      p.addAnchorGroup("lu_anchor", all, Seq(
+        AnchorFeature("f_latest_30d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "LATEST", "30d"), Seq(userKey)),
+        AnchorFeature("f_types_7d", FeatureType.STRING,
+          Transformation.windowAgg("event_type", "UNION", "7d"), Seq(userKey))))
+      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_latest_30d", "f_types_7d"), Seq("user_id"))))
+        .withColumn("f_types_7d", array_join(col("f_types_7d"), ","))
+    }),
+
+    // A7: group_by sub-key — per-(user, event_type) sums collected into
+    // a map, exploded back to rows for comparison.
+    "q_swa_groupby" -> ((s, dir) => {
+      val p = FeatureProject("gb")
+      val all = Source("all_events", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(fixTs))
+      p.addAnchorGroup("gb_anchor", all, Seq(
+        AnchorFeature("f_by_type", FeatureType.DOUBLE,
+          Transformation.WindowAgg("value", Aggregation.SUM,
+            Durations.parse("30d"), groupBy = Some("event_type")), Seq(userKey))))
+      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_by_type"), Seq("user_id"))))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          explode(col("f_by_type")).as(Seq("etype", "vsum")))
+        .withColumn("vsum", round(col("vsum"), 4))
+    }),
+
+    // A8 filter + A9 limit: SWA over filtered rows, top-3 newest only.
+    "q_swa_filter_limit" -> ((s, dir) => {
+      val p = FeatureProject("fl")
+      val all = Source("all_events", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(fixTs))
+      p.addAnchorGroup("fl_anchor", all, Seq(
+        AnchorFeature("f_top3_sum", FeatureType.DOUBLE,
+          Transformation.WindowAgg("value", Aggregation.SUM,
+            Durations.parse("7d"), filter = Some("value > 50"),
+            limit = Some(3)), Seq(userKey))))
+      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_top3_sum"), Seq("user_id"))))
+        .withColumn("f_top3_sum", round(col("f_top3_sum"), 4))
+    }),
+
+    // A5: element-wise AVG of array-valued features. Source = embeddings
+    // with a synthetic event time (preprocessing hook), key = label,
+    // spine = one (label, end-of-time) row per label.
+    "q_swa_elementwise" -> ((s, dir) => {
+      val p = FeatureProject("ew")
+      val labelKey = TypedKey("label", ValueType.INT32)
+      val emb = Source("emb", DataLocation.Hdfs(s"$dir/embeddings.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(df =>
+          df.withColumn("ts", timestamp_seconds(lit(1700000000L) + col("vec_id")))))
+      p.addAnchorGroup("ew_anchor", emb, Seq(
+        AnchorFeature("f_centroid", FeatureType.DOUBLE_VECTOR,
+          Transformation.windowAgg("embedding", "ELEMENTWISE_AVG", "365d"),
+          Seq(labelKey))))
+      val obs = t(s, dir, "embeddings").select("label").distinct()
+        .withColumn("obs_ts", timestamp_seconds(lit(1700100000L)))
+      FeathrClient.joinFeatures(s, p, obs, Some(("obs_ts", "native")),
+        Seq(FeatureQuery(Seq("f_centroid"), Seq("label"))))
+        .select(col("label"), posexplode(col("f_centroid")).as(Seq("pos", "v")))
+        .withColumn("v", round(col("v"), 4))
+    }),
+
+    // J4: multi-query join — two FeatureQuery key groups (part and
+    // supplier features onto the lineitem spine).
+    "q_multikey_join" -> ((s, dir) => {
+      val p = FeatureProject("mk")
+      val partKey = TypedKey("p_partkey", ValueType.INT64)
+      val suppKey = TypedKey("s_suppkey", ValueType.INT64)
+      p.addAnchorGroup("part_a", Source("part",
+        DataLocation.Hdfs(s"$dir/part.parquet")), Seq(
+        AnchorFeature("f_retail", FeatureType.DOUBLE,
+          Transformation.Expr("p_retailprice"), Seq(partKey)),
+        AnchorFeature("f_brand", FeatureType.STRING,
+          Transformation.Expr("p_brand"), Seq(partKey))))
+      p.addAnchorGroup("supp_a", Source("supplier",
+        DataLocation.Hdfs(s"$dir/supplier.parquet")), Seq(
+        AnchorFeature("f_s_acctbal", FeatureType.DOUBLE,
+          Transformation.Expr("s_acctbal"), Seq(suppKey))))
+      val obs = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      FeathrClient.joinFeatures(s, p, obs, None, Seq(
+        FeatureQuery(Seq("f_retail", "f_brand"), Seq("l_partkey")),
+        FeatureQuery(Seq("f_s_acctbal"), Seq("l_suppkey"))))
+    }),
+
+    // J5: derived-feature DAG (depth 2) over as-of + SWA inputs.
+    "q_derived" -> ((s, dir) => {
+      FeathrClient.joinFeatures(s, purchaseProject(dir), clicks(s, dir),
+        Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_ratio", "f_ratio_mod"), Seq("user_id"))))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("f_ratio"), 6).as("f_ratio"),
+          round(col("f_ratio_mod"), 6).as("f_ratio_mod"))
+    }),
+
+    // M2: snapshot materialization — every key's feature value as of one
+    // endTime (generation mode reuses the PIT planner).
+    "q_materialize_snapshot" -> ((s, dir) => {
+      Materializer.snapshot(s, purchaseProject(dir),
+        Seq("f_last_value", "f_sum_7d"), Seq("user_id"),
+        java.time.Instant.parse("2024-01-20T00:00:00Z"))
+        .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
+    }),
+
+    // T1/T2: Structured Streaming ingest of the events table (file
+    // source → watermark → tumbling-window agg → memory sink), compared
+    // against the equivalent batch aggregation.
+    "q_stream_window_agg" -> ((s, dir) => {
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = s"stream_out_${System.nanoTime()}"
+      val q = fixTs(s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parque*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v_sum"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    }),
+
+    // ----------------------- LLM-pipeline extension operators (§2.11)
+
+    // Exact dedup: hash-groupBy on normalized text.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
+
+    // MinHash/LSH near-dup detection over a corpus with planted
+    // duplicates (id + 1M): must find each planted pair at jaccard 1.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashNearDuplicates(docs.unionByName(planted), "text", "doc_id",
+        threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }),
+
+    // SimHash near-dup candidates on the same planted corpus.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.simhashNearDuplicates(docs.unionByName(planted), "text", "doc_id",
+        maxHamming = 3)
+    }),
+
+    // n-gram Jaccard similarity on explicit candidate pairs.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_a") + 1 === col("id_b"))
+      Dedup.ngramJaccard(docs, pairs, "text", "doc_id", 3)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }),
+
+    // Embedding near-dup via cosine LSH buckets (planted duplicates).
+    "q_dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.embeddingNearDuplicates(emb.unionByName(planted),
+        threshold = 0.999, dim = 64)
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+
+    // Brute-force cosine top-k similarity search (exact baseline).
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"),
+          round(col("score"), 5).as("score"))
+    }),
+
+    // IVF approximate top-k (scale path; recall vs brute force checked
+    // in tests).
+    "q_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4)
+        .select(col("q_id"), col("vec_id"), col("rank"),
+          round(col("score"), 5).as("score"))
+    }),
+
+    // Text quality statistics (pure projection).
+    "q_text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(t(s, dir, "documents"), "text")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .select("doc_id", "n_words", "avg_word_len", "distinct_word_ratio",
+          "quality", "fingerprint")
+    }),
+
+    // Language ID by stopword hits + approximate token count.
+    "q_text_lang_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.stopwordHits(col("text"), "en").as("en_hits"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"),
+          TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  round(avg(round(l_discount * 100)) / 100, 6) AS avg_disc,
+        |  max(l_quantity) AS max_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_scan_project" ->
+      """SELECT event_id, user_id,
+        |  value::FLOAT AS f_value_f,
+        |  json_extract_string(props, '$.k')::INT AS f_k,
+        |  dayofweek(ts) + 1 AS f_dow
+        |FROM events
+        |WHERE value::FLOAT > 90 AND props IS NOT NULL""".stripMargin,
+
+    "q_generic_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_totalprice > 100000""".stripMargin,
+
+    "q_passthrough" ->
+      """SELECT event_id, ts, value,
+        |  dayofweek(ts) + 1 AS f_dow,
+        |  value > 50 AS f_big,
+        |  value::FLOAT AS f_vf
+        |FROM events""".stripMargin,
+
+    "q_snapshot_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  c.c_acctbal AS f_acctbal,
+        |  c.c_mktsegment AS f_mktsegment,
+        |  c.c_nationkey AS f_nationkey
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |  (SELECT s.event_type FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_type
+        |FROM ($clicksSql) o""".stripMargin,
+
+    "q_obs_epoch" ->
+      s"""SELECT o.event_id, o.user_id,
+        |  floor(epoch(o.ts))::BIGINT AS ts_epoch,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= date_trunc('second', o.ts)
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |  date_trunc('second', o.ts) AS obs_ts
+        |FROM ($clicksSql) o""".stripMargin,
+
+    "q_swa_basic" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  round(sum(s.value), 4) AS f_sum_7d,
+        |  round(avg(round(s.value * 100)) / 100, 4) AS f_avg_7d,
+        |  max(s.value) AS f_max_7d,
+        |  min(s.value) AS f_min_7d,
+        |  CASE WHEN count(s.value) = 0 THEN NULL
+        |       ELSE count(s.value) END AS f_cnt_7d
+        |FROM ($clicksSql) o
+        |LEFT JOIN ($purchasesSql) s
+        |  ON s.user_id = o.user_id
+        | AND s.ts > o.ts - INTERVAL 7 DAY AND s.ts <= o.ts
+        |GROUP BY o.event_id, o.user_id, o.ts""".stripMargin,
+
+    "q_swa_latest_union" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.user_id = o.user_id
+        |     AND s.ts > o.ts - INTERVAL 30 DAY AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_latest_30d,
+        |  (SELECT string_agg(DISTINCT s.event_type, ',' ORDER BY s.event_type)
+        |   FROM events s
+        |   WHERE s.user_id = o.user_id
+        |     AND s.ts > o.ts - INTERVAL 7 DAY AND s.ts <= o.ts) AS f_types_7d
+        |FROM ($clicksSql) o""".stripMargin,
+
+    "q_swa_groupby" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  s.event_type AS etype,
+        |  round(sum(s.value), 4) AS vsum
+        |FROM ($clicksSql) o
+        |JOIN events s
+        |  ON s.user_id = o.user_id
+        | AND s.ts > o.ts - INTERVAL 30 DAY AND s.ts <= o.ts
+        |GROUP BY o.event_id, o.user_id, o.ts, s.event_type""".stripMargin,
+
+    "q_swa_filter_limit" ->
+      s"""WITH ranked AS (
+        |  SELECT o.event_id, o.user_id, o.ts, s.value,
+        |    row_number() OVER (PARTITION BY o.event_id
+        |      ORDER BY s.ts DESC, s.value DESC) AS rn
+        |  FROM ($clicksSql) o
+        |  JOIN events s
+        |    ON s.user_id = o.user_id
+        |   AND s.ts > o.ts - INTERVAL 7 DAY AND s.ts <= o.ts
+        |   AND s.value > 50
+        |), agg AS (
+        |  SELECT event_id, round(sum(value), 4) AS f_top3_sum
+        |  FROM ranked WHERE rn <= 3 GROUP BY event_id
+        |)
+        |SELECT o.event_id, o.user_id, o.ts, a.f_top3_sum
+        |FROM ($clicksSql) o LEFT JOIN agg a ON o.event_id = a.event_id""".stripMargin,
+
+    "q_swa_elementwise" ->
+      """SELECT e.label, r.range::INT - 1 AS pos,
+        |  round(avg(e.embedding[r.range]::DOUBLE), 4) AS v
+        |FROM embeddings e CROSS JOIN range(1, 65) r
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_multikey_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+        |  p.p_retailprice AS f_retail, p.p_brand AS f_brand,
+        |  s.s_acctbal AS f_s_acctbal
+        |FROM lineitem l
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin,
+
+    "q_derived" ->
+      s"""WITH feat AS (
+        |  SELECT o.event_id, o.user_id, o.ts,
+        |    (SELECT s.value FROM events s
+        |     WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |       AND s.ts <= o.ts
+        |     ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |    (SELECT sum(s.value) FROM events s
+        |     WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |       AND s.ts > o.ts - INTERVAL 7 DAY AND s.ts <= o.ts) AS f_sum_7d
+        |  FROM ($clicksSql) o
+        |)
+        |SELECT event_id, user_id, ts,
+        |  round(f_last_value / (f_sum_7d + 1.0), 6) AS f_ratio,
+        |  round((f_last_value / (f_sum_7d + 1.0)) % 10.0, 6) AS f_ratio_mod
+        |FROM feat""".stripMargin,
+
+    "q_materialize_snapshot" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |)
+        |SELECT sp.user_id,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |  (SELECT round(sum(s.value), 4) FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+        |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00') AS f_sum_7d
+        |FROM spine sp""".stripMargin,
+
+    "q_stream_window_agg" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS v_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+        |  min(doc_id) AS canonical_id,
+        |  count(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i+1:i+3], ' '))) AS s
+        |  FROM norm
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        |  WHERE vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |), ranked AS (
+        |  SELECT q_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, vec_id, rank, round(score, 5) AS score
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(w) AS n_words,
+        |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w), 4)
+        |    AS avg_word_len,
+        |  round(len(list_distinct(w))::DOUBLE / len(w), 4) AS distinct_word_ratio,
+        |  round(greatest(least(
+        |    least(len(w)::DOUBLE / 100.0, 1.0) *
+        |      (len(list_distinct(w))::DOUBLE / greatest(len(w), 1))
+        |    - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 1.0), 0.0), 4) AS quality,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM norm""".stripMargin,
+
+    "q_text_lang_tokens" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, w,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that'))) AS en_hits,
+        |    len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS es_hits,
+        |    len(list_filter(w, x -> x IN ('le','la','de','et','un','est','que','dans'))) AS fr_hits,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','nicht'))) AS de_hits,
+        |    len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS zh_hits
+        |  FROM norm
+        |)
+        |SELECT doc_id, en_hits,
+        |  CASE
+        |    WHEN greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) = 0 THEN 'und'
+        |    WHEN zh_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'zh'
+        |    WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'fr'
+        |    WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
+        |    WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
+        |    ELSE 'de' END AS lang_pred,
+        |  list_sum(list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT
+        |    AS approx_tokens
+        |FROM hits""".stripMargin
+  )
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.11). All formulations are shuffle-conscious:
+  *  - exact dedup is one hash-groupBy (map-side combinable);
+  *  - MinHash/LSH emits `bands` rows per doc and shuffles by band
+  *    signature — candidate generation is linear in corpus size, never
+  *    all-pairs; only same-bucket pairs are verified;
+  *  - SimHash is a pure projection (no shuffle) — near-dup buckets come
+  *    from grouping on the 64-bit signature or its rotated prefixes.
+  */
+object Dedup {
+
+  /** Normalized text used by all fingerprints: lowercase, collapsed
+    * whitespace.
+    */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact dedup: canonical row id + duplicate count per distinct
+    * normalized text. `md5` keys the shuffle so arbitrarily long texts
+    * move as 32-byte digests.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(normText(col(textCol))).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Drop all but the canonical (min id) row per distinct text. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val groups = exactGroups(df, textCol, idCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(groups, Seq(idCol), "left_semi")
+  }
+
+  /** Word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normText(text), " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signatures as an aggregation, the 100 TB-safe shape:
+    * explode shingles, hash each ONCE into two 64-bit values, and build
+    * the `numHashes` families via Kirsch-Mitzenmacher (`h1 + k*h2`) as
+    * `numHashes` map-side-combinable `min` aggregates. Everything is
+    * whole-stage-codegen'd; the only shuffle moves one 128-long partial
+    * state per doc. (A naive `transform(sequence(0,127), k ->
+    * array_min(transform(shingles, ...)))` column re-evaluates the
+    * interpreted shingle lambda once per hash family — 128× the scan.)
+    *
+    * Returns (idCol, sig: array<bigint>). Docs with no shingles
+    * (empty text) produce no row.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, shingleSize: Int = 5): DataFrame = {
+    // 31-bit masks keep h1 + k*h2 inside a long under ANSI arithmetic
+    // (max 2^31 + 127*2^31 << 2^63); 2^31 hash space per family is
+    // ample for min-hashing
+    // repartition by id up front: parallelizes the interpreted shingle
+    // lambdas across cores even when the source is one small file, and
+    // the explode preserves the hash partitioning so the groupBy(id)
+    // below needs no second exchange
+    val ex = df.repartition(col(idCol))
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__s"))
+      .select(col(idCol),
+        xxhash64(col("__s")).bitwiseAND(0x7fffffffL).as("__h1"),
+        xxhash64(col("__s"), lit(1)).bitwiseAND(0x7fffffffL).as("__h2"))
+    val mins = (0 until numHashes).map(k =>
+      min(col("__h1") + lit(k.toLong) * col("__h2")).as(s"__m$k"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(k => col(s"__m$k")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` groups of
+    * `numHashes / bands` values each; docs agreeing on any full band
+    * become candidates. Returns (idCol, band_id, band_hash).
+    */
+  def lshBands(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+    minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b).as("band_hash"))))
+        .as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b) from LSH buckets,
+    * verified with exact shingle-set Jaccard >= threshold. The bucket
+    * self-join shuffles on (band_id, band_hash) only — no all-pairs.
+    */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    // persisted: the self-join and the verify join would otherwise
+    // recompute the signatures/shingles per side
+    val b = lshBands(df, textCol, idCol, numHashes, bands, shingleSize).persist()
+    val l = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val r = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    val cands = l.join(r, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = df.repartition(col(idCol))
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh")).persist()
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate id pairs. */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val sh = df.repartition(col(idCol))
+      .select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: bit i of the signature is the
+    * sign of `sum over tokens of (bit i of xxhash64(token) ? +1 : -1)`.
+    * Columnar expression (64 folds over the token array); at 100 TB a
+    * single-pass native `Expression` would cut this 64×, but the plan
+    * shape (projection, zero shuffle) is already right.
+    */
+  def simhash64(text: Column): Column = {
+    val tokens = split(normText(text), " ")
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(tokens, lit(0L),
+        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), i)
+          .bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      ) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+        (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash signatures as an aggregation (same rationale as
+    * [[minhashSignatures]]): explode tokens, hash each once, and build
+    * the 64 bit-sums as map-side-combinable aggregates, then assemble
+    * the signature from the signs. Returns (idCol, sig: bigint).
+    */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ex = df.repartition(col(idCol))
+      .select(col(idCol), explode(split(normText(col(textCol)), " ")).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__b$i"))
+    val sig = (0 until 64).map(i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    ex.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig.as("sig"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: group by signature prefix blocks
+    * (docs within hamming distance d share at least one of d+1 blocks —
+    * the classic pigeonhole blocking), verify with full hamming.
+    */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    val bitsPerBlock = 64 / blocks
+    val sig = simhashSignatures(df, textCol, idCol)
+    val blocked = sig.select(col(idCol), col("sig"), explode(
+      transform(sequence(lit(0), lit(blocks - 1)), b =>
+        struct(b.as("block_id"),
+          call_function("shiftright", col("sig"), b * bitsPerBlock)
+            .bitwiseAND((1L << bitsPerBlock) - 1).as("block_val")))).as("blk"))
+      .select(col(idCol), col("sig"), col("blk.block_id"), col("blk.block_val"))
+      .persist()
+    val l = blocked.select(col("block_id"), col("block_val"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = blocked.select(col("block_id"), col("block_val"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block_id", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.model._
+import graft.project._
+import graft.sources._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.{Duration, Instant}
+
+/** Output sinks (reference `OutputSink`, feathr-rs/src/materialization.rs:27-98). */
+sealed trait OutputSink
+object OutputSink {
+  /** K1/K3: any Spark-writable format (`GenericSink`, materialization.rs:57-91);
+    * `numParts` mirrors `--num-parts` (job_client/mod.rs:290-292).
+    */
+  case class Generic(format: String, path: String,
+      mode: String = "overwrite", options: Map[String, String] = Map.empty,
+      numParts: Option[Int] = None) extends OutputSink
+  def hdfs(path: String, numParts: Option[Int] = None): Generic =
+    Generic(DataLocation.inferFormat(path), path, numParts = numParts)
+
+  /** K2: online KV sink (`RedisSink`, materialization.rs:27-55).
+    * key = join keys, value = feature map. Store is pluggable; tests use
+    * the file-backed impl below — the write path (per-partition push of
+    * key → featureMap) is the real, distributed shape.
+    */
+  case class Online(tableName: String, store: OnlineStore) extends OutputSink
+}
+
+/** Pluggable online store (stand-in for Redis — zero-egress env). */
+trait OnlineStore extends Serializable {
+  def put(table: String, key: String, value: Map[String, String]): Unit
+}
+
+/** File-backed store for tests: one csv-ish line per key. */
+class FileOnlineStore(dir: String) extends OnlineStore {
+  def put(table: String, key: String, value: Map[String, String]): Unit = {
+    val d = new java.io.File(dir, table)
+    d.mkdirs()
+    val f = new java.io.File(d, java.net.URLEncoder.encode(key, "UTF-8"))
+    val body = value.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+    java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+  }
+}
+
+/** Backfill step resolution (reference `DateTimeResolution`,
+  * feathr-rs/src/materialization.rs).
+  */
+sealed abstract class DateTimeResolution(val step: Duration)
+object DateTimeResolution {
+  case object Daily extends DateTimeResolution(Duration.ofDays(1))
+  case object Hourly extends DateTimeResolution(Duration.ofHours(1))
+}
+
+/** Feature generation / materialization (SURVEY.md §2.8).
+  *
+  * M1 backfill: `[start, end]` is cut into daily/hourly steps, one
+  * evaluation per step with `obs_ts := step end` (reference walks
+  * endTime back per submitted job, materialization.rs:200-231).
+  * M2 snapshot: evaluate every key's feature value as of one endTime.
+  * M3 fan-out: compute once, persist, write each sink.
+  *
+  * The generated "observation" is the distinct key set of the anchor
+  * sources at `ts <= endTime` — so generation reuses the exact PIT-join
+  * planner (one code path for correctness parity between join and gen).
+  */
+object Materializer {
+
+  def snapshot(
+      spark: SparkSession,
+      project: FeatureProject,
+      features: Seq[String],
+      keyColumns: Seq[String],
+      endTime: Instant): DataFrame = {
+    val anchored = project.requiredAnchorFeatures(features)
+    val groups = anchored.flatMap(project.anchorFeature(_)).map(_._1).distinct
+    // spine = all keys observed in any contributing source up to endTime
+    val spines = groups.filterNot(_.source.isInputContext).map { g =>
+      val src = SourceResolver.resolve(spark, g.source)
+      val keyed = g.features.head.keys.zipWithIndex.foldLeft(src) {
+        case (df, (k, i)) => df.withColumn(keyColumns(i), col(k.keyColumn))
+      }
+      val bounded = if (g.source.timeWindow.isDefined)
+        keyed.where(col(Internal.SrcTs) <= lit(java.sql.Timestamp.from(endTime)))
+      else keyed
+      bounded.select(keyColumns.map(col): _*)
+    }
+    require(spines.nonEmpty, "nothing to materialize: no keyed anchor sources")
+    val spine = spines.reduce(_ unionByName _).distinct()
+      .withColumn("__graft_gen_ts", lit(java.sql.Timestamp.from(endTime)))
+    PointInTimeJoin.run(spark, project, spine,
+      Some(("__graft_gen_ts", "native")),
+      Seq(FeatureQuery(features, keyColumns)))
+      .drop("__graft_gen_ts")
+  }
+
+  /** M1: one snapshot per step end in `[start, end]`, stamped with a
+    * `__step_end` column; M3: each step fans out to all sinks.
+    */
+  def backfill(
+      spark: SparkSession,
+      project: FeatureProject,
+      features: Seq[String],
+      keyColumns: Seq[String],
+      start: Instant,
+      end: Instant,
+      resolution: DateTimeResolution,
+      sinks: Seq[OutputSink]): Seq[DataFrame] = {
+    val steps = Iterator.iterate(end)(_.minus(resolution.step))
+      .takeWhile(!_.isBefore(start)).toSeq.reverse
+    steps.map { stepEnd =>
+      val df = snapshot(spark, project, features, keyColumns, stepEnd)
+        .withColumn("__step_end", lit(java.sql.Timestamp.from(stepEnd)))
+      writeAll(df, keyColumns, sinks)
+      df
+    }
+  }
+
+  def writeAll(df0: DataFrame, keyColumns: Seq[String], sinks: Seq[OutputSink]): Unit = {
+    val df = if (sinks.size > 1) df0.persist() else df0
+    try sinks.foreach(write(df, keyColumns, _))
+    finally if (sinks.size > 1) df.unpersist()
+  }
+
+  def write(df: DataFrame, keyColumns: Seq[String], sink: OutputSink): Unit = sink match {
+    case OutputSink.Generic(format, path, mode, options, numParts) =>
+      val out = numParts.map(df.repartition).getOrElse(df)
+      out.write.format(format).options(options).mode(mode).save(path)
+    case OutputSink.Online(table, store) =>
+      val keyCols = keyColumns
+      val valueCols = df.columns.filterNot(keyColumns.contains).toSeq
+      df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val key = keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("#")
+          val value = valueCols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
+          store.put(table, key, value)
+        }
+      }
+  }
+}

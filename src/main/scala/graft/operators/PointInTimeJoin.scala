@@ -1,0 +1,311 @@
+package graft.operators
+
+import graft.model._
+import graft.project._
+import graft.sources._
+import graft.functions.{FeathrExpr, UdfRegistry}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The engine's core relational operator: LEFT OUTER join of an
+  * observation ("spine") to each requested feature on its key columns,
+  * **as of** the observation row's timestamp — a feature value may only
+  * see source rows with `src_ts <= obs_ts`; window aggregations see
+  * `(obs_ts - window, obs_ts]` (SURVEY.md §2.4-2.5; reference semantics
+  * from feathr-rs/src/project.rs:248-278 + the public Feathr offline
+  * engine contract).
+  *
+  * Physical strategy (designed for 100 TB — SURVEY.md §4):
+  *  - anchor groups are evaluated off the DISTINCT (key, obs_ts) pairs,
+  *    never the raw observation, so a spine with many rows per key pays
+  *    one feature computation per key/ts, then an equi join back;
+  *  - the as-of join (J2) is a union-sort ("last value wins") plan: one
+  *    shuffle of source ∪ spine-pairs by key, one sort by (ts, tag) —
+  *    no range-join row explosion, no per-row subqueries;
+  *  - sliding-window aggs (J3) range-join source rows to spine pairs
+  *    with the window predicate applied during the join, then partial
+  *    (map-side) + final aggregation — Spark's two-phase agg keeps the
+  *    shuffle to pre-aggregated state;
+  *  - joins back to the spine are plain equi joins that AQE can
+  *    broadcast when the feature side is small.
+  */
+object PointInTimeJoin {
+  import Internal._
+
+  /** @param obsTime (timestampColumn, format) of the observation,
+    *                if the join is time-aware
+    */
+  def run(
+      spark: SparkSession,
+      project: FeatureProject,
+      observation: DataFrame,
+      obsTime: Option[(String, String)],
+      queries: Seq[FeatureQuery]): DataFrame = {
+
+    var obs = obsTime match {
+      case Some((c, fmt)) =>
+        observation.withColumn(ObsTs, TimestampParser.toTimestampCol(col(c), fmt))
+      case None => observation
+    }
+
+    for (q <- queries) {
+      val anchored = project.requiredAnchorFeatures(q.featureList)
+      // group features by anchor group so each source is scanned once
+      // (mirrors reference project.rs:392-423)
+      val grouped = anchored
+        .flatMap(project.anchorFeature(_))
+        .groupBy(_._1.name).values
+        .map(pairs => (pairs.head._1, pairs.map(_._2)))
+        .toSeq.sortBy(_._1.name)
+      for ((g, feats) <- grouped) {
+        obs =
+          if (g.source.isInputContext) applyPassthrough(obs, feats)
+          else joinAnchorGroup(spark, obs, g, feats, q.keyColumns)
+      }
+    }
+
+    val requested = queries.flatMap(_.featureList).distinct
+    for (d <- project.topoSortDerived(requested))
+      obs = obs.withColumn(d.name, FeathrExpr.column(d.transformExpr))
+
+    obs.drop(ObsTs)
+  }
+
+  /** Passthrough (INPUT_CONTEXT / DUMMY_KEY) features: no join, computed
+    * directly on observation rows (feature_builder.rs:75-79).
+    */
+  private def applyPassthrough(obs: DataFrame, feats: Seq[AnchorFeature]): DataFrame =
+    feats.foldLeft(obs)((df, f) => df.withColumn(f.name, rowCol(f.transform, df)))
+
+  private def rowCol(t: Transformation, src: DataFrame): Column = t match {
+    case Transformation.Expr(e) => FeathrExpr.column(e)
+    case Transformation.Udf(n)  => UdfRegistry.resolve(n)(src)
+    case Transformation.WindowAgg(defExpr, Aggregation.NOP, _, _, _, _) =>
+      FeathrExpr.column(defExpr)
+    case other => throw new IllegalArgumentException(s"not a row transform: $other")
+  }
+
+  private def isWindowAgg(f: AnchorFeature): Boolean = f.transform match {
+    case Transformation.WindowAgg(_, Aggregation.NOP, _, _, _, _) => false
+    case _: Transformation.WindowAgg => true
+    case _ => false
+  }
+
+  private def joinAnchorGroup(
+      spark: SparkSession,
+      obs: DataFrame,
+      g: AnchorGroup,
+      feats: Seq[AnchorFeature],
+      obsKeyCols: Seq[String]): DataFrame = {
+
+    val keys = feats.head.keys
+    require(keys.size == obsKeyCols.size,
+      s"anchor ${g.name}: key arity ${keys.size} != query key arity ${obsKeyCols.size} (feature.rs:224-241)")
+
+    val src0 = SourceResolver.resolve(spark, g.source)
+    val timeAware = g.source.timeWindow.isDefined && obs.columns.contains(ObsTs)
+
+    val (windowFeats, rowFeats) = feats.partition(isWindowAgg)
+    require(windowFeats.isEmpty || timeAware,
+      s"anchor ${g.name}: window aggregations need a time-aware source AND an observation timestamp")
+
+    var joined = obs
+    if (rowFeats.nonEmpty) {
+      joined =
+        if (timeAware) asOfJoin(joined, obsKeyCols, keys, src0, rowFeats)
+        else snapshotJoin(joined, obsKeyCols, keys, src0, rowFeats)
+    }
+    if (windowFeats.nonEmpty) {
+      // share one range join per identical window spec
+      val clusters = windowFeats.groupBy { f =>
+        val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+        (wa.window, wa.filter, wa.groupBy, wa.limit)
+      }.toSeq.sortBy(_._2.head.name)
+      for ((_, cluster) <- clusters)
+        joined = windowAggJoin(joined, obsKeyCols, keys, src0, cluster)
+    }
+    joined
+  }
+
+  /** J1: snapshot equi join — source without time semantics; assumes the
+    * source is key-unique (reference contract). AQE broadcasts the
+    * feature side when small.
+    */
+  private def snapshotJoin(
+      obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
+      src: DataFrame, feats: Seq[AnchorFeature]): DataFrame = {
+    val keyCols = keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(obsKeyCols(i)) }
+    val featDf = src.select(keyCols ++ feats.map(f => rowCol(f.transform, src).as(f.name)): _*)
+    obs.join(featDf, obsKeyCols, "left_outer")
+  }
+
+  /** J2: as-of join — latest source row per key with src_ts <= obs_ts.
+    *
+    * Union-sort formulation: tag source rows 0 and distinct spine
+    * (key, ts) pairs 1, sort within each key by (ts, tag, value), and
+    * take `last(value, ignoreNulls)` over the preceding frame. Source
+    * rows at exactly obs_ts are included (tag orders them first). Among
+    * source ties at one timestamp the greatest value-struct wins
+    * (deterministic). One shuffle + sort; no row explosion — this is
+    * the 100 TB-safe shape (vs. an unbounded range join).
+    */
+  private def asOfJoin(
+      obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
+      src: DataFrame, feats: Seq[AnchorFeature]): DataFrame = {
+    val ts = "__graft_ts"
+    val vals = "__graft_vals"
+    val keyCols = keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(obsKeyCols(i)) }
+    val valStruct = struct(feats.map(f => rowCol(f.transform, src).as(f.name)): _*)
+    val srcSel = src
+      .select(keyCols ++ Seq(col(Internal.SrcTs).as(ts), valStruct.as(vals)): _*)
+      .withColumn(Tag, lit(0))
+    val valsType = srcSel.schema(vals).dataType
+
+    val pairs = obs
+      .select(obsKeyCols.map(col) :+ col(ObsTs).as(ts): _*)
+      .na.drop("any").distinct()
+      .withColumn(vals, lit(null).cast(valsType))
+      .withColumn(Tag, lit(1))
+
+    val w = Window
+      .partitionBy(obsKeyCols.map(col): _*)
+      .orderBy(col(ts).asc, col(Tag).asc, col(vals).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val featRows = srcSel.unionByName(pairs)
+      .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))
+      .where(col(Tag) === 1)
+      .select(obsKeyCols.map(col) ++ Seq(col(ts).as(ObsTs)) ++
+        feats.map(f => col(s"$vals.${f.name}").as(f.name)): _*)
+
+    obs.join(featRows, obsKeyCols :+ ObsTs, "left_outer")
+  }
+
+  /** J3: sliding-window aggregation (SWA) — aggregate source rows in
+    * `(obs_ts - window, obs_ts]` per key, per distinct spine (key, ts)
+    * pair. Pre-aggregation `filter` (A8) is pushed below the join;
+    * `limit` (A9) keeps the top-k newest rows per pair; `groupBy` (A7)
+    * aggregates per sub-key then collects a sorted map.
+    */
+  private def windowAggJoin(
+      obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
+      src: DataFrame, feats: Seq[AnchorFeature]): DataFrame = {
+    val wa0 = feats.head.transform.asInstanceOf[Transformation.WindowAgg]
+    val skCols = obsKeyCols.indices.map(i => s"__graft_sk_$i")
+    val groupCol = "__graft_grp"
+
+    // evaluate measures (and sub-key) against source columns, pre-join
+    val filtered = wa0.filter.map(f => src.where(FeathrExpr.column(f))).getOrElse(src)
+    val measures = feats.map(f => s"__graft_m_${f.name}")
+    var srcSel = filtered.select(
+      keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(skCols(i)) } ++
+      Seq(col(Internal.SrcTs)) ++
+      feats.zip(measures).map { case (f, m) =>
+        val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+        FeathrExpr.column(wa.defExpr).as(m)
+      } ++
+      wa0.groupBy.map(gb => FeathrExpr.column(gb).as(groupCol)).toSeq: _*)
+
+    val pairs = obs
+      .select(obsKeyCols.map(col) :+ col(ObsTs): _*)
+      .na.drop("any").distinct()
+
+    val interval = expr(s"INTERVAL ${wa0.window.getSeconds} SECOND")
+    val cond = obsKeyCols.indices
+      .map(i => col(obsKeyCols(i)) === col(skCols(i)))
+      .reduce(_ && _) &&
+      col(Internal.SrcTs) > col(ObsTs) - interval &&
+      col(Internal.SrcTs) <= col(ObsTs)
+    var joined = pairs.join(srcSel, cond, "inner")
+
+    // A9 limit: top-k newest source rows per (key, obs_ts)
+    wa0.limit.foreach { k =>
+      val ord = Seq(col(Internal.SrcTs).desc) ++
+        Seq(struct(measures.map(col): _*).desc)
+      val rw = Window.partitionBy((obsKeyCols :+ ObsTs).map(col): _*).orderBy(ord: _*)
+      joined = joined
+        .withColumn("__graft_rn", row_number().over(rw))
+        .where(col("__graft_rn") <= k)
+        .drop("__graft_rn")
+    }
+
+    val groupKeys = (obsKeyCols :+ ObsTs).map(col)
+    val aggDf = wa0.groupBy match {
+      case None =>
+        val aggs = feats.zip(measures).map { case (f, m) =>
+          val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+          aggColumn(wa.aggFunc, col(m)).as(f.name)
+        }
+        val out = joined.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
+        feats.foldLeft(out)((df, f) => finishElementwise(df, f))
+      case Some(_) =>
+        // A7: aggregate per (key, sub-key) then collect sub-key → value
+        // into a deterministic (sorted) map
+        val aggs = feats.zip(measures).map { case (f, m) =>
+          val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+          aggColumn(wa.aggFunc, col(m)).as(f.name)
+        }
+        val lvl1 = joined.groupBy((groupKeys :+ col(groupCol)): _*).agg(aggs.head, aggs.tail: _*)
+        val collects = feats.map { f =>
+          map_from_entries(array_sort(collect_list(struct(col(groupCol), col(f.name))))).as(f.name)
+        }
+        feats.foldLeft(lvl1)((df, f) => finishElementwise(df, f))
+          .groupBy(groupKeys: _*).agg(collects.head, collects.tail: _*)
+    }
+    obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
+  }
+
+  /** Map an Aggregation to its Catalyst aggregate (SURVEY.md §2.5).
+    * ELEMENTWISE_* first collects the window's arrays, then
+    * `finishElementwise` folds them with higher-order functions —
+    * bounded by the window (cap with A9 `limit` for unbounded keys).
+    */
+  private def aggColumn(agg: Aggregation, m: Column): Column = agg match {
+    case Aggregation.SUM   => sum(m)
+    case Aggregation.AVG   => avg(m)
+    case Aggregation.MIN   => min(m)
+    case Aggregation.MAX   => max(m)
+    case Aggregation.COUNT => count(m)
+    case Aggregation.LATEST => max_by(m, struct(col(Internal.SrcTs), m))
+    case Aggregation.UNION => array_sort(collect_set(m))
+    case Aggregation.ELEMENTWISE_SUM | Aggregation.ELEMENTWISE_AVG |
+         Aggregation.ELEMENTWISE_MIN | Aggregation.ELEMENTWISE_MAX =>
+      collect_list(m)
+    case Aggregation.NOP =>
+      throw new IllegalArgumentException("NOP is not an aggregation")
+  }
+
+  private def elementwiseAgg(f: AnchorFeature): Option[Aggregation] = f.transform match {
+    case Transformation.WindowAgg(_, a @ (Aggregation.ELEMENTWISE_SUM |
+        Aggregation.ELEMENTWISE_AVG | Aggregation.ELEMENTWISE_MIN |
+        Aggregation.ELEMENTWISE_MAX), _, _, _, _) => Some(a)
+    case _ => None
+  }
+
+  private def finishElementwise(df: DataFrame, f: AnchorFeature): DataFrame =
+    elementwiseAgg(f) match {
+      case None => df
+      case Some(agg) =>
+        val lists = s"`${f.name}`"
+        val merge = agg match {
+          case Aggregation.ELEMENTWISE_MIN => "(a, b) -> least(a, b)"
+          case Aggregation.ELEMENTWISE_MAX => "(a, b) -> greatest(a, b)"
+          case _ => "(a, b) -> a + b"
+        }
+        val folded =
+          s"""reduce(
+             |  $lists,
+             |  cast(null as array<double>),
+             |  (acc, v) -> if(acc is null,
+             |               transform(v, x -> double(x)),
+             |               zip_with(acc, transform(v, x -> double(x)), $merge)))""".stripMargin
+        val fin = agg match {
+          case Aggregation.ELEMENTWISE_AVG =>
+            s"transform($folded, x -> x / size($lists))"
+          case _ => folded
+        }
+        df.withColumn(f.name, expr(fin))
+    }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`) — SURVEY.md §2.11.
+  *
+  * Scale design: queries are the small side and are always broadcast;
+  * the corpus is never collected or crossed with itself. Brute force is
+  * the exact baseline (one pass over the corpus per query batch, then a
+  * per-query top-k); IVF cuts the scanned fraction to the probed cells.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length float arrays — codegen'd
+    * higher-order functions, no UDF. Elements are widened to double
+    * BEFORE multiplying and summed in a sequential left fold, so the
+    * result is bit-deterministic and engine-portable (oracle parity).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k by cosine: broadcast the query set, score
+    * every (corpus row, query) pair map-side, then keep k per query.
+    * One shuffle (by query id) of only (query, id, score) triples.
+    * Deterministic tie-break: higher score, then lower corpus id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col(qIdCol), col(idCol),
+        cosine(col(vecCol), col(qVecCol)).as("score"))
+    val w = Window.partitionBy(qIdCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) index: centroids := a deterministic sample of
+    * the corpus (every `corpusSize/nCells`-th row by id order — k-means
+    * would drop in here unchanged), each corpus row is assigned to its
+    * nearest centroid once; a query scans only `nProbe` nearest cells.
+    *
+    * Returns the same schema as [[bruteForceTopK]]; recall < 1 by
+    * construction — verify against the brute-force baseline in tests.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCells)
+    val centroids = corpus
+      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
+      .where((col("__rn") - 1) % stride === 0)
+      .limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+
+    // assign each corpus row to its nearest centroid (broadcast, 1 pass)
+    val wAssign = Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cell_id").asc)
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("cell_id"),
+        cosine(col(vecCol), col("centroid")).as("cscore"))
+      .withColumn("r", row_number().over(wAssign)).where(col("r") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+
+    // probe the nProbe nearest cells per query
+    val wProbe = Window.partitionBy(qIdCol).orderBy(col("cscore").desc, col("cell_id").asc)
+    val probed = queries.join(broadcast(centroids))
+      .select(col(qIdCol), col(qVecCol), col("cell_id"),
+        cosine(col(qVecCol), col("centroid")).as("cscore"))
+      .withColumn("r", row_number().over(wProbe)).where(col("r") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("cell_id"))
+
+    val scored = assigned.join(probed, "cell_id")
+      .select(col(qIdCol), col(idCol),
+        cosine(col(vecCol), col(qVecCol)).as("score"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id
+    * is the sign of `dot(v, h_i)` where `h_i` is a deterministic
+    * pseudo-random hyperplane derived from xxhash64(i, dim-index).
+    * Same-bucket rows are near-duplicate candidates.
+    */
+  def cosineLshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), i => {
+      val h = transform(sequence(lit(0), lit(dim - 1)),
+        j => (xxhash64(i, j) % 1000000L).cast("double") / 1000000.0d)
+      when(dot(vec, h) > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, sequence(lit(0), lit(nBits - 1)),
+      (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: candidates
+    * share a bucket (shuffle by bucket id only), verified by exact
+    * cosine >= threshold.
+    */
+  def embeddingNearDuplicates(
+      corpus: DataFrame, threshold: Double, dim: Int, nBits: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol),
+      cosineLshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, "bucket").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.model._
+import graft.operators._
+import graft.project._
+import graft.sources._
+
+import org.apache.spark.sql.functions._
+
+/** Point-in-time join semantics on the sf0.001 fixtures: no future
+  * leakage, boundary inclusivity `(obs_ts - w, obs_ts]`, tie handling,
+  * left-outer null semantics.
+  */
+class PitJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events = spark.read
+    .option("mergeSchema", "false")
+    .parquet(s"$sf/events.parquet")
+
+  test("as-of join never leaks the future") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = SparkEntry.queries("q_asof_join")(spark, sf)
+    // recompute the max qualifying source value per output row
+    val src = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .where($"event_type" === "purchase")
+      .select($"user_id".as("u"), $"ts".as("sts"), $"value".as("sval"))
+    val joined = df.join(src, $"user_id" === $"u" && $"sts" <= $"ts", "left")
+      .groupBy($"event_id", $"ts", $"f_last_value")
+      .agg(max_by($"sval", $"sts").as("expect"))
+    val bad = joined.where(
+      ($"f_last_value".isNotNull || $"expect".isNotNull) &&
+      !($"f_last_value" <=> $"expect")).count()
+    assert(bad == 0)
+  }
+
+  test("window boundary is (obs_ts - w, obs_ts]: a row exactly at obs_ts counts") {
+    val src = Seq((1L, "2024-01-10 00:00:00", 10.0),
+                  (1L, "2024-01-03 00:00:00", 5.0),   // exactly obs-7d: excluded
+                  (1L, "2024-01-03 00:00:01", 2.0))   // just inside
+      .toDF("k", "ts_s", "v").withColumn("ts", $"ts_s".cast("timestamp"))
+    val obs = Seq((1L, "2024-01-10 00:00:00")).toDF("k", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).select("k", "ts")
+    src.createOrReplaceTempView("boundary_src")
+    val p = FeatureProject("b")
+    val key = TypedKey("k", ValueType.INT64)
+    p.addAnchorGroup("g", Source("src", DataLocation.Table("boundary_src"),
+      timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+      AnchorFeature("f_sum", FeatureType.DOUBLE,
+        Transformation.windowAgg("v", "SUM", "7d"), Seq(key))))
+    val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+      Seq(FeatureQuery(Seq("f_sum"), Seq("k")))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("f_sum") == 12.0) // 10 (at obs_ts) + 2 (inside); 5 excluded
+  }
+
+  test("missing keys yield nulls (left outer), not dropped rows") {
+    val obs = Seq((999999L, "2024-01-15 00:00:00")).toDF("user_id", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).select("user_id", "ts")
+    val p = FeatureProject("events_demo_local")
+    val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
+      timeWindow = Some(TimeWindowParameters("ts", "native")),
+      preprocessing = Some { df =>
+        val fixed = if (df.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else df
+        fixed.where(col("event_type") === "purchase")
+      })
+    p.addAnchorGroup("a", purchases, Seq(
+      AnchorFeature("f_last", FeatureType.DOUBLE,
+        Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64))),
+      AnchorFeature("f_sum", FeatureType.DOUBLE,
+        Transformation.windowAgg("value", "SUM", "7d"),
+        Seq(TypedKey("user_id", ValueType.INT64)))))
+    val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+      Seq(FeatureQuery(Seq("f_last", "f_sum"), Seq("user_id")))).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("f_last")))
+    assert(out.head.isNullAt(out.head.fieldIndex("f_sum")))
+  }
+
+  test("SWA partial/final consistency: 7d sum equals brute-force (property over data)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = SparkEntry.queries("q_swa_basic")(spark, sf)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id".as("cu"), $"ts".as("ots"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("sts"), $"value")
+    val brute = clicks.join(purchases,
+        $"cu" === $"pu" && $"sts" > $"ots" - expr("INTERVAL 7 DAY") &&
+        $"sts" <= $"ots", "left")
+      .groupBy("event_id").agg(round(sum($"value"), 4).as("expect"))
+    val cmp = out.select($"event_id", $"f_sum_7d").join(brute, "event_id")
+    assert(cmp.where(!($"f_sum_7d" <=> $"expect")).count() == 0)
+  }
+
+  test("materialization backfill emits one snapshot per step (M1)") {
+    import java.time.Instant
+    val p = {
+      val pp = FeatureProject("m")
+      val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some { df =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            .where(col("event_type") === "purchase")
+        })
+      pp.addAnchorGroup("a", purchases, Seq(
+        AnchorFeature("f_last", FeatureType.DOUBLE,
+          Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64)))))
+      pp
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new FileOnlineStore(tmp)
+    val steps = Materializer.backfill(spark, p, Seq("f_last"), Seq("user_id"),
+      Instant.parse("2024-01-10T00:00:00Z"), Instant.parse("2024-01-12T00:00:00Z"),
+      DateTimeResolution.Daily,
+      Seq(OutputSink.Online("feat", store)))
+    assert(steps.size == 3) // 10th, 11th, 12th
+    val written = new java.io.File(tmp, "feat").list()
+    assert(written != null && written.nonEmpty)
+  }
+}
