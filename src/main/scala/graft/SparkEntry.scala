@@ -423,6 +423,28 @@ object SparkEntry {
           TextAnalysis.stopwordHits(col("text"), "en").as("en_hits"),
           TextAnalysis.languageId(col("text")).as("lang_pred"),
           TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
+    }),
+
+    // Multimodal columns: binary payload + typed metadata struct
+    // (mime sniff, byte length, content hash) — pure projection.
+    "q_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.mediaMeta(Multimodal.packBinary(col("text"))).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.n_bytes").as("n_bytes"), col("m.sha256").as("sha256"))
+    }),
+
+    // Multimodal decode plumbing (codec stubbed, batching/schema real):
+    // per-partition batched decode + deterministic frame sampling.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val packed = t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.packBinary(col("text")).as("payload"))
+      Multimodal.decodeStub(packed, "payload", batchSize = 32)
+        .withColumn("n_frames",
+          size(Multimodal.frameSample(col("payload"), 32, 4)))
+        .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+          col("decoded.channels"), col("decoded.mean_intensity"), col("n_frames"))
     })
   )
 
@@ -681,6 +703,13 @@ object SparkEntry {
         |    ELSE 'de' END AS lang_pred,
         |  list_sum(list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT
         |    AS approx_tokens
-        |FROM hits""".stripMargin
+        |FROM hits""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  'application/octet-stream' AS mime,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin
   )
 }

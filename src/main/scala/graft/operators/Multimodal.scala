@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support (SURVEY.md §2.11):
+  * media travels as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extraction runs per-partition in batches.
+  *
+  * The actual codecs are NOT available in this environment, so
+  * [[decodeStub]] is a clearly-marked deterministic fake — but the
+  * Spark-side plumbing (schema, batch shape, partition iteration,
+  * metadata extraction) is real and is exactly what a libjpeg/ffmpeg
+  * call would plug into.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("sha256", StringType)))
+
+  /** Pack a string column into a binary payload column (stand-in for
+    * reading raw bytes from object storage).
+    */
+  def packBinary(c: Column): Column = encode(c, "UTF-8")
+
+  /** Magic-byte mime sniffing on the binary payload (real headers:
+    * JPEG ff d8 ff, PNG 89 50 4e 47, RIFF/WAV 52 49 46 46).
+    */
+  def sniffMime(bin: Column): Column = {
+    val head = hex(substring(bin, 1, 4))
+    when(head.startsWith("FFD8FF"), "image/jpeg")
+      .when(head.startsWith("89504E47"), "image/png")
+      .when(head.startsWith("52494646"), "audio/wav")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Metadata struct for a binary payload — pure projection. */
+  def mediaMeta(bin: Column): Column = struct(
+    sniffMime(bin).as("mime"),
+    length(bin).cast("long").as("n_bytes"),
+    sha2(bin, 256).as("sha256"))
+
+  /** Output schema of the (stubbed) image decode. */
+  val decodedType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** Batched per-partition "decode": iterates the partition in
+    * `batchSize` groups (the shape a vectorized codec needs) and emits
+    * deterministic fake dimensions/statistics derived from the bytes.
+    *
+    * STUB — replace the body of `fakeDecode` with the real codec call;
+    * everything around it (batching, schema, null passthrough) stays.
+    */
+  def decodeStub(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("decoded", decodedType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // -- begin codec stub (deterministic fake) --
+        def fakeDecode(bytes: Array[Byte]): Row =
+          if (bytes == null) null
+          else {
+            val n = bytes.length
+            val w = 16 + math.abs(java.util.Arrays.hashCode(bytes)) % 64
+            val h = 16 + (n % 64)
+            val mean = if (n == 0) 0.0
+              else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
+            Row(w, h.toInt, 3, math.rint(mean * 10000) / 10000)
+          }
+        // -- end codec stub --
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ fakeDecode(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling over a binary "video" payload: every
+    * `stride`-th `frameBytes`-sized slice becomes one frame row
+    * (explode-shaped, no driver round-trip).
+    */
+  def frameSample(bin: Column, frameBytes: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest((length(bin) / (frameBytes * stride)).cast("int") - 1, lit(0))),
+      i => struct(
+        i.as("frame_id"),
+        substring(bin, i * frameBytes * stride + 1, lit(frameBytes)).as("frame")))
+}

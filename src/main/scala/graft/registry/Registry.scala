@@ -1,0 +1,274 @@
+package graft.registry
+
+import graft.model._
+import graft.project._
+import graft.sources._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Registry entity types (reference registry-provider entity model,
+  * registry/registry-provider/src/models/entity.rs:50-62).
+  */
+object EntityType {
+  val Workspace = "feathr_workspace_v1"
+  val Source = "feathr_source_v1"
+  val Anchor = "feathr_anchor_v1"
+  val AnchorFeature = "feathr_anchor_feature_v1"
+  val DerivedFeature = "feathr_derived_feature_v1"
+}
+
+/** Edge types (edge.rs:8-19). */
+object EdgeType {
+  val BelongsTo = "BelongsTo"
+  val Contains = "Contains"
+  val Consumes = "Consumes"
+  val Produces = "Produces"
+}
+
+case class RegistryEntity(
+    guid: String,
+    typeName: String,
+    name: String,
+    qualifiedName: String,
+    version: Int = 1,
+    attributes: Map[String, String] = Map.empty)
+
+case class RegistryEdge(from: String, to: String, edgeType: String)
+
+/** `name`, `name:latest`, or `name:3`
+  * (reference registry.rs:272-301 version parsing).
+  */
+case class VersionedName(name: String, version: Option[Int])
+object VersionedName {
+  def parse(s: String): VersionedName = s.split(":", 2) match {
+    case Array(n) => VersionedName(n, None)
+    case Array(n, "latest") => VersionedName(n, None)
+    case Array(n, v) if v.forall(_.isDigit) && v.nonEmpty => VersionedName(n, Some(v.toInt))
+    case _ => throw new IllegalArgumentException(s"bad versioned name: $s")
+  }
+}
+
+/** In-memory feature-metadata catalog: CRUD + versioning (R1), lineage
+  * BFS (R2). The reference backs this with SQL/Raft + REST
+  * (registry/sql-provider, registry/raft-registry); the engine only
+  * needs the in-process graph semantics.
+  */
+class InMemoryRegistry {
+  private val entities = mutable.LinkedHashMap[String, RegistryEntity]()
+  private val edges = mutable.ArrayBuffer[RegistryEdge]()
+
+  def create(e: RegistryEntity): RegistryEntity = {
+    // same qualifiedName => new version (registry.rs:11-25 semantics)
+    val prior = entities.values.filter(_.qualifiedName == e.qualifiedName)
+    val versioned = e.copy(version = prior.map(_.version).maxOption.getOrElse(0) + 1)
+    entities(versioned.guid) = versioned
+    versioned
+  }
+
+  def get(guid: String): Option[RegistryEntity] = entities.get(guid)
+
+  /** Resolve `name`, `name:latest`, or `name:N` to an entity. */
+  def resolve(versionedName: String): Option[RegistryEntity] = {
+    val vn = VersionedName.parse(versionedName)
+    val matches = entities.values.filter(e =>
+      e.name == vn.name || e.qualifiedName == vn.name)
+    vn.version match {
+      case Some(v) => matches.find(_.version == v)
+      case None => matches.toSeq.sortBy(_.version).lastOption
+    }
+  }
+
+  def delete(guid: String): Unit = {
+    entities.remove(guid)
+    edges.filterInPlace(e => e.from != guid && e.to != guid)
+  }
+
+  def link(from: String, to: String, edgeType: String): Unit =
+    edges += RegistryEdge(from, to, edgeType)
+
+  def allEntities: Seq[RegistryEntity] = entities.values.toSeq
+  def allEdges: Seq[RegistryEdge] = edges.toSeq
+
+  /** Lineage BFS (R2, registry.rs:83-88,249-270): `downstream` follows
+    * from→to edges, upstream the reverse. Returns entities at ≤ depth
+    * hops plus the traversed edges.
+    */
+  def lineage(startGuid: String, downstream: Boolean, maxDepth: Int = Int.MaxValue)
+      : (Seq[RegistryEntity], Seq[RegistryEdge]) = {
+    val seen = mutable.LinkedHashSet(startGuid)
+    val usedEdges = mutable.ArrayBuffer[RegistryEdge]()
+    var frontier = Set(startGuid)
+    var depth = 0
+    while (frontier.nonEmpty && depth < maxDepth) {
+      val next = mutable.Set[String]()
+      for (e <- edges) {
+        val (src, dst) = if (downstream) (e.from, e.to) else (e.to, e.from)
+        if (frontier.contains(src) && !seen.contains(dst)) {
+          next += dst; seen += dst; usedEdges += e
+        }
+      }
+      frontier = next.toSet
+      depth += 1
+    }
+    (seen.toSeq.flatMap(entities.get), usedEdges.toSeq)
+  }
+}
+
+/** R6: reconstruct a [[FeatureProject]] (and a populated
+  * [[InMemoryRegistry]]) from the reference registry's `EntityLineage`
+  * JSON payload (`guidEntityMap` + `relations`) — format per
+  * `registry/test-data/sample.json`, reconstruction semantics per
+  * `feathr-rs/src/project.rs:742-847`.
+  */
+object LineageLoader {
+  private val mapper = new ObjectMapper()
+
+  private def valueType(s: String): ValueType = s match {
+    // numeric serde aliases (registry attributes.rs:7-24)
+    case "0" => ValueType.UNSPECIFIED
+    case "1" => ValueType.BOOL
+    case "2" => ValueType.INT32
+    case "3" => ValueType.INT64
+    case "4" => ValueType.FLOAT
+    case "5" => ValueType.DOUBLE
+    case "6" => ValueType.STRING
+    case "7" => ValueType.BYTES
+    case other => ValueType.parse(other)
+  }
+
+  private def featureType(n: JsonNode): FeatureType = {
+    if (n == null || n.isNull) return FeatureType.UNSPECIFIED
+    val cat = if (n.path("tensorCategory").asText("DENSE") == "SPARSE")
+      TensorCategory.SPARSE else TensorCategory.DENSE
+    val dims = n.path("dimensionType").elements().asScala
+      .map(d => valueType(d.asText)).toSeq
+    FeatureType(cat, dims, valueType(n.path("valType").asText("UNSPECIFIED")))
+  }
+
+  private def typedKeys(n: JsonNode): Seq[TypedKey] =
+    n.elements().asScala.map { k =>
+      TypedKey(
+        keyColumn = k.path("key_column").asText,
+        keyColumnType = valueType(k.path("key_column_type").asText("UNSPECIFIED")),
+        keyColumnAlias = Option(k.path("key_column_alias").asText(null)),
+        fullName = Option(k.path("full_name").asText(null)),
+        description = Option(k.path("description").asText(null)))
+    }.toSeq
+
+  private def transformation(n: JsonNode): Transformation = {
+    if (n.has("agg_func") && !n.path("agg_func").isNull) {
+      Transformation.WindowAgg(
+        defExpr = n.path("def_expr").asText,
+        aggFunc = Aggregation.parse(n.path("agg_func").asText),
+        window = Durations.parse(n.path("window").asText),
+        groupBy = Option(n.path("group_by").asText(null)).filter(_.nonEmpty),
+        filter = Option(n.path("filter").asText(null)).filter(_.nonEmpty),
+        limit = Option(n.path("limit")).filter(x => x.isInt).map(_.asInt))
+    } else if (n.has("transform_expr")) {
+      Transformation.Expr(n.path("transform_expr").asText)
+    } else if (n.has("name")) {
+      Transformation.Udf(n.path("name").asText)
+    } else Transformation.Expr("*")
+  }
+
+  private def sourceFrom(attrs: JsonNode): Source = {
+    val name = attrs.path("name").asText
+    val path = attrs.path("path").asText
+    val loc =
+      if (name == "PASSTHROUGH" || path == "PASSTHROUGH") DataLocation.InputContext
+      else DataLocation.Hdfs(path)
+    val tw = Option(attrs.path("event_timestamp_column").asText(null))
+      .filter(_.nonEmpty)
+      .map(c => TimeWindowParameters(c,
+        attrs.path("timestamp_format").asText("epoch")))
+    Source(name, loc, tw, preprocessing = None)
+  }
+
+  /** Parse a lineage payload into (project, registry). */
+  def load(json: String, projectName: String = "loaded"): (FeatureProject, InMemoryRegistry) = {
+    val root = mapper.readTree(json)
+    val guidMap = root.path("guidEntityMap")
+    val registry = new InMemoryRegistry
+    val project = FeatureProject(projectName)
+
+    val byGuid = guidMap.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+    byGuid.foreach { case (guid, ent) =>
+      val attrs = ent.path("attributes")
+      registry.create(RegistryEntity(
+        guid = guid,
+        typeName = ent.path("typeName").asText,
+        name = attrs.path("name").asText,
+        qualifiedName = attrs.path("qualifiedName").asText))
+    }
+    root.path("relations").elements().asScala.foreach { r =>
+      registry.link(r.path("fromEntityId").asText, r.path("toEntityId").asText,
+        r.path("relationshipType").asText)
+    }
+
+    val sources = byGuid.collect {
+      case (guid, ent) if ent.path("typeName").asText == EntityType.Source =>
+        guid -> project.addSource(sourceFrom(ent.path("attributes")))
+    }
+
+    // anchors: features listed inline; source referenced by guid
+    byGuid.values.filter(_.path("typeName").asText == EntityType.Anchor).foreach { anchor =>
+      val attrs = anchor.path("attributes")
+      val src = sources.getOrElse(attrs.path("source").path("guid").asText,
+        Source.INPUT_CONTEXT)
+      val feats = attrs.path("features").elements().asScala.map { ref =>
+        val f = byGuid(ref.path("guid").asText)
+        val fa = f.path("attributes")
+        AnchorFeature(
+          name = fa.path("name").asText,
+          featureType = featureType(fa.path("type")),
+          transform = transformation(fa.path("transformation")),
+          keys = typedKeys(fa.path("key")))
+      }.toSeq
+      project.addAnchorGroup(attrs.path("name").asText, src, feats)
+    }
+
+    // derived features: topo-insert until fixpoint (inputs may be other
+    // derived features, feature.rs:319-328)
+    var pending = byGuid.values
+      .filter(_.path("typeName").asText == EntityType.DerivedFeature).toSeq
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      progressed = false
+      val (ready, notReady) = pending.partition { d =>
+        val fa = d.path("attributes")
+        (fa.path("input_anchor_features").elements().asScala ++
+         fa.path("input_derived_features").elements().asScala)
+          .forall { ref =>
+            val name = byGuid.get(ref.path("guid").asText)
+              .map(_.path("attributes").path("name").asText).getOrElse("")
+            project.featureExists(name)
+          }
+      }
+      ready.foreach { d =>
+        val fa = d.path("attributes")
+        val inputs = (fa.path("input_anchor_features").elements().asScala ++
+          fa.path("input_derived_features").elements().asScala).map { ref =>
+          val in = byGuid(ref.path("guid").asText).path("attributes")
+          InputFeature(in.path("name").asText, typedKeys(in.path("key")))
+        }.toSeq
+        project.addDerived(DerivedFeature(
+          name = fa.path("name").asText,
+          featureType = featureType(fa.path("type")),
+          transformExpr = transformation(fa.path("transformation")) match {
+            case Transformation.Expr(e) => e
+            case other => throw new IllegalArgumentException(
+              s"derived feature must be an expression, got $other")
+          },
+          inputs = inputs,
+          keys = typedKeys(fa.path("key"))))
+        progressed = true
+      }
+      pending = notReady
+    }
+    require(pending.isEmpty,
+      s"unresolvable derived features: ${pending.map(_.path("attributes").path("name").asText)}")
+    (project, registry)
+  }
+}

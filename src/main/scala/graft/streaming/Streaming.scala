@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.sources.{DataLocation, Internal, TimestampParser, TimeWindowParameters}
+import graft.operators.{Materializer, OutputSink}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming ingest (SURVEY.md §2.7): `readStream` → the same row-level
+  * transforms as batch → `writeStream.foreachBatch` into any sink, with
+  * the reference's run-for-`timeoutMs`-then-stop contract
+  * (`RedisSink::with_timeout`, materialization.rs:30-54).
+  */
+object StreamingIngest {
+
+  /** Open a streaming scan of a source location. Kafka maps to the
+    * Kafka source (value decoded downstream); file locations map to the
+    * file stream source (schema required).
+    */
+  def readStream(spark: SparkSession, loc: DataLocation,
+      schema: Option[StructType] = None): DataFrame = loc match {
+    case DataLocation.Kafka(brokers, topics, _) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers.mkString(","))
+        .option("subscribe", topics.mkString(","))
+        .load()
+    case DataLocation.Hdfs(path, fmtOpt, opts) =>
+      val fmt = fmtOpt.getOrElse(DataLocation.inferFormat(path))
+      val r = spark.readStream.options(opts)
+      schema.foreach(r.schema)
+      r.format(fmt).load(path)
+    case other =>
+      throw new IllegalArgumentException(s"not streamable: $other")
+  }
+
+  /** Event-time normalization, same grammar as batch (S7). */
+  def withEventTime(df: DataFrame, tw: TimeWindowParameters): DataFrame =
+    df.withColumn(Internal.SrcTs,
+      TimestampParser.toTimestampCol(col(tw.timestampColumn), tw.timestampColumnFormat))
+
+  /** T2: watermarked sliding/tumbling window aggregation. */
+  def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,
+      windowDuration: String, slide: Option[String], groupCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDuration, s)
+      case None => window(col(tsCol), windowDuration)
+    }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(win +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
+    * after `timeoutMs` (or when the source is exhausted, whichever is
+    * first). Each micro-batch is written with the same sink writers the
+    * batch path uses (one code path, matching semantics).
+    */
+  def runWithTimeout(df: DataFrame, keyColumns: Seq[String],
+      sinks: Seq[OutputSink], timeoutMs: Long,
+      outputMode: String = "update",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Materializer.writeAll(batch, keyColumns, sinks)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+}

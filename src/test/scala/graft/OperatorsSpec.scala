@@ -1,0 +1,124 @@
+package graft
+
+import graft.model._
+import graft.operators._
+import graft.project._
+import graft.sources._
+import graft.functions.UdfRegistry
+import graft.streaming.StreamingIngest
+
+import org.apache.spark.sql.functions._
+
+/** Coverage for the remaining §2 operators: E5 named UDFs, A4/A5
+  * aggregation variants, K1/K3 generic sinks, K4/T3 streaming sink
+  * with timeout, multimodal plumbing.
+  */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkTimedProject(viewName: String, feats: Seq[AnchorFeature]): FeatureProject = {
+    val p = FeatureProject("t")
+    p.addAnchorGroup("g", Source("src", DataLocation.Table(viewName),
+      timeWindow = Some(TimeWindowParameters("ts", "native"))), feats)
+    p
+  }
+  private val key = TypedKey("k", ValueType.INT64)
+
+  test("E5: named UDF transform resolves from the registry") {
+    UdfRegistry.register("double_value")(df => col("v") * 2)
+    Seq((1L, "2024-01-01 00:00:00", 21.0))
+      .toDF("k", "ts_s", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("udf_src")
+    val p = mkTimedProject("udf_src", Seq(
+      AnchorFeature("f_doubled", FeatureType.DOUBLE,
+        Transformation.Udf("double_value"), Seq(key))))
+    val obs = Seq((1L, "2024-01-02 00:00:00")).toDF("k", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).select("k", "ts")
+    val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+      Seq(FeatureQuery(Seq("f_doubled"), Seq("k")))).collect()
+    assert(out.head.getAs[Double]("f_doubled") == 42.0)
+  }
+
+  test("A4 UNION + A5 elementwise SUM/MIN/MAX over a window") {
+    Seq(
+      (1L, "2024-01-01 00:00:00", "a", Array(1.0, 10.0)),
+      (1L, "2024-01-02 00:00:00", "b", Array(2.0, 20.0)),
+      (1L, "2024-01-03 00:00:00", "a", Array(3.0, 30.0)),
+      (2L, "2024-01-02 00:00:00", "c", Array(5.0, 50.0)))
+      .toDF("k", "ts_s", "tag", "arr")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("agg_src")
+    val p = mkTimedProject("agg_src", Seq(
+      AnchorFeature("f_tags", FeatureType.STRING,
+        Transformation.windowAgg("tag", "UNION", "10d"), Seq(key)),
+      AnchorFeature("f_esum", FeatureType.DOUBLE_VECTOR,
+        Transformation.windowAgg("arr", "ELEMENTWISE_SUM", "10d"), Seq(key)),
+      AnchorFeature("f_emin", FeatureType.DOUBLE_VECTOR,
+        Transformation.windowAgg("arr", "ELEMENTWISE_MIN", "10d"), Seq(key)),
+      AnchorFeature("f_emax", FeatureType.DOUBLE_VECTOR,
+        Transformation.windowAgg("arr", "ELEMENTWISE_MAX", "10d"), Seq(key))))
+    val obs = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-01-05 00:00:00"))
+      .toDF("k", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).select("k", "ts")
+    val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+      Seq(FeatureQuery(Seq("f_tags", "f_esum", "f_emin", "f_emax"), Seq("k"))))
+      .orderBy("k").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Seq[String]]("f_tags").toList == List("a", "b"))
+    assert(r1.getAs[Seq[Double]]("f_esum").toList == List(6.0, 60.0))
+    assert(r1.getAs[Seq[Double]]("f_emin").toList == List(1.0, 10.0))
+    assert(r1.getAs[Seq[Double]]("f_emax").toList == List(3.0, 30.0))
+    assert(out(1).getAs[Seq[Double]]("f_esum").toList == List(5.0, 50.0))
+  }
+
+  test("K1/K3: generic sink writes with requested partition count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+    Materializer.write(df, Seq("c_custkey"),
+      OutputSink.Generic("parquet", tmp, numParts = Some(3)))
+    val files = new java.io.File(tmp).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 3)
+    assert(spark.read.parquet(tmp).count() == df.count())
+  }
+
+  test("K4/T3: streaming query into a file sink stops after timeout") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = StreamingIngest.readStream(spark,
+        DataLocation.Hdfs(s"$sf/events.parque*", Some("parquet"),
+          Map("basePath" -> sf)), Some(schema))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .where($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/out"
+    val q = StreamingIngest.runWithTimeout(stream, Seq("event_id"),
+      Seq(OutputSink.Generic("parquet", tmp, mode = "append")),
+      timeoutMs = 30000, outputMode = "append")
+    assert(!q.isActive)
+    val n = spark.read.parquet(tmp).count()
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .where($"event_type" === "purchase").count()
+    assert(n == want)
+  }
+
+  test("multimodal: metadata + batched decode stub + frame sampling") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val packed = docs.select($"doc_id", Multimodal.packBinary($"text").as("payload"))
+    val meta = packed.select($"doc_id", Multimodal.mediaMeta($"payload").as("m"))
+    assert(meta.where($"m.n_bytes" <= 0).count() == 0)
+    assert(meta.where(length($"m.sha256") =!= 64).count() == 0)
+    val decoded = Multimodal.decodeStub(packed, "payload", batchSize = 16)
+    assert(decoded.count() == 100)
+    assert(decoded.where($"decoded.width" < 16 || $"decoded.channels" =!= 3).count() == 0)
+    // decode is deterministic
+    val a = decoded.select($"doc_id", $"decoded.mean_intensity").collect().toSet
+    val b = Multimodal.decodeStub(packed, "payload", batchSize = 64)
+      .select($"doc_id", $"decoded.mean_intensity").collect().toSet
+    assert(a == b)
+    val frames = packed.select(explode(
+      Multimodal.frameSample($"payload", 16, 2)).as("f"))
+    assert(frames.where(length($"f.frame") === 0).count() == 0)
+  }
+}
