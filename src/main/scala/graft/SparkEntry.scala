@@ -320,6 +320,18 @@ object SparkEntry {
         .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
     }),
 
+    // M1: backfill materialization — one snapshot per daily step over
+    // [Jan 18, Jan 20], each stamped with its step end.
+    "q_materialize_backfill" -> ((s, dir) => {
+      import java.time.Instant
+      Materializer.backfill(s, purchaseProject(dir),
+        Seq("f_last_value", "f_sum_7d"), Seq("user_id"),
+        Instant.parse("2024-01-18T00:00:00Z"), Instant.parse("2024-01-20T00:00:00Z"),
+        DateTimeResolution.Daily, sinks = Nil)
+        .reduce(_ unionByName _)
+        .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
+    }),
+
     // T1/T2: Structured Streaming ingest of the events table (file
     // source → watermark → tumbling-window agg → memory sink), compared
     // against the equivalent batch aggregation.
@@ -609,6 +621,29 @@ object SparkEntry {
         |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
         |     AND s.ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
         |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00') AS f_sum_7d
+        |FROM spine sp""".stripMargin,
+
+    "q_materialize_backfill" ->
+      """WITH steps AS (
+        |  SELECT unnest(['2024-01-18 00:00:00', '2024-01-19 00:00:00',
+        |                 '2024-01-20 00:00:00'])::TIMESTAMP AS step_end
+        |), spine AS (
+        |  SELECT s.step_end, e.user_id
+        |  FROM steps s
+        |  JOIN (SELECT user_id, min(ts) AS first_ts FROM events
+        |        WHERE event_type = 'purchase' GROUP BY user_id) e
+        |    ON e.first_ts <= s.step_end
+        |)
+        |SELECT sp.user_id,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts <= sp.step_end
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |  (SELECT round(sum(s.value), 4) FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts > sp.step_end - INTERVAL 7 DAY
+        |     AND s.ts <= sp.step_end) AS f_sum_7d,
+        |  sp.step_end AS __step_end
         |FROM spine sp""".stripMargin,
 
     "q_stream_window_agg" ->

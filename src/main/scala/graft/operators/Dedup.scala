@@ -44,6 +44,25 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+  /** Distinct (id, shingle) ROWS via posexplode + lead windows — fully
+    * whole-stage-codegen'd, unlike the array-lambda [[shingles]] (HOFs
+    * run interpreted). One shuffle by id (the window), which downstream
+    * per-id aggregations then reuse. Preferred at scale.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val parts = (1 until n).map(i => lead(col("__w"), i).over(w))
+    df.select(col(idCol), posexplode(split(normText(col(textCol)), " "))
+        .as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__pos"),
+        concat_ws(" ", col("__w") +: parts: _*).as("__s"),
+        row_number().over(w).as("__rn"),
+        count(lit(1)).over(Window.partitionBy(idCol)).as("__n"))
+      .where(col("__rn") <= greatest(col("__n") - n + 1, lit(1)))
+      .select(col(idCol), col("__s")).distinct()
+  }
+
   /** MinHash signatures as an aggregation, the 100 TB-safe shape:
     * explode shingles, hash each ONCE into two 64-bit values, and build
     * the `numHashes` families via Kirsch-Mitzenmacher (`h1 + k*h2`) as
@@ -61,12 +80,9 @@ object Dedup {
     // 31-bit masks keep h1 + k*h2 inside a long under ANSI arithmetic
     // (max 2^31 + 127*2^31 << 2^63); 2^31 hash space per family is
     // ample for min-hashing
-    // repartition by id up front: parallelizes the interpreted shingle
-    // lambdas across cores even when the source is one small file, and
-    // the explode preserves the hash partitioning so the groupBy(id)
-    // below needs no second exchange
-    val ex = df.repartition(col(idCol))
-      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__s"))
+    // shingleRows shuffles by id for its windows; the groupBy(id)
+    // below reuses that partitioning (no second exchange)
+    val ex = shingleRows(df.repartition(col(idCol)), textCol, idCol, shingleSize)
       .select(col(idCol),
         xxhash64(col("__s")).bitwiseAND(0x7fffffffL).as("__h1"),
         xxhash64(col("__s"), lit(1)).bitwiseAND(0x7fffffffL).as("__h2"))
@@ -110,8 +126,8 @@ object Dedup {
     val cands = l.join(r, Seq("band_id", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sh = df.repartition(col(idCol))
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh")).persist()
+    val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, shingleSize)
+      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh")).persist()
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -125,8 +141,8 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given candidate id pairs. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
-    val sh = df.repartition(col(idCol))
-      .select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
+    val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
+      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh")).persist()
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
