@@ -74,7 +74,9 @@ object Materializer {
       keyColumns: Seq[String],
       endTime: Instant): DataFrame = {
     val anchored = project.requiredAnchorFeatures(features)
-    val groups = anchored.flatMap(project.anchorFeature(_)).map(_._1).distinct
+    val groups = anchored
+      .flatMap { case (_, base) => project.anchorFeature(base) }
+      .map(_._1).distinct
     // spine = all keys observed in any contributing source up to endTime
     val spines = groups.filterNot(_.source.isInputContext).map { g =>
       val src = SourceResolver.resolve(spark, g.source)

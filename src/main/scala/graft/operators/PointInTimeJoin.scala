@@ -51,13 +51,18 @@ object PointInTimeJoin {
     }
 
     for (q <- queries) {
-      val anchored = project.requiredAnchorFeatures(q.featureList)
+      // features another query will join (cross-key aliasing): skip
+      // their anchors here, their own query binds the keys
+      val others = queries.filterNot(_ eq q).flatMap(_.featureList).toSet
+      val anchored = project.requiredAnchorFeatures(q.featureList, others)
       // group features by anchor group so each source is scanned once
       // (mirrors reference project.rs:392-423)
       val grouped = anchored
-        .flatMap(project.anchorFeature(_))
+        .flatMap { case (out, base) =>
+          project.anchorFeature(base).map { case (g, f) => (g, f, out) }
+        }
         .groupBy(_._1.name).values
-        .map(pairs => (pairs.head._1, pairs.map(_._2)))
+        .map(triples => (triples.head._1, triples.map(t => (t._2, t._3))))
         .toSeq.sortBy(_._1.name)
       for ((g, feats) <- grouped) {
         obs =
@@ -76,8 +81,9 @@ object PointInTimeJoin {
   /** Passthrough (INPUT_CONTEXT / DUMMY_KEY) features: no join, computed
     * directly on observation rows (feature_builder.rs:75-79).
     */
-  private def applyPassthrough(obs: DataFrame, feats: Seq[AnchorFeature]): DataFrame =
-    feats.foldLeft(obs)((df, f) => df.withColumn(f.name, rowCol(f.transform, df)))
+  private def applyPassthrough(obs: DataFrame, feats: Seq[(AnchorFeature, String)]): DataFrame =
+    feats.foldLeft(obs) { case (df, (f, out)) =>
+      df.withColumn(out, rowCol(f.transform, df)) }
 
   private def rowCol(t: Transformation, src: DataFrame): Column = t match {
     case Transformation.Expr(e) => FeathrExpr.column(e)
@@ -97,17 +103,17 @@ object PointInTimeJoin {
       spark: SparkSession,
       obs: DataFrame,
       g: AnchorGroup,
-      feats: Seq[AnchorFeature],
+      feats: Seq[(AnchorFeature, String)],
       obsKeyCols: Seq[String]): DataFrame = {
 
-    val keys = feats.head.keys
+    val keys = feats.head._1.keys
     require(keys.size == obsKeyCols.size,
       s"anchor ${g.name}: key arity ${keys.size} != query key arity ${obsKeyCols.size} (feature.rs:224-241)")
 
     val src0 = SourceResolver.resolve(spark, g.source)
     val timeAware = g.source.timeWindow.isDefined && obs.columns.contains(ObsTs)
 
-    val (windowFeats, rowFeats) = feats.partition(isWindowAgg)
+    val (windowFeats, rowFeats) = feats.partition(p => isWindowAgg(p._1))
     require(windowFeats.isEmpty || timeAware,
       s"anchor ${g.name}: window aggregations need a time-aware source AND an observation timestamp")
 
@@ -119,10 +125,10 @@ object PointInTimeJoin {
     }
     if (windowFeats.nonEmpty) {
       // share one range join per identical window spec
-      val clusters = windowFeats.groupBy { f =>
+      val clusters = windowFeats.groupBy { case (f, _) =>
         val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
         (wa.window, wa.filter, wa.groupBy, wa.limit)
-      }.toSeq.sortBy(_._2.head.name)
+      }.toSeq.sortBy(_._2.head._2)
       for ((_, cluster) <- clusters)
         joined = windowAggJoin(joined, obsKeyCols, keys, src0, cluster)
     }
@@ -135,9 +141,10 @@ object PointInTimeJoin {
     */
   private def snapshotJoin(
       obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
-      src: DataFrame, feats: Seq[AnchorFeature]): DataFrame = {
+      src: DataFrame, feats: Seq[(AnchorFeature, String)]): DataFrame = {
     val keyCols = keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(obsKeyCols(i)) }
-    val featDf = src.select(keyCols ++ feats.map(f => rowCol(f.transform, src).as(f.name)): _*)
+    val featDf = src.select(keyCols ++ feats.map { case (f, out) =>
+      rowCol(f.transform, src).as(out) }: _*)
     obs.join(featDf, obsKeyCols, "left_outer")
   }
 
@@ -153,11 +160,12 @@ object PointInTimeJoin {
     */
   private def asOfJoin(
       obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
-      src: DataFrame, feats: Seq[AnchorFeature]): DataFrame = {
+      src: DataFrame, feats: Seq[(AnchorFeature, String)]): DataFrame = {
     val ts = "__graft_ts"
     val vals = "__graft_vals"
     val keyCols = keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(obsKeyCols(i)) }
-    val valStruct = struct(feats.map(f => rowCol(f.transform, src).as(f.name)): _*)
+    val valStruct = struct(feats.map { case (f, out) =>
+      rowCol(f.transform, src).as(out) }: _*)
     val srcSel = src
       .select(keyCols ++ Seq(col(Internal.SrcTs).as(ts), valStruct.as(vals)): _*)
       .withColumn(Tag, lit(0))
@@ -178,7 +186,7 @@ object PointInTimeJoin {
       .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))
       .where(col(Tag) === 1)
       .select(obsKeyCols.map(col) ++ Seq(col(ts).as(ObsTs)) ++
-        feats.map(f => col(s"$vals.${f.name}").as(f.name)): _*)
+        feats.map { case (_, out) => col(s"$vals.$out").as(out) }: _*)
 
     obs.join(featRows, obsKeyCols :+ ObsTs, "left_outer")
   }
@@ -191,18 +199,24 @@ object PointInTimeJoin {
     */
   private def windowAggJoin(
       obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
-      src: DataFrame, feats: Seq[AnchorFeature]): DataFrame = {
-    val wa0 = feats.head.transform.asInstanceOf[Transformation.WindowAgg]
+      src: DataFrame, feats: Seq[(AnchorFeature, String)]): DataFrame = {
+    val wa0 = feats.head._1.transform.asInstanceOf[Transformation.WindowAgg]
     val skCols = obsKeyCols.indices.map(i => s"__graft_sk_$i")
     val groupCol = "__graft_grp"
+    val salt = "__graft_salt"
+    // skew mitigation: salt the range join so one hot key spreads over
+    // N reducers (spark.graft.swa.saltBuckets; off by default — AQE
+    // skew-join handles moderate skew, salting is for pathological keys)
+    val saltBuckets = obs.sparkSession.conf
+      .get("spark.graft.swa.saltBuckets", "1").toInt
 
     // evaluate measures (and sub-key) against source columns, pre-join
     val filtered = wa0.filter.map(f => src.where(FeathrExpr.column(f))).getOrElse(src)
-    val measures = feats.map(f => s"__graft_m_${f.name}")
-    var srcSel = filtered.select(
+    val measures = feats.map { case (_, out) => s"__graft_m_$out" }
+    val srcSel = filtered.select(
       keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(skCols(i)) } ++
       Seq(col(Internal.SrcTs)) ++
-      feats.zip(measures).map { case (f, m) =>
+      feats.zip(measures).map { case ((f, _), m) =>
         val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
         FeathrExpr.column(wa.defExpr).as(m)
       } ++
@@ -213,12 +227,21 @@ object PointInTimeJoin {
       .na.drop("any").distinct()
 
     val interval = expr(s"INTERVAL ${wa0.window.getSeconds} SECOND")
-    val cond = obsKeyCols.indices
+    var cond = obsKeyCols.indices
       .map(i => col(obsKeyCols(i)) === col(skCols(i)))
       .reduce(_ && _) &&
       col(Internal.SrcTs) > col(ObsTs) - interval &&
       col(Internal.SrcTs) <= col(ObsTs)
-    var joined = pairs.join(srcSel, cond, "inner")
+    var joined =
+      if (saltBuckets > 1) {
+        val srcSalt = s"${salt}_s"
+        val srcSalted = srcSel.withColumn(srcSalt,
+          pmod(xxhash64(col(Internal.SrcTs)), lit(saltBuckets)).cast("int"))
+        val pairsSalted = pairs.withColumn(salt,
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        pairsSalted.join(srcSalted, cond && col(salt) === col(srcSalt), "inner")
+          .drop(salt, srcSalt)
+      } else pairs.join(srcSel, cond, "inner")
 
     // A9 limit: top-k newest source rows per (key, obs_ts)
     wa0.limit.foreach { k =>
@@ -232,26 +255,22 @@ object PointInTimeJoin {
     }
 
     val groupKeys = (obsKeyCols :+ ObsTs).map(col)
+    val aggs = feats.zip(measures).map { case ((f, out), m) =>
+      val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+      aggColumn(wa.aggFunc, col(m)).as(out)
+    }
     val aggDf = wa0.groupBy match {
       case None =>
-        val aggs = feats.zip(measures).map { case (f, m) =>
-          val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
-          aggColumn(wa.aggFunc, col(m)).as(f.name)
-        }
         val out = joined.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
-        feats.foldLeft(out)((df, f) => finishElementwise(df, f))
+        feats.foldLeft(out) { case (df, (f, o)) => finishElementwise(df, f, o) }
       case Some(_) =>
-        // A7: aggregate per (key, sub-key) then collect sub-key → value
+        // A7: aggregate per (key, sub-key) then collect sub-key -> value
         // into a deterministic (sorted) map
-        val aggs = feats.zip(measures).map { case (f, m) =>
-          val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
-          aggColumn(wa.aggFunc, col(m)).as(f.name)
-        }
         val lvl1 = joined.groupBy((groupKeys :+ col(groupCol)): _*).agg(aggs.head, aggs.tail: _*)
-        val collects = feats.map { f =>
-          map_from_entries(array_sort(collect_list(struct(col(groupCol), col(f.name))))).as(f.name)
+        val collects = feats.map { case (_, out) =>
+          map_from_entries(array_sort(collect_list(struct(col(groupCol), col(out))))).as(out)
         }
-        feats.foldLeft(lvl1)((df, f) => finishElementwise(df, f))
+        feats.foldLeft(lvl1) { case (df, (f, o)) => finishElementwise(df, f, o) }
           .groupBy(groupKeys: _*).agg(collects.head, collects.tail: _*)
     }
     obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
@@ -284,11 +303,11 @@ object PointInTimeJoin {
     case _ => None
   }
 
-  private def finishElementwise(df: DataFrame, f: AnchorFeature): DataFrame =
+  private def finishElementwise(df: DataFrame, f: AnchorFeature, out: String): DataFrame =
     elementwiseAgg(f) match {
       case None => df
       case Some(agg) =>
-        val lists = s"`${f.name}`"
+        val lists = s"`$out`"
         val merge = agg match {
           case Aggregation.ELEMENTWISE_MIN => "(a, b) -> least(a, b)"
           case Aggregation.ELEMENTWISE_MAX => "(a, b) -> greatest(a, b)"
@@ -306,6 +325,6 @@ object PointInTimeJoin {
             s"transform($folded, x -> x / size($lists))"
           case _ => folded
         }
-        df.withColumn(f.name, expr(fin))
+        df.withColumn(out, expr(fin))
     }
 }

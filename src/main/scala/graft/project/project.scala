@@ -66,6 +66,21 @@ class FeatureProject(val name: String) {
     Source.INPUT_CONTEXT.name -> Source.INPUT_CONTEXT)
   private val anchorGroups = mutable.LinkedHashMap[String, AnchorGroup]()
   private val derived = mutable.LinkedHashMap[String, DerivedFeature]()
+  private val aliases = mutable.LinkedHashMap[String, String]()
+
+  /** Register an output alias for an anchor feature — the reference's
+    * `as_feature` rename used with `with_key` cross-key bindings
+    * (python/src/lib.rs:972-993). A feature requested under an alias
+    * joins its base feature and exposes the result column as the alias,
+    * so one feature can be attached multiple times under different key
+    * bindings (e.g. viewer/viewee) and combined by a derived feature.
+    */
+  def registerAlias(alias: String, baseFeature: String): Unit = {
+    require(anchorFeature(baseFeature).isDefined,
+      s"alias $alias: unknown base anchor feature $baseFeature")
+    aliases(alias) = baseFeature
+  }
+  def aliasBase(name: String): Option[String] = aliases.get(name)
 
   def addSource(src: Source): Source = { sources(src.name) = src; src }
   def source(name: String): Source = sources.getOrElse(name,
@@ -104,7 +119,8 @@ class FeatureProject(val name: String) {
   }
 
   def featureExists(name: String): Boolean =
-    anchorGroups.values.exists(_.features.exists(_.name == name)) || derived.contains(name)
+    anchorGroups.values.exists(_.features.exists(_.name == name)) ||
+      derived.contains(name) || aliases.contains(name)
 
   def anchorFeature(name: String): Option[(AnchorGroup, AnchorFeature)] =
     anchorGroups.values.flatMap(g => g.features.find(_.name == name).map(g -> _)).headOption
@@ -134,17 +150,25 @@ class FeatureProject(val name: String) {
     out.toSeq.map(derived)
   }
 
-  /** Expand a requested feature list to include anchor inputs of the
-    * requested derived features (they must be joined first).
+  /** Expand a requested feature list to the anchor features that must
+    * be joined first, as (outputName, baseFeature) pairs — outputName
+    * differs from baseFeature for aliases. Derived-feature inputs that
+    * appear in `providedElsewhere` (another query's feature list) are
+    * skipped: their own query joins them under its key binding.
     */
-  def requiredAnchorFeatures(requested: Seq[String]): Seq[String] = {
-    val anchored = mutable.LinkedHashSet[String]()
-    def walk(n: String): Unit = derived.get(n) match {
-      case Some(d) => d.inputs.foreach(i => walk(i.featureName))
-      case None if anchorFeature(n).isDefined => anchored += n
-      case None => throw new NoSuchElementException(s"unknown feature $n")
-    }
-    requested.foreach(walk)
+  def requiredAnchorFeatures(
+      requested: Seq[String],
+      providedElsewhere: Set[String] = Set.empty): Seq[(String, String)] = {
+    val anchored = mutable.LinkedHashMap[String, String]()
+    def walk(n: String, top: Boolean): Unit =
+      if (top || !providedElsewhere.contains(n)) derived.get(n) match {
+        case Some(d) => d.inputs.foreach(i => walk(i.featureName, top = false))
+        case None =>
+          val base = aliases.getOrElse(n, n)
+          if (anchorFeature(base).isDefined) anchored(n) = base
+          else throw new NoSuchElementException(s"unknown feature $n")
+      }
+    requested.foreach(walk(_, top = true))
     anchored.toSeq
   }
 }

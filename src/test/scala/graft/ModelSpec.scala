@@ -83,7 +83,7 @@ class ModelSpec extends AnyFunSuite {
     p.addDerived(DerivedFeature("d2", FeatureType.DOUBLE, "d1 * 2",
       Seq(InputFeature("d1", Seq(k))), Seq(k)))
     assert(p.topoSortDerived(Seq("d2")).map(_.name) == Seq("d1", "d2"))
-    assert(p.requiredAnchorFeatures(Seq("d2")) == Seq("base"))
+    assert(p.requiredAnchorFeatures(Seq("d2")) == Seq(("base", "base")))
     intercept[NoSuchElementException](p.requiredAnchorFeatures(Seq("nope")))
   }
 
