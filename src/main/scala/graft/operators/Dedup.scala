@@ -76,13 +76,22 @@ object Dedup {
     * (empty text) produce no row.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 128, shingleSize: Int = 5): DataFrame = {
+      numHashes: Int = 128, shingleSize: Int = 5): DataFrame =
+    minhashSignaturesFromRows(
+      shingleRows(df.repartition(col(idCol)), textCol, idCol, shingleSize),
+      idCol, numHashes)
+
+  /** Same, over precomputed (id, __s) shingle rows — lets one persisted
+    * shingle scan feed both the signatures and the verification join.
+    */
+  def minhashSignaturesFromRows(shRows: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
     // 31-bit masks keep h1 + k*h2 inside a long under ANSI arithmetic
     // (max 2^31 + 127*2^31 << 2^63); 2^31 hash space per family is
     // ample for min-hashing
     // shingleRows shuffles by id for its windows; the groupBy(id)
     // below reuses that partitioning (no second exchange)
-    val ex = shingleRows(df.repartition(col(idCol)), textCol, idCol, shingleSize)
+    val ex = shRows
       .select(col(idCol),
         xxhash64(col("__s")).bitwiseAND(0x7fffffffL).as("__h1"),
         xxhash64(col("__s"), lit(1)).bitwiseAND(0x7fffffffL).as("__h2"))
@@ -98,10 +107,16 @@ object Dedup {
     * become candidates. Returns (idCol, band_id, band_hash).
     */
   def lshBands(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+      numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5): DataFrame =
+    lshBandsFromSig(minhashSignatures(df, textCol, idCol, numHashes, shingleSize),
+      idCol, numHashes, bands)
+
+  /** Banding over a precomputed (id, sig) signature frame. */
+  def lshBandsFromSig(sig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
-    minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+    sig
       .select(col(idCol), explode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),
@@ -118,16 +133,26 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 16,
       shingleSize: Int = 5): DataFrame = {
-    // persisted: the self-join and the verify join would otherwise
-    // recompute the signatures/shingles per side
-    val b = lshBands(df, textCol, idCol, numHashes, bands, shingleSize).persist()
+    // one persisted shingle scan feeds signatures AND verification;
+    // bands persisted because the candidate self-join reads both sides
+    val shRows = shingleRows(df.repartition(col(idCol)), textCol, idCol,
+      shingleSize).persist()
+    val b = lshBandsFromSig(
+      minhashSignaturesFromRows(shRows, idCol, numHashes),
+      idCol, numHashes, bands).persist()
     val l = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
     val r = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    // persisted: consumed by the verification join twice plus the
+    // candidate-id semi-join below
     val cands = l.join(r, Seq("band_id", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, shingleSize)
-      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh")).persist()
+      .select("id_a", "id_b").distinct().persist()
+    // verification cost scales with candidates, not corpus: semi-join
+    // the shingle sets down to ids that appear in some candidate pair
+    val candIds = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = shRows.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -200,7 +225,11 @@ object Dedup {
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     val bitsPerBlock = 64 / blocks
-    val sig = simhashSignatures(df, textCol, idCol)
+    // the native codegen'd expression: one pass per row, zero shuffle
+    // (simhashSignatures remains as the SQL-combinator formulation)
+    val sig = df.select(col(idCol),
+      graft.functions.SimHash64Expr.simhash64(
+        normText(col(textCol))).as("sig"))
     val blocked = sig.select(col(idCol), col("sig"), explode(
       transform(sequence(lit(0), lit(blocks - 1)), b =>
         struct(b.as("block_id"),

@@ -59,11 +59,13 @@ object Similarity {
       nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    // deterministic hash-mod sample for centroids — no global sort
+    // (a Window.orderBy over the corpus would funnel every row through
+    // one partition); k-means would drop in here unchanged
     val n = corpus.count()
     val stride = math.max(1L, n / nCells)
     val centroids = corpus
-      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
-      .where((col("__rn") - 1) % stride === 0)
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
 
@@ -91,18 +93,20 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id
-    * is the sign of `dot(v, h_i)` where `h_i` is a deterministic
-    * pseudo-random hyperplane derived from xxhash64(i, dim-index).
+    * is the sign of `dot(v, h_i)` where the `h_i` are deterministic
+    * seeded hyperplanes materialized as LITERAL arrays — computed once
+    * at plan build, not re-derived per row (the hash-per-element
+    * formulation re-evaluated nBits×dim hash calls per row).
     * Same-bucket rows are near-duplicate candidates.
     */
-  def cosineLshBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), i => {
-      val h = transform(sequence(lit(0), lit(dim - 1)),
-        j => (xxhash64(i, j) % 1000000L).cast("double") / 1000000.0d)
-      when(dot(vec, h) > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(zip_with(bits, sequence(lit(0), lit(nBits - 1)),
-      (b, i) => call_function("shiftleft", b, i)), lit(0L), (acc, v) => acc.bitwiseOR(v))
+  def cosineLshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (h, i) =>
+      val hLit = array(h.map(lit): _*)
+      when(dot(vec, hLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidates

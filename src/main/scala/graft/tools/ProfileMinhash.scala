@@ -33,6 +33,32 @@ object ProfileMinhash {
     time("candidates")(println("cands=" + cands.count()))
     time("full nearDuplicates")(
       println("pairs=" + Dedup.minhashNearDuplicates(corpus, "text", "doc_id", 0.8).count()))
+    spark.sharedState.cacheManager.clearCache()
+    time("full nearDuplicates warm")(
+      println("pairs=" + Dedup.minhashNearDuplicates(corpus, "text", "doc_id", 0.8).count()))
+    spark.sharedState.cacheManager.clearCache()
+    val shRows = Dedup.shingleRows(corpus.repartition(col("doc_id")), "text", "doc_id", 5).persist()
+    time("cold shRows")(shRows.count())
+    val sig = Dedup.minhashSignaturesFromRows(shRows, "doc_id", 128)
+    time("cold sig")(sig.count())
+    val b2 = Dedup.lshBandsFromSig(sig, "doc_id", 128, 16).persist()
+    time("cold bands")(b2.count())
+    val l2 = b2.select(col("band_id"), col("band_hash"), col("doc_id").as("id_a"))
+    val r2 = b2.select(col("band_id"), col("band_hash"), col("doc_id").as("id_b"))
+    val c2 = l2.join(r2, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().persist()
+    time("cold cands")(c2.count())
+    val candIds = c2.select(col("id_a").as("doc_id"))
+      .unionByName(c2.select(col("id_b").as("doc_id"))).distinct()
+    val sh2 = shRows.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("__s")).as("sh"))
+    val verif = c2
+      .join(sh2.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh2.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= 0.8)
+    time("cold verify")(verif.count())
     spark.stop()
   }
 }

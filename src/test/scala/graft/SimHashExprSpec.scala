@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{SimHash64, SimHash64Expr}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd SimHash expression: eval/codegen parity, SQL
+  * registration, near-dup behavior.
+  */
+class SimHashExprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interpreted eval matches the plain-Scala hash") {
+    val s = "the quick brown fox"
+    val viaEval = Seq(s).toDF("t")
+      .select(SimHash64Expr.simhash64($"t").as("h")).head.getLong(0)
+    assert(viaEval == SimHash64.hash(UTF8String.fromString(s)))
+  }
+
+  test("codegen path (projection over many rows) agrees with direct hash") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val got = docs.select($"doc_id", SimHash64Expr.simhash64($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> SimHash64.hash(UTF8String.fromString(r.getString(1))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("SQL registration: simhash64(text) usable from spark.sql") {
+    SimHash64Expr.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet").limit(5)
+      .createOrReplaceTempView("sh_docs")
+    val rows = spark.sql(
+      "SELECT doc_id, simhash64(text) AS h FROM sh_docs").collect()
+    assert(rows.length == 5 && rows.forall(!_.isNullAt(1)))
+  }
+
+  test("similar texts have small hamming distance, dissimilar large") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely unrelated words about database query optimization engines"
+    def h(s: String) = SimHash64.hash(UTF8String.fromString(s))
+    assert(SimHash64.hamming(h(a), h(b)) < SimHash64.hamming(h(a), h(c)))
+    assert(SimHash64.hamming(h(a), h(a)) == 0)
+  }
+
+  test("simhashNearDuplicates (expression-backed) still finds planted dups") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val planted = docs.where($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val pairs = Dedup.simhashNearDuplicates(docs.unionByName(planted),
+      "text", "doc_id", maxHamming = 0)
+    val plantedFound = pairs.where($"id_b" - $"id_a" === 1000000L).count()
+    assert(plantedFound == docs.where($"doc_id" % 50 === 0).count())
+  }
+}
