@@ -226,6 +226,22 @@ object PointInTimeJoin {
       .select(obsKeyCols.map(col) :+ col(ObsTs): _*)
       .na.drop("any").distinct()
 
+    // bucketed pre-aggregation path (exact; SURVEY.md §4): engaged for
+    // decomposable aggs when spark.graft.swa.bucketSeconds > 0
+    val bucketSec = obs.sparkSession.conf
+      .get("spark.graft.swa.bucketSeconds", "0").toLong
+    val allBucketable = feats.forall { case (f, _) =>
+      f.transform.asInstanceOf[Transformation.WindowAgg].aggFunc match {
+        case Aggregation.SUM | Aggregation.COUNT | Aggregation.AVG |
+             Aggregation.MIN | Aggregation.MAX => true
+        case _ => false
+      }
+    }
+    if (bucketSec > 0 && allBucketable && wa0.groupBy.isEmpty &&
+        wa0.limit.isEmpty && wa0.window.getSeconds >= 2 * bucketSec)
+      return bucketedWindowAgg(obs, obsKeyCols, skCols, srcSel, pairs,
+        feats, measures, wa0, bucketSec)
+
     val interval = expr(s"INTERVAL ${wa0.window.getSeconds} SECOND")
     var cond = obsKeyCols.indices
       .map(i => col(obsKeyCols(i)) === col(skCols(i)))
@@ -273,6 +289,84 @@ object PointInTimeJoin {
         feats.foldLeft(lvl1) { case (df, (f, o)) => finishElementwise(df, f, o) }
           .groupBy(groupKeys: _*).agg(collects.head, collects.tail: _*)
     }
+    obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
+  }
+
+  /** Exact bucketed SWA (the 100 TB shape for long windows over dense
+    * keys): pre-aggregate source rows per (key, time-bucket) ONCE, join
+    * spine pairs to the ≤ window/bucket FULL buckets inside each
+    * window, and join raw rows only for the two partial edge buckets —
+    * per-pair work drops from O(rows-in-window) to
+    * O(window/bucket + rows-in-2-buckets). Exact for decomposable
+    * aggregations (SUM/COUNT/AVG/MIN/MAX; AVG = final sum/count).
+    *
+    * Bucket arithmetic is in epoch-micros, so sub-second timestamps
+    * stay exact: bucket b covers [b·B, (b+1)·B); for a window
+    * (T−W, T] the FULL buckets are b ∈ [⌊(T−W)/B⌋+1, ⌊T/B⌋−1], and
+    * buckets ⌊(T−W)/B⌋ / ⌊T/B⌋ are re-checked row-by-row.
+    */
+  private def bucketedWindowAgg(
+      obs: DataFrame, obsKeyCols: Seq[String], skCols: Seq[String],
+      srcSel: DataFrame, pairs: DataFrame,
+      feats: Seq[(AnchorFeature, String)], measures: Seq[String],
+      wa0: Transformation.WindowAgg, bucketSec: Long): DataFrame = {
+    val bUs = bucketSec * 1000000L
+    val wUs = wa0.window.getSeconds * 1000000L
+    val b = "__graft_b"
+    val tUs = "__graft_tus"
+
+    // exact long integer division (a / b in Column API is double division)
+    def idiv(c: Column, d: Long): Column = ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+
+    val srcB = srcSel.withColumn(b, idiv(unix_micros(col(Internal.SrcTs)), bUs))
+    def ps(m: String) = s"__graft_ps_$m"
+    def pc(m: String) = s"__graft_pc_$m"
+    def pm(m: String) = s"__graft_pm_$m"
+    def px(m: String) = s"__graft_px_$m"
+    val partialAggs = measures.flatMap(m => Seq(
+      sum(col(m)).as(ps(m)), count(col(m)).as(pc(m)),
+      min(col(m)).as(pm(m)), max(col(m)).as(px(m))))
+    val bucketPartials = srcB.groupBy((skCols :+ b).map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+
+    val p = pairs.withColumn(tUs, unix_micros(col(ObsTs)))
+    val loB = idiv(col(tUs) - wUs, bUs)
+    val hiB = idiv(col(tUs), bUs)
+    val keyEq = obsKeyCols.indices.map(i => col(obsKeyCols(i)) === col(skCols(i)))
+      .reduce(_ && _)
+
+    val partialCols = measures.flatMap(m => Seq(ps(m), pc(m), pm(m), px(m)))
+    val fullBuckets = p.join(bucketPartials,
+        keyEq && col(b) > loB && col(b) < hiB, "inner")
+      .select((obsKeyCols :+ ObsTs).map(col) ++ partialCols.map(col): _*)
+
+    val partialTypes = partialCols.map(c => c -> bucketPartials.schema(c).dataType).toMap
+    val edgeRows = p.join(srcB,
+        keyEq && (col(b) === loB || col(b) === hiB) &&
+          unix_micros(col(Internal.SrcTs)) > col(tUs) - wUs &&
+          unix_micros(col(Internal.SrcTs)) <= col(tUs), "inner")
+      .select((obsKeyCols :+ ObsTs).map(col) ++ measures.flatMap(m => Seq(
+        col(m).cast(partialTypes(ps(m))).as(ps(m)),
+        when(col(m).isNull, 0L).otherwise(1L).cast(partialTypes(pc(m))).as(pc(m)),
+        col(m).cast(partialTypes(pm(m))).as(pm(m)),
+        col(m).cast(partialTypes(px(m))).as(px(m)))): _*)
+
+    val finals = feats.zip(measures).map { case ((f, out), m) =>
+      val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+      (wa.aggFunc match {
+        case Aggregation.SUM   => sum(col(ps(m)))
+        case Aggregation.COUNT => sum(col(pc(m)))
+        case Aggregation.AVG   =>
+          // CASE guards the ANSI divide-by-zero when every row was null
+          when(sum(col(pc(m))) =!= 0, sum(col(ps(m))) / sum(col(pc(m))))
+        case Aggregation.MIN   => min(col(pm(m)))
+        case Aggregation.MAX   => max(col(px(m)))
+        case other => throw new IllegalStateException(s"not bucketable: $other")
+      }).as(out)
+    }
+    val aggDf = fullBuckets.unionByName(edgeRows)
+      .groupBy((obsKeyCols :+ ObsTs).map(col): _*)
+      .agg(finals.head, finals.tail: _*)
     obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
   }
 
