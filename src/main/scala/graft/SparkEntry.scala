@@ -215,7 +215,8 @@ object SparkEntry {
       p.addAnchorGroup("lu_anchor", all, Seq(
         AnchorFeature("f_latest_30d", FeatureType.DOUBLE,
           Transformation.windowAgg("value", "LATEST", "30d"), Seq(userKey)),
-        AnchorFeature("f_types_7d", FeatureType.STRING,
+        AnchorFeature("f_types_7d",
+          FeatureType(TensorCategory.DENSE, Seq(ValueType.INT32), ValueType.STRING),
           Transformation.windowAgg("event_type", "UNION", "7d"), Seq(userKey))))
       FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
         Seq(FeatureQuery(Seq("f_latest_30d", "f_types_7d"), Seq("user_id"))))

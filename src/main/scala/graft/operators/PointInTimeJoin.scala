@@ -75,7 +75,35 @@ object PointInTimeJoin {
     for (d <- project.topoSortDerived(requested))
       obs = obs.withColumn(d.name, FeathrExpr.column(d.transformExpr))
 
+    obs = applyDeclaredTypes(project, obs, requested)
     obs.drop(ObsTs)
+  }
+
+  /** Schema is declared, not inferred (SURVEY.md §1.2): coerce each
+    * requested feature column to its declared `FeatureType`. Skipped
+    * for UNSPECIFIED and for features whose runtime representation is
+    * not the declared tensor itself (UNION sets, group_by maps).
+    */
+  private def applyDeclaredTypes(
+      project: FeatureProject, obs: DataFrame, requested: Seq[String]): DataFrame = {
+    def eligible(f: AnchorFeature): Boolean = f.transform match {
+      case Transformation.WindowAgg(_, Aggregation.UNION, _, _, _, _) => false
+      case Transformation.WindowAgg(_, _, _, Some(_), _, _) => false
+      case _ => true
+    }
+    requested.foldLeft(obs) { (df, name) =>
+      if (!df.columns.contains(name)) df
+      else {
+        val declared = project.anchorFeature(project.aliasBase(name).getOrElse(name))
+          .collect { case (_, f) if eligible(f) => f.featureType }
+          .orElse(project.derivedFeature(name).map(_.featureType))
+        declared match {
+          case Some(t) if t.valType != ValueType.UNSPECIFIED =>
+            df.withColumn(name, col(name).cast(t.sparkType))
+          case _ => df
+        }
+      }
+    }
   }
 
   /** Passthrough (INPUT_CONTEXT / DUMMY_KEY) features: no join, computed
