@@ -123,6 +123,41 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // General relational pipeline (TPC-H Q3 shape): 3-way join +
+    // filter + grouped aggregation; dimension sides broadcast.
+    "q_join_agg_pipeline" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+
+    // General relational pipeline (TPC-H Q5 shape): 5-way star join
+    // across region/nation/customer/orders/lineitem + supplier.
+    "q_star_join" -> ((s, dir) => {
+      val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // S1+E1/E2/E3/E4: HDFS scan + projection/filter with Feathr
     // extension scalars rewritten to Catalyst builtins.
     "q_scan_project" -> ((s, dir) => {
@@ -415,7 +450,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4)
+      Similarity.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4,
+        kmeansIters = 1)
         .select(col("q_id"), col("vec_id"), col("rank"),
           round(col("score"), 5).as("score"))
     }),
@@ -474,6 +510,31 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg_pipeline" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
 
     "q_scan_project" ->
       """SELECT event_id, user_id,

@@ -58,24 +58,38 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    // deterministic hash-mod sample for centroids — no global sort
-    // (a Window.orderBy over the corpus would funnel every row through
-    // one partition); k-means would drop in here unchanged
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      kmeansIters: Int = 0): DataFrame = {
+    // deterministic hash-mod sample seeds the centroids — no global
+    // sort (a Window.orderBy over the corpus would funnel every row
+    // through one partition); optional Lloyd iterations refine them
     val n = corpus.count()
     val stride = math.max(1L, n / nCells)
-    val centroids = corpus
+    var centroids = corpus
       .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
 
     // assign each corpus row to its nearest centroid (broadcast, 1 pass)
     val wAssign = Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cell_id").asc)
-    val assigned = corpus.join(broadcast(centroids))
+    def assign(cents: DataFrame): DataFrame = corpus.join(broadcast(cents))
       .select(col(idCol), col(vecCol), col("cell_id"),
         cosine(col(vecCol), col("centroid")).as("cscore"))
       .withColumn("r", row_number().over(wAssign)).where(col("r") === 1)
       .select(col(idCol), col(vecCol), col("cell_id"))
+
+    // Lloyd refinement: new centroid = element-wise mean of its cell
+    // (posexplode → avg per (cell, position) → re-assemble)
+    for (_ <- 0 until kmeansIters) {
+      centroids = assign(centroids)
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+        .persist()
+    }
+    val assigned = assign(centroids)
 
     // probe the nProbe nearest cells per query
     val wProbe = Window.partitionBy(qIdCol).orderBy(col("cscore").desc, col("cell_id").asc)

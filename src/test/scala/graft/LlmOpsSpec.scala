@@ -53,7 +53,8 @@ class LlmOpsSpec extends SparkTestBase {
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val exact = Similarity.bruteForceTopK(emb, queries, 5)
       .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 4)
+    val approx = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 4,
+      kmeansIters = 1)
       .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall") // nProbe=half the cells

@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StreamingSwa
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch/stream parity for sliding-window aggregation: the stateful
+  * streaming operator must produce, for every purchase event, exactly
+  * the batch SWA value with the spine equal to the source.
+  */
+class StreamingSwaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming SWA matches the batch range-join aggregate per event") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .where($"event_type" === "purchase")
+      .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"), $"value")
+    // duplicate (key, ts) pairs would make per-event emission ambiguous
+    assert(purchases.groupBy("key", "tsMicros").count().where($"count" > 1).count() == 0)
+
+    val events = purchases.as[StreamingSwa.Event]
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingSwa.Event]
+    stream.addData(events.collect().toSeq)
+
+    val name = s"swa_out_${System.nanoTime()}"
+    val q = StreamingSwa(stream.toDS(), windowSeconds = 7 * 86400)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+      .select($"key", $"tsMicros", round($"f_sum", 6).as("f_sum"), $"f_cnt",
+        $"f_min", $"f_max", round($"f_avg", 6).as("f_avg"))
+
+    // batch truth: range join of purchases onto itself
+    val l = purchases.select($"key".as("k"), $"tsMicros".as("t"))
+    val r = purchases.select($"key".as("rk"), $"tsMicros".as("rt"), $"value")
+    val want = l.join(r, $"k" === $"rk" &&
+        $"rt" > $"t" - lit(7 * 86400 * 1000000L) && $"rt" <= $"t")
+      .groupBy($"k", $"t")
+      .agg(round(sum($"value"), 6).as("f_sum"), count($"value").as("f_cnt"),
+        min($"value").as("f_min"), max($"value").as("f_max"),
+        round(avg($"value"), 6).as("f_avg"))
+      .select($"k".as("key"), $"t".as("tsMicros"),
+        $"f_sum", $"f_cnt", $"f_min", $"f_max", $"f_avg")
+
+    assert(got.count() == want.count())
+    val mismatches = got.join(want, Seq("key", "tsMicros"), "full_outer")
+      .where(!(got("f_sum") <=> want("f_sum")) || !(got("f_cnt") <=> want("f_cnt")) ||
+             !(got("f_min") <=> want("f_min")) || !(got("f_max") <=> want("f_max")))
+      .count()
+    assert(mismatches == 0)
+  }
+}
