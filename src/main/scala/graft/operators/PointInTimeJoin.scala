@@ -305,17 +305,20 @@ object PointInTimeJoin {
     }
     val aggDf = wa0.groupBy match {
       case None =>
-        val out = joined.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
-        feats.foldLeft(out) { case (df, (f, o)) => finishElementwise(df, f, o) }
+        joined.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
       case Some(_) =>
         // A7: aggregate per (key, sub-key) then collect sub-key -> value
         // into a deterministic (sorted) map
-        val lvl1 = joined.groupBy((groupKeys :+ col(groupCol)): _*).agg(aggs.head, aggs.tail: _*)
-        val collects = feats.map { case (_, out) =>
-          map_from_entries(array_sort(collect_list(struct(col(groupCol), col(out))))).as(out)
-        }
-        feats.foldLeft(lvl1) { case (df, (f, o)) => finishElementwise(df, f, o) }
-          .groupBy(groupKeys: _*).agg(collects.head, collects.tail: _*)
+        joined.groupBy((groupKeys :+ col(groupCol)): _*).agg(aggs.head, aggs.tail: _*)
+          .groupBy(groupKeys: _*).agg(
+            feats.map { case (_, out) =>
+              map_from_entries(array_sort(collect_list(
+                struct(col(groupCol), col(out))))).as(out)
+            }.head,
+            feats.map { case (_, out) =>
+              map_from_entries(array_sort(collect_list(
+                struct(col(groupCol), col(out))))).as(out)
+            }.tail: _*)
     }
     obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
   }
@@ -411,42 +414,21 @@ object PointInTimeJoin {
     case Aggregation.COUNT => count(m)
     case Aggregation.LATEST => max_by(m, struct(col(Internal.SrcTs), m))
     case Aggregation.UNION => array_sort(collect_set(m))
-    case Aggregation.ELEMENTWISE_SUM | Aggregation.ELEMENTWISE_AVG |
-         Aggregation.ELEMENTWISE_MIN | Aggregation.ELEMENTWISE_MAX =>
-      collect_list(m)
+    // elementwise tensor folds run through a typed Aggregator with
+    // O(dim) state — never collect the window (graft.functions
+    // .VectorAggregator)
+    case Aggregation.ELEMENTWISE_SUM =>
+      graft.functions.VectorAggregator("sum", toDoubleArray(m))
+    case Aggregation.ELEMENTWISE_AVG =>
+      graft.functions.VectorAggregator("avg", toDoubleArray(m))
+    case Aggregation.ELEMENTWISE_MIN =>
+      graft.functions.VectorAggregator("min", toDoubleArray(m))
+    case Aggregation.ELEMENTWISE_MAX =>
+      graft.functions.VectorAggregator("max", toDoubleArray(m))
     case Aggregation.NOP =>
       throw new IllegalArgumentException("NOP is not an aggregation")
   }
 
-  private def elementwiseAgg(f: AnchorFeature): Option[Aggregation] = f.transform match {
-    case Transformation.WindowAgg(_, a @ (Aggregation.ELEMENTWISE_SUM |
-        Aggregation.ELEMENTWISE_AVG | Aggregation.ELEMENTWISE_MIN |
-        Aggregation.ELEMENTWISE_MAX), _, _, _, _) => Some(a)
-    case _ => None
-  }
-
-  private def finishElementwise(df: DataFrame, f: AnchorFeature, out: String): DataFrame =
-    elementwiseAgg(f) match {
-      case None => df
-      case Some(agg) =>
-        val lists = s"`$out`"
-        val merge = agg match {
-          case Aggregation.ELEMENTWISE_MIN => "(a, b) -> least(a, b)"
-          case Aggregation.ELEMENTWISE_MAX => "(a, b) -> greatest(a, b)"
-          case _ => "(a, b) -> a + b"
-        }
-        val folded =
-          s"""reduce(
-             |  $lists,
-             |  cast(null as array<double>),
-             |  (acc, v) -> if(acc is null,
-             |               transform(v, x -> double(x)),
-             |               zip_with(acc, transform(v, x -> double(x)), $merge)))""".stripMargin
-        val fin = agg match {
-          case Aggregation.ELEMENTWISE_AVG =>
-            s"transform($folded, x -> x / size($lists))"
-          case _ => folded
-        }
-        df.withColumn(out, expr(fin))
-    }
+  private def toDoubleArray(m: Column): Column =
+    transform(m, x => x.cast("double"))
 }
