@@ -97,6 +97,7 @@ object SparkEntry {
     * as-of + SWA + derived features PIT-joined onto the click spine.
     */
   def entry(spark: SparkSession): DataFrame = {
+    nanosConf(spark)
     val dir = "/root/testdata/sf0.001"
     val proj = purchaseProject(dir)
     val obs = clicks(spark, dir)
@@ -108,7 +109,15 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every entry is wrapped with the nanos conf so each query works on
+    * a fresh session (not just when an earlier query already set it).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, d: String) => { nanosConf(s); fn(s, d) })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1/A2: grouped aggregation (SUM/AVG/MIN/MAX/COUNT) over lineitem.
     "q_agg_basic" -> ((s, dir) => {
