@@ -116,6 +116,165 @@ class InMemoryRegistry {
   }
 }
 
+/** Serialize a [[FeatureProject]] to the reference registry's
+  * `EntityLineage` JSON shape (`guidEntityMap` + `relations`), the
+  * inverse of [[LineageLoader.load]] — deterministic GUIDs derived from
+  * qualified names so export is stable across runs.
+  */
+object LineageExporter {
+  private val mapper = new ObjectMapper()
+
+  private def guidOf(qualifiedName: String): String =
+    java.util.UUID.nameUUIDFromBytes(qualifiedName.getBytes("UTF-8")).toString
+
+  private def typeNode(t: FeatureType) = {
+    val n = mapper.createObjectNode()
+    n.put("type", "TENSOR")
+    n.put("tensorCategory",
+      if (t.tensorCategory == TensorCategory.SPARSE) "SPARSE" else "DENSE")
+    val d = n.putArray("dimensionType")
+    t.dimensionType.foreach(v => d.add(v.name))
+    n.put("valType", t.valType.name)
+    n
+  }
+
+  private def keyArray(keys: Seq[TypedKey]) = {
+    val arr = mapper.createArrayNode()
+    keys.foreach { k =>
+      val n = arr.addObject()
+      n.put("key_column", k.keyColumn)
+      n.put("key_column_type", k.keyColumnType.name)
+      n.put("key_column_alias", k.alias)
+      k.fullName.foreach(n.put("full_name", _))
+      k.description.foreach(n.put("description", _))
+    }
+    arr
+  }
+
+  private def transformNode(t: Transformation) = {
+    val n = mapper.createObjectNode()
+    t match {
+      case Transformation.Expr(e) => n.put("transform_expr", e)
+      case Transformation.Udf(name) => n.put("name", name)
+      case Transformation.WindowAgg(defExpr, agg, w, groupBy, filter, limit) =>
+        n.put("def_expr", defExpr)
+        n.put("agg_func", agg.toString)
+        n.put("window", Durations.format(w))
+        groupBy.foreach(n.put("group_by", _))
+        filter.foreach(n.put("filter", _))
+        limit.foreach(n.put("limit", _))
+    }
+    n
+  }
+
+  def toJson(project: FeatureProject): String = {
+    val root = mapper.createObjectNode()
+    val projectQn = project.name
+    root.put("baseEntityGuid", guidOf(projectQn))
+    val guidMap = root.putObject("guidEntityMap")
+    val relations = root.putArray("relations")
+
+    def entity(typeName: String, qn: String, name: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val e = guidMap.putObject(guidOf(qn))
+      e.put("typeName", typeName)
+      e.put("guid", guidOf(qn))
+      e.put("status", "ACTIVE")
+      e.put("displayText", name)
+      val a = e.putObject("attributes")
+      a.put("qualifiedName", qn)
+      a.put("name", name)
+      a
+    }
+    def ref(qn: String, typeName: String) = {
+      val r = mapper.createObjectNode()
+      r.put("guid", guidOf(qn))
+      r.put("typeName", typeName)
+      r.putObject("uniqueAttributes").put("qualifiedName", qn)
+      r
+    }
+    def relate(fromQn: String, toQn: String, relType: String): Unit = {
+      val r = relations.addObject()
+      r.put("fromEntityId", guidOf(fromQn))
+      r.put("toEntityId", guidOf(toQn))
+      r.put("relationshipType", relType)
+      r.put("relationshipId", "00000000-0000-0000-0000-000000000000")
+    }
+
+    val ws = entity(EntityType.Workspace, projectQn, project.name)
+    val wsAnchors = ws.putArray("anchor_features")
+    val wsDerived = ws.putArray("derived_features")
+
+    project.allSources.filterNot(_.isInputContext).foreach { s =>
+      val qn = s"${projectQn}__${s.name}"
+      val a = entity(EntityType.Source, qn, s.name)
+      s.location match {
+        case DataLocation.Hdfs(path, _, _) => a.put("path", path); a.put("type", "hdfs")
+        case other => a.put("path", other.toString); a.put("type", "generic")
+      }
+      s.timeWindow.foreach { tw =>
+        a.put("event_timestamp_column", tw.timestampColumn)
+        a.put("timestamp_format", tw.timestampColumnFormat)
+      }
+      relate(projectQn, qn, EdgeType.Contains)
+    }
+    // INPUT_CONTEXT passthrough source entity (as the reference emits)
+    val pQn = s"${projectQn}__PASSTHROUGH"
+    locally {
+      val a = entity(EntityType.Source, pQn, "PASSTHROUGH")
+      a.put("path", "PASSTHROUGH"); a.put("type", "PASSTHROUGH")
+      relate(projectQn, pQn, EdgeType.Contains)
+    }
+
+    project.groups.foreach { g =>
+      val gQn = s"${projectQn}__${g.name}"
+      val ga = entity(EntityType.Anchor, gQn, g.name)
+      val srcQn = if (g.source.isInputContext) pQn else s"${projectQn}__${g.source.name}"
+      ga.set[JsonNode]("source", ref(srcQn, EntityType.Source))
+      val featArr = ga.putArray("features")
+      wsAnchors.add(ref(gQn, EntityType.Anchor))
+      relate(projectQn, gQn, EdgeType.Contains)
+      relate(gQn, srcQn, EdgeType.Consumes)
+      g.features.foreach { f =>
+        val fQn = s"${gQn}__${f.name}"
+        val fa = entity(EntityType.AnchorFeature, fQn, f.name)
+        fa.set[JsonNode]("type", typeNode(f.featureType))
+        fa.set[JsonNode]("transformation", transformNode(f.transform))
+        fa.set[JsonNode]("key", keyArray(f.keys))
+        featArr.add(ref(fQn, EntityType.AnchorFeature))
+        relate(gQn, fQn, EdgeType.Contains)
+      }
+    }
+
+    def anchorFeatureQn(name: String): String =
+      project.anchorFeature(name)
+        .map { case (g, _) => s"${projectQn}__${g.name}__$name" }
+        .getOrElse(s"${projectQn}__$name")
+
+    project.derivedFeatures.foreach { d =>
+      val dQn = s"${projectQn}__${d.name}"
+      val da = entity(EntityType.DerivedFeature, dQn, d.name)
+      da.set[JsonNode]("type", typeNode(d.featureType))
+      da.set[JsonNode]("transformation",
+        transformNode(Transformation.Expr(d.transformExpr)))
+      da.set[JsonNode]("key", keyArray(d.keys))
+      val anchorIn = da.putArray("input_anchor_features")
+      val derivedIn = da.putArray("input_derived_features")
+      d.inputs.foreach { in =>
+        if (project.derivedFeature(in.featureName).isDefined) {
+          derivedIn.add(ref(s"${projectQn}__${in.featureName}", EntityType.DerivedFeature))
+          relate(dQn, s"${projectQn}__${in.featureName}", EdgeType.Consumes)
+        } else {
+          anchorIn.add(ref(anchorFeatureQn(in.featureName), EntityType.AnchorFeature))
+          relate(dQn, anchorFeatureQn(in.featureName), EdgeType.Consumes)
+        }
+      }
+      wsDerived.add(ref(dQn, EntityType.DerivedFeature))
+      relate(projectQn, dQn, EdgeType.Contains)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+}
+
 /** R6: reconstruct a [[FeatureProject]] (and a populated
   * [[InMemoryRegistry]]) from the reference registry's `EntityLineage`
   * JSON payload (`guidEntityMap` + `relations`) — format per

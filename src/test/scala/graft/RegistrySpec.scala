@@ -55,6 +55,43 @@ class RegistrySpec extends AnyFunSuite {
     assert(registry.allEdges.nonEmpty)
   }
 
+  test("lineage export round-trips through the loader") {
+    import graft.project._
+    import graft.sources._
+    val p = FeatureProject("rt")
+    val key = TypedKey("user_id", ValueType.INT64, Some("user_id"))
+    p.addAnchorGroup("a1", Source("ev", DataLocation.Hdfs("/data/events.parquet"),
+      timeWindow = Some(TimeWindowParameters("ts", "epoch"))), Seq(
+      AnchorFeature("f_sum", FeatureType.DOUBLE,
+        Transformation.WindowAgg("value", Aggregation.SUM,
+          Durations.parse("90d"), filter = Some("value > 0"), limit = Some(10)),
+        Seq(key)),
+      AnchorFeature("f_raw", FeatureType.FLOAT,
+        Transformation.Expr("cast_float(value)"), Seq(key))))
+    p.addDerived(DerivedFeature("f_double", FeatureType.DOUBLE, "f_raw * 2",
+      Seq(InputFeature("f_raw", Seq(key))), Seq(key)))
+    p.addDerived(DerivedFeature("f_quad", FeatureType.DOUBLE, "f_double * 2",
+      Seq(InputFeature("f_double", Seq(key))), Seq(key)))
+
+    val json = LineageExporter.toJson(p)
+    val (p2, reg2) = LineageLoader.load(json, "rt")
+    assert(p2.groups.map(_.name) == Seq("a1"))
+    assert(p2.groups.head.features.map(_.name).toSet == Set("f_sum", "f_raw"))
+    assert(p2.derivedFeatures.map(_.name).toSet == Set("f_double", "f_quad"))
+    val f = p2.anchorFeature("f_sum").get._2
+    f.transform match {
+      case Transformation.WindowAgg(d, Aggregation.SUM, w, g, flt, lim) =>
+        assert(d == "value" && w.toDays == 90)
+        assert(flt.contains("value > 0") && lim.contains(10) && g.isEmpty)
+      case other => fail(s"unexpected $other")
+    }
+    assert(p2.groups.head.source.timeWindow.contains(TimeWindowParameters("ts", "epoch")))
+    assert(p2.anchorFeature("f_raw").get._2.featureType == FeatureType.FLOAT)
+    // exported graph supports lineage traversal too
+    val ws = reg2.allEntities.find(_.typeName == EntityType.Workspace).get
+    assert(reg2.lineage(ws.guid, downstream = true)._1.size > 4)
+  }
+
   test("R2: lineage BFS reaches anchor features downstream of the workspace") {
     val (_, registry) = LineageLoader.load(sampleJson)
     val ws = registry.allEntities.find(_.typeName == EntityType.Workspace).get
