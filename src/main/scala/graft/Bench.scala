@@ -30,6 +30,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop persisted intermediates (LSH ops cache internally) so one
+      // query's leftovers don't skew the next query's memory budget
+      spark.sharedState.cacheManager.clearCache()
       System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
       name -> sec
     }
