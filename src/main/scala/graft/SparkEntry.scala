@@ -397,6 +397,33 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // T2 custom state: stateful streaming SWA via flatMapGroupsWithState
+    // — every purchase event emits its key's aggregate over the
+    // trailing 7 days; checked against the batch self-range-join.
+    // (f_avg is omitted from the compare: its per-event fold order
+    // differs from SQL aggregation at rounding half-points.)
+    "q_stream_stateful_swa" -> ((s, dir) => {
+      import graft.streaming.StreamingSwa
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val events = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"), col("value"))
+        .as[StreamingSwa.Event]
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = MemoryStream[StreamingSwa.Event]
+      stream.addData(events.collect().toSeq)
+      val name = s"swa_stream_${System.nanoTime()}"
+      val q = StreamingSwa(stream.toDS(), windowSeconds = 7 * 86400)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(
+        col("key"), col("tsMicros").as("ts_micros"),
+        round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
+        col("f_min"), col("f_max"))
+    }),
+
     // ----------------------- LLM-pipeline extension operators (§2.11)
 
     // Exact dedup: hash-groupBy on normalized text.
@@ -721,6 +748,18 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_stateful_swa" ->
+      s"""SELECT l.user_id AS key, epoch_us(l.ts)::BIGINT AS ts_micros,
+        |  round(sum(r.value), 4) AS f_sum,
+        |  count(r.value) AS f_cnt,
+        |  min(r.value) AS f_min,
+        |  max(r.value) AS f_max
+        |FROM ($purchasesSql) l
+        |JOIN ($purchasesSql) r
+        |  ON r.user_id = l.user_id
+        | AND r.ts > l.ts - INTERVAL 7 DAY AND r.ts <= l.ts
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
