@@ -24,17 +24,24 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
+    // median-of-3 per query: a single run is exposed to GC pauses /
+    // codegen-compile interactions an order of magnitude larger than
+    // the query itself (round-1 recorded one 12× outlier)
+    val runsPerQuery = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop persisted intermediates (LSH ops cache internally) so one
-      // query's leftovers don't skew the next query's memory budget
-      spark.sharedState.cacheManager.clearCache()
-      System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
-      name -> sec
+      val times = (1 to runsPerQuery).map { i =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop any leftover cached partitions so one query's residue
+        // doesn't skew the next run's memory budget
+        spark.sharedState.cacheManager.clearCache()
+        System.err.println(f"[bench] $name%-24s run$i $sec%8.2fs  rows=$n")
+        sec
+      }
+      name -> times.sorted.apply(runsPerQuery / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,7 +35,9 @@ object FeathrClient {
       queries: Seq[FeatureQuery]): DataFrame =
     PointInTimeJoin.run(spark, project, observation, obsTime, queries)
 
-  /** `materialize_features` (python/src/lib.rs:1656-1742). */
+  /** `materialize_features` (python/src/lib.rs:1656-1742): all steps in
+    * one plan, each row stamped with its `__step_end`.
+    */
   def materializeFeatures(
       spark: SparkSession,
       project: FeatureProject,
@@ -44,6 +46,6 @@ object FeathrClient {
       start: java.time.Instant,
       end: java.time.Instant,
       resolution: DateTimeResolution,
-      sinks: Seq[OutputSink]): Seq[DataFrame] =
+      sinks: Seq[OutputSink]): DataFrame =
     Materializer.backfill(spark, project, features, keyColumns, start, end, resolution, sinks)
 }

@@ -301,6 +301,102 @@ object SparkEntry {
         .withColumn("f_top3_sum", round(col("f_top3_sum"), 4))
     }),
 
+    // A10 at scale: the bucketed pre-aggregation SWA plan (the default
+    // for decomposable aggs) on the reference's canonical long-window
+    // shape — 30d windows over purchase events. The require() proves
+    // the bucketed path was taken: this query fails outright if the
+    // scale plan silently falls back to the raw range join.
+    "q_swa_bucketed" -> ((s, dir) => {
+      val p = FeatureProject("bk")
+      val purchases = Source("purchases", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(df => fixTs(df).where(col("event_type") === "purchase")))
+      p.addAnchorGroup("bk_anchor", purchases, Seq(
+        AnchorFeature("f_sum_30d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "30d"), Seq(userKey)),
+        AnchorFeature("f_avg_30d", FeatureType.DOUBLE,
+          Transformation.windowAgg("round(value * 100)", "AVG", "30d"), Seq(userKey)),
+        AnchorFeature("f_min_30d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "MIN", "30d"), Seq(userKey)),
+        AnchorFeature("f_max_30d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "MAX", "30d"), Seq(userKey)),
+        AnchorFeature("f_cnt_30d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "30d"), Seq(userKey))))
+      val df = FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(
+          Seq("f_sum_30d", "f_avg_30d", "f_min_30d", "f_max_30d", "f_cnt_30d"),
+          Seq("user_id"))))
+        .withColumn("f_sum_30d", round(col("f_sum_30d"), 4))
+        // floor-based 4-decimal grid instead of round(): Spark's round
+        // goes through the double's SHORTEST decimal repr (half-up on
+        // Double.toString) while DuckDB rounds the binary value — an
+        // avg landing on a half-point straddles the two. floor(x·10⁴+½)
+        // is pure IEEE arithmetic on bit-identical inputs.
+        .withColumn("f_avg_30d", floor(col("f_avg_30d") * 100 + lit(0.5)) / 10000)
+      require(df.queryExecution.analyzed.toString.contains("__graft_ps_"),
+        "q_swa_bucketed: the bucketed pre-aggregation plan did not engage")
+      df
+    }),
+
+    // A6 NOP: a WindowAgg with no aggregation is a plain row expression
+    // — evaluated as an as-of feature on the time-aware source.
+    "q_nop_agg" -> ((s, dir) => {
+      val p = FeatureProject("nop")
+      val purchases = Source("purchases", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(df => fixTs(df).where(col("event_type") === "purchase")))
+      p.addAnchorGroup("nop_anchor", purchases, Seq(
+        AnchorFeature("f_nop_value", FeatureType.DOUBLE,
+          Transformation.windowAgg("value * 2", "NOP", "7d"), Seq(userKey))))
+      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_nop_value"), Seq("user_id"))))
+    }),
+
+    // E5 named-UDF transform (reference Transformation::Udf; the +8e6
+    // shape mirrors feathr-rs/test-script/testudf.py).
+    "q_udf_transform" -> ((s, dir) => {
+      graft.functions.UdfRegistry.register("value_plus_8m")(df =>
+        col("value") + 8000000.0d)
+      val p = FeatureProject("udfq")
+      p.addAnchorGroup("ctx", Source.INPUT_CONTEXT, Seq(
+        AnchorFeature("f_value_new", FeatureType.DOUBLE,
+          Transformation.Udf("value_plus_8m"), Seq(TypedKey.DUMMY_KEY))))
+      val obs = t(s, dir, "events").select("event_id", "value")
+      FeathrClient.joinFeatures(s, p, obs, None,
+        Seq(FeatureQuery(Seq("f_value_new"), Nil)))
+    }),
+
+    // S2 JDBC source: seed an embedded Derby database from the nation
+    // table, then read it back through DataLocation.Jdbc (query
+    // pushdown + UserPass secret-ref resolution) — exercises the full
+    // option/auth mapping end to end.
+    "q_jdbc_scan" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftq;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        try conn.createStatement().execute("DROP TABLE nation")
+        catch { case _: java.sql.SQLException => () }
+        conn.createStatement().execute(
+          "CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT)")
+        val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        // dimension-sized seed (|nation| = 25) — test scaffolding only
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .collect().foreach { r =>
+            ps.setLong(1, r.getAs[Number]("n_nationkey").longValue())
+            ps.setString(2, r.getAs[String]("n_name"))
+            ps.setLong(3, r.getAs[Number]("n_regionkey").longValue())
+            ps.executeUpdate()
+          }
+      } finally conn.close()
+      sys.props("GRAFT_JDBC_USER") = "app"
+      sys.props("GRAFT_JDBC_PASSWORD") = ""
+      SourceResolver.read(s, DataLocation.Jdbc(url,
+        query = Some("SELECT * FROM nation WHERE n_regionkey >= 0"),
+        auth = JdbcAuth.UserPass("GRAFT_JDBC_USER", "GRAFT_JDBC_PASSWORD")))
+        .select(col("N_NATIONKEY").as("n_nationkey"),
+          col("N_NAME").as("n_name"), col("N_REGIONKEY").as("n_regionkey"))
+    }),
+
     // A5: element-wise AVG of array-valued features. Source = embeddings
     // with a synthetic event time (preprocessing hook), key = label,
     // spine = one (label, end-of-time) row per label.
@@ -365,15 +461,14 @@ object SparkEntry {
         .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
     }),
 
-    // M1: backfill materialization — one snapshot per daily step over
-    // [Jan 18, Jan 20], each stamped with its step end.
+    // M1: backfill materialization — all daily steps over [Jan 18,
+    // Jan 20] in ONE plan, each row stamped with its step end.
     "q_materialize_backfill" -> ((s, dir) => {
       import java.time.Instant
       Materializer.backfill(s, purchaseProject(dir),
         Seq("f_last_value", "f_sum_7d"), Seq("user_id"),
         Instant.parse("2024-01-18T00:00:00Z"), Instant.parse("2024-01-20T00:00:00Z"),
         DateTimeResolution.Daily, sinks = Nil)
-        .reduce(_ unionByName _)
         .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
     }),
 
@@ -431,23 +526,36 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")),
 
     // MinHash/LSH near-dup detection over a corpus with planted
-    // duplicates (id + 1M): must find each planted pair at jaccard 1.
+    // duplicates (id + 1M). Oracle contract (planted-pair recall): a
+    // planted copy has an identical shingle set → identical signature →
+    // all bands collide → the pair is a candidate DETERMINISTICALLY and
+    // verifies at exact jaccard 1. Restricting the output to the
+    // planted ground truth makes every missed pair a missing row — a
+    // recall regression fails the hash gate.
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L)
-      Dedup.minhashNearDuplicates(docs.unionByName(planted), "text", "doc_id",
-        threshold = 0.8)
+      val found = Dedup.minhashNearDuplicates(docs.unionByName(planted),
+        "text", "doc_id", threshold = 0.8)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      found.join(expected, Seq("id_a", "id_b"), "inner")
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
-    // SimHash near-dup candidates on the same planted corpus.
+    // SimHash near-dup candidates on the same planted corpus — same
+    // recall contract (identical text → identical signature → every
+    // block collides → hamming 0, deterministically).
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val planted = docs.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L)
-      Dedup.simhashNearDuplicates(docs.unionByName(planted), "text", "doc_id",
-        maxHamming = 3)
+      val found = Dedup.simhashNearDuplicates(docs.unionByName(planted),
+        "text", "doc_id", maxHamming = 3)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      found.join(expected, Seq("id_a", "id_b"), "inner")
     }),
 
     // n-gram Jaccard similarity on explicit candidate pairs.
@@ -460,13 +568,18 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
-    // Embedding near-dup via cosine LSH buckets (planted duplicates).
+    // Embedding near-dup via cosine LSH buckets (planted duplicates) —
+    // recall contract: an identical vector lands in the same hyperplane
+    // bucket and verifies at cosine 1, deterministically.
     "q_dedup_embedding" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.where(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
-      Similarity.embeddingNearDuplicates(emb.unionByName(planted),
+      val found = Similarity.embeddingNearDuplicates(emb.unionByName(planted),
         threshold = 0.999, dim = 64)
+      val expected = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 1000000L).as("id_b"))
+      found.join(expected, Seq("id_a", "id_b"), "inner")
         .withColumn("cos", round(col("cos"), 4))
     }),
 
@@ -480,16 +593,23 @@ object SparkEntry {
           round(col("score"), 5).as("score"))
     }),
 
-    // IVF approximate top-k (scale path; recall vs brute force checked
-    // in tests).
+    // IVF approximate top-k (scale path). Oracle contract: recall@10
+    // vs the exact brute-force baseline must clear 0.5 for EVERY query
+    // — a query whose recall drops below the floor emits no row, so a
+    // recall regression fails the row-count/hash gate.
     "q_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 4,
+      val k = 10
+      val approx = Similarity.ivfTopK(emb, queries, k, nCells = 16, nProbe = 8,
         kmeansIters = 1)
-        .select(col("q_id"), col("vec_id"), col("rank"),
-          round(col("score"), 5).as("score"))
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+      approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= (k + 1) / 2)
+        .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
     // Text quality statistics (pure projection).
@@ -673,6 +793,37 @@ object SparkEntry {
         |SELECT o.event_id, o.user_id, o.ts, a.f_top3_sum
         |FROM ($clicksSql) o LEFT JOIN agg a ON o.event_id = a.event_id""".stripMargin,
 
+    "q_swa_bucketed" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  round(sum(s.value), 4) AS f_sum_30d,
+        |  floor(avg(round(s.value * 100)) * 100 + 0.5) / 10000 AS f_avg_30d,
+        |  min(s.value) AS f_min_30d,
+        |  max(s.value) AS f_max_30d,
+        |  CASE WHEN count(s.value) = 0 THEN NULL
+        |       ELSE count(s.value) END AS f_cnt_30d
+        |FROM ($clicksSql) o
+        |LEFT JOIN ($purchasesSql) s
+        |  ON s.user_id = o.user_id
+        | AND s.ts > o.ts - INTERVAL 30 DAY AND s.ts <= o.ts
+        |GROUP BY o.event_id, o.user_id, o.ts""".stripMargin,
+
+    "q_nop_agg" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  (SELECT s.value * 2 FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_nop_value
+        |FROM ($clicksSql) o""".stripMargin,
+
+    "q_udf_transform" ->
+      """SELECT event_id, value,
+        |  value + 8000000.0 AS f_value_new
+        |FROM events""".stripMargin,
+
+    "q_jdbc_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey >= 0""".stripMargin,
+
     "q_swa_elementwise" ->
       """SELECT e.label, r.range::INT - 1 AS pos,
         |  round(avg(e.embedding[r.range]::DOUBLE), 4) AS v
@@ -855,6 +1006,50 @@ object SparkEntry {
         |  'application/octet-stream' AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  sha256(text) AS sha256
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Planted-pair recall contracts: the queries restrict their output
+    // to the planted ground truth (id + 1_000_000 copies of every
+    // doc_id % 10 == 0 row), where the expected row set — and the exact
+    // similarity score — is closed-form.
+    "q_dedup_minhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  1.0::DOUBLE AS jaccard
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  0::INT AS hamming
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  1.0::DOUBLE AS cos
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // Recall gate: the query emits one row per probe whose IVF recall@10
+    // vs the brute-force baseline clears 0.5 — the oracle asserts EVERY
+    // probe clears it.
+    "q_sim_ivf" ->
+      """SELECT vec_id AS q_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // The decode stub derives every output from sha256(payload) and the
+    // byte length (Multimodal.decodeStub) — exactly reproducible here.
+    "q_multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, sha256(text) AS h,
+        |    octet_length(encode(text))::BIGINT AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (16 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64)::INT AS width,
+        |  (16 + (n % 64))::INT AS height,
+        |  3::INT AS channels,
+        |  ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))::DOUBLE AS mean_intensity,
+        |  (greatest((n // 128) - 1, 0) + 1)::INT AS n_frames
+        |FROM b""".stripMargin
   )
 }

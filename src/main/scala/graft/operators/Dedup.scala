@@ -134,7 +134,11 @@ object Dedup {
       threshold: Double, numHashes: Int = 128, bands: Int = 16,
       shingleSize: Int = 5): DataFrame = {
     // one persisted shingle scan feeds signatures AND verification;
-    // bands persisted because the candidate self-join reads both sides
+    // bands persisted because the candidate self-join reads both sides.
+    // Both are released before returning (see materialize below) — an
+    // operator must not leak cached partitions into the caller's
+    // session (composed pipelines would accumulate until eviction
+    // thrash).
     val shRows = shingleRows(df.repartition(col(idCol)), textCol, idCol,
       shingleSize).persist()
     val b = lshBandsFromSig(
@@ -153,7 +157,7 @@ object Dedup {
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     val sh = shRows.join(candIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh"))
-    cands
+    val result = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -161,20 +165,36 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materialize(result, shRows, b, cands)
+  }
+
+  /** Eagerly materialize `result` (bounded: near-dup pairs, not the
+    * corpus) so the operator-internal caches can be released before
+    * returning. `localCheckpoint` truncates the lineage — the returned
+    * frame no longer references the unpersisted intermediates — and its
+    * blocks are reclaimed by the ContextCleaner once the frame is
+    * unreferenced.
+    */
+  private[operators] def materialize(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    intermediates.foreach(_.unpersist(false))
+    out
   }
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
+    // persisted because both join sides read it; released on return
     val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
       .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh")).persist()
-    pairs
+    val result = pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .select("id_a", "id_b", "jaccard")
+    materialize(result, sh)
   }
 
   /** 64-bit SimHash over word tokens: bit i of the signature is the
@@ -241,11 +261,12 @@ object Dedup {
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val r = blocked.select(col("block_id"), col("block_val"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("block_id", "block_val"))
+    val result = l.join(r, Seq("block_id", "block_val"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+    materialize(result, blocked)
   }
 }

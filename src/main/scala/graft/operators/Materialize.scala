@@ -67,29 +67,49 @@ object DateTimeResolution {
   */
 object Materializer {
 
+  /** Keyed contributing sources for `features`: each anchor-group
+    * source scanned once, its key columns renamed to `keyColumns`, with
+    * the key's first event time (`null` for time-less sources — such a
+    * key is a member of every snapshot).
+    */
+  private def keyFirstSeen(
+      spark: SparkSession,
+      project: FeatureProject,
+      features: Seq[String],
+      keyColumns: Seq[String]): DataFrame = {
+    val anchored = project.requiredAnchorFeatures(features)
+    val groups = anchored
+      .flatMap { case (_, base) => project.anchorFeature(base) }
+      .map(_._1).distinct
+    val perGroup = groups.filterNot(_.source.isInputContext).map { g =>
+      val src = SourceResolver.resolve(spark, g.source)
+      val keyed = g.features.head.keys.zipWithIndex.foldLeft(src) {
+        case (df, (k, i)) => df.withColumn(keyColumns(i), col(k.keyColumn))
+      }
+      val first =
+        if (g.source.timeWindow.isDefined) min(col(Internal.SrcTs))
+        else min(lit(null).cast("timestamp"))
+      keyed.groupBy(keyColumns.map(col): _*).agg(first.as("__first_ts"))
+    }
+    require(perGroup.nonEmpty, "nothing to materialize: no keyed anchor sources")
+    // a null first_ts (time-less source) must win the merge — encode it
+    // as the epoch minimum rather than relying on null-skipping min()
+    val floor = lit(java.sql.Timestamp.from(Instant.ofEpochSecond(-62135596800L)))
+    perGroup.reduce(_ unionByName _)
+      .groupBy(keyColumns.map(col): _*)
+      .agg(min(coalesce(col("__first_ts"), floor)).as("__first_ts"))
+  }
+
   def snapshot(
       spark: SparkSession,
       project: FeatureProject,
       features: Seq[String],
       keyColumns: Seq[String],
       endTime: Instant): DataFrame = {
-    val anchored = project.requiredAnchorFeatures(features)
-    val groups = anchored
-      .flatMap { case (_, base) => project.anchorFeature(base) }
-      .map(_._1).distinct
     // spine = all keys observed in any contributing source up to endTime
-    val spines = groups.filterNot(_.source.isInputContext).map { g =>
-      val src = SourceResolver.resolve(spark, g.source)
-      val keyed = g.features.head.keys.zipWithIndex.foldLeft(src) {
-        case (df, (k, i)) => df.withColumn(keyColumns(i), col(k.keyColumn))
-      }
-      val bounded = if (g.source.timeWindow.isDefined)
-        keyed.where(col(Internal.SrcTs) <= lit(java.sql.Timestamp.from(endTime)))
-      else keyed
-      bounded.select(keyColumns.map(col): _*)
-    }
-    require(spines.nonEmpty, "nothing to materialize: no keyed anchor sources")
-    val spine = spines.reduce(_ unionByName _).distinct()
+    val spine = keyFirstSeen(spark, project, features, keyColumns)
+      .where(col("__first_ts") <= lit(java.sql.Timestamp.from(endTime)))
+      .select(keyColumns.map(col): _*)
       .withColumn("__graft_gen_ts", lit(java.sql.Timestamp.from(endTime)))
     PointInTimeJoin.run(spark, project, spine,
       Some(("__graft_gen_ts", "native")),
@@ -97,8 +117,14 @@ object Materializer {
       .drop("__graft_gen_ts")
   }
 
-  /** M1: one snapshot per step end in `[start, end]`, stamped with a
-    * `__step_end` column; M3: each step fans out to all sinks.
+  /** M1: all step ends in `[start, end]` evaluated in ONE plan — the
+    * spine is (key × step_end) pairs, the PIT planner computes features
+    * as of each pair's step end, and every contributing source is
+    * scanned once total (the reference submits one job per step,
+    * materialization.rs:200-231 — at hourly resolution over a long
+    * range that is hundreds of rescans of the same source). Each row is
+    * stamped with its `__step_end`; M3: each step fans out to all
+    * sinks, preserving the reference's one-output-per-step contract.
     */
   def backfill(
       spark: SparkSession,
@@ -108,15 +134,31 @@ object Materializer {
       start: Instant,
       end: Instant,
       resolution: DateTimeResolution,
-      sinks: Seq[OutputSink]): Seq[DataFrame] = {
+      sinks: Seq[OutputSink]): DataFrame = {
     val steps = Iterator.iterate(end)(_.minus(resolution.step))
       .takeWhile(!_.isBefore(start)).toSeq.reverse
-    steps.map { stepEnd =>
-      val df = snapshot(spark, project, features, keyColumns, stepEnd)
-        .withColumn("__step_end", lit(java.sql.Timestamp.from(stepEnd)))
-      writeAll(df, keyColumns, sinks)
-      df
+    val stepTs = steps.map(java.sql.Timestamp.from)
+    val stepsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(stepTs.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__step_end",
+          org.apache.spark.sql.types.TimestampType))))
+    // key is a member of every step whose end it has been seen by
+    val spine = keyFirstSeen(spark, project, features, keyColumns)
+      .join(broadcast(stepsDf), col("__first_ts") <= col("__step_end"))
+      .select(keyColumns.map(col) :+ col("__step_end"): _*)
+    val joined = PointInTimeJoin.run(spark, project, spine,
+      Some(("__step_end", "native")),
+      Seq(FeatureQuery(features, keyColumns)))
+      .select(keyColumns.map(col) ++ features.map(col) :+ col("__step_end"): _*)
+    if (sinks.nonEmpty) {
+      // one evaluation, per-step writes (reference sink contract)
+      val cached = joined.persist()
+      try stepTs.foreach { se =>
+        writeAll(cached.where(col("__step_end") === lit(se)), keyColumns, sinks)
+      } finally cached.unpersist()
     }
+    joined
   }
 
   def writeAll(df0: DataFrame, keyColumns: Seq[String], sinks: Seq[OutputSink]): Unit = {

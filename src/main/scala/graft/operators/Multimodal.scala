@@ -65,15 +65,18 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // -- begin codec stub (deterministic fake) --
+        // dimensions/statistics derived from sha256(payload) + byte
+        // length, so an external oracle can reproduce them exactly
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
         def fakeDecode(bytes: Array[Byte]): Row =
           if (bytes == null) null
           else {
             val n = bytes.length
-            val w = 16 + math.abs(java.util.Arrays.hashCode(bytes)) % 64
+            val sha = digest.digest(bytes)
+            val w = 16 + (sha(0) & 0xff) % 64
             val h = 16 + (n % 64)
-            val mean = if (n == 0) 0.0
-              else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
-            Row(w, h.toInt, 3, math.rint(mean * 10000) / 10000)
+            val mean = (sha(1) & 0xff).toDouble
+            Row(w, h, 3, mean)
           }
         // -- end codec stub --
         batch.iterator.map { r =>

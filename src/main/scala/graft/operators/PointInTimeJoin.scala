@@ -254,10 +254,22 @@ object PointInTimeJoin {
       .select(obsKeyCols.map(col) :+ col(ObsTs): _*)
       .na.drop("any").distinct()
 
-    // bucketed pre-aggregation path (exact; SURVEY.md §4): engaged for
-    // decomposable aggs when spark.graft.swa.bucketSeconds > 0
-    val bucketSec = obs.sparkSession.conf
-      .get("spark.graft.swa.bucketSeconds", "0").toLong
+    // bucketed pre-aggregation path (exact; SURVEY.md §4): the DEFAULT
+    // plan for decomposable aggs — at 100 TB a 90-day window over a
+    // dense key row-explodes the raw range join, while the bucketed
+    // plan is O(window/bucket) partials per spine pair.
+    // spark.graft.swa.bucketSeconds: "auto" (default) derives
+    // window/64; a positive number forces that bucket width; "off"/"0"
+    // falls back to the raw range join. LATEST/UNION/elementwise/
+    // group_by/limit clusters always use the range join (their aggs
+    // don't decompose into per-bucket partials).
+    val windowSec = wa0.window.getSeconds
+    val bucketSec: Long = obs.sparkSession.conf
+      .get("spark.graft.swa.bucketSeconds", "auto") match {
+      case "auto"       => windowSec / 64
+      case "off"        => 0L
+      case v            => v.toLong
+    }
     val allBucketable = feats.forall { case (f, _) =>
       f.transform.asInstanceOf[Transformation.WindowAgg].aggFunc match {
         case Aggregation.SUM | Aggregation.COUNT | Aggregation.AVG |
@@ -266,7 +278,7 @@ object PointInTimeJoin {
       }
     }
     if (bucketSec > 0 && allBucketable && wa0.groupBy.isEmpty &&
-        wa0.limit.isEmpty && wa0.window.getSeconds >= 2 * bucketSec)
+        wa0.limit.isEmpty && windowSec >= 2 * bucketSec)
       return bucketedWindowAgg(obs, obsKeyCols, skCols, srcSel, pairs,
         feats, measures, wa0, bucketSec)
 

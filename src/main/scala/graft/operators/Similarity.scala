@@ -46,10 +46,16 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) index: centroids := a deterministic sample of
-    * the corpus (every `corpusSize/nCells`-th row by id order — k-means
-    * would drop in here unchanged), each corpus row is assigned to its
-    * nearest centroid once; a query scans only `nProbe` nearest cells.
+  /** IVF (inverted-file) index: centroids := the `nCells` corpus rows
+    * with the smallest `xxhash64(id)` (a deterministic pseudo-random
+    * sample, fetched as a per-partition top-k — no driver-side
+    * `count()`, no full sort); each corpus row is assigned to its
+    * nearest centroid via one map-side-combinable `max_by` aggregation;
+    * a query scans only `nProbe` nearest cells. Optional Lloyd
+    * iterations refine the centroids; the (bounded, `nCells`-row)
+    * centroid set is collected to the driver between iterations so the
+    * plan depth stays constant. Deterministic end to end: same data +
+    * same config ⇒ identical output.
     *
     * Returns the same schema as [[bruteForceTopK]]; recall < 1 by
     * construction — verify against the brute-force baseline in tests.
@@ -60,34 +66,38 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
       kmeansIters: Int = 0): DataFrame = {
-    // deterministic hash-mod sample seeds the centroids — no global
-    // sort (a Window.orderBy over the corpus would funnel every row
-    // through one partition); optional Lloyd iterations refine them
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCells)
+    // TakeOrderedAndProject: per-partition top-nCells, driver merge of
+    // nCells rows — scale-safe; id tie-break makes hash ties stable
     var centroids = corpus
-      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
 
-    // assign each corpus row to its nearest centroid (broadcast, 1 pass)
-    val wAssign = Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cell_id").asc)
+    // nearest-centroid assignment: broadcast centroids, fold per id with
+    // max_by (partial-aggregable) — no Window (which would sort the
+    // whole corpus by id). Ties: higher cscore, then lower cell_id.
     def assign(cents: DataFrame): DataFrame = corpus.join(broadcast(cents))
       .select(col(idCol), col(vecCol), col("cell_id"),
         cosine(col(vecCol), col("centroid")).as("cscore"))
-      .withColumn("r", row_number().over(wAssign)).where(col("r") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cell_id"), col(vecCol).as("__v")),
+        struct(col("cscore"), -col("cell_id"))).as("__a"))
+      .select(col(idCol), col("__a.__v").as(vecCol), col("__a.cell_id").as("cell_id"))
 
     // Lloyd refinement: new centroid = element-wise mean of its cell
-    // (posexplode → avg per (cell, position) → re-assemble)
+    // (posexplode → avg per (cell, position) → re-assemble). Centroids
+    // are nCells small rows: collect + re-create instead of persisting
+    // an ever-deeper lazy chain.
     for (_ <- 0 until kmeansIters) {
-      centroids = assign(centroids)
+      val next = assign(centroids)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cell_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
-        .persist()
+      val rows = next.collect().toSeq
+      centroids = corpus.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, next.schema)
     }
     val assigned = assign(centroids)
 

@@ -113,12 +113,25 @@ object Source {
   */
 object SourceResolver {
 
-  private def env(name: String): String = sys.env.getOrElse(name, "")
+  /** Secret/environment references resolve from the process environment,
+    * falling back to JVM system properties (the testing seam — an
+    * embedded test can't mutate its own environment).
+    */
+  private def env(name: String): String =
+    sys.env.get(name).orElse(sys.props.get(name)).getOrElse("")
+
+  private val SecretRef = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
+
+  /** Resolve `${NAME}` placeholders inside any option value (the
+    * reference does this for every config value, source.rs:513-521).
+    */
+  def resolveSecrets(v: String): String =
+    SecretRef.replaceAllIn(v, m => java.util.regex.Matcher.quoteReplacement(env(m.group(1))))
 
   def read(spark: SparkSession, loc: DataLocation): DataFrame = loc match {
     case DataLocation.Hdfs(path, fmtOpt, opts) =>
       val fmt = fmtOpt.getOrElse(DataLocation.inferFormat(path))
-      val r = spark.read.format(fmt).options(opts)
+      val r = spark.read.format(fmt).options(opts.view.mapValues(resolveSecrets).toMap)
       val r2 = if (fmt == "csv") r.option("header", "true").option("inferSchema", "true") else r
       r2.load(path)
 
@@ -136,16 +149,20 @@ object SourceResolver {
       r.load()
 
     case DataLocation.Generic(format, _, options, path) =>
-      val r = spark.read.format(format).options(decodeOptionKeys(options))
+      val r = spark.read.format(format)
+        .options(decodeOptionKeys(options).view.mapValues(resolveSecrets).toMap)
       path.map(r.load).getOrElse(r.load())
 
-    case DataLocation.Kafka(brokers, topics, _) =>
+    case DataLocation.Kafka(brokers, topics, avroSchemaJson) =>
       // Batch read of a Kafka topic range; streaming path lives in
-      // graft.streaming (SURVEY.md §2.7 T1).
-      spark.read.format("kafka")
+      // graft.streaming (SURVEY.md §2.7 T1). The Avro value schema
+      // decodes `value` into a typed struct (source.rs:48-54).
+      val raw = spark.read.format("kafka")
         .option("kafka.bootstrap.servers", brokers.mkString(","))
         .option("subscribe", topics.mkString(","))
         .load()
+      if (avroSchemaJson.trim.isEmpty) raw
+      else AvroCodec.decode(raw, "value", avroSchemaJson)
 
     case DataLocation.Table(name) =>
       spark.table(name)

@@ -21,11 +21,14 @@ object StreamingIngest {
     */
   def readStream(spark: SparkSession, loc: DataLocation,
       schema: Option[StructType] = None): DataFrame = loc match {
-    case DataLocation.Kafka(brokers, topics, _) =>
-      spark.readStream.format("kafka")
+    case DataLocation.Kafka(brokers, topics, avroSchemaJson) =>
+      val raw = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers.mkString(","))
         .option("subscribe", topics.mkString(","))
         .load()
+      // Avro value schema → typed struct, same decoder as batch
+      if (avroSchemaJson.trim.isEmpty) raw
+      else graft.sources.AvroCodec.decode(raw, "value", avroSchemaJson)
     case DataLocation.Hdfs(path, fmtOpt, opts) =>
       val fmt = fmtOpt.getOrElse(DataLocation.inferFormat(path))
       val r = spark.readStream.options(opts)

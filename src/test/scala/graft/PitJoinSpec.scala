@@ -115,11 +115,12 @@ class PitJoinSpec extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = new FileOnlineStore(tmp)
-    val steps = Materializer.backfill(spark, p, Seq("f_last"), Seq("user_id"),
+    val out = Materializer.backfill(spark, p, Seq("f_last"), Seq("user_id"),
       Instant.parse("2024-01-10T00:00:00Z"), Instant.parse("2024-01-12T00:00:00Z"),
       DateTimeResolution.Daily,
       Seq(OutputSink.Online("feat", store)))
-    assert(steps.size == 3) // 10th, 11th, 12th
+    // 10th, 11th, 12th — all from one plan
+    assert(out.select("__step_end").distinct().count() == 3)
     val written = new java.io.File(tmp, "feat").list()
     assert(written != null && written.nonEmpty)
   }
