@@ -80,26 +80,47 @@ object PointInTimeJoin {
   }
 
   /** Schema is declared, not inferred (SURVEY.md §1.2): coerce each
-    * requested feature column to its declared `FeatureType`. Skipped
-    * for UNSPECIFIED and for features whose runtime representation is
-    * not the declared tensor itself (UNION sets, group_by maps).
+    * requested feature column to its declared `FeatureType`. UNION
+    * features collect a set, so the declaration must be a 1-d tensor
+    * (its element type is coerced); group_by features produce a
+    * map<group, value>, so the declaration must be the scalar value
+    * type (the map's value side is coerced). A declaration the runtime
+    * shape cannot carry is an error, not a silent skip.
     */
   private def applyDeclaredTypes(
       project: FeatureProject, obs: DataFrame, requested: Seq[String]): DataFrame = {
-    def eligible(f: AnchorFeature): Boolean = f.transform match {
-      case Transformation.WindowAgg(_, Aggregation.UNION, _, _, _, _) => false
-      case Transformation.WindowAgg(_, _, _, Some(_), _, _) => false
-      case _ => true
-    }
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
     requested.foldLeft(obs) { (df, name) =>
       if (!df.columns.contains(name)) df
       else {
-        val declared = project.anchorFeature(project.aliasBase(name).getOrElse(name))
-          .collect { case (_, f) if eligible(f) => f.featureType }
+        val anchor = project.anchorFeature(project.aliasBase(name).getOrElse(name))
+        val declared = anchor.map(_._2.featureType)
           .orElse(project.derivedFeature(name).map(_.featureType))
         declared match {
           case Some(t) if t.valType != ValueType.UNSPECIFIED =>
-            df.withColumn(name, col(name).cast(t.sparkType))
+            val (isUnion, hasGroup) = anchor.map(_._2.transform) match {
+              case Some(Transformation.WindowAgg(_, agg, _, gb, _, _)) =>
+                (agg == Aggregation.UNION, gb.isDefined)
+              case _ => (false, false)
+            }
+            val valueType: DataType =
+              if (isUnion) {
+                require(t.tensorCategory == TensorCategory.DENSE &&
+                    t.dimensionType.size == 1,
+                  s"feature $name: UNION collects a set — declare a 1-d DENSE tensor, not $t")
+                ArrayType(t.valType.sparkType)
+              } else if (hasGroup) {
+                require(t.dimensionType.isEmpty,
+                  s"feature $name: group_by produces a map of scalars — declare the scalar value type, not $t")
+                t.valType.sparkType
+              } else t.sparkType
+            val target: DataType =
+              if (hasGroup) df.schema(name).dataType match {
+                case MapType(kt, _, n) => MapType(kt, valueType, n)
+                case other => throw new IllegalStateException(
+                  s"feature $name: group_by runtime shape should be a map, got $other")
+              } else valueType
+            df.withColumn(name, col(name).cast(target))
           case _ => df
         }
       }

@@ -58,12 +58,16 @@ object VersionedName {
 class InMemoryRegistry {
   private val entities = mutable.LinkedHashMap[String, RegistryEntity]()
   private val edges = mutable.ArrayBuffer[RegistryEdge]()
+  // R3 full-text search: inverted token index maintained on CRUD
+  private val index = mutable.HashMap[String, mutable.LinkedHashSet[String]]()
 
   def create(e: RegistryEntity): RegistryEntity = {
     // same qualifiedName => new version (registry.rs:11-25 semantics)
     val prior = entities.values.filter(_.qualifiedName == e.qualifiedName)
     val versioned = e.copy(version = prior.map(_.version).maxOption.getOrElse(0) + 1)
     entities(versioned.guid) = versioned
+    docTerms(versioned).foreach(t =>
+      index.getOrElseUpdate(t, mutable.LinkedHashSet.empty) += versioned.guid)
     versioned
   }
 
@@ -83,6 +87,58 @@ class InMemoryRegistry {
   def delete(guid: String): Unit = {
     entities.remove(guid)
     edges.filterInPlace(e => e.from != guid && e.to != guid)
+    index.valuesIterator.foreach(_ -= guid)
+  }
+
+  // ------------------------------------------------------- R3: search
+
+  /** Lowercased alphanumeric tokens — the searchable terms. */
+  private def tokenize(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSeq
+
+  /** Indexed fields mirror the reference's doc: name + id + body
+    * (attributes) (registry/sql-provider/src/fts.rs:148-156).
+    */
+  private def docTerms(e: RegistryEntity): Seq[String] =
+    (tokenize(e.name) ++ tokenize(e.qualifiedName) ++
+      e.attributes.valuesIterator.flatMap(tokenize)).distinct
+
+  /** Tie-break score: first 12 alphanumeric chars base-36, ascending —
+    * mirrors the reference's `str_score` (fts.rs:24-48).
+    */
+  private def nameScore(name: String): Long =
+    tokenize(name).mkString.take(12).foldLeft(0L)((acc, c) =>
+      acc * 36 + (if (c.isDigit) c - '0' else c - 'a' + 10))
+
+  /** R3 full-text search (reference fts.rs:59-220 semantics): OR over
+    * query terms, ranked by number of matching terms (desc), ties by
+    * alphanumeric name order; optional entity-type filter; optional
+    * scope = restrict to entities with a `BelongsTo` edge to the named
+    * scope entity (or the scope entity itself); limit/offset paging.
+    */
+  def search(q: String, types: Set[String] = Set.empty,
+      scope: Option[String] = None, limit: Int = 10, offset: Int = 0): Seq[RegistryEntity] = {
+    val qTerms = tokenize(q).distinct
+    val hits = mutable.LinkedHashMap[String, Int]()
+    qTerms.foreach { t =>
+      index.getOrElse(t, mutable.LinkedHashSet.empty).foreach { g =>
+        hits(g) = hits.getOrElse(g, 0) + 1
+      }
+    }
+    val scopeGuids: Option[Set[String]] = scope.map { s =>
+      entities.values.filter(e => e.qualifiedName == s || e.name == s)
+        .map(_.guid).toSet
+    }
+    hits.toSeq
+      .flatMap { case (g, score) => entities.get(g).map(_ -> score) }
+      .filter { case (e, _) => types.isEmpty || types.contains(e.typeName) }
+      .filter { case (e, _) => scopeGuids.forall(sg =>
+        sg.contains(e.guid) ||
+          edges.exists(ed => ed.from == e.guid && sg.contains(ed.to) &&
+            ed.edgeType == EdgeType.BelongsTo)) }
+      .sortBy { case (e, score) => (-score, nameScore(e.name), e.name) }
+      .slice(offset, offset + limit)
+      .map(_._1)
   }
 
   def link(from: String, to: String, edgeType: String): Unit =

@@ -3,19 +3,24 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import scala.collection.mutable
+
 /** Streaming sliding-window aggregation with custom state
   * (SURVEY.md §2.7: `KeyValueGroupedDataset.flatMapGroupsWithState`).
   *
   * For every incoming event this emits the aggregate over
   * `(event_ts - window, event_ts]` for its key — the streaming
   * equivalent of the batch SWA features with the observation spine
-  * equal to the source itself. Batch/stream parity is exact for
-  * in-order streams (events late across micro-batches older than the
-  * window are dropped by the state trim; use a watermark upstream to
-  * bound buffering).
+  * equal to the source itself.
   *
-  * State per key is the event buffer inside the window — bounded by
-  * window × event rate, the same bound the batch range join carries
+  * Incremental evaluation: the state is the ts-ordered event buffer
+  * inside the window; per key per micro-batch the running sum and the
+  * monotonic min/max deques are rebuilt once (O(buffer)), then every
+  * in-order event is O(1) amortized — append, evict expired heads,
+  * read the aggregates. An out-of-order event (older than the buffer
+  * tail) takes an exact one-off O(buffer) scan and a deque rebuild,
+  * without disturbing newer events. State stays bounded by
+  * window × event rate — the same bound the batch range join carries
   * per (key, window).
   */
 object StreamingSwa {
@@ -23,6 +28,7 @@ object StreamingSwa {
   case class Event(key: Long, tsMicros: Long, value: Double)
   case class SwaResult(key: Long, tsMicros: Long,
       f_sum: Double, f_cnt: Long, f_min: Double, f_max: Double, f_avg: Double)
+  /** Ts-ordered (oldest first) window buffer. */
   case class SwaState(events: List[(Long, Double)])
 
   implicit val eventEnc: Encoder[Event] = Encoders.product[Event]
@@ -36,19 +42,54 @@ object StreamingSwa {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, batch: Iterator[Event], state: GroupState[SwaState]) =>
-          var buf = state.getOption.map(_.events).getOrElse(Nil)
-          val out = batch.toSeq.sortBy(_.tsMicros).map { e =>
-            buf = ((e.tsMicros, e.value) :: buf)
-              .filter { case (ts, _) => ts > e.tsMicros - wUs && ts <= e.tsMicros }
-            val vals = buf.map(_._2)
-            SwaResult(key, e.tsMicros,
-              f_sum = vals.sum,
-              f_cnt = vals.size.toLong,
-              f_min = vals.min,
-              f_max = vals.max,
-              f_avg = vals.sum / vals.size)
+          val buf = mutable.ArrayDeque.from(
+            state.getOption.map(_.events).getOrElse(Nil))
+          var sum = 0.0
+          // classic sliding-window-extrema deques: ts ascending, values
+          // monotone; the head is always the window min/max
+          val minDq = mutable.ArrayDeque.empty[(Long, Double)]
+          val maxDq = mutable.ArrayDeque.empty[(Long, Double)]
+          def push(ts: Long, v: Double): Unit = {
+            while (minDq.nonEmpty && minDq.last._2 >= v) minDq.removeLast()
+            minDq.append((ts, v))
+            while (maxDq.nonEmpty && maxDq.last._2 <= v) maxDq.removeLast()
+            maxDq.append((ts, v))
           }
-          state.update(SwaState(buf))
+          def rebuild(): Unit = {
+            sum = 0.0; minDq.clear(); maxDq.clear()
+            buf.foreach { case (ts, v) => sum += v; push(ts, v) }
+          }
+          rebuild()
+
+          val out = batch.toSeq.sortBy(_.tsMicros).map { e =>
+            if (buf.isEmpty || e.tsMicros >= buf.last._1) {
+              // in-order fast path: O(1) amortized
+              buf.append((e.tsMicros, e.value))
+              sum += e.value
+              push(e.tsMicros, e.value)
+              val cutoff = e.tsMicros - wUs
+              while (buf.nonEmpty && buf.head._1 <= cutoff) {
+                sum -= buf.removeHead()._2
+              }
+              while (minDq.nonEmpty && minDq.head._1 <= cutoff) minDq.removeHead()
+              while (maxDq.nonEmpty && maxDq.head._1 <= cutoff) maxDq.removeHead()
+              val n = buf.size
+              SwaResult(key, e.tsMicros, sum, n.toLong,
+                minDq.head._2, maxDq.head._2, sum / n)
+            } else {
+              // late event: exact one-off scan over its own window; the
+              // buffer keeps newer events (they still need this row)
+              val idx = buf.lastIndexWhere(_._1 <= e.tsMicros) + 1
+              buf.insert(idx, (e.tsMicros, e.value))
+              rebuild()
+              val vals = buf.iterator
+                .filter { case (ts, _) => ts > e.tsMicros - wUs && ts <= e.tsMicros }
+                .map(_._2).toVector
+              SwaResult(key, e.tsMicros, vals.sum, vals.size.toLong,
+                vals.min, vals.max, vals.sum / vals.size)
+            }
+          }
+          state.update(SwaState(buf.toList))
           out.iterator
       }
   }

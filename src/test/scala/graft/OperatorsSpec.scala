@@ -50,7 +50,9 @@ class OperatorsSpec extends SparkTestBase {
       .withColumn("ts", $"ts_s".cast("timestamp"))
       .createOrReplaceTempView("agg_src")
     val p = mkTimedProject("agg_src", Seq(
-      AnchorFeature("f_tags", FeatureType.STRING,
+      AnchorFeature("f_tags",
+        // UNION collects a set — declared as a 1-d STRING tensor
+        FeatureType(TensorCategory.DENSE, Seq(ValueType.INT32), ValueType.STRING),
         Transformation.windowAgg("tag", "UNION", "10d"), Seq(key)),
       AnchorFeature("f_esum", FeatureType.DOUBLE_VECTOR,
         Transformation.windowAgg("arr", "ELEMENTWISE_SUM", "10d"), Seq(key)),
@@ -70,6 +72,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(r1.getAs[Seq[Double]]("f_emin").toList == List(1.0, 10.0))
     assert(r1.getAs[Seq[Double]]("f_emax").toList == List(3.0, 30.0))
     assert(out(1).getAs[Seq[Double]]("f_esum").toList == List(5.0, 50.0))
+  }
+
+  test("a UNION feature declared as a scalar is rejected, not silently skipped") {
+    Seq((1L, "2024-01-01 00:00:00", "a"))
+      .toDF("k", "ts_s", "tag")
+      .withColumn("ts", $"ts_s".cast("timestamp"))
+      .createOrReplaceTempView("agg_src_bad")
+    val p = mkTimedProject("agg_src_bad", Seq(
+      AnchorFeature("f_tags_bad", FeatureType.STRING, // lie: UNION yields a set
+        Transformation.windowAgg("tag", "UNION", "10d"), Seq(key))))
+    val obs = Seq((1L, "2024-01-05 00:00:00")).toDF("k", "ts_s")
+      .withColumn("ts", $"ts_s".cast("timestamp")).select("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_tags_bad"), Seq("k"))))
+    }
+    assert(e.getMessage.contains("1-d DENSE tensor"))
   }
 
   test("K1/K3: generic sink writes with requested partition count") {

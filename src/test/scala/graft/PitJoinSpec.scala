@@ -124,4 +124,40 @@ class PitJoinSpec extends SparkTestBase {
     val written = new java.io.File(tmp, "feat").list()
     assert(written != null && written.nonEmpty)
   }
+
+  test("M3: one evaluation fans out to offline AND online sinks") {
+    import java.time.Instant
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = {
+      val pp = FeatureProject("m3")
+      val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some { df =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            .where(col("event_type") === "purchase")
+        })
+      pp.addAnchorGroup("a", purchases, Seq(
+        AnchorFeature("f_last", FeatureType.DOUBLE,
+          Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64)))))
+      pp
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_fanout")
+    val offline = new java.io.File(base.toFile, "offline").toString
+    val storeDir = new java.io.File(base.toFile, "online").toString
+    val store = new FileOnlineStore(storeDir)
+    val out = Materializer.snapshot(spark, p, Seq("f_last"), Seq("user_id"),
+      Instant.parse("2024-01-12T00:00:00Z"))
+    Materializer.writeAll(out, Seq("user_id"),
+      Seq(OutputSink.hdfs(s"$offline/snap.parquet"),
+        OutputSink.Online("feat", store)))
+    // offline sink: parquet round-trips the same rows
+    val back = spark.read.parquet(s"$offline/snap.parquet")
+    assert(back.count() == out.count() && back.count() > 0)
+    // online sink: one entry per key, value carries the feature column
+    val keys = new java.io.File(storeDir, "feat").list()
+    assert(keys != null && keys.length.toLong == out.count())
+    val one = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.io.File(storeDir, "feat"), keys.head).toPath))
+    assert(one.contains("f_last="))
+  }
 }

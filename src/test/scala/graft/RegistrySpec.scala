@@ -101,4 +101,41 @@ class RegistrySpec extends AnyFunSuite {
     val (up, _) = registry.lineage(af.guid, downstream = false)
     assert(up.exists(_.typeName == EntityType.Workspace))
   }
+
+  test("R3: full-text search ranks, filters by type and scope, pages") {
+    val r = new InMemoryRegistry
+    val ws = r.create(RegistryEntity("g0", EntityType.Workspace, "proj", "proj"))
+    val f1 = r.create(RegistryEntity("g1", EntityType.AnchorFeature,
+      "user_purchase_sum", "proj__user_purchase_sum",
+      attributes = Map("description" -> "total purchase value per user")))
+    val f2 = r.create(RegistryEntity("g2", EntityType.AnchorFeature,
+      "user_click_count", "proj__user_click_count",
+      attributes = Map("description" -> "click events per user")))
+    val s1 = r.create(RegistryEntity("g3", EntityType.Source,
+      "purchase_events", "proj__purchase_events"))
+    r.link("g1", "g0", EdgeType.BelongsTo)
+    r.link("g2", "g0", EdgeType.BelongsTo)
+
+    // more matching terms ranks first: f1 matches purchase+user, s1 only purchase
+    val byScore = r.search("user purchase")
+    assert(byScore.take(2).map(_.guid) == Seq("g1", "g2") ||
+      byScore.head.guid == "g1") // f1 matches both terms, must lead
+    assert(byScore.head.guid == "g1")
+    assert(byScore.map(_.guid).contains("g3"))
+    // body (attributes) is searchable
+    assert(r.search("click events").head.guid == "g2")
+    // type filter
+    assert(r.search("purchase", types = Set(EntityType.Source)).map(_.guid) == Seq("g3"))
+    // scope filter: only entities BelongsTo proj (s1 has no edge)
+    assert(!r.search("purchase", scope = Some("proj")).exists(_.guid == "g3"))
+    assert(r.search("purchase", scope = Some("proj")).exists(_.guid == "g1"))
+    // paging
+    val all = r.search("user")
+    assert(r.search("user", limit = 1) == all.take(1))
+    assert(r.search("user", limit = 1, offset = 1) == all.slice(1, 2))
+    // deletion drops the entity from the index
+    r.delete("g1")
+    assert(!r.search("purchase").exists(_.guid == "g1"))
+    assert(ws.guid == "g0" && f1.version == 1 && f2.version == 1)
+  }
 }

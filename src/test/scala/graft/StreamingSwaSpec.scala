@@ -52,4 +52,34 @@ class StreamingSwaSpec extends SparkTestBase {
       .count()
     assert(mismatches == 0)
   }
+
+  test("state survives micro-batches; late events get exact windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingSwa.Event]
+    val us = 1000000L
+    val name = s"swa_ooo_${System.nanoTime()}"
+    val q = StreamingSwa(stream.toDS(), windowSeconds = 15)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    // batch 1: in-order
+    stream.addData(Seq(
+      StreamingSwa.Event(1L, 10 * us, 1.0),
+      StreamingSwa.Event(1L, 20 * us, 2.0),
+      StreamingSwa.Event(1L, 30 * us, 3.0)))
+    q.processAllAvailable()
+    // batch 2: one LATE event (25s < buffered 30s) + one in-order
+    stream.addData(Seq(
+      StreamingSwa.Event(1L, 25 * us, 2.5),
+      StreamingSwa.Event(1L, 40 * us, 4.0)))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table(name).as[StreamingSwa.SwaResult].collect()
+      .map(r => r.tsMicros / us -> ((r.f_sum, r.f_cnt, r.f_min, r.f_max))).toMap
+    assert(got(10L) == ((1.0, 1L, 1.0, 1.0)))
+    assert(got(20L) == ((3.0, 2L, 1.0, 2.0))) // (5, 20] = {10, 20}
+    assert(got(30L) == ((5.0, 2L, 2.0, 3.0))) // (15, 30] = {20, 30}
+    // late 25s sees exactly (10, 25] = {20, 25} — and must NOT drop 30s
+    assert(got(25L) == ((4.5, 2L, 2.0, 2.5)))
+    // 40s sees (25, 40] = {30, 40}: the late event was kept then evicted
+    assert(got(40L) == ((7.0, 2L, 3.0, 4.0)))
+  }
 }
