@@ -90,16 +90,16 @@ object Dedup {
     // (max 2^31 + 127*2^31 << 2^63); 2^31 hash space per family is
     // ample for min-hashing
     // shingleRows shuffles by id for its windows; the groupBy(id)
-    // below reuses that partitioning (no second exchange)
+    // below reuses that partitioning (no second exchange). The whole
+    // family fold is ONE typed aggregate — not numHashes min columns,
+    // whose codegen dominated the pipeline (see MinHashAggregator).
     val ex = shRows
       .select(col(idCol),
         xxhash64(col("__s")).bitwiseAND(0x7fffffffL).as("__h1"),
         xxhash64(col("__s"), lit(1)).bitwiseAND(0x7fffffffL).as("__h2"))
-    val mins = (0 until numHashes).map(k =>
-      min(col("__h1") + lit(k.toLong) * col("__h2")).as(s"__m$k"))
-    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(k => col(s"__m$k")): _*).as("sig"))
+    ex.groupBy(col(idCol))
+      .agg(graft.functions.MinHashAggregator(numHashes)(
+        col("__h1"), col("__h2")).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` groups of
