@@ -29,24 +29,35 @@ object Bench {
     // the query itself (round-1 recorded one 12× outlier)
     val runsPerQuery = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { i =>
+      val runs = (1 to runsPerQuery).map { i =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop any leftover cached partitions so one query's residue
-        // doesn't skew the next run's memory budget
+        // doesn't skew the next run's memory budget, then force a GC so
+        // unreferenced RDD/broadcast blocks are actually reclaimed by
+        // the ContextCleaner before the next run is timed (block-manager
+        // residency from earlier queries inflated round-2 medians up to
+        // 8.6x vs fresh-JVM reruns)
         spark.sharedState.cacheManager.clearCache()
+        System.gc()
         System.err.println(f"[bench] $name%-24s run$i $sec%8.2fs  rows=$n")
-        sec
+        (sec, n >= 0)
       }
-      name -> times.sorted.apply(runsPerQuery / 2)
+      val ok = runs.filter(_._2).map(_._1).sorted
+      // a failed run must surface as a failure, not contribute its
+      // time-to-failure as a plausible median sample
+      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      (name, median, runs.count(!_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._3 > 0)
+      .map { case (k, _, f) => "\"" + k + "\":" + f }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

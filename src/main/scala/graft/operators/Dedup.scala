@@ -126,9 +126,45 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
   }
 
+  /** Hot-bucket guard shared by every LSH candidate generator (minhash
+    * bands, simhash blocks, hyperplane buckets): a bucket of B members
+    * emits B² candidate pairs from the self-join, and real corpora have
+    * degenerate clusters (boilerplate, empty docs, near-constant
+    * embeddings) where one bucket holds 10⁵⁺ members — quadratic
+    * explosion before any `distinct()` can help. Membership of each
+    * bucket is capped at `spark.graft.lsh.maxBucket` (default 1000;
+    * <= 0 disables) keeping the `cap` smallest ids — deterministic, and
+    * a planted duplicate of a *normal* document still collides with its
+    * original. Rows over the cap lose LSH recall for that bucket only
+    * (they are precisely the rows exact-dedup or a dedicated boilerplate
+    * pass should own). Set `spark.graft.lsh.logDropped=true` to spend
+    * one extra job counting and logging what was skipped.
+    */
+  private[operators] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+      ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conf = df.sparkSession.conf
+    val cap = conf.get("spark.graft.lsh.maxBucket", "1000").toInt
+    if (cap <= 0) df
+    else {
+      val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(ordCol).asc)
+      val ranked = df.withColumn("__graft_bn", row_number().over(w))
+      if (conf.get("spark.graft.lsh.logDropped", "false").toBoolean) {
+        val over = ranked.where(col("__graft_bn") > cap)
+          .agg(count(lit(1)), count_distinct(struct(bucketCols.map(col): _*)))
+          .head()
+        if (over.getLong(0) > 0)
+          System.err.println(s"[graft] LSH hot-bucket guard: dropped " +
+            s"${over.getLong(0)} rows across ${over.getLong(1)} buckets over cap=$cap")
+      }
+      ranked.where(col("__graft_bn") <= cap).drop("__graft_bn")
+    }
+  }
+
   /** Candidate near-duplicate pairs (id_a < id_b) from LSH buckets,
     * verified with exact shingle-set Jaccard >= threshold. The bucket
-    * self-join shuffles on (band_id, band_hash) only — no all-pairs.
+    * self-join shuffles on (band_id, band_hash) only — no all-pairs,
+    * and bucket membership is capped (see [[capBuckets]]).
     */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 16,
@@ -141,9 +177,9 @@ object Dedup {
     // thrash).
     val shRows = shingleRows(df.repartition(col(idCol)), textCol, idCol,
       shingleSize).persist()
-    val b = lshBandsFromSig(
+    val b = capBuckets(lshBandsFromSig(
       minhashSignaturesFromRows(shRows, idCol, numHashes),
-      idCol, numHashes, bands).persist()
+      idCol, numHashes, bands), Seq("band_id", "band_hash"), idCol).persist()
     val l = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
     val r = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
     // persisted: consumed by the verification join twice plus the
@@ -170,15 +206,23 @@ object Dedup {
 
   /** Eagerly materialize `result` (bounded: near-dup pairs, not the
     * corpus) so the operator-internal caches can be released before
-    * returning. `localCheckpoint` truncates the lineage — the returned
-    * frame no longer references the unpersisted intermediates — and its
-    * blocks are reclaimed by the ContextCleaner once the frame is
-    * unreferenced.
+    * returning. The result spills to parquet under
+    * `spark.graft.spillDir` (default: the JVM temp dir, deleted on
+    * exit) and is read back — the returned frame no longer references
+    * the unpersisted intermediates, holds NO block-manager storage
+    * (`localCheckpoint` blocks squat in executor memory until GC +
+    * ContextCleaner, taxing every later query in the session), and is
+    * recoverable after executor loss when the spill dir is a shared
+    * filesystem (point it at HDFS/S3 on a real cluster).
     */
   private[operators] def materialize(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val spark = result.sparkSession
+    val path = Spill.newPath(spark)
+    result.write.mode("overwrite").parquet(path)
     intermediates.foreach(_.unpersist(false))
-    out
+    // explicit schema: an all-empty result writes no part files, and
+    // schema inference over just _SUCCESS would fail
+    spark.read.schema(result.schema).parquet(path)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs. */
@@ -250,12 +294,14 @@ object Dedup {
     val sig = df.select(col(idCol),
       graft.functions.SimHash64Expr.simhash64(
         normText(col(textCol))).as("sig"))
-    val blocked = sig.select(col(idCol), col("sig"), explode(
-      transform(sequence(lit(0), lit(blocks - 1)), b =>
-        struct(b.as("block_id"),
-          call_function("shiftright", col("sig"), b * bitsPerBlock)
-            .bitwiseAND((1L << bitsPerBlock) - 1).as("block_val")))).as("blk"))
-      .select(col(idCol), col("sig"), col("blk.block_id"), col("blk.block_val"))
+    val blocked = capBuckets(
+      sig.select(col(idCol), col("sig"), explode(
+        transform(sequence(lit(0), lit(blocks - 1)), b =>
+          struct(b.as("block_id"),
+            call_function("shiftright", col("sig"), b * bitsPerBlock)
+              .bitwiseAND((1L << bitsPerBlock) - 1).as("block_val")))).as("blk"))
+        .select(col(idCol), col("sig"), col("blk.block_id"), col("blk.block_val")),
+      Seq("block_id", "block_val"), idCol)
       .persist()
     val l = blocked.select(col("block_id"), col("block_val"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))

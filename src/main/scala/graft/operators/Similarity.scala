@@ -14,36 +14,73 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two equal-length float arrays — codegen'd
-    * higher-order functions, no UDF. Elements are widened to double
-    * BEFORE multiplying and summed in a sequential left fold, so the
-    * result is bit-deterministic and engine-portable (oracle parity).
+  /** Dot product of two equal-length float/double arrays — a native
+    * codegen'd Catalyst expression ([[graft.functions.DotProductExpr]];
+    * the HOF `aggregate`/`zip_with` formulation is CodegenFallback and
+    * runs interpreted, unacceptable on the 100 TB scoring path).
+    * Elements are widened to double BEFORE multiplying and summed in a
+    * sequential left fold, so the result is bit-deterministic and
+    * engine-portable (oracle parity).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot(a, b)
 
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    graft.functions.DotProductExpr.l2Norm(a)
 
+  /** Prefer scoring against per-side precomputed norms (see
+    * [[bruteForceTopK]]) — this convenience form recomputes both norms
+    * for every pair.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Per-query top-k of a (qId, id, score) frame. Integral ids go
+    * through the bounded map-side-combinable
+    * [[graft.functions.TopKAggregator]] — the shuffle carries at most
+    * partitions × k rows per query and nothing is globally sorted.
+    * (A Window `row_number` would shuffle and fully sort EVERY scored
+    * pair; it remains only as the fallback for non-integral id
+    * columns.) Both paths rank by (score desc, id asc) — identical
+    * rows out.
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int,
+      qIdCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema(idCol).dataType
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        scored
+          .groupBy(col(qIdCol))
+          .agg(graft.functions.TopKAggregator(k)(
+            col("score"), col(idCol).cast("long")).as("__tk"))
+          .select(col(qIdCol), posexplode(col("__tk")).as(Seq("__r", "__p")))
+          .select(col(qIdCol), col("__p._2").cast(idType).as(idCol),
+            col("__p._1").as("score"), (col("__r") + 1).cast("int").as("rank"))
+      case _ =>
+        val w = Window.partitionBy(qIdCol).orderBy(col("score").desc, col(idCol).asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+          .select(col(qIdCol), col(idCol), col("score"), col("rank"))
+    }
+  }
+
   /** Exact brute-force top-k by cosine: broadcast the query set, score
-    * every (corpus row, query) pair map-side, then keep k per query.
-    * One shuffle (by query id) of only (query, id, score) triples.
-    * Deterministic tie-break: higher score, then lower corpus id.
+    * every (corpus row, query) pair map-side with the codegen'd dot
+    * kernel — norms are computed ONCE per corpus row / per query before
+    * the join, not per pair — then keep k per query via the bounded
+    * partial top-k aggregate. Deterministic tie-break: higher score,
+    * then lower corpus id.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val scored = corpus.join(broadcast(queries))
+    val c = corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(qIdCol), col(qVecCol), l2Norm(col(qVecCol)).as("__qn"))
+    val scored = c.join(broadcast(q))
       .select(col(qIdCol), col(idCol),
-        cosine(col(vecCol), col(qVecCol)).as("score"))
-    val w = Window.partitionBy(qIdCol)
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        (dot(col(vecCol), col(qVecCol)) / (col("__cn") * col("__qn"))).as("score"))
+    perQueryTopK(scored, k, qIdCol, idCol)
   }
 
   /** IVF (inverted-file) index: centroids := the `nCells` corpus rows
@@ -73,16 +110,26 @@ object Similarity {
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
 
-    // nearest-centroid assignment: broadcast centroids, fold per id with
-    // max_by (partial-aggregable) — no Window (which would sort the
-    // whole corpus by id). Ties: higher cscore, then lower cell_id.
-    def assign(cents: DataFrame): DataFrame = corpus.join(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("cell_id"),
-        cosine(col(vecCol), col("centroid")).as("cscore"))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("cell_id"), col(vecCol).as("__v")),
-        struct(col("cscore"), -col("cell_id"))).as("__a"))
-      .select(col(idCol), col("__a.__v").as(vecCol), col("__a.cell_id").as("cell_id"))
+    // nearest-centroid assignment: broadcast centroids (norms computed
+    // once per centroid / per corpus row, not per pair), fold per id
+    // with min_by over (-cscore, cell_id) — partial-aggregable, no
+    // Window (which would sort the whole corpus by id). Ties: higher
+    // cscore, then lower cell_id; only the always-numeric score is
+    // negated, so string id columns work (negating cell_id would bind
+    // the operator to numeric ids).
+    def assign(cents: DataFrame): DataFrame = {
+      val cn = cents.select(col("cell_id"), col("centroid"),
+        l2Norm(col("centroid")).as("__cen"))
+      corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__vn"))
+        .join(broadcast(cn))
+        .select(col(idCol), col(vecCol), col("cell_id"),
+          (dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cen")))
+            .as("cscore"))
+        .groupBy(col(idCol))
+        .agg(min_by(struct(col("cell_id"), col(vecCol).as("__v")),
+          struct(-col("cscore"), col("cell_id"))).as("__a"))
+        .select(col(idCol), col("__a.__v").as(vecCol), col("__a.cell_id").as("cell_id"))
+    }
 
     // Lloyd refinement: new centroid = element-wise mean of its cell
     // (posexplode → avg per (cell, position) → re-assemble). Centroids
@@ -109,11 +156,12 @@ object Similarity {
       .withColumn("r", row_number().over(wProbe)).where(col("r") <= nProbe)
       .select(col(qIdCol), col(qVecCol), col("cell_id"))
 
-    val scored = assigned.join(probed, "cell_id")
+    val scored = assigned
+      .withColumn("__vn", l2Norm(col(vecCol)))
+      .join(probed.withColumn("__qn", l2Norm(col(qVecCol))), "cell_id")
       .select(col(qIdCol), col(idCol),
-        cosine(col(vecCol), col(qVecCol)).as("score"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        (dot(col(vecCol), col(qVecCol)) / (col("__vn") * col("__qn"))).as("score"))
+    perQueryTopK(scored, k, qIdCol, idCol)
   }
 
   /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id
@@ -135,17 +183,25 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: candidates
     * share a bucket (shuffle by bucket id only), verified by exact
-    * cosine >= threshold.
+    * cosine >= threshold. Bucket membership is capped against
+    * degenerate hot buckets (near-constant embeddings) — see
+    * [[Dedup.capBuckets]].
     */
   def embeddingNearDuplicates(
       corpus: DataFrame, threshold: Double, dim: Int, nBits: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol),
-      cosineLshBucket(col(vecCol), dim, nBits).as("bucket"))
-    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val b = Dedup.capBuckets(
+      corpus.select(col(idCol), col(vecCol),
+        cosineLshBucket(col(vecCol), dim, nBits).as("bucket"),
+        l2Norm(col(vecCol)).as("__n")),
+      Seq("bucket"), idCol)
+    val l = b.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("__n").as("__na"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("__n").as("__nb"))
     l.join(r, "bucket").where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("__na") * col("__nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .distinct()
   }

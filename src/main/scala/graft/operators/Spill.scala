@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable
+
+/** Operator spill-directory management. Operators that must cut
+  * lineage / release internal caches (see [[Dedup.materialize]]) write
+  * bounded intermediate results here instead of pinning block-manager
+  * memory with `localCheckpoint`.
+  *
+  * `spark.graft.spillDir` points the spills at a durable shared
+  * filesystem on a real cluster; the default (JVM temp dir) is correct
+  * for local mode and is best-effort deleted on JVM exit.
+  */
+object Spill {
+  private val created = mutable.Set.empty[String]
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.synchronized(created.toSeq).foreach(p => deleteRecursively(Paths.get(p)))))
+  }
+
+  def newPath(spark: SparkSession): String = {
+    val base = spark.conf.get("spark.graft.spillDir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-spill")
+    val p = s"$base/spill-${java.util.UUID.randomUUID()}"
+    hook
+    created.synchronized { created += p }
+    p
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(deleteRecursively)
+      try Files.deleteIfExists(p) catch { case _: Throwable => }
+    }
+}
