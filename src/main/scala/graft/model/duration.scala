@@ -54,6 +54,24 @@ object Durations {
       .getOrElse(s"${n}ns")
   }
 
-  /** Spark SQL INTERVAL literal for a duration, e.g. `INTERVAL 90 DAYS`. */
-  def toSqlInterval(d: Duration): String = s"INTERVAL ${d.getSeconds} SECOND"
+  /** Exact microseconds of a duration; sub-microsecond windows are
+    * rejected (timestamps are micros — a `500ns` window cannot be
+    * evaluated, and silently truncating it to 0 turned every window
+    * empty).
+    */
+  def toMicros(d: Duration): Long = {
+    require(d.toNanos % 1000 == 0,
+      s"sub-microsecond duration ${d.toNanos}ns not representable in timestamp precision")
+    d.toNanos / 1000
+  }
+
+  /** Spark SQL INTERVAL literal for a duration — whole seconds render
+    * as SECOND, sub-second durations keep exact MICROSECOND precision
+    * (both engines parse either form).
+    */
+  def toSqlInterval(d: Duration): String = {
+    val us = toMicros(d)
+    if (us % 1000000L == 0) s"INTERVAL ${us / 1000000L} SECOND"
+    else s"INTERVAL $us MICROSECOND"
+  }
 }

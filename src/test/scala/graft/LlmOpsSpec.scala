@@ -81,4 +81,72 @@ class LlmOpsSpec extends SparkTestBase {
     assert(st.where(length($"fingerprint") =!= 32).count() == 0)
     assert(st.where($"approx_tokens" < $"n_words").count() == 0)
   }
+
+  test("hot-bucket guard bounds a degenerate duplicated document") {
+    // 4000 copies of ONE text: without the cap the band self-join emits
+    // ~bands * 4000^2 = 256M candidate pairs; with cap c it is bounded
+    // by bands * c^2. The planted distinct near-dup pairs must survive.
+    val boiler = spark.range(4000)
+      .select(($"id" + 5000000L).as("doc_id"),
+        lit("the same boilerplate footer text repeated on every page of the site")
+          .as("text"))
+    val normal = docs.limit(50).select("doc_id", "text")
+    val planted = normal.where($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val corpus = normal.unionByName(planted).unionByName(boiler)
+    spark.conf.set("spark.graft.lsh.maxBucket", "100")
+    try {
+      val pairs = Dedup.minhashNearDuplicates(corpus, "text", "doc_id", 0.9)
+      // bounded: boilerplate contributes at most C(100,2) pairs
+      val boilerPairs = pairs.where($"id_a" >= 5000000L).count()
+      assert(boilerPairs <= 100L * 99 / 2, s"boiler pairs $boilerPairs")
+      // recall kept for normal docs (ids below the cap threshold)
+      val found = pairs.where($"id_b" - $"id_a" === 1000000L).count()
+      assert(found == planted.count(), s"planted recall $found")
+
+      val sPairs = Dedup.simhashNearDuplicates(corpus, "text", "doc_id")
+      assert(sPairs.where($"id_a" >= 5000000L).count() <= 100L * 99 / 2)
+    } finally spark.conf.set("spark.graft.lsh.maxBucket", "1000")
+  }
+
+  test("embedding hot-bucket guard bounds a degenerate constant vector") {
+    val constVec = array((0 until 64).map(i => lit(0.5f)): _*)
+    val boiler = spark.range(1000)
+      .select(($"id" + 5000000L).as("vec_id"), constVec.as("embedding"))
+    val corpus = emb.limit(100).select("vec_id", "embedding").unionByName(boiler)
+    spark.conf.set("spark.graft.lsh.maxBucket", "50")
+    try {
+      val pairs = Similarity.embeddingNearDuplicates(corpus, 0.999, dim = 64)
+      val boilerPairs = pairs.where($"id_a" >= 5000000L).count()
+      assert(boilerPairs <= 50L * 49 / 2, s"boiler pairs $boilerPairs")
+    } finally spark.conf.set("spark.graft.lsh.maxBucket", "1000")
+  }
+
+  test("dot-product expression matches the interpreted HOF fold bit for bit") {
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+    val pairs = emb.limit(200).select($"vec_id", $"embedding")
+      .crossJoin(emb.limit(3).select($"embedding".as("other")))
+    val diff = pairs.select(
+      Similarity.dot($"embedding", $"other").as("native"),
+      hof($"embedding", $"other").as("interp"))
+      .where($"native" =!= $"interp")
+    assert(diff.count() == 0)
+  }
+
+  test("top-k aggregator matches the window formulation row for row") {
+    val queries = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val top = Similarity.bruteForceTopK(emb, queries, 7)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy($"score".desc, $"vec_id".asc)
+    val scored = emb.join(broadcast(queries))
+      .select($"q_id", $"vec_id",
+        (Similarity.dot($"embedding", $"q_vec") /
+          (Similarity.l2Norm($"embedding") * Similarity.l2Norm($"q_vec"))).as("score"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 7)
+    assert(top.count() == scored.count())
+    assert(top.join(scored, Seq("q_id", "vec_id", "rank"), "left_anti").count() == 0)
+  }
 }
