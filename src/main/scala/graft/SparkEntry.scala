@@ -227,6 +227,44 @@ object SparkEntry {
         Seq(FeatureQuery(Seq("f_last_value", "f_last_type"), Seq("user_id"))))
     }),
 
+    // §1.2 non-scalar tensors end to end: a SPARSE (struct indices/
+    // values) and a 2-d DENSE (array<array<float>>) anchor feature flow
+    // through the as-of PIT join and the declared-type cast; the
+    // require()s prove the casts produced the tensor schemas, the
+    // flattened projection hash-checks the values against the oracle.
+    "q_tensor_features" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val p = FeatureProject("tensor")
+      val purchases = Source("purchases", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(df => fixTs(df).where(col("event_type") === "purchase")))
+      p.addAnchorGroup("tz_anchor", purchases, Seq(
+        AnchorFeature("f_sparse_kv",
+          FeatureType(TensorCategory.SPARSE, Seq(ValueType.INT32), ValueType.FLOAT),
+          Transformation.Expr("named_struct(" +
+            "'indices', array(0, int(get_json_object(props, '$.k'))), " +
+            "'values', array(value, value * 2))"),
+          Seq(userKey)),
+        AnchorFeature("f_mat2",
+          FeatureType(TensorCategory.DENSE,
+            Seq(ValueType.INT32, ValueType.INT32), ValueType.FLOAT),
+          Transformation.Expr("array(array(value, value + 1), array(value * 2, value * 3))"),
+          Seq(userKey))))
+      val df = FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_sparse_kv", "f_mat2"), Seq("user_id"))))
+      require(df.schema("f_sparse_kv").dataType == StructType(Seq(
+        StructField("indices", ArrayType(IntegerType)),
+        StructField("values", ArrayType(FloatType)))),
+        "q_tensor_features: declared SPARSE type did not produce struct(indices, values)")
+      require(df.schema("f_mat2").dataType match {
+        case ArrayType(ArrayType(FloatType, _), _) => true; case _ => false },
+        "q_tensor_features: declared 2-d DENSE type did not produce array<array<float>>")
+      df.select(col("event_id"), col("user_id"), col("ts"),
+        col("f_sparse_kv.indices")(1).as("sp_idx"),
+        round(col("f_sparse_kv.values")(1).cast("double"), 2).as("sp_val"),
+        round(col("f_mat2")(1)(0).cast("double"), 2).as("m_10"))
+    }),
+
     // S7: observation timestamp parsing (epoch seconds) + as-of join.
     "q_obs_epoch" -> ((s, dir) => {
       val obs = clicks(s, dir)
@@ -285,6 +323,27 @@ object SparkEntry {
         .withColumn("vsum", round(col("vsum"), 4))
     }),
 
+    // A7×A9: group_by + limit = top-k GROUPS per (key, obs_ts) ranked
+    // by the aggregate (not k rows). The measure is integer-valued
+    // (round(value*100)) so the ranking order is bit-identical across
+    // engines — a float-sum rank could flip near-ties.
+    "q_swa_groupby_limit" -> ((s, dir) => {
+      val p = FeatureProject("gbl")
+      val all = Source("all_events", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(fixTs))
+      p.addAnchorGroup("gbl_anchor", all, Seq(
+        AnchorFeature("f_top2_by_type", FeatureType.DOUBLE,
+          Transformation.WindowAgg("round(value * 100)", Aggregation.SUM,
+            Durations.parse("30d"), groupBy = Some("event_type"),
+            limit = Some(2)), Seq(userKey))))
+      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_top2_by_type"), Seq("user_id"))))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          explode(col("f_top2_by_type")).as(Seq("etype", "vsum")))
+        .withColumn("vsum", round(col("vsum") / 100, 4))
+    }),
+
     // A8 filter + A9 limit: SWA over filtered rows, top-3 newest only.
     "q_swa_filter_limit" -> ((s, dir) => {
       val p = FeatureProject("fl")
@@ -336,6 +395,26 @@ object SparkEntry {
       require(df.queryExecution.analyzed.toString.contains("__graft_ps_"),
         "q_swa_bucketed: the bucketed pre-aggregation plan did not engage")
       df
+    }),
+
+    // A10 sub-second precision: a 750ms window must stay 750ms in the
+    // planner (a truncate-to-seconds bug makes it INTERVAL 0 → every
+    // window empty → all-null features; this query would hash-mismatch
+    // on every row). The events data carries microsecond timestamps, so
+    // each click's window holds at least itself.
+    "q_swa_subsecond" -> ((s, dir) => {
+      val p = FeatureProject("subsec")
+      val all = Source("all_events", DataLocation.Hdfs(s"$dir/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some(fixTs))
+      p.addAnchorGroup("ss_anchor", all, Seq(
+        AnchorFeature("f_sum_750ms", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "750ms"), Seq(userKey)),
+        AnchorFeature("f_cnt_750ms", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "750ms"), Seq(userKey))))
+      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_sum_750ms", "f_cnt_750ms"), Seq("user_id"))))
+        .withColumn("f_sum_750ms", round(col("f_sum_750ms"), 4))
     }),
 
     // A6 NOP: a WindowAgg with no aggregation is a plain row expression
@@ -499,18 +578,18 @@ object SparkEntry {
     // differs from SQL aggregation at rounding half-points.)
     "q_stream_stateful_swa" -> ((s, dir) => {
       import graft.streaming.StreamingSwa
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
-      val events = t(s, dir, "events")
+      // partitioned file stream, NOT collect()+MemoryStream: the stream
+      // scales with executors, and driver memory stays flat at any sf
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val events = fixTs(s.readStream.schema(rawSchema)
+          .option("basePath", dir).parquet(s"$dir/events.parque*"))
         .where(col("event_type") === "purchase")
         .select(col("user_id").as("key"),
           unix_micros(col("ts")).as("tsMicros"), col("value"))
         .as[StreamingSwa.Event]
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val stream = MemoryStream[StreamingSwa.Event]
-      stream.addData(events.collect().toSeq)
       val name = s"swa_stream_${System.nanoTime()}"
-      val q = StreamingSwa(stream.toDS(), windowSeconds = 7 * 86400)
+      val q = StreamingSwa(events, windowSeconds = 7 * 86400)
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       q.processAllAvailable(); q.stop()
       s.table(name).select(
@@ -730,6 +809,22 @@ object SparkEntry {
         |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_type
         |FROM ($clicksSql) o""".stripMargin,
 
+    "q_tensor_features" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  (SELECT json_extract_string(s.props, '$$.k')::INT FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC LIMIT 1) AS sp_idx,
+        |  (SELECT round((s.value * 2)::FLOAT::DOUBLE, 2) FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC LIMIT 1) AS sp_val,
+        |  (SELECT round((s.value * 2)::FLOAT::DOUBLE, 2) FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+        |     AND s.ts <= o.ts
+        |   ORDER BY s.ts DESC LIMIT 1) AS m_10
+        |FROM ($clicksSql) o""".stripMargin,
+
     "q_obs_epoch" ->
       s"""SELECT o.event_id, o.user_id,
         |  floor(epoch(o.ts))::BIGINT AS ts_epoch,
@@ -776,6 +871,24 @@ object SparkEntry {
         | AND s.ts > o.ts - INTERVAL 30 DAY AND s.ts <= o.ts
         |GROUP BY o.event_id, o.user_id, o.ts, s.event_type""".stripMargin,
 
+    "q_swa_groupby_limit" ->
+      s"""WITH g AS (
+        |  SELECT o.event_id, o.user_id, o.ts, s.event_type AS etype,
+        |    sum(round(s.value * 100)) AS vsum
+        |  FROM ($clicksSql) o
+        |  JOIN events s
+        |    ON s.user_id = o.user_id
+        |   AND s.ts > o.ts - INTERVAL 30 DAY AND s.ts <= o.ts
+        |  GROUP BY o.event_id, o.user_id, o.ts, s.event_type
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY vsum DESC, etype ASC) AS rn
+        |  FROM g
+        |)
+        |SELECT event_id, user_id, ts, etype,
+        |  round(vsum / 100, 4) AS vsum
+        |FROM r WHERE rn <= 2""".stripMargin,
+
     "q_swa_filter_limit" ->
       s"""WITH ranked AS (
         |  SELECT o.event_id, o.user_id, o.ts, s.value,
@@ -805,6 +918,16 @@ object SparkEntry {
         |LEFT JOIN ($purchasesSql) s
         |  ON s.user_id = o.user_id
         | AND s.ts > o.ts - INTERVAL 30 DAY AND s.ts <= o.ts
+        |GROUP BY o.event_id, o.user_id, o.ts""".stripMargin,
+
+    "q_swa_subsecond" ->
+      s"""SELECT o.event_id, o.user_id, o.ts,
+        |  round(sum(s.value), 4) AS f_sum_750ms,
+        |  count(s.value) AS f_cnt_750ms
+        |FROM ($clicksSql) o
+        |LEFT JOIN events s
+        |  ON s.user_id = o.user_id
+        | AND s.ts > o.ts - INTERVAL 750 MILLISECOND AND s.ts <= o.ts
         |GROUP BY o.event_id, o.user_id, o.ts""".stripMargin,
 
     "q_nop_agg" ->

@@ -243,8 +243,17 @@ object PointInTimeJoin {
   /** J3: sliding-window aggregation (SWA) — aggregate source rows in
     * `(obs_ts - window, obs_ts]` per key, per distinct spine (key, ts)
     * pair. Pre-aggregation `filter` (A8) is pushed below the join;
-    * `limit` (A9) keeps the top-k newest rows per pair; `groupBy` (A7)
-    * aggregates per sub-key then collects a sorted map.
+    * `groupBy` (A7) aggregates per sub-key then collects a sorted map.
+    *
+    * `limit` (A9) semantics depend on `groupBy` (the reference config
+    * carries both fields side by side, feathr-rs/src/model.rs:267-272;
+    * the engine-side meaning is the public Feathr SWA contract):
+    *  - without `groupBy`: keep the top-k NEWEST source rows per
+    *    (key, obs_ts) before aggregating (record limit);
+    *  - with `groupBy`: aggregate every sub-key fully, then keep the
+    *    top-k GROUPS per (key, obs_ts) ranked by the first feature's
+    *    aggregate descending (ties: sub-key ascending) — the feature
+    *    value is a k-entry map, not an aggregate over k rows.
     */
   private def windowAggJoin(
       obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
@@ -284,12 +293,15 @@ object PointInTimeJoin {
     // falls back to the raw range join. LATEST/UNION/elementwise/
     // group_by/limit clusters always use the range join (their aggs
     // don't decompose into per-bucket partials).
-    val windowSec = wa0.window.getSeconds
-    val bucketSec: Long = obs.sparkSession.conf
+    // all window arithmetic is exact epoch-micros (Durations.toMicros
+    // rejects sub-microsecond windows) — a `750ms` window must stay
+    // 750ms, not truncate to whole seconds
+    val windowUs = Durations.toMicros(wa0.window)
+    val bucketUs: Long = obs.sparkSession.conf
       .get("spark.graft.swa.bucketSeconds", "auto") match {
-      case "auto"       => windowSec / 64
+      case "auto"       => windowUs / 64
       case "off"        => 0L
-      case v            => v.toLong
+      case v            => v.toLong * 1000000L
     }
     val allBucketable = feats.forall { case (f, _) =>
       f.transform.asInstanceOf[Transformation.WindowAgg].aggFunc match {
@@ -298,12 +310,12 @@ object PointInTimeJoin {
         case _ => false
       }
     }
-    if (bucketSec > 0 && allBucketable && wa0.groupBy.isEmpty &&
-        wa0.limit.isEmpty && windowSec >= 2 * bucketSec)
+    if (bucketUs > 0 && allBucketable && wa0.groupBy.isEmpty &&
+        wa0.limit.isEmpty && windowUs >= 2 * bucketUs)
       return bucketedWindowAgg(obs, obsKeyCols, skCols, srcSel, pairs,
-        feats, measures, wa0, bucketSec)
+        feats, measures, wa0, bucketUs)
 
-    val interval = expr(s"INTERVAL ${wa0.window.getSeconds} SECOND")
+    val interval = expr(Durations.toSqlInterval(wa0.window))
     var cond = obsKeyCols.indices
       .map(i => col(obsKeyCols(i)) === col(skCols(i)))
       .reduce(_ && _) &&
@@ -320,8 +332,10 @@ object PointInTimeJoin {
           .drop(salt, srcSalt)
       } else pairs.join(srcSel, cond, "inner")
 
-    // A9 limit: top-k newest source rows per (key, obs_ts)
-    wa0.limit.foreach { k =>
+    // A9 limit without group_by: top-k newest source rows per
+    // (key, obs_ts). With group_by the limit applies to GROUPS after
+    // aggregation — see below.
+    if (wa0.groupBy.isEmpty) wa0.limit.foreach { k =>
       val ord = Seq(col(Internal.SrcTs).desc) ++
         Seq(struct(measures.map(col): _*).desc)
       val rw = Window.partitionBy((obsKeyCols :+ ObsTs).map(col): _*).orderBy(ord: _*)
@@ -342,7 +356,20 @@ object PointInTimeJoin {
       case Some(_) =>
         // A7: aggregate per (key, sub-key) then collect sub-key -> value
         // into a deterministic (sorted) map
-        joined.groupBy((groupKeys :+ col(groupCol)): _*).agg(aggs.head, aggs.tail: _*)
+        var perGroup = joined.groupBy((groupKeys :+ col(groupCol)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        // A7×A9: top-k groups by the first feature's aggregate. The
+        // window input is already one row per (key, obs_ts, sub-key) —
+        // bounded by sub-key cardinality, so the sort is cheap at scale.
+        wa0.limit.foreach { k =>
+          val gw = Window.partitionBy(groupKeys: _*)
+            .orderBy(col(feats.head._2).desc, col(groupCol).asc)
+          perGroup = perGroup
+            .withColumn("__graft_grn", row_number().over(gw))
+            .where(col("__graft_grn") <= k)
+            .drop("__graft_grn")
+        }
+        perGroup
           .groupBy(groupKeys: _*).agg(
             feats.map { case (_, out) =>
               map_from_entries(array_sort(collect_list(
@@ -373,9 +400,9 @@ object PointInTimeJoin {
       obs: DataFrame, obsKeyCols: Seq[String], skCols: Seq[String],
       srcSel: DataFrame, pairs: DataFrame,
       feats: Seq[(AnchorFeature, String)], measures: Seq[String],
-      wa0: Transformation.WindowAgg, bucketSec: Long): DataFrame = {
-    val bUs = bucketSec * 1000000L
-    val wUs = wa0.window.getSeconds * 1000000L
+      wa0: Transformation.WindowAgg, bucketUs: Long): DataFrame = {
+    val bUs = bucketUs
+    val wUs = Durations.toMicros(wa0.window)
     val b = "__graft_b"
     val tUs = "__graft_tus"
 

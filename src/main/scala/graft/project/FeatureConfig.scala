@@ -119,8 +119,10 @@ object FeatureConfig {
           }
         case DataLocation.Kafka(brokers, topics, avroSchemaJson) =>
           sn.put("type", "kafka")
-          sn.put("brokers", brokers.mkString(","))
-          sn.put("topics", topics.mkString(","))
+          // JSON arrays, not comma-joined strings: an empty list must
+          // round-trip to Nil and a value may itself contain a comma
+          val ba = sn.putArray("brokers"); brokers.foreach(ba.add)
+          val ta = sn.putArray("topics"); topics.foreach(ta.add)
           if (avroSchemaJson.nonEmpty) sn.put("avro_schema", avroSchemaJson)
         case DataLocation.Generic(format, mode, opts, path) =>
           sn.put("type", "generic"); sn.put("format", format)
@@ -205,9 +207,14 @@ object FeatureConfig {
         DataLocation.Jdbc(sn.get("url").asText, optText(sn, "dbtable"),
           optText(sn, "query"), auth)
       case "kafka" =>
-        DataLocation.Kafka(
-          sn.get("brokers").asText.split(",").toSeq,
-          sn.get("topics").asText.split(",").toSeq,
+        // current form is a JSON array; pre-round-4 configs serialized
+        // a comma-joined string — accept both, dropping empty tokens
+        def strList(field: String): Seq[String] = Option(sn.get(field)) match {
+          case Some(n) if n.isArray => n.elements.asScala.toSeq.map(_.asText)
+          case Some(n) => n.asText.split(",").toSeq.filter(_.nonEmpty)
+          case None => Nil
+        }
+        DataLocation.Kafka(strList("brokers"), strList("topics"),
           optText(sn, "avro_schema").getOrElse(""))
       case "generic" =>
         DataLocation.Generic(sn.get("format").asText, optText(sn, "mode"),

@@ -69,6 +69,39 @@ class FeatureConfigSpec extends SparkTestBase {
     assert(p2.derivedFeature("f_d2").get.inputs.head.featureName == "f_d1")
   }
 
+  test("Kafka brokers/topics round-trip: empty lists and comma-in-value") {
+    val p = FeatureProject("kfrt")
+    // empty lists must come back as Nil (not Seq("")), and a broker
+    // value containing a comma must survive — both break under a
+    // comma-joined serialization
+    val empty = Source("kf_empty", DataLocation.Kafka(Nil, Nil, ""))
+    val comma = Source("kf_comma",
+      DataLocation.Kafka(Seq("host:9092,backup:9092"), Seq("t,1", "t2"), ""))
+    p.addAnchorGroup("g1", empty, Seq(
+      AnchorFeature("f_e", FeatureType.INT64, Transformation.Expr("x"), Seq(userKey))))
+    p.addAnchorGroup("g2", comma, Seq(
+      AnchorFeature("f_c", FeatureType.INT64, Transformation.Expr("x"), Seq(userKey))))
+    val p2 = FeatureConfig.fromJson(FeatureConfig.toJson(p))
+    assert(p2.source("kf_empty").location == DataLocation.Kafka(Nil, Nil, ""))
+    assert(p2.source("kf_comma").location ==
+      DataLocation.Kafka(Seq("host:9092,backup:9092"), Seq("t,1", "t2"), ""))
+  }
+
+  test("legacy comma-joined Kafka source documents still parse") {
+    val legacy =
+      """{
+        |  "anchors": {},
+        |  "derivations": {},
+        |  "sources": {
+        |    "kf": {"type": "kafka", "brokers": "b1:9092,b2:9092",
+        |           "topics": "topic1"}
+        |  }
+        |}""".stripMargin
+    val p = FeatureConfig.fromJson(legacy)
+    assert(p.source("kf").location ==
+      DataLocation.Kafka(Seq("b1:9092", "b2:9092"), Seq("topic1"), ""))
+  }
+
   test("a reference-shaped fixture loads and drives a passing join") {
     val fixture =
       s"""{
