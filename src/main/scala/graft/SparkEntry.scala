@@ -476,6 +476,45 @@ object SparkEntry {
           col("N_NAME").as("n_name"), col("N_REGIONKEY").as("n_regionkey"))
     }),
 
+    // S3 Kafka end to end: seed an in-process stub broker with
+    // Avro-encoded event records (the Kafka wire format: headerless
+    // Avro binary in `value`), then read them back through
+    // DataLocation.Kafka — format resolution (real connector when on
+    // the classpath, stub otherwise), bootstrap/subscribe option
+    // wiring, the Kafka record schema, and AvroCodec.decode all
+    // execute. The seed writes from executors (foreachPartition); only
+    // the stub log itself is single-JVM.
+    "q_kafka_avro" -> ((s, dir) => {
+      import graft.sources.kafkastub.EmbeddedLog
+      val schemaJson =
+        """{"type":"record","name":"Ev","fields":[
+          |{"name":"event_id","type":"long"},
+          |{"name":"user_id","type":"long"},
+          |{"name":"ts_micros","type":"long"},
+          |{"name":"event_type","type":"string"},
+          |{"name":"value","type":"double"}]}""".stripMargin
+      val servers = "stub:9092"
+      val topic = "events_avro"
+      EmbeddedLog.clearTopic(servers, topic)
+      val subset = t(s, dir, "events").where(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_type"), col("value"))
+      AvroCodec.encode(subset, schemaJson)
+        .select(col("__avro"), col("ts_micros"), col("event_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            EmbeddedLog.publish(servers, topic, (r.getLong(2) % 4).toInt,
+              null, r.getAs[Array[Byte]](0), r.getLong(1))
+          }
+        }
+      SourceResolver.read(s, DataLocation.Kafka(Seq(servers), Seq(topic), schemaJson))
+        .select(col("value_decoded.event_id").as("event_id"),
+          col("value_decoded.user_id").as("user_id"),
+          timestamp_micros(col("value_decoded.ts_micros")).as("ts"),
+          col("value_decoded.event_type").as("event_type"),
+          col("value_decoded.value").as("value"))
+    }),
+
     // A5: element-wise AVG of array-valued features. Source = embeddings
     // with a synthetic event time (preprocessing hook), key = label,
     // spine = one (label, end-of-time) row per label.
@@ -946,6 +985,10 @@ object SparkEntry {
     "q_jdbc_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_regionkey >= 0""".stripMargin,
+
+    "q_kafka_avro" ->
+      """SELECT event_id, user_id, ts, event_type, value
+        |FROM events WHERE event_id % 20 = 0""".stripMargin,
 
     "q_swa_elementwise" ->
       """SELECT e.label, r.range::INT - 1 AS pos,

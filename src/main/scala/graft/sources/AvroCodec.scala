@@ -87,6 +87,42 @@ object AvroCodec {
     case other => other // primitives arrive boxed
   }
 
+  /** Encode each row into Avro binary (no header/framing — the Kafka
+    * wire format; the inverse of [[decode]]): record fields are taken
+    * from the DataFrame columns of the same name. The produce-side of a
+    * Kafka pipeline, and the seeding path for source tests. Supported
+    * field types: Avro primitives and `[null, X]` unions of them.
+    */
+  def encode(df: DataFrame, avroSchemaJson: String,
+      outCol: String = "__avro"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroSchemaJson)
+      val fields = schema.getFields.asScala.toSeq
+      val writer = new org.apache.avro.generic.GenericDatumWriter[Any](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      var encoder: org.apache.avro.io.BinaryEncoder = null
+      rows.map { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        fields.foreach { f =>
+          val v = r.get(r.fieldIndex(f.name)) match {
+            case null => null
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case other => other
+          }
+          rec.put(f.pos, v)
+        }
+        bos.reset()
+        encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, encoder)
+        writer.write(rec, encoder)
+        encoder.flush()
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Decode `binCol` (Avro binary, no header/framing — the Kafka wire
     * format) into a struct column `outCol`; all other columns pass
     * through. Null payloads decode to a null struct.

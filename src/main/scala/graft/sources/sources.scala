@@ -157,7 +157,7 @@ object SourceResolver {
       // Batch read of a Kafka topic range; streaming path lives in
       // graft.streaming (SURVEY.md §2.7 T1). The Avro value schema
       // decodes `value` into a typed struct (source.rs:48-54).
-      val raw = spark.read.format("kafka")
+      val raw = spark.read.format(kafkaFormat)
         .option("kafka.bootstrap.servers", brokers.mkString(","))
         .option("subscribe", topics.mkString(","))
         .load()
@@ -171,6 +171,15 @@ object SourceResolver {
       throw new IllegalStateException(
         "INPUT_CONTEXT resolves to the observation DataFrame, not a scan")
   }
+
+  /** The real Spark Kafka connector when it is on the classpath, else
+    * the in-process stub ([[graft.sources.kafkastub.KafkaStubProvider]]),
+    * which serves the identical schema and option contract. Plans are
+    * format-agnostic: the same options drive either provider.
+    */
+  def kafkaFormat: String =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); "kafka" }
+    catch { case _: ClassNotFoundException => "graft-kafka" }
 
   /** Option keys arrive with dots encoded as `__` (source.rs:692). */
   def decodeOptionKeys(opts: Map[String, String]): Map[String, String] =

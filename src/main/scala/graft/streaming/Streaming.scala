@@ -22,7 +22,7 @@ object StreamingIngest {
   def readStream(spark: SparkSession, loc: DataLocation,
       schema: Option[StructType] = None): DataFrame = loc match {
     case DataLocation.Kafka(brokers, topics, avroSchemaJson) =>
-      val raw = spark.readStream.format("kafka")
+      val raw = spark.readStream.format(graft.sources.SourceResolver.kafkaFormat)
         .option("kafka.bootstrap.servers", brokers.mkString(","))
         .option("subscribe", topics.mkString(","))
         .load()
