@@ -316,11 +316,17 @@ object SparkEntry {
         AnchorFeature("f_by_type", FeatureType.DOUBLE,
           Transformation.WindowAgg("value", Aggregation.SUM,
             Durations.parse("30d"), groupBy = Some("event_type")), Seq(userKey))))
-      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+      val df = FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
         Seq(FeatureQuery(Seq("f_by_type"), Seq("user_id"))))
         .select(col("event_id"), col("user_id"), col("ts"),
           explode(col("f_by_type")).as(Seq("etype", "vsum")))
         .withColumn("vsum", round(col("vsum"), 4))
+      // A7 takes the bucketed pre-aggregation plan (partials per
+      // (key, sub-key, bucket)), not the raw range join — fail loudly
+      // if the scale plan disengages
+      require(df.queryExecution.analyzed.toString.contains("__graft_ps_"),
+        "q_swa_groupby: the bucketed pre-aggregation plan did not engage")
+      df
     }),
 
     // A7×A9: group_by + limit = top-k GROUPS per (key, obs_ts) ranked
@@ -337,11 +343,14 @@ object SparkEntry {
           Transformation.WindowAgg("round(value * 100)", Aggregation.SUM,
             Durations.parse("30d"), groupBy = Some("event_type"),
             limit = Some(2)), Seq(userKey))))
-      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+      val df = FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
         Seq(FeatureQuery(Seq("f_top2_by_type"), Seq("user_id"))))
         .select(col("event_id"), col("user_id"), col("ts"),
           explode(col("f_top2_by_type")).as(Seq("etype", "vsum")))
         .withColumn("vsum", round(col("vsum") / 100, 4))
+      require(df.queryExecution.analyzed.toString.contains("__graft_ps_"),
+        "q_swa_groupby_limit: the bucketed pre-aggregation plan did not engage")
+      df
     }),
 
     // A8 filter + A9 limit: SWA over filtered rows, top-3 newest only.
@@ -756,6 +765,35 @@ object SparkEntry {
           Multimodal.mediaMeta(Multimodal.packBinary(col("text"))).as("m"))
         .select(col("doc_id"), col("m.mime").as("mime"),
           col("m.n_bytes").as("n_bytes"), col("m.sha256").as("sha256"))
+    }),
+
+    // REAL image codec in the decode slot: synthesize one solid-gray
+    // PNG per doc on the executors (stand-in for fetching stored
+    // bytes; the generator is seeding, not the operator), then decode
+    // through the batched JDK ImageIO codec — width/height/channels
+    // and exact mean intensity are closed-form for the oracle, and the
+    // magic-byte sniff sees real PNG headers.
+    "q_multimodal_decode_png" -> ((s, dir) => {
+      val mkPng = udf { (id: Long) =>
+        val w = 16 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val gfx = img.createGraphics()
+        gfx.setColor(new java.awt.Color(g, g, g))
+        gfx.fillRect(0, 0, w, h)
+        gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val packed = t(s, dir, "documents").select("doc_id")
+        .withColumn("payload", mkPng(col("doc_id")))
+      Multimodal.decodeImages(packed, "payload", batchSize = 32)
+        .select(col("doc_id"), Multimodal.sniffMime(col("payload")).as("mime"),
+          col("decoded.width"), col("decoded.height"),
+          col("decoded.channels"), col("decoded.mean_intensity"))
     }),
 
     // Multimodal decode plumbing (codec stubbed, batching/schema real):
@@ -1199,6 +1237,15 @@ object SparkEntry {
     "q_sim_ivf" ->
       """SELECT vec_id AS q_id, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    "q_multimodal_decode_png" ->
+      """SELECT doc_id,
+        |  'image/png' AS mime,
+        |  (16 + doc_id % 32)::INT AS width,
+        |  (8 + doc_id % 16)::INT AS height,
+        |  3::INT AS channels,
+        |  (doc_id % 256)::DOUBLE AS mean_intensity
+        |FROM documents""".stripMargin,
 
     // The decode stub derives every output from sha256(payload) and the
     // byte length (Multimodal.decodeStub) — exactly reproducible here.

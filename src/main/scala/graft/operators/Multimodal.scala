@@ -86,6 +86,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image decode in the decode slot — `javax.imageio` ships in
+    * the JDK and decodes PNG/BMP/JPEG/GIF with zero native libraries.
+    * Same batched per-partition shape (and output schema) as
+    * [[decodeStub]]: the batching is where a vectorized native codec
+    * (libjpeg-turbo, nvJPEG) would slot in; ImageIO decodes one image
+    * per call, so the batch loop simply iterates. `mean_intensity` is
+    * the mean over every pixel sample in every band. Null or
+    * undecodable payloads yield a null struct (corrupt bytes must not
+    * fail a 100 TB scan).
+    */
+  def decodeImages(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("decoded", decodedType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      def decodeOne(bytes: Array[Byte]): Row =
+        if (bytes == null) null
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) null
+          else {
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val bands = raster.getNumBands
+            val rowBuf = new Array[Int](w * bands)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              raster.getPixels(0, y, w, 1, rowBuf)
+              var i = 0
+              while (i < rowBuf.length) { sum += rowBuf(i); i += 1 }
+              y += 1
+            }
+            Row(w, h, bands, sum / (w.toDouble * h * bands))
+          }
+        }
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ decodeOne(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling over a binary "video" payload: every
     * `stride`-th `frameBytes`-sized slice becomes one frame row
     * (explode-shaped, no driver round-trip).

@@ -310,10 +310,14 @@ object PointInTimeJoin {
         case _ => false
       }
     }
-    if (bucketUs > 0 && allBucketable && wa0.groupBy.isEmpty &&
-        wa0.limit.isEmpty && windowUs >= 2 * bucketUs)
+    // group_by clusters bucket too (partials per (key, sub-key,
+    // bucket)); only a record-limit (A9 without A7, which needs raw
+    // rows) and non-decomposable aggs force the raw range join
+    if (bucketUs > 0 && allBucketable &&
+        (wa0.groupBy.isDefined || wa0.limit.isEmpty) &&
+        windowUs >= 2 * bucketUs)
       return bucketedWindowAgg(obs, obsKeyCols, skCols, srcSel, pairs,
-        feats, measures, wa0, bucketUs)
+        feats, measures, wa0, bucketUs, wa0.groupBy.map(_ => groupCol))
 
     val interval = expr(Durations.toSqlInterval(wa0.window))
     var cond = obsKeyCols.indices
@@ -354,33 +358,36 @@ object PointInTimeJoin {
       case None =>
         joined.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
       case Some(_) =>
-        // A7: aggregate per (key, sub-key) then collect sub-key -> value
-        // into a deterministic (sorted) map
-        var perGroup = joined.groupBy((groupKeys :+ col(groupCol)): _*)
+        // A7: aggregate per (key, sub-key) then collect the groups
+        val perGroup = joined.groupBy((groupKeys :+ col(groupCol)): _*)
           .agg(aggs.head, aggs.tail: _*)
-        // A7×A9: top-k groups by the first feature's aggregate. The
-        // window input is already one row per (key, obs_ts, sub-key) —
-        // bounded by sub-key cardinality, so the sort is cheap at scale.
-        wa0.limit.foreach { k =>
-          val gw = Window.partitionBy(groupKeys: _*)
-            .orderBy(col(feats.head._2).desc, col(groupCol).asc)
-          perGroup = perGroup
-            .withColumn("__graft_grn", row_number().over(gw))
-            .where(col("__graft_grn") <= k)
-            .drop("__graft_grn")
-        }
-        perGroup
-          .groupBy(groupKeys: _*).agg(
-            feats.map { case (_, out) =>
-              map_from_entries(array_sort(collect_list(
-                struct(col(groupCol), col(out))))).as(out)
-            }.head,
-            feats.map { case (_, out) =>
-              map_from_entries(array_sort(collect_list(
-                struct(col(groupCol), col(out))))).as(out)
-            }.tail: _*)
+        collectGroups(perGroup, groupKeys, groupCol, feats, wa0.limit)
     }
     obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
+  }
+
+  /** A7 tail: optional A7×A9 top-k-groups limit, then collect
+    * sub-key -> value into a deterministic (sorted) map. The input is
+    * one row per (key, obs_ts, sub-key) — bounded by sub-key
+    * cardinality, so the ranking window is cheap at scale.
+    */
+  private def collectGroups(perGroup0: DataFrame, groupKeys: Seq[Column],
+      groupCol: String, feats: Seq[(AnchorFeature, String)],
+      limit: Option[Int]): DataFrame = {
+    var perGroup = perGroup0
+    limit.foreach { k =>
+      val gw = Window.partitionBy(groupKeys: _*)
+        .orderBy(col(feats.head._2).desc, col(groupCol).asc)
+      perGroup = perGroup
+        .withColumn("__graft_grn", row_number().over(gw))
+        .where(col("__graft_grn") <= k)
+        .drop("__graft_grn")
+    }
+    val maps = feats.map { case (_, out) =>
+      map_from_entries(array_sort(collect_list(
+        struct(col(groupCol), col(out))))).as(out)
+    }
+    perGroup.groupBy(groupKeys: _*).agg(maps.head, maps.tail: _*)
   }
 
   /** Exact bucketed SWA (the 100 TB shape for long windows over dense
@@ -400,11 +407,15 @@ object PointInTimeJoin {
       obs: DataFrame, obsKeyCols: Seq[String], skCols: Seq[String],
       srcSel: DataFrame, pairs: DataFrame,
       feats: Seq[(AnchorFeature, String)], measures: Seq[String],
-      wa0: Transformation.WindowAgg, bucketUs: Long): DataFrame = {
+      wa0: Transformation.WindowAgg, bucketUs: Long,
+      groupColOpt: Option[String]): DataFrame = {
     val bUs = bucketUs
     val wUs = Durations.toMicros(wa0.window)
     val b = "__graft_b"
     val tUs = "__graft_tus"
+    // A7: the sub-key rides along every partial — partials per
+    // (key, sub-key, bucket), finals per (key, obs_ts, sub-key)
+    val gcols = groupColOpt.toSeq
 
     // exact long integer division (a / b in Column API is double division)
     def idiv(c: Column, d: Long): Column = ((c - pmod(c, lit(d))) / lit(d)).cast("long")
@@ -417,7 +428,7 @@ object PointInTimeJoin {
     val partialAggs = measures.flatMap(m => Seq(
       sum(col(m)).as(ps(m)), count(col(m)).as(pc(m)),
       min(col(m)).as(pm(m)), max(col(m)).as(px(m))))
-    val bucketPartials = srcB.groupBy((skCols :+ b).map(col): _*)
+    val bucketPartials = srcB.groupBy((skCols ++ gcols :+ b).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
 
     val p = pairs.withColumn(tUs, unix_micros(col(ObsTs)))
@@ -429,18 +440,20 @@ object PointInTimeJoin {
     val partialCols = measures.flatMap(m => Seq(ps(m), pc(m), pm(m), px(m)))
     val fullBuckets = p.join(bucketPartials,
         keyEq && col(b) > loB && col(b) < hiB, "inner")
-      .select((obsKeyCols :+ ObsTs).map(col) ++ partialCols.map(col): _*)
+      .select((obsKeyCols :+ ObsTs).map(col) ++ gcols.map(col) ++
+        partialCols.map(col): _*)
 
     val partialTypes = partialCols.map(c => c -> bucketPartials.schema(c).dataType).toMap
     val edgeRows = p.join(srcB,
         keyEq && (col(b) === loB || col(b) === hiB) &&
           unix_micros(col(Internal.SrcTs)) > col(tUs) - wUs &&
           unix_micros(col(Internal.SrcTs)) <= col(tUs), "inner")
-      .select((obsKeyCols :+ ObsTs).map(col) ++ measures.flatMap(m => Seq(
-        col(m).cast(partialTypes(ps(m))).as(ps(m)),
-        when(col(m).isNull, 0L).otherwise(1L).cast(partialTypes(pc(m))).as(pc(m)),
-        col(m).cast(partialTypes(pm(m))).as(pm(m)),
-        col(m).cast(partialTypes(px(m))).as(px(m)))): _*)
+      .select((obsKeyCols :+ ObsTs).map(col) ++ gcols.map(col) ++
+        measures.flatMap(m => Seq(
+          col(m).cast(partialTypes(ps(m))).as(ps(m)),
+          when(col(m).isNull, 0L).otherwise(1L).cast(partialTypes(pc(m))).as(pc(m)),
+          col(m).cast(partialTypes(pm(m))).as(pm(m)),
+          col(m).cast(partialTypes(px(m))).as(px(m)))): _*)
 
     val finals = feats.zip(measures).map { case ((f, out), m) =>
       val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
@@ -455,9 +468,14 @@ object PointInTimeJoin {
         case other => throw new IllegalStateException(s"not bucketable: $other")
       }).as(out)
     }
-    val aggDf = fullBuckets.unionByName(edgeRows)
-      .groupBy((obsKeyCols :+ ObsTs).map(col): _*)
+    val groupKeys = (obsKeyCols :+ ObsTs).map(col)
+    val perGroup = fullBuckets.unionByName(edgeRows)
+      .groupBy(groupKeys ++ gcols.map(col): _*)
       .agg(finals.head, finals.tail: _*)
+    val aggDf = groupColOpt match {
+      case None     => perGroup
+      case Some(gc) => collectGroups(perGroup, groupKeys, gc, feats, wa0.limit)
+    }
     obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
   }
 

@@ -140,4 +140,38 @@ class OperatorsSpec extends SparkTestBase {
       Multimodal.frameSample($"payload", 16, 2)).as("f"))
     assert(frames.where(length($"f.frame") === 0).count() == 0)
   }
+
+  test("multimodal: real ImageIO codec decodes PNG and BMP; corrupt bytes -> null") {
+    import spark.implicits._
+    def img(w: Int, h: Int, gray: Int, fmt: String): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, img(20, 10, 100, "png")),
+      (2L, img(7, 5, 255, "bmp")),
+      (3L, "not an image".getBytes("UTF-8")),
+      (4L, null))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.decodeImages(df, "payload", batchSize = 2)
+      .select($"id", $"decoded.width", $"decoded.height",
+        $"decoded.channels", $"decoded.mean_intensity")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 20 && out(1L).getInt(2) == 10 &&
+      out(1L).getInt(3) == 3 && out(1L).getDouble(4) == 100.0)
+    assert(out(2L).getInt(1) == 7 && out(2L).getInt(2) == 5 &&
+      out(2L).getDouble(4) == 255.0)
+    assert(out(3L).isNullAt(1) && out(4L).isNullAt(1))
+    // sniff sees the real magic bytes
+    val mimes = Multimodal.sniffMime(df("payload"))
+    val m = df.select($"id", mimes.as("mime")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "image/png")
+  }
 }
