@@ -161,10 +161,32 @@ object Dedup {
     }
   }
 
+  /** Candidate pairs (id_a < id_b) within each bucket of an
+    * already-capped bucket-membership frame: one aggregation collects
+    * each bucket's (≤ cap, so bounded by construction) sorted member
+    * list, then a higher-order-function expansion emits every i<j pair
+    * — one plan branch, no self-join, no second scan of the bucket
+    * frame. The groupBy reuses the capBuckets window's partitioning, so
+    * no extra exchange.
+    */
+  private[operators] def candidatePairs(capped: DataFrame,
+      bucketCols: Seq[String], idCol: String): DataFrame = {
+    val ids = "__graft_ids"
+    capped.groupBy(bucketCols.map(col): _*)
+      .agg(array_sort(collect_list(col(idCol))).as(ids))
+      .where(size(col(ids)) >= 2)
+      .select(explode(flatten(transform(col(ids), (x, i) =>
+        transform(slice(col(ids), i + 2, size(col(ids))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** Candidate near-duplicate pairs (id_a < id_b) from LSH buckets,
-    * verified with exact shingle-set Jaccard >= threshold. The bucket
-    * self-join shuffles on (band_id, band_hash) only — no all-pairs,
-    * and bucket membership is capped (see [[capBuckets]]).
+    * verified with exact shingle-set Jaccard >= threshold. Candidates
+    * come from capped bucket membership ([[capBuckets]]) via the
+    * in-bucket pair expansion ([[candidatePairs]]) — no all-pairs, no
+    * self-join.
     */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 16,
@@ -177,16 +199,16 @@ object Dedup {
     // thrash).
     val shRows = shingleRows(df.repartition(col(idCol)), textCol, idCol,
       shingleSize).persist()
-    val b = capBuckets(lshBandsFromSig(
+    val capped = capBuckets(lshBandsFromSig(
       minhashSignaturesFromRows(shRows, idCol, numHashes),
-      idCol, numHashes, bands), Seq("band_id", "band_hash"), idCol).persist()
-    val l = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
-    val r = b.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
-    // persisted: consumed by the verification join twice plus the
-    // candidate-id semi-join below
-    val cands = l.join(r, Seq("band_id", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct().persist()
+      idCol, numHashes, bands), Seq("band_id", "band_hash"), idCol)
+    // the candidate set is bounded (bucket-capped pairs, not corpus):
+    // spill it to parquet NOW — the three downstream consumers
+    // (candidate-id semi-join + two verification joins) then analyze
+    // against a flat scan instead of re-optimizing the whole
+    // shingle→signature→band lineage
+    val cands = Spill.roundTrip(
+      candidatePairs(capped, Seq("band_id", "band_hash"), idCol))
     // verification cost scales with candidates, not corpus: semi-join
     // the shingle sets down to ids that appear in some candidate pair
     val candIds = cands.select(col("id_a").as(idCol))
@@ -201,7 +223,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialize(result, shRows, b, cands)
+    materialize(result, shRows)
   }
 
   /** Eagerly materialize `result` (bounded: near-dup pairs, not the
@@ -216,13 +238,9 @@ object Dedup {
     * filesystem (point it at HDFS/S3 on a real cluster).
     */
   private[operators] def materialize(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val spark = result.sparkSession
-    val path = Spill.newPath(spark)
-    result.write.mode("overwrite").parquet(path)
+    val out = Spill.roundTrip(result)
     intermediates.foreach(_.unpersist(false))
-    // explicit schema: an all-empty result writes no part files, and
-    // schema inference over just _SUCCESS would fail
-    spark.read.schema(result.schema).parquet(path)
+    out
   }
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs. */

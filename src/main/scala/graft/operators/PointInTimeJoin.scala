@@ -86,10 +86,22 @@ object PointInTimeJoin {
     * map<group, value>, so the declaration must be the scalar value
     * type (the map's value side is coerced). A declaration the runtime
     * shape cannot carry is an error, not a silent skip.
+    *
+    * Migration note: before round 3 such mismatched declarations were
+    * silently skipped, so an existing project that e.g. declared a
+    * scalar type on a UNION feature "worked". Set
+    * `spark.graft.types.lenient=true` to restore the old
+    * skip-on-mismatch behavior while migrating those declarations.
     */
   private def applyDeclaredTypes(
       project: FeatureProject, obs: DataFrame, requested: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    val lenient = obs.sparkSession.conf
+      .get("spark.graft.types.lenient", "false").toBoolean
+    def check(ok: Boolean, msg: => String): Boolean = {
+      require(ok || lenient, msg)
+      ok
+    }
     requested.foldLeft(obs) { (df, name) =>
       if (!df.columns.contains(name)) df
       else {
@@ -103,24 +115,29 @@ object PointInTimeJoin {
                 (agg == Aggregation.UNION, gb.isDefined)
               case _ => (false, false)
             }
-            val valueType: DataType =
+            val valueType: Option[DataType] =
               if (isUnion) {
-                require(t.tensorCategory == TensorCategory.DENSE &&
+                if (check(t.tensorCategory == TensorCategory.DENSE &&
                     t.dimensionType.size == 1,
-                  s"feature $name: UNION collects a set — declare a 1-d DENSE tensor, not $t")
-                ArrayType(t.valType.sparkType)
+                  s"feature $name: UNION collects a set — declare a 1-d DENSE tensor, not $t " +
+                    "(spark.graft.types.lenient=true skips mismatched declarations)"))
+                  Some(ArrayType(t.valType.sparkType))
+                else None
               } else if (hasGroup) {
-                require(t.dimensionType.isEmpty,
-                  s"feature $name: group_by produces a map of scalars — declare the scalar value type, not $t")
-                t.valType.sparkType
-              } else t.sparkType
-            val target: DataType =
+                if (check(t.dimensionType.isEmpty,
+                  s"feature $name: group_by produces a map of scalars — declare the scalar value type, not $t " +
+                    "(spark.graft.types.lenient=true skips mismatched declarations)"))
+                  Some(t.valType.sparkType)
+                else None
+              } else Some(t.sparkType)
+            val target: Option[DataType] = valueType.flatMap { vt =>
               if (hasGroup) df.schema(name).dataType match {
-                case MapType(kt, _, n) => MapType(kt, valueType, n)
+                case MapType(kt, _, n) => Some(MapType(kt, vt, n))
                 case other => throw new IllegalStateException(
                   s"feature $name: group_by runtime shape should be a map, got $other")
-              } else valueType
-            df.withColumn(name, col(name).cast(target))
+              } else Some(vt)
+            }
+            target.map(tt => df.withColumn(name, col(name).cast(tt))).getOrElse(df)
           case _ => df
         }
       }

@@ -21,6 +21,20 @@ object Spill {
       created.synchronized(created.toSeq).foreach(p => deleteRecursively(Paths.get(p)))))
   }
 
+  /** Write `df` to a fresh spill path and read it back: cuts the plan
+    * lineage (downstream plans analyze against a flat parquet scan, not
+    * the full upstream DAG — large multi-stage pipelines pay Catalyst
+    * re-analysis of the whole lineage at every action otherwise) and
+    * frees any upstream cache for release. The explicit schema makes an
+    * all-empty result readable (no part files to infer from).
+    */
+  def roundTrip(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val path = newPath(spark)
+    df.write.mode("overwrite").parquet(path)
+    spark.read.schema(df.schema).parquet(path)
+  }
+
   def newPath(spark: SparkSession): String = {
     val base = spark.conf.get("spark.graft.spillDir",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-spill")

@@ -46,6 +46,33 @@ class TensorTypeSpec extends SparkTestBase {
     assert(out.schema("f_vec").dataType == ArrayType(FloatType))
   }
 
+  test("mismatched UNION declaration: hard error by default, skipped when lenient") {
+    def build(): org.apache.spark.sql.DataFrame = {
+      Seq((1L, "2024-01-01 00:00:00", "a"))
+        .toDF("k", "ts_s", "etype")
+        .withColumn("ts", $"ts_s".cast("timestamp"))
+        .createOrReplaceTempView("len_src")
+      val p = FeatureProject("len")
+      val key = TypedKey("k", ValueType.INT64)
+      p.addAnchorGroup("g", Source("src", DataLocation.Table("len_src"),
+        timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+        AnchorFeature("f_types", FeatureType.STRING, // scalar on a UNION: wrong
+          Transformation.windowAgg("etype", "UNION", "7d"), Seq(key))))
+      val obs = Seq((1L, "2024-01-02 00:00:00")).toDF("k", "ts_s")
+        .withColumn("ts", $"ts_s".cast("timestamp")).select("k", "ts")
+      FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_types"), Seq("k"))))
+    }
+    intercept[IllegalArgumentException] { build() }
+    spark.conf.set("spark.graft.types.lenient", "true")
+    try {
+      val out = build()
+      // declaration skipped: runtime shape (array of collected values)
+      assert(out.schema("f_types").dataType ==
+        ArrayType(StringType, containsNull = false))
+    } finally spark.conf.unset("spark.graft.types.lenient")
+  }
+
   test("null-key observation rows keep null features, are not dropped") {
     Seq((1L, "2024-01-01 00:00:00", 5.0)).toDF("k", "ts_s", "v")
       .withColumn("ts", $"ts_s".cast("timestamp"))
