@@ -524,6 +524,51 @@ object SparkEntry {
           col("value_decoded.value").as("value"))
     }),
 
+    // T1 over S3: the full streaming ingest path — Kafka (stub broker)
+    // readStream, Avro value decode, event-time normalization,
+    // watermark + tumbling-window aggregation — checked against the
+    // equivalent batch aggregation of the same records.
+    "q_kafka_stream_agg" -> ((s, dir) => {
+      import graft.sources.kafkastub.EmbeddedLog
+      import graft.streaming.StreamingIngest
+      val schemaJson =
+        """{"type":"record","name":"Ev","fields":[
+          |{"name":"event_id","type":"long"},
+          |{"name":"user_id","type":"long"},
+          |{"name":"ts_micros","type":"long"},
+          |{"name":"event_type","type":"string"},
+          |{"name":"value","type":"double"}]}""".stripMargin
+      val servers = "stub-stream:9092"
+      val topic = "events_stream"
+      EmbeddedLog.clearTopic(servers, topic)
+      val subset = t(s, dir, "events").where(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_micros"), col("event_type"), col("value"))
+      AvroCodec.encode(subset, schemaJson)
+        .select(col("__avro"), col("ts_micros"), col("event_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            EmbeddedLog.publish(servers, topic, (r.getLong(2) % 4).toInt,
+              null, r.getAs[Array[Byte]](0), r.getLong(1))
+          }
+        }
+      val stream = StreamingIngest.readStream(s,
+          DataLocation.Kafka(Seq(servers), Seq(topic), schemaJson))
+        .select(timestamp_micros(col("value_decoded.ts_micros")).as("ts"),
+          col("value_decoded.event_type").as("event_type"),
+          col("value_decoded.value").as("value"))
+      val agg = StreamingIngest.windowedAgg(stream, "ts", "1 hour", "1 day",
+          None, Seq("event_type"),
+          Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("v_sum")))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n"), col("v_sum"))
+      val name = s"kafka_stream_agg_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    }),
+
     // A5: element-wise AVG of array-valued features. Source = embeddings
     // with a synthetic event time (preprocessing hook), key = label,
     // spine = one (label, end-of-time) row per label.
@@ -1027,6 +1072,12 @@ object SparkEntry {
     "q_kafka_avro" ->
       """SELECT event_id, user_id, ts, event_type, value
         |FROM events WHERE event_id % 20 = 0""".stripMargin,
+
+    "q_kafka_stream_agg" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS v_sum
+        |FROM events WHERE event_id % 10 = 0
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_swa_elementwise" ->
       """SELECT e.label, r.range::INT - 1 AS pos,

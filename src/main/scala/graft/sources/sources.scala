@@ -111,14 +111,56 @@ object Source {
   * anchor group — the project planner guarantees each source is scanned
   * once per join (mirrors project.rs:392-423 anchor grouping).
   */
+/** Pluggable tail of the secret-resolution chain (the reference's
+  * KeyVault layer, feathr-rs/src/var_source.rs:14-38) — register an
+  * implementation to serve lookups that neither the environment nor
+  * the secrets file satisfied.
+  */
+trait SecretProvider {
+  def get(name: String): Option[String]
+}
+object SecretProvider {
+  @volatile private[sources] var vault: Option[SecretProvider] = None
+  def register(p: SecretProvider): Unit = vault = Some(p)
+  def clear(): Unit = vault = None
+}
+
 object SourceResolver {
 
-  /** Secret/environment references resolve from the process environment,
-    * falling back to JVM system properties (the testing seam — an
-    * embedded test can't mutate its own environment).
+  /** Layered secret/config resolution, mirroring the reference's
+    * var_source chain (env → YAML file → KeyVault,
+    * feathr-rs/src/var_source.rs:14-38):
+    *   1. process environment;
+    *   2. JVM system properties (the testing seam — an embedded test
+    *      can't mutate its own environment);
+    *   3. a secrets file of `key: value` lines (the YAML-subset shape
+    *      the reference reads), at `$GRAFT_SECRETS_FILE` /
+    *      `-Dgraft.secrets.file=...`;
+    *   4. a registered [[SecretProvider]] (vault stand-in).
     */
   private def env(name: String): String =
-    sys.env.get(name).orElse(sys.props.get(name)).getOrElse("")
+    sys.env.get(name)
+      .orElse(sys.props.get(name))
+      .orElse(secretsFile.get(name))
+      .orElse(SecretProvider.vault.flatMap(_.get(name)))
+      .getOrElse("")
+
+  private def secretsFile: Map[String, String] = {
+    val path = sys.env.get("GRAFT_SECRETS_FILE")
+      .orElse(sys.props.get("graft.secrets.file"))
+    path.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .map { p =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+          .asScala.iterator
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains(":"))
+          .map { l =>
+            val Array(k, v) = l.split(":", 2)
+            k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
+          }.toMap
+      }.getOrElse(Map.empty)
+  }
 
   private val SecretRef = """\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
 

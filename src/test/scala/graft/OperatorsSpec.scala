@@ -141,6 +141,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where(length($"f.frame") === 0).count() == 0)
   }
 
+  test("secret resolution layers: env/sysprops -> secrets file -> vault") {
+    val f = java.nio.file.Files.createTempFile("graft_secrets", ".yaml")
+    java.nio.file.Files.write(f, java.util.List.of(
+      "# secrets file (YAML-subset key: value lines)",
+      "FILE_SECRET: hunter2",
+      "QUOTED: \"q v\""))
+    sys.props("graft.secrets.file") = f.toString
+    sys.props("SYS_SECRET") = "sys"
+    try {
+      assert(SourceResolver.resolveSecrets("${SYS_SECRET}") == "sys")
+      assert(SourceResolver.resolveSecrets("u=${FILE_SECRET}") == "u=hunter2")
+      assert(SourceResolver.resolveSecrets("${QUOTED}") == "q v")
+      assert(SourceResolver.resolveSecrets("${MISSING_XYZ}") == "")
+      SecretProvider.register(name =>
+        if (name == "VAULT_ONLY") Some("vv") else None)
+      assert(SourceResolver.resolveSecrets("${VAULT_ONLY}") == "vv")
+      // earlier layers win: sysprops over file over vault
+      sys.props("FILE_SECRET") = "syswin"
+      assert(SourceResolver.resolveSecrets("${FILE_SECRET}") == "syswin")
+    } finally {
+      sys.props.remove("graft.secrets.file")
+      sys.props.remove("SYS_SECRET")
+      sys.props.remove("FILE_SECRET")
+      SecretProvider.clear()
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
   test("multimodal: real ImageIO codec decodes PNG and BMP; corrupt bytes -> null") {
     import spark.implicits._
     def img(w: Int, h: Int, gray: Int, fmt: String): Array[Byte] = {
