@@ -102,7 +102,7 @@ object Similarity {
       nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0, kmeansTol: Double = 1e-6): DataFrame = {
     // TakeOrderedAndProject: per-partition top-nCells, driver merge of
     // nCells rows — scale-safe; id tie-break makes hash ties stable
     var centroids = corpus
@@ -131,11 +131,17 @@ object Similarity {
         .select(col(idCol), col("__a.__v").as(vecCol), col("__a.cell_id").as("cell_id"))
     }
 
-    // Lloyd refinement: new centroid = element-wise mean of its cell
-    // (posexplode → avg per (cell, position) → re-assemble). Centroids
-    // are nCells small rows: collect + re-create instead of persisting
-    // an ever-deeper lazy chain.
-    for (_ <- 0 until kmeansIters) {
+    // Lloyd refinement with a convergence stop: iterate until no
+    // centroid element moves more than `kmeansTol` (or `kmeansIters`
+    // is exhausted) — `kmeansIters` is a CAP, not a fixed cost. New
+    // centroid = element-wise mean of its cell (posexplode → avg per
+    // (cell, position) → re-assemble). Centroids are nCells small
+    // rows: collect + re-create instead of persisting an ever-deeper
+    // lazy chain; the convergence check reuses the same collected rows.
+    var prev: Map[Any, Array[Float]] = null
+    var iter = 0
+    var converged = false
+    while (iter < kmeansIters && !converged) {
       val next = assign(centroids)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
@@ -143,8 +149,17 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
       val rows = next.collect().toSeq
+      val cur = rows.map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
+      converged = prev != null && prev.keySet == cur.keySet &&
+        cur.forall { case (c, a) =>
+          val b = prev(c)
+          a.length == b.length &&
+            a.indices.forall(i => math.abs(a(i) - b(i)) <= kmeansTol)
+        }
+      prev = cur
       centroids = corpus.sparkSession.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, next.schema)
+      iter += 1
     }
     val assigned = assign(centroids)
 

@@ -36,8 +36,16 @@ object StreamingSwa {
   implicit val stateEnc: Encoder[SwaState] = Encoders.product[SwaState]
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
-  def apply(events: Dataset[Event], windowSeconds: Long): Dataset[SwaResult] = {
-    val wUs = windowSeconds * 1000000L
+  /** Window as a parsed duration — exact micros, so sub-second windows
+    * behave identically to the batch SWA planner.
+    */
+  def apply(events: Dataset[Event], window: java.time.Duration): Dataset[SwaResult] =
+    applyMicros(events, graft.model.Durations.toMicros(window))
+
+  def apply(events: Dataset[Event], windowSeconds: Long): Dataset[SwaResult] =
+    applyMicros(events, windowSeconds * 1000000L)
+
+  private def applyMicros(events: Dataset[Event], wUs: Long): Dataset[SwaResult] = {
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

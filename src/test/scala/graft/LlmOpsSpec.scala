@@ -60,6 +60,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall") // nProbe=half the cells
   }
 
+  test("IVF Lloyd iterations stop at convergence: large cap equals its own rerun") {
+    val queries = emb.where($"vec_id" % 200 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // kmeansIters is a cap: once centroids stop moving the loop exits,
+    // so a generous cap must be deterministic (and not loop 50 times —
+    // this would take minutes without the stop)
+    def run() = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 4,
+      kmeansIters = 50, kmeansTol = 1e-4)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val a = run()
+    assert(a == run() && a.nonEmpty)
+  }
+
   test("language id classifies planted stopword-bearing texts") {
     // (the synthetic corpus is English-ish word soup for every lang
     // label, so plant real samples)

@@ -53,6 +53,25 @@ class StreamingSwaSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("sub-second window: a 1500ms Duration window evicts at exact micros") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingSwa.Event]
+    val ms = 1000L
+    val name = s"swa_subsec_${System.nanoTime()}"
+    val q = StreamingSwa(stream.toDS(), graft.model.Durations.parse("1500ms"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    stream.addData(Seq(
+      StreamingSwa.Event(1L, 1000 * ms, 1.0),
+      StreamingSwa.Event(1L, 2400 * ms, 2.0),  // (900ms, 2400ms] = {1000, 2400}
+      StreamingSwa.Event(1L, 2600 * ms, 3.0))) // (1100ms, 2600ms] = {2400, 2600}
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).as[StreamingSwa.SwaResult].collect()
+      .map(r => r.tsMicros / ms -> ((r.f_sum, r.f_cnt))).toMap
+    assert(got(1000L) == ((1.0, 1L)))
+    assert(got(2400L) == ((3.0, 2L)))
+    assert(got(2600L) == ((5.0, 2L)))
+  }
+
   test("state survives micro-batches; late events get exact windows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamingSwa.Event]

@@ -1,0 +1,66 @@
+package graft
+
+import graft.model._
+import graft.project._
+import graft.sources._
+
+import org.apache.spark.sql.functions._
+
+/** Property test over duration grammar × SWA: random odd/sub-second
+  * windows (100ms–4s at millisecond granularity) over randomly-timed
+  * events must produce the same aggregates as an in-memory reference
+  * fold — on BOTH physical plans (bucketed pre-aggregation and the raw
+  * range join). Guards the window arithmetic end to end: parse →
+  * micros → interval/bucket boundaries → `(t − w, t]` inclusivity.
+  */
+class SwaPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("random ms-granularity windows match the reference fold on both plans") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val windowMs = 100 + rnd.nextInt(3900)
+      val wUs = windowMs * 1000L
+      // 3 keys × 25 events inside a 10-second span (micros granularity),
+      // integral values so float parity is exact across plan shapes
+      val events = for (k <- 0 until 3; _ <- 0 until 25) yield
+        (k.toLong, 1700000000000000L + (rnd.nextLong().abs % 10000000L),
+          math.round(rnd.nextDouble() * 100).toDouble)
+      val df = events.toDF("k", "ts_us", "v")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+      val view = s"swa_prop_$round"
+      df.createOrReplaceTempView(view)
+
+      val p = FeatureProject(s"prop$round")
+      val key = TypedKey("k", ValueType.INT64)
+      p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+        timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+        AnchorFeature("f_sum", FeatureType.DOUBLE,
+          Transformation.windowAgg("v", "SUM", s"${windowMs}ms"), Seq(key)),
+        AnchorFeature("f_cnt", FeatureType.INT64,
+          Transformation.windowAgg("v", "COUNT", s"${windowMs}ms"), Seq(key))))
+      val obs = df.select($"k", $"ts", $"ts_us")
+
+      val expected = events.map { case (k, t, _) =>
+        val in = events.filter { case (k2, t2, _) => k2 == k && t2 > t - wUs && t2 <= t }
+        (k, t) -> ((in.map(_._3).sum, in.size.toLong))
+      }.toMap
+
+      for (mode <- Seq("auto", "off")) {
+        spark.conf.set("spark.graft.swa.bucketSeconds", mode)
+        try {
+          val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+            Seq(FeatureQuery(Seq("f_sum", "f_cnt"), Seq("k")))).collect()
+          assert(out.length == events.length)
+          out.foreach { r =>
+            val (es, ec) = expected((r.getAs[Long]("k"), r.getAs[Long]("ts_us")))
+            assert(r.getAs[Long]("f_cnt") == ec,
+              s"count mismatch: window=${windowMs}ms plan=$mode")
+            assert(math.abs(r.getAs[Double]("f_sum") - es) < 1e-9,
+              s"sum mismatch: window=${windowMs}ms plan=$mode")
+          }
+        } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
+      }
+    }
+  }
+}
