@@ -1,0 +1,123 @@
+package graft.registry
+
+import scala.collection.mutable
+
+/** Registry access control (SURVEY.md §2.9 R4; reference
+  * `registry/registry-provider/src/rbac_provider.rs:13-131`): who may
+  * read/write/administer a project or the whole registry.
+  *
+  * Model, mirroring the reference:
+  *  - `Credential`: a user name or an application UUID (`User`/`App`,
+  *    rbac_provider.rs:12-27); `RbacDisabled` is the `*` wildcard that
+  *    short-circuits every check.
+  *  - `Permission`: Read ("consumer") < Write ("producer") < Admin
+  *    (rbac_provider.rs:40-57) — higher grants imply lower ones.
+  *  - `Resource`: `Global`, a named entity (so far projects,
+  *    rbac_provider.rs:59-74), or an entity UUID; a grant on `Global`
+  *    applies to every resource.
+  *  - `RbacRecord` is the audit-carrying grant row (credential,
+  *    resource, permission, requestor, reason, time,
+  *    rbac_provider.rs:102-110).
+  */
+sealed trait Credential { def repr: String }
+object Credential {
+  case object RbacDisabled extends Credential { val repr = "*" }
+  case class User(name: String) extends Credential { def repr: String = name }
+  case class App(uuid: String) extends Credential { def repr: String = uuid }
+
+  private val UuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+
+  /** UUID strings are applications, anything else a user
+    * (rbac_provider.rs:29-39).
+    */
+  def parse(s: String): Credential =
+    if (s == "*") RbacDisabled
+    else if (UuidRe.matches(s)) App(s.toLowerCase)
+    else User(s)
+}
+
+sealed abstract class Permission(val rank: Int, val repr: String) {
+  /** Admin implies Write implies Read. */
+  def implies(other: Permission): Boolean = rank >= other.rank
+}
+object Permission {
+  case object Read  extends Permission(0, "consumer")
+  case object Write extends Permission(1, "producer")
+  case object Admin extends Permission(2, "admin")
+  val all: Seq[Permission] = Seq(Read, Write, Admin)
+  def parse(s: String): Permission =
+    all.find(_.repr == s.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(s"unknown permission: $s"))
+}
+
+sealed trait Resource { def repr: String }
+object Resource {
+  case object Global extends Resource { val repr = "global" }
+  case class NamedEntity(name: String) extends Resource { def repr: String = name }
+  case class Entity(uuid: String) extends Resource { def repr: String = uuid }
+
+  def parse(s: String): Resource =
+    if (s.equalsIgnoreCase("global")) Global
+    else if (Credential.parse(s).isInstanceOf[Credential.App]) Entity(s.toLowerCase)
+    else NamedEntity(s)
+}
+
+case class RbacRecord(
+    credential: Credential,
+    resource: Resource,
+    permission: Permission,
+    requestor: Credential,
+    reason: String,
+    timeMillis: Long)
+
+class PermissionDeniedException(msg: String) extends RuntimeException(msg)
+
+/** In-memory RBAC provider (the reference keeps the same store shape
+  * behind its SQL/Raft persistence, which SURVEY declared out of scope).
+  *
+  * Grant/revoke require the requestor to hold Admin on the target
+  * resource (or globally); an EMPTY store bootstraps by accepting the
+  * first grant unchecked (otherwise no admin could ever exist — the
+  * reference seeds this row through deployment config).
+  */
+class InMemoryRbac {
+  private val records = mutable.ArrayBuffer.empty[RbacRecord]
+
+  def checkPermission(credential: Credential, resource: Resource,
+      permission: Permission): Boolean =
+    credential == Credential.RbacDisabled ||
+      records.synchronized {
+        records.exists(r =>
+          r.credential == credential &&
+            r.permission.implies(permission) &&
+            (r.resource == Resource.Global || r.resource == resource))
+      }
+
+  def requirePermission(credential: Credential, resource: Resource,
+      permission: Permission): Unit =
+    if (!checkPermission(credential, resource, permission))
+      throw new PermissionDeniedException(
+        s"Credential ${credential.repr} doesn't have ${permission.repr} " +
+          s"permission to resource ${resource.repr}")
+
+  /** Bulk-load persisted grants, bypassing requestor checks
+    * (rbac_provider.rs `load_permissions`).
+    */
+  def loadPermissions(rs: IterableOnce[RbacRecord]): Unit =
+    records.synchronized { records ++= rs }
+
+  def getPermissions: Seq[RbacRecord] = records.synchronized { records.toSeq }
+
+  def grantPermission(grant: RbacRecord): Unit = records.synchronized {
+    if (records.nonEmpty)
+      requirePermission(grant.requestor, grant.resource, Permission.Admin)
+    records += grant
+  }
+
+  def revokePermission(revoke: RbacRecord): Unit = records.synchronized {
+    requirePermission(revoke.requestor, revoke.resource, Permission.Admin)
+    records.filterInPlace(r => !(r.credential == revoke.credential &&
+      r.resource == revoke.resource && r.permission == revoke.permission))
+  }
+}

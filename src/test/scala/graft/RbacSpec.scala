@@ -1,0 +1,74 @@
+package graft
+
+import graft.registry._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** R4 RBAC semantics (reference rbac_provider.rs:13-131): credential
+  * parsing, the admin ⊇ producer ⊇ consumer hierarchy, global-scope
+  * fallback, admin-gated grant/revoke, and the audit log.
+  */
+class RbacSpec extends AnyFunSuite {
+
+  private val alice = Credential.User("alice")
+  private val bob = Credential.User("bob")
+  private val proj = Resource.NamedEntity("projA")
+
+  private def rec(c: Credential, r: Resource, p: Permission,
+      by: Credential = alice, reason: String = "test"): RbacRecord =
+    RbacRecord(c, r, p, by, reason, 1700000000000L)
+
+  test("credential and resource parsing: uuid -> App/Entity, else User/NamedEntity") {
+    assert(Credential.parse("alice") == Credential.User("alice"))
+    assert(Credential.parse("4fae0a4f-1e04-4567-9a3e-0c5a1a4d8e2b") ==
+      Credential.App("4fae0a4f-1e04-4567-9a3e-0c5a1a4d8e2b"))
+    assert(Credential.parse("*") == Credential.RbacDisabled)
+    assert(Resource.parse("GLOBAL") == Resource.Global)
+    assert(Resource.parse("projA") == Resource.NamedEntity("projA"))
+    assert(Resource.parse("4fae0a4f-1e04-4567-9a3e-0c5a1a4d8e2b") ==
+      Resource.Entity("4fae0a4f-1e04-4567-9a3e-0c5a1a4d8e2b"))
+    assert(Permission.parse("producer") == Permission.Write)
+  }
+
+  test("permission hierarchy: admin implies producer implies consumer") {
+    val rbac = new InMemoryRbac
+    rbac.loadPermissions(Seq(rec(alice, proj, Permission.Admin)))
+    assert(rbac.checkPermission(alice, proj, Permission.Read))
+    assert(rbac.checkPermission(alice, proj, Permission.Write))
+    assert(rbac.checkPermission(alice, proj, Permission.Admin))
+    rbac.loadPermissions(Seq(rec(bob, proj, Permission.Read)))
+    assert(rbac.checkPermission(bob, proj, Permission.Read))
+    assert(!rbac.checkPermission(bob, proj, Permission.Write))
+  }
+
+  test("global grants apply to every resource; RbacDisabled bypasses") {
+    val rbac = new InMemoryRbac
+    rbac.loadPermissions(Seq(rec(alice, Resource.Global, Permission.Write)))
+    assert(rbac.checkPermission(alice, proj, Permission.Read))
+    assert(rbac.checkPermission(alice, Resource.NamedEntity("other"), Permission.Write))
+    assert(!rbac.checkPermission(alice, proj, Permission.Admin))
+    assert(rbac.checkPermission(Credential.RbacDisabled, proj, Permission.Admin))
+  }
+
+  test("grant/revoke are admin-gated; empty store bootstraps") {
+    val rbac = new InMemoryRbac
+    // bootstrap: first grant into an empty store is unchecked
+    rbac.grantPermission(rec(alice, Resource.Global, Permission.Admin, by = alice,
+      reason = "bootstrap"))
+    // alice (global admin) grants bob producer on projA
+    rbac.grantPermission(rec(bob, proj, Permission.Write, by = alice))
+    assert(rbac.checkPermission(bob, proj, Permission.Write))
+    // bob (not admin) cannot grant
+    intercept[PermissionDeniedException] {
+      rbac.grantPermission(rec(Credential.User("carol"), proj, Permission.Read, by = bob))
+    }
+    // revoke by admin works, by non-admin is denied
+    intercept[PermissionDeniedException] {
+      rbac.revokePermission(rec(bob, proj, Permission.Write, by = bob))
+    }
+    rbac.revokePermission(rec(bob, proj, Permission.Write, by = alice))
+    assert(!rbac.checkPermission(bob, proj, Permission.Write))
+    // the audit log keeps requestor + reason
+    assert(rbac.getPermissions.exists(r =>
+      r.reason == "bootstrap" && r.requestor == alice))
+  }
+}
