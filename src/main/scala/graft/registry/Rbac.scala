@@ -81,6 +81,61 @@ class PermissionDeniedException(msg: String) extends RuntimeException(msg)
   * first grant unchecked (otherwise no admin could ever exist — the
   * reference seeds this row through deployment config).
   */
+/** RBAC-enforcing facade over [[InMemoryRegistry]] — R4 wired to the
+  * catalog operations rather than standing alone. Permission scope is
+  * the entity's PROJECT: the first `__` segment of its qualified name
+  * (the reference scopes to projects too — rbac_provider.rs:62 "So far
+  * only project is used"). Reads need consumer, create/link producer,
+  * delete admin; search results are silently filtered to readable
+  * projects (the reference API behaves the same: forbidden entities
+  * don't error, they disappear).
+  */
+class SecuredRegistry(val registry: InMemoryRegistry, val rbac: InMemoryRbac) {
+  private def projectOf(qualifiedName: String): Resource =
+    Resource.NamedEntity(qualifiedName.split("__", 2)(0))
+
+  def create(as: Credential, e: RegistryEntity): RegistryEntity = {
+    rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Write)
+    registry.create(e)
+  }
+
+  def get(as: Credential, guid: String): Option[RegistryEntity] =
+    registry.get(guid).map { e =>
+      rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Read)
+      e
+    }
+
+  def resolve(as: Credential, versionedName: String): Option[RegistryEntity] =
+    registry.resolve(versionedName).map { e =>
+      rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Read)
+      e
+    }
+
+  def delete(as: Credential, guid: String): Unit =
+    registry.get(guid).foreach { e =>
+      rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Admin)
+      registry.delete(guid)
+    }
+
+  def link(as: Credential, from: String, to: String, edgeType: String): Unit = {
+    registry.get(from).foreach(e =>
+      rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Write))
+    registry.link(from, to, edgeType)
+  }
+
+  def search(as: Credential, q: String, types: Set[String] = Set.empty,
+      scope: Option[String] = None, limit: Int = 10, offset: Int = 0): Seq[RegistryEntity] =
+    registry.search(q, types, scope, limit, offset)
+      .filter(e => rbac.checkPermission(as, projectOf(e.qualifiedName), Permission.Read))
+
+  def lineage(as: Credential, startGuid: String, downstream: Boolean,
+      maxDepth: Int = Int.MaxValue): (Seq[RegistryEntity], Seq[RegistryEdge]) = {
+    registry.get(startGuid).foreach(e =>
+      rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Read))
+    registry.lineage(startGuid, downstream, maxDepth)
+  }
+}
+
 class InMemoryRbac {
   private val records = mutable.ArrayBuffer.empty[RbacRecord]
 

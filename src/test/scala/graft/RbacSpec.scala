@@ -49,6 +49,32 @@ class RbacSpec extends AnyFunSuite {
     assert(rbac.checkPermission(Credential.RbacDisabled, proj, Permission.Admin))
   }
 
+  test("SecuredRegistry gates catalog operations by project scope") {
+    val rbac = new InMemoryRbac
+    rbac.loadPermissions(Seq(
+      rec(alice, Resource.NamedEntity("projA"), Permission.Admin),
+      rec(bob, Resource.NamedEntity("projA"), Permission.Read)))
+    val reg = new SecuredRegistry(new InMemoryRegistry, rbac)
+    val e = RegistryEntity("g1", EntityType.AnchorFeature,
+      "f_x", "projA__anchor__f_x")
+    // producer/admin can create; consumer cannot
+    reg.create(alice, e)
+    intercept[PermissionDeniedException] {
+      reg.create(bob, e.copy(guid = "g2", qualifiedName = "projA__anchor__f_y"))
+    }
+    // consumer reads fine; a stranger is denied
+    assert(reg.get(bob, "g1").exists(_.name == "f_x"))
+    assert(reg.resolve(bob, "f_x").isDefined)
+    intercept[PermissionDeniedException] { reg.get(Credential.User("mallory"), "g1") }
+    // search silently filters unreadable projects
+    assert(reg.search(bob, "f_x").nonEmpty)
+    assert(reg.search(Credential.User("mallory"), "f_x").isEmpty)
+    // delete needs admin
+    intercept[PermissionDeniedException] { reg.delete(bob, "g1") }
+    reg.delete(alice, "g1")
+    assert(reg.registry.get("g1").isEmpty)
+  }
+
   test("grant/revoke are admin-gated; empty store bootstraps") {
     val rbac = new InMemoryRbac
     // bootstrap: first grant into an empty store is unchecked
