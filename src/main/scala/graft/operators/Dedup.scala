@@ -302,7 +302,13 @@ object Dedup {
 
   /** SimHash near-dup candidates: group by signature prefix blocks
     * (docs within hamming distance d share at least one of d+1 blocks —
-    * the classic pigeonhole blocking), verify with full hamming.
+    * the classic pigeonhole blocking), verify with full hamming. Pairs
+    * come from the same in-bucket expansion as minhash
+    * ([[candidatePairs]] shape, carrying the signature alongside the
+    * id so the hamming verification happens inside the expansion) —
+    * one plan branch, no self-join, no operator-internal cache, and
+    * the returned frame is LAZY (nothing to release, so nothing to
+    * spill).
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
@@ -320,17 +326,18 @@ object Dedup {
               .bitwiseAND((1L << bitsPerBlock) - 1).as("block_val")))).as("blk"))
         .select(col(idCol), col("sig"), col("blk.block_id"), col("blk.block_val")),
       Seq("block_id", "block_val"), idCol)
-      .persist()
-    val l = blocked.select(col("block_id"), col("block_val"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val r = blocked.select(col("block_id"), col("block_val"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    val result = l.join(r, Seq("block_id", "block_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    val ms = "__graft_ms"
+    blocked.groupBy(col("block_id"), col("block_val"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("sig"))))
+        .as(ms))
+      .where(size(col(ms)) >= 2)
+      .select(explode(flatten(transform(col(ms), (x, i) =>
+        transform(slice(col(ms), i + 2, size(col(ms))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            hamming64(x.getField("sig"), y.getField("sig")).as("hamming"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-    materialize(result, blocked)
   }
 }
