@@ -200,7 +200,10 @@ object Similarity {
     * share a bucket (shuffle by bucket id only), verified by exact
     * cosine >= threshold. Bucket membership is capped against
     * degenerate hot buckets (near-constant embeddings) — see
-    * [[Dedup.capBuckets]].
+    * [[Dedup.capBuckets]] — and pairs come from one in-bucket
+    * expansion over the collected (bounded) member list, so the corpus
+    * — and the nBits-dot-product hashing — is scanned ONCE, not once
+    * per self-join side.
     */
   def embeddingNearDuplicates(
       corpus: DataFrame, threshold: Double, dim: Int, nBits: Int = 12,
@@ -210,13 +213,18 @@ object Similarity {
         cosineLshBucket(col(vecCol), dim, nBits).as("bucket"),
         l2Norm(col(vecCol)).as("__n")),
       Seq("bucket"), idCol)
-    val l = b.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("__n").as("__na"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("__n").as("__nb"))
-    l.join(r, "bucket").where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("vec_a"), col("vec_b")) / (col("__na") * col("__nb"))).as("cos"))
+    val ms = "__graft_ms"
+    b.groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(
+        col(idCol).as("id"), col(vecCol).as("v"), col("__n").as("n")))).as(ms))
+      .where(size(col(ms)) >= 2)
+      .select(explode(flatten(transform(col(ms), (x, i) =>
+        transform(slice(col(ms), i + 2, size(col(ms))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            (dot(x.getField("v"), y.getField("v")) /
+              (x.getField("n") * y.getField("n"))).as("cos"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
       .where(col("cos") >= threshold)
       .distinct()
   }
