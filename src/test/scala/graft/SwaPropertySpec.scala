@@ -63,4 +63,52 @@ class SwaPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("group_by (+ top-k-groups limit) matches the reference fold on both plans") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val windowMs = 200 + rnd.nextInt(3000)
+      val wUs = windowMs * 1000L
+      val events = for (k <- 0 until 3; i <- 0 until 25) yield
+        (k.toLong, 1700000000000000L + (rnd.nextLong().abs % 8000000L),
+          math.round(rnd.nextDouble() * 100).toDouble, s"g${i % 4}")
+      val df = events.toDF("k", "ts_us", "v", "g")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+      val view = s"swa_prop_gb_$round"
+      df.createOrReplaceTempView(view)
+
+      val p = FeatureProject(s"propgb$round")
+      val key = TypedKey("k", ValueType.INT64)
+      p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+        timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+        AnchorFeature("f_by_g", FeatureType.DOUBLE,
+          Transformation.WindowAgg("v", Aggregation.SUM,
+            Durations.parse(s"${windowMs}ms"), groupBy = Some("g"),
+            limit = Some(2)), Seq(key))))
+      val obs = df.select($"k", $"ts", $"ts_us")
+
+      val expected = events.map { case (k, t, _, _) =>
+        val in = events.filter { case (k2, t2, _, _) => k2 == k && t2 > t - wUs && t2 <= t }
+        val groups = in.groupBy(_._4).view.mapValues(_.map(_._3).sum).toSeq
+        // top-2 groups by (sum desc, sub-key asc)
+        (k, t) -> groups.sortBy { case (g, s) => (-s, g) }.take(2).toMap
+      }.toMap
+
+      for (mode <- Seq("auto", "off")) {
+        spark.conf.set("spark.graft.swa.bucketSeconds", mode)
+        try {
+          val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+            Seq(FeatureQuery(Seq("f_by_g"), Seq("k")))).collect()
+          assert(out.length == events.length)
+          out.foreach { r =>
+            val got = r.getAs[Map[String, Double]]("f_by_g")
+            val want = expected((r.getAs[Long]("k"), r.getAs[Long]("ts_us")))
+            assert(got.keySet == want.keySet &&
+              want.forall { case (g, s) => math.abs(got(g) - s) < 1e-9 },
+              s"group map mismatch: window=${windowMs}ms plan=$mode got=$got want=$want")
+          }
+        } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
+      }
+    }
+  }
 }
