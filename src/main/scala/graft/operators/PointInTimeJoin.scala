@@ -307,9 +307,9 @@ object PointInTimeJoin {
     // plan is O(window/bucket) partials per spine pair.
     // spark.graft.swa.bucketSeconds: "auto" (default) derives
     // window/64; a positive number forces that bucket width; "off"/"0"
-    // falls back to the raw range join. LATEST/UNION/elementwise/
-    // group_by/limit clusters always use the range join (their aggs
-    // don't decompose into per-bucket partials).
+    // falls back to the raw range join. LATEST/UNION/elementwise
+    // clusters (non-decomposable aggs) and record-limits without
+    // group_by always use the range join.
     // all window arithmetic is exact epoch-micros (Durations.toMicros
     // rejects sub-microsecond windows) — a `750ms` window must stay
     // 750ms, not truncate to whole seconds
