@@ -44,10 +44,17 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** Distinct (id, shingle) ROWS via posexplode + lead windows — fully
+  /** (id, shingle) ROWS via posexplode + lead windows — fully
     * whole-stage-codegen'd, unlike the array-lambda [[shingles]] (HOFs
     * run interpreted). One shuffle by id (the window), which downstream
     * per-id aggregations then reuse. Preferred at scale.
+    *
+    * Rows are NOT deduplicated — a repeated shingle appears once per
+    * occurrence. This is deliberate: a `distinct()` here would shuffle
+    * the LARGEST intermediate in the dedup pipeline a second time, and
+    * neither consumer needs it — MinHash min-folds are
+    * duplicate-insensitive, and set-semantics consumers aggregate with
+    * `collect_set`.
     */
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -60,7 +67,7 @@ object Dedup {
         row_number().over(w).as("__rn"),
         count(lit(1)).over(Window.partitionBy(idCol)).as("__n"))
       .where(col("__rn") <= greatest(col("__n") - n + 1, lit(1)))
-      .select(col(idCol), col("__s")).distinct()
+      .select(col(idCol), col("__s"))
   }
 
   /** MinHash signatures as an aggregation, the 100 TB-safe shape:
@@ -214,7 +221,7 @@ object Dedup {
     val candIds = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     val sh = shRows.join(candIds, Seq(idCol), "left_semi")
-      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh"))
+      .groupBy(col(idCol)).agg(collect_set(col("__s")).as("sh"))
     val result = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -248,7 +255,7 @@ object Dedup {
       idCol: String, n: Int): DataFrame = {
     // persisted because both join sides read it; released on return
     val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
-      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("sh")).persist()
+      .groupBy(col(idCol)).agg(collect_set(col("__s")).as("sh")).persist()
     val result = pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -51,7 +51,7 @@ object ProfileMinhash {
     val candIds = c2.select(col("id_a").as("doc_id"))
       .unionByName(c2.select(col("id_b").as("doc_id"))).distinct()
     val sh2 = shRows.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("__s")).as("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(col("__s")).as("sh"))
     val verif = c2
       .join(sh2.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh2.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
