@@ -198,30 +198,32 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 16,
       shingleSize: Int = 5): DataFrame = {
-    // one persisted shingle scan feeds signatures AND verification;
-    // bands persisted because the candidate self-join reads both sides.
-    // Both are released before returning (see materialize below) — an
-    // operator must not leak cached partitions into the caller's
-    // session (composed pipelines would accumulate until eviction
-    // thrash).
-    val shRows = shingleRows(df.repartition(col(idCol)), textCol, idCol,
-      shingleSize).persist()
-    val capped = capBuckets(lshBandsFromSig(
-      minhashSignaturesFromRows(shRows, idCol, numHashes),
-      idCol, numHashes, bands), Seq("band_id", "band_hash"), idCol)
+    // signatures computed inside the scan projection by the native
+    // codegen'd expression — the only corpus-wide shuffle in candidate
+    // generation moves (id, band) rows, never shingle rows (the
+    // pipeline formulation, kept as minhashSignatures, shuffles every
+    // shingle of every doc by id before folding)
+    val sig = df.select(col(idCol),
+      graft.functions.MinHashSigExpr.minhashSig(
+        normText(col(textCol)), numHashes, shingleSize).as("sig"))
+      .where(col("sig").isNotNull)
+    val capped = capBuckets(lshBandsFromSig(sig, idCol, numHashes, bands),
+      Seq("band_id", "band_hash"), idCol)
     // the candidate set is bounded (bucket-capped pairs, not corpus):
-    // spill it to parquet NOW — the three downstream consumers
-    // (candidate-id semi-join + two verification joins) then analyze
-    // against a flat scan instead of re-optimizing the whole
-    // shingle→signature→band lineage
+    // spill it to parquet NOW — the downstream consumers analyze a
+    // flat scan instead of re-optimizing the signature→band lineage
     val cands = Spill.roundTrip(
       candidatePairs(capped, Seq("band_id", "band_hash"), idCol))
-    // verification cost scales with candidates, not corpus: semi-join
-    // the shingle sets down to ids that appear in some candidate pair
+    // exact-jaccard verification shingles ONLY candidate documents: a
+    // second corpus scan, but semi-join-filtered before the explode —
+    // at scale far cheaper than shuffling every doc's shingle set
     val candIds = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    val sh = shRows.join(candIds, Seq(idCol), "left_semi")
-      .groupBy(col(idCol)).agg(collect_set(col("__s")).as("sh"))
+    val candDocs = df.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+    val sh = shingleRows(candDocs.repartition(col(idCol)), textCol, idCol,
+      shingleSize)
+      .groupBy(col(idCol)).agg(collect_set(col("__s")).as("sh")).persist()
     val result = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -230,7 +232,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialize(result, shRows)
+    materialize(result, sh)
   }
 
   /** Eagerly materialize `result` (bounded: near-dup pairs, not the

@@ -46,6 +46,35 @@ class SimHashExprSpec extends SparkTestBase {
     assert(SimHash64.hamming(h(a), h(a)) == 0)
   }
 
+  test("minhash_sig expression: parity eval/codegen, shingle semantics, nulls") {
+    import graft.functions.{MinHashSig, MinHashSigExpr}
+    def sigOf(s: String): Seq[Long] =
+      MinHashSig.compute(UTF8String.fromString(s), 128, 5)
+        .toLongArray().toSeq
+    // identical texts -> identical signatures (the LSH recall contract)
+    assert(sigOf("a b c d e f g") == sigOf("a b c d e f g"))
+    // different texts -> (almost surely) different signatures
+    assert(sigOf("a b c d e f g") != sigOf("h i j k l m n"))
+    // shorter-than-shingle docs hash their single shorter shingle
+    assert(sigOf("one two") == sigOf("one two"))
+    assert(sigOf("one two") != sigOf("one three"))
+    // codegen projection agrees with direct compute
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val got = docs.select($"doc_id",
+        MinHashSigExpr.minhashSig(Dedup.normText($"text"), 128, 5).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = docs.select($"doc_id", Dedup.normText($"text").as("t")).collect()
+      .map(r => r.getLong(0) ->
+        MinHashSig.compute(UTF8String.fromString(r.getString(1)), 128, 5)
+          .toLongArray().toSeq)
+      .toMap
+    assert(got == want)
+    // null text -> null signature
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(MinHashSigExpr.minhashSig($"t", 128, 5).as("sig")).head
+    assert(n.isNullAt(0))
+  }
+
   test("simhashNearDuplicates (expression-backed) still finds planted dups") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val planted = docs.where($"doc_id" % 50 === 0)
