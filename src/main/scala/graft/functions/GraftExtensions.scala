@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native integration point for graft's custom Catalyst
+  * expressions: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (the standard
+  * `SparkSessionExtensions` mechanism), or call
+  * [[GraftFunctions.registerAll]] on a live session. Either way the
+  * expressions become plain SQL functions:
+  *
+  *   SELECT simhash64(text),
+  *          minhash_sig(text, 128, 5),
+  *          graft_dot(a, b), graft_l2norm(a)
+  *
+  * All four are codegen'd native expressions — usable from pure-SQL
+  * pipelines without touching the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def fn(name: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("simhash64", es => SimHash64Expr(es.head)),
+    fn("minhash_sig", es => MinHashSigExpr(es.head,
+      if (es.length > 1) intArg(es(1), "minhash_sig numHashes") else 128,
+      if (es.length > 2) intArg(es(2), "minhash_sig shingleSize") else 5)),
+    fn("graft_dot", es => DotProductExpr(es(0), es(1))),
+    fn("graft_l2norm", es =>
+      org.apache.spark.sql.catalyst.expressions.Sqrt(DotProductExpr(es.head, es.head))))
+
+  /** Register every graft function on an already-running session. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

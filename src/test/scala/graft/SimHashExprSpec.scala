@@ -75,6 +75,25 @@ class SimHashExprSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("GraftFunctions: all custom expressions usable from pure SQL") {
+    import graft.functions.{GraftExtensions, GraftFunctions}
+    GraftFunctions.registerAll(spark)
+    Seq((1L, "the quick brown fox jumps again", Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("id", "t", "a", "b").createOrReplaceTempView("gf_docs")
+    val r = spark.sql(
+      """SELECT simhash64(t) AS sh, minhash_sig(t, 64, 3) AS mh,
+        |  graft_dot(a, b) AS d, graft_l2norm(a) AS n FROM gf_docs""".stripMargin).head
+    assert(!r.isNullAt(0))
+    assert(r.getSeq[Long](1).length == 64)
+    assert(r.getDouble(2) == 11.0)
+    assert(math.abs(r.getDouble(3) - math.sqrt(5.0)) < 1e-12)
+    // defaults apply when the literal args are omitted
+    assert(spark.sql("SELECT minhash_sig(t) FROM gf_docs")
+      .head.getSeq[Long](0).length == 128)
+    // the SparkSessionExtensions injector wires the same set without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("simhashNearDuplicates (expression-backed) still finds planted dups") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val planted = docs.where($"doc_id" % 50 === 0)
