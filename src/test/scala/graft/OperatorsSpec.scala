@@ -141,6 +141,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where(length($"f.frame") === 0).count() == 0)
   }
 
+  test("S1 format inference: csv and json paths scan through DataLocation.Hdfs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/nation.csv")
+    nation.coalesce(1).write.mode("overwrite").json(s"$dir/nation.json")
+
+    val fromCsv = SourceResolver.read(spark, DataLocation.Hdfs(s"$dir/nation.csv"))
+    assert(fromCsv.count() == 25)
+    // the csv path adds header + inferSchema: keys come back numeric
+    assert(fromCsv.schema("n_nationkey").dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType])
+    assert(fromCsv.agg(sum($"n_nationkey")).head.getLong(0) == 300L)
+
+    val fromJson = SourceResolver.read(spark, DataLocation.Hdfs(s"$dir/nation.json"))
+    assert(fromJson.count() == 25)
+    assert(fromJson.agg(sum($"n_regionkey")).head.getLong(0) ==
+      nation.agg(sum($"n_regionkey")).head.getLong(0))
+  }
+
+  test("M1 backfill with Hourly resolution: one step per hour, inclusive ends") {
+    import java.time.Instant
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = FeatureProject("hb")
+    val src = Source("ev", DataLocation.Hdfs(s"$sf/events.parquet"),
+      timeWindow = Some(TimeWindowParameters("ts", "native")),
+      preprocessing = Some(df =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .where(col("event_type") === "purchase")))
+    p.addAnchorGroup("g", src, Seq(
+      AnchorFeature("f_cnt_1d", FeatureType.INT64,
+        Transformation.windowAgg("value", "COUNT", "1d"),
+        Seq(TypedKey("user_id", ValueType.INT64)))))
+    val out = Materializer.backfill(spark, p, Seq("f_cnt_1d"), Seq("user_id"),
+      Instant.parse("2024-01-10T00:00:00Z"), Instant.parse("2024-01-10T03:00:00Z"),
+      DateTimeResolution.Hourly, sinks = Nil)
+    val steps = out.select("__step_end").distinct().collect()
+      .map(_.getTimestamp(0).toInstant).sortBy(_.toEpochMilli)
+    assert(steps.length == 4) // 00, 01, 02, 03 — both endpoints inclusive
+    assert(steps.head == Instant.parse("2024-01-10T00:00:00Z"))
+    assert(steps.last == Instant.parse("2024-01-10T03:00:00Z"))
+    assert(out.where(col("f_cnt_1d") <= 0).count() == 0)
+  }
+
   test("secret resolution layers: env/sysprops -> secrets file -> vault") {
     val f = java.nio.file.Files.createTempFile("graft_secrets", ".yaml")
     java.nio.file.Files.write(f, java.util.List.of(
