@@ -44,15 +44,22 @@ class BucketedSwaSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
   }
 
-  test("bucketed path leaves LATEST/UNION/groupBy/limit clusters on the exact plan") {
+  test("LATEST/UNION and record-limit clusters stay on the exact range join; group_by buckets") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.graft.swa.bucketSeconds", "86400")
     try {
+      // non-decomposable aggs: raw range join, correct results
       val latest = SparkEntry.queries("q_swa_latest_union")(spark, sf)
-        .orderBy("event_id").collect()
+      assert(!latest.queryExecution.analyzed.toString.contains("__graft_ps_"))
+      assert(latest.orderBy("event_id").collect().nonEmpty)
+      // record-limit without group_by needs raw rows: raw range join
       val fl = SparkEntry.queries("q_swa_filter_limit")(spark, sf)
-        .orderBy("event_id").collect()
-      assert(latest.nonEmpty && fl.nonEmpty)
+      assert(!fl.queryExecution.analyzed.toString.contains("__graft_ps_"))
+      assert(fl.orderBy("event_id").collect().nonEmpty)
+      // group_by (with or without limit) takes the bucketed plan — the
+      // queries' own engagement require()s throw if it disengages
+      SparkEntry.queries("q_swa_groupby")(spark, sf)
+      SparkEntry.queries("q_swa_groupby_limit")(spark, sf)
     } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
   }
 }
