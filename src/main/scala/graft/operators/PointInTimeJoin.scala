@@ -79,6 +79,12 @@ object PointInTimeJoin {
     obs.drop(ObsTs)
   }
 
+  /** The anchor (group, feature) a requested output name resolves to,
+    * following cross-key aliases — Nil for derived/unknown names.
+    */
+  def anchorOf(project: FeatureProject, name: String): Option[(AnchorGroup, AnchorFeature)] =
+    project.anchorFeature(project.aliasBase(name).getOrElse(name))
+
   /** Schema is declared, not inferred (SURVEY.md §1.2): coerce each
     * requested feature column to its declared `FeatureType`. UNION
     * features collect a set, so the declaration must be a 1-d tensor

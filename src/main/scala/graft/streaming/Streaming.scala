@@ -56,6 +56,28 @@ object StreamingIngest {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Stream-side feature enrichment — the online-scoring shape: a
+    * STREAMING observation left-joins batch-computed feature tables
+    * (stream-static joins, which Structured Streaming executes
+    * natively per micro-batch). Snapshot (J1) and passthrough (S5)
+    * features reuse the exact batch planner, so stream and batch
+    * enrichment cannot diverge. Time-aware features (as-of / SWA) need
+    * the distinct-pair window machinery streams can't run — they are
+    * rejected here with direction: materialize them to a snapshot
+    * first (M2) and enrich from the snapshot.
+    */
+  def enrichStream(spark: SparkSession, project: graft.project.FeatureProject,
+      stream: DataFrame, queries: Seq[graft.project.FeatureQuery]): DataFrame = {
+    for {
+      q <- queries
+      f <- q.featureList
+      (g, _) <- graft.operators.PointInTimeJoin.anchorOf(project, f)
+    } require(g.source.timeWindow.isEmpty,
+      s"enrichStream: feature $f is time-aware (as-of/SWA); materialize a " +
+        "snapshot (Materializer.snapshot) and enrich from that instead")
+    graft.operators.PointInTimeJoin.run(spark, project, stream, None, queries)
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Each micro-batch is written with the same sink writers the

@@ -141,6 +141,47 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where(length($"f.frame") === 0).count() == 0)
   }
 
+  test("enrichStream: snapshot features attach to a stream, match batch exactly") {
+    val p = FeatureProject("es")
+    val custKey = TypedKey("c_custkey", ValueType.INT64)
+    p.addAnchorGroup("cust", Source("customer",
+      DataLocation.Hdfs(s"$sf/customer.parquet")), Seq(
+      AnchorFeature("f_acctbal", FeatureType.DOUBLE,
+        Transformation.Expr("c_acctbal"), Seq(custKey)),
+      AnchorFeature("f_seg", FeatureType.STRING,
+        Transformation.Expr("c_mktsegment"), Seq(custKey))))
+    val fq = Seq(FeatureQuery(Seq("f_acctbal", "f_seg"), Seq("o_custkey")))
+    val schema = spark.read.parquet(s"$sf/orders.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", sf).parquet(s"$sf/orders.parque*")
+      .select("o_orderkey", "o_custkey")
+    val enriched = StreamingIngest.enrichStream(spark, p, stream, fq)
+    assert(enriched.isStreaming)
+    val name = s"enrich_${System.nanoTime()}"
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+    val want = FeathrClient.joinFeatures(spark, p,
+      spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey"),
+      None, fq)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // time-aware features are rejected with direction, not a deep
+    // streaming planner error
+    val pt = FeatureProject("es_t")
+    pt.addAnchorGroup("ev", Source("ev", DataLocation.Hdfs(s"$sf/events.parquet"),
+      timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+      AnchorFeature("f_last", FeatureType.DOUBLE,
+        Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64)))))
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.enrichStream(spark, pt, stream,
+        Seq(FeatureQuery(Seq("f_last"), Seq("o_custkey"))))
+    }
+    assert(err.getMessage.contains("materialize a snapshot"))
+  }
+
   test("S1 format inference: csv and json paths scan through DataLocation.Hdfs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val nation = spark.read.parquet(s"$sf/nation.parquet")
