@@ -31,16 +31,29 @@ object OutputSink {
 /** Pluggable online store (stand-in for Redis — zero-egress env). */
 trait OnlineStore extends Serializable {
   def put(table: String, key: String, value: Map[String, String]): Unit
+  /** Point lookup — the serving path; None for an absent key. */
+  def get(table: String, key: String): Option[Map[String, String]]
 }
 
 /** File-backed store for tests: one csv-ish line per key. */
 class FileOnlineStore(dir: String) extends OnlineStore {
+  private def fileOf(table: String, key: String): java.io.File =
+    new java.io.File(new java.io.File(dir, table),
+      java.net.URLEncoder.encode(key, "UTF-8"))
+
   def put(table: String, key: String, value: Map[String, String]): Unit = {
-    val d = new java.io.File(dir, table)
-    d.mkdirs()
-    val f = new java.io.File(d, java.net.URLEncoder.encode(key, "UTF-8"))
+    val f = fileOf(table, key)
+    f.getParentFile.mkdirs()
     val body = value.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
     java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+  }
+
+  def get(table: String, key: String): Option[Map[String, String]] = {
+    val f = fileOf(table, key)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").iterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap)
   }
 }
 

@@ -141,6 +141,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where(length($"f.frame") === 0).count() == 0)
   }
 
+  test("online/offline consistency: served values equal the snapshot row-for-row") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = FeatureProject("ooc")
+    p.addAnchorGroup("g", Source("ev", DataLocation.Hdfs(s"$sf/events.parquet"),
+      timeWindow = Some(TimeWindowParameters("ts", "native")),
+      preprocessing = Some(df =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .where(col("event_type") === "purchase"))), Seq(
+      AnchorFeature("f_last", FeatureType.DOUBLE,
+        Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64))),
+      AnchorFeature("f_sum_7d", FeatureType.DOUBLE,
+        Transformation.windowAgg("value", "SUM", "7d"),
+        Seq(TypedKey("user_id", ValueType.INT64)))))
+    val snap = Materializer.snapshot(spark, p, Seq("f_last", "f_sum_7d"),
+      Seq("user_id"), java.time.Instant.parse("2024-01-20T00:00:00Z"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooc").toString
+    val store = new FileOnlineStore(dir)
+    Materializer.writeAll(snap, Seq("user_id"),
+      Seq(OutputSink.Online("feat", store)))
+    val rows = snap.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val served = store.get("feat", String.valueOf(r.getAs[Long]("user_id")))
+      assert(served.isDefined, s"missing key ${r.getAs[Long]("user_id")}")
+      assert(served.get("f_last") == String.valueOf(r.getAs[Any]("f_last")))
+      assert(served.get("f_sum_7d") == String.valueOf(r.getAs[Any]("f_sum_7d")))
+    }
+    assert(store.get("feat", "no-such-key").isEmpty)
+  }
+
   test("enrichStream: snapshot features attach to a stream, match batch exactly") {
     val p = FeatureProject("es")
     val custKey = TypedKey("c_custkey", ValueType.INT64)
