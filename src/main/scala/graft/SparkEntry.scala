@@ -716,6 +716,23 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
+    // Dedup cluster assignment: connected components over the verified
+    // near-dup pairs -> (member, canonical). Restricted to the planted
+    // ground truth so components are closed-form: every planted copy
+    // clusters with (and canonicalizes to) its original.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val found = Dedup.minhashNearDuplicates(docs.unionByName(planted),
+        "text", "doc_id", threshold = 0.8)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val plantedPairs = found.join(expected, Seq("id_a", "id_b"), "inner")
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(plantedPairs)
+    }),
+
     // SimHash near-dup candidates on the same planted corpus — same
     // recall contract (identical text → identical signature → every
     // block collides → hamming 0, deterministically).
@@ -1270,6 +1287,13 @@ object SparkEntry {
     "q_dedup_minhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |  1.0::DOUBLE AS jaccard
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """SELECT doc_id AS member, doc_id AS canonical
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS member, doc_id AS canonical
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "q_dedup_simhash" ->

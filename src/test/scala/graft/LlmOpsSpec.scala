@@ -32,6 +32,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("connectedComponents: chains, triangles, isolated pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),         // 4-chain
+        (10L, 11L), (11L, 12L), (10L, 12L),               // triangle
+        (20L, 21L))                                       // isolated pair
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // ids only in id_b still get labels (edges are symmetrized)
+    assert(comp.contains(4L) && comp.contains(21L))
+  }
+
   test("simhash of identical docs is identical; hamming is 0") {
     val sig = docs.limit(20).select($"doc_id",
       Dedup.simhash64($"text").as("s1"),
