@@ -293,6 +293,22 @@ object Dedup {
     labels
   }
 
+  /** The user-facing near-dup dedup composition: keep exactly one
+    * document (the minimum id) per near-duplicate cluster —
+    * [[minhashNearDuplicates]] → [[connectedComponents]] → anti-join
+    * of the non-canonical members.
+    */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol, threshold,
+      numHashes, bands, shingleSize)
+    val nonCanonical = connectedComponents(pairs)
+      .where(col("member") =!= col("canonical"))
+      .select(col("member").as(idCol))
+    df.join(nonCanonical, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate id pairs. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {

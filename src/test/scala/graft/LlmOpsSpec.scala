@@ -47,6 +47,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(comp.contains(4L) && comp.contains(21L))
   }
 
+  test("dropNearDuplicates keeps exactly the canonical doc per cluster") {
+    val planted = docs.where($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val corpus = docs.select("doc_id", "text")
+      .unionByName(planted.select("doc_id", "text"))
+    val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id", 0.9)
+    // every planted copy (higher id than its original) is dropped
+    assert(kept.where($"doc_id" >= 1000000L).count() == 0)
+    // exactly the non-canonical cluster members are gone (the corpus
+    // also has natural near-dup clusters — those lose members too)
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashNearDuplicates(corpus, "text", "doc_id", 0.9))
+    assert(kept.count() ==
+      corpus.count() - comp.where($"member" =!= $"canonical").count())
+    // and one representative per cluster survives
+    assert(comp.select($"canonical".as("doc_id")).distinct()
+      .join(kept, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("simhash of identical docs is identical; hamming is 0") {
     val sig = docs.limit(20).select($"doc_id",
       Dedup.simhash64($"text").as("s1"),
