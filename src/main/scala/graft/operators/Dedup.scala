@@ -260,37 +260,43 @@ object Dedup {
     * minimum of its own label and its neighbors' labels; converges in
     * O(component diameter) rounds, and near-dup clusters are shallow
     * (a duplicate family is a near-clique). Each round runs one join +
-    * one aggregation, spills the (vertex, label) frame to cut lineage,
-    * and stops on a zero-change round; `maxIters` is a safety cap
-    * against adversarial chains.
+    * one aggregation; the (vertex, label) frame is persisted per round
+    * (the convergence probe materializes it, the previous round's cache
+    * releases immediately) and the FINAL labels spill once to cut the
+    * whole loop's lineage before returning. Stops on a zero-change
+    * round; `maxIters` is a safety cap against adversarial chains.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
-    var labels = Spill.roundTrip(
-      edges.select(col("src").as("member")).distinct()
-        .withColumn("canonical", col("member")))
+    var cached = edges.select(col("src").as("member")).distinct()
+      .withColumn("canonical", col("member")).persist()
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("member").as("dst"), col("canonical").as("__nc")), "dst")
         .groupBy(col("src").as("member")).agg(min(col("__nc")).as("__nbr"))
-      val next = Spill.roundTrip(
-        labels.join(nbrMin, Seq("member"), "left_outer")
-          .select(col("member"),
-            least(col("canonical"), coalesce(col("__nbr"), col("canonical")))
-              .as("canonical"),
-            (col("__nbr") < col("canonical")).as("__chg")))
+      val next = labels.join(nbrMin, Seq("member"), "left_outer")
+        .select(col("member"),
+          least(col("canonical"), coalesce(col("__nbr"), col("canonical")))
+            .as("canonical"),
+          (col("__nbr") < col("canonical")).as("__chg"))
+        .persist()
       converged = next.where(col("__chg")).limit(1).isEmpty
+      cached.unpersist(false)
+      cached = next
       labels = next.drop("__chg")
       iter += 1
     }
-    edges.unpersist(false)
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    val out = Spill.roundTrip(labels)
+    cached.unpersist(false)
+    edges.unpersist(false)
+    out
   }
 
   /** The user-facing near-dup dedup composition: keep exactly one
