@@ -98,21 +98,24 @@ object AvroCodec {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, BinaryType, nullable = false))
     val enc = RowEncoder.encoderFor(outSchema)
+    val colIdx = {
+      val s = new Schema.Parser().parse(avroSchemaJson)
+      s.getFields.asScala.toSeq.map(f => f.pos -> df.schema.fieldIndex(f.name))
+    }
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroSchemaJson)
-      val fields = schema.getFields.asScala.toSeq
       val writer = new org.apache.avro.generic.GenericDatumWriter[Any](schema)
       val bos = new java.io.ByteArrayOutputStream()
       var encoder: org.apache.avro.io.BinaryEncoder = null
       rows.map { r =>
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        fields.foreach { f =>
-          val v = r.get(r.fieldIndex(f.name)) match {
+        colIdx.foreach { case (pos, idx) =>
+          val v = r.get(idx) match {
             case null => null
             case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
             case other => other
           }
-          rec.put(f.pos, v)
+          rec.put(pos, v)
         }
         bos.reset()
         encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, encoder)
