@@ -71,6 +71,16 @@ class InMemoryRegistry {
     versioned
   }
 
+  /** Insert a persisted entity verbatim, version preserved (the load
+    * path of [[RegistryPersistence]] — `create` would re-version
+    * same-qualifiedName rows as it replayed them).
+    */
+  def loadEntity(e: RegistryEntity): Unit = {
+    entities(e.guid) = e
+    docTerms(e).foreach(t =>
+      index.getOrElseUpdate(t, mutable.LinkedHashSet.empty) += e.guid)
+  }
+
   def get(guid: String): Option[RegistryEntity] = entities.get(guid)
 
   /** Resolve `name`, `name:latest`, or `name:N` to an entity. */

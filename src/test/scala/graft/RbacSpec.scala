@@ -75,6 +75,34 @@ class RbacSpec extends AnyFunSuite {
     assert(reg.registry.get("g1").isEmpty)
   }
 
+  test("registry persistence: entities + edges + grants round-trip through a file") {
+    val reg = new InMemoryRegistry
+    val e1 = reg.create(RegistryEntity("g1", EntityType.Workspace, "projA", "projA"))
+    val e2 = reg.create(RegistryEntity("g2", EntityType.AnchorFeature,
+      "f_x", "projA__anchor__f_x", attributes = Map("type" -> "DOUBLE")))
+    // a second version of the same qualified name must survive verbatim
+    val e2v2 = reg.create(RegistryEntity("g3", EntityType.AnchorFeature,
+      "f_x", "projA__anchor__f_x"))
+    assert(e2v2.version == 2)
+    reg.link("g2", "g1", EdgeType.BelongsTo)
+    val rbac = new InMemoryRbac
+    rbac.loadPermissions(Seq(
+      rec(alice, Resource.Global, Permission.Admin, reason = "boot"),
+      rec(bob, proj, Permission.Read)))
+
+    val path = java.nio.file.Files.createTempDirectory("graft_reg").toString + "/reg.json"
+    RegistryPersistence.save(reg, rbac, path)
+    val (reg2, rbac2) = RegistryPersistence.load(path)
+
+    assert(reg2.allEntities.toSet == reg.allEntities.toSet)
+    assert(reg2.allEdges == reg.allEdges)
+    assert(reg2.resolve("f_x").map(_.guid).contains("g3")) // latest version
+    assert(reg2.resolve("f_x:1").map(_.guid).contains("g2"))
+    assert(reg2.search("f_x").nonEmpty) // FTS index rebuilt on load
+    assert(rbac2.getPermissions.toSet == rbac.getPermissions.toSet)
+    assert(rbac2.checkPermission(alice, proj, Permission.Admin))
+  }
+
   test("grant/revoke are admin-gated; empty store bootstraps") {
     val rbac = new InMemoryRbac
     // bootstrap: first grant into an empty store is unchecked
