@@ -64,6 +64,48 @@ class SwaPropertySpec extends SparkTestBase {
     }
   }
 
+  test("as-of join matches the reference last-value fold on random event sets") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 4) {
+      // source events and an INDEPENDENT spine (obs times that mostly
+      // don't coincide with source times — the general as-of case),
+      // plus spine rows before any source row (must stay null)
+      val src = for (k <- 0 until 3; _ <- 0 until 20) yield
+        (k.toLong, 1700000000000000L + (rnd.nextLong().abs % 10000000L),
+          math.round(rnd.nextDouble() * 1000).toDouble)
+      val obsRows = for (k <- 0 until 3; _ <- 0 until 15) yield
+        (k.toLong, 1700000000000000L - 1000000L + (rnd.nextLong().abs % 12000000L))
+      val srcDf = src.toDF("k", "ts_us", "v")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+      val view = s"asof_prop_$round"
+      srcDf.createOrReplaceTempView(view)
+
+      val p = FeatureProject(s"asofp$round")
+      val key = TypedKey("k", ValueType.INT64)
+      p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+        timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+        AnchorFeature("f_last", FeatureType.DOUBLE,
+          Transformation.Expr("v"), Seq(key))))
+      val obs = obsRows.toDF("k", "ts_us")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+
+      val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_last"), Seq("k")))).collect()
+      assert(out.length == obsRows.length)
+      out.foreach { r =>
+        val k = r.getAs[Long]("k"); val t = r.getAs[Long]("ts_us")
+        // reference: the latest source row with ts <= obs ts (ties by
+        // value desc — the engine's deterministic tie-break; random
+        // micros make real ties vanishingly rare anyway)
+        val want = src.filter(s => s._1 == k && s._2 <= t)
+          .sortBy(s => (-s._2, -s._3)).headOption.map(_._3)
+        val got = if (r.isNullAt(r.fieldIndex("f_last"))) None
+          else Some(r.getAs[Double]("f_last"))
+        assert(got == want, s"as-of mismatch k=$k t=$t: got=$got want=$want")
+      }
+    }
+  }
+
   test("group_by (+ top-k-groups limit) matches the reference fold on both plans") {
     val rnd = new scala.util.Random(7)
     for (round <- 1 to 3) {
