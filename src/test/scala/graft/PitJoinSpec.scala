@@ -125,6 +125,36 @@ class PitJoinSpec extends SparkTestBase {
     assert(written != null && written.nonEmpty)
   }
 
+  test("M1/M2 consistency: a backfill step equals the snapshot at the same endTime") {
+    import java.time.Instant
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = {
+      val pp = FeatureProject("m12")
+      val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
+        timeWindow = Some(TimeWindowParameters("ts", "native")),
+        preprocessing = Some { df =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            .where(col("event_type") === "purchase")
+        })
+      pp.addAnchorGroup("a", purchases, Seq(
+        AnchorFeature("f_last", FeatureType.DOUBLE,
+          Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64))),
+        AnchorFeature("f_sum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"),
+          Seq(TypedKey("user_id", ValueType.INT64)))))
+      pp
+    }
+    val t = Instant.parse("2024-01-15T00:00:00Z")
+    val feats = Seq("f_last", "f_sum_7d")
+    val snap = Materializer.snapshot(spark, p, feats, Seq("user_id"), t)
+    val step = Materializer.backfill(spark, p, feats, Seq("user_id"),
+        Instant.parse("2024-01-14T00:00:00Z"), t, DateTimeResolution.Daily, Nil)
+      .where(col("__step_end") === lit(java.sql.Timestamp.from(t)))
+      .drop("__step_end")
+    assert(snap.count() == step.count())
+    assert(snap.exceptAll(step).isEmpty && step.exceptAll(snap).isEmpty)
+  }
+
   test("M3: one evaluation fans out to offline AND online sinks") {
     import java.time.Instant
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
