@@ -260,11 +260,20 @@ object Dedup {
     * minimum of its own label and its neighbors' labels; converges in
     * O(component diameter) rounds, and near-dup clusters are shallow
     * (a duplicate family is a near-clique). Each round runs one join +
-    * one aggregation; the (vertex, label) frame is persisted per round
-    * (the convergence probe materializes it, the previous round's cache
-    * releases immediately) and the FINAL labels spill once to cut the
-    * whole loop's lineage before returning. Stops on a zero-change
-    * round; `maxIters` is a safety cap against adversarial chains.
+    * one aggregation and exactly ONE action: a `count(__chg)` aggregate
+    * over the round's persisted frame, which both materializes the cache
+    * COMPLETELY (a `limit(1).isEmpty` probe stops at the first hit,
+    * leaving uncached partitions whose lineage points at the
+    * already-unpersisted previous round — a recomputation cascade) and
+    * answers convergence. The FINAL labels spill once to cut the whole
+    * loop's lineage before returning.
+    *
+    * If `maxIters` rounds pass without convergence (a >maxIters-deep
+    * label chain — adversarial, but possible in boilerplate-heavy
+    * corpora) the partial labeling is returned with a warning rather
+    * than aborting the job: every label is still a genuine member of the
+    * vertex's component (labels only ever move down through edges), the
+    * labeling is just not yet fully canonical.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs
@@ -286,13 +295,19 @@ object Dedup {
             .as("canonical"),
           (col("__nbr") < col("canonical")).as("__chg"))
         .persist()
-      converged = next.where(col("__chg")).limit(1).isEmpty
+      // one full-scan job: materializes every cached partition AND
+      // counts the changed rows (count(when(...)) skips the nulls)
+      val changed = next.agg(count(when(col("__chg"), lit(1)))).head().getLong(0)
+      converged = changed == 0
       cached.unpersist(false)
       cached = next
       labels = next.drop("__chg")
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: not converged after " +
+        s"$maxIters rounds — returning the partial labeling (labels are valid " +
+        "component members, not yet fully canonical)")
     val out = Spill.roundTrip(labels)
     cached.unpersist(false)
     edges.unpersist(false)

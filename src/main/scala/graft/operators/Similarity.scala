@@ -103,9 +103,26 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
       kmeansIters: Int = 0, kmeansTol: Double = 1e-6): DataFrame = {
+    // the normed corpus projection feeds the centroid sample, every
+    // Lloyd iteration, AND the final assignment. With
+    // `spark.graft.ivf.cacheCorpus=true` it is persisted once
+    // (MEMORY_AND_DISK) across those scans and released after the
+    // (bounded) result spills — worth it when many Lloyd iterations
+    // re-read an expensive upstream; OFF by default because for the
+    // common small-iteration refinement the extra cache write + spill
+    // round-trip costs more than the re-scan (and a 100 TB corpus
+    // should re-scan parquet, not mirror itself into block storage).
+    val normed0 = corpus.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("__vn"))
+    val cacheCorpus = kmeansIters > 0 && corpus.sparkSession.conf
+      .get("spark.graft.ivf.cacheCorpus", "false").toBoolean
+    val normed = if (cacheCorpus)
+      normed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else normed0
+
     // TakeOrderedAndProject: per-partition top-nCells, driver merge of
     // nCells rows — scale-safe; id tie-break makes hash ties stable
-    var centroids = corpus
+    var centroids = normed
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
@@ -116,19 +133,22 @@ object Similarity {
     // Window (which would sort the whole corpus by id). Ties: higher
     // cscore, then lower cell_id; only the always-numeric score is
     // negated, so string id columns work (negating cell_id would bind
-    // the operator to numeric ids).
+    // the operator to numeric ids). The corpus norm rides through the
+    // fold so the scoring join never recomputes it.
     def assign(cents: DataFrame): DataFrame = {
       val cn = cents.select(col("cell_id"), col("centroid"),
         l2Norm(col("centroid")).as("__cen"))
-      corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__vn"))
+      normed
         .join(broadcast(cn))
-        .select(col(idCol), col(vecCol), col("cell_id"),
+        .select(col(idCol), col(vecCol), col("__vn"), col("cell_id"),
           (dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cen")))
             .as("cscore"))
         .groupBy(col(idCol))
-        .agg(min_by(struct(col("cell_id"), col(vecCol).as("__v")),
+        .agg(min_by(struct(col("cell_id"), col(vecCol).as("__v"),
+            col("__vn").as("__n")),
           struct(-col("cscore"), col("cell_id"))).as("__a"))
-        .select(col(idCol), col("__a.__v").as(vecCol), col("__a.cell_id").as("cell_id"))
+        .select(col(idCol), col("__a.__v").as(vecCol),
+          col("__a.__n").as("__vn"), col("__a.cell_id").as("cell_id"))
     }
 
     // Lloyd refinement with a convergence stop: iterate until no
@@ -138,6 +158,11 @@ object Similarity {
     // (cell, position) → re-assemble). Centroids are nCells small
     // rows: collect + re-create instead of persisting an ever-deeper
     // lazy chain; the convergence check reuses the same collected rows.
+    // The LAST possible iteration skips the collect round-trip and
+    // chains lazily — there is no later work for the convergence check
+    // to save, and the centroid plan collapses into the subsequent
+    // broadcast exchange anyway (a kmeansIters=1 refinement runs zero
+    // driver round-trips).
     var prev: Map[Any, Array[Float]] = null
     var iter = 0
     var converged = false
@@ -148,19 +173,31 @@ object Similarity {
         .groupBy("cell_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m").cast("float")).as("centroid"))
-      val rows = next.collect().toSeq
-      val cur = rows.map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
-      converged = prev != null && prev.keySet == cur.keySet &&
-        cur.forall { case (c, a) =>
-          val b = prev(c)
-          a.length == b.length &&
-            a.indices.forall(i => math.abs(a(i) - b(i)) <= kmeansTol)
-        }
-      prev = cur
-      centroids = corpus.sparkSession.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, next.schema)
+      if (iter == kmeansIters - 1) {
+        centroids = next
+      } else {
+        val rows = next.collect().toSeq
+        val cur = rows.map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
+        converged = prev != null && prev.keySet == cur.keySet &&
+          cur.forall { case (c, a) =>
+            val b = prev(c)
+            a.length == b.length &&
+              a.indices.forall(i => math.abs(a(i) - b(i)) <= kmeansTol)
+          }
+        prev = cur
+        centroids = corpus.sparkSession.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, next.schema)
+      }
       iter += 1
     }
+    // localize the (nCells-row) centroid set ONCE: the assignment and
+    // the query-probe below each broadcast a DIFFERENT projection of
+    // it, and two non-identical broadcast exchanges would re-run the
+    // whole centroid pipeline twice — a LocalRelation ships for free
+    val centRows = centroids.collect().toSeq
+    centroids = corpus.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(centRows).asJava,
+      centroids.schema)
     val assigned = assign(centroids)
 
     // probe the nProbe nearest cells per query
@@ -172,11 +209,18 @@ object Similarity {
       .select(col(qIdCol), col(qVecCol), col("cell_id"))
 
     val scored = assigned
-      .withColumn("__vn", l2Norm(col(vecCol)))
       .join(probed.withColumn("__qn", l2Norm(col(qVecCol))), "cell_id")
       .select(col(qIdCol), col(idCol),
         (dot(col(vecCol), col(qVecCol)) / (col("__vn") * col("__qn"))).as("score"))
-    perQueryTopK(scored, k, qIdCol, idCol)
+    val topk = perQueryTopK(scored, k, qIdCol, idCol)
+    if (!cacheCorpus) topk
+    else {
+      // the result is bounded (queries × k rows): spill it so the
+      // corpus cache can be released before returning
+      val out = Spill.roundTrip(topk)
+      normed.unpersist(false)
+      out
+    }
   }
 
   /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id
