@@ -364,9 +364,15 @@ object SparkEntry {
           Transformation.WindowAgg("value", Aggregation.SUM,
             Durations.parse("7d"), filter = Some("value > 50"),
             limit = Some(3)), Seq(userKey))))
-      FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
+      val df = FeathrClient.joinFeatures(s, p, clicks(s, dir), Some(("ts", "native")),
         Seq(FeatureQuery(Seq("f_top3_sum"), Seq("user_id"))))
         .withColumn("f_top3_sum", round(col("f_top3_sum"), 4))
+      // the record-limit takes the bucketed top-k-newest plan (≤ k rows
+      // per (key, bucket) partial), not the raw range join — fail
+      // loudly if the scale plan disengages
+      require(df.queryExecution.analyzed.toString.contains("__graft_bl_rn"),
+        "q_swa_filter_limit: the bucketed record-limit plan did not engage")
+      df
     }),
 
     // A10 at scale: the bucketed pre-aggregation SWA plan (the default

@@ -193,7 +193,7 @@ object PointInTimeJoin {
     if (rowFeats.nonEmpty) {
       joined =
         if (timeAware) asOfJoin(joined, obsKeyCols, keys, src0, rowFeats)
-        else snapshotJoin(joined, obsKeyCols, keys, src0, rowFeats)
+        else snapshotJoin(joined, obsKeyCols, keys, src0, rowFeats, g.name)
     }
     if (windowFeats.nonEmpty) {
       // share one range join per identical window spec
@@ -210,13 +210,35 @@ object PointInTimeJoin {
   /** J1: snapshot equi join — source without time semantics; assumes the
     * source is key-unique (reference contract). AQE broadcasts the
     * feature side when small.
+    *
+    * A duplicate-keyed feature source silently multiplies observation
+    * rows — the likeliest real-user data bug on this path. The opt-in
+    * debug guard `spark.graft.join.checkUnique=true` spends one extra
+    * aggregation job counting duplicate keys and fails with the anchor
+    * name (and an example key count) instead of fanning out.
     */
   private def snapshotJoin(
       obs: DataFrame, obsKeyCols: Seq[String], keys: Seq[TypedKey],
-      src: DataFrame, feats: Seq[(AnchorFeature, String)]): DataFrame = {
+      src: DataFrame, feats: Seq[(AnchorFeature, String)],
+      anchorName: String): DataFrame = {
     val keyCols = keys.zipWithIndex.map { case (k, i) => col(k.keyColumn).as(obsKeyCols(i)) }
     val featDf = src.select(keyCols ++ feats.map { case (f, out) =>
       rowCol(f.transform, src).as(out) }: _*)
+    if (obs.sparkSession.conf.get("spark.graft.join.checkUnique", "false").toBoolean) {
+      val dup = featDf.groupBy(obsKeyCols.map(col): _*)
+        .agg(count(lit(1)).as("__graft_n"))
+        .where(col("__graft_n") > 1)
+      val sample = dup.limit(1).collect()
+      if (sample.nonEmpty) {
+        val r = sample.head
+        val keyRepr = obsKeyCols.map(c => s"$c=${r.getAs[Any](c)}").mkString(", ")
+        throw new IllegalStateException(
+          s"anchor $anchorName: snapshot-join source is not key-unique " +
+            s"(e.g. key [$keyRepr] has ${r.getAs[Long]("__graft_n")} rows) — " +
+            "a duplicate-keyed feature source multiplies observation rows; " +
+            "dedupe the source or disable spark.graft.join.checkUnique")
+      }
+    }
     obs.join(featDf, obsKeyCols, "left_outer")
   }
 
@@ -313,9 +335,9 @@ object PointInTimeJoin {
     // plan is O(window/bucket) partials per spine pair.
     // spark.graft.swa.bucketSeconds: "auto" (default) derives
     // window/64; a positive number forces that bucket width; "off"/"0"
-    // falls back to the raw range join. LATEST/UNION/elementwise
-    // clusters (non-decomposable aggs) and record-limits without
-    // group_by always use the range join.
+    // falls back to the raw range join. Only LATEST/UNION/elementwise
+    // clusters (non-decomposable aggs) without a record-limit use the
+    // raw range join; record-limits take the bucketed top-k plan below.
     // all window arithmetic is exact epoch-micros (Durations.toMicros
     // rejects sub-microsecond windows) — a `750ms` window must stay
     // 750ms, not truncate to whole seconds
@@ -334,13 +356,20 @@ object PointInTimeJoin {
       }
     }
     // group_by clusters bucket too (partials per (key, sub-key,
-    // bucket)); only a record-limit (A9 without A7, which needs raw
-    // rows) and non-decomposable aggs force the raw range join
+    // bucket)); only non-decomposable aggs without a record-limit
+    // force the raw range join
     if (bucketUs > 0 && allBucketable &&
         (wa0.groupBy.isDefined || wa0.limit.isEmpty) &&
         windowUs >= 2 * bucketUs)
       return bucketedWindowAgg(obs, obsKeyCols, skCols, srcSel, pairs,
         feats, measures, wa0, bucketUs, wa0.groupBy.map(_ => groupCol))
+    // A9 record-limit (no group_by): bucketed top-k-newest plan — the
+    // per-(key, bucket) partial is the k newest ROWS, not an aggregate,
+    // so every aggregation (incl. LATEST/UNION/elementwise) qualifies
+    if (bucketUs > 0 && wa0.groupBy.isEmpty && wa0.limit.isDefined &&
+        windowUs >= 2 * bucketUs)
+      return bucketedLimitWindowAgg(obs, obsKeyCols, skCols, srcSel, pairs,
+        feats, measures, wa0, bucketUs)
 
     val interval = expr(Durations.toSqlInterval(wa0.window))
     var cond = obsKeyCols.indices
@@ -499,6 +528,72 @@ object PointInTimeJoin {
       case None     => perGroup
       case Some(gc) => collectGroups(perGroup, groupKeys, gc, feats, wa0.limit)
     }
+    obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
+  }
+
+  /** A9 record-limit bucketed plan (exact): top-k NEWEST window rows
+    * per spine pair WITHOUT a raw range join. Per (key, time-bucket)
+    * only the k newest rows can contribute to any window's top-k — if
+    * row r ranks among a window's k newest, fewer than k window rows
+    * order above it, so in particular fewer than k rows of r's own
+    * bucket do — so the source reduces to ≤ k rows per (key, bucket)
+    * BEFORE the join (`__graft_bl_rn`, the partial's engagement marker
+    * in plans). Full buckets join those bounded partials with no
+    * per-row time check; the two edge buckets re-check raw rows; the
+    * final ranking then takes the true top-k of the bounded candidate
+    * set per (key, obs_ts). The surviving rows are raw rows, so the
+    * aggregation runs via [[aggColumn]] — every aggregation qualifies,
+    * no decomposability requirement. Ranking matches the raw path:
+    * (src_ts desc, measure-struct desc).
+    */
+  private def bucketedLimitWindowAgg(
+      obs: DataFrame, obsKeyCols: Seq[String], skCols: Seq[String],
+      srcSel: DataFrame, pairs: DataFrame,
+      feats: Seq[(AnchorFeature, String)], measures: Seq[String],
+      wa0: Transformation.WindowAgg, bucketUs: Long): DataFrame = {
+    val k = wa0.limit.get
+    val bUs = bucketUs
+    val wUs = Durations.toMicros(wa0.window)
+    val b = "__graft_b"
+    val tUs = "__graft_tus"
+    def idiv(c: Column, d: Long): Column = ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+    val ord = Seq(col(Internal.SrcTs).desc, struct(measures.map(col): _*).desc)
+
+    val srcB = srcSel.withColumn(b, idiv(unix_micros(col(Internal.SrcTs)), bUs))
+    val bw = Window.partitionBy((skCols :+ b).map(col): _*).orderBy(ord: _*)
+    val topPerBucket = srcB
+      .withColumn("__graft_bl_rn", row_number().over(bw))
+      .where(col("__graft_bl_rn") <= k)
+      .drop("__graft_bl_rn")
+
+    val p = pairs.withColumn(tUs, unix_micros(col(ObsTs)))
+    val loB = idiv(col(tUs) - wUs, bUs)
+    val hiB = idiv(col(tUs), bUs)
+    val keyEq = obsKeyCols.indices.map(i => col(obsKeyCols(i)) === col(skCols(i)))
+      .reduce(_ && _)
+    val outCols = (obsKeyCols :+ ObsTs).map(col) ++
+      (Internal.SrcTs +: measures).map(col)
+    val full = p.join(topPerBucket,
+        keyEq && col(b) > loB && col(b) < hiB, "inner")
+      .select(outCols: _*)
+    val edge = p.join(srcB,
+        keyEq && (col(b) === loB || col(b) === hiB) &&
+          unix_micros(col(Internal.SrcTs)) > col(tUs) - wUs &&
+          unix_micros(col(Internal.SrcTs)) <= col(tUs), "inner")
+      .select(outCols: _*)
+
+    val rw = Window.partitionBy((obsKeyCols :+ ObsTs).map(col): _*).orderBy(ord: _*)
+    val limited = full.unionByName(edge)
+      .withColumn("__graft_rn", row_number().over(rw))
+      .where(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+
+    val aggs = feats.zip(measures).map { case ((f, out), m) =>
+      val wa = f.transform.asInstanceOf[Transformation.WindowAgg]
+      aggColumn(wa.aggFunc, col(m)).as(out)
+    }
+    val aggDf = limited.groupBy((obsKeyCols :+ ObsTs).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
     obs.join(aggDf, obsKeyCols :+ ObsTs, "left_outer")
   }
 

@@ -44,17 +44,19 @@ class BucketedSwaSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
   }
 
-  test("LATEST/UNION and record-limit clusters stay on the exact range join; group_by buckets") {
+  test("LATEST/UNION stays on the exact range join; record-limit and group_by bucket") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.graft.swa.bucketSeconds", "86400")
     try {
-      // non-decomposable aggs: raw range join, correct results
+      // non-decomposable aggs without a limit: raw range join
       val latest = SparkEntry.queries("q_swa_latest_union")(spark, sf)
       assert(!latest.queryExecution.analyzed.toString.contains("__graft_ps_"))
       assert(latest.orderBy("event_id").collect().nonEmpty)
-      // record-limit without group_by needs raw rows: raw range join
+      // record-limit without group_by: bucketed top-k-newest plan (raw
+      // ≤ k rows per (key, bucket) partial — not pre-agg columns)
       val fl = SparkEntry.queries("q_swa_filter_limit")(spark, sf)
       assert(!fl.queryExecution.analyzed.toString.contains("__graft_ps_"))
+      assert(fl.queryExecution.analyzed.toString.contains("__graft_bl_rn"))
       assert(fl.orderBy("event_id").collect().nonEmpty)
       // group_by (with or without limit) takes the bucketed plan — the
       // queries' own engagement require()s throw if it disengages

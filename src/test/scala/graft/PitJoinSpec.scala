@@ -190,4 +190,32 @@ class PitJoinSpec extends SparkTestBase {
       new java.io.File(new java.io.File(storeDir, "feat"), keys.head).toPath))
     assert(one.contains("f_last="))
   }
+
+  test("spark.graft.join.checkUnique fails a duplicate-keyed snapshot source by anchor name (J1 guard)") {
+    import spark.implicits._
+    val key = TypedKey("k", ValueType.INT64)
+    val obs = Seq(1L, 2L).toDF("k")
+    Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("k", "v")
+      .createOrReplaceTempView("uq_dup_src")
+    val p = FeatureProject("uq")
+    p.addAnchorGroup("dup_anchor", Source("src", DataLocation.Table("uq_dup_src")), Seq(
+      AnchorFeature("f_v", FeatureType.DOUBLE, Transformation.Expr("v"), Seq(key))))
+    spark.conf.set("spark.graft.join.checkUnique", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        FeathrClient.joinFeatures(spark, p, obs, None,
+          Seq(FeatureQuery(Seq("f_v"), Seq("k"))))
+      }
+      assert(e.getMessage.contains("dup_anchor") && e.getMessage.contains("key-unique"))
+      // a key-unique source passes the guard untouched
+      Seq((1L, 10.0), (2L, 30.0)).toDF("k", "v")
+        .createOrReplaceTempView("uq_ok_src")
+      val p2 = FeatureProject("uq2")
+      p2.addAnchorGroup("ok_anchor", Source("src", DataLocation.Table("uq_ok_src")), Seq(
+        AnchorFeature("f_v", FeatureType.DOUBLE, Transformation.Expr("v"), Seq(key))))
+      val out = FeathrClient.joinFeatures(spark, p2, obs, None,
+        Seq(FeatureQuery(Seq("f_v"), Seq("k"))))
+      assert(out.count() == 2)
+    } finally spark.conf.unset("spark.graft.join.checkUnique")
+  }
 }

@@ -106,6 +106,61 @@ class SwaPropertySpec extends SparkTestBase {
     }
   }
 
+  test("record-limit (top-k newest) matches the reference fold on both plans") {
+    val rnd = new scala.util.Random(19)
+    for (round <- 1 to 3) {
+      val windowMs = 200 + rnd.nextInt(3000)
+      val wUs = windowMs * 1000L
+      val events = for (k <- 0 until 3; _ <- 0 until 25) yield
+        (k.toLong, 1700000000000000L + (rnd.nextLong().abs % 8000000L),
+          math.round(rnd.nextDouble() * 100).toDouble)
+      val df = events.toDF("k", "ts_us", "v")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+      val view = s"swa_prop_lim_$round"
+      df.createOrReplaceTempView(view)
+
+      val p = FeatureProject(s"proplim$round")
+      val key = TypedKey("k", ValueType.INT64)
+      p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+        timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+        AnchorFeature("f_top3", FeatureType.DOUBLE,
+          Transformation.WindowAgg("v", Aggregation.SUM,
+            Durations.parse(s"${windowMs}ms"), limit = Some(3)), Seq(key)),
+        AnchorFeature("f_top3_cnt", FeatureType.INT64,
+          Transformation.WindowAgg("v", Aggregation.COUNT,
+            Durations.parse(s"${windowMs}ms"), limit = Some(3)), Seq(key))))
+      val obs = df.select($"k", $"ts", $"ts_us")
+
+      // reference fold: top-3 by (ts desc, v desc) inside (t − w, t]
+      val expected = events.map { case (k, t, _) =>
+        val in = events.filter { case (k2, t2, _) => k2 == k && t2 > t - wUs && t2 <= t }
+        val top = in.sortBy { case (_, t2, v2) => (-t2, -v2) }.take(3)
+        (k, t) -> ((top.map(_._3).sum, top.size.toLong))
+      }.toMap
+
+      for (mode <- Seq("auto", "off")) {
+        spark.conf.set("spark.graft.swa.bucketSeconds", mode)
+        try {
+          val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+            Seq(FeatureQuery(Seq("f_top3", "f_top3_cnt"), Seq("k"))))
+          val plan = out.queryExecution.analyzed.toString
+          if (mode == "off") assert(!plan.contains("__graft_bl_rn"))
+          else assert(plan.contains("__graft_bl_rn"),
+            "record-limit must take the bucketed top-k plan by default")
+          val rows = out.collect()
+          assert(rows.length == events.length)
+          rows.foreach { r =>
+            val (es, ec) = expected((r.getAs[Long]("k"), r.getAs[Long]("ts_us")))
+            assert(r.getAs[Long]("f_top3_cnt") == ec,
+              s"limit count mismatch: window=${windowMs}ms plan=$mode")
+            assert(math.abs(r.getAs[Double]("f_top3") - es) < 1e-9,
+              s"limit sum mismatch: window=${windowMs}ms plan=$mode")
+          }
+        } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
+      }
+    }
+  }
+
   test("group_by (+ top-k-groups limit) matches the reference fold on both plans") {
     val rnd = new scala.util.Random(7)
     for (round <- 1 to 3) {
