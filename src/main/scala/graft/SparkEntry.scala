@@ -650,6 +650,27 @@ object SparkEntry {
         .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
     }),
 
+    // K1/K3 under the oracle gate: the snapshot result is WRITTEN
+    // through OutputSink.hdfs with an explicit numParts (the
+    // --num-parts contract, feathr-rs/src/job_client/mod.rs:290-292),
+    // read back from the produced files, and hash-compared against the
+    // same oracle as the in-memory snapshot — the write→read path must
+    // preserve rows, schema, and values, and honor the file count.
+    "q_sink_roundtrip" -> ((s, dir) => {
+      val out = Materializer.snapshot(s, purchaseProject(dir),
+        Seq("f_last_value", "f_sum_7d"), Seq("user_id"),
+        java.time.Instant.parse("2024-01-20T00:00:00Z"))
+        .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
+      val path = graft.operators.Spill.newPath(s) + "/sink_roundtrip.parquet"
+      Materializer.write(out, Seq("user_id"),
+        OutputSink.hdfs(path, numParts = Some(3)))
+      val parts = new java.io.File(path).listFiles()
+      require(parts != null &&
+        parts.count(f => f.getName.startsWith("part-")) == 3,
+        "q_sink_roundtrip: numParts=3 must produce exactly 3 part files")
+      s.read.parquet(path)
+    }),
+
     // T1/T2: Structured Streaming ingest of the events table (file
     // source → watermark → tumbling-window agg → memory sink), compared
     // against the equivalent batch aggregation.
@@ -688,7 +709,11 @@ object SparkEntry {
           unix_micros(col("ts")).as("tsMicros"), col("value"))
         .as[StreamingSwa.Event]
       val name = s"swa_stream_${System.nanoTime()}"
-      val q = StreamingSwa(events, windowSeconds = 7 * 86400)
+      // idleTimeout = window (the watermark-correct floor) bounds state
+      // by ACTIVE keys; the operator's internal watermark never drops
+      // data, it only evicts idle buffers
+      val q = StreamingSwa(events, windowSeconds = 7 * 86400,
+        idleTimeoutSeconds = 7 * 86400, watermarkDelaySeconds = 86400)
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       q.processAllAvailable(); q.stop()
       s.table(name).select(
@@ -1134,6 +1159,25 @@ object SparkEntry {
         |FROM feat""".stripMargin,
 
     "q_materialize_snapshot" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |)
+        |SELECT sp.user_id,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |  (SELECT round(sum(s.value), 4) FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+        |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00') AS f_sum_7d
+        |FROM spine sp""".stripMargin,
+
+    // identical to q_materialize_snapshot: the sink write→read must be
+    // value-preserving, so the same oracle gates it
+    "q_sink_roundtrip" ->
       """WITH spine AS (
         |  SELECT DISTINCT user_id FROM events
         |  WHERE event_type = 'purchase'

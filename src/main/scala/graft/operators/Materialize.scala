@@ -33,18 +33,29 @@ trait OnlineStore extends Serializable {
   def put(table: String, key: String, value: Map[String, String]): Unit
   /** Point lookup — the serving path; None for an absent key. */
   def get(table: String, key: String): Option[Map[String, String]]
+  /** Bulk write — the sink path calls this once per PARTITION so a
+    * real client can pipeline/batch over the wire (Redis MSET /
+    * pipelined HSET). Default falls back to per-key [[put]].
+    */
+  def putAll(table: String, rows: Iterator[(String, Map[String, String])]): Unit =
+    rows.foreach { case (k, v) => put(table, k, v) }
 }
 
-/** File-backed store for tests: one csv-ish line per key. */
+/** File-backed store for tests: one csv-ish line per key. Field names
+  * and values are URL-encoded on write (as the filename already is) so
+  * values containing newlines or '=' round-trip losslessly.
+  */
 class FileOnlineStore(dir: String) extends OnlineStore {
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
   private def fileOf(table: String, key: String): java.io.File =
-    new java.io.File(new java.io.File(dir, table),
-      java.net.URLEncoder.encode(key, "UTF-8"))
+    new java.io.File(new java.io.File(dir, table), enc(key))
 
   def put(table: String, key: String, value: Map[String, String]): Unit = {
     val f = fileOf(table, key)
     f.getParentFile.mkdirs()
-    val body = value.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val body = value.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("\n")
     java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
   }
 
@@ -53,7 +64,7 @@ class FileOnlineStore(dir: String) extends OnlineStore {
     if (!f.exists()) None
     else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       .split("\n").iterator.filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap)
+      .map { l => val Array(k, v) = l.split("=", 2); dec(k) -> dec(v) }.toMap)
   }
 }
 
@@ -188,11 +199,12 @@ object Materializer {
       val keyCols = keyColumns
       val valueCols = df.columns.filterNot(keyColumns.contains).toSeq
       df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
+        // one bulk call per partition — a real store impl pipelines it
+        store.putAll(table, rows.map { r =>
           val key = keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("#")
           val value = valueCols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
-          store.put(table, key, value)
-        }
+          key -> value
+        })
       }
   }
 }

@@ -40,16 +40,62 @@ object StreamingSwa {
     * behave identically to the batch SWA planner.
     */
   def apply(events: Dataset[Event], window: java.time.Duration): Dataset[SwaResult] =
-    applyMicros(events, graft.model.Durations.toMicros(window))
+    applyMicros(events, graft.model.Durations.toMicros(window), None)
 
   def apply(events: Dataset[Event], windowSeconds: Long): Dataset[SwaResult] =
-    applyMicros(events, windowSeconds * 1000000L)
+    applyMicros(events, windowSeconds * 1000000L, None)
 
-  private def applyMicros(events: Dataset[Event], wUs: Long): Dataset[SwaResult] = {
-    events
+  /** With `idleTimeout`: a key whose newest buffered event falls
+    * `idleTimeout` behind the watermark has its state REMOVED
+    * (event-time timeout) — without this, total state grows with
+    * all-time distinct keys, not active ones, the one unbounded-growth
+    * path at the 100 TB north star. The operator derives the watermark
+    * internally from `tsMicros` with delay `watermarkDelay` (Spark
+    * needs the watermarked attribute visible at the stateful operator;
+    * the derived column rides along untyped and is never emitted).
+    * The watermark carries Spark's standard late-data contract: input
+    * rows older than `watermark` are dropped at this operator — size
+    * `watermarkDelay` to the latest event you intend to accept.
+    * Watermark-correct when `idleTimeout >= window`: an evicted
+    * buffer's events are older than `watermark − idleTimeout`, so only
+    * an event itself older than the watermark (already dropped by the
+    * same contract) could still have seen them.
+    */
+  def apply(events: Dataset[Event], window: java.time.Duration,
+      idleTimeout: java.time.Duration,
+      watermarkDelay: java.time.Duration): Dataset[SwaResult] =
+    applyMicros(events, graft.model.Durations.toMicros(window),
+      Some((graft.model.Durations.toMicros(idleTimeout),
+        watermarkDelay.toMillis)))
+
+  def apply(events: Dataset[Event], windowSeconds: Long,
+      idleTimeoutSeconds: Long, watermarkDelaySeconds: Long): Dataset[SwaResult] =
+    applyMicros(events, windowSeconds * 1000000L,
+      Some((idleTimeoutSeconds * 1000000L, watermarkDelaySeconds * 1000L)))
+
+  private def applyMicros(events: Dataset[Event], wUs: Long,
+      evict: Option[(Long, Long)]): Dataset[SwaResult] = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val idleUs = evict.map(_._1)
+    val prepared = evict match {
+      case Some((_, delayMs)) =>
+        events.withColumn("__graft_wm", timestamp_micros(col("tsMicros")))
+          .withWatermark("__graft_wm", s"$delayMs milliseconds")
+          .as[Event](eventEnc)
+      case None => events
+    }
+    val timeoutConf =
+      if (idleUs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    prepared
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: Long, batch: Iterator[Event], state: GroupState[SwaState]) =>
+          if (state.hasTimedOut) {
+            // idle key: the watermark passed newest-event + idleTimeout
+            state.remove()
+            Iterator.empty
+          } else {
           val buf = mutable.ArrayDeque.from(
             state.getOption.map(_.events).getOrElse(Nil))
           var sum = 0.0
@@ -98,7 +144,15 @@ object StreamingSwa {
             }
           }
           state.update(SwaState(buf.toList))
+          idleUs.foreach { idle =>
+            // fire when the watermark passes newest-event + idle; the
+            // floor keeps the call legal (Spark requires a timeout
+            // timestamp strictly beyond the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              (buf.last._1 + idle) / 1000, state.getCurrentWatermarkMs + 1))
+          }
           out.iterator
+          }
       }
   }
 }

@@ -171,6 +171,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(store.get("feat", "no-such-key").isEmpty)
   }
 
+  test("online sink batches: one putAll per partition; newlines round-trip") {
+    // values with '\n' and '=' must survive the k=v line encoding
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    val plain = new FileOnlineStore(dir)
+    val tricky = Map("f_a" -> "line1\nline2", "f_b" -> "x=y", "plain" -> "v")
+    plain.put("t", "k 1", tricky)
+    assert(plain.get("t", "k 1").contains(tricky))
+
+    // the sink path makes ONE bulk call per partition (pipelining hook)
+    CountingStore.calls.set(0)
+    val store = new CountingStore(
+      java.nio.file.Files.createTempDirectory("graft_bulk").toString)
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toLong, i * 1.5)).toDF("k", "f_v").repartition(3)
+    Materializer.write(df, Seq("k"), OutputSink.Online("feat", store))
+    assert(CountingStore.calls.get() == 3,
+      s"expected one putAll per partition (3), got ${CountingStore.calls.get()}")
+    assert(store.get("feat", "7").contains(Map("f_v" -> "10.5")))
+  }
+
   test("enrichStream: snapshot features attach to a stream, match batch exactly") {
     val p = FeatureProject("es")
     val custKey = TypedKey("c_custkey", ValueType.INT64)
@@ -318,4 +338,18 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m(1L) == "image/png")
   }
+}
+
+/** Test store: counts bulk-write calls (local-mode tasks share the JVM,
+  * so the static counter observes executor-side invocations).
+  */
+class CountingStore(dir: String) extends FileOnlineStore(dir) {
+  override def putAll(table: String,
+      rows: Iterator[(String, Map[String, String])]): Unit = {
+    CountingStore.calls.incrementAndGet()
+    super.putAll(table, rows)
+  }
+}
+object CountingStore {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }

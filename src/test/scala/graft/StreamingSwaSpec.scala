@@ -72,6 +72,45 @@ class StreamingSwaSpec extends SparkTestBase {
     assert(got(2600L) == ((5.0, 2L)))
   }
 
+  test("idle keys evict on EventTimeTimeout; NoTimeout control retains state") {
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    // scenario (idle 10s < window 100s so eviction is OBSERVABLE): key 1
+    // buffers an event at 10s; key 2 at 30s advances the watermark to
+    // 29s, past key 1's timeout (10s + 10s = 20s) — the no-data batch
+    // evicts key 1. Key 1's next event at 35s is NOT late (35s > 29s)
+    // and its 100s window would include the 10s event had the buffer
+    // survived: f_cnt = 1 proves eviction, the NoTimeout control's
+    // f_cnt = 2 proves the probe detects retention.
+    def run(evict: Boolean): Map[(Long, Long), Long] = {
+      val stream = MemoryStream[StreamingSwa.Event]
+      val events = stream.toDS()
+      val name = s"swa_evict_${evict}_${System.nanoTime()}"
+      val swa = if (evict)
+        StreamingSwa(events, windowSeconds = 100, idleTimeoutSeconds = 10,
+          watermarkDelaySeconds = 1)
+      else StreamingSwa(events, windowSeconds = 100)
+      val q = swa.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      stream.addData(Seq(StreamingSwa.Event(1L, 10 * us, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamingSwa.Event(2L, 30 * us, 5.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamingSwa.Event(1L, 35 * us, 2.0)))
+      q.processAllAvailable(); q.stop()
+      spark.table(name).as[StreamingSwa.SwaResult].collect()
+        .map(r => (r.key, r.tsMicros / us) -> r.f_cnt).toMap
+    }
+    val evicted = run(evict = true)
+    assert(evicted((1L, 10L)) == 1L && evicted((2L, 30L)) == 1L)
+    assert(evicted((1L, 35L)) == 1L,
+      "idle key 1 must have been evicted before its 35s event arrived")
+    // control: without the timeout the same sequence retains the buffer
+    val retained = run(evict = false)
+    assert(retained((1L, 35L)) == 2L,
+      "NoTimeout control must retain state (otherwise this test proves nothing)")
+  }
+
   test("state survives micro-batches; late events get exact windows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamingSwa.Event]
