@@ -16,7 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *          graft_dot(a, b), graft_l2norm(a)
   *
   * All four are codegen'd native expressions — usable from pure-SQL
-  * pipelines without touching the Scala API.
+  * pipelines without touching the Scala API. The SQL text fingerprints
+  * apply the SAME normalization as the operator path
+  * ([[graft.operators.Dedup.normText]]: lowercase, collapse
+  * whitespace, trim) — a signature computed in SQL collides with one
+  * computed by `Dedup.minhashNearDuplicates` for case/whitespace
+  * variants of the same text, as LSH recall requires.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -24,18 +29,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+
   private def intArg(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
     e.eval().asInstanceOf[Number].intValue()
   }
+
+  /** The Catalyst form of [[graft.operators.Dedup.normText]] — keeps
+    * SQL-computed fingerprints collision-compatible with operator-side
+    * ones (idempotent, so double application is harmless).
+    */
+  def normText(e: Expression): Expression =
+    StringTrim(RegExpReplace(Lower(e), Literal("\\s+"), Literal(" ")))
 
   private def fn(name: String, builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    fn("simhash64", es => SimHash64Expr(es.head)),
-    fn("minhash_sig", es => MinHashSigExpr(es.head,
+    fn("simhash64", es => SimHash64Expr(normText(es.head))),
+    fn("minhash_sig", es => MinHashSigExpr(normText(es.head),
       if (es.length > 1) intArg(es(1), "minhash_sig numHashes") else 128,
       if (es.length > 2) intArg(es(2), "minhash_sig shingleSize") else 5)),
     fn("graft_dot", es => DotProductExpr(es(0), es(1))),

@@ -82,8 +82,11 @@ object SimHash64Expr {
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
 
-  /** SQL registration: `SELECT simhash64(text) ...`. */
+  /** SQL registration: `SELECT simhash64(text) ...` — normalizes like
+    * the operator path (see [[GraftFunctions.normText]]).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+      "simhash64", exprs => SimHash64Expr(GraftFunctions.normText(exprs.head)),
+      "built-in")
 }

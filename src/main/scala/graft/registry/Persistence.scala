@@ -34,6 +34,9 @@ object RegistryPersistence {
       val n = grants.addObject()
       n.put("credential", r.credential.repr)
       n.put("resource", r.resource.repr)
+      // explicit discriminator: the repr alone is ambiguous (a project
+      // named like a UUID would re-sniff as an entity guid on load)
+      n.put("resourceKind", Resource.kindOf(r.resource))
       n.put("permission", r.permission.repr)
       n.put("requestor", r.requestor.repr)
       n.put("reason", r.reason)
@@ -66,7 +69,10 @@ object RegistryPersistence {
       Option(root.get("userroles")).toSeq.flatMap(_.elements.asScala).map { n =>
         RbacRecord(
           Credential.parse(n.get("credential").asText),
-          Resource.parse(n.get("resource").asText),
+          Option(n.get("resourceKind"))
+            .map(k => Resource.fromKind(k.asText, n.get("resource").asText))
+            // legacy files without the discriminator: best-effort sniff
+            .getOrElse(Resource.parse(n.get("resource").asText)),
           Permission.parse(n.get("permission").asText),
           Credential.parse(n.get("requestor").asText),
           n.get("reason").asText,

@@ -61,6 +61,24 @@ object Resource {
     if (s.equalsIgnoreCase("global")) Global
     else if (Credential.parse(s).isInstanceOf[Credential.App]) Entity(s.toLowerCase)
     else NamedEntity(s)
+
+  /** Stable persisted discriminator: re-sniffing the repr on load
+    * ([[parse]]) misclassifies a project NAMED like a UUID as an
+    * `Entity` after a round-trip, silently orphaning its grants —
+    * durable stores persist the kind explicitly instead.
+    */
+  def kindOf(r: Resource): String = r match {
+    case Global         => "global"
+    case _: NamedEntity => "name"
+    case _: Entity      => "entity"
+  }
+
+  def fromKind(kind: String, repr: String): Resource = kind match {
+    case "global" => Global
+    case "name"   => NamedEntity(repr)
+    case "entity" => Entity(repr.toLowerCase)
+    case other => throw new IllegalArgumentException(s"unknown resource kind: $other")
+  }
 }
 
 case class RbacRecord(
@@ -117,9 +135,15 @@ class SecuredRegistry(val registry: InMemoryRegistry, val rbac: InMemoryRbac) {
       registry.delete(guid)
     }
 
+  /** The `from` entity must EXIST: a permission check against an
+    * unknown guid has nothing to check, and skipping it would let any
+    * credential inject lineage edges pointing at real `to` entities
+    * without Write permission.
+    */
   def link(as: Credential, from: String, to: String, edgeType: String): Unit = {
-    registry.get(from).foreach(e =>
-      rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Write))
+    val e = registry.get(from).getOrElse(throw new IllegalArgumentException(
+      s"link: unknown source entity $from"))
+    rbac.requirePermission(as, projectOf(e.qualifiedName), Permission.Write)
     registry.link(from, to, edgeType)
   }
 
@@ -170,8 +194,20 @@ class InMemoryRbac {
     records += grant
   }
 
+  /** Refuses to revoke the LAST Admin grant: an admin-less store could
+    * never grant again, and draining the store to empty would re-open
+    * the unauthenticated first-grant bootstrap (use [[loadPermissions]]
+    * for deliberate re-seeding).
+    */
   def revokePermission(revoke: RbacRecord): Unit = records.synchronized {
     requirePermission(revoke.requestor, revoke.resource, Permission.Admin)
+    val remaining = records.filterNot(r => r.credential == revoke.credential &&
+      r.resource == revoke.resource && r.permission == revoke.permission)
+    if (records.exists(_.permission == Permission.Admin) &&
+        !remaining.exists(_.permission == Permission.Admin))
+      throw new IllegalStateException(
+        "refusing to revoke the last Admin grant: the store would be " +
+          "unadministrable and an empty store re-opens unauthenticated bootstrap")
     records.filterInPlace(r => !(r.credential == revoke.credential &&
       r.resource == revoke.resource && r.permission == revoke.permission))
   }

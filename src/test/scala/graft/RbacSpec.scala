@@ -103,6 +103,45 @@ class RbacSpec extends AnyFunSuite {
     assert(rbac2.checkPermission(alice, proj, Permission.Admin))
   }
 
+  test("hardening: link needs an existing source; last Admin grant survives; UUID-named project persists") {
+    // link with an unknown `from` guid must fail BEFORE touching the
+    // edge list — otherwise any credential injects lineage unchecked
+    val rbac = new InMemoryRbac
+    rbac.loadPermissions(Seq(rec(alice, Resource.Global, Permission.Admin)))
+    val sr = new SecuredRegistry(new InMemoryRegistry, rbac)
+    sr.create(alice, RegistryEntity("g1", EntityType.Workspace, "projA", "projA"))
+    intercept[IllegalArgumentException] {
+      sr.link(alice, "no-such-guid", "g1", EdgeType.BelongsTo)
+    }
+    assert(sr.registry.allEdges.isEmpty)
+
+    // revoking the last Admin grant is refused (the store would be
+    // unadministrable / re-open unauthenticated bootstrap)
+    val rb = new InMemoryRbac
+    rb.grantPermission(rec(alice, Resource.Global, Permission.Admin, by = alice))
+    rb.grantPermission(rec(bob, proj, Permission.Write, by = alice))
+    intercept[IllegalStateException] {
+      rb.revokePermission(rec(alice, Resource.Global, Permission.Admin, by = alice))
+    }
+    assert(rb.checkPermission(alice, Resource.Global, Permission.Admin))
+
+    // a project NAMED like a UUID keeps its NamedEntity grants across a
+    // persistence round-trip (explicit resourceKind discriminator — the
+    // repr alone would re-sniff as an entity guid)
+    val uuidName = "123e4567-e89b-12d3-a456-426614174000"
+    val rb2 = new InMemoryRbac
+    rb2.loadPermissions(Seq(
+      rec(alice, Resource.Global, Permission.Admin),
+      rec(bob, Resource.NamedEntity(uuidName), Permission.Read)))
+    val path = java.nio.file.Files.createTempDirectory("graft_uuid").toString + "/reg.json"
+    RegistryPersistence.save(new InMemoryRegistry, rb2, path)
+    val (_, rb3) = RegistryPersistence.load(path)
+    assert(rb3.getPermissions.exists(r =>
+      r.credential == bob && r.resource == Resource.NamedEntity(uuidName)),
+      "grants on a UUID-named project must survive persistence as NamedEntity")
+    assert(rb3.checkPermission(bob, Resource.NamedEntity(uuidName), Permission.Read))
+  }
+
   test("grant/revoke are admin-gated; empty store bootstraps") {
     val rbac = new InMemoryRbac
     // bootstrap: first grant into an empty store is unchecked

@@ -90,6 +90,16 @@ class SimHashExprSpec extends SparkTestBase {
     // defaults apply when the literal args are omitted
     assert(spark.sql("SELECT minhash_sig(t) FROM gf_docs")
       .head.getSeq[Long](0).length == 128)
+    // SQL fingerprints normalize like the operator path: case/whitespace
+    // variants collide (the LSH recall contract for mixed pipelines)
+    Seq(("The  QUICK brown   fox jumps again ", "the quick brown fox jumps again"))
+      .toDF("messy", "clean").createOrReplaceTempView("gf_norm")
+    val nr = spark.sql(
+      """SELECT simhash64(messy) = simhash64(clean) AS sh_eq,
+        |  minhash_sig(messy, 64, 3) = minhash_sig(clean, 64, 3) AS mh_eq
+        |FROM gf_norm""".stripMargin).head
+    assert(nr.getBoolean(0) && nr.getBoolean(1),
+      "SQL-side fingerprints must normalize text like Dedup.normText")
     // the SparkSessionExtensions injector wires the same set without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
