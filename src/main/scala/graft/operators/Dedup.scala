@@ -303,6 +303,16 @@ object Dedup {
       cached = next
       labels = next.drop("__chg")
       iter += 1
+      // the LOGICAL plan doubles per round (labels feeds both join
+      // inputs), so a deep component would grow it exponentially even
+      // though execution reads the cache — cut lineage to a flat
+      // parquet scan every few rounds; shallow near-dup clusters
+      // (diameter ≤ 3) never pay the spill
+      if (!converged && iter % 5 == 0) {
+        labels = Spill.roundTrip(labels)
+        cached.unpersist(false)
+        cached = labels.persist()
+      }
     }
     if (!converged)
       System.err.println(s"[graft] connectedComponents: not converged after " +

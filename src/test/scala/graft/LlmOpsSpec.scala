@@ -47,6 +47,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(comp.contains(4L) && comp.contains(21L))
   }
 
+  test("connectedComponents matches an in-memory union-find on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference union-find: the larger root always attaches under the
+      // smaller, so each tree's final root IS the component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round: $got vs $want")
+    }
+  }
+
   test("dropNearDuplicates keeps exactly the canonical doc per cluster") {
     val planted = docs.where($"doc_id" % 50 === 0)
       .withColumn("doc_id", $"doc_id" + 1000000L)

@@ -64,6 +64,48 @@ class SwaPropertySpec extends SparkTestBase {
     }
   }
 
+  test("composite (2-column) key SWA matches the reference fold on both plans") {
+    val rnd = new scala.util.Random(31)
+    val windowMs = 1500
+    val wUs = windowMs * 1000L
+    val events = for (k1 <- 0 until 2; k2 <- 0 until 2; _ <- 0 until 15) yield
+      (k1.toLong, s"r$k2",
+        1700000000000000L + (rnd.nextLong().abs % 6000000L),
+        math.round(rnd.nextDouble() * 100).toDouble)
+    val df = events.toDF("k1", "k2", "ts_us", "v")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    df.createOrReplaceTempView("swa_prop_ck")
+
+    val p = FeatureProject("propck")
+    p.addAnchorGroup("g", Source("src", DataLocation.Table("swa_prop_ck"),
+      timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+      AnchorFeature("f_sum2", FeatureType.DOUBLE,
+        Transformation.windowAgg("v", "SUM", s"${windowMs}ms"),
+        Seq(TypedKey("k1", ValueType.INT64), TypedKey("k2", ValueType.STRING)))))
+    val obs = df.select($"k1", $"k2", $"ts", $"ts_us")
+
+    val expected = events.map { case (k1, k2, t, _) =>
+      val in = events.filter { case (j1, j2, t2, _) =>
+        j1 == k1 && j2 == k2 && t2 > t - wUs && t2 <= t }
+      (k1, k2, t) -> in.map(_._4).sum
+    }.toMap
+
+    for (mode <- Seq("auto", "off")) {
+      spark.conf.set("spark.graft.swa.bucketSeconds", mode)
+      try {
+        val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+          Seq(FeatureQuery(Seq("f_sum2"), Seq("k1", "k2")))).collect()
+        assert(out.length == events.length)
+        out.foreach { r =>
+          val want = expected((r.getAs[Long]("k1"), r.getAs[String]("k2"),
+            r.getAs[Long]("ts_us")))
+          assert(math.abs(r.getAs[Double]("f_sum2") - want) < 1e-9,
+            s"composite-key sum mismatch plan=$mode")
+        }
+      } finally spark.conf.unset("spark.graft.swa.bucketSeconds")
+    }
+  }
+
   test("as-of join matches the reference last-value fold on random event sets") {
     val rnd = new scala.util.Random(11)
     for (round <- 1 to 4) {
