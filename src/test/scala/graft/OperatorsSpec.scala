@@ -171,6 +171,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(store.get("feat", "no-such-key").isEmpty)
   }
 
+  test("S7 timestamp formats: epoch, epoch_millis, custom pattern normalize identically") {
+    val base = java.time.Instant.parse("2024-03-05T06:07:08Z")
+    val row = Seq((base.getEpochSecond, base.toEpochMilli, "2024/03/05 06:07:08",
+        base.toEpochMilli + 500))
+      .toDF("es", "ms", "txt", "ms_frac")
+      .select(
+        TimestampParser.toTimestampCol(col("es"), "epoch").as("a"),
+        TimestampParser.toTimestampCol(col("ms"), "epoch_millis").as("b"),
+        TimestampParser.toTimestampCol(col("txt"), "yyyy/MM/dd HH:mm:ss").as("c"),
+        TimestampParser.toTimestampCol(col("ms_frac"), "epoch_millis").as("d"))
+      .head
+    assert(row.getTimestamp(0).toInstant == base)
+    assert(row.getTimestamp(1).toInstant == base)
+    assert(row.getTimestamp(2).toInstant == base, "custom Java pattern (UTC session)")
+    // epoch_millis keeps sub-second precision
+    assert(row.getTimestamp(3).toInstant == base.plusMillis(500))
+  }
+
   test("online sink batches: one putAll per partition; newlines round-trip") {
     // values with '\n' and '=' must survive the k=v line encoding
     val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
