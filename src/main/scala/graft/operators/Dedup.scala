@@ -324,21 +324,30 @@ object Dedup {
     out
   }
 
-  /** The user-facing near-dup dedup composition: keep exactly one
-    * document (the minimum id) per near-duplicate cluster —
-    * [[minhashNearDuplicates]] → [[connectedComponents]] → anti-join
-    * of the non-canonical members.
+  /** Keep exactly one row (the minimum id) per cluster of the given
+    * near-duplicate pairs — [[connectedComponents]] → anti-join of the
+    * non-canonical members. Works with ANY (id_a, id_b) pair source:
+    * [[minhashNearDuplicates]], [[simhashNearDuplicates]],
+    * [[Similarity.embeddingNearDuplicates]], or precomputed pairs.
     */
-  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, numHashes: Int = 128, bands: Int = 16,
-      shingleSize: Int = 5): DataFrame = {
-    val pairs = minhashNearDuplicates(df, textCol, idCol, threshold,
-      numHashes, bands, shingleSize)
+  def dropDuplicatesByPairs(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val nonCanonical = connectedComponents(pairs)
       .where(col("member") =!= col("canonical"))
       .select(col("member").as(idCol))
     df.join(nonCanonical, Seq(idCol), "left_anti")
   }
+
+  /** The user-facing near-dup dedup composition: keep exactly one
+    * document (the minimum id) per near-duplicate cluster —
+    * [[minhashNearDuplicates]] → [[dropDuplicatesByPairs]].
+    */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame =
+    dropDuplicatesByPairs(df,
+      minhashNearDuplicates(df, textCol, idCol, threshold, numHashes, bands,
+        shingleSize),
+      idCol)
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs. */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,

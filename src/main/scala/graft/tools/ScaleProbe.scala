@@ -1,0 +1,182 @@
+package graft.tools
+
+import graft.FeathrClient
+import graft.model._
+import graft.project._
+import graft.sources._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale audit (SURVEY.md §4): replicates the sf0.1 events
+  * table N× with jittered timestamps on the SAME keys — window DENSITY
+  * grows N×, the regime where a 100 TB deployment breaks a naive plan —
+  * and times the competing physical strategies:
+  *
+  *  - SWA bucketed pre-aggregation vs the raw range join: per-pair work
+  *    is O(window/bucket) vs O(rows-in-window), so raw degrades ~N×
+  *    faster than bucketed as density rises;
+  *  - the as-of join (union-sort, one shuffle): must stay ~linear in N;
+  *  - MinHash near-dup on a corpus replicated with distinct ids: the
+  *    capped-bucket pipeline must stay ~linear in corpus size.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *          runMain graft.tools.ScaleProbe [multipliers...]
+  * Prints one line per (strategy, N). This is a dev tool, not a gate —
+  * the numbers land in SCALE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_PROBE=swa|minhash|all selects the axis
+    val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
+    val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // shuffle-WRITE bytes per probe run: local mode hides network cost
+    // entirely, so wall-clock alone understates what a real cluster
+    // pays — shuffle volume is the 100 TB-relevant metric
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+
+    def densified(n: Int): DataFrame =
+      (0 until n).map(i => ev0
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 37} SECONDS"))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+
+    /** (seconds, shuffle-write MB) of one action. */
+    def time(f: => Long): (Double, Double) = {
+      Thread.sleep(300) // let the async listener bus drain prior events
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime(); val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n > 0, "probe produced no rows")
+      Thread.sleep(300)
+      (sec, (shuffleBytes.get() - b0) / 1e6)
+    }
+
+    val userKey = TypedKey("user_id", ValueType.INT64)
+
+    // warmup: run both plan shapes once so the first timed row doesn't
+    // absorb codegen compilation
+    var warmedUp = false
+
+    // warm up at a multiplier OUTSIDE the measured set: Spark reuses
+    // map output of identical shuffle stages across queries in the
+    // same session, so re-running the same n would report ~0 shuffle
+    for (n <- Seq(3) ++ mults; if axes != "minhash") {
+      // per-variant timestamp offset: Spark reuses the map output of
+      // shuffle stages whose canonical plan matches an earlier query's
+      // in the same session, so sharing one lineage across the two
+      // SWA variants (and the warmup) would report ~0 shuffle bytes
+      // for everything after the first run — a 1-second data offset
+      // per variant keeps the data statistically identical while
+      // defeating the reuse
+      def densifiedOff(offsetSec: Int): DataFrame =
+        (0 until n).map(i => ev0
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 37 + offsetSec} SECONDS"))
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+
+      def swaProject(view: String): FeatureProject = {
+        val p = FeatureProject(s"probe${n}_$view")
+        p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+          timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+          AnchorFeature("f_sum_30d", FeatureType.DOUBLE,
+            Transformation.windowAgg("value", "SUM", "30d"), Seq(userKey)),
+          AnchorFeature("f_cnt_30d", FeatureType.INT64,
+            Transformation.windowAgg("value", "COUNT", "30d"), Seq(userKey))))
+        p
+      }
+      var rows = 0L
+      def runSwa(bucketMode: String, offsetSec: Int): (Double, Double) = {
+        val view = s"probe_events_${n}_$bucketMode"
+        val all = densifiedOff(offsetSec).cache()
+        all.count()
+        val dense = all.where(col("event_type") === "purchase")
+        rows = dense.count()
+        dense.createOrReplaceTempView(view)
+        // the spine scales WITH the source — the real workload shape
+        // (every click is a spine row)
+        val spine = all.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        spark.conf.set("spark.graft.swa.bucketSeconds", bucketMode)
+        try time(FeathrClient.joinFeatures(spark, swaProject(view), spine,
+          Some(("ts", "native")),
+          Seq(FeatureQuery(Seq("f_sum_30d", "f_cnt_30d"), Seq("user_id")))).count())
+        finally {
+          spark.conf.unset("spark.graft.swa.bucketSeconds")
+          all.unpersist()
+        }
+      }
+      val (bucketed, bucketedMb) = runSwa("auto", 1)
+      val (raw, rawMb) = runSwa("off", 2)
+      if (warmedUp && sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) {
+        val (_, sanityMb) = time(
+          spark.range(5000000).repartition(64, col("id")).count())
+        println(f"[scale] sanity 5M-long repartition shuffle = $sanityMb%.1fMB")
+      }
+
+      val (asOf, asOfMb) = {
+        val view = s"probe_events_${n}_asof"
+        val all = densifiedOff(3).cache()
+        all.count()
+        all.where(col("event_type") === "purchase").createOrReplaceTempView(view)
+        val spine = all.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val p = FeatureProject(s"probeasof$n")
+        p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+          timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+          AnchorFeature("f_last", FeatureType.DOUBLE,
+            Transformation.Expr("value"), Seq(userKey))))
+        val r = time(FeathrClient.joinFeatures(spark, p, spine,
+          Some(("ts", "native")),
+          Seq(FeatureQuery(Seq("f_last"), Seq("user_id")))).count())
+        all.unpersist()
+        r
+      }
+
+      if (warmedUp)
+        println(f"[scale] n=$n%-3d srcRows=$rows%-9d " +
+          f"swaBucketed=$bucketed%6.2fs/${bucketedMb}%8.1fMB " +
+          f"swaRawRangeJoin=$raw%6.2fs/${rawMb}%8.1fMB " +
+          f"asOfJoin=$asOf%6.2fs/${asOfMb}%8.1fMB")
+      warmedUp = true
+    }
+
+    // minhash: corpus replicated with DISTINCT ids AND per-replica
+    // salted text — replicas must NOT near-dup each other, or the
+    // probe measures an artificial n-member clique per document
+    // instead of corpus growth at a constant duplicate rate
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    for (n <- mults; if axes != "swa") {
+      val corpus = (0 until n).map(i => docs0
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"),
+            lit(s" replica salt $i marker $i"))))
+        .reduce(_ unionByName _).cache()
+      val rows = corpus.count()
+      val (sec, mb) = time(graft.operators.Dedup
+        .minhashNearDuplicates(corpus, "text", "doc_id", 0.8).count() + 1)
+      println(f"[scale] n=$n%-3d docs=$rows%-9d minhashNearDup=$sec%6.2fs/${mb}%8.1fMB")
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -90,6 +90,21 @@ class LlmOpsSpec extends SparkTestBase {
       .join(kept, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("dropDuplicatesByPairs composes with simhash pairs") {
+    val planted = docs.where($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val corpus = docs.select("doc_id", "text")
+      .unionByName(planted.select("doc_id", "text"))
+    val pairs = Dedup.simhashNearDuplicates(corpus, "text", "doc_id", maxHamming = 0)
+    val kept = Dedup.dropDuplicatesByPairs(corpus, pairs, "doc_id")
+    // every planted copy (higher id than its original) is dropped and
+    // the kept set is exactly corpus minus non-canonical members
+    assert(kept.where($"doc_id" >= 1000000L).count() == 0)
+    val comp = Dedup.connectedComponents(pairs)
+    assert(kept.count() ==
+      corpus.count() - comp.where($"member" =!= $"canonical").count())
+  }
+
   test("simhash of identical docs is identical; hamming is 0") {
     val sig = docs.limit(20).select($"doc_id",
       Dedup.simhash64($"text").as("s1"),
