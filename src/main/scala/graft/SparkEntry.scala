@@ -889,6 +889,72 @@ object SparkEntry {
           col("decoded.channels"), col("decoded.mean_intensity"))
     }),
 
+    // REAL image resize: solid-gray PNGs (same seeding as
+    // q_multimodal_decode_png) → Graphics2D bilinear resize to a fixed
+    // 24×18 → re-encode PNG → decode the RESIZED payload back through
+    // the ImageIO codec. Bilinear interpolation of a constant image is
+    // the same constant, so the resized mean intensity is closed-form.
+    "q_multimodal_resize" -> ((s, dir) => {
+      val mkPng = udf { (id: Long) =>
+        val w = 16 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val gfx = img.createGraphics()
+        gfx.setColor(new java.awt.Color(g, g, g))
+        gfx.fillRect(0, 0, w, h)
+        gfx.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val packed = t(s, dir, "documents").select("doc_id")
+        .withColumn("payload", mkPng(col("doc_id")))
+      val resized = Multimodal.resizeImages(packed, "payload", 24, 18,
+        batchSize = 32)
+      Multimodal.decodeImages(resized, "payload_resized", batchSize = 32)
+        .select(col("doc_id"),
+          Multimodal.sniffMime(col("payload_resized")).as("mime"),
+          col("decoded.width"), col("decoded.height"),
+          col("decoded.channels"), col("decoded.mean_intensity"))
+    }),
+
+    // REAL audio metadata: canonical RIFF/WAVE PCM headers synthesized
+    // per doc (seeding, like mkPng), parsed by wavMeta as pure Column
+    // arithmetic — no UDF, no shuffle, stays in the scan projection.
+    // data_bytes = byteRate/16 × k makes duration k/16: an exact binary
+    // fraction, so the double compares bit-identically cross-engine.
+    "q_audio_wav_meta" -> ((s, dir) => {
+      val mkWav = udf { (id: Long) =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val bits = 16
+        val byteRate = rate * channels * bits / 8
+        val k = 1 + (id % 32).toInt
+        val dataBytes = byteRate / 16 * k
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+          .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+          .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        // header only — the parse never touches sample data, and the
+        // oracle contract is about the header fields
+        bb.array()
+      }
+      t(s, dir, "documents").select("doc_id")
+        .withColumn("payload", mkWav(col("doc_id")))
+        .select(col("doc_id"),
+          Multimodal.sniffMime(col("payload")).as("mime"),
+          Multimodal.wavMeta(col("payload")).as("w"))
+        .select(col("doc_id"), col("mime"), col("w.channels"),
+          col("w.sample_rate"), col("w.bits_per_sample"),
+          col("w.data_bytes"), col("w.duration_secs"))
+    }),
+
     // Multimodal decode plumbing (codec stubbed, batching/schema real):
     // per-partition batched decode + deterministic frame sampling.
     "q_multimodal_decode" -> ((s, dir) => {
@@ -1370,6 +1436,26 @@ object SparkEntry {
         |  (8 + doc_id % 16)::INT AS height,
         |  3::INT AS channels,
         |  (doc_id % 256)::DOUBLE AS mean_intensity
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  'image/png' AS mime,
+        |  24::INT AS width,
+        |  18::INT AS height,
+        |  3::INT AS channels,
+        |  (doc_id % 256)::DOUBLE AS mean_intensity
+        |FROM documents""".stripMargin,
+
+    "q_audio_wav_meta" ->
+      """SELECT doc_id,
+        |  'audio/wav' AS mime,
+        |  (1 + doc_id % 2)::INT AS channels,
+        |  (8000 * (1 + doc_id % 3))::INT AS sample_rate,
+        |  16::INT AS bits_per_sample,
+        |  ((8000 * (1 + doc_id % 3)) * (1 + doc_id % 2) * 2 // 16
+        |    * (1 + doc_id % 32))::BIGINT AS data_bytes,
+        |  ((1 + doc_id % 32) / 16.0)::DOUBLE AS duration_secs
         |FROM documents""".stripMargin,
 
     // The decode stub derives every output from sha256(payload) and the

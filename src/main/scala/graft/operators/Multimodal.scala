@@ -143,4 +143,91 @@ object Multimodal {
       i => struct(
         i.as("frame_id"),
         substring(bin, i * frameBytes * stride + 1, lit(frameBytes)).as("frame")))
+
+  /** REAL image resize: decode (ImageIO) → scale to `targetW`×`targetH`
+    * (Graphics2D bilinear; any convex interpolation maps a constant
+    * image to the same constant, which is what the oracle exploits) →
+    * re-encode as PNG. Same batched per-partition shape as
+    * [[decodeImages]]; null/undecodable payloads yield a null output
+    * column rather than failing the scan. The output binary column
+    * `<binCol>_resized` feeds [[decodeImages]]/[[sniffMime]] unchanged.
+    */
+  def resizeImages(df: DataFrame, binCol: String, targetW: Int,
+      targetH: Int, batchSize: Int = 64): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val schema = StructType(
+      df.schema.fields :+ StructField(s"${binCol}_resized", BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      def resizeOne(bytes: Array[Byte]): Array[Byte] =
+        if (bytes == null) null
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) null
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val gfx = out.createGraphics()
+            gfx.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, targetW, targetH, null)
+            gfx.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+          }
+        }
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ resizeOne(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Little-endian unsigned integer from `n` bytes of `bin` starting at
+    * 1-based `pos` — per-byte hex→decimal arithmetic, fully codegen'd.
+    */
+  private def leUInt(bin: Column, pos: Int, n: Int): Column =
+    (0 until n).map { i =>
+      conv(hex(substring(bin, pos + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Output schema of [[wavMeta]]. */
+  val wavMetaType: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("data_bytes", LongType),
+    StructField("duration_secs", DoubleType)))
+
+  /** REAL audio metadata: parse a canonical 44-byte RIFF/WAVE PCM
+    * header (fmt chunk at offset 12, data chunk at 36) straight out of
+    * the binary column — channels, sample rate, bit depth, payload
+    * size, duration — as pure Column arithmetic: zero UDFs, zero
+    * shuffles, whole-stage codegen keeps it in the scan projection.
+    * Non-WAV / truncated payloads yield a null struct.
+    */
+  def wavMeta(bin: Column): Column = {
+    val isWav = length(bin) >= 44 &&
+      hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(bin, 9, 4)) === "57415645"    // "WAVE"
+    val channels = leUInt(bin, 23, 2).cast("int")
+    val rate = leUInt(bin, 25, 4).cast("int")
+    val bits = leUInt(bin, 35, 2).cast("int")
+    val dataBytes = leUInt(bin, 41, 4)
+    val bytesPerSec = leUInt(bin, 29, 4)
+    when(isWav, struct(
+      channels.as("channels"),
+      rate.as("sample_rate"),
+      bits.as("bits_per_sample"),
+      dataBytes.as("data_bytes"),
+      (dataBytes.cast("double") / bytesPerSec).as("duration_secs")))
+      .otherwise(lit(null).cast(wavMetaType))
+  }
 }

@@ -356,6 +356,72 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m(1L) == "image/png")
   }
+
+  test("multimodal: resize re-encodes a decodable PNG at the target size") {
+    import spark.implicits._
+    def img(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, img(40, 30, 77)),
+      (2L, img(8, 8, 200)),
+      (3L, "garbage".getBytes("UTF-8")),
+      (4L, null)).toDF("id", "payload")
+    val resized = Multimodal.resizeImages(df, "payload", 16, 12, batchSize = 2)
+    val out = Multimodal.decodeImages(resized, "payload_resized")
+      .select($"id", Multimodal.sniffMime($"payload_resized").as("mime"),
+        $"decoded.width", $"decoded.height", $"decoded.mean_intensity")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // solid-color input: any convex interpolation preserves the constant
+    assert(out(1L).getString(1) == "image/png" && out(1L).getInt(2) == 16 &&
+      out(1L).getInt(3) == 12 && out(1L).getDouble(4) == 77.0)
+    assert(out(2L).getInt(2) == 16 && out(2L).getDouble(4) == 200.0)
+    assert(out(3L).isNullAt(2) && out(4L).isNullAt(2))
+  }
+
+  test("multimodal: wavMeta parses a canonical RIFF/WAVE header with pure columns") {
+    import spark.implicits._
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val byteRate = rate * channels * bits / 8
+      val blockAlign = channels * bits / 8
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      bb.array()
+    }
+    val df = Seq(
+      (1L, wav(1, 8000, 16, 1600)),
+      (2L, wav(2, 44100, 16, 44100 * 4)),
+      (3L, "RIFFnot really a wav payload at all, but 44+ bytes long..."
+        .getBytes("US-ASCII")),
+      (4L, null)).toDF("id", "payload")
+    val out = df.select($"id", Multimodal.wavMeta($"payload").as("w"))
+      .select($"id", $"w.channels", $"w.sample_rate", $"w.bits_per_sample",
+        $"w.data_bytes", $"w.duration_secs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 8000 &&
+      out(1L).getInt(3) == 16 && out(1L).getLong(4) == 1600L &&
+      out(1L).getDouble(5) == 0.1)
+    assert(out(2L).getInt(1) == 2 && out(2L).getInt(2) == 44100 &&
+      out(2L).getDouble(5) == 1.0)
+    assert(out(3L).isNullAt(1) && out(4L).isNullAt(1))
+    // the whole parse is a projection: no exchange in the plan
+    val plan = df.select(Multimodal.wavMeta($"payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
 
 /** Test store: counts bulk-write calls (local-mode tasks share the JVM,
