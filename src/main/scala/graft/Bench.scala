@@ -31,7 +31,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to runsPerQuery).map { i =>
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count()
+        // time FULL materialization (every output column), not a bare
+        // count(): the optimizer eliminates row-preserving left-outer
+        // joins — i.e. the entire PIT join — under count-only plans
+        // (verified: q_swa_basic optimizes 3 joins -> 0), so count()
+        // times a spine scan instead of the operator. r1-r4 totals
+        // were measured under count() and are not comparable.
+        val n = try fn(spark, sfDir).queryExecution.toRdd.count()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -57,7 +63,11 @@ object Bench {
     val failed = results.filter(_._3 > 0)
       .map { case (k, _, f) => "\"" + k + "\":" + f }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failed,"sf":"$sfDir"}""")
+    val note = "r5: timed action changed from count() to full materialization " +
+      "(toRdd.count) — the optimizer eliminates the row-preserving PIT joins " +
+      "under a bare count(), so r1-r4 per-query times measured a spine scan " +
+      "and are not comparable"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failed,"note":"$note","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,9 @@ object RunQuery {
     for (q <- names) {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(q)(spark, dir)
-      val n = df.count()
+      // full materialization — a bare count() lets the optimizer drop
+      // the row-preserving PIT joins (see Bench.scala)
+      val n = df.queryExecution.toRdd.count()
       println(f"$q%-26s rows=$n%-7d ${(System.nanoTime() - t0) / 1e9}%.2fs")
       if (show) df.show(10, truncate = false)
     }

@@ -45,9 +45,10 @@ object ScaleProbe {
     // pays — shuffle volume is the 100 TB-relevant metric
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
@@ -72,6 +73,12 @@ object ScaleProbe {
     }
 
     val userKey = TypedKey("user_id", ValueType.INT64)
+
+    // at 100 TB neither join side fits in a broadcast — disable
+    // broadcast so the probe measures the shuffle plans a real
+    // cluster would run, not the local-mode broadcast shortcut
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
     // warmup: run both plan shapes once so the first timed row doesn't
     // absorb codegen compilation
@@ -117,10 +124,17 @@ object ScaleProbe {
         val spine = all.where(col("event_type") === "click")
           .select("event_id", "user_id", "ts")
         spark.conf.set("spark.graft.swa.bucketSeconds", bucketMode)
-        try time(FeathrClient.joinFeatures(spark, swaProject(view), spine,
-          Some(("ts", "native")),
-          Seq(FeatureQuery(Seq("f_sum_30d", "f_cnt_30d"), Seq("user_id")))).count())
-        finally {
+        try {
+          val df = FeathrClient.joinFeatures(spark, swaProject(view), spine,
+            Some(("ts", "native")),
+            Seq(FeatureQuery(Seq("f_sum_30d", "f_cnt_30d"), Seq("user_id"))))
+          if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) df.explain()
+          // count a FEATURE column, not rows: the join is row-preserving
+          // (the feature side aggregates on the join keys), so a plain
+          // count() lets the optimizer skip the join entirely and times
+          // a cached spine scan instead of the operator
+          time(df.select(count(col("f_sum_30d"))).head().getLong(0))
+        } finally {
           spark.conf.unset("spark.graft.swa.bucketSeconds")
           all.unpersist()
         }
@@ -147,7 +161,8 @@ object ScaleProbe {
             Transformation.Expr("value"), Seq(userKey))))
         val r = time(FeathrClient.joinFeatures(spark, p, spine,
           Some(("ts", "native")),
-          Seq(FeatureQuery(Seq("f_last"), Seq("user_id")))).count())
+          Seq(FeatureQuery(Seq("f_last"), Seq("user_id"))))
+          .select(count(col("f_last"))).head().getLong(0))
         all.unpersist()
         r
       }
@@ -161,15 +176,27 @@ object ScaleProbe {
     }
 
     // minhash: corpus replicated with DISTINCT ids AND per-replica
-    // salted text — replicas must NOT near-dup each other, or the
+    // REWRITTEN text — replicas must NOT near-dup each other, or the
     // probe measures an artificial n-member clique per document
-    // instead of corpus growth at a constant duplicate rate
+    // (quadratic pair output) instead of corpus growth at a constant
+    // duplicate rate. An appended salt is NOT enough: shingle overlap
+    // of "text"+"salt i" vs "text"+"salt j" stays ≈1 on any
+    // non-trivial document. A per-replica `translate` of the vowels
+    // rewrites nearly every word, driving cross-replica jaccard ≈0.
+    // restore broadcast for the dedup axis: the LSH pipeline's internal
+    // semi-joins legitimately broadcast their small sides in production
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val consonants = "bcdfghjklmnpqrstvwxz"
     for (n <- mults; if axes != "swa") {
       val corpus = (0 until n).map(i => docs0
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-          .withColumn("text", concat(col("text"),
-            lit(s" replica salt $i marker $i"))))
+          .withColumn("text",
+            if (i == 0) col("text")
+            else translate(col("text"), "aeiou",
+              (0 until 5).map(k => consonants((i * 5 + k) % consonants.length))
+                .mkString)))
         .reduce(_ unionByName _).cache()
       val rows = corpus.count()
       val (sec, mb) = time(graft.operators.Dedup
