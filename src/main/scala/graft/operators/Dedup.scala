@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -274,8 +274,28 @@ object Dedup {
     * than aborting the job: every label is still a genuine member of the
     * vertex's component (labels only ever move down through edges), the
     * labeling is just not yet fully canonical.
+    *
+    * Small-graph fast path: when the pair set (already bounded by the
+    * LSH bucket caps and spilled to parquet, so the count is a metadata
+    * read) is at most `spark.graft.cc.localThreshold` edges (default
+    * 500k) with integer-typed ids, the edges are collected and resolved
+    * by exact driver-side union-find in one action — the iterative
+    * plan's per-round job launches are pure overhead on a graph this
+    * size. Near-dup pair sets are SMALL relative to the corpus (they
+    * are the duplicates), but the distributed path remains the default
+    * contract: above the threshold, or for non-integer ids, nothing
+    * changes.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val localThreshold = spark.conf
+      .get("spark.graft.cc.localThreshold", "500000").toLong
+    val idType = pairs.schema("id_a").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integral && localThreshold > 0 && localThreshold < Int.MaxValue &&
+        pairs.limit(localThreshold.toInt + 1).count() <= localThreshold)
+      return localConnectedComponents(pairs, idType)
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -322,6 +342,42 @@ object Dedup {
     cached.unpersist(false)
     edges.unpersist(false)
     out
+  }
+
+  /** Exact driver-side union-find over a bounded edge list (the
+    * [[connectedComponents]] small-graph fast path): union-by-minimum
+    * with path compression, so every root IS the component minimum and
+    * the output contract (member, canonical=min) holds by construction.
+    */
+  private def localConnectedComponents(pairs: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    edges.foreach { e =>
+      val a = e.getLong(0); val b = e.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val rows = new java.util.ArrayList[Row](parent.size())
+    parent.keySet().forEach(m => rows.add(Row(m, find(m))))
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("member", LongType), StructField("canonical", LongType))))
+      .select(col("member").cast(idType).as("member"),
+        col("canonical").cast(idType).as("canonical"))
   }
 
   /** Keep exactly one row (the minimum id) per cluster of the given

@@ -139,7 +139,12 @@ object ScaleProbe {
           all.unpersist()
         }
       }
-      val (bucketed, bucketedMb) = runSwa("auto", 1)
+      // SPARK_GRAFT_PROBE_BUCKET overrides the auto bucket width
+      // (seconds) to probe the width/density trade-off: narrower
+      // buckets shrink the per-pair edge-bucket scans (the term that
+      // grows with density) at the cost of more pre-agg partials
+      val bucketMode = sys.env.getOrElse("SPARK_GRAFT_PROBE_BUCKET", "auto")
+      val (bucketed, bucketedMb) = runSwa(bucketMode, 1)
       val (raw, rawMb) = runSwa("off", 2)
       if (warmedUp && sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) {
         val (_, sanityMb) = time(

@@ -32,42 +32,56 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  /** Run `body` under both connectedComponents paths: the driver-side
+    * union-find fast path (default) and the distributed label
+    * propagation (forced by zeroing the local threshold).
+    */
+  private def bothCcPaths(body: => Unit): Unit = {
+    body
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localThreshold")
+  }
+
   test("connectedComponents: chains, triangles, isolated pairs") {
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),         // 4-chain
-        (10L, 11L), (11L, 12L), (10L, 12L),               // triangle
-        (20L, 21L))                                       // isolated pair
-      .toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(
-      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L))
-    // ids only in id_b still get labels (edges are symmetrized)
-    assert(comp.contains(4L) && comp.contains(21L))
+    bothCcPaths {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),       // 4-chain
+          (10L, 11L), (11L, 12L), (10L, 12L),             // triangle
+          (20L, 21L))                                     // isolated pair
+        .toDF("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L))
+      // ids only in id_b still get labels (edges are symmetrized)
+      assert(comp.contains(4L) && comp.contains(21L))
+    }
   }
 
   test("connectedComponents matches an in-memory union-find on random graphs") {
-    val rnd = new scala.util.Random(23)
-    for (round <- 1 to 3) {
-      val n = 60
-      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
-        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
-        .distinct
-      // reference union-find: the larger root always attaches under the
-      // smaller, so each tree's final root IS the component minimum
-      val parent = Array.tabulate(n)(identity)
-      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a.toInt), find(b.toInt))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    bothCcPaths {
+      val rnd = new scala.util.Random(23)
+      for (round <- 1 to 3) {
+        val n = 60
+        val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b }
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .distinct
+        // reference union-find: the larger root always attaches under the
+        // smaller, so each tree's final root IS the component minimum
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v.toInt).toLong).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"round $round: $got vs $want")
       }
-      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(v => v -> find(v.toInt).toLong).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"round $round: $got vs $want")
     }
   }
 
