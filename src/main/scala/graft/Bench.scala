@@ -29,6 +29,11 @@ object Bench {
     // the query itself (round-1 recorded one 12× outlier)
     val runsPerQuery = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // fresh session per query (sharedState-preserving): temp views,
+      // registered functions, and session confs one query sets cannot
+      // leak into the next query's timing. r5 measured ~2x spread
+      // between shared-session and fresh-JVM numbers on tail queries.
+      val sess = spark.newSession()
       val runs = (1 to runsPerQuery).map { i =>
         val t0 = System.nanoTime()
         // time FULL materialization (every output column), not a bare
@@ -37,7 +42,7 @@ object Bench {
         // (verified: q_swa_basic optimizes 3 joins -> 0), so count()
         // times a spine scan instead of the operator. r1-r4 totals
         // were measured under count() and are not comparable.
-        val n = try fn(spark, sfDir).queryExecution.toRdd.count()
+        val n = try fn(sess, sfDir).queryExecution.toRdd.count()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9

@@ -671,6 +671,58 @@ object SparkEntry {
       s.read.parquet(path)
     }),
 
+    // M3 under the oracle gate: ONE snapshot fans out through
+    // `Materializer.writeAll` (persist-once, write-per-sink) to TWO
+    // sinks — hdfs parquet AND the online KV store — then BOTH are read
+    // back and must agree row-for-row. The returned frame is the
+    // parquet read-back (same oracle as the snapshot); the online
+    // read-back is `require`d identical, so a value lost or mangled by
+    // EITHER sink fails the gate. The online read-back enumerates the
+    // store driver-side — a bounded verification harness (one row per
+    // distinct key, the snapshot's own cardinality), not a production
+    // scan path.
+    "q_multisink_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val out = Materializer.snapshot(s, purchaseProject(dir),
+        Seq("f_last_value", "f_sum_7d"), Seq("user_id"),
+        java.time.Instant.parse("2024-01-20T00:00:00Z"))
+        .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
+      val base = graft.operators.Spill.newPath(s)
+      val pqPath = base + "/multisink.parquet"
+      val storeDir = base + "/multisink_store"
+      val store = new FileOnlineStore(storeDir)
+      Materializer.writeAll(out, Seq("user_id"), Seq(
+        OutputSink.hdfs(pqPath, numParts = Some(2)),
+        OutputSink.Online("snap", store)))
+      val parquetBack = s.read.parquet(pqPath)
+      // reconstruct the online sink's contents: list keys, point-lookup
+      // each, cast the stringified values back to the snapshot schema
+      val tableDir = new java.io.File(storeDir, "snap")
+      val keyFiles = Option(tableDir.listFiles()).getOrElse(Array.empty)
+      val valueCols = out.columns.filterNot(_ == "user_id").toSeq
+      val backRows = keyFiles.toSeq.map { f =>
+        val key = java.net.URLDecoder.decode(f.getName, "UTF-8")
+        val v = store.get("snap", key).getOrElse(
+          sys.error(s"q_multisink_roundtrip: listed key $key missing on get"))
+        Row.fromSeq(key +: valueCols.map(v(_)))
+      }
+      val strSchema = StructType(StructField("user_id", StringType) +:
+        valueCols.map(StructField(_, StringType)))
+      val onlineBack = out.schema.fields.foldLeft(
+        s.createDataFrame(new java.util.ArrayList[Row](backRows.asJava), strSchema)) {
+        (df, fld) => df.withColumn(fld.name,
+          when(col(fld.name) === "null", lit(null))
+            .otherwise(col(fld.name)).cast(fld.dataType))
+      }.select(out.columns.map(col).toSeq: _*)
+      require(onlineBack.count() == out.count() &&
+        parquetBack.exceptAll(onlineBack).isEmpty &&
+        onlineBack.exceptAll(parquetBack).isEmpty,
+        "q_multisink_roundtrip: online and parquet sink read-backs must agree")
+      parquetBack
+    }),
+
     // T1/T2: Structured Streaming ingest of the events table (file
     // source → watermark → tumbling-window agg → memory sink), compared
     // against the equivalent batch aggregation.
@@ -1244,6 +1296,26 @@ object SparkEntry {
     // identical to q_materialize_snapshot: the sink write→read must be
     // value-preserving, so the same oracle gates it
     "q_sink_roundtrip" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |)
+        |SELECT sp.user_id,
+        |  (SELECT s.value FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+        |  (SELECT round(sum(s.value), 4) FROM events s
+        |   WHERE s.event_type = 'purchase' AND s.user_id = sp.user_id
+        |     AND s.ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+        |     AND s.ts <= TIMESTAMP '2024-01-20 00:00:00') AS f_sum_7d
+        |FROM spine sp""".stripMargin,
+
+    // identical to q_materialize_snapshot: BOTH sink read-backs must be
+    // value-preserving (the query itself requires online ≡ parquet, and
+    // the returned parquet read-back is gated by the snapshot oracle)
+    "q_multisink_roundtrip" ->
       """WITH spine AS (
         |  SELECT DISTINCT user_id FROM events
         |  WHERE event_type = 'purchase'

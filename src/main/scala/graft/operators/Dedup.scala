@@ -223,7 +223,7 @@ object Dedup {
       .join(candIds, Seq(idCol), "left_semi")
     val sh = shingleRows(candDocs.repartition(col(idCol)), textCol, idCol,
       shingleSize)
-      .groupBy(col(idCol)).agg(collect_set(col("__s")).as("sh")).persist()
+      .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as("sh")).persist()
     val result = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -405,12 +405,21 @@ object Dedup {
         shingleSize),
       idCol)
 
-  /** Exact n-gram Jaccard similarity for given candidate id pairs. */
+  /** Exact n-gram Jaccard similarity for given candidate id pairs.
+    *
+    * Shingles are hashed to 64-bit (`xxhash64`) BEFORE set-collection:
+    * the two pair-joins below shuffle each doc's shingle set twice, and
+    * over raw strings that payload is ~2× the corpus text per join side
+    * — the dominant shuffle at scale. Jaccard over the hashed sets is
+    * value-identical (a set-size ratio is invariant under injective
+    * mapping; 64-bit collisions within one doc pair are negligible),
+    * while the shuffled arrays shrink to 8 bytes/element.
+    */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
     // persisted because both join sides read it; released on return
     val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
-      .groupBy(col(idCol)).agg(collect_set(col("__s")).as("sh")).persist()
+      .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as("sh")).persist()
     val result = pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

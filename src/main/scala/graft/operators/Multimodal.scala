@@ -160,6 +160,13 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
+      // one PNG ImageWriter per partition: ImageIO.write does a
+      // ServiceRegistry writer lookup (and allocates a fresh
+      // ImageOutputStream adapter) per call — per-image cost that
+      // dominates small encodes. ImageWriter is not thread-safe, but a
+      // partition is processed by exactly one task thread.
+      val pngWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       def resizeOne(bytes: Array[Byte]): Array[Byte] =
         if (bytes == null) null
         else {
@@ -177,7 +184,10 @@ object Multimodal {
             gfx.drawImage(img, 0, 0, targetW, targetH, null)
             gfx.dispose()
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            pngWriter.setOutput(ios)
+            pngWriter.write(out)
+            ios.close()
             bos.toByteArray
           }
         }

@@ -14,11 +14,20 @@ import scala.jdk.CollectionConverters._
   * query engine, so this is the durable-API shape, not a product
   * server: no TLS, single process).
   *
+  * ==Trust model==
   * The caller identity arrives in the `x-registry-requestor` header
   * (the reference extracts it from AAD bearer tokens,
   * api_provider.rs:70-91); absent ⇒ anonymous `User("anonymous")`,
   * which only succeeds where grants allow it. Every RBAC denial maps
   * to 403, unknown routes/entities to 404, bad payloads to 400.
+  *
+  * The header is TRUSTED AS-IS: this facade is an in-process /
+  * same-host test stand-in for the reference's authenticated API, NOT
+  * an authentication boundary. Any client that can reach the socket
+  * can claim any identity. Deploying it beyond localhost requires
+  * putting a real authn layer (token-validating reverse proxy or an
+  * AAD-style bearer-token validator) in front and having THAT set the
+  * header; the server also binds 127.0.0.1 only.
   *
   * Routes:
   *  - GET    /entities/{guid}                      → entity JSON
