@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Real-Kafka test profile: `spark-sql-kafka-0-10` is not resolvable in
+// this zero-egress environment (not in /opt/spark/jars, not in the
+// pre-warmed cache), so the production connector branch is lit by
+// pointing SPARK_GRAFT_KAFKA_JARS at a directory holding the connector
+// jars (spark-sql-kafka-0-10, kafka-clients, commons-pool2):
+//   SPARK_GRAFT_KAFKA_JARS=/path/to/jars sbt test
+// KafkaRealConnectorSpec then executes its 3 canceled tests; without
+// the jars they stay honestly CANCELED via assume(), never green.
+Test / unmanagedJars ++= sys.env.get("SPARK_GRAFT_KAFKA_JARS").toSeq
+  .flatMap(d => (file(d) * "*.jar").get()).map(Attributed.blank)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

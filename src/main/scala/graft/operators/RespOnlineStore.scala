@@ -1,0 +1,239 @@
+package graft.operators
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+/** Redis-protocol [[OnlineStore]]: the K2 online sink speaking real
+  * RESP over a socket (reference `RedisSink`,
+  * feathr-rs/src/materialization.rs:27-55 — feature maps written as
+  * Redis hashes keyed `table:key`).
+  *
+  * Write path: [[putAll]] is called once per PARTITION by
+  * `Materializer.write` and pipelines `DEL` + `HSET` command pairs
+  * (`DEL` first: a materialization REPLACES a key's feature map, while
+  * a bare `HSET` would merge with stale fields) — up to
+  * `maxPipeline` commands are buffered before one flush + bulk reply
+  * drain, so the wire pays ~one round-trip per `maxPipeline/2` rows
+  * instead of one per row. Each partition opens its own connection
+  * (task-scoped, no shared mutable client state to synchronize).
+  *
+  * RESP bulk strings are length-prefixed and binary-safe, so field
+  * names and values round-trip losslessly with NO encoding layer
+  * (unlike [[FileOnlineStore]]'s URL-encoding) — newlines, '=', and
+  * unicode all pass through as raw UTF-8 bytes.
+  *
+  * Limitation (inherent to hash-shaped storage, same as Redis): a row
+  * whose value map is EMPTY stores nothing — `get` returns None. The
+  * materializer always writes at least one feature column.
+  */
+class RespOnlineStore(host: String, port: Int,
+    maxPipeline: Int = 512) extends OnlineStore {
+  import Resp._
+
+  def put(table: String, key: String, value: Map[String, String]): Unit =
+    putAll(table, Iterator(key -> value))
+
+  override def putAll(table: String,
+      rows: Iterator[(String, Map[String, String])]): Unit = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port))
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+      val in = new DataInputStream(
+        new BufferedInputStream(sock.getInputStream, 1 << 16))
+      var pending = 0
+      def drain(): Unit = { out.flush(); (0 until pending).foreach(_ => readReply(in)); pending = 0 }
+      rows.foreach { case (k, v) =>
+        val rk = s"$table:$k"
+        writeCommand(out, Seq("DEL", rk))
+        pending += 1
+        if (v.nonEmpty) {
+          writeCommand(out,
+            "HSET" +: rk +: v.toSeq.sortBy(_._1).flatMap { case (f, x) => Seq(f, x) })
+          pending += 1
+        }
+        if (pending >= maxPipeline) drain()
+      }
+      drain()
+    } finally sock.close()
+  }
+
+  def get(table: String, key: String): Option[Map[String, String]] = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port))
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      writeCommand(out, Seq("HGETALL", s"$table:$key"))
+      out.flush()
+      readReply(in) match {
+        case ArrayReply(items) if items.nonEmpty =>
+          Some(items.grouped(2).collect {
+            case Seq(f, v) => new String(f, UTF_8) -> new String(v, UTF_8)
+          }.toMap)
+        case _ => None
+      }
+    } finally sock.close()
+  }
+}
+
+/** Minimal RESP wire codec shared by the client and the embedded test
+  * server. Commands are RESP arrays of bulk strings
+  * (`*N\r\n$len\r\n<bytes>\r\n...`); replies are integers (`:n`),
+  * simple strings (`+OK`), errors (`-ERR`), bulk strings, or arrays.
+  */
+private[operators] object Resp {
+  sealed trait Reply
+  case class IntReply(n: Long) extends Reply
+  case class SimpleReply(s: String) extends Reply
+  case class BulkReply(bytes: Array[Byte]) extends Reply // null = nil
+  case class ArrayReply(items: Seq[Array[Byte]]) extends Reply
+  case class ErrorReply(msg: String) extends Reply
+
+  private val Crlf = "\r\n".getBytes(UTF_8)
+
+  def writeCommand(out: java.io.OutputStream, args: Seq[String]): Unit = {
+    out.write(s"*${args.size}".getBytes(UTF_8)); out.write(Crlf)
+    args.foreach { a =>
+      val b = a.getBytes(UTF_8)
+      out.write(s"$$${b.length}".getBytes(UTF_8)); out.write(Crlf)
+      out.write(b); out.write(Crlf)
+    }
+  }
+
+  /** One CRLF-terminated header line (RESP headers are ASCII). */
+  def readLine(in: DataInputStream): String = {
+    val sb = new java.lang.StringBuilder(16)
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new java.io.EOFException("RESP stream closed mid-line")
+      sb.append(c.toChar); c = in.read()
+    }
+    require(in.read() == '\n', "RESP: CR not followed by LF")
+    sb.toString
+  }
+
+  private def readBulk(in: DataInputStream, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    require(in.read() == '\r' && in.read() == '\n', "RESP: bulk not CRLF-terminated")
+    b
+  }
+
+  def readReply(in: DataInputStream): Reply = {
+    val line = readLine(in)
+    line.charAt(0) match {
+      case ':' => IntReply(line.substring(1).toLong)
+      case '+' => SimpleReply(line.substring(1))
+      case '-' => throw new java.io.IOException(s"RESP server error: ${line.substring(1)}")
+      case '$' =>
+        val len = line.substring(1).toInt
+        BulkReply(if (len < 0) null else readBulk(in, len))
+      case '*' =>
+        val n = line.substring(1).toInt
+        ArrayReply((0 until math.max(n, 0)).map { _ =>
+          val h = readLine(in)
+          require(h.charAt(0) == '$', s"RESP: nested non-bulk reply '$h'")
+          readBulk(in, h.substring(1).toInt)
+        })
+      case c => throw new java.io.IOException(s"RESP: unknown reply type '$c'")
+    }
+  }
+
+  /** A RESP command: verb + raw argument bytes. */
+  def readCommand(in: DataInputStream): Option[Seq[Array[Byte]]] = {
+    val first = in.read()
+    if (first < 0) return None
+    require(first == '*', s"RESP: expected array command, got '${first.toChar}'")
+    val n = readLine(in).toInt // rest of the *N line
+    Some((0 until n).map { _ =>
+      val h = readLine(in)
+      require(h.charAt(0) == '$', s"RESP: non-bulk command arg '$h'")
+      readBulk(in, h.substring(1).toInt)
+    })
+  }
+}
+
+/** In-process RESP server implementing the command subset the store
+  * uses (`PING`, `DEL`, `HSET`, `HGETALL`) — the zero-egress stand-in
+  * for a Redis endpoint, so [[RespOnlineStore]]'s pipelining, framing,
+  * and concurrency are exercised over REAL sockets in tests. One thread
+  * per connection (the sink opens one connection per partition);
+  * `commandCount` lets tests assert the pipelined command volume.
+  */
+class EmbeddedRespServer {
+  import Resp._
+
+  private val data = new ConcurrentHashMap[String, Map[String, String]]()
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  val commandCount = new java.util.concurrent.atomic.AtomicLong()
+
+  def port: Int = server.getLocalPort
+
+  private def str(b: Array[Byte]): String = new String(b, UTF_8)
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    try {
+      var cmd = readCommand(in)
+      while (cmd.isDefined) {
+        commandCount.incrementAndGet()
+        val args = cmd.get
+        str(args.head).toUpperCase match {
+          case "PING" => out.write("+PONG\r\n".getBytes(UTF_8))
+          case "DEL" =>
+            val removed = args.tail.count(k => data.remove(str(k)) != null)
+            out.write(s":$removed\r\n".getBytes(UTF_8))
+          case "HSET" =>
+            val key = str(args(1))
+            val fields = args.drop(2).grouped(2).collect {
+              case Seq(f, v) => str(f) -> str(v)
+            }.toMap
+            var added = 0
+            data.compute(key, (_, old) => {
+              val prev = if (old == null) Map.empty[String, String] else old
+              added = fields.keySet.diff(prev.keySet).size
+              prev ++ fields
+            })
+            out.write(s":$added\r\n".getBytes(UTF_8))
+          case "HGETALL" =>
+            val m = data.getOrDefault(str(args(1)), Map.empty)
+            out.write(s"*${m.size * 2}\r\n".getBytes(UTF_8))
+            m.toSeq.sortBy(_._1).foreach { case (f, v) =>
+              Seq(f, v).foreach { s =>
+                val b = s.getBytes(UTF_8)
+                out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+                out.write(b); out.write("\r\n".getBytes(UTF_8))
+              }
+            }
+          case other =>
+            out.write(s"-ERR unknown command '$other'\r\n".getBytes(UTF_8))
+        }
+        // a pipelined client flushes many commands before reading; only
+        // flush when no further command is already buffered would need
+        // peeking — flushing per reply is correct and still batched by
+        // the BufferedOutputStream
+        out.flush()
+        cmd = readCommand(in)
+      }
+    } catch {
+      case _: java.io.EOFException | _: java.net.SocketException => ()
+    } finally sock.close()
+  }
+
+  private val acceptor = new Thread(() => {
+    try while (!server.isClosed) {
+      val sock = server.accept()
+      val t = new Thread(() => serve(sock), s"resp-conn-${sock.getPort}")
+      t.setDaemon(true); t.start()
+    } catch { case _: java.net.SocketException => () }
+  }, "resp-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = server.close()
+}

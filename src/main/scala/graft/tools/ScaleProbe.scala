@@ -189,19 +189,37 @@ object ScaleProbe {
     // non-trivial document. A per-replica `translate` of the vowels
     // rewrites nearly every word, driving cross-replica jaccard ≈0.
     // restore broadcast for the dedup axis: the LSH pipeline's internal
-    // semi-joins legitimately broadcast their small sides in production
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // semi-joins legitimately broadcast their small sides in production.
+    // SPARK_GRAFT_PROBE_BROADCAST (bytes) overrides the threshold — used
+    // to attribute shuffle growth to the verification semi-join falling
+    // off the broadcast cliff as the candidate-id set outgrows it
+    sys.env.get("SPARK_GRAFT_PROBE_BROADCAST") match {
+      case Some(b) =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", b)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", b)
+      case None =>
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val consonants = "bcdfghjklmnpqrstvwxz"
+    // replacement string = consonants at i's base-20 digits — INJECTIVE
+    // in i (up to 20^5 replicas). The previous `(i*5+k) % 20` offset had
+    // period 4: replicas i and i+4 translated identically, so any run
+    // with >4 multiplied replicas planted an artificial clique per
+    // document and the probe measured quadratic pair output, not corpus
+    // growth. Adjacent digit-strings differ in the 'a' (or, when
+    // i ≡ j mod 20, the 'e') replacement — both frequent letters, so
+    // cross-replica jaccard stays ≈0.
+    def vowelMap(i: Int): String =
+      (0 until 5).map(k => consonants(
+        (i / math.pow(consonants.length, k).toInt) % consonants.length)).mkString
     for (n <- mults; if axes != "swa") {
       val corpus = (0 until n).map(i => docs0
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
           .withColumn("text",
             if (i == 0) col("text")
-            else translate(col("text"), "aeiou",
-              (0 until 5).map(k => consonants((i * 5 + k) % consonants.length))
-                .mkString)))
+            else translate(col("text"), "aeiou", vowelMap(i))))
         .reduce(_ unionByName _).cache()
       val rows = corpus.count()
       val (sec, mb) = time(graft.operators.Dedup

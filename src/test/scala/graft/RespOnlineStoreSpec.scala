@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** [[RespOnlineStore]] against the in-process RESP server: wire
+  * framing, binary-safe values, replace-on-write semantics, pipelining
+  * across the flush boundary, and the distributed sink path
+  * (`Materializer.write` → one pipelined connection per partition).
+  */
+class RespOnlineStoreSpec extends SparkTestBase {
+
+  private def withServer(f: (EmbeddedRespServer, RespOnlineStore) => Unit): Unit = {
+    val server = new EmbeddedRespServer
+    try f(server, new RespOnlineStore("127.0.0.1", server.port))
+    finally server.stop()
+  }
+
+  test("put/get round-trips values RESP-unsafe for line protocols") {
+    withServer { (_, store) =>
+      val nasty = Map(
+        "f_text" -> "line1\r\nline2 = x\t\"quoted\"",
+        "f_unicode" -> "héllo wörld ∑∆ 日本語",
+        "f_empty" -> "",
+        "f_num" -> "3.14159")
+      store.put("t", "user#42", nasty)
+      assert(store.get("t", "user#42").contains(nasty))
+      assert(store.get("t", "no-such-key").isEmpty)
+      assert(store.get("other-table", "user#42").isEmpty)
+    }
+  }
+
+  test("write replaces the whole feature map, never merges stale fields") {
+    withServer { (_, store) =>
+      store.put("t", "k", Map("old_field" -> "1", "shared" -> "a"))
+      store.put("t", "k", Map("shared" -> "b"))
+      assert(store.get("t", "k").contains(Map("shared" -> "b")),
+        "stale old_field must not survive a re-materialization")
+    }
+  }
+
+  test("putAll pipelines across the flush boundary") {
+    withServer { (server, store) =>
+      val n = 1300 // > maxPipeline=512 → at least 3 flush/drain cycles
+      store.putAll("t", (0 until n).iterator.map(i => s"k$i" -> Map("v" -> i.toString)))
+      // every row costs a DEL + an HSET
+      assert(server.commandCount.get() == 2L * n)
+      assert(store.get("t", "k0").contains(Map("v" -> "0")))
+      assert(store.get("t", s"k${n - 1}").contains(Map("v" -> (n - 1).toString)))
+    }
+  }
+
+  test("Materializer online sink: one pipelined connection per partition") {
+    withServer { (_, store) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 200).map(i => Row(i.toLong, s"name$i", i * 1.5)), 8),
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("f_name", StringType),
+          StructField("f_score", DoubleType))))
+      Materializer.write(df, Seq("user_id"), OutputSink.Online("feat", store))
+      // serving-path parity: every row is point-readable with the same
+      // stringified values the FileOnlineStore sink contract produces
+      (0 until 200 by 37).foreach { i =>
+        assert(store.get("feat", i.toString).contains(
+          Map("f_name" -> s"name$i", "f_score" -> (i * 1.5).toString)))
+      }
+      assert(store.get("feat", "200").isEmpty)
+    }
+  }
+}
