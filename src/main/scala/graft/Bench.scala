@@ -71,7 +71,9 @@ object Bench {
     val note = "r5: timed action changed from count() to full materialization " +
       "(toRdd.count) — the optimizer eliminates the row-preserving PIT joins " +
       "under a bare count(), so r1-r4 per-query times measured a spine scan " +
-      "and are not comparable"
+      "and are not comparable. r6: fresh newSession() per query (shared " +
+      "SharedState) so session state cannot leak between timings; medians " +
+      "are warm steady-state — a cold JVM pays one-time codegen/init on top"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failed,"note":"$note","sf":"$sfDir"}""")
     spark.stop()
   }

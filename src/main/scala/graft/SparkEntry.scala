@@ -902,6 +902,25 @@ object SparkEntry {
           TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
     }),
 
+    // Winnowing fingerprints (MOSS): planted 10-word-prefix "quotes" of
+    // every 20th document MUST share a selected fingerprint with their
+    // source (a shared run of >= w+k-1 words guarantees a shared window
+    // minimum; an exact prefix additionally shares the prefix-window
+    // minima, so the guarantee holds for any doc length). found ∩
+    // expected, the same recall-contract shape as q_dedup_simhash.
+    "q_text_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat_ws(" ",
+          slice(split(Dedup.normText(col("text")), " "), 1, 10)))
+      val found = TextAnalysis.sharedChunkPairs(
+        docs.unionByName(planted), "text", "doc_id", k = 5, w = 4)
+      val expected = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      found.join(expected, Seq("id_a", "id_b"), "inner").select("id_a", "id_b")
+    }),
+
     // Multimodal columns: binary payload + typed metadata struct
     // (mime sniff, byte length, content hash) — pure projection.
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1460,6 +1479,14 @@ object SparkEntry {
         |  list_sum(list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT
         |    AS approx_tokens
         |FROM hits""".stripMargin,
+
+    // winnowing recall contract: every planted 10-word-prefix quote is
+    // guaranteed (Schleimer et al. 2003 detection theorem + exact-prefix
+    // window minima) to share a fingerprint with its source, so the
+    // found ∩ expected set is exactly the planted pairs
+    "q_text_winnow" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents WHERE doc_id % 20 = 0""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -98,4 +98,66 @@ object TextAnalysis {
       .withColumn("lang_pred", languageId(col(textCol)))
       .withColumn("approx_tokens", approxTokenCount(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every word k-gram, slide a window of `w`
+    * consecutive k-gram hashes, select each window's minimum. Output is
+    * (idCol, fp) — the distinct selected fingerprints per document.
+    *
+    * Detection guarantee: two documents sharing any run of at least
+    * `w + k - 1` consecutive words select at least one IDENTICAL
+    * fingerprint (a shared run that long contains a full shared window;
+    * the minimum of identical window contents is the same value), so a
+    * VALUE-join on `fp` finds every long-enough shared chunk — quotes,
+    * boilerplate, benchmark contamination — while storing only
+    * ~1/w of the k-gram hashes.
+    *
+    * Plan shape: one shuffle by document id (the ordering windows; the
+    * same exchange the k-gram, sliding-min, and per-doc distinct all
+    * reuse), fully codegen'd hashing — linear in corpus size. Documents
+    * shorter than w + k - 1 words emit their prefix-window minima, so
+    * every non-empty document carries at least one fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val byPos = Window.partitionBy(idCol).orderBy("__pos")
+    val gramParts = (1 until k).map(i => lead(col("__w"), i).over(byPos))
+    val grams = df
+      .select(col(idCol), posexplode(split(Dedup.normText(col(textCol)), " "))
+        .as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__pos"),
+        xxhash64(concat_ws(" ", col("__w") +: gramParts: _*)).as("__h"),
+        row_number().over(byPos).as("__rn"),
+        count(lit(1)).over(Window.partitionBy(idCol)).as("__n"))
+      .where(col("__rn") <= greatest(col("__n") - k + 1, lit(1)))
+    val slide = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .select(col(idCol), min(col("__h")).over(slide).as("fp"))
+      .distinct()
+  }
+
+  /** Documents sharing at least one winnowed fingerprint, as (id_a <
+    * id_b, n_shared) pairs — chunk-level near-dup/contamination
+    * candidates. Reuses the LSH bucket machinery: fingerprint buckets
+    * are capped ([[Dedup.capBuckets]] — a boilerplate fingerprint shared
+    * by 10⁵ docs must not emit 10¹⁰ pairs) and pairs come from the
+    * in-bucket expansion, never a self-join.
+    */
+  def sharedChunkPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+    val capped = Dedup.capBuckets(fps, Seq("fp"), idCol)
+    val ids = "__graft_ids"
+    capped.groupBy(col("fp"))
+      .agg(array_sort(collect_list(col(idCol))).as(ids))
+      .where(size(col(ids)) >= 2)
+      .select(explode(flatten(transform(col(ids), (x, i) =>
+        transform(slice(col(ids), i + 2, size(col(ids))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
