@@ -212,27 +212,57 @@ object Dedup {
     // the candidate set is bounded (bucket-capped pairs, not corpus):
     // spill it to parquet NOW — the downstream consumers analyze a
     // flat scan instead of re-optimizing the signature→band lineage
-    val cands = Spill.roundTrip(
+    val (cands, candBytes) = Spill.roundTripSized(
       candidatePairs(capped, Seq("band_id", "band_hash"), idCol))
     // exact-jaccard verification shingles ONLY candidate documents: a
     // second corpus scan, but semi-join-filtered before the explode —
-    // at scale far cheaper than shuffling every doc's shingle set
+    // at scale far cheaper than shuffling every doc's shingle set.
+    // The semi-join's small side is explicitly broadcast while the
+    // just-spilled candidate file proves it bounded (SCALE.md measured
+    // this join falling off Catalyst's 10 MB ESTIMATED-size cliff at
+    // 320k docs and shuffling the corpus once — still linear, but 1.7×
+    // the bytes; the exact on-disk size is a better gate than the
+    // estimate). Above the limit the shuffled semi-join co-partitions
+    // the corpus by id, which shingleRows' repartition then reuses.
+    val bcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
+    def maybeBc(small: DataFrame): DataFrame =
+      if (candBytes <= bcLimit) broadcast(small) else small
     val candIds = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     val candDocs = df.select(col(idCol), col(textCol))
-      .join(candIds, Seq(idCol), "left_semi")
-    val sh = shingleRows(candDocs.repartition(col(idCol)), textCol, idCol,
-      shingleSize)
-      .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as("sh")).persist()
-    val result = cands
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(maybeBc(candIds), Seq(idCol), "left_semi")
+    // Shingle sets are spilled (not persisted) so their EXACT on-disk
+    // size gates a broadcast hint, like the candidate frame's. Plan
+    // regimes, all measured on the scale probe (SCALE.md):
+    //  - cands and sh both under their limits → both pair-joins
+    //    broadcast, the verification adds ZERO shuffle (the per-pair
+    //    expanded arrays never cross the wire);
+    //  - only cands small → sh streams through one broadcast join, the
+    //    second join shuffles (linear, ~1.7× bytes);
+    //  - both large (the true 100 TB regime) → shuffled joins, still
+    //    linear in candidate volume.
+    // Catalyst's own ESTIMATE fell off the broadcast cliff at 320k docs
+    // (10 MB threshold vs actual); exact spill bytes decide correctly.
+    // (An inverted-index intersection-count formulation was measured
+    // WORSE here: per-pair row expansion with per-row overhead shuffles
+    // ~1.8× the packed-array bytes.)
+    val (sh, shBytes) = Spill.roundTripSized(
+      shingleRows(candDocs.repartition(col(idCol)), textCol, idCol, shingleSize)
+        .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as("sh")))
+    val shBcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastShinglesBytes", (32L << 20).toString).toLong
+    def bcSh(p: DataFrame): DataFrame =
+      if (shBytes <= shBcLimit) broadcast(p) else p
+    val result = maybeBc(cands)
+      .join(bcSh(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(bcSh(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialize(result, sh)
+    materialize(result)
   }
 
   /** Eagerly materialize `result` (bounded: near-dup pairs, not the

@@ -28,11 +28,23 @@ object Spill {
     * frees any upstream cache for release. The explicit schema makes an
     * all-empty result readable (no part files to infer from).
     */
-  def roundTrip(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def roundTrip(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    roundTripSized(df)._1
+
+  /** [[roundTrip]] plus the spilled size in bytes — a FREE exact size
+    * measurement of a bounded intermediate (the files were just
+    * written), which callers use for broadcast decisions that Catalyst's
+    * pre-execution estimates get wrong (see
+    * [[Dedup.minhashNearDuplicates]]'s verification semi-join).
+    */
+  def roundTripSized(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) = {
     val spark = df.sparkSession
     val path = newPath(spark)
     df.write.mode("overwrite").parquet(path)
-    spark.read.schema(df.schema).parquet(path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    (spark.read.schema(df.schema).parquet(path), bytes)
   }
 
   def newPath(spark: SparkSession): String = {
