@@ -743,6 +743,50 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // K4/T3 under the oracle gate: the streaming windowed aggregation is
+    // driven through `runWithTimeout` — foreachBatch → the SAME
+    // Materializer sink writers as batch — into the online KV store,
+    // with Trigger.AvailableNow (process everything, then stop; the
+    // timeout stays the safety bound, not the exit path) and complete
+    // output mode, so the store's final state IS the final aggregate.
+    // The store is then read back and compared against the same DuckDB
+    // oracle as q_stream_window_agg: a value the streaming sink path
+    // drops or mangles fails the gate.
+    "q_stream_sink_roundtrip" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val agg = fixTs(s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parque*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v_sum"))
+      val storeDir = graft.operators.Spill.newPath(s) + "/stream_store"
+      val store = new FileOnlineStore(storeDir)
+      StreamingIngest.runWithTimeout(agg, Seq("day", "event_type"),
+        Seq(OutputSink.Online("stream_agg", store)),
+        timeoutMs = 300000, outputMode = "complete",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val tableDir = new java.io.File(storeDir, "stream_agg")
+      val keyFiles = Option(tableDir.listFiles()).getOrElse(Array.empty)
+      val backRows = keyFiles.toSeq.map { f =>
+        val key = java.net.URLDecoder.decode(f.getName, "UTF-8")
+        val Array(day, et) = key.split("#", 2)
+        val v = store.get("stream_agg", key).get
+        Row(day, et, v("n"), v("v_sum"))
+      }
+      val strSchema = StructType(Seq("day", "event_type", "n", "v_sum")
+        .map(StructField(_, StringType)))
+      s.createDataFrame(new java.util.ArrayList[Row](backRows.asJava), strSchema)
+        .select(col("day").cast("timestamp").as("day"), col("event_type"),
+          col("n").cast("long").as("n"), col("v_sum").cast("double").as("v_sum"))
+    }),
+
     // T2 custom state: stateful streaming SWA via flatMapGroupsWithState
     // — every purchase event emits its key's aggregate over the
     // trailing 7 days; checked against the batch self-range-join.
@@ -1375,6 +1419,13 @@ object SparkEntry {
         |FROM spine sp""".stripMargin,
 
     "q_stream_window_agg" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS v_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical to q_stream_window_agg: the streaming-sink write→read
+    // must preserve every group's final aggregate
+    "q_stream_sink_roundtrip" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
