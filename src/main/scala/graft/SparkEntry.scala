@@ -673,14 +673,15 @@ object SparkEntry {
 
     // M3 under the oracle gate: ONE snapshot fans out through
     // `Materializer.writeAll` (persist-once, write-per-sink) to TWO
-    // sinks — hdfs parquet AND the online KV store — then BOTH are read
+    // sinks — hdfs parquet AND the REAL Redis-wire online store
+    // (RespOnlineStore against the in-process RESP server: pipelined
+    // DEL+HSET per partition over live sockets) — then BOTH are read
     // back and must agree row-for-row. The returned frame is the
     // parquet read-back (same oracle as the snapshot); the online
-    // read-back is `require`d identical, so a value lost or mangled by
-    // EITHER sink fails the gate. The online read-back enumerates the
-    // store driver-side — a bounded verification harness (one row per
-    // distinct key, the snapshot's own cardinality), not a production
-    // scan path.
+    // read-back (KEYS + HGETALL) is `require`d identical, so a value
+    // lost or mangled by EITHER sink — or by the wire protocol — fails
+    // the gate. The enumeration is a bounded verification harness (one
+    // row per distinct key), not a production scan path.
     "q_multisink_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -689,38 +690,37 @@ object SparkEntry {
         Seq("f_last_value", "f_sum_7d"), Seq("user_id"),
         java.time.Instant.parse("2024-01-20T00:00:00Z"))
         .withColumn("f_sum_7d", round(col("f_sum_7d"), 4))
-      val base = graft.operators.Spill.newPath(s)
-      val pqPath = base + "/multisink.parquet"
-      val storeDir = base + "/multisink_store"
-      val store = new FileOnlineStore(storeDir)
-      Materializer.writeAll(out, Seq("user_id"), Seq(
-        OutputSink.hdfs(pqPath, numParts = Some(2)),
-        OutputSink.Online("snap", store)))
-      val parquetBack = s.read.parquet(pqPath)
-      // reconstruct the online sink's contents: list keys, point-lookup
-      // each, cast the stringified values back to the snapshot schema
-      val tableDir = new java.io.File(storeDir, "snap")
-      val keyFiles = Option(tableDir.listFiles()).getOrElse(Array.empty)
-      val valueCols = out.columns.filterNot(_ == "user_id").toSeq
-      val backRows = keyFiles.toSeq.map { f =>
-        val key = java.net.URLDecoder.decode(f.getName, "UTF-8")
-        val v = store.get("snap", key).getOrElse(
-          sys.error(s"q_multisink_roundtrip: listed key $key missing on get"))
-        Row.fromSeq(key +: valueCols.map(v(_)))
-      }
-      val strSchema = StructType(StructField("user_id", StringType) +:
-        valueCols.map(StructField(_, StringType)))
-      val onlineBack = out.schema.fields.foldLeft(
-        s.createDataFrame(new java.util.ArrayList[Row](backRows.asJava), strSchema)) {
-        (df, fld) => df.withColumn(fld.name,
-          when(col(fld.name) === "null", lit(null))
-            .otherwise(col(fld.name)).cast(fld.dataType))
-      }.select(out.columns.map(col).toSeq: _*)
-      require(onlineBack.count() == out.count() &&
-        parquetBack.exceptAll(onlineBack).isEmpty &&
-        onlineBack.exceptAll(parquetBack).isEmpty,
-        "q_multisink_roundtrip: online and parquet sink read-backs must agree")
-      parquetBack
+      val pqPath = graft.operators.Spill.newPath(s) + "/multisink.parquet"
+      val server = new EmbeddedRespServer
+      try {
+        val store = new RespOnlineStore("127.0.0.1", server.port)
+        Materializer.writeAll(out, Seq("user_id"), Seq(
+          OutputSink.hdfs(pqPath, numParts = Some(2)),
+          OutputSink.Online("snap", store)))
+        val parquetBack = s.read.parquet(pqPath)
+        // reconstruct the online sink's contents over the wire: KEYS,
+        // then HGETALL each, cast the stringified values back to the
+        // snapshot schema (rows are built eagerly before server stop)
+        val valueCols = out.columns.filterNot(_ == "user_id").toSeq
+        val backRows = store.scanKeys("snap").map { key =>
+          val v = store.get("snap", key).getOrElse(
+            sys.error(s"q_multisink_roundtrip: listed key $key missing on get"))
+          Row.fromSeq(key +: valueCols.map(v(_)))
+        }
+        val strSchema = StructType(StructField("user_id", StringType) +:
+          valueCols.map(StructField(_, StringType)))
+        val onlineBack = out.schema.fields.foldLeft(
+          s.createDataFrame(new java.util.ArrayList[Row](backRows.asJava), strSchema)) {
+          (df, fld) => df.withColumn(fld.name,
+            when(col(fld.name) === "null", lit(null))
+              .otherwise(col(fld.name)).cast(fld.dataType))
+        }.select(out.columns.map(col).toSeq: _*)
+        require(onlineBack.count() == out.count() &&
+          parquetBack.exceptAll(onlineBack).isEmpty &&
+          onlineBack.exceptAll(parquetBack).isEmpty,
+          "q_multisink_roundtrip: online and parquet sink read-backs must agree")
+        parquetBack
+      } finally server.stop()
     }),
 
     // T1/T2: Structured Streaming ingest of the events table (file

@@ -77,6 +77,26 @@ class RespOnlineStore(host: String, port: Int,
       }
     } finally sock.close()
   }
+
+  /** All keys of `table` (`KEYS table:*`, prefix stripped) — the
+    * verification/export enumeration path. Production Redis would use
+    * incremental SCAN; the wire shape (request → key array) is the same.
+    */
+  def scanKeys(table: String): Seq[String] = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port))
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      writeCommand(out, Seq("KEYS", s"$table:*"))
+      out.flush()
+      readReply(in) match {
+        case ArrayReply(items) =>
+          items.map(b => new String(b, UTF_8).substring(table.length + 1))
+        case other => throw new java.io.IOException(s"KEYS: unexpected reply $other")
+      }
+    } finally sock.close()
+  }
 }
 
 /** Minimal RESP wire codec shared by the client and the embedded test
@@ -209,6 +229,22 @@ class EmbeddedRespServer {
                 out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
                 out.write(b); out.write("\r\n".getBytes(UTF_8))
               }
+            }
+          case "KEYS" =>
+            // glob subset the client uses: a literal prefix + "*"
+            val pat = str(args(1))
+            require(pat.endsWith("*") && !pat.dropRight(1).contains("*"),
+              s"KEYS: only prefix globs supported, got '$pat'")
+            val prefix = pat.dropRight(1)
+            val ks = {
+              import scala.jdk.CollectionConverters._
+              data.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+            }
+            out.write(s"*${ks.size}\r\n".getBytes(UTF_8))
+            ks.foreach { s =>
+              val b = s.getBytes(UTF_8)
+              out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+              out.write(b); out.write("\r\n".getBytes(UTF_8))
             }
           case other =>
             out.write(s"-ERR unknown command '$other'\r\n".getBytes(UTF_8))

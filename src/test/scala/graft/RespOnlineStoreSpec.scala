@@ -49,6 +49,9 @@ class RespOnlineStoreSpec extends SparkTestBase {
       assert(server.commandCount.get() == 2L * n)
       assert(store.get("t", "k0").contains(Map("v" -> "0")))
       assert(store.get("t", s"k${n - 1}").contains(Map("v" -> (n - 1).toString)))
+      // KEYS enumeration sees exactly the written keys, table-scoped
+      assert(store.scanKeys("t").toSet == (0 until n).map(i => s"k$i").toSet)
+      assert(store.scanKeys("other").isEmpty)
     }
   }
 
