@@ -715,7 +715,9 @@ object SparkEntry {
             when(col(fld.name) === "null", lit(null))
               .otherwise(col(fld.name)).cast(fld.dataType))
         }.select(out.columns.map(col).toSeq: _*)
-        require(onlineBack.count() == out.count() &&
+        // count parity vs the PARQUET read-back (not the lazy snapshot,
+        // which would recompute the whole PIT pipeline for the count)
+        require(onlineBack.count() == parquetBack.count() &&
           parquetBack.exceptAll(onlineBack).isEmpty &&
           onlineBack.exceptAll(parquetBack).isEmpty,
           "q_multisink_roundtrip: online and parquet sink read-backs must agree")
