@@ -862,6 +862,26 @@ object SparkEntry {
       Dedup.connectedComponents(plantedPairs)
     }),
 
+    // The END-TO-END drop composition under the oracle gate: plant a
+    // duplicate of every 10th doc, run dropDuplicatesByPairs over the
+    // verified planted pairs, and return the SURVIVING ids — exactly
+    // the original corpus (every planted copy has a smaller-id original
+    // in its cluster, so every copy drops; no original drops).
+    "q_dedup_drop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = docs.unionByName(planted)
+      val found = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        threshold = 0.8)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val plantedPairs = found.join(expected, Seq("id_a", "id_b"), "inner")
+        .select("id_a", "id_b")
+      Dedup.dropDuplicatesByPairs(corpus, plantedPairs, "doc_id")
+        .select("doc_id")
+    }),
+
     // SimHash near-dup candidates on the same planted corpus — same
     // recall contract (identical text → identical signature → every
     // block collides → hamming 0, deterministically).
@@ -946,6 +966,14 @@ object SparkEntry {
           TextAnalysis.stopwordHits(col("text"), "en").as("en_hits"),
           TextAnalysis.languageId(col("text")).as("lang_pred"),
           TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
+    }),
+
+    // Gopher/C4-style corpus quality rules — numeric diagnostics, five
+    // rule booleans, and the conjunction, per document.
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.gopherRules(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")
     }),
 
     // Winnowing fingerprints (MOSS): planted 10-word-prefix "quotes" of
@@ -1533,6 +1561,38 @@ object SparkEntry {
         |    AS approx_tokens
         |FROM hits""".stripMargin,
 
+    "q_text_quality" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    (length(nt) - (len(w) - 1)) / len(w) AS mean_raw,
+        |    (length(nt) - length(replace(nt, '#', ''))) +
+        |      (length(nt) - length(replace(nt, '...', ''))) // 3 AS syms,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that')))
+        |      AS stopword_hits
+        |  FROM norm
+        |)
+        |SELECT doc_id, n_words,
+        |  round(mean_raw, 4) AS mean_word_len,
+        |  round(syms / n_words, 4) AS symbol_ratio,
+        |  round(alpha_words / n_words, 4) AS alpha_word_frac,
+        |  stopword_hits,
+        |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+        |  mean_raw >= 3.0 AND mean_raw <= 10.0 AS rule_mean_word_len,
+        |  syms / n_words <= 0.1 AS rule_symbol_ratio,
+        |  alpha_words / n_words >= 0.8 AS rule_alpha_words,
+        |  stopword_hits >= 2 AS rule_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND mean_raw >= 3.0 AND mean_raw <= 10.0
+        |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
+        |    AND stopword_hits >= 2 AS passes
+        |FROM m""".stripMargin,
+
     // winnowing recall contract: every planted 10-word-prefix quote is
     // guaranteed (Schleimer et al. 2003 detection theorem + exact-prefix
     // window minima) to share a fingerprint with its source, so the
@@ -1563,6 +1623,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000 AS member, doc_id AS canonical
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // end-to-end drop: the survivors of the planted-dup corpus are
+    // exactly the original documents
+    "q_dedup_drop" ->
+      """SELECT doc_id FROM documents""".stripMargin,
 
     "q_dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,

@@ -99,6 +99,53 @@ object TextAnalysis {
       .withColumn("approx_tokens", approxTokenCount(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A;
+    * C4's heuristics, Raffel et al. 2020) — the shape filters LLM
+    * corpus pipelines apply before training, in deterministic
+    * cross-engine formulations:
+    *  - `rule_word_count`: word count within [minWords, maxWords];
+    *  - `rule_mean_word_len`: mean word length within [3, 10] — computed
+    *    arithmetically from the normalized text ((chars − spaces) /
+    *    words), no per-word lambda, fully codegen'd;
+    *  - `rule_symbol_ratio`: ('#' + '…'-as-'...') per word ≤ 0.1;
+    *  - `rule_alpha_words`: fraction of words containing a letter ≥ 0.8;
+    *  - `rule_stopwords`: at least `minStopwords` English stopwords
+    *    (Gopher's "stop word" sanity check).
+    * Emits the numeric diagnostics, each rule boolean, and `passes` =
+    * the conjunction. Pure projection — zero shuffle.
+    */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val norm = Dedup.normText(t)
+    val ws = words(t)
+    val nw = size(ws)
+    val meanLen = (length(norm) - (nw - 1)).cast("double") / nw
+    val hashes = length(norm) - length(regexp_replace(norm, "#", ""))
+    val ellipses = (length(norm) -
+      length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3
+    val symRatio = (hashes + ellipses).cast("double") / nw
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw
+    val stopHits = stopwordHits(t, "en")
+    val rWords = nw >= minWords && nw <= maxWords
+    val rMean = meanLen >= 3.0 && meanLen <= 10.0
+    val rSym = symRatio <= 0.1
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = stopHits >= minStopwords
+    df.withColumn("n_words", nw)
+      .withColumn("mean_word_len", round(meanLen, 4))
+      .withColumn("symbol_ratio", round(symRatio, 4))
+      .withColumn("alpha_word_frac", round(alphaFrac, 4))
+      .withColumn("stopword_hits", stopHits)
+      .withColumn("rule_word_count", rWords)
+      .withColumn("rule_mean_word_len", rMean)
+      .withColumn("rule_symbol_ratio", rSym)
+      .withColumn("rule_alpha_words", rAlpha)
+      .withColumn("rule_stopwords", rStop)
+      .withColumn("passes", rWords && rMean && rSym && rAlpha && rStop)
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every word k-gram, slide a window of `w`
     * consecutive k-gram hashes, select each window's minimum. Output is
