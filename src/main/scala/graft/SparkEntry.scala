@@ -976,6 +976,12 @@ object SparkEntry {
         .drop("text")
     }),
 
+    // Gopher repetition filter: duplicate-2-gram occurrence fraction.
+    "q_text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+    }),
+
     // Winnowing fingerprints (MOSS): planted 10-word-prefix "quotes" of
     // every 20th document MUST share a selected fingerprint with their
     // source (a shared run of >= w+k-1 words guarantees a shared window
@@ -1592,6 +1598,25 @@ object SparkEntry {
         |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
         |    AND stopword_hits >= 2 AS passes
         |FROM m""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(w) - 2, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+2], ' '))) AS s
+        |  FROM norm
+        |), c AS (
+        |  SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  sum(c)::BIGINT AS n_grams,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4) AS dup_frac,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) <= 0.2 AS rule_repetition
+        |FROM c GROUP BY 1""".stripMargin,
 
     // winnowing recall contract: every planted 10-word-prefix quote is
     // guaranteed (Schleimer et al. 2003 detection theorem + exact-prefix

@@ -146,6 +146,26 @@ object TextAnalysis {
       .withColumn("passes", rWords && rMean && rSym && rAlpha && rStop)
   }
 
+  /** Gopher's repetition filter: the fraction of a document's word
+    * n-gram OCCURRENCES that belong to duplicated n-grams (a gram
+    * appearing c > 1 times contributes all c occurrences). Boilerplate,
+    * chorus-like spam, and degenerate generations score high; Gopher
+    * drops documents with duplicate-2-gram fraction above ~0.2.
+    * One shuffle by document id (shared with the shingle windows);
+    * returns (idCol, n_grams, dup_frac: double, rule_repetition).
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, maxDupFraction: Double = 0.2): DataFrame = {
+    val counts = Dedup.shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
+      .groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__c"))
+    val dupFrac = sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+      .cast("double") / sum(col("__c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        round(dupFrac, 4).as("dup_frac"),
+        (dupFrac <= maxDupFraction).as("rule_repetition"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every word k-gram, slide a window of `w`
     * consecutive k-gram hashes, select each window's minimum. Output is

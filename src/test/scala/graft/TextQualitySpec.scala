@@ -41,6 +41,19 @@ class TextQualitySpec extends SparkTestBase {
     assert(!rNs.getBoolean(4) && !rNs.getBoolean(5))
   }
 
+  test("repetition filter: chorus-heavy doc fails, varied doc passes") {
+    val varied = (0 until 60).map(i => s"w$i").mkString(" ")
+    val chorus = (0 until 20).map(_ => "la la la hey").mkString(" ")
+    val df = Seq((1L, varied), (2L, chorus)).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(3), "unique bigrams must pass")
+    assert(!r(2L).getBoolean(3), "repeated chorus must fail")
+    assert(r(2L).getDouble(2) > 0.9)
+    // gram count = words - 1 for multi-word docs
+    assert(r(1L).getLong(1) == 59)
+  }
+
   test("diagnostics are exact on a constructed document") {
     // 50 words of length 4 + 'the the' → 52 words
     val doc = (0 until 50).map(_ => "abcd").mkString(" ") + " the the"
