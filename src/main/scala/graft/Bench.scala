@@ -28,7 +28,13 @@ object Bench {
     // codegen-compile interactions an order of magnitude larger than
     // the query itself (round-1 recorded one 12× outlier)
     val runsPerQuery = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (unset by the driver): comma-separated
+    // query names to run instead of the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // fresh session per query (sharedState-preserving): temp views,
       // registered functions, and session confs one query sets cannot
       // leak into the next query's timing. r5 measured ~2x spread

@@ -89,10 +89,11 @@ object Similarity {
     * `count()`, no full sort); each corpus row is assigned to its
     * nearest centroid via one map-side-combinable `max_by` aggregation;
     * a query scans only `nProbe` nearest cells. Optional Lloyd
-    * iterations refine the centroids; the (bounded, `nCells`-row)
-    * centroid set is collected to the driver between iterations so the
-    * plan depth stays constant. Deterministic end to end: same data +
-    * same config ⇒ identical output.
+    * iterations refine the centroids at the driver over a bounded
+    * training sample (≤ `trainSampleCap` vectors, FAISS-style) — the
+    * corpus feeds exactly one distributed pass regardless of iteration
+    * count. Deterministic end to end: same data + same config ⇒
+    * identical output.
     *
     * Returns the same schema as [[bruteForceTopK]]; recall < 1 by
     * construction — verify against the brute-force baseline in tests.
@@ -102,30 +103,96 @@ object Similarity {
       nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
-      kmeansIters: Int = 0, kmeansTol: Double = 1e-6): DataFrame = {
-    // the normed corpus projection feeds the centroid sample, every
-    // Lloyd iteration, AND the final assignment. With
-    // `spark.graft.ivf.cacheCorpus=true` it is persisted once
-    // (MEMORY_AND_DISK) across those scans and released after the
-    // (bounded) result spills — worth it when many Lloyd iterations
-    // re-read an expensive upstream; OFF by default because for the
-    // common small-iteration refinement the extra cache write + spill
-    // round-trip costs more than the re-scan (and a 100 TB corpus
-    // should re-scan parquet, not mirror itself into block storage).
-    val normed0 = corpus.select(col(idCol), col(vecCol),
+      kmeansIters: Int = 0, kmeansTol: Double = 1e-6,
+      trainSampleCap: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+    val normed = corpus.select(col(idCol), col(vecCol),
       l2Norm(col(vecCol)).as("__vn"))
-    val cacheCorpus = kmeansIters > 0 && corpus.sparkSession.conf
-      .get("spark.graft.ivf.cacheCorpus", "false").toBoolean
-    val normed = if (cacheCorpus)
-      normed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else normed0
 
-    // TakeOrderedAndProject: per-partition top-nCells, driver merge of
-    // nCells rows — scale-safe; id tie-break makes hash ties stable
-    var centroids = normed
-      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
-      .limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    // Deterministic pseudo-random total order over the corpus: the
+    // first nCells rows seed the centroids, the first trainSampleCap
+    // rows are the k-means training sample. TakeOrderedAndProject —
+    // per-partition top-k, driver merge of a BOUNDED row set, no full
+    // sort, no driver-side count().
+    val ordered = normed.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+
+    // K-means training runs at the DRIVER over a once-collected sample
+    // of ≤ max(trainSampleCap, nCells) vectors — the FAISS posture
+    // (train on ~256 samples/cell, never the corpus): at 100 TB the
+    // corpus feeds exactly ONE distributed pass (the assignment below),
+    // while each Lloyd iteration as a distributed job would re-scan +
+    // re-shuffle the whole corpus to refine what a bounded sample fixes
+    // equally well. Bounded + deterministic: the sample is a fixed-size
+    // prefix of a stable total order, local float math is
+    // order-deterministic, so same data + config ⇒ identical centroids.
+    val centVecs: IndexedSeq[IndexedSeq[Float]] =
+      if (kmeansIters <= 0) {
+        ordered.limit(nCells).select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
+      } else {
+        val sample: Array[Array[Float]] = ordered
+          .limit(math.max(trainSampleCap, nCells))
+          .select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0).toArray)
+        var cents: Vector[Array[Float]] =
+          sample.take(nCells).map(_.clone).toVector
+        def cos(v: Array[Float], c: Array[Float]): Double = {
+          var d = 0.0; var vn = 0.0; var cn = 0.0; var i = 0
+          while (i < v.length) {
+            d += v(i).toDouble * c(i); vn += v(i).toDouble * v(i)
+            cn += c(i).toDouble * c(i); i += 1
+          }
+          d / math.sqrt(vn * cn)
+        }
+        var iter = 0
+        var converged = false
+        while (iter < kmeansIters && !converged) {
+          val sums = Array.fill(cents.size)(null: Array[Double])
+          val cnts = new Array[Long](cents.size)
+          sample.foreach { v =>
+            var best = 0; var bs = Double.NegativeInfinity
+            var c = 0
+            while (c < cents.size) {
+              val s = cos(v, cents(c))
+              if (s > bs) { bs = s; best = c }
+              c += 1
+            }
+            if (sums(best) == null) sums(best) = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+            cnts(best) += 1
+          }
+          // empty cells are dropped (the distributed formulation's
+          // groupBy dropped them identically)
+          val next = cents.indices.collect {
+            case c if cnts(c) > 0 =>
+              val a = new Array[Float](sums(c).length)
+              var i = 0
+              while (i < a.length) { a(i) = (sums(c)(i) / cnts(c)).toFloat; i += 1 }
+              a
+          }.toVector
+          converged = next.size == cents.size &&
+            next.indices.forall { c =>
+              cents(c).indices.forall(i =>
+                math.abs(next(c)(i) - cents(c)(i)) <= kmeansTol)
+            }
+          cents = next
+          iter += 1
+        }
+        cents.map(_.toIndexedSeq)
+      }
+    // the (bounded) centroid set ships as a LocalRelation: the
+    // assignment and the query probe below each broadcast a DIFFERENT
+    // projection of it for free (two non-identical broadcast exchanges
+    // over a distributed centroid plan would run it twice)
+    val centSchema = StructType(Seq(
+      StructField("cell_id", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false))))
+    val centroids = corpus.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        centVecs.zipWithIndex.map { case (v, i) => Row(i, v): Row }).asJava,
+      centSchema)
 
     // nearest-centroid assignment: broadcast centroids (norms computed
     // once per centroid / per corpus row, not per pair), fold per id
@@ -151,53 +218,6 @@ object Similarity {
           col("__a.__n").as("__vn"), col("__a.cell_id").as("cell_id"))
     }
 
-    // Lloyd refinement with a convergence stop: iterate until no
-    // centroid element moves more than `kmeansTol` (or `kmeansIters`
-    // is exhausted) — `kmeansIters` is a CAP, not a fixed cost. New
-    // centroid = element-wise mean of its cell (posexplode → avg per
-    // (cell, position) → re-assemble). Centroids are nCells small
-    // rows: collect + re-create instead of persisting an ever-deeper
-    // lazy chain; the convergence check reuses the same collected rows.
-    // The LAST possible iteration skips the collect round-trip and
-    // chains lazily — there is no later work for the convergence check
-    // to save, and the centroid plan collapses into the subsequent
-    // broadcast exchange anyway (a kmeansIters=1 refinement runs zero
-    // driver round-trips).
-    var prev: Map[Any, Array[Float]] = null
-    var iter = 0
-    var converged = false
-    while (iter < kmeansIters && !converged) {
-      val next = assign(centroids)
-        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cell_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m").cast("float")).as("centroid"))
-      if (iter == kmeansIters - 1) {
-        centroids = next
-      } else {
-        val rows = next.collect().toSeq
-        val cur = rows.map(r => r.get(0) -> r.getSeq[Float](1).toArray).toMap
-        converged = prev != null && prev.keySet == cur.keySet &&
-          cur.forall { case (c, a) =>
-            val b = prev(c)
-            a.length == b.length &&
-              a.indices.forall(i => math.abs(a(i) - b(i)) <= kmeansTol)
-          }
-        prev = cur
-        centroids = corpus.sparkSession.createDataFrame(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, next.schema)
-      }
-      iter += 1
-    }
-    // localize the (nCells-row) centroid set ONCE: the assignment and
-    // the query-probe below each broadcast a DIFFERENT projection of
-    // it, and two non-identical broadcast exchanges would re-run the
-    // whole centroid pipeline twice — a LocalRelation ships for free
-    val centRows = centroids.collect().toSeq
-    centroids = corpus.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(centRows).asJava,
-      centroids.schema)
     val assigned = assign(centroids)
 
     // probe the nProbe nearest cells per query
@@ -212,15 +232,7 @@ object Similarity {
       .join(probed.withColumn("__qn", l2Norm(col(qVecCol))), "cell_id")
       .select(col(qIdCol), col(idCol),
         (dot(col(vecCol), col(qVecCol)) / (col("__vn") * col("__qn"))).as("score"))
-    val topk = perQueryTopK(scored, k, qIdCol, idCol)
-    if (!cacheCorpus) topk
-    else {
-      // the result is bounded (queries × k rows): spill it so the
-      // corpus cache can be released before returning
-      val out = Spill.roundTrip(topk)
-      normed.unpersist(false)
-      out
-    }
+    perQueryTopK(scored, k, qIdCol, idCol)
   }
 
   /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id

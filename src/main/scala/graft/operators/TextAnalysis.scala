@@ -54,31 +54,34 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
+  /** The whole langID/stopword/token stack in one native codegen'd
+    * pass over the normalized text ([[graft.functions.TextLangTokensExpr]]).
+    * Multiple `getField`s of the same call are one evaluation
+    * (subexpression elimination), so `languageId` + `approxTokenCount`
+    * + `stopwordHits` in one projection walk the text once — the HOF
+    * formulation they replaced ran 6 interpreted array traversals.
+    */
+  private def langTok(text: Column, maxLen: Int = 4): Column =
+    graft.functions.TextLangTokensExpr.textLangTokens(Dedup.normText(text), maxLen)
+
   /** Count of tokens that are stopwords of the given language. */
   def stopwordHits(text: Column, lang: String): Column = {
-    val sw = array(stopwords(lang).map(lit): _*)
-    size(filter(words(text), w => array_contains(sw, w)))
+    require(stopwords.contains(lang), s"unknown language: $lang")
+    langTok(text).getField(s"${lang}_hits")
   }
 
   /** Language ID: argmax of per-language stopword hit counts; `und`
     * when no list matches at all. Deterministic tie-break by language
-    * code order.
+    * code order (lexicographically greatest wins ties).
     */
-  def languageId(text: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scored = array(langs.map(l =>
-      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))): _*)
-    val best = array_max(filter(scored, s => s.getField("hits") > 0))
-    when(best.isNull, lit("und")).otherwise(best.getField("lang"))
-  }
+  def languageId(text: Column): Column = langTok(text).getField("lang_pred")
 
   /** BPE-ish subword token count: splits words longer than `maxLen`
     * chars into ceil(len/maxLen) pieces — the standard cheap proxy for
     * LLM token budgeting when the real tokenizer is out of process.
     */
   def approxTokenCount(text: Column, maxLen: Int = 4): Column =
-    aggregate(words(text), lit(0L),
-      (acc, w) => acc + ceil(length(w).cast("double") / maxLen).cast("long"))
+    langTok(text, maxLen).getField("approx_tokens")
 
   /** Stable document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(Dedup.normText(text))
