@@ -678,10 +678,10 @@ object SparkEntry {
     // DEL+HSET per partition over live sockets) — then BOTH are read
     // back and must agree row-for-row. The returned frame is the
     // parquet read-back (same oracle as the snapshot); the online
-    // read-back (KEYS + HGETALL) is `require`d identical, so a value
-    // lost or mangled by EITHER sink — or by the wire protocol — fails
-    // the gate. The enumeration is a bounded verification harness (one
-    // row per distinct key), not a production scan path.
+    // read-back (cursor SCAN + HGETALL) is `require`d identical, so a
+    // value lost or mangled by EITHER sink — or by the wire protocol —
+    // fails the gate. The enumeration is a bounded verification harness
+    // (one row per distinct key), not a production scan path.
     "q_multisink_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -698,28 +698,33 @@ object SparkEntry {
           OutputSink.hdfs(pqPath, numParts = Some(2)),
           OutputSink.Online("snap", store)))
         val parquetBack = s.read.parquet(pqPath)
-        // reconstruct the online sink's contents over the wire: KEYS,
-        // then HGETALL each, cast the stringified values back to the
-        // snapshot schema (rows are built eagerly before server stop)
+        // reconstruct the online sink's contents over the wire: cursor
+        // SCAN, then HGETALL each, cast the stringified values back to
+        // the snapshot schema (rows are built eagerly before server
+        // stop). An ABSENT hash field is SQL NULL — the write path
+        // omits null features, so no string sentinel is ever decoded.
         val valueCols = out.columns.filterNot(_ == "user_id").toSeq
-        val backRows = store.scanKeys("snap").map { key =>
-          val v = store.get("snap", key).getOrElse(
-            sys.error(s"q_multisink_roundtrip: listed key $key missing on get"))
-          Row.fromSeq(key +: valueCols.map(v(_)))
+        val backRows = store.getAll("snap", store.scanKeys("snap")).map {
+          case (key, vOpt) =>
+            val v = vOpt.getOrElse(
+              sys.error(s"q_multisink_roundtrip: listed key $key missing on get"))
+            Row.fromSeq(key +: valueCols.map(c => v.getOrElse(c, null)))
         }
         val strSchema = StructType(StructField("user_id", StringType) +:
           valueCols.map(StructField(_, StringType)))
         val onlineBack = out.schema.fields.foldLeft(
           s.createDataFrame(new java.util.ArrayList[Row](backRows.asJava), strSchema)) {
-          (df, fld) => df.withColumn(fld.name,
-            when(col(fld.name) === "null", lit(null))
-              .otherwise(col(fld.name)).cast(fld.dataType))
+          (df, fld) => df.withColumn(fld.name, col(fld.name).cast(fld.dataType))
         }.select(out.columns.map(col).toSeq: _*)
-        // count parity vs the PARQUET read-back (not the lazy snapshot,
-        // which would recompute the whole PIT pipeline for the count)
-        require(onlineBack.count() == parquetBack.count() &&
-          parquetBack.exceptAll(onlineBack).isEmpty &&
-          onlineBack.exceptAll(parquetBack).isEmpty,
+        // the read-backs are BOUNDED (one row per distinct key), so the
+        // multiset compare runs at the driver — the exceptAll-pair
+        // formulation it replaces spent two shuffle jobs re-proving
+        // what a hash-map compare of collected rows proves identically.
+        // (Value parity is exact: String.valueOf(double) round-trips
+        // bits, so cast-back equals the parquet-preserved value.)
+        def multiset(rs: Array[Row]): Map[Row, Int] =
+          rs.groupBy(identity).view.mapValues(_.length).toMap
+        require(multiset(parquetBack.collect()) == multiset(onlineBack.collect()),
           "q_multisink_roundtrip: online and parquet sink read-backs must agree")
         parquetBack
       } finally server.stop()

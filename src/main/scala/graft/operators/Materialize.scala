@@ -199,10 +199,16 @@ object Materializer {
       val keyCols = keyColumns
       val valueCols = df.columns.filterNot(keyColumns.contains).toSeq
       df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        // one bulk call per partition — a real store impl pipelines it
+        // one bulk call per partition — a real store impl pipelines it.
+        // SQL NULL features are OMITTED (absent hash field = null, the
+        // Redis idiom) so a string feature whose legitimate value is
+        // the 4-char text "null" stays distinguishable from NULL; a
+        // row whose features are ALL null therefore stores nothing
+        // (the same inherent hash-store limit as an empty value map).
         store.putAll(table, rows.map { r =>
           val key = keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("#")
-          val value = valueCols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
+          val value = valueCols.flatMap(c => Option(r.getAs[Any](c))
+            .map(v => c -> String.valueOf(v))).toMap
           key -> value
         })
       }

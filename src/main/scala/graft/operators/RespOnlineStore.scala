@@ -78,11 +78,73 @@ class RespOnlineStore(host: String, port: Int,
     } finally sock.close()
   }
 
-  /** All keys of `table` (`KEYS table:*`, prefix stripped) — the
-    * verification/export enumeration path. Production Redis would use
-    * incremental SCAN; the wire shape (request → key array) is the same.
+  /** Bulk point-read: pipelined `HGETALL` for every key over ONE
+    * connection — `maxPipeline` commands per flush+drain round-trip,
+    * the same wire discipline as the write path ([[putAll]]). The
+    * per-key [[get]] opens a socket per call; serving or verifying a
+    * key SET should pay connection setup once.
+    * Returns (key, None) for absent keys, preserving input order.
     */
-  def scanKeys(table: String): Seq[String] = {
+  def getAll(table: String,
+      keys: Seq[String]): Seq[(String, Option[Map[String, String]])] = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port))
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream, 1 << 16)
+      val in = new DataInputStream(
+        new BufferedInputStream(sock.getInputStream, 1 << 16))
+      keys.grouped(maxPipeline).flatMap { batch =>
+        batch.foreach(k => writeCommand(out, Seq("HGETALL", s"$table:$k")))
+        out.flush()
+        batch.map { k =>
+          readReply(in) match {
+            case ArrayReply(items) if items.nonEmpty =>
+              k -> Some(items.grouped(2).collect {
+                case Seq(f, v) => new String(f, UTF_8) -> new String(v, UTF_8)
+              }.toMap)
+            case _ => k -> None
+          }
+        }
+      }.toSeq
+    } finally sock.close()
+  }
+
+  /** All keys of `table`, enumerated with cursor `SCAN … MATCH table:*
+    * COUNT batch` — the production path: each round-trip returns a
+    * bounded batch and the server never blocks on the whole keyspace
+    * (Redis `KEYS` is O(keyspace) inside the server's single event
+    * loop). Iterates until the server returns cursor "0"; duplicates
+    * (which Redis's rehash-safe cursors may emit) are collapsed
+    * client-side, per the documented SCAN contract.
+    */
+  def scanKeys(table: String, batch: Int = 512): Seq[String] = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port))
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var cursor = "0"
+      var done = false
+      while (!done) {
+        writeCommand(out,
+          Seq("SCAN", cursor, "MATCH", s"$table:*", "COUNT", batch.toString))
+        out.flush()
+        val (next, keys) = readScanReply(in)
+        keys.foreach(b =>
+          seen += new String(b, UTF_8).substring(table.length + 1))
+        cursor = next
+        done = cursor == "0"
+      }
+      seen.toSeq
+    } finally sock.close()
+  }
+
+  /** One-shot `KEYS table:*` — fine for SMALL tables (tests, bounded
+    * verification reads); O(keyspace) in one blocking server pass, so
+    * production enumeration should use [[scanKeys]].
+    */
+  def keys(table: String): Seq[String] = {
     val sock = new Socket()
     sock.connect(new InetSocketAddress(host, port))
     try {
@@ -162,6 +224,28 @@ private[operators] object Resp {
     }
   }
 
+  /** SCAN reply: `*2` of [bulk next-cursor, array of bulk keys] — the
+    * one nested-array reply shape the client consumes (generic
+    * [[readReply]] handles flat arrays only).
+    */
+  def readScanReply(in: DataInputStream): (String, Seq[Array[Byte]]) = {
+    val outer = readLine(in)
+    if (outer.startsWith("-"))
+      throw new java.io.IOException(s"RESP server error: ${outer.substring(1)}")
+    require(outer == "*2", s"SCAN: expected *2 reply, got '$outer'")
+    val ch = readLine(in)
+    require(ch.charAt(0) == '$', s"SCAN: non-bulk cursor '$ch'")
+    val cursor = new String(readBulk(in, ch.substring(1).toInt), UTF_8)
+    val ah = readLine(in)
+    require(ah.charAt(0) == '*', s"SCAN: non-array key list '$ah'")
+    val keys = (0 until ah.substring(1).toInt).map { _ =>
+      val h = readLine(in)
+      require(h.charAt(0) == '$', s"SCAN: non-bulk key '$h'")
+      readBulk(in, h.substring(1).toInt)
+    }
+    (cursor, keys)
+  }
+
   /** A RESP command: verb + raw argument bytes. */
   def readCommand(in: DataInputStream): Option[Seq[Array[Byte]]] = {
     val first = in.read()
@@ -177,7 +261,8 @@ private[operators] object Resp {
 }
 
 /** In-process RESP server implementing the command subset the store
-  * uses (`PING`, `DEL`, `HSET`, `HGETALL`) — the zero-egress stand-in
+  * uses (`PING`, `DEL`, `HSET`, `HGETALL`, `KEYS`, cursor `SCAN`) —
+  * the zero-egress stand-in
   * for a Redis endpoint, so [[RespOnlineStore]]'s pipelining, framing,
   * and concurrency are exercised over REAL sockets in tests. One thread
   * per connection (the sink opens one connection per partition);
@@ -242,6 +327,52 @@ class EmbeddedRespServer {
             }
             out.write(s"*${ks.size}\r\n".getBytes(UTF_8))
             ks.foreach { s =>
+              val b = s.getBytes(UTF_8)
+              out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+              out.write(b); out.write("\r\n".getBytes(UTF_8))
+            }
+          case "SCAN" =>
+            // cursor semantics: "0" starts; otherwise the hex-encoded
+            // last key the previous batch returned — stateless on the
+            // server (like Redis's reverse-bucket cursor), resilient to
+            // concurrent inserts (keys present throughout the whole
+            // iteration are always returned; Redis gives no stronger
+            // guarantee either). Keys are walked in sorted order so a
+            // batch is "the next COUNT keys after the cursor".
+            val cursor = str(args(1))
+            var prefix = ""
+            var count = 10
+            var i = 2
+            while (i + 1 < args.size) {
+              str(args(i)).toUpperCase match {
+                case "MATCH" =>
+                  val pat = str(args(i + 1))
+                  require(pat.endsWith("*") && !pat.dropRight(1).contains("*"),
+                    s"SCAN: only prefix globs supported, got '$pat'")
+                  prefix = pat.dropRight(1)
+                case "COUNT" => count = str(args(i + 1)).toInt
+                case other => throw new IllegalArgumentException(
+                  s"SCAN: unknown option '$other'")
+              }
+              i += 2
+            }
+            val from = if (cursor == "0") "" else
+              new String(cursor.grouped(2).toArray
+                .map(Integer.parseInt(_, 16).toByte), UTF_8)
+            val all = {
+              import scala.jdk.CollectionConverters._
+              data.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+            }
+            val remaining = if (cursor == "0") all else all.filter(_ > from)
+            val batch = remaining.take(count)
+            val next = if (batch.size == remaining.size) "0"
+              else batch.last.getBytes(UTF_8).map("%02x".format(_)).mkString
+            out.write(s"*2\r\n".getBytes(UTF_8))
+            val nb = next.getBytes(UTF_8)
+            out.write(s"$$${nb.length}\r\n".getBytes(UTF_8))
+            out.write(nb); out.write("\r\n".getBytes(UTF_8))
+            out.write(s"*${batch.size}\r\n".getBytes(UTF_8))
+            batch.foreach { s =>
               val b = s.getBytes(UTF_8)
               out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
               out.write(b); out.write("\r\n".getBytes(UTF_8))

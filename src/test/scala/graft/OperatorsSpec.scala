@@ -165,8 +165,14 @@ class OperatorsSpec extends SparkTestBase {
     rows.foreach { r =>
       val served = store.get("feat", String.valueOf(r.getAs[Long]("user_id")))
       assert(served.isDefined, s"missing key ${r.getAs[Long]("user_id")}")
-      assert(served.get("f_last") == String.valueOf(r.getAs[Any]("f_last")))
-      assert(served.get("f_sum_7d") == String.valueOf(r.getAs[Any]("f_sum_7d")))
+      // sink contract: SQL NULL features are OMITTED from the stored
+      // map (absent field = null), non-null values stringify exactly
+      Seq("f_last", "f_sum_7d").foreach { f =>
+        r.getAs[Any](f) match {
+          case null => assert(!served.get.contains(f), s"null $f must be omitted")
+          case v => assert(served.get(f) == String.valueOf(v))
+        }
+      }
     }
     assert(store.get("feat", "no-such-key").isEmpty)
   }

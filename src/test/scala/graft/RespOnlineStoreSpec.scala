@@ -55,6 +55,24 @@ class RespOnlineStoreSpec extends SparkTestBase {
     }
   }
 
+  test("SCAN enumerates via bounded cursor batches, agrees with KEYS") {
+    withServer { (server, store) =>
+      val n = 100
+      store.putAll("t",
+        (0 until n).iterator.map(i => f"k$i%03d" -> Map("v" -> i.toString)))
+      val before = server.commandCount.get()
+      val scanned = store.scanKeys("t", batch = 7)
+      val scanCmds = server.commandCount.get() - before
+      assert(scanned.toSet == (0 until n).map(i => f"k$i%03d").toSet)
+      // 100 keys at <=7 per round-trip -> exactly ceil(100/7)=15 SCANs:
+      // every batch is bounded, and the iteration actually uses the
+      // returned cursor instead of one blocking enumeration
+      assert(scanCmds == 15, s"expected 15 SCAN round-trips, saw $scanCmds")
+      assert(store.keys("t").sorted == scanned.sorted)
+      assert(store.scanKeys("other", batch = 7).isEmpty)
+    }
+  }
+
   test("Materializer online sink: one pipelined connection per partition") {
     withServer { (_, store) =>
       val df = spark.createDataFrame(
