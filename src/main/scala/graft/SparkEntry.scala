@@ -894,6 +894,24 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // The FULL user-facing dedup composition with NO planted-pair
+    // intersection: detection → connected components → drop runs on
+    // whatever the detector finds in the NATURAL corpus, and the oracle
+    // recomputes the survivor set from an exact all-pairs Jaccard
+    // (feasible at oracle scale: 500 short docs) + recursive-CTE
+    // connected components. A false POSITIVE in candidate generation
+    // drops an extra document; a false NEGATIVE leaves one alive —
+    // either breaks the row/hash compare. (sf0.01 ground truth: 25
+    // natural pairs, all J >= 0.875, next landscape point at ~0.3 —
+    // no borderline pair sits near the 0.8 threshold, and banding
+    // recall at J >= 0.875 is deterministic-complete for this corpus.)
+    "q_dedup_drop_full" -> ((s, dir) => {
+      Dedup.dropNearDuplicates(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", threshold = 0.8)
+        .select("doc_id")
+    }),
+
     // SimHash near-dup candidates on the same planted corpus — same
     // recall contract (identical text → identical signature → every
     // block collides → hamming 0, deterministically).
@@ -1669,6 +1687,38 @@ object SparkEntry {
     // exactly the original documents
     "q_dedup_drop" ->
       """SELECT doc_id FROM documents""".stripMargin,
+
+    // exact all-pairs >= 0.8 Jaccard over 5-word shingles, connected
+    // components via recursive transitive closure (components are tiny
+    // at oracle scale), survivors = everything but non-canonical members
+    "q_dedup_drop_full" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 5, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
+        |  FROM norm
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        |), canon AS (
+        |  SELECT src AS member, min(dst) AS canonical FROM reach GROUP BY src
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT member FROM canon WHERE member <> canonical)
+        |""".stripMargin,
 
     "q_dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
