@@ -1612,7 +1612,8 @@ object SparkEntry {
         |    len(w) AS n_words,
         |    (length(nt) - (len(w) - 1)) / len(w) AS mean_raw,
         |    (length(nt) - length(replace(nt, '#', ''))) +
-        |      (length(nt) - length(replace(nt, '...', ''))) // 3 AS syms,
+        |      (length(nt) - length(replace(nt, '...', ''))) // 3 +
+        |      (length(nt) - length(replace(nt, '…', ''))) AS syms,
         |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that')))
         |      AS stopword_hits

@@ -146,16 +146,29 @@ object Dedup {
     * (they are precisely the rows exact-dedup or a dedicated boilerplate
     * pass should own). Set `spark.graft.lsh.logDropped=true` to spend
     * one extra job counting and logging what was skipped.
+    *
+    * `dropOverCap = true` drops an over-cap bucket ENTIRELY instead of
+    * keeping its `cap` smallest ids. LSH bands keep the truncation
+    * (any bounded member subset still collides a planted duplicate with
+    * its original); pair-level recall contracts (winnow shared-chunk
+    * pairs) use the whole-bucket drop, because a biased low-id subset
+    * would deterministically evict high-id members and silently break
+    * "these two docs share a chunk" — while a fingerprint shared by
+    * more than `cap` documents is boilerplate with no pair-level signal
+    * in the first place.
     */
   private[operators] def capBuckets(df: DataFrame, bucketCols: Seq[String],
-      ordCol: String): DataFrame = {
+      ordCol: String, dropOverCap: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val conf = df.sparkSession.conf
     val cap = conf.get("spark.graft.lsh.maxBucket", "1000").toInt
     if (cap <= 0) df
     else {
-      val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(ordCol).asc)
-      val ranked = df.withColumn("__graft_bn", row_number().over(w))
+      val byBucket = Window.partitionBy(bucketCols.map(col): _*)
+      val ranked =
+        if (dropOverCap) df.withColumn("__graft_bn", count(lit(1)).over(byBucket))
+        else df.withColumn("__graft_bn",
+          row_number().over(byBucket.orderBy(col(ordCol).asc)))
       if (conf.get("spark.graft.lsh.logDropped", "false").toBoolean) {
         val over = ranked.where(col("__graft_bn") > cap)
           .agg(count(lit(1)), count_distinct(struct(bucketCols.map(col): _*)))

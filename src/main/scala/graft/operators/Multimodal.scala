@@ -191,10 +191,25 @@ object Multimodal {
             bos.toByteArray
           }
         }
-      rows.grouped(batchSize).flatMap { batch =>
+      val out = rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           Row.fromSeq(r.toSeq :+ resizeOne(r.getAs[Array[Byte]](binIdx)))
         }
+      }
+      // completion iterator: release the writer's native resources when
+      // the partition is exhausted (instead of retaining them until GC)
+      new scala.collection.AbstractIterator[Row] {
+        private var disposed = false
+        override def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !disposed) {
+            disposed = true
+            pngWriter.setOutput(null)
+            pngWriter.dispose()
+          }
+          h
+        }
+        override def next(): Row = out.next()
       }
     }(enc)
   }

@@ -110,7 +110,9 @@ object TextAnalysis {
     *  - `rule_mean_word_len`: mean word length within [3, 10] — computed
     *    arithmetically from the normalized text ((chars − spaces) /
     *    words), no per-word lambda, fully codegen'd;
-    *  - `rule_symbol_ratio`: ('#' + '…'-as-'...') per word ≤ 0.1;
+    *  - `rule_symbol_ratio`: symbols per word ≤ 0.1, where a symbol is
+    *    '#', an ASCII '...' run (every 3 dots count one ellipsis), or a
+    *    Unicode '…' (the common web form);
     *  - `rule_alpha_words`: fraction of words containing a letter ≥ 0.8;
     *  - `rule_stopwords`: at least `minStopwords` English stopwords
     *    (Gopher's "stop word" sanity check).
@@ -127,7 +129,8 @@ object TextAnalysis {
     val meanLen = (length(norm) - (nw - 1)).cast("double") / nw
     val hashes = length(norm) - length(regexp_replace(norm, "#", ""))
     val ellipses = (length(norm) -
-      length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3
+      length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3 +
+      (length(norm) - length(regexp_replace(norm, "…", "")))
     val symRatio = (hashes + ellipses).cast("double") / nw
     val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nw
     val stopHits = stopwordHits(t, "en")
@@ -211,15 +214,19 @@ object TextAnalysis {
 
   /** Documents sharing at least one winnowed fingerprint, as (id_a <
     * id_b, n_shared) pairs — chunk-level near-dup/contamination
-    * candidates. Reuses the LSH bucket machinery: fingerprint buckets
-    * are capped ([[Dedup.capBuckets]] — a boilerplate fingerprint shared
-    * by 10⁵ docs must not emit 10¹⁰ pairs) and pairs come from the
-    * in-bucket expansion, never a self-join.
+    * candidates. Reuses the LSH bucket machinery: a fingerprint shared
+    * by more than `spark.graft.lsh.maxBucket` documents is dropped
+    * WHOLE ([[Dedup.capBuckets]] with `dropOverCap` — such a chunk is
+    * boilerplate with no pair-level signal, and a boilerplate
+    * fingerprint shared by 10⁵ docs must not emit 10¹⁰ pairs; a biased
+    * keep-lowest-ids subset would instead silently evict high-id
+    * members from the recall contract). Pairs come from the in-bucket
+    * expansion, never a self-join.
     */
   def sharedChunkPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val fps = winnowFingerprints(df, textCol, idCol, k, w)
-    val capped = Dedup.capBuckets(fps, Seq("fp"), idCol)
+    val capped = Dedup.capBuckets(fps, Seq("fp"), idCol, dropOverCap = true)
     val ids = "__graft_ids"
     capped.groupBy(col("fp"))
       .agg(array_sort(collect_list(col(idCol))).as(ids))

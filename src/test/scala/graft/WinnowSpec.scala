@@ -43,22 +43,25 @@ class WinnowSpec extends SparkTestBase {
       s"density off: $fps selected of $nGrams k-grams (w=$W)")
   }
 
-  test("a boilerplate fingerprint shared by many docs is capped, not quadratic") {
-    val boiler = wordsOf("boiler", 8)
-    // 12 docs all embedding the same 8-word boilerplate run
-    val df = (1L to 12L).map(i => (i, wordsOf(s"u$i", 10) + " " + boiler))
+  test("an over-cap boilerplate fingerprint is dropped whole; in-cap chunks still pair") {
+    val boiler = wordsOf("boiler", 12)
+    // 12 docs of IDENTICAL boilerplate text: every fingerprint bucket
+    // holds all 12 members (over the cap of 5) → no pair-level signal,
+    // each bucket is dropped WHOLE — a kept lowest-5-ids subset would
+    // instead emit a biased C(5,2) pair subset. Plus 2 docs sharing a
+    // genuine 12-word quote (bucket of 2 ≤ cap) that must still pair.
+    val df = ((1L to 12L).map(i => (i, boiler)) ++
+      Seq((100L, wordsOf("quote", 12)),
+        (101L, wordsOf("quote", 12) + " " + wordsOf("tail", 6))))
       .toDF("doc_id", "text")
     spark.conf.set("spark.graft.lsh.maxBucket", "5")
     try {
       val pairs = TextAnalysis.sharedChunkPairs(df, "text", "doc_id", K, W)
-      // each fp bucket keeps its 5 smallest ids → at most C(5,2) pairs
-      // per fingerprint; without the cap the boilerplate alone emits
-      // C(12,2) = 66 pairs per shared fingerprint
-      val perFpMax = 5 * 4 / 2
-      val distinctPairs = pairs.count()
-      assert(distinctPairs <= perFpMax * 2, // boilerplate spans 2 windows' minima at most here
-        s"cap not engaged: $distinctPairs pairs")
-      assert(distinctPairs > 0, "capped buckets must still emit in-cap pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(!pairs.exists { case (a, b) => a <= 12L && b <= 12L },
+        s"boilerplate-only pairs must be dropped with their bucket, got $pairs")
+      assert(pairs.contains((100L, 101L)),
+        s"in-cap shared quote must still pair, got $pairs")
     } finally spark.conf.unset("spark.graft.lsh.maxBucket")
   }
 
