@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // SPARK_GRAFT_PROBE=swa|minhash|all selects the axis
+    // SPARK_GRAFT_PROBE=swa|minhash|text|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -87,7 +87,7 @@ object ScaleProbe {
     // warm up at a multiplier OUTSIDE the measured set: Spark reuses
     // map output of identical shuffle stages across queries in the
     // same session, so re-running the same n would report ~0 shuffle
-    for (n <- Seq(3) ++ mults; if axes != "minhash") {
+    for (n <- Seq(3) ++ mults; if axes == "all" || axes == "swa") {
       // per-variant timestamp offset: Spark reuses the map output of
       // shuffle stages whose canonical plan matches an earlier query's
       // in the same session, so sharing one lineage across the two
@@ -214,18 +214,55 @@ object ScaleProbe {
     def vowelMap(i: Int): String =
       (0 until 5).map(k => consonants(
         (i / math.pow(consonants.length, k).toInt) % consonants.length)).mkString
-    for (n <- mults; if axes != "swa") {
-      val corpus = (0 until n).map(i => docs0
+    def replicatedDocs(n: Int): DataFrame =
+      (0 until n).map(i => docs0
           .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
           .withColumn("text",
             if (i == 0) col("text")
             else translate(col("text"), "aeiou", vowelMap(i))))
-        .reduce(_ unionByName _).cache()
+        .reduce(_ unionByName _)
+    for (n <- mults; if axes == "all" || axes == "minhash") {
+      val corpus = replicatedDocs(n).cache()
       val rows = corpus.count()
       val (sec, mb) = time(graft.operators.Dedup
         .minhashNearDuplicates(corpus, "text", "doc_id", 0.8).count() + 1)
       println(f"[scale] n=$n%-3d docs=$rows%-9d minhashNearDup=$sec%6.2fs/${mb}%8.1fMB")
       corpus.unpersist()
+    }
+
+    // text-operator axis (winnow fingerprints, repetition stats, gopher
+    // rules) over an n×-replicated corpus — same distinct-id +
+    // injectively-rewritten-text replica discipline as the minhash
+    // axis. All three are per-document: expect LINEAR wall + shuffle.
+    // Winnow and repetition exchange ONCE by doc id; gopher is a pure
+    // projection with zero shuffle, so its time is the codegen
+    // throughput of the rule stack. The timed aggregations reference
+    // the computed columns explicitly (sum/conditional-sum, never a
+    // bare count()) so the optimizer cannot prune the operator out.
+    {
+      import graft.operators.TextAnalysis
+      var warmedText = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "text") {
+        val corpus = replicatedDocs(n).cache()
+        val rows = corpus.count()
+        val (wSec, wMb) = time(
+          TextAnalysis.winnowFingerprints(corpus, "text", "doc_id").count())
+        val (rSec, rMb) = time(
+          TextAnalysis.repetitionStats(corpus, "text", "doc_id")
+            .agg(sum(when(col("dup_frac") >= 0 && col("rule_repetition").isNotNull,
+              col("n_grams")))).head().getLong(0))
+        val (gSec, gMb) = time(
+          TextAnalysis.gopherRules(corpus, "text")
+            .agg(sum(when(col("passes"), lit(1L)).otherwise(lit(2L))))
+            .head().getLong(0))
+        if (warmedText)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d " +
+            f"winnow=$wSec%6.2fs/${wMb}%8.1fMB " +
+            f"repetition=$rSec%6.2fs/${rMb}%8.1fMB " +
+            f"gopherRules=$gSec%6.2fs/${gMb}%8.1fMB")
+        warmedText = true
+        corpus.unpersist()
+      }
     }
     spark.stop()
   }
