@@ -1009,6 +1009,31 @@ object SparkEntry {
         .drop("text")
     }),
 
+    // PII scrub over documents with deterministically planted
+    // email/IP/SSN strings (derived from doc_id, so the oracle plants
+    // the identical text): per-type match counts + md5 of the redacted
+    // text, so a pattern matching too much OR too little breaks the
+    // hash. Patterns are Java-regex/RE2 agnostic by construction.
+    "q_redact_pii" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+          col("doc_id") % 256, lit(".7 ssn "),
+          format_string("%03d-%02d-%04d", col("doc_id") % 1000,
+            col("doc_id") % 100, col("doc_id") % 10000)).as("text"))
+      TextAnalysis.redactPii(planted, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
+          md5(col("text_redacted")).as("redacted_md5"))
+    }),
+
+    // Deterministic 80/10/10 train/val/test split by key hash — stable
+    // across runs/engines/partitionings (md5 grid, no RNG). The oracle
+    // recomputes every assignment from the same md5 buckets.
+    "q_split_hash" -> ((s, dir) => {
+      Sampling.splitByHash(t(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // Gopher repetition filter: duplicate-2-gram occurrence fraction.
     "q_text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(
@@ -1633,6 +1658,38 @@ object SparkEntry {
         |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
         |    AND stopword_hits >= 2 AS passes
         |FROM m""".stripMargin,
+
+    "q_redact_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+        |    (doc_id % 256) || '.7 ssn ' ||
+        |    format('{:03d}-{:02d}-{:04d}', doc_id % 1000, doc_id % 100,
+        |      doc_id % 10000) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS redacted_md5
+        |FROM planted""".stripMargin,
+
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      % 10000 AS b
+        |  FROM documents)""".stripMargin,
 
     "q_text_repetition" ->
       """WITH norm AS (

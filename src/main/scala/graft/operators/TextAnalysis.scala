@@ -212,6 +212,32 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** PII patterns with IDENTICAL semantics under Java regex and RE2
+    * (no alternation ambiguity, greedy character-class quantifiers
+    * only), so redaction is reproducible across engines.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** Redact common PII (emails, IPv4 addresses, SSN-shaped ids) with
+    * typed placeholders — the scrub pass an LLM corpus pipeline runs
+    * before training. Pure projection (regexp_replace + regexp_count):
+    * zero shuffle, linear at any corpus size. Emits
+    * `<textCol>_redacted` plus per-type match counts for audit.
+    * Email redaction runs first so an address's digits can't be
+    * half-eaten by the narrower patterns.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    }.withColumn(s"${textCol}_redacted", redacted)
+  }
+
   /** Documents sharing at least one winnowed fingerprint, as (id_a <
     * id_b, n_shared) pairs — chunk-level near-dup/contamination
     * candidates. Reuses the LSH bucket machinery: a fingerprint shared

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash splitting/sampling and PII redaction. */
+class SamplingPiiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("splitByHash: total, deterministic, partitioning-invariant") {
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitByHash(df, "id", splits)
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.splitByHash(df.repartition(13), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.size == 2000, "every row gets exactly one split")
+    val byName = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // md5 buckets are uniform: 80/10/10 ± a few percent at n=2000
+    assert(math.abs(byName("train") - 1600) < 120, s"train skew: $byName")
+    assert(math.abs(byName("val") - 200) < 70, s"val skew: $byName")
+    assert(math.abs(byName("test") - 200) < 70, s"test skew: $byName")
+  }
+
+  test("splitByHash: a different salt is an independent re-split") {
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("a" -> 0.5, "b" -> 0.5)
+    val s1 = Sampling.splitByHash(df, "id", splits).as[(Long, String)].collect().toMap
+    val s2 = Sampling.splitByHash(df, "id", splits, salt = "epoch2")
+      .as[(Long, String)].collect().toMap
+    val moved = (0L until 2000L).count(i => s1(i) != s2(i))
+    assert(moved > 700 && moved < 1300,
+      s"independent re-split should move ~half the keys, moved $moved")
+  }
+
+  test("sampleByHash: subset semantics and fraction accuracy") {
+    val df = (0L until 5000L).toDF("id")
+    val tenPct = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
+    val thirtyPct = Sampling.sampleByHash(df, "id", 0.3).as[Long].collect().toSet
+    assert(tenPct.subsetOf(thirtyPct),
+      "growing the fraction must only ADD keys (nested samples)")
+    assert(math.abs(tenPct.size - 500) < 100, s"10% of 5000 ~ 500, got ${tenPct.size}")
+  }
+
+  test("redactPii: typed placeholders, counts, and non-PII text untouched") {
+    val df = Seq(
+      (1L, "mail a.b-c+x@sub.example.org and peer 192.168.001.12 ssn 123-45-6789"),
+      (2L, "no pii here, just v1.2 and a dash-word"),
+      (3L, "two mails x@y.io z@w.co plus 10.0.0.1")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_ssn", "text_redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 1, 1,
+      "mail <EMAIL> and peer <IP> ssn <SSN>")))
+    assert(out(1) == ((2L, 0, 0, 0, "no pii here, just v1.2 and a dash-word")))
+    assert(out(2) == ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> plus <IP>")))
+  }
+}
