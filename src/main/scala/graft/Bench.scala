@@ -79,7 +79,11 @@ object Bench {
       "under a bare count(), so r1-r4 per-query times measured a spine scan " +
       "and are not comparable. r6: fresh newSession() per query (shared " +
       "SharedState) so session state cannot leak between timings; medians " +
-      "are warm steady-state — a cold JVM pays one-time codegen/init on top"
+      "are warm steady-state — a cold JVM pays one-time codegen/init on top. " +
+      "r7: the r6 q_text_lang_tokens regression (1.14->2.58s) was interpreted " +
+      "higher-order-function lambda CPU (5 languages x filter/array_contains " +
+      "+ an aggregate fold, never codegen'd) — replaced by the native " +
+      "single-pass TextLangTokensExpr: 0.18s median"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failed,"note":"$note","sf":"$sfDir"}""")
     spark.stop()
   }
