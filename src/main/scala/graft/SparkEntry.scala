@@ -785,7 +785,8 @@ object SparkEntry {
         val key = java.net.URLDecoder.decode(f.getName, "UTF-8")
         val Array(day, et) = key.split("#", 2)
         val v = store.get("stream_agg", key).get
-        Row(day, et, v("n"), v("v_sum"))
+        // sink contract: a SQL-NULL feature is OMITTED from the map
+        Row(day, et, v.getOrElse("n", null), v.getOrElse("v_sum", null))
       }
       val strSchema = StructType(Seq("day", "event_type", "n", "v_sum")
         .map(StructField(_, StringType)))
@@ -820,8 +821,13 @@ object SparkEntry {
       // the operator's emitted f_avg is definitionally f_sum/f_cnt —
       // require it, then put the average in the oracle hash via the
       // hazard-free construction: round the sum to 4 decimals FIRST
-      // (both engines then hold the identical double), divide by the
-      // exact count, round again — no half-point can diverge.
+      // (values sit on the 0.01 grid, far from 4-decimal half-points,
+      // so both engines produce the identical double), divide by the
+      // exact count, then quantize with floor(x·10⁴+½)/10⁴ — pure IEEE
+      // arithmetic on bit-identical inputs, unlike a final decimal
+      // round() (Spark rounds the shortest-decimal repr half-up,
+      // DuckDB rounds the binary value: a quotient on a half-point,
+      // e.g. 0.0029/2, diverges between them).
       require(s.table(name)
         .where(abs(col("f_avg") - col("f_sum") / col("f_cnt")) > 1e-9).isEmpty,
         "stateful SWA emitted f_avg != f_sum/f_cnt")
@@ -829,7 +835,8 @@ object SparkEntry {
         col("key"), col("tsMicros").as("ts_micros"),
         round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
         col("f_min"), col("f_max"),
-        round(round(col("f_sum"), 4) / col("f_cnt"), 4).as("f_avg"))
+        (floor(round(col("f_sum"), 4) / col("f_cnt") * 10000 + lit(0.5)) / 10000)
+          .as("f_avg"))
     }),
 
     // ----------------------- LLM-pipeline extension operators (§2.11)
@@ -1530,7 +1537,8 @@ object SparkEntry {
         |  count(r.value) AS f_cnt,
         |  min(r.value) AS f_min,
         |  max(r.value) AS f_max,
-        |  round(round(sum(r.value), 4) / count(r.value), 4) AS f_avg
+        |  floor(round(sum(r.value), 4) / count(r.value) * 10000 + 0.5) / 10000
+        |    AS f_avg
         |FROM ($purchasesSql) l
         |JOIN ($purchasesSql) r
         |  ON r.user_id = l.user_id

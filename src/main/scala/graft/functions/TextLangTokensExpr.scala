@@ -38,9 +38,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextLangTokens {
   // Sorted language order — tie-break scans left to right taking >=,
   // so the lexicographically greatest winner matches array_max.
+  // This is the CANONICAL copy of the per-language stopword lists:
+  // `TextAnalysis.stopwords` derives from it (the DuckDB oracles in
+  // SparkEntry embed the same lists — change all together).
   val langs: Array[String] = Array("de", "en", "es", "fr", "zh")
 
-  private val stopwordSets: Array[Array[String]] = Array(
+  val stopwordSets: Array[Array[String]] = Array(
     Array("der", "die", "das", "und", "ist", "ein", "zu", "nicht"), // de
     Array("the", "a", "of", "and", "to", "in", "is", "that"), // en
     Array("el", "la", "de", "que", "y", "en", "un", "es"), // es

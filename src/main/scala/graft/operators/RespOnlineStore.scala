@@ -271,7 +271,11 @@ private[operators] object Resp {
 class EmbeddedRespServer {
   import Resp._
 
-  private val data = new ConcurrentHashMap[String, Map[String, String]]()
+  // sorted concurrent map: SCAN's stateless cursor pages tailMap(from)
+  // in O(log K + batch) per round-trip instead of re-sorting the whole
+  // keyspace on every cursor call
+  private val data =
+    new java.util.concurrent.ConcurrentSkipListMap[String, Map[String, String]]()
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", 0))
   val commandCount = new java.util.concurrent.atomic.AtomicLong()
@@ -359,13 +363,16 @@ class EmbeddedRespServer {
             val from = if (cursor == "0") "" else
               new String(cursor.grouped(2).toArray
                 .map(Integer.parseInt(_, 16).toByte), UTF_8)
-            val all = {
+            // page the sorted map from the cursor: O(log K) seek + one
+            // batch walk, never a whole-keyspace scan per round-trip
+            val it = {
               import scala.jdk.CollectionConverters._
-              data.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+              data.tailMap(from, /* inclusive = */ cursor == "0")
+                .keySet().iterator().asScala.filter(_.startsWith(prefix))
             }
-            val remaining = if (cursor == "0") all else all.filter(_ > from)
-            val batch = remaining.take(count)
-            val next = if (batch.size == remaining.size) "0"
+            val page = it.take(count + 1).toSeq
+            val batch = page.take(count)
+            val next = if (page.size <= count) "0"
               else batch.last.getBytes(UTF_8).map("%02x".format(_)).mkString
             out.write(s"*2\r\n".getBytes(UTF_8))
             val nb = next.getBytes(UTF_8)

@@ -18,8 +18,12 @@ object Sampling {
     * a NEW independent assignment for the same keys (epoch re-splits).
     */
   def hashBucket(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long") % 10000
+    // null keys hash as the empty string, so splitByHash and
+    // sampleByHash agree on them (a raw null would propagate: assigned
+    // to the LAST split by the when-chain but silently FILTERED by the
+    // sample predicate — two different answers for the same row)
+    conv(substring(md5(concat(coalesce(key.cast("string"), lit("")),
+      lit(salt))), 1, 8), 16, 10).cast("long") % 10000
 
   /** Assign each row to a named split (train/val/test…) by hash bucket.
     * `splits` maps name -> fraction; fractions must sum to 1 (±1e-9).
@@ -38,6 +42,10 @@ object Sampling {
     val b = hashBucket(col(keyCol), salt)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
       .map(f => math.round(f * 10000).toInt)
+    // the hash grid has 1/10000 resolution: a fraction that rounds to a
+    // zero-width bucket interval would yield a silently EMPTY split
+    require((0 +: bounds.init).zip(bounds).forall { case (lo, hi) => hi > lo },
+      s"split fractions below the 1/10000 hash-grid resolution: $splits")
     val assigned = splits.map(_._1).zip(bounds).init
       .foldRight(lit(splits.last._1)) { case ((name, hi), rest) =>
         when(b < hi, lit(name)).otherwise(rest)

@@ -137,24 +137,33 @@ object Similarity {
           .map(_.getSeq[Float](0).toArray)
         var cents: Vector[Array[Float]] =
           sample.take(nCells).map(_.clone).toVector
-        def cos(v: Array[Float], c: Array[Float]): Double = {
-          var d = 0.0; var vn = 0.0; var cn = 0.0; var i = 0
-          while (i < v.length) {
-            d += v(i).toDouble * c(i); vn += v(i).toDouble * v(i)
-            cn += c(i).toDouble * c(i); i += 1
-          }
-          d / math.sqrt(vn * cn)
+        def norm(v: Array[Float]): Double = {
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+          math.sqrt(n)
         }
+        def dotd(a: Array[Float], b: Array[Float]): Double = {
+          var d = 0.0; var i = 0
+          while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+          d
+        }
+        // norms are loop-invariant: sample norms once for the whole
+        // run, centroid norms once per iteration — not per (sample,
+        // centroid) pair
+        val sampleNorms = sample.map(norm)
         var iter = 0
         var converged = false
         while (iter < kmeansIters && !converged) {
+          val centNorms = cents.map(norm)
           val sums = Array.fill(cents.size)(null: Array[Double])
           val cnts = new Array[Long](cents.size)
-          sample.foreach { v =>
+          var si = 0
+          while (si < sample.length) {
+            val v = sample(si)
             var best = 0; var bs = Double.NegativeInfinity
             var c = 0
             while (c < cents.size) {
-              val s = cos(v, cents(c))
+              val s = dotd(v, cents(c)) / (sampleNorms(si) * centNorms(c))
               if (s > bs) { bs = s; best = c }
               c += 1
             }
@@ -162,6 +171,7 @@ object Similarity {
             var i = 0
             while (i < v.length) { sums(best)(i) += v(i); i += 1 }
             cnts(best) += 1
+            si += 1
           }
           // empty cells are dropped (the distributed formulation's
           // groupBy dropped them identically)

@@ -45,14 +45,15 @@ object TextAnalysis {
 
   /** Tiny stopword lists per language for n-gram/stopword language ID.
     * Real pipelines plug in larger lists; the operator shape (count
-    * word-set hits per language, argmax) is what matters.
+    * word-set hits per language, argmax) is what matters. The single
+    * canonical copy lives in [[graft.functions.TextLangTokens]] (the
+    * native expression that does the counting) — this view can never
+    * desynchronize from it.
     */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+  val stopwords: Map[String, Seq[String]] = {
+    import graft.functions.TextLangTokens
+    TextLangTokens.langs.zip(TextLangTokens.stopwordSets.map(_.toSeq)).toMap
+  }
 
   /** The whole langID/stopword/token stack in one native codegen'd
     * pass over the normalized text ([[graft.functions.TextLangTokensExpr]]).

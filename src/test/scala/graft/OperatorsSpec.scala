@@ -166,10 +166,20 @@ class OperatorsSpec extends SparkTestBase {
       val served = store.get("feat", String.valueOf(r.getAs[Long]("user_id")))
       assert(served.isDefined, s"missing key ${r.getAs[Long]("user_id")}")
       // sink contract: SQL NULL features are OMITTED from the stored
-      // map (absent field = null), non-null values stringify exactly
+      // map (absent field = null). Doubles compare with an ulp-scale
+      // tolerance, NOT string equality: the store was written from the
+      // materializer's evaluation and `snap.collect()` is a SECOND
+      // evaluation — a float SUM's low-order bits depend on partial
+      // aggregation order (task scheduling), so the two legitimately
+      // differ by ~1 ulp run-to-run (the r6 1-in-6 suite flake:
+      // "178.22000000000003" != "178.22").
       Seq("f_last", "f_sum_7d").foreach { f =>
         r.getAs[Any](f) match {
           case null => assert(!served.get.contains(f), s"null $f must be omitted")
+          case d: Double =>
+            val got = served.get(f).toDouble
+            assert(math.abs(got - d) <= 1e-9 * math.max(1.0, math.abs(d)),
+              s"$f served $got vs snapshot $d")
           case v => assert(served.get(f) == String.valueOf(v))
         }
       }
