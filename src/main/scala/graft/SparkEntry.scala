@@ -733,6 +733,29 @@ object SparkEntry {
     // T1/T2: Structured Streaming ingest of the events table (file
     // source → watermark → tumbling-window agg → memory sink), compared
     // against the equivalent batch aggregation.
+    // Streaming exact dedup (ingest re-delivery guard): every event is
+    // delivered TWICE (two stream scans of the same files unioned) and
+    // dropDuplicatesWithinWatermark must emit each event_id exactly
+    // once — the oracle is simply the events table, so a missed or
+    // double-emitted key breaks the row/hash compare. State is bounded
+    // by the watermark horizon, not all-time distinct keys.
+    "q_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def src() = fixTs(s.readStream.schema(rawSchema)
+        .option("basePath", dir).parquet(s"$dir/events.parque*"))
+      val doubled = src().unionByName(src())
+      val deduped = StreamingIngest.dedupStream(
+        doubled, "ts", "3650 days", Seq("event_id"))
+        .select("event_id", "event_type", "value")
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    }),
+
     "q_stream_window_agg" -> ((s, dir) => {
       nanosConf(s)
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1518,6 +1541,9 @@ object SparkEntry {
         |     AND s.ts <= sp.step_end) AS f_sum_7d,
         |  sp.step_end AS __step_end
         |FROM spine sp""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT event_id, event_type, value FROM events",
 
     "q_stream_window_agg" ->
       """SELECT date_trunc('day', ts) AS day, event_type,

@@ -56,6 +56,22 @@ object StreamingIngest {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact dedup — the ingest-side re-delivery guard (at-
+    * least-once sources deliver duplicates; an LLM ingest pipeline
+    * must drop them before they enter the corpus). Uses
+    * `dropDuplicatesWithinWatermark`: state is BOUNDED by the
+    * watermark horizon, unlike streaming `dropDuplicates` whose state
+    * grows with all-time distinct keys — the unbounded-growth hazard
+    * at 100 TB ingest rates. A duplicate arriving later than
+    * `watermarkDelay` after the original is NOT suppressed (the
+    * standard contract: size the horizon to the source's re-delivery
+    * window).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-side feature enrichment — the online-scoring shape: a
     * STREAMING observation left-joins batch-computed feature tables
     * (stream-static joins, which Structured Streaming executes
