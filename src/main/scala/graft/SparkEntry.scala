@@ -1013,6 +1013,22 @@ object SparkEntry {
         .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
+    // Embedding int8 quantization (storage compression): per-vector
+    // scale + quantized array, both reproduced exactly by the oracle
+    // (the floor(x·scale+½) construction is pure IEEE arithmetic on
+    // bit-identical inputs, so the md5 of the joined int array must
+    // match to the last element).
+    "q_embed_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(
+        t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
+      q.select(col("vec_id"),
+        (floor(col("embedding_scale") * 1000000 + lit(0.5)) / 1000000)
+          .as("q_scale"),
+        md5(concat_ws(",",
+          transform(col("embedding_q8"), x => x.cast("string"))))
+          .as("q_md5"))
+    }),
+
     // Text quality statistics (pure projection).
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.stats(t(s, dir, "documents"), "text")
@@ -1821,6 +1837,20 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |  1.0::DOUBLE AS cos
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / greatest(
+        |      list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+        |      1e-30) AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  floor(scale * 1000000 + 0.5) / 1000000 AS q_scale,
+        |  md5(array_to_string(list_transform(embedding,
+        |    x -> floor(x * scale + 0.5)::INT), ',')) AS q_md5
+        |FROM q""".stripMargin,
 
     // Recall gate: the query emits one row per probe whose IVF recall@10
     // vs the brute-force baseline clears 0.5 — the oracle asserts EVERY

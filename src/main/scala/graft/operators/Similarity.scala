@@ -245,6 +245,35 @@ object Similarity {
     perQueryTopK(scored, k, qIdCol, idCol)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * compression an embedding pipeline applies before writing vectors
+    * at corpus scale (4× smaller than float32; dot products on int8
+    * dequantize through the per-vector scale). Per vector:
+    * `scale = 127 / max|x|`, `q_i = floor(x_i·scale + ½)` — the
+    * floor(x+½) construction instead of decimal round() keeps the
+    * result reproducible across engines (pure IEEE ops on identical
+    * inputs; |q_i| ≤ 127 by construction, no clamp needed). Zero
+    * vectors quantize to zeros via the absmax floor. Pure projection —
+    * zero shuffle, linear at any corpus size.
+    * Emits `<vecCol>_scale` (double) and `<vecCol>_q8` (array<int>,
+    * values in [-127, 127]).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val absmax = greatest(
+      array_max(transform(col(vecCol), x => abs(x))).cast("double"), lit(1e-30))
+    val scale = lit(127.0) / absmax
+    df.withColumn(s"${vecCol}_scale", scale)
+      .withColumn(s"${vecCol}_q8", transform(col(vecCol),
+        x => floor(x.cast("double") * col(s"${vecCol}_scale") + lit(0.5))
+          .cast("int")))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `x̂_i = q_i / scale`; per-element
+    * error is bounded by `max|x| / 254` (half a quantization step).
+    */
+  def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, q => q.cast("double") / scaleCol)
+
   /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id
     * is the sign of `dot(v, h_i)` where the `h_i` are deterministic
     * seeded hyperplanes materialized as LITERAL arrays — computed once

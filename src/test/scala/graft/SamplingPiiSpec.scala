@@ -43,6 +43,31 @@ class SamplingPiiSpec extends SparkTestBase {
     assert(math.abs(tenPct.size - 500) < 100, s"10% of 5000 ~ 500, got ${tenPct.size}")
   }
 
+  test("quantizeInt8: round-trip error bounded by half a step; range [-127,127]") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(0.5f, -2.0f, 1.25f, 0.0f)),
+      (2L, Seq(0.001f, 0.002f, -0.003f)),
+      (3L, Seq(0.0f, 0.0f))) // zero vector
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+    val back = q.select(col("vec_id"), col("embedding"), col("embedding_q8"),
+      Similarity.dequantizeInt8(col("embedding_q8"), col("embedding_scale"))
+        .as("deq"))
+      .as[(Long, Seq[Float], Seq[Int], Seq[Double])].collect()
+    back.foreach { case (id, orig, q8, deq) =>
+      assert(q8.forall(v => v >= -127 && v <= 127), s"vec $id out of range: $q8")
+      val absmax = orig.map(math.abs(_)).max.toDouble
+      val step = math.max(absmax, 1e-30) / 127
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= step / 2 + 1e-12,
+          s"vec $id: $o dequantized to $d (step $step)")
+      }
+    }
+    // zero vector stays exactly zero
+    assert(back.find(_._1 == 3L).get._3.forall(_ == 0))
+  }
+
   test("redactPii: typed placeholders, counts, and non-PII text untouched") {
     val df = Seq(
       (1L, "mail a.b-c+x@sub.example.org and peer 192.168.001.12 ssn 123-45-6789"),
