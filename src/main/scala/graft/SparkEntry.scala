@@ -1080,6 +1080,36 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // The END-TO-END corpus curation funnel — what an LLM data pipeline
+    // actually runs, composed from the individually-gated operators:
+    // Gopher/C4 quality rules → repetition filter → near-dup drop
+    // (detection → CC → min-id survivor) → deterministic train/val/test
+    // assignment. The oracle recomputes the ENTIRE funnel (rules +
+    // dup-fraction in SQL, exact all-pairs Jaccard + recursive-CTE
+    // components over the FILTERED corpus, md5-grid split), so a drift
+    // in any stage — or in how the stages compose — breaks the hash.
+    "q_corpus_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val quality = TextAnalysis.gopherRules(docs, "text")
+        .where(col("passes")).select("doc_id", "text")
+      // cheap zero-shuffle filter FIRST, then the shuffling repetition
+      // stats over the survivors only (per-doc independent, so filter
+      // order cannot change the intersection) — at scale this halves
+      // the shingle shuffle; dedup, the expensive stage, runs last
+      val rep = TextAnalysis.repetitionStats(quality, "text", "doc_id")
+        .where(col("rule_repetition")).select("doc_id")
+      // spill the filtered corpus ONCE: the dedup pipeline scans its
+      // input several times (signature scan, verification semi-join,
+      // final anti-join), and each scan would otherwise recompute the
+      // quality+repetition join from the raw table
+      val kept = graft.operators.Spill.roundTrip(
+        quality.join(rep, Seq("doc_id"), "left_semi"))
+      val deduped = Dedup.dropNearDuplicates(kept, "text", "doc_id",
+        threshold = 0.8)
+      Sampling.splitByHash(deduped.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // Gopher repetition filter: duplicate-2-gram occurrence fraction.
     "q_text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(
@@ -1740,6 +1770,73 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
         |      % 10000 AS b
         |  FROM documents)""".stripMargin,
+
+    // the full curation funnel: quality + repetition in SQL, exact
+    // all-pairs >= 0.8 Jaccard + transitive-closure components over the
+    // FILTERED corpus, min-id survivors, md5-grid split
+    "q_corpus_curate" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    (length(nt) - (len(w) - 1)) / len(w) AS mean_raw,
+        |    (length(nt) - length(replace(nt, '#', ''))) +
+        |      (length(nt) - length(replace(nt, '...', ''))) // 3 +
+        |      (length(nt) - length(replace(nt, '…', ''))) AS syms,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that')))
+        |      AS stopword_hits
+        |  FROM norm
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(w) - 2, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+2], ' '))) AS s
+        |  FROM norm
+        |), c AS (
+        |  SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id FROM c GROUP BY doc_id
+        |  HAVING sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) <= 0.2
+        |), kept AS (
+        |  SELECT m.doc_id FROM m JOIN rep USING (doc_id)
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND mean_raw >= 3.0 AND mean_raw <= 10.0
+        |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
+        |    AND stopword_hits >= 2
+        |), sh AS (
+        |  SELECT n.doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(n.w) - 5, 0) + 1),
+        |    i -> array_to_string(n.w[i+1:i+5], ' '))) AS s
+        |  FROM norm n JOIN kept USING (doc_id)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        |), canon AS (
+        |  SELECT src AS member, min(dst) AS canonical FROM reach GROUP BY src
+        |), survivors AS (
+        |  SELECT doc_id FROM kept
+        |  WHERE doc_id NOT IN (SELECT member FROM canon WHERE member <> canonical)
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      % 10000 AS b
+        |  FROM survivors)""".stripMargin,
 
     "q_text_repetition" ->
       """WITH norm AS (
