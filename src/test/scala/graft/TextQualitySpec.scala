@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, struct}
 
 /** Gopher/C4 quality rules — each rule isolated by a crafted document. */
 class TextQualitySpec extends SparkTestBase {
@@ -52,6 +53,56 @@ class TextQualitySpec extends SparkTestBase {
     assert(r(2L).getDouble(2) > 0.9)
     // gram count = words - 1 for multi-word docs
     assert(r(1L).getLong(1) == 59)
+  }
+
+  test("native TextLangTokensExpr matches an independent reference over random text") {
+    import graft.functions.TextLangTokens
+    val rnd = new scala.util.Random(7)
+    val langs = TextLangTokens.langs
+    val allStops = langs.zip(TextLangTokens.stopwordSets).toMap
+    val junk = Vector("zzz", "Qw", "abcdefghij", "k", "", "é-word", "数据", "x9",
+      "LOUD", "MiXeD")
+    val vocab = allStops.values.flatten.toVector ++ junk
+    val ws = Vector(" ", "  ", "\t", "\n", " \t ")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(40)
+      val body = (0 until n).map { _ =>
+        val w = vocab(rnd.nextInt(vocab.size))
+        if (rnd.nextBoolean()) w.toUpperCase(java.util.Locale.ROOT) else w
+      }.mkString(ws(rnd.nextInt(ws.size)))
+      (i.toLong, if (rnd.nextInt(10) == 0) "" else
+        ws(rnd.nextInt(ws.size)) + body + ws(rnd.nextInt(ws.size)))
+    }
+    // independent reference: plain-Scala normText + per-word fold
+    def ref(text: String): (Map[String, Int], String, Long) = {
+      val norm = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim
+      val words = norm.split(" ", -1).toSeq
+      val hits = langs.map(l =>
+        l -> words.count(allStops(l).contains)).toMap
+      val best = langs.filter(l => hits(l) > 0)
+        .sortBy(l => (hits(l), l)).lastOption.getOrElse("und")
+      val tokens = words.map(w =>
+        (w.codePointCount(0, w.length) + 3) / 4).map(_.toLong).sum
+      (hits, best, tokens)
+    }
+    val got = docs.toDF("id", "text").select(
+      col("id"),
+      struct(langs.map(l =>
+        TextAnalysis.stopwordHits(col("text"), l).as(l)): _*).as("hits"),
+      TextAnalysis.languageId(col("text")).as("lang"),
+      TextAnalysis.approxTokenCount(col("text")).as("tokens"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1), r.getString(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val (hits, lang, tokens) = ref(text)
+      val (gh, gl, gt) = got(id)
+      langs.zipWithIndex.foreach { case (l, i) =>
+        assert(gh.getInt(i) == hits(l), s"doc $id ${l}_hits: '$text'")
+      }
+      assert(gl == lang, s"doc $id lang: got $gl want $lang for '$text'")
+      assert(gt == tokens, s"doc $id tokens: got $gt want $tokens for '$text'")
+    }
   }
 
   test("diagnostics are exact on a constructed document") {
