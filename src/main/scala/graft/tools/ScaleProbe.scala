@@ -264,6 +264,51 @@ object ScaleProbe {
         corpus.unpersist()
       }
     }
+    // curation-funnel axis: the composed pipeline (quality rules →
+    // repetition over survivors → near-dup drop → split), exactly the
+    // q_corpus_curate plan shape. Its parts are measured linear on the
+    // text and minhash axes; this measures the COMPOSITION (the joins
+    // between stages and the spilled hand-off) at corpus growth.
+    {
+      import graft.operators.{Dedup, Sampling, Spill, TextAnalysis}
+      // the plain vowel-rewrite would fail EVERY replica at the quality
+      // gate (it destroys the English stopwords the rule needs), so the
+      // funnel would silently process only the original docs at every n
+      // — measured: flat 1.3 MB shuffle across 64× "data". Replicas get
+      // a stopword-rich literal suffix: quality passage is restored,
+      // and ~10 shared suffix words on 40+-word docs keep cross-replica
+      // jaccard far below the 0.8 threshold (no artificial cliques).
+      def replicatedQualityDocs(n: Int): DataFrame =
+        (0 until n).map(i => docs0
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text",
+              if (i == 0) col("text")
+              else concat(translate(col("text"), "aeiou", vowelMap(i)),
+                lit(" the of and to in is that with some more"))))
+          .reduce(_ unionByName _)
+      var warmedCurate = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "curate") {
+        val corpus = replicatedQualityDocs(n).cache()
+        val rows = corpus.count()
+        val (sec, mb) = time {
+          val quality = TextAnalysis.gopherRules(corpus, "text")
+            .where(col("passes")).select("doc_id", "text")
+          val rep = TextAnalysis.repetitionStats(quality, "text", "doc_id")
+            .where(col("rule_repetition")).select("doc_id")
+          val kept = Spill.roundTrip(
+            quality.join(rep, Seq("doc_id"), "left_semi"))
+          val deduped = Dedup.dropNearDuplicates(kept, "text", "doc_id", 0.8)
+          Sampling.splitByHash(deduped.select("doc_id"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .agg(sum(when(col("split") === "train", lit(1L)).otherwise(lit(2L))))
+            .head().getLong(0)
+        }
+        if (warmedCurate)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d curateFunnel=$sec%6.2fs/${mb}%8.1fMB")
+        warmedCurate = true
+        corpus.unpersist()
+      }
+    }
     spark.stop()
   }
 }
