@@ -1096,14 +1096,22 @@ object SparkEntry {
       // stats over the survivors only (per-doc independent, so filter
       // order cannot change the intersection) — at scale this halves
       // the shingle shuffle; dedup, the expensive stage, runs last
-      val rep = TextAnalysis.repetitionStats(quality, "text", "doc_id")
-        .where(col("rule_repetition")).select("doc_id")
+      // the repetition survivors are a doc_id-only frame: spill it and
+      // gate an explicit broadcast on its EXACT on-disk bytes (the
+      // engine's standard pattern — Catalyst's estimate flips this
+      // semi-join to a shuffle of the survivors' text between 20k and
+      // 80k docs, the one super-linear step on SCALE.md axis 4; above
+      // the limit the shuffled semi-join is the correct 100 TB plan)
+      val (rep, repBytes) = graft.operators.Spill.roundTripSized(
+        TextAnalysis.repetitionStats(quality, "text", "doc_id")
+          .where(col("rule_repetition")).select("doc_id"))
+      val repHinted = if (repBytes <= (16L << 20)) broadcast(rep) else rep
       // spill the filtered corpus ONCE: the dedup pipeline scans its
       // input several times (signature scan, verification semi-join,
       // final anti-join), and each scan would otherwise recompute the
       // quality+repetition join from the raw table
       val kept = graft.operators.Spill.roundTrip(
-        quality.join(rep, Seq("doc_id"), "left_semi"))
+        quality.join(repHinted, Seq("doc_id"), "left_semi"))
       val deduped = Dedup.dropNearDuplicates(kept, "text", "doc_id",
         threshold = 0.8)
       Sampling.splitByHash(deduped.select("doc_id"), "doc_id",

@@ -293,10 +293,13 @@ object ScaleProbe {
         val (sec, mb) = time {
           val quality = TextAnalysis.gopherRules(corpus, "text")
             .where(col("passes")).select("doc_id", "text")
-          val rep = TextAnalysis.repetitionStats(quality, "text", "doc_id")
-            .where(col("rule_repetition")).select("doc_id")
+          // exact-bytes broadcast gate, mirroring q_corpus_curate
+          val (rep, repBytes) = Spill.roundTripSized(
+            TextAnalysis.repetitionStats(quality, "text", "doc_id")
+              .where(col("rule_repetition")).select("doc_id"))
+          val repHinted = if (repBytes <= (16L << 20)) broadcast(rep) else rep
           val kept = Spill.roundTrip(
-            quality.join(rep, Seq("doc_id"), "left_semi"))
+            quality.join(repHinted, Seq("doc_id"), "left_semi"))
           val deduped = Dedup.dropNearDuplicates(kept, "text", "doc_id", 0.8)
           Sampling.splitByHash(deduped.select("doc_id"), "doc_id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
