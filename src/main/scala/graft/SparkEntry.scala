@@ -1143,6 +1143,24 @@ object SparkEntry {
       found.join(expected, Seq("id_a", "id_b"), "inner").select("id_a", "id_b")
     }),
 
+    // Benchmark decontamination: the reference set is 10-word "eval
+    // prompts" quoted from every 20th document; contaminatedWith must
+    // flag each source (a shared run of >= w+k-1 = 8 words guarantees a
+    // shared fingerprint). found ∩ expected — the same recall-contract
+    // shape as q_text_winnow, so a missed source is a missing row.
+    "q_text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val reference = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("ref_id"),
+          concat_ws(" ",
+            slice(split(Dedup.normText(col("text")), " "), 1, 10)).as("text"))
+      val found = TextAnalysis.contaminatedWith(
+        docs, "text", "doc_id", reference, "text", "ref_id")
+      found.join(docs.where(col("doc_id") % 20 === 0).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .select("doc_id")
+    }),
+
     // Multimodal columns: binary payload + typed metadata struct
     // (mime sniff, byte length, content hash) — pure projection.
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1872,6 +1890,11 @@ object SparkEntry {
     "q_text_winnow" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
         |FROM documents WHERE doc_id % 20 = 0""".stripMargin,
+
+    // decontamination recall contract: every source of a quoted eval
+    // prompt must be flagged (same detection guarantee as q_text_winnow)
+    "q_text_decontaminate" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 20 = 0",
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

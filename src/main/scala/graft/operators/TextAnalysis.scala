@@ -239,6 +239,30 @@ object TextAnalysis {
     }.withColumn(s"${textCol}_redacted", redacted)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * winnowed fingerprint with a REFERENCE set (eval prompts, test
+    * answers, held-out benchmarks) — the pass an LLM pipeline runs so
+    * training data cannot leak evaluation content. Same detection
+    * guarantee as [[winnowFingerprints]]: any shared run of
+    * ≥ `w + k - 1` words is caught. Returns (idCol, n_shared) per
+    * contaminated corpus document.
+    *
+    * Plan shape: both sides reduce to (id, fp) — one doc-id exchange
+    * each — then a value-join on `fp`. The reference side (eval sets:
+    * thousands of rows, not corpora) is tiny next to the corpus, so
+    * Catalyst broadcasts it and the corpus never shuffles by `fp`; the
+    * corpus side aggregates by its own id afterwards.
+    */
+  def contaminatedWith(df: DataFrame, textCol: String, idCol: String,
+      reference: DataFrame, refTextCol: String, refIdCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
+    val refFps = winnowFingerprints(reference, refTextCol, refIdCol, k, w)
+      .select(col("fp")).distinct()
+    corpusFps.join(refFps, Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Documents sharing at least one winnowed fingerprint, as (id_a <
     * id_b, n_shared) pairs — chunk-level near-dup/contamination
     * candidates. Reuses the LSH bucket machinery: a fingerprint shared

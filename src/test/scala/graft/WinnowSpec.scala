@@ -65,6 +65,21 @@ class WinnowSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.lsh.maxBucket")
   }
 
+  test("contaminatedWith flags exactly the docs quoting the reference set") {
+    val quote = wordsOf("eval", 10)
+    val corpus = Seq(
+      (1L, wordsOf("alpha", 20) + " " + quote + " " + wordsOf("beta", 15)),
+      (2L, wordsOf("clean", 40)),
+      (3L, quote), // verbatim leak
+      (4L, wordsOf("gamma", 30))).toDF("doc_id", "text")
+    val reference = Seq((100L, quote)).toDF("ref_id", "text")
+    val flagged = TextAnalysis.contaminatedWith(
+      corpus, "text", "doc_id", reference, "text", "ref_id", K, W)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L),
+      s"docs embedding the eval quote must be flagged, got $flagged")
+  }
+
   test("q_text_winnow recall: every planted prefix quote is found (sf0.001)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val planted = docs.where($"doc_id" % 20 === 0)
