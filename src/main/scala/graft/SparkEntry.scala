@@ -730,9 +730,6 @@ object SparkEntry {
       } finally server.stop()
     }),
 
-    // T1/T2: Structured Streaming ingest of the events table (file
-    // source → watermark → tumbling-window agg → memory sink), compared
-    // against the equivalent batch aggregation.
     // Streaming exact dedup (ingest re-delivery guard): every event is
     // delivered TWICE (two stream scans of the same files unioned) and
     // dropDuplicatesWithinWatermark must emit each event_id exactly
@@ -756,6 +753,9 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // T1/T2: Structured Streaming ingest of the events table (file
+    // source → watermark → tumbling-window agg → memory sink), compared
+    // against the equivalent batch aggregation.
     "q_stream_window_agg" -> ((s, dir) => {
       nanosConf(s)
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1021,9 +1021,16 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, dir) => {
       val q = Similarity.quantizeInt8(
         t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
+      // the gate clamps the scale at 1e12 before quantizing: Spark's
+      // floor() returns LONG and would saturate at Long.MaxValue for
+      // the near-infinite scale of an all-zero vector (absmax floor
+      // 1e-30 → scale 1.27e32), silently diverging from DuckDB's
+      // DOUBLE floor; real scales are orders of magnitude below the
+      // clamp, and the quantized ARRAY (exact for zero vectors) is
+      // hashed regardless
       q.select(col("vec_id"),
-        (floor(col("embedding_scale") * 1000000 + lit(0.5)) / 1000000)
-          .as("q_scale"),
+        (floor(least(col("embedding_scale"), lit(1e12)) * 1000000 + lit(0.5))
+          / 1000000).as("q_scale"),
         md5(concat_ws(",",
           transform(col("embedding_q8"), x => x.cast("string"))))
           .as("q_md5"))
@@ -1105,7 +1112,9 @@ object SparkEntry {
       val (rep, repBytes) = graft.operators.Spill.roundTripSized(
         TextAnalysis.repetitionStats(quality, "text", "doc_id")
           .where(col("rule_repetition")).select("doc_id"))
-      val repHinted = if (repBytes <= (16L << 20)) broadcast(rep) else rep
+      val bcLimit = s.conf.get("spark.graft.dedup.broadcastCandidatesBytes",
+        (16L << 20).toString).toLong
+      val repHinted = if (repBytes <= bcLimit) broadcast(rep) else rep
       // spill the filtered corpus ONCE: the dedup pipeline scans its
       // input several times (signature scan, verification semi-join,
       // final anti-join), and each scan would otherwise recompute the
@@ -1280,6 +1289,87 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracles
+
+  // Shared DuckDB oracle fragments — ONE canonical copy per curation
+  // stage. The isolated per-stage gates (q_text_quality,
+  // q_text_repetition, q_dedup_drop_full) and the composed funnel gate
+  // (q_corpus_curate) interpolate the same strings, so a rule change
+  // cannot drift between a stage's own oracle and the composition's.
+  private val sqlNorm =
+    """norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  private val sqlQualityM =
+    """m AS (
+      |  SELECT doc_id,
+      |    len(w) AS n_words,
+      |    (length(nt) - (len(w) - 1)) / len(w) AS mean_raw,
+      |    (length(nt) - length(replace(nt, '#', ''))) +
+      |      (length(nt) - length(replace(nt, '...', ''))) // 3 +
+      |      (length(nt) - length(replace(nt, '…', ''))) AS syms,
+      |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+      |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that')))
+      |      AS stopword_hits
+      |  FROM norm
+      |)""".stripMargin
+
+  private val sqlQualityPasses =
+    """n_words BETWEEN 50 AND 100000 AND mean_raw >= 3.0 AND mean_raw <= 10.0
+      |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
+      |    AND stopword_hits >= 2""".stripMargin
+
+  private val sqlRepGrams =
+    """g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, greatest(len(w) - 2, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+2], ' '))) AS s
+      |  FROM norm
+      |), c AS (
+      |  SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val sqlRepRule =
+    "sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) <= 0.2"
+
+  /** Exact all-pairs >= 0.8 Jaccard over 5-word shingles + recursive
+    * transitive-closure components; `shFrom` selects the doc universe
+    * ("norm n" = whole table, or with a join onto a filtered id set).
+    */
+  private def sqlCcBlock(shFrom: String): String =
+    s"""sh AS (
+      |  SELECT n.doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(n.w) - 5, 0) + 1),
+      |    i -> array_to_string(n.w[i+1:i+5], ' '))) AS s
+      |  FROM $shFrom
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      |), canon AS (
+      |  SELECT src AS member, min(dst) AS canonical FROM reach GROUP BY src
+      |)""".stripMargin
+
+  private val sqlSplitAssign =
+    """SELECT doc_id,
+      |  CASE WHEN b < 8000 THEN 'train'
+      |       WHEN b < 9000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+      |      % 10000 AS b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_basic" ->
@@ -1733,23 +1823,7 @@ object SparkEntry {
         |FROM hits""".stripMargin,
 
     "q_text_quality" ->
-      """WITH norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id,
-        |    len(w) AS n_words,
-        |    (length(nt) - (len(w) - 1)) / len(w) AS mean_raw,
-        |    (length(nt) - length(replace(nt, '#', ''))) +
-        |      (length(nt) - length(replace(nt, '...', ''))) // 3 +
-        |      (length(nt) - length(replace(nt, '…', ''))) AS syms,
-        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
-        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that')))
-        |      AS stopword_hits
-        |  FROM norm
-        |)
+      s"""WITH $sqlNorm, $sqlQualityM
         |SELECT doc_id, n_words,
         |  round(mean_raw, 4) AS mean_word_len,
         |  round(syms / n_words, 4) AS symbol_ratio,
@@ -1760,9 +1834,7 @@ object SparkEntry {
         |  syms / n_words <= 0.1 AS rule_symbol_ratio,
         |  alpha_words / n_words >= 0.8 AS rule_alpha_words,
         |  stopword_hits >= 2 AS rule_stopwords,
-        |  (n_words BETWEEN 50 AND 100000) AND mean_raw >= 3.0 AND mean_raw <= 10.0
-        |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
-        |    AND stopword_hits >= 2 AS passes
+        |  ($sqlQualityPasses) AS passes
         |FROM m""".stripMargin,
 
     "q_redact_pii" ->
@@ -1787,100 +1859,32 @@ object SparkEntry {
         |FROM planted""".stripMargin,
 
     "q_split_hash" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 8000 THEN 'train'
-        |       WHEN b < 9000 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
-        |      % 10000 AS b
+      s"""$sqlSplitAssign
         |  FROM documents)""".stripMargin,
 
     // the full curation funnel: quality + repetition in SQL, exact
     // all-pairs >= 0.8 Jaccard + transitive-closure components over the
     // FILTERED corpus, min-id survivors, md5-grid split
     "q_corpus_curate" ->
-      """WITH RECURSIVE norm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id, len(w) AS n_words,
-        |    (length(nt) - (len(w) - 1)) / len(w) AS mean_raw,
-        |    (length(nt) - length(replace(nt, '#', ''))) +
-        |      (length(nt) - length(replace(nt, '...', ''))) // 3 +
-        |      (length(nt) - length(replace(nt, '…', ''))) AS syms,
-        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
-        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that')))
-        |      AS stopword_hits
-        |  FROM norm
-        |), g AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(0, greatest(len(w) - 2, 0) + 1),
-        |    i -> array_to_string(w[i+1:i+2], ' '))) AS s
-        |  FROM norm
-        |), c AS (
-        |  SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2
-        |), rep AS (
+      s"""WITH RECURSIVE $sqlNorm, $sqlQualityM, $sqlRepGrams, rep AS (
         |  SELECT doc_id FROM c GROUP BY doc_id
-        |  HAVING sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) <= 0.2
+        |  HAVING $sqlRepRule
         |), kept AS (
         |  SELECT m.doc_id FROM m JOIN rep USING (doc_id)
-        |  WHERE n_words BETWEEN 50 AND 100000
-        |    AND mean_raw >= 3.0 AND mean_raw <= 10.0
-        |    AND syms / n_words <= 0.1 AND alpha_words / n_words >= 0.8
-        |    AND stopword_hits >= 2
-        |), sh AS (
-        |  SELECT n.doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(n.w) - 5, 0) + 1),
-        |    i -> array_to_string(n.w[i+1:i+5], ' '))) AS s
-        |  FROM norm n JOIN kept USING (doc_id)
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(src, dst) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        |), canon AS (
-        |  SELECT src AS member, min(dst) AS canonical FROM reach GROUP BY src
-        |), survivors AS (
+        |  WHERE $sqlQualityPasses
+        |), ${sqlCcBlock("norm n JOIN kept USING (doc_id)")}, survivors AS (
         |  SELECT doc_id FROM kept
         |  WHERE doc_id NOT IN (SELECT member FROM canon WHERE member <> canonical)
         |)
-        |SELECT doc_id,
-        |  CASE WHEN b < 8000 THEN 'train'
-        |       WHEN b < 9000 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
-        |      % 10000 AS b
+        |$sqlSplitAssign
         |  FROM survivors)""".stripMargin,
 
     "q_text_repetition" ->
-      """WITH norm AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(0, greatest(len(w) - 2, 0) + 1),
-        |    i -> array_to_string(w[i+1:i+2], ' '))) AS s
-        |  FROM norm
-        |), c AS (
-        |  SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2
-        |)
+      s"""WITH $sqlNorm, $sqlRepGrams
         |SELECT doc_id,
         |  sum(c)::BIGINT AS n_grams,
         |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4) AS dup_frac,
-        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) <= 0.2 AS rule_repetition
+        |  $sqlRepRule AS rule_repetition
         |FROM c GROUP BY 1""".stripMargin,
 
     // winnowing recall contract: every planted 10-word-prefix quote is
@@ -1928,30 +1932,7 @@ object SparkEntry {
     // components via recursive transitive closure (components are tiny
     // at oracle scale), survivors = everything but non-canonical members
     "q_dedup_drop_full" ->
-      """WITH RECURSIVE norm AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(w) - 5, 0) + 1),
-        |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
-        |  FROM norm
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(src, dst) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        |), canon AS (
-        |  SELECT src AS member, min(dst) AS canonical FROM reach GROUP BY src
-        |)
+      s"""WITH RECURSIVE $sqlNorm, ${sqlCcBlock("norm n")}
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT member FROM canon WHERE member <> canonical)
         |""".stripMargin,
@@ -1975,7 +1956,7 @@ object SparkEntry {
         |  FROM embeddings
         |)
         |SELECT vec_id,
-        |  floor(scale * 1000000 + 0.5) / 1000000 AS q_scale,
+        |  floor(least(scale, 1e12) * 1000000 + 0.5) / 1000000 AS q_scale,
         |  md5(array_to_string(list_transform(embedding,
         |    x -> floor(x * scale + 0.5)::INT), ',')) AS q_md5
         |FROM q""".stripMargin,

@@ -249,17 +249,27 @@ object TextAnalysis {
     *
     * Plan shape: both sides reduce to (id, fp) — one doc-id exchange
     * each — then a value-join on `fp`. The reference side (eval sets:
-    * thousands of rows, not corpora) is tiny next to the corpus, so
-    * Catalyst broadcasts it and the corpus never shuffles by `fp`; the
-    * corpus side aggregates by its own id afterwards.
+    * thousands of rows, not corpora) is spilled and an explicit
+    * `broadcast()` hint is gated on its EXACT on-disk bytes (Catalyst's
+    * pre-execution ESTIMATE of a post-window aggregate is exactly the
+    * class of guess SCALE.md records flipping small-side joins to
+    * corpus-wide shuffles), so the corpus never shuffles by `fp` while
+    * the reference genuinely fits; an oversize reference falls back to
+    * the shuffled semi-join. The corpus side aggregates by its own id
+    * afterwards.
     */
   def contaminatedWith(df: DataFrame, textCol: String, idCol: String,
       reference: DataFrame, refTextCol: String, refIdCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
-    val refFps = winnowFingerprints(reference, refTextCol, refIdCol, k, w)
-      .select(col("fp")).distinct()
-    corpusFps.join(refFps, Seq("fp"), "left_semi")
+    val (refFps, refBytes) = Spill.roundTripSized(
+      winnowFingerprints(reference, refTextCol, refIdCol, k, w)
+        .select(col("fp")).distinct())
+    val bcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+      .toLong
+    val refHinted = if (refBytes <= bcLimit) broadcast(refFps) else refFps
+    corpusFps.join(refHinted, Seq("fp"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 

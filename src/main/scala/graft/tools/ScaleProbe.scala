@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // SPARK_GRAFT_PROBE=swa|minhash|text|all selects the axis
+    // SPARK_GRAFT_PROBE=swa|minhash|text|curate|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -297,7 +297,10 @@ object ScaleProbe {
           val (rep, repBytes) = Spill.roundTripSized(
             TextAnalysis.repetitionStats(quality, "text", "doc_id")
               .where(col("rule_repetition")).select("doc_id"))
-          val repHinted = if (repBytes <= (16L << 20)) broadcast(rep) else rep
+          val bcLimit = spark.conf.get(
+            "spark.graft.dedup.broadcastCandidatesBytes",
+            (16L << 20).toString).toLong
+          val repHinted = if (repBytes <= bcLimit) broadcast(rep) else rep
           val kept = Spill.roundTrip(
             quality.join(repHinted, Seq("doc_id"), "left_semi"))
           val deduped = Dedup.dropNearDuplicates(kept, "text", "doc_id", 0.8)
