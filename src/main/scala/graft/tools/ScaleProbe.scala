@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // SPARK_GRAFT_PROBE=swa|minhash|text|curate|all selects the axis
+    // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -312,6 +312,34 @@ object ScaleProbe {
         if (warmedCurate)
           println(f"[scale] n=$n%-3d docs=$rows%-9d curateFunnel=$sec%6.2fs/${mb}%8.1fMB")
         warmedCurate = true
+        corpus.unpersist()
+      }
+    }
+    // IVF axis: corpus replicated with distinct ids, FIXED query load
+    // (the serving shape: the index grows, the probe set doesn't).
+    // Validates the r7 redesign claim directly — k-means training is a
+    // bounded driver-side sample, so the corpus feeds exactly ONE
+    // distributed assignment pass and cost stays linear regardless of
+    // kmeansIters.
+    {
+      import graft.operators.Similarity
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = emb0.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      var warmedIvf = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "ivf") {
+        val corpus = (0 until n).map(i => emb0
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).cache()
+        val rows = corpus.count()
+        val (sec, mb) = time(
+          Similarity.ivfTopK(corpus, queries, 10, nCells = 16, nProbe = 10,
+            kmeansIters = 3)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        if (warmedIvf)
+          println(f"[scale] n=$n%-3d vecs=$rows%-9d ivfTopK=$sec%6.2fs/${mb}%8.1fMB")
+        warmedIvf = true
         corpus.unpersist()
       }
     }
