@@ -1170,6 +1170,42 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // CJK correctness end-to-end: normText segments space-free scripts
+    // (Han/kana) at the codepoint level, so unsegmented zh text gets a
+    // real language ID (the zh stopword list is single characters),
+    // ~1 token/char (the real BPE behavior for CJK), and per-character
+    // winnow grams. Planted pure-zh docs (doc_id % 10 == 0; text built
+    // deterministically from doc_id so the oracle constructs the
+    // identical corpus) must predict zh with the exact stopword hit
+    // and token counts, and a planted zh quote doc (the doc's unique
+    // zh-numeral run, >= 8 chars = w + k - 1 segmented words, so a
+    // shared fingerprint is guaranteed) must be caught by the winnow
+    // join inside the FULL mixed-script corpus. Rows are semi-joined
+    // on quote detection — a missed quote is a missing row; lang /
+    // hits / tokens enter the hash.
+    "q_text_cjk" -> ((s, dir) => {
+      def uniq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = repeat(
+        concat(translate(c.cast("string"), "0123456789", "零一二三四五六七八九"),
+          lit("号")), 4)
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val zhIds = base.where(col("doc_id") % 10 === 0)
+      val planted = zhIds.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("我的书是好的了在和不有 gpt 模型 "), uniq(col("doc_id"))).as("text"))
+      val quotes = zhIds.select((col("doc_id") + 3000000L).as("doc_id"),
+        uniq(col("doc_id")).as("text"))
+      val found = TextAnalysis.sharedChunkPairs(
+        base.unionByName(planted).unionByName(quotes), "text", "doc_id")
+      val expected = zhIds.select((col("doc_id") + 2000000L).as("id_a"),
+        (col("doc_id") + 3000000L).as("id_b"))
+      val flagged = found.join(expected, Seq("id_a", "id_b"), "inner")
+        .select(col("id_a").as("doc_id"))
+      planted.select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"),
+          TextAnalysis.stopwordHits(col("text"), "zh").as("zh_hits"),
+          TextAnalysis.approxTokenCount(col("text")).as("approx_tokens"))
+        .join(flagged, Seq("doc_id"), "left_semi")
+    }),
+
     // Multimodal columns: binary payload + typed metadata struct
     // (mime sniff, byte length, content hash) — pure projection.
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1295,11 +1331,21 @@ object SparkEntry {
   // q_text_repetition, q_dedup_drop_full) and the composed funnel gate
   // (q_corpus_curate) interpolate the same strings, so a rule change
   // cannot drift between a stage's own oracle and the composition's.
+  /** DuckDB mirror of [[graft.operators.Dedup.normText]] — lowercase,
+    * CJK codepoint segmentation, whitespace collapse. RE2 `\p{Han}` /
+    * `\p{Hiragana}` / `\p{Katakana}` define the same codepoint sets as
+    * Java's `\p{IsHan}`-family used on the Spark side. ONE canonical
+    * copy, interpolated by every oracle that normalizes text.
+    */
+  private def sqlNt(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), " +
+      """'([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '\s+', ' ', 'g'))"""
+
   private val sqlNorm =
-    """norm AS (
+    s"""norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
-      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |    ${sqlNt("text")} AS nt,
+      |    string_split(${sqlNt("text")}, ' ') AS w
       |  FROM documents
       |)""".stripMargin
 
@@ -1734,16 +1780,16 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+      s"""SELECT md5(${sqlNt("text")}) AS text_hash,
         |  min(doc_id) AS canonical_id,
         |  count(*) AS n_dups
         |FROM documents
         |GROUP BY 1""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |    string_split(${sqlNt("text")}, ' ') AS w
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id,
@@ -1778,9 +1824,9 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q_text_stats" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id, text,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |    string_split(${sqlNt("text")}, ' ') AS w
         |  FROM documents
         |)
         |SELECT doc_id,
@@ -1793,13 +1839,13 @@ object SparkEntry {
         |      (len(list_distinct(w))::DOUBLE / greatest(len(w), 1))
         |    - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
         |      / greatest(length(text), 1), 1.0), 0.0), 4) AS quality,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  md5(${sqlNt("text")}) AS fingerprint
         |FROM norm""".stripMargin,
 
     "q_text_lang_tokens" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |    string_split(${sqlNt("text")}, ' ') AS w
         |  FROM documents
         |), hits AS (
         |  SELECT doc_id, w,
@@ -1899,6 +1945,42 @@ object SparkEntry {
     // prompt must be flagged (same detection guarantee as q_text_winnow)
     "q_text_decontaminate" ->
       "SELECT doc_id FROM documents WHERE doc_id % 20 = 0",
+
+    // CJK gate: the oracle constructs the identical planted zh corpus
+    // and recomputes segmentation, language argmax, stopword hits, and
+    // the per-char token count from scratch (sqlNt mirrors normText's
+    // CJK pass); quote detection is the closed-form recall contract —
+    // every planted doc must appear
+    "q_text_cjk" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    '我的书是好的了在和不有 gpt 模型 ' ||
+        |      repeat(translate(doc_id::VARCHAR, '0123456789',
+        |        '零一二三四五六七八九') || '号', 4) AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), nw AS (
+        |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM planted
+        |), hits AS (
+        |  SELECT doc_id, w,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein','zu','nicht'))) AS de_hits,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that'))) AS en_hits,
+        |    len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS es_hits,
+        |    len(list_filter(w, x -> x IN ('le','la','de','et','un','est','que','dans'))) AS fr_hits,
+        |    len(list_filter(w, x -> x IN ('的','是','了','在','我','有','和','不'))) AS zh_hits
+        |  FROM nw
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) = 0 THEN 'und'
+        |    WHEN zh_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'zh'
+        |    WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'fr'
+        |    WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'es'
+        |    WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits, zh_hits) THEN 'en'
+        |    ELSE 'de' END AS lang_pred,
+        |  zh_hits,
+        |  list_sum(list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT
+        |    AS approx_tokens
+        |FROM hits""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

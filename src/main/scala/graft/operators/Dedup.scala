@@ -14,11 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Normalized text used by all fingerprints: lowercase, collapsed
-    * whitespace.
+  /** Normalized text used by all fingerprints: lowercase, CJK-segmented,
+    * collapsed whitespace.
+    *
+    * Space-free scripts (Han, hiragana, katakana) carry no word
+    * boundaries, so an unsegmented Chinese/Japanese document would
+    * otherwise normalize to ONE giant "word" — language ID could never
+    * hit the zh stopword list (its entries are single characters),
+    * winnow/repetition k-grams would degenerate to nothing, and the
+    * token count would collapse to ceil(len/4) of the whole text. The
+    * segmentation pass space-delimits every CJK codepoint (the
+    * standard character-level tokenization for these scripts — real
+    * BPE vocabularies also sit near 1 token/char for CJK), after which
+    * the whole downstream text stack works unchanged. Java `\p{IsHan}`
+    * and RE2 `\p{Han}` (the DuckDB oracle mirror,
+    * [[graft.SparkEntry]]'s `sqlNt`) define identical codepoint sets,
+    * so cross-engine value parity holds. Pure-ASCII text is untouched
+    * (the class matches nothing), keeping all ASCII fingerprints
+    * stable.
     */
   def normText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(
+      regexp_replace(lower(text),
+        "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 "),
+      "\\s+", " "))
 
   /** Exact dedup: canonical row id + duplicate count per distinct
     * normalized text. `md5` keys the shuffle so arbitrarily long texts

@@ -73,9 +73,11 @@ class TextQualitySpec extends SparkTestBase {
       (i.toLong, if (rnd.nextInt(10) == 0) "" else
         ws(rnd.nextInt(ws.size)) + body + ws(rnd.nextInt(ws.size)))
     }
-    // independent reference: plain-Scala normText + per-word fold
+    // independent reference: plain-Scala normText (incl. the CJK
+    // codepoint segmentation) + per-word fold
     def ref(text: String): (Map[String, Int], String, Long) = {
       val norm = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
         .replaceAll("\\s+", " ").trim
       val words = norm.split(" ", -1).toSeq
       val hits = langs.map(l =>
@@ -103,6 +105,33 @@ class TextQualitySpec extends SparkTestBase {
       assert(gl == lang, s"doc $id lang: got $gl want $lang for '$text'")
       assert(gt == tokens, s"doc $id tokens: got $gt want $tokens for '$text'")
     }
+  }
+
+  test("CJK: unsegmented zh text is language-identified, token-counted, and winnowable") {
+    import graft.operators.Dedup
+    // unsegmented: no spaces anywhere in the zh run
+    val zh = "我的书是好的了在我有和不是了的好书"
+    val en = "the cat sat of the mat and the dog is that"
+    val mixed = s"intro $zh outro"
+    val df = Seq((1L, zh), (2L, en), (3L, mixed)).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang"),
+        TextAnalysis.approxTokenCount(col("text")).as("tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == "zh", s"unsegmented zh must identify as zh: ${got(1L)}")
+    assert(got(2L)._1 == "en")
+    // every CJK char is ~1 token: 17 chars → 17 tokens
+    assert(got(1L)._2 == zh.length.toLong, s"1 token/char for CJK: ${got(1L)}")
+    // normText segments each codepoint, ASCII untouched
+    val nt = df.where(col("doc_id") === 3L)
+      .select(Dedup.normText(col("text"))).head().getString(0)
+    assert(nt == "intro " + zh.map(c => s"$c").mkString(" ") + " outro", nt)
+    // winnow catches a zh quote: 8 shared chars = w + k - 1 words
+    val corpus = Seq((1L, s"prefix words here $zh"), (2L, zh.take(8)))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.sharedChunkPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"zh quote must share a fingerprint: ${pairs.toSeq}")
   }
 
   test("diagnostics are exact on a constructed document") {
