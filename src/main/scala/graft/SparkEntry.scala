@@ -1063,20 +1063,30 @@ object SparkEntry {
     }),
 
     // PII scrub over documents with deterministically planted
-    // email/IP/SSN strings (derived from doc_id, so the oracle plants
-    // the identical text): per-type match counts + md5 of the redacted
-    // text, so a pattern matching too much OR too little breaks the
-    // hash. Patterns are Java-regex/RE2 agnostic by construction.
+    // email/phone/credit-card/IP/SSN strings (derived from doc_id, so
+    // the oracle plants the identical text): per-type REPLACEMENT
+    // counts + md5 of the redacted text, so a pattern matching too
+    // much OR too little breaks the hash. Patterns are Java-regex/RE2
+    // agnostic by construction; counts are evaluated on the
+    // progressively-redacted intermediate (the oracle mirrors the same
+    // fold), so Σ n_* = placeholders in the output.
     "q_redact_pii" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
           col("doc_id") % 256, lit(".7 ssn "),
           format_string("%03d-%02d-%04d", col("doc_id") % 1000,
-            col("doc_id") % 100, col("doc_id") % 10000)).as("text"))
+            col("doc_id") % 100, col("doc_id") % 10000),
+          lit(" call "),
+          format_string("+1-%03d-%03d-%04d", col("doc_id") % 900 + 100,
+            col("doc_id") % 1000, col("doc_id") % 10000),
+          lit(" card "),
+          format_string("4111-1111-%04d-%04d", col("doc_id") % 10000,
+            (col("doc_id") * 7) % 10000)).as("text"))
       TextAnalysis.redactPii(planted, "text")
-        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
-          md5(col("text_redacted")).as("redacted_md5"))
+        .select(col("doc_id") +: TextAnalysis.piiPatterns.map {
+          case (name, _, _) => col(s"n_$name")
+        } :+ md5(col("text_redacted")).as("redacted_md5"): _*)
     }),
 
     // Deterministic 80/10/10 train/val/test split by key hash — stable
@@ -1883,26 +1893,37 @@ object SparkEntry {
         |  ($sqlQualityPasses) AS passes
         |FROM m""".stripMargin,
 
-    "q_redact_pii" ->
-      """WITH planted AS (
+    // generated FROM piiPatterns, so pattern text / order / the
+    // count-on-intermediate fold can never drift between engines: the
+    // Scala pattern strings hold raw regex chars and DuckDB standard
+    // string literals don't process backslashes, so direct
+    // interpolation is exact
+    "q_redact_pii" -> {
+      def redactedUpTo(n: Int): String =
+        TextAnalysis.piiPatterns.take(n).foldLeft("text") {
+          case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+        }
+      val countCols = TextAnalysis.piiPatterns.zipWithIndex.map {
+        case ((name, pat, _), i) =>
+          s"  len(regexp_extract_all(${redactedUpTo(i)}, '$pat')) AS n_$name"
+      }.mkString(",\n")
+      s"""WITH planted AS (
         |  SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com or 10.0.' ||
         |    (doc_id % 256) || '.7 ssn ' ||
         |    format('{:03d}-{:02d}-{:04d}', doc_id % 1000, doc_id % 100,
-        |      doc_id % 10000) AS text
+        |      doc_id % 10000) ||
+        |    ' call ' || format('+1-{:03d}-{:03d}-{:04d}', doc_id % 900 + 100,
+        |      doc_id % 1000, doc_id % 10000) ||
+        |    ' card ' || format('4111-1111-{:04d}-{:04d}', doc_id % 10000,
+        |      (doc_id * 7) % 10000) AS text
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(text,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS redacted_md5
-        |FROM planted""".stripMargin,
+        |$countCols,
+        |  md5(${redactedUpTo(TextAnalysis.piiPatterns.size)}) AS redacted_md5
+        |FROM planted""".stripMargin
+    },
 
     "q_split_hash" ->
       s"""$sqlSplitAssign

@@ -215,27 +215,40 @@ object TextAnalysis {
 
   /** PII patterns with IDENTICAL semantics under Java regex and RE2
     * (no alternation ambiguity, greedy character-class quantifiers
-    * only), so redaction is reproducible across engines.
+    * only; `\b`/`\d` are ASCII in both), so redaction is reproducible
+    * across engines. Order matters — broad container shapes run before
+    * the digit shapes they could contain (an email may embed SSN-shaped
+    * digits) — and is part of the contract. Phone is E.164-ish
+    * (+CC-NNN-NNN-NNNN); credit cards are the separated 4×4 form (a
+    * bare 16-digit run or a Luhn check is not expressible without
+    * alternation / procedural logic, so it is out of contract).
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>"),
+    ("cc", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
 
-  /** Redact common PII (emails, IPv4 addresses, SSN-shaped ids) with
-    * typed placeholders — the scrub pass an LLM corpus pipeline runs
-    * before training. Pure projection (regexp_replace + regexp_count):
-    * zero shuffle, linear at any corpus size. Emits
-    * `<textCol>_redacted` plus per-type match counts for audit.
-    * Email redaction runs first so an address's digits can't be
-    * half-eaten by the narrower patterns.
+  /** Redact common PII (emails, E.164-ish phones, separated credit
+    * cards, IPv4 addresses, SSN-shaped ids) with typed placeholders —
+    * the scrub pass an LLM corpus pipeline runs before training. Pure
+    * projection (regexp_replace + regexp_count): zero shuffle, linear
+    * at any corpus size. Emits `<textCol>_redacted` plus per-type
+    * REPLACEMENT counts for audit: each `n_<type>` is counted on the
+    * progressively-redacted intermediate (after all earlier patterns
+    * have replaced), so digits consumed by an earlier pattern — an
+    * SSN-shaped run inside a matched email — are never double-counted,
+    * and Σ n_* is exactly the number of placeholders in the output.
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    val start: (Column, Seq[(String, Column)]) = (col(textCol), Nil)
+    val (redacted, counts) = piiPatterns.foldLeft(start) {
+      case ((c, cs), (name, pat, repl)) =>
+        (regexp_replace(c, pat, repl), cs :+ (name -> regexp_count(c, lit(pat))))
     }
-    piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
-      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    counts.foldLeft(df) { case (d, (name, cnt)) =>
+      d.withColumn(s"n_$name", cnt)
     }.withColumn(s"${textCol}_redacted", redacted)
   }
 

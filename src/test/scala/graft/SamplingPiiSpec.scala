@@ -72,13 +72,31 @@ class SamplingPiiSpec extends SparkTestBase {
     val df = Seq(
       (1L, "mail a.b-c+x@sub.example.org and peer 192.168.001.12 ssn 123-45-6789"),
       (2L, "no pii here, just v1.2 and a dash-word"),
-      (3L, "two mails x@y.io z@w.co plus 10.0.0.1")).toDF("doc_id", "text")
+      (3L, "two mails x@y.io z@w.co plus 10.0.0.1"),
+      (4L, "call +1-555-123-4567 or +44 207 946 0958 card 4111-1111-1111-1111"))
+      .toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(df, "text")
-      .select("doc_id", "n_email", "n_ipv4", "n_ssn", "text_redacted")
-      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
-    assert(out(0) == ((1L, 1, 1, 1,
+      .select("doc_id", "n_email", "n_phone", "n_cc", "n_ipv4", "n_ssn",
+        "text_redacted")
+      .as[(Long, Int, Int, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 0, 0, 1, 1,
       "mail <EMAIL> and peer <IP> ssn <SSN>")))
-    assert(out(1) == ((2L, 0, 0, 0, "no pii here, just v1.2 and a dash-word")))
-    assert(out(2) == ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> plus <IP>")))
+    assert(out(1) == ((2L, 0, 0, 0, 0, 0,
+      "no pii here, just v1.2 and a dash-word")))
+    assert(out(2) == ((3L, 2, 0, 0, 1, 0, "two mails <EMAIL> <EMAIL> plus <IP>")))
+    assert(out(3) == ((4L, 0, 2, 1, 0, 0,
+      "call <PHONE> or <PHONE> card <CC>")))
+  }
+
+  test("redactPii: counts are replacement counts, not raw-text match counts") {
+    // the SSN-shaped digits live INSIDE the email, so the email pattern
+    // consumes them; n_ssn must be 0 (no <SSN> placeholder exists in
+    // the output) even though the raw text matches the SSN pattern
+    val df = Seq((1L, "reach me at john123-45-6789@corp.example.com today"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text")
+      .select("n_email", "n_ssn", "text_redacted")
+      .as[(Int, Int, String)].head()
+    assert(r == ((1, 0, "reach me at <EMAIL> today")), r.toString)
   }
 }
