@@ -292,7 +292,11 @@ class EmbeddedRespServer {
       while (cmd.isDefined) {
         commandCount.incrementAndGet()
         val args = cmd.get
-        str(args.head).toUpperCase match {
+        // command-VALIDATION failures (unsupported glob, bad COUNT, …)
+        // reply -ERR like a real Redis instead of killing the
+        // connection — only protocol-FRAMING errors (readCommand /
+        // readBulk) abort the stream, where resync is impossible
+        try str(args.head).toUpperCase match {
           case "PING" => out.write("+PONG\r\n".getBytes(UTF_8))
           case "DEL" =>
             val removed = args.tail.count(k => data.remove(str(k)) != null)
@@ -360,15 +364,18 @@ class EmbeddedRespServer {
               }
               i += 2
             }
-            val from = if (cursor == "0") "" else
+            // first page seeks straight to the prefix (not ""), and the
+            // walk stops at the first key PAST the prefix range
+            // (takeWhile, not filter — matching keys are contiguous in
+            // sorted order), so a batch never scans the keyspace beyond
+            // the last match
+            val from = if (cursor == "0") prefix else
               new String(cursor.grouped(2).toArray
                 .map(Integer.parseInt(_, 16).toByte), UTF_8)
-            // page the sorted map from the cursor: O(log K) seek + one
-            // batch walk, never a whole-keyspace scan per round-trip
             val it = {
               import scala.jdk.CollectionConverters._
               data.tailMap(from, /* inclusive = */ cursor == "0")
-                .keySet().iterator().asScala.filter(_.startsWith(prefix))
+                .keySet().iterator().asScala.takeWhile(_.startsWith(prefix))
             }
             val page = it.take(count + 1).toSeq
             val batch = page.take(count)
@@ -386,6 +393,10 @@ class EmbeddedRespServer {
             }
           case other =>
             out.write(s"-ERR unknown command '$other'\r\n".getBytes(UTF_8))
+        } catch {
+          case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+            out.write(s"-ERR ${e.getMessage.replaceAll("[\r\n]", " ")}\r\n"
+              .getBytes(UTF_8))
         }
         // a pipelined client flushes many commands before reading; only
         // flush when no further command is already buffered would need

@@ -126,15 +126,22 @@ object Similarity {
     // equally well. Bounded + deterministic: the sample is a fixed-size
     // prefix of a stable total order, local float math is
     // order-deterministic, so same data + config ⇒ identical centroids.
+    // Collected through the PRIMITIVE float-array encoder
+    // (Dataset[Array[Float]] deserializes via UnsafeArrayData →
+    // float[], no per-element boxing), so the transient driver heap is
+    // the flat trainSampleCap × dim × 4 B — e.g. 64 Ki × 1024 dims =
+    // 256 MiB — not the multi-GiB boxed-Row shape. Size
+    // `trainSampleCap` (and driver memory) to that product at high
+    // dims: 64 Ki × 1536 ≈ 384 MiB flat.
+    import corpus.sparkSession.implicits._
     val centVecs: IndexedSeq[IndexedSeq[Float]] =
       if (kmeansIters <= 0) {
-        ordered.limit(nCells).select(col(vecCol)).collect()
-          .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
+        ordered.limit(nCells).select(col(vecCol)).as[Array[Float]].collect()
+          .map(_.toIndexedSeq).toIndexedSeq
       } else {
         val sample: Array[Array[Float]] = ordered
           .limit(math.max(trainSampleCap, nCells))
-          .select(col(vecCol)).collect()
-          .map(_.getSeq[Float](0).toArray)
+          .select(col(vecCol)).as[Array[Float]].collect()
         var cents: Vector[Array[Float]] =
           sample.take(nCells).map(_.clone).toVector
         def norm(v: Array[Float]): Double = {

@@ -73,6 +73,31 @@ class RespOnlineStoreSpec extends SparkTestBase {
     }
   }
 
+  test("command-validation errors reply -ERR and keep the connection alive") {
+    withServer { (server, _) =>
+      val sock = new java.net.Socket("127.0.0.1", server.port)
+      try {
+        val out = sock.getOutputStream
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream))
+        def send(args: String*): Unit = {
+          val b = new StringBuilder(s"*${args.size}\r\n")
+          args.foreach(a => b.append(s"$$${a.length}\r\n$a\r\n"))
+          out.write(b.toString.getBytes("UTF-8")); out.flush()
+        }
+        // unsupported glob (inner '*') must not kill the connection
+        send("SCAN", "0", "MATCH", "a*b", "COUNT", "5")
+        assert(in.readLine().startsWith("-ERR"), "validation error → -ERR reply")
+        // non-numeric COUNT likewise
+        send("SCAN", "0", "COUNT", "xyz")
+        assert(in.readLine().startsWith("-ERR"))
+        // the same connection still serves commands
+        send("PING")
+        assert(in.readLine() == "+PONG", "connection must survive -ERR")
+      } finally sock.close()
+    }
+  }
+
   test("Materializer online sink: one pipelined connection per partition") {
     withServer { (_, store) =>
       val df = spark.createDataFrame(
