@@ -1180,6 +1180,29 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Decontamination with PRECISION and fraction accounting: over a
+    // namespaced synthetic corpus (every word carries its doc_id, so
+    // NO cross-document grams exist by construction — unlike the real
+    // documents table, whose natural near-dups force the recall-only
+    // contract of q_text_decontaminate), ground truth is exact: the
+    // reference set holds FULL COPIES of every 20th document, so those
+    // documents share every fingerprint (frac exactly 1.0) and every
+    // other document shares none (frac exactly 0.0). All three failure
+    // modes break the gate: a missed source flips its `contaminated`,
+    // a false positive flips a clean doc's, a fraction drift changes
+    // the hash.
+    "q_text_decontaminate_full" -> ((s, dir) => {
+      val mk = array_join(transform(sequence(lit(0), lit(39)),
+        j => concat(lit("w"), col("doc_id"), lit("_"), j)), " ")
+      val corpus = t(s, dir, "documents").select(col("doc_id"), mk.as("text"))
+      val reference = corpus.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("ref_id"), col("text"))
+      TextAnalysis.decontaminationStats(corpus, "text", "doc_id",
+          reference, "text", "ref_id")
+        .select(col("doc_id"), col("contaminated"),
+          col("contamination_frac"))
+    }),
+
     // CJK correctness end-to-end: normText segments space-free scripts
     // (Han/kana) at the codepoint level, so unsegmented zh text gets a
     // real language ID (the zh stopword list is single characters),
@@ -1966,6 +1989,15 @@ object SparkEntry {
     // prompt must be flagged (same detection guarantee as q_text_winnow)
     "q_text_decontaminate" ->
       "SELECT doc_id FROM documents WHERE doc_id % 20 = 0",
+
+    // full-copy references over a collision-free namespaced corpus:
+    // contamination flags and fractions are exact ground truth
+    "q_text_decontaminate_full" ->
+      """SELECT doc_id,
+        |  doc_id % 20 = 0 AS contaminated,
+        |  (CASE WHEN doc_id % 20 = 0 THEN 1.0 ELSE 0.0 END)::DOUBLE
+        |    AS contamination_frac
+        |FROM documents""".stripMargin,
 
     // CJK gate: the oracle constructs the identical planted zh corpus
     // and recomputes segmentation, language argmax, stopword hits, and

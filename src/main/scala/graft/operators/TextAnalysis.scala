@@ -275,15 +275,94 @@ object TextAnalysis {
       reference: DataFrame, refTextCol: String, refIdCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
+    corpusFps.join(referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w),
+        Seq("fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The reference set reduced to its distinct fingerprints, spilled
+    * and broadcast-hinted iff its EXACT on-disk bytes fit (the
+    * engine's standard gate — see [[contaminatedWith]]'s plan notes).
+    */
+  private def referenceFpsHinted(session: DataFrame, reference: DataFrame,
+      refTextCol: String, refIdCol: String, k: Int, w: Int): DataFrame = {
     val (refFps, refBytes) = Spill.roundTripSized(
       winnowFingerprints(reference, refTextCol, refIdCol, k, w)
         .select(col("fp")).distinct())
-    val bcLimit = df.sparkSession.conf
+    val bcLimit = session.sparkSession.conf
       .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
       .toLong
-    val refHinted = if (refBytes <= bcLimit) broadcast(refFps) else refFps
-    corpusFps.join(refHinted, Seq("fp"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    if (refBytes <= bcLimit) broadcast(refFps) else refFps
+  }
+
+  /** What [[decontaminate]] does with contaminated documents. */
+  sealed trait DecontaminateAction
+  object DecontaminateAction {
+    /** Remove contaminated documents from the corpus. */
+    case object Drop extends DecontaminateAction
+    /** Keep every document, attach the audit columns. */
+    case object Flag extends DecontaminateAction
+  }
+
+  /** Per-document contamination accounting against a reference set:
+    * `n_fps` (the document's distinct winnowed fingerprints),
+    * `n_shared` (how many also occur in the reference set),
+    * `contamination_frac` = n_shared / n_fps — the auditable "how much
+    * of this document is eval content" number a removal decision needs
+    * (a full copy scores exactly 1.0; a disjoint document 0.0) — and
+    * `contaminated` = frac > `maxSharedFraction`. Every corpus
+    * document gets a row.
+    *
+    * Plan shape: the corpus reduces to (id, fp) — one doc-id exchange —
+    * then a LEFT OUTER join against the broadcast-gated reference
+    * fingerprints (the same exact-spilled-bytes gate as
+    * [[contaminatedWith]]; an oversize reference falls back to the
+    * shuffled join) feeds one aggregation by document id. Linear in
+    * corpus size; the corpus never shuffles by `fp` while the
+    * reference fits.
+    */
+  def decontaminationStats(df: DataFrame, textCol: String, idCol: String,
+      reference: DataFrame, refTextCol: String, refIdCol: String,
+      k: Int = 5, w: Int = 4, maxSharedFraction: Double = 0.0): DataFrame = {
+    val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
+    val refHinted = referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w)
+    corpusFps
+      .join(refHinted.withColumn("__hit", lit(1L)), Seq("fp"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .withColumn("contamination_frac",
+        col("n_shared").cast("double") / col("n_fps"))
+      .withColumn("contaminated", col("contamination_frac") > maxSharedFraction)
+  }
+
+  /** Benchmark decontamination as a pipeline step: `Drop` returns the
+    * surviving corpus (contaminated documents removed via an anti-join
+    * on the — typically tiny — contaminated id set, spilled and
+    * broadcast-gated on exact bytes); `Flag` returns every row with
+    * the [[decontaminationStats]] audit columns attached. Reference
+    * contract: feathr-rs has no decontamination stage; this is graft's
+    * LLM-pipeline extension over [[winnowFingerprints]].
+    */
+  def decontaminate(df: DataFrame, textCol: String, idCol: String,
+      reference: DataFrame, refTextCol: String, refIdCol: String,
+      k: Int = 5, w: Int = 4,
+      action: DecontaminateAction = DecontaminateAction.Drop,
+      maxSharedFraction: Double = 0.0): DataFrame = {
+    val stats = decontaminationStats(df, textCol, idCol,
+      reference, refTextCol, refIdCol, k, w, maxSharedFraction)
+    action match {
+      case DecontaminateAction.Flag =>
+        df.join(stats, Seq(idCol), "left_outer")
+      case DecontaminateAction.Drop =>
+        val (bad, badBytes) = Spill.roundTripSized(
+          stats.where(col("contaminated")).select(col(idCol)))
+        val bcLimit = df.sparkSession.conf
+          .get("spark.graft.dedup.broadcastCandidatesBytes",
+            (16L << 20).toString).toLong
+        df.join(if (badBytes <= bcLimit) broadcast(bad) else bad,
+          Seq(idCol), "left_anti")
+    }
   }
 
   /** Documents sharing at least one winnowed fingerprint, as (id_a <

@@ -80,6 +80,55 @@ class WinnowSpec extends SparkTestBase {
       s"docs embedding the eval quote must be flagged, got $flagged")
   }
 
+  test("decontaminationStats: fraction is exact at the extremes, monotone between") {
+    val quote = wordsOf("eval", 10)
+    val corpus = Seq(
+      (1L, quote), // full copy → frac exactly 1.0
+      (2L, wordsOf("clean", 40)), // disjoint → frac exactly 0.0
+      (3L, wordsOf("alpha", 30) + " " + quote), // partial → strictly between
+      (4L, wordsOf("beta", 5) + " " + quote)) // mostly quote → higher frac
+      .toDF("doc_id", "text")
+    val reference = Seq((100L, quote)).toDF("ref_id", "text")
+    val stats = TextAnalysis.decontaminationStats(
+      corpus, "text", "doc_id", reference, "text", "ref_id", K, W)
+      .select("doc_id", "n_fps", "n_shared", "contamination_frac", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.size == 4, "every corpus document gets a row")
+    assert(stats(1L)._4 == 1.0 && stats(1L)._2 == stats(1L)._3,
+      s"full copy shares every fingerprint: ${stats(1L)}")
+    assert(stats(2L)._4 == 0.0 && !stats(2L)._5, s"clean doc: ${stats(2L)}")
+    assert(stats(3L)._4 > 0.0 && stats(3L)._4 < 1.0 && stats(3L)._5,
+      s"partial quote strictly between: ${stats(3L)}")
+    assert(stats(4L)._4 > stats(3L)._4,
+      s"more quote, higher fraction: ${stats(4L)._4} vs ${stats(3L)._4}")
+  }
+
+  test("decontaminate: Drop removes exactly the contaminated docs; Flag keeps all") {
+    import TextAnalysis.DecontaminateAction
+    val quote = wordsOf("eval", 10)
+    val corpus = Seq(
+      (1L, quote),
+      (2L, wordsOf("clean", 40)),
+      (3L, wordsOf("alpha", 30) + " " + quote)).toDF("doc_id", "text")
+    val reference = Seq((100L, quote)).toDF("ref_id", "text")
+    val survivors = TextAnalysis.decontaminate(corpus, "text", "doc_id",
+      reference, "text", "ref_id", K, W, DecontaminateAction.Drop)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L), s"only the clean doc survives, got $survivors")
+    val flagged = TextAnalysis.decontaminate(corpus, "text", "doc_id",
+      reference, "text", "ref_id", K, W, DecontaminateAction.Flag)
+    assert(flagged.count() == 3, "Flag keeps every row")
+    assert(flagged.columns.contains("contamination_frac"))
+    // a loose threshold spares the partially-contaminated doc
+    val loose = TextAnalysis.decontaminate(corpus, "text", "doc_id",
+      reference, "text", "ref_id", K, W, DecontaminateAction.Drop,
+      maxSharedFraction = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(2L, 3L),
+      s"threshold 0.9 keeps the partial quote, got $loose")
+  }
+
   test("q_text_winnow recall: every planted prefix quote is found (sf0.001)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val planted = docs.where($"doc_id" % 20 === 0)
