@@ -991,6 +991,21 @@ object SparkEntry {
           round(col("score"), 5).as("score"))
     }),
 
+    // Int8-scored top-k with float rescoring. Oracle contract: the
+    // rescored output must be IDENTICAL to the exact float baseline
+    // (same oracle SQL as q_sim_topk) — at gate scale the 400-candidate
+    // pool must contain every true top-10 member (int8 cosine error
+    // ~1/254 per element cannot demote a true neighbor below rank 400
+    // of 2000), so a quantization or rescoring defect breaks the hash.
+    "q_sim_topk_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopKInt8(emb, queries, k = 10, rescoreFactor = 40)
+        .select(col("q_id"), col("vec_id"), col("rank"),
+          round(col("score"), 5).as("score"))
+    }),
+
     // IVF approximate top-k (scale path). Oracle contract: recall@10
     // vs the exact brute-force baseline must clear 0.5 for EVERY query
     // — a query whose recall drops below the floor emits no row, so a
@@ -1414,6 +1429,29 @@ object SparkEntry {
   private val sqlRepRule =
     "sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) <= 0.2"
 
+  /** Exact brute-force cosine top-10 — the oracle for q_sim_topk AND
+    * the int8 path (whose rescored output is contractually identical).
+    */
+  private val sqlExactTopK =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      |  WHERE vec_id % 100 = 0
+      |), scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))) AS score
+      |  FROM embeddings e CROSS JOIN q
+      |), ranked AS (
+      |  SELECT q_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, vec_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, vec_id, rank, round(score, 5) AS score
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Exact all-pairs >= 0.8 Jaccard over 5-word shingles + recursive
     * transitive-closure components; `shFrom` selects the doc universe
     * ("norm n" = whole table, or with a join onto a filtered id set).
@@ -1836,25 +1874,11 @@ object SparkEntry {
         |    len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin,
 
-    "q_sim_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-        |  WHERE vec_id % 100 = 0
-        |), scored AS (
-        |  SELECT q.q_id, e.vec_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))) AS score
-        |  FROM embeddings e CROSS JOIN q
-        |), ranked AS (
-        |  SELECT q_id, vec_id, score,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY score DESC, vec_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT q_id, vec_id, rank, round(score, 5) AS score
-        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_sim_topk" -> sqlExactTopK,
+
+    // the int8 path's rescored output is contractually identical to
+    // the exact float baseline — one shared oracle
+    "q_sim_topk_int8" -> sqlExactTopK,
 
     "q_text_stats" ->
       s"""WITH norm AS (

@@ -35,6 +35,19 @@ object DotProduct {
     s
   }
   def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  /** Integer dot over int arrays — the int8-quantized scoring kernel.
+    * Accumulates in a LONG (exact: |q| ≤ 127 ⇒ each product ≤ 16129,
+    * no overflow below ~5·10¹⁴ elements), converted to double once at
+    * the end — integer multiply-adds are the memory-bandwidth win the
+    * quantized path exists for.
+    */
+  def dotII(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += a.getInt(i).toLong * b.getInt(i).toLong; i += 1 }
+    s.toDouble
+  }
 }
 
 /** `dot(array<float|double>, array<float|double>) -> double` as a
@@ -54,16 +67,19 @@ case class DotProductExpr(left: Expression, right: Expression)
     (elem(left.dataType), elem(right.dataType)) match {
       case (FloatType | DoubleType, FloatType | DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
+      case (IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"dot needs two ARRAY<FLOAT|DOUBLE>, got ${left.dataType} / ${right.dataType}")
+        s"dot needs two ARRAY<FLOAT|DOUBLE> or two ARRAY<INT>, " +
+          s"got ${left.dataType} / ${right.dataType}")
     }
 
   private lazy val method: String =
     (elem(left.dataType), elem(right.dataType)) match {
-      case (FloatType, FloatType)   => "dotFF"
-      case (DoubleType, DoubleType) => "dotDD"
-      case (FloatType, DoubleType)  => "dotFD"
-      case _                        => "dotDF"
+      case (FloatType, FloatType)     => "dotFF"
+      case (DoubleType, DoubleType)   => "dotDD"
+      case (FloatType, DoubleType)    => "dotFD"
+      case (IntegerType, IntegerType) => "dotII"
+      case _                          => "dotDF"
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -72,6 +88,7 @@ case class DotProductExpr(left: Expression, right: Expression)
       case "dotFF" => DotProduct.dotFF(x, y)
       case "dotDD" => DotProduct.dotDD(x, y)
       case "dotFD" => DotProduct.dotFD(x, y)
+      case "dotII" => DotProduct.dotII(x, y)
       case _       => DotProduct.dotDF(x, y)
     }
   }

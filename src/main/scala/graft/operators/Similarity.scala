@@ -83,6 +83,63 @@ object Similarity {
     perQueryTopK(scored, k, qIdCol, idCol)
   }
 
+  /** Int8-scored brute-force top-k with float32 rescoring — the
+    * memory-bandwidth shape for corpus-scale search: the scan pass
+    * reads 4×-smaller quantized vectors and scores them with the
+    * integer dot kernel ([[graft.functions.DotProduct.dotII]]; the
+    * per-vector scales CANCEL in per-query cosine ranking, so the
+    * int8 stage needs no dequantization at all), keeps the top
+    * `rescoreFactor · k` candidates per query via the bounded map-side
+    * top-k aggregate, then rescores ONLY those pairs with exact float
+    * cosine — identical scoring to [[bruteForceTopK]], so when the
+    * candidate pool contains the true top-k (the overwhelmingly common
+    * case: int8 cosine error at unit scale is ~1/254 per element pair)
+    * the output is bit-identical to the exact baseline.
+    *
+    * Plan shape: one pass over the quantized corpus (broadcast
+    * quantized queries), one bounded aggregation, then a second
+    * corpus access that fetches only candidate rows via a broadcast
+    * semi-structure (candidates ≪ corpus). If `<vecCol>_q8` /
+    * `<vecCol>_scale` columns are already present (quantized at ingest
+    * with [[quantizeInt8]] — the 100 TB posture: store int8, scan
+    * int8), they are used as-is; otherwise quantization is planted
+    * inline as a pure projection.
+    */
+  def bruteForceTopKInt8(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      rescoreFactor: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val cq8 = s"${vecCol}_q8"
+    val qq8 = s"${qVecCol}_q8"
+    val cq = if (corpus.columns.contains(cq8)) corpus
+      else quantizeInt8(corpus, vecCol)
+    val qq = if (queries.columns.contains(qq8)) queries
+      else quantizeInt8(queries, qVecCol)
+    // int8 ranking score: dotII(c8, q8) / (‖c8‖·‖q8‖) — the quantized
+    // cosine; norms computed once per side, never per pair
+    // the norm floor keeps a quantized zero vector at score 0, not NaN
+    val c8 = cq.select(col(idCol), col(cq8).as("__c8"),
+      greatest(sqrt(dot(col(cq8), col(cq8))), lit(1e-30)).as("__c8n"))
+    val q8 = qq.select(col(qIdCol), col(qq8).as("__q8"),
+      greatest(sqrt(dot(col(qq8), col(qq8))), lit(1e-30)).as("__q8n"))
+    val scored8 = c8.join(broadcast(q8))
+      .select(col(qIdCol), col(idCol),
+        (dot(col("__c8"), col("__q8")) / (col("__c8n") * col("__q8n")))
+          .as("score"))
+    val cand = perQueryTopK(scored8, rescoreFactor * k, qIdCol, idCol)
+      .select(col(qIdCol), col(idCol))
+    // exact float rescore of the candidate pairs only
+    val cf = corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"))
+    val qf = queries.select(col(qIdCol), col(qVecCol), l2Norm(col(qVecCol)).as("__qn"))
+    val rescored = cf.join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qf), Seq(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        (dot(col(vecCol), col(qVecCol)) / (col("__cn") * col("__qn"))).as("score"))
+    perQueryTopK(rescored, k, qIdCol, idCol)
+  }
+
   /** IVF (inverted-file) index: centroids := the `nCells` corpus rows
     * with the smallest `xxhash64(id)` (a deterministic pseudo-random
     * sample, fetched as a per-partition top-k — no driver-side

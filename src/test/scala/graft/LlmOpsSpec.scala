@@ -135,6 +135,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(self.where(abs($"score" - 1.0) > 1e-9).count() == 0)
   }
 
+  test("int8-scored top-k with float rescore: recall >= 0.95, rescored scores exact") {
+    val queries = emb.where($"vec_id" % 200 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+    val got = Similarity.bruteForceTopKInt8(emb, queries, 10, rescoreFactor = 40)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val gotSet = got.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & gotSet).size.toDouble / exactSet.size
+    assert(recall >= 0.95, s"recall@10 $recall below the 0.95 gate")
+    // surviving pairs carry the EXACT float score (rescoring is the
+    // same kernel as the baseline — bit-identical, not approximate)
+    val exactScore = exact.map(r => (r._1, r._2) -> r._3).toMap
+    got.filter(r => exactSet.contains((r._1, r._2))).foreach { r =>
+      assert(exactScore((r._1, r._2)) == r._3,
+        s"rescored score must be bit-identical for (${r._1}, ${r._2})")
+    }
+    // a degenerate pool (rescoreFactor covering the whole corpus) is
+    // exactly the baseline
+    val full = Similarity.bruteForceTopKInt8(emb, queries, 10,
+      rescoreFactor = 1000)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exactSet, "pool ⊇ corpus ⇒ identical to exact baseline")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val queries = emb.where($"vec_id" % 200 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
