@@ -1120,36 +1120,27 @@ object SparkEntry {
     // dup-fraction in SQL, exact all-pairs Jaccard + recursive-CTE
     // components over the FILTERED corpus, md5-grid split), so a drift
     // in any stage — or in how the stages compose — breaks the hash.
+    // Built FROM the declarative JSON config (configs are data — the
+    // feature-DSL posture): CurationPipeline.fromJson(...).run builds
+    // the same cheap-zero-shuffle-filter-first / spill-the-survivors-
+    // once / exact-bytes-broadcast-gated plan the funnel was previously
+    // hand-composed as, with the oracle hash unchanged. The plan-shape
+    // rationale lives on [[graft.operators.CurationPipeline]].
     "q_corpus_curate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val quality = TextAnalysis.gopherRules(docs, "text")
-        .where(col("passes")).select("doc_id", "text")
-      // cheap zero-shuffle filter FIRST, then the shuffling repetition
-      // stats over the survivors only (per-doc independent, so filter
-      // order cannot change the intersection) — at scale this halves
-      // the shingle shuffle; dedup, the expensive stage, runs last
-      // the repetition survivors are a doc_id-only frame: spill it and
-      // gate an explicit broadcast on its EXACT on-disk bytes (the
-      // engine's standard pattern — Catalyst's estimate flips this
-      // semi-join to a shuffle of the survivors' text between 20k and
-      // 80k docs, the one super-linear step on SCALE.md axis 4; above
-      // the limit the shuffled semi-join is the correct 100 TB plan)
-      val (rep, repBytes) = graft.operators.Spill.roundTripSized(
-        TextAnalysis.repetitionStats(quality, "text", "doc_id")
-          .where(col("rule_repetition")).select("doc_id"))
-      val bcLimit = s.conf.get("spark.graft.dedup.broadcastCandidatesBytes",
-        (16L << 20).toString).toLong
-      val repHinted = if (repBytes <= bcLimit) broadcast(rep) else rep
-      // spill the filtered corpus ONCE: the dedup pipeline scans its
-      // input several times (signature scan, verification semi-join,
-      // final anti-join), and each scan would otherwise recompute the
-      // quality+repetition join from the raw table
-      val kept = graft.operators.Spill.roundTrip(
-        quality.join(repHinted, Seq("doc_id"), "left_semi"))
-      val deduped = Dedup.dropNearDuplicates(kept, "text", "doc_id",
-        threshold = 0.8)
-      Sampling.splitByHash(deduped.select("doc_id"), "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val config = """{
+        "text_col": "text", "id_col": "doc_id",
+        "stages": [
+          {"stage": "quality",
+            "min_words": 50, "max_words": 100000, "min_stopwords": 2},
+          {"stage": "repetition", "n": 2, "max_dup_fraction": 0.2},
+          {"stage": "near_dup_drop", "threshold": 0.8},
+          {"stage": "split", "salt": "", "splits": [
+            {"name": "train", "fraction": 0.8},
+            {"name": "val", "fraction": 0.1},
+            {"name": "test", "fraction": 0.1}]}
+        ]}"""
+      graft.operators.CurationPipeline.fromJson(config)
+        .run(t(s, dir, "documents").select("doc_id", "text"))
     }),
 
     // Gopher repetition filter: duplicate-2-gram occurrence fraction.

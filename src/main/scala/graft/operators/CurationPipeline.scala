@@ -1,0 +1,169 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One stage of a corpus-curation funnel. The ADT is the declarative
+  * mirror of the hand-composable operators in [[TextAnalysis]] /
+  * [[Dedup]] / [[Sampling]] — configs are data (the feature-DSL
+  * posture, SURVEY.md §1.1), so a pipeline can live in version
+  * control, travel through the registry, and be rebuilt bit-for-bit.
+  */
+sealed trait CurationStage
+object CurationStage {
+  /** Gopher/C4 quality rules — keep documents passing every rule. */
+  case class Quality(minWords: Int = 50, maxWords: Int = 100000,
+      minStopwords: Int = 2) extends CurationStage
+  /** Gopher repetition filter — keep documents with duplicate-n-gram
+    * occurrence fraction ≤ `maxDupFraction`. */
+  case class Repetition(n: Int = 2, maxDupFraction: Double = 0.2)
+      extends CurationStage
+  /** MinHash/LSH near-duplicate drop at the given Jaccard threshold. */
+  case class NearDupDrop(threshold: Double = 0.8) extends CurationStage
+  /** Replace the text with its PII-redacted form. */
+  case object PiiRedact extends CurationStage
+  /** Drop documents sharing winnowed fingerprints with the run-time
+    * reference set beyond `maxSharedFraction`. */
+  case class Decontaminate(k: Int = 5, w: Int = 4,
+      maxSharedFraction: Double = 0.0) extends CurationStage
+  /** Deterministic hash split — must be the LAST stage (its output is
+    * the (id, split) assignment, not a corpus). */
+  case class Split(splits: Seq[(String, Double)], salt: String = "")
+      extends CurationStage
+}
+
+/** A declarative corpus-curation funnel: an ordered stage list over a
+  * `(idCol, textCol)` corpus, with a JSON round-trip
+  * ([[CurationPipeline.toJson]]/[[CurationPipeline.fromJson]]) and one
+  * [[run]] that builds the same filtered-first / spill-once plan the
+  * hand-composed funnel gate uses (q_corpus_curate rebuilds FROM this
+  * config with its oracle hash unchanged):
+  *  - pure-projection filters (Quality, PiiRedact) stay zero-shuffle
+  *    and run wherever the author ordered them — cheap-first ordering
+  *    is the author's choice and the config makes it explicit;
+  *  - Repetition spills its surviving id set and broadcast-hints the
+  *    semi-join iff the EXACT on-disk bytes fit
+  *    (`spark.graft.dedup.broadcastCandidatesBytes` — Catalyst's
+  *    estimate of a post-aggregate is the documented broadcast-cliff
+  *    hazard, SCALE.md axis 4);
+  *  - the corpus is spilled ONCE at the entry of the multi-scan
+  *    NearDupDrop stage (signature scan, verification semi-join, final
+  *    anti-join would each recompute the upstream funnel otherwise);
+  *  - Decontaminate takes its reference corpus at run time (data, not
+  *    config).
+  */
+case class CurationPipeline(textCol: String, idCol: String,
+    stages: Seq[CurationStage]) {
+  require(stages.nonEmpty, "a curation pipeline needs at least one stage")
+  require(!stages.dropRight(1).exists(_.isInstanceOf[CurationStage.Split]),
+    "Split must be the last stage: it replaces the corpus with the " +
+      "(id, split) assignment")
+
+  import CurationStage._
+
+  private def bcLimit(df: DataFrame): Long = df.sparkSession.conf
+    .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+    .toLong
+
+  /** Run the configured funnel. `reference` supplies the
+    * (frame, textCol, idCol) for a [[CurationStage.Decontaminate]]
+    * stage and is required iff one is configured.
+    */
+  def run(df: DataFrame,
+      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+    require(reference.isDefined ||
+      !stages.exists(_.isInstanceOf[Decontaminate]),
+      "a Decontaminate stage needs a run-time reference corpus")
+    stages.foldLeft(df.select(col(idCol), col(textCol))) { (cur, st) =>
+      st match {
+        case Quality(minW, maxW, minS) =>
+          TextAnalysis.gopherRules(cur, textCol, minW, maxW, minS)
+            .where(col("passes")).select(idCol, textCol)
+        case Repetition(n, maxDup) =>
+          val (rep, repBytes) = Spill.roundTripSized(
+            TextAnalysis.repetitionStats(cur, textCol, idCol, n, maxDup)
+              .where(col("rule_repetition")).select(idCol))
+          val hinted = if (repBytes <= bcLimit(cur)) broadcast(rep) else rep
+          cur.join(hinted, Seq(idCol), "left_semi")
+        case NearDupDrop(threshold) =>
+          Dedup.dropNearDuplicates(Spill.roundTrip(cur), textCol, idCol,
+            threshold)
+        case PiiRedact =>
+          TextAnalysis.redactPii(cur, textCol)
+            .select(col(idCol), col(s"${textCol}_redacted").as(textCol))
+        case Decontaminate(k, w, maxFrac) =>
+          val (ref, refText, refId) = reference.get
+          TextAnalysis.decontaminate(cur, textCol, idCol, ref, refText,
+            refId, k, w, TextAnalysis.DecontaminateAction.Drop, maxFrac)
+        case Split(splits, salt) =>
+          Sampling.splitByHash(cur.select(idCol), idCol, splits, salt)
+      }
+    }
+  }
+}
+
+object CurationPipeline {
+  import CurationStage._
+
+  private val mapper = new ObjectMapper()
+
+  def toJson(p: CurationPipeline): String = {
+    val root = mapper.createObjectNode()
+    root.put("text_col", p.textCol)
+    root.put("id_col", p.idCol)
+    val arr = root.putArray("stages")
+    p.stages.foreach { st =>
+      val n = arr.addObject()
+      st match {
+        case Quality(a, b, c) =>
+          n.put("stage", "quality")
+          n.put("min_words", a); n.put("max_words", b)
+          n.put("min_stopwords", c)
+        case Repetition(g, f) =>
+          n.put("stage", "repetition")
+          n.put("n", g); n.put("max_dup_fraction", f)
+        case NearDupDrop(t) =>
+          n.put("stage", "near_dup_drop"); n.put("threshold", t)
+        case PiiRedact =>
+          n.put("stage", "pii_redact")
+        case Decontaminate(k, w, f) =>
+          n.put("stage", "decontaminate")
+          n.put("k", k); n.put("w", w); n.put("max_shared_fraction", f)
+        case Split(splits, salt) =>
+          n.put("stage", "split"); n.put("salt", salt)
+          val sa = n.putArray("splits")
+          splits.foreach { case (name, frac) =>
+            val o = sa.addObject()
+            o.put("name", name); o.put("fraction", frac)
+          }
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(s: String): CurationPipeline = {
+    import scala.jdk.CollectionConverters._
+    val root = mapper.readTree(s)
+    val stages = root.get("stages").elements().asScala.map { n =>
+      n.get("stage").asText() match {
+        case "quality" => Quality(n.get("min_words").asInt,
+          n.get("max_words").asInt, n.get("min_stopwords").asInt)
+        case "repetition" => Repetition(n.get("n").asInt,
+          n.get("max_dup_fraction").asDouble)
+        case "near_dup_drop" => NearDupDrop(n.get("threshold").asDouble)
+        case "pii_redact" => PiiRedact
+        case "decontaminate" => Decontaminate(n.get("k").asInt,
+          n.get("w").asInt, n.get("max_shared_fraction").asDouble)
+        case "split" => Split(
+          n.get("splits").elements().asScala.map(o =>
+            o.get("name").asText -> o.get("fraction").asDouble).toSeq,
+          n.get("salt").asText)
+        case other =>
+          throw new IllegalArgumentException(s"unknown curation stage: $other")
+      }
+    }.toSeq
+    CurationPipeline(root.get("text_col").asText, root.get("id_col").asText,
+      stages)
+  }
+}

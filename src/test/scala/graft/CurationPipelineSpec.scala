@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{CurationPipeline, CurationStage}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Declarative curation-pipeline config: generator-based JSON
+  * round-trip (the [[ConfigPropertySpec]] posture — configs are data)
+  * and the runner's composition semantics over a constructed corpus.
+  */
+class CurationPipelineSpec extends SparkTestBase {
+  import CurationStage._
+  import spark.implicits._
+
+  private val genStage: Gen[CurationStage] = Gen.oneOf(
+    for {
+      a <- Gen.chooseNum(1, 500); b <- Gen.chooseNum(1000, 200000)
+      c <- Gen.chooseNum(0, 5)
+    } yield Quality(a, b, c),
+    for {
+      n <- Gen.chooseNum(1, 5); f <- Gen.chooseNum(1, 99)
+    } yield Repetition(n, f / 100.0),
+    Gen.chooseNum(50, 99).map(t => NearDupDrop(t / 100.0)),
+    Gen.const(PiiRedact),
+    for {
+      k <- Gen.chooseNum(2, 9); w <- Gen.chooseNum(2, 9)
+      f <- Gen.chooseNum(0, 99)
+    } yield Decontaminate(k, w, f / 100.0))
+
+  private val genSplit: Gen[CurationStage] = for {
+    n <- Gen.chooseNum(2, 4)
+    salt <- Gen.oneOf("", "epoch2", "s3")
+  } yield {
+    val fracs = Seq.fill(n)(1.0 / n)
+    Split(fracs.zipWithIndex.map { case (f, i) => s"part$i" -> f }, salt)
+  }
+
+  private val genPipeline: Gen[CurationPipeline] = for {
+    mid <- Gen.listOfN(3, genStage).map(_.take(3))
+    nMid <- Gen.chooseNum(0, 3)
+    split <- Gen.option(genSplit)
+  } yield CurationPipeline("text", "doc_id",
+    mid.take(math.max(nMid, if (split.isEmpty) 1 else 0)) ++ split.toSeq)
+
+  test("JSON round-trip is the identity for generated pipelines (property)") {
+    val prop = Prop.forAll(genPipeline) { p =>
+      val back = CurationPipeline.fromJson(CurationPipeline.toJson(p))
+      if (back != p) System.err.println(s"=== original ===\n$p\n=== reparsed ===\n$back")
+      back == p
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Split anywhere but last is rejected") {
+    intercept[IllegalArgumentException] {
+      CurationPipeline("text", "doc_id", Seq(
+        Split(Seq("a" -> 0.5, "b" -> 0.5)), NearDupDrop(0.8)))
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline("text", "doc_id", Nil)
+    }
+  }
+
+  test("runner composes stages in order over a constructed corpus") {
+    def wordsOf(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val good = wordsOf("alpha", 60) + " the of and is"
+    // words long enough to pass the mean-word-length rule, so the doc
+    // reaches (and fails) the Repetition stage
+    val chorus = (0 until 30).map(_ => "lala lala spam haha").mkString(" ") +
+      " the of and is"
+    val evalQuote = wordsOf("eval", 60) + " the of and is"
+    val corpus = Seq(
+      (1L, good), // survives everything
+      (2L, wordsOf("short", 5)), // fails Quality (word count)
+      (3L, chorus), // fails Repetition
+      (4L, good), // near-dup of 1 → dropped (canonical min id survives)
+      (5L, evalQuote), // decontaminated against the reference
+      (6L, wordsOf("beta", 55) + " the of and is pii bob@example.com"))
+      .toDF("doc_id", "text")
+    val reference = Seq((100L, evalQuote)).toDF("ref_id", "text")
+    val p = CurationPipeline("text", "doc_id", Seq(
+      Quality(), Repetition(), NearDupDrop(0.8), Decontaminate(), PiiRedact))
+    val out = p.run(corpus, Some((reference, "text", "ref_id")))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 6L), s"funnel survivors: ${out.keySet}")
+    assert(out(6L).contains("<EMAIL>") && !out(6L).contains("bob@"),
+      "PiiRedact must rewrite the text column in place")
+    // with a Split tail the output is the (id, split) assignment
+    val withSplit = CurationPipeline("text", "doc_id", Seq(
+      Quality(), Split(Seq("train" -> 0.9, "test" -> 0.1))))
+    val assigned = withSplit.run(corpus).as[(Long, String)].collect().toMap
+    assert(assigned.keySet == Set(1L, 3L, 4L, 5L, 6L),
+      "Quality-only survivors all get split assignments")
+    assert(assigned.values.forall(Set("train", "test")),
+      s"splits named by config: ${assigned.values.toSet}")
+  }
+
+  test("a Decontaminate stage without a reference is rejected at run time") {
+    val p = CurationPipeline("text", "doc_id", Seq(Decontaminate()))
+    intercept[IllegalArgumentException] {
+      p.run(Seq((1L, "a b c")).toDF("doc_id", "text"))
+    }
+  }
+}
