@@ -191,6 +191,42 @@ object Materializer {
     finally if (sinks.size > 1) df.unpersist()
   }
 
+  /** The streaming micro-batch's partition column in file sinks. */
+  val BatchIdCol = "__graft_batch_id"
+
+  /** Idempotent per-micro-batch write — the exactly-once posture for
+    * streaming `foreachBatch`, whose contract is AT-LEAST-ONCE batch
+    * delivery (a failure after a partial write replays the whole batch
+    * with the same `batchId`):
+    *  - file sinks write the batch into its `__graft_batch_id=N`
+    *    partition with DYNAMIC partition overwrite, so a replay
+    *    rewrites exactly that partition instead of appending
+    *    duplicates — readers of the sink path see the batch-id
+    *    partition column and may drop it;
+    *  - online sinks are replace-on-write per key (DEL + HSET), so
+    *    replaying a deterministic batch rewrites identical state —
+    *    idempotent without a transaction marker.
+    * The sink's configured `mode` is intentionally ignored here:
+    * within a streaming query the ONLY correct file-sink semantic is
+    * own-partition overwrite.
+    */
+  def writeBatch(df0: DataFrame, batchId: Long, keyColumns: Seq[String],
+      sinks: Seq[OutputSink]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val df = if (sinks.size > 1) df0.persist() else df0
+    try sinks.foreach {
+      case OutputSink.Generic(format, path, _, options, numParts) =>
+        val out = numParts.map(df.repartition).getOrElse(df)
+        out.withColumn(BatchIdCol, lit(batchId))
+          .write.format(format).options(options)
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchIdCol)
+          .save(path)
+      case s: OutputSink.Online => write(df, keyColumns, s)
+    } finally if (sinks.size > 1) df.unpersist()
+  }
+
   def write(df: DataFrame, keyColumns: Seq[String], sink: OutputSink): Unit = sink match {
     case OutputSink.Generic(format, path, mode, options, numParts) =>
       val out = numParts.map(df.repartition).getOrElse(df)

@@ -96,8 +96,11 @@ object StreamingIngest {
 
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
-    * first). Each micro-batch is written with the same sink writers the
-    * batch path uses (one code path, matching semantics).
+    * first). Micro-batches go through [[Materializer.writeBatch]] —
+    * the batchId-keyed IDEMPOTENT write, so foreachBatch's
+    * at-least-once replay of a failed batch cannot double-write the
+    * sink (file sinks overwrite their own `__graft_batch_id`
+    * partition; online sinks are replace-on-write per key).
     */
   def runWithTimeout(df: DataFrame, keyColumns: Seq[String],
       sinks: Seq[OutputSink], timeoutMs: Long,
@@ -106,8 +109,8 @@ object StreamingIngest {
     val q = df.writeStream
       .outputMode(outputMode)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Materializer.writeAll(batch, keyColumns, sinks)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Materializer.writeBatch(batch, batchId, keyColumns, sinks)
       }
       .start()
     q.awaitTermination(timeoutMs)

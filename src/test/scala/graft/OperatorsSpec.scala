@@ -122,6 +122,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(n == want)
   }
 
+  test("exactly-once: a replayed micro-batch leaves sink state identical") {
+    // foreachBatch's contract is at-least-once batch delivery: a crash
+    // after a partial write replays the WHOLE batch under the same
+    // batchId. writeBatch must make that replay a no-op.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eo").toString + "/out"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    val fileSink = Seq(OutputSink.Generic("parquet", tmp, mode = "append"))
+    Materializer.writeBatch(b0, 0L, Seq("id"), fileSink)
+    Materializer.writeBatch(b1, 1L, Seq("id"), fileSink)
+    def state() = spark.read.parquet(tmp)
+      .select("id", "v", Materializer.BatchIdCol)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val before = state()
+    assert(before.map(r => (r._1, r._2)) == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"two batches, three rows: $before")
+    Materializer.writeBatch(b0, 0L, Seq("id"), fileSink) // the retry
+    assert(state() == before,
+      "replaying batch 0 must overwrite its own partition, not append")
+    // online sink: replace-on-write per key ⇒ replay is idempotent
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_eo_store").toString
+    val store = new FileOnlineStore(storeDir)
+    val onlineSink = Seq(OutputSink.Online("t", store))
+    Materializer.writeBatch(b0, 0L, Seq("id"), onlineSink)
+    val first = Seq("1", "2").map(k => k -> store.get("t", k))
+    Materializer.writeBatch(b0, 0L, Seq("id"), onlineSink)
+    assert(Seq("1", "2").map(k => k -> store.get("t", k)) == first)
+  }
+
   test("multimodal: metadata + batched decode stub + frame sampling") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val packed = docs.select($"doc_id", Multimodal.packBinary($"text").as("payload"))
