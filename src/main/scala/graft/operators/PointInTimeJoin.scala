@@ -489,15 +489,47 @@ object PointInTimeJoin {
     val keyEq = obsKeyCols.indices.map(i => col(obsKeyCols(i)) === col(skCols(i)))
       .reduce(_ && _)
 
+    // The full-bucket join is an EQUI-join on (key, COARSE bucket) —
+    // never a theta-join on a bucket RANGE. A range condition leaves
+    // only the key as the shuffle key, which (a) forces a sort-merge
+    // join whose per-key work is pairs×partials — quadratic in key
+    // hotness — and (b) serializes a hot key into one reducer that AQE
+    // cannot split (the downstream aggregation reuses the join's
+    // partitioning, so OptimizeSkewedJoin declines). ScaleProbe axis 6
+    // measured the theta version at 74.9× max/median task time and ~4×
+    // wall under a 10 %-hot Zipf key. With a time component in the
+    // equi-key, a hot key's pairs spread across the TIMELINE's coarse
+    // buckets and the straggler disappears. The coarse bucket is
+    // `gFine` fine buckets wide (~window/4): each pair explodes to
+    // only ~4–6 coarse ids (a full fine-grained explosion fixed the
+    // skew identically but shuffled the spine ×window/bucket — 7× the
+    // probe's total shuffle), each (pair, coarse) group carries ≤gFine
+    // partials, and the exact fine-bucket range is re-applied as a
+    // post-join filter.
+    // wUs >= 2·bUs guarantees loB < hiB, so the ranges are well-formed;
+    // a window spanning exactly 2 buckets has no full bucket and the
+    // empty sequence explodes to no rows
+    val gFine = math.max(1L, (wUs / bUs) / 4)
+    val cb = s"${b}_c"  // partials side: coarse bucket of a partial
+    val cbp = s"${b}_cp" // spine side: exploded coarse bucket ids
     val partialCols = measures.flatMap(m => Seq(ps(m), pc(m), pm(m), px(m)))
-    val fullBuckets = p.join(bucketPartials,
-        keyEq && col(b) > loB && col(b) < hiB, "inner")
+    val fullBuckets = p
+      .withColumn(cbp, explode(sequence(idiv(loB + 1, gFine), idiv(hiB - 1, gFine))))
+      .join(bucketPartials.withColumn(cb, idiv(col(b), gFine)),
+        keyEq && col(cbp) === col(cb), "inner")
+      .where(col(b) > loB && col(b) < hiB)
       .select((obsKeyCols :+ ObsTs).map(col) ++ gcols.map(col) ++
         partialCols.map(col): _*)
 
     val partialTypes = partialCols.map(c => c -> bucketPartials.schema(c).dataType).toMap
-    val edgeRows = p.join(srcB,
-        keyEq && (col(b) === loB || col(b) === hiB) &&
+    // the two edge buckets equi-join on (key, FINE bucket) — two
+    // exploded rows per pair; loB and hiB are distinct (wUs >= 2·bUs),
+    // so no row double-joins
+    val bp = s"${b}_p"
+    val edgeRows = p
+      .withColumn(bp, explode(array(loB, hiB)))
+      .join(srcB,
+        keyEq && col(b) === col(bp) &&
           unix_micros(col(Internal.SrcTs)) > col(tUs) - wUs &&
           unix_micros(col(Internal.SrcTs)) <= col(tUs), "inner")
       .select((obsKeyCols :+ ObsTs).map(col) ++ gcols.map(col) ++
@@ -573,11 +605,24 @@ object PointInTimeJoin {
       .reduce(_ && _)
     val outCols = (obsKeyCols :+ ObsTs).map(col) ++
       (Internal.SrcTs +: measures).map(col)
-    val full = p.join(topPerBucket,
-        keyEq && col(b) > loB && col(b) < hiB, "inner")
+    // same coarse-bucket equi-join discipline as [[bucketedWindowAgg]]
+    // (the theta form is the axis-6 hot-key straggler): pairs explode
+    // ~4–6 coarse ids, the exact fine range is a post-join filter, and
+    // the two edge buckets equi-join on their fine ids
+    val gFine = math.max(1L, (wUs / bUs) / 4)
+    val cb = s"${b}_c"
+    val cbp = s"${b}_cp"
+    val full = p
+      .withColumn(cbp, explode(sequence(idiv(loB + 1, gFine), idiv(hiB - 1, gFine))))
+      .join(topPerBucket.withColumn(cb, idiv(col(b), gFine)),
+        keyEq && col(cbp) === col(cb), "inner")
+      .where(col(b) > loB && col(b) < hiB)
       .select(outCols: _*)
-    val edge = p.join(srcB,
-        keyEq && (col(b) === loB || col(b) === hiB) &&
+    val bp = s"${b}_p"
+    val edge = p
+      .withColumn(bp, explode(array(loB, hiB)))
+      .join(srcB,
+        keyEq && col(b) === col(bp) &&
           unix_micros(col(Internal.SrcTs)) > col(tUs) - wUs &&
           unix_micros(col(Internal.SrcTs)) <= col(tUs), "inner")
       .select(outCols: _*)

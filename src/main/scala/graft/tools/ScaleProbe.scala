@@ -44,11 +44,17 @@ object ScaleProbe {
     // entirely, so wall-clock alone understates what a real cluster
     // pays — shuffle volume is the 100 TB-relevant metric
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // per-task durations: max/median over an action is the SKEW
+    // signature (axis 6) — a hot key serializes into one straggler
+    // task, which wall-clock alone hides at probe sizes
+    val taskDurations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
-          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.taskMetrics != null)
           shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (t.taskInfo != null) taskDurations.add(t.taskInfo.duration)
+      }
     })
 
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
@@ -70,6 +76,30 @@ object ScaleProbe {
       require(n > 0, "probe produced no rows")
       Thread.sleep(300)
       (sec, (shuffleBytes.get() - b0) / 1e6)
+    }
+
+    /** (seconds, shuffle-write MB, max/median task duration) — the
+      * third number is the straggler signature: tasks ≥ 50 ms only
+      * (empty-partition tasks would drive the median to ~0 and inflate
+      * every ratio into noise).
+      */
+    def timeSkew(f: => Long): (Double, Double, Double) = {
+      Thread.sleep(300)
+      taskDurations.clear()
+      val (sec, mb) = {
+        val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime(); val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        require(n > 0, "probe produced no rows")
+        Thread.sleep(300)
+        (s, (shuffleBytes.get() - b0) / 1e6)
+      }
+      val ds = {
+        import scala.jdk.CollectionConverters._
+        taskDurations.iterator().asScala.map(_.toDouble).filter(_ >= 50).toArray.sorted
+      }
+      val ratio = if (ds.isEmpty) 1.0 else ds.last / ds(ds.length / 2)
+      (sec, mb, ratio)
     }
 
     val userKey = TypedKey("user_id", ValueType.INT64)
@@ -341,6 +371,99 @@ object ScaleProbe {
           println(f"[scale] n=$n%-3d vecs=$rows%-9d ivfTopK=$sec%6.2fs/${mb}%8.1fMB")
         warmedIvf = true
         corpus.unpersist()
+      }
+    }
+    // ── axis 6: Zipfian KEY SKEW ──────────────────────────────────────
+    // Every other axis replicates data uniformly; real 100 TB key
+    // distributions are Zipfian, and a hot key serializes its rows into
+    // one reducer/window task. Keys are remapped through the inverse-
+    // CDF construction floor(K^u), u = uniform from xxhash64(user_id):
+    // P(rank r) = ln((r+1)/r)/ln(K) ≈ 1/(r·lnK) — Zipf s = 1.0 with
+    // K = 1000, so the hottest key carries ln2/ln1000 ≈ 10.0 % of ALL
+    // rows (the VERDICT-specified regime). Each n runs uniform vs zipf
+    // on identical row counts: the DELTA in (wall, shuffle, max/median
+    // task time) is the skew cost. SWA runs the default bucketed plan;
+    // as-of runs the union-sort plan whose per-key window is the
+    // textbook straggler; minhash runs with a 10 %-hot duplicated text
+    // (LSH bucket skew) against the established bucket caps.
+    {
+      var warmedSkew = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "skew") {
+        def zipfKey(c: org.apache.spark.sql.Column) =
+          floor(pow(lit(1000.0),
+            pmod(xxhash64(c), lit(1000000)).cast("double") / 1000000.0))
+            .cast("long")
+        def skewed(df: DataFrame): DataFrame =
+          df.withColumn("user_id", zipfKey(col("user_id")))
+
+        def runPit(view: String, dense0: DataFrame, spine: DataFrame,
+            swa: Boolean): (Double, Double, Double) = {
+          dense0.createOrReplaceTempView(view)
+          val p = FeatureProject(s"probe_$view")
+          p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+            timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+            if (swa) AnchorFeature("f_sum_30d", FeatureType.DOUBLE,
+              Transformation.windowAgg("value", "SUM", "30d"), Seq(userKey))
+            else AnchorFeature("f_last", FeatureType.DOUBLE,
+              Transformation.Expr("value"), Seq(userKey))))
+          val out = if (swa) "f_sum_30d" else "f_last"
+          timeSkew(FeathrClient.joinFeatures(spark, p, spine,
+            Some(("ts", "native")),
+            Seq(FeatureQuery(Seq(out), Seq("user_id"))))
+            .select(count(col(out))).head().getLong(0))
+        }
+
+        def runPair(tag: String, offsetSec: Int, swa: Boolean) = {
+          val base = densifiedOffAxis6(n, offsetSec).cache()
+          base.count()
+          val uni = base.where(col("event_type") === "purchase")
+          val uniSpine = base.where(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val u = runPit(s"probe_skew_${tag}_u_$n", uni, uniSpine, swa)
+          val zBase = skewed(base).cache()
+          zBase.count()
+          val zip = zBase.where(col("event_type") === "purchase")
+          val zipSpine = zBase.where(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val z = runPit(s"probe_skew_${tag}_z_$n", zip, zipSpine, swa)
+          base.unpersist(); zBase.unpersist()
+          (u, z)
+        }
+        // per-variant offsets defeat shuffle-stage reuse (pitfall #1)
+        def densifiedOffAxis6(nn: Int, offsetSec: Int): DataFrame =
+          (0 until nn).map(i => ev0
+              .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 37 + offsetSec} SECONDS"))
+              .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+            .reduce(_ unionByName _)
+
+        // the PIT joins measure the 100 TB shuffle plans (no broadcast
+        // shortcut); LSH keeps broadcast for its internal semi-joins —
+        // same per-axis posture as axes 1 and 2
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val (swaU, swaZ) = runPair("swa", 11, swa = true)
+        val (asofU, asofZ) = runPair("asof", 12, swa = false)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+        // LSH bucket skew: 10 % of docs REPLACED by one duplicated hot
+        // text — the degenerate-bucket regime the caps exist for
+        val hotCorpus = replicatedDocs(n)
+          .withColumn("text", when(pmod(xxhash64(col("doc_id")), lit(10)) === 0,
+            lit("the hot boilerplate document that every mirror " +
+              "reprints verbatim across the whole crawl corpus again"))
+            .otherwise(col("text"))).cache()
+        val hotRows = hotCorpus.count()
+        val lsh = timeSkew(graft.operators.Dedup
+          .minhashNearDuplicates(hotCorpus, "text", "doc_id", 0.8).count() + 1)
+        hotCorpus.unpersist()
+
+        if (warmedSkew) {
+          println(f"[scale] n=$n%-3d SKEW swaBucketed  uniform=${swaU._1}%6.2fs/${swaU._2}%8.1fMB/x${swaU._3}%5.1f  zipf=${swaZ._1}%6.2fs/${swaZ._2}%8.1fMB/x${swaZ._3}%5.1f")
+          println(f"[scale] n=$n%-3d SKEW asOfJoin     uniform=${asofU._1}%6.2fs/${asofU._2}%8.1fMB/x${asofU._3}%5.1f  zipf=${asofZ._1}%6.2fs/${asofZ._2}%8.1fMB/x${asofZ._3}%5.1f")
+          println(f"[scale] n=$n%-3d SKEW minhashHot10 docs=$hotRows%-9d ${lsh._1}%6.2fs/${lsh._2}%8.1fMB/x${lsh._3}%5.1f")
+        }
+        warmedSkew = true
       }
     }
     spark.stop()
