@@ -993,15 +993,15 @@ object SparkEntry {
 
     // Int8-scored top-k with float rescoring. Oracle contract: the
     // rescored output must be IDENTICAL to the exact float baseline
-    // (same oracle SQL as q_sim_topk) — at gate scale the 400-candidate
-    // pool must contain every true top-10 member (int8 cosine error
-    // ~1/254 per element cannot demote a true neighbor below rank 400
-    // of 2000), so a quantization or rescoring defect breaks the hash.
+    // (same oracle SQL as q_sim_topk) — the 80-candidate pool must
+    // contain every true top-10 member (int8 cosine error ~1/254 per
+    // element cannot demote a true neighbor below rank 80 of 2000), so
+    // a quantization or rescoring defect breaks the hash.
     "q_sim_topk_int8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.bruteForceTopKInt8(emb, queries, k = 10, rescoreFactor = 40)
+      Similarity.bruteForceTopKInt8(emb, queries, k = 10, rescoreFactor = 8)
         .select(col("q_id"), col("vec_id"), col("rank"),
           round(col("score"), 5).as("score"))
     }),

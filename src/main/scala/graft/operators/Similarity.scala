@@ -85,8 +85,8 @@ object Similarity {
 
   /** Int8-scored brute-force top-k with float32 rescoring — the
     * memory-bandwidth shape for corpus-scale search: the scan pass
-    * reads 4×-smaller quantized vectors and scores them with the
-    * integer dot kernel ([[graft.functions.DotProduct.dotII]]; the
+    * reads 4×-smaller packed quantized vectors and scores them with the
+    * SWAR integer dot kernel ([[graft.functions.DotProduct.dotPP]]; the
     * per-vector scales CANCEL in per-query cosine ranking, so the
     * int8 stage needs no dequantization at all), keeps the top
     * `rescoreFactor · k` candidates per query via the bounded map-side
@@ -99,11 +99,13 @@ object Similarity {
     * Plan shape: one pass over the quantized corpus (broadcast
     * quantized queries), one bounded aggregation, then a second
     * corpus access that fetches only candidate rows via a broadcast
-    * semi-structure (candidates ≪ corpus). If `<vecCol>_q8` /
-    * `<vecCol>_scale` columns are already present (quantized at ingest
-    * with [[quantizeInt8]] — the 100 TB posture: store int8, scan
-    * int8), they are used as-is; otherwise quantization is planted
-    * inline as a pure projection.
+    * semi-structure (candidates ≪ corpus). If a pre-packed
+    * `<vecCol>_b8` BINARY column (ingest-time
+    * [[graft.functions.DotProductExpr.quantizePackInt8]] — the 100 TB
+    * posture: store packed int8, scan packed int8) or a pre-quantized
+    * `<vecCol>_q8` array<int> ([[quantizeInt8]]) is present, it is
+    * used as-is; otherwise quantization is planted inline as a pure
+    * projection.
     */
   def bruteForceTopKInt8(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -111,29 +113,101 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
-    val cq8 = s"${vecCol}_q8"
-    val qq8 = s"${qVecCol}_q8"
-    val cq = if (corpus.columns.contains(cq8)) corpus
-      else quantizeInt8(corpus, vecCol)
-    val qq = if (queries.columns.contains(qq8)) queries
-      else quantizeInt8(queries, qVecCol)
-    // int8 ranking score: dotII(c8, q8) / (‖c8‖·‖q8‖) — the quantized
-    // cosine; norms computed once per side, never per pair
-    // the norm floor keeps a quantized zero vector at score 0, not NaN
-    val c8 = cq.select(col(idCol), col(cq8).as("__c8"),
-      greatest(sqrt(dot(col(cq8), col(cq8))), lit(1e-30)).as("__c8n"))
-    val q8 = qq.select(col(qIdCol), col(qq8).as("__q8"),
-      greatest(sqrt(dot(col(qq8), col(qq8))), lit(1e-30)).as("__q8n"))
+    // int8 ranking score: dotPP(c8, q8) / (‖c8‖·‖q8‖) — the quantized
+    // cosine over SWAR-packed vectors (`array<bigint>`, 8 int8 lanes
+    // per long — [[graft.functions.Int8PackedLongsExpr]]): 1 B/element
+    // density like a BINARY vector, but read as a zero-copy
+    // UnsafeArrayData view like the float path — `getBinary` COPIES per
+    // access, which in this nested-loop scoring join meant one fresh
+    // byte[] per PAIR and measured slower than float32 (ScaleProbe
+    // axis 7, first revision). Norms computed once per side, never per
+    // pair. Input forms: a pre-PACKED `<vecCol>_b8` BINARY column (the
+    // 100 TB storage shape — build at ingest with
+    // [[graft.functions.DotProductExpr.quantizePackInt8]]), a
+    // pre-quantized `<vecCol>_q8` array<int> ([[quantizeInt8]]), or a
+    // raw float column (fused quantize inside the packing expression —
+    // one tight codegen'd loop, no interpreted HOFs); all three
+    // project to the lane layout once per row at scan, zero-copy
+    // thereafter. The norm floor keeps a quantized zero vector at
+    // score 0, not NaN.
+    def pdot(a: Column, b: Column): Column =
+      graft.functions.DotProductExpr.int8PackedDot(a, b)
+    def packedLongs(df: DataFrame, vec: String, id: String, out: String): DataFrame = {
+      val b8 = s"${vec}_b8"; val q8 = s"${vec}_q8"
+      val src = if (df.columns.contains(b8)) col(b8)
+        else if (df.columns.contains(q8)) col(q8)
+        else col(vec)
+      df.select(col(id),
+        graft.functions.DotProductExpr.int8PackedLongs(src).as(out))
+    }
+    val c8 = packedLongs(corpus, vecCol, idCol, "__c8")
+      .withColumn("__c8n", greatest(sqrt(pdot(col("__c8"), col("__c8"))), lit(1e-30)))
+    val q8 = packedLongs(queries, qVecCol, qIdCol, "__q8")
+      .withColumn("__q8n", greatest(sqrt(pdot(col("__q8"), col("__q8"))), lit(1e-30)))
     val scored8 = c8.join(broadcast(q8))
       .select(col(qIdCol), col(idCol),
-        (dot(col("__c8"), col("__q8")) / (col("__c8n") * col("__q8n")))
+        (pdot(col("__c8"), col("__q8")) / (col("__c8n") * col("__q8n")))
           .as("score"))
-    val cand = perQueryTopK(scored8, rescoreFactor * k, qIdCol, idCol)
+    val cand0 = perQueryTopK(scored8, rescoreFactor * k, qIdCol, idCol)
       .select(col(qIdCol), col(idCol))
-    // exact float rescore of the candidate pairs only
-    val cf = corpus.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("__cn"))
+    // Exact float rescore of the candidate pairs only. The corpus must
+    // contribute just the candidate ROWS — at 100 TB a full
+    // float-column scan to rescore a few thousand pairs would read the
+    // whole table a second time. Two regimes on the corpus plan's
+    // stats (file-backed plans estimate from file sizes, cached plans
+    // report exact materialized bytes — and a wrong call costs little
+    // in either direction: a small corpus mis-flagged big pays ~two
+    // fixed-latency driver jobs, a big one mis-flagged small pays one
+    // extra scan):
+    //  - big corpus: spill the candidate pairs (stage 1 executes
+    //    exactly once; the pair set feeds two consumers), collect the
+    //    BOUNDED id set (≤ |queries| · rescoreFactor · k, capped —
+    //    same discipline as the union-find gate) and PUSH it into the
+    //    corpus scan as an InSet predicate: parquet prunes via
+    //    dictionary/column-index/bloom where present, and at minimum
+    //    rows short-circuit at the scan instead of flowing into the
+    //    join. Over the id cap: plain broadcast-join fallback.
+    //  - small corpus: the lazy skinny-broadcast plan — the second
+    //    scan is bounded by the (small) corpus, and skipping the spill
+    //    + collect jobs keeps the operator's fixed latency at
+    //    interactive scale.
+    // The candidate pairs and query vectors broadcast SEPARATELY (both
+    // skinny) — pre-joining them would replicate each query vector
+    // rescoreFactor·k times in the broadcast. Corpus-side l2Norm is
+    // computed after the join, over candidates ≪ corpus.
+    val conf = corpus.sparkSession.conf
+    val minPushdownBytes = conf
+      .get("spark.graft.sim.rescorePushdownMinCorpusBytes", (256L << 20).toString).toLong
+    val corpusBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (cand, corpusSrc) =
+      if (corpusBytes < minPushdownBytes) (cand0, corpus)
+      else {
+        val spilled = Spill.roundTrip(cand0)
+        val cap = conf
+          .get("spark.graft.sim.rescoreIdPushdownMax", (1 << 20).toString).toInt
+        val ids = spilled.select(col(idCol)).distinct().limit(cap + 1).collect()
+          .map(_.get(0))
+        if (ids.length <= cap) {
+          // a single InSet node, NOT isInCollection — the latter builds
+          // an In with |ids| Literal children and the analyzer/optimizer
+          // walk all of them on every rule pass (measured: seconds of
+          // driver CPU at 16k ids). InSet holds one hash set of
+          // INTERNAL values (hence the catalyst converter — external
+          // String ≠ internal UTF8String).
+          import org.apache.spark.sql.catalyst.CatalystTypeConverters
+          import org.apache.spark.sql.catalyst.expressions.InSet
+          import org.apache.spark.sql.graft.ColumnBridge
+          val toInternal = CatalystTypeConverters
+            .createToCatalystConverter(corpus.schema(idCol).dataType)
+          val pred = ColumnBridge.column(InSet(
+            ColumnBridge.expression(col(idCol)), ids.map(toInternal).toSet))
+          (spilled, corpus.where(pred))
+        } else (spilled, corpus)
+      }
     val qf = queries.select(col(qIdCol), col(qVecCol), l2Norm(col(qVecCol)).as("__qn"))
-    val rescored = cf.join(broadcast(cand), Seq(idCol))
+    val rescored = corpusSrc.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .withColumn("__cn", l2Norm(col(vecCol)))
       .join(broadcast(qf), Seq(qIdCol))
       .select(col(qIdCol), col(idCol),
         (dot(col(vecCol), col(qVecCol)) / (col("__cn") * col("__qn"))).as("score"))

@@ -48,6 +48,7 @@ object ScaleProbe {
     // signature (axis 6) — a hot key serializes into one straggler
     // task, which wall-clock alone hides at probe sizes
     val taskDurations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -55,6 +56,19 @@ object ScaleProbe {
           shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
         if (t.taskInfo != null) taskDurations.add(t.taskInfo.duration)
       }
+      private val jobSites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobStarts.put(j.jobId, j.time)
+        jobSites.put(j.jobId, Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?"))
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS")) {
+          val t0 = jobStarts.getOrDefault(j.jobId, j.time)
+          println(f"[scale]   job ${j.jobId}%-4d ${(j.time - t0) / 1e3}%7.2fs  ${jobSites.getOrDefault(j.jobId, "?")}")
+        }
     })
 
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
@@ -371,6 +385,74 @@ object ScaleProbe {
           println(f"[scale] n=$n%-3d vecs=$rows%-9d ivfTopK=$sec%6.2fs/${mb}%8.1fMB")
         warmedIvf = true
         corpus.unpersist()
+      }
+    }
+    // ── axis 7: int8-packed scan vs float scan, brute-force top-k ────
+    // The int8 path's reason to exist is scan bandwidth: stage 1 reads
+    // 1 B/element packed vectors instead of 4 B/element floats, at the
+    // price of a second (candidate-only) pass for the exact rescore.
+    // At gate scale the extra stage's fixed cost dominates (bench shows
+    // ~1.4× float); this axis measures where the trade inverts: corpus
+    // replicated n× with distinct ids, FIXED query load, the corpus
+    // pre-quantized AND pre-packed OUTSIDE the timed region (the
+    // ingest-time posture — store packed int8, scan packed int8; the
+    // float column rides along for the rescore, exactly the serving
+    // layout).
+    {
+      import graft.operators.Similarity
+      // the sf embeddings are dim 64 — toy scale for a bandwidth probe.
+      // Widen to dim 512 (8× self-concat; values stay realistic, norms
+      // scale uniformly so rankings are untouched) and probe 200
+      // queries: the regime of a real embedding corpus (768–1536 dims,
+      // batched query load), where stage-1 scan+score is the dominant
+      // term rather than fixed stage overhead.
+      val dimX = 8
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          flatten(array_repeat(col("embedding"), dimX)).as("embedding"))
+      val queries = emb0.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      var warmedI8 = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "int8") {
+        val corpusF = (0 until n).map(i => emb0
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+          .withColumn("embedding_b8",
+            graft.functions.DotProductExpr.quantizePackInt8(col("embedding")))
+          .cache()
+        val rows = corpusF.count()
+        val (fSec, fMb) = time(
+          Similarity.bruteForceTopK(corpusF, queries, 10)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        val (iSec, iMb) = time(
+          Similarity.bruteForceTopKInt8(corpusF, queries, 10, rescoreFactor = 8)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        // stage-level attribution: the int8 CANDIDATE stage alone
+        // (score packed + top-80), mirroring the operator's stage 1 —
+        // isolates scan+score cost from the rescore job's fixed price
+        val (sSec, sMb) = if (!sys.env.contains("SPARK_GRAFT_PROBE_I8DETAIL")) (0.0, 0.0)
+        else {
+          import graft.functions.DotProductExpr.{int8PackedDot => pdot, int8PackedLongs}
+          val c8 = corpusF.select(col("vec_id"), int8PackedLongs(col("embedding_b8")).as("__c8"))
+            .withColumn("__c8n", greatest(sqrt(pdot(col("__c8"), col("__c8"))), lit(1e-30)))
+          val q8 = queries.select(col("q_id"), int8PackedLongs(col("q_vec")).as("__q8"))
+            .withColumn("__q8n", greatest(sqrt(pdot(col("__q8"), col("__q8"))), lit(1e-30)))
+          val scored = c8.join(broadcast(q8))
+            .select(col("q_id"), col("vec_id"),
+              (pdot(col("__c8"), col("__q8")) / (col("__c8n") * col("__q8n"))).as("score"))
+          val agg = scored.groupBy(col("q_id"))
+            .agg(graft.functions.TopKAggregator(80)(col("score"), col("vec_id")).as("tk"))
+          if (warmedI8 && sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+            scored.explain("codegen")
+          time(agg.agg(count(col("tk"))).head().getLong(0))
+        }
+        if (warmedI8)
+          println(f"[scale] n=$n%-3d vecs=$rows%-9d " +
+            f"floatTopK=$fSec%6.2fs/${fMb}%8.1fMB " +
+            f"int8TopK=$iSec%6.2fs/${iMb}%8.1fMB " +
+            f"i8stage1=$sSec%6.2fs/${sMb}%8.1fMB")
+        warmedI8 = true
+        corpusF.unpersist()
       }
     }
     // ── axis 6: Zipfian KEY SKEW ──────────────────────────────────────

@@ -161,6 +161,50 @@ class LlmOpsSpec extends SparkTestBase {
     assert(full == exactSet, "pool ⊇ corpus ⇒ identical to exact baseline")
   }
 
+  test("fused quantize-pack is value-identical to quantizeInt8 + pack") {
+    // the fused codegen'd loop must reproduce the HOF quantizer exactly
+    // (same IEEE ops in the same order) — the int8 scan path's
+    // correctness rests on this equivalence
+    val viaHof = Similarity.quantizeInt8(emb, "embedding")
+      .select($"vec_id",
+        graft.functions.DotProductExpr.packInt8($"embedding_q8").as("p"))
+    val fused = emb.select($"vec_id",
+      graft.functions.DotProductExpr.quantizePackInt8($"embedding").as("p"))
+    val mismatches = viaHof.alias("a").join(fused.alias("b"), "vec_id")
+      .where(col("a.p") =!= col("b.p")).count()
+    assert(mismatches == 0, s"$mismatches packed vectors differ")
+  }
+
+  test("SWAR packed dot equals the array<int> integer dot, all input forms") {
+    import graft.functions.DotProductExpr.{dot, int8PackedDot, int8PackedLongs, quantizePackInt8}
+    // reference: dotII over the quantizeInt8 array<int> vectors of two
+    // distinct documents' embeddings; SWAR: the packed-lane kernel over
+    // each of its three accepted input forms — binary, array<int>, raw
+    // float (fused). Dim 64 exercises the exact-multiple-of-8 path; the
+    // sliced dim-61 variant exercises tail zero-padding.
+    val q = Similarity.quantizeInt8(emb, "embedding")
+      .select($"vec_id", $"embedding", $"embedding_q8",
+        quantizePackInt8($"embedding").as("b8"),
+        slice($"embedding_q8", 1, 61).as("q61"))
+    val pairs = q.alias("a").join(q.alias("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val bad = pairs.select(
+      dot(col("a.embedding_q8"), col("b.embedding_q8")).as("ref"),
+      dot(col("a.q61"), col("b.q61")).as("ref61"),
+      int8PackedDot(int8PackedLongs(col("a.b8")),
+        int8PackedLongs(col("b.b8"))).as("viaB8"),
+      int8PackedDot(int8PackedLongs(col("a.embedding_q8")),
+        int8PackedLongs(col("b.embedding_q8"))).as("viaQ8"),
+      int8PackedDot(int8PackedLongs(col("a.embedding")),
+        int8PackedLongs(col("b.embedding"))).as("viaF"),
+      int8PackedDot(int8PackedLongs(col("a.q61")),
+        int8PackedLongs(col("b.q61"))).as("tail61"))
+      .where(col("viaB8") =!= col("ref") || col("viaQ8") =!= col("ref") ||
+        col("viaF") =!= col("ref") || col("tail61") =!= col("ref61"))
+      .count()
+    assert(bad == 0, s"$bad SWAR dots diverge from the integer reference")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val queries = emb.where($"vec_id" % 200 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
