@@ -1028,6 +1028,33 @@ object SparkEntry {
         .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
+    // Persisted-index serving path: build the IVF index once (centroids
+    // + cell-partitioned vectors in a spill dir), query it back, same
+    // 0.7 recall@10 gate as q_sim_ivf. build+query ≡ ivfTopK is
+    // asserted EXACTLY in LlmOpsSpec; here the gate additionally
+    // require()s the vectors scan carries the probed cells as a
+    // PARTITION filter — the pruning that makes the index an index
+    // (nProbe/nCells of the corpus read, not all of it).
+    "q_sim_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val k = 10
+      val path = Spill.newPath(s) + "/ivfindex"
+      IvfIndex.build(emb, path, nCells = 16, kmeansIters = 3)
+      val approx = IvfIndex.query(s, path, queries, k, nProbe = 10)
+      val plan = approx.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell_id") && !l.contains("PartitionFilters: []")),
+        "IVF index vectors scan is not partition-pruned")
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+      approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
+        .select(col("q_id"), lit(true).as("recall_ok"))
+    }),
+
     // Embedding int8 quantization (storage compression): per-vector
     // scale + quantized array, both reproduced exactly by the oracle
     // (the floor(x·scale+½) construction is pure IEEE arithmetic on
@@ -2115,6 +2142,11 @@ object SparkEntry {
     // vs the brute-force baseline clears 0.5 — the oracle asserts EVERY
     // probe clears it.
     "q_sim_ivf" ->
+      """SELECT vec_id AS q_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Same recall-gate contract through the persisted index.
+    "q_sim_ivf_index" ->
       """SELECT vec_id AS q_id, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 

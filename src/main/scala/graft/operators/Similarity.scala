@@ -236,6 +236,21 @@ object Similarity {
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
       kmeansIters: Int = 0, kmeansTol: Double = 1e-6,
       trainSampleCap: Int = 1 << 16): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol,
+      kmeansIters, kmeansTol, trainSampleCap)
+    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+    val probed = probeCells(queries, centroids, nProbe, qIdCol, qVecCol)
+    scoreProbed(assigned, probed, k, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** The IVF centroid set as a LocalRelation DataFrame
+    * `(cell_id int, centroid array<float>)` — see [[ivfTopK]] for the
+    * training contract (deterministic bounded driver-side sample).
+    */
+  private[operators] def trainCentroids(
+      corpus: DataFrame, nCells: Int,
+      idCol: String, vecCol: String,
+      kmeansIters: Int, kmeansTol: Double, trainSampleCap: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
     val normed = corpus.select(col(idCol), col(vecCol),
@@ -337,45 +352,61 @@ object Similarity {
     val centSchema = StructType(Seq(
       StructField("cell_id", IntegerType, nullable = false),
       StructField("centroid", ArrayType(FloatType, containsNull = false))))
-    val centroids = corpus.sparkSession.createDataFrame(
+    corpus.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(
         centVecs.zipWithIndex.map { case (v, i) => Row(i, v): Row }).asJava,
       centSchema)
+  }
 
-    // nearest-centroid assignment: broadcast centroids (norms computed
-    // once per centroid / per corpus row, not per pair), fold per id
-    // with min_by over (-cscore, cell_id) — partial-aggregable, no
-    // Window (which would sort the whole corpus by id). Ties: higher
-    // cscore, then lower cell_id; only the always-numeric score is
-    // negated, so string id columns work (negating cell_id would bind
-    // the operator to numeric ids). The corpus norm rides through the
-    // fold so the scoring join never recomputes it.
-    def assign(cents: DataFrame): DataFrame = {
-      val cn = cents.select(col("cell_id"), col("centroid"),
-        l2Norm(col("centroid")).as("__cen"))
-      normed
-        .join(broadcast(cn))
-        .select(col(idCol), col(vecCol), col("__vn"), col("cell_id"),
-          (dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cen")))
-            .as("cscore"))
-        .groupBy(col(idCol))
-        .agg(min_by(struct(col("cell_id"), col(vecCol).as("__v"),
-            col("__vn").as("__n")),
-          struct(-col("cscore"), col("cell_id"))).as("__a"))
-        .select(col(idCol), col("__a.__v").as(vecCol),
-          col("__a.__n").as("__vn"), col("__a.cell_id").as("cell_id"))
-    }
+  /** Nearest-centroid assignment: broadcast centroids (norms computed
+    * once per centroid / per corpus row, not per pair), fold per id
+    * with min_by over (-cscore, cell_id) — partial-aggregable, no
+    * Window (which would sort the whole corpus by id). Ties: higher
+    * cscore, then lower cell_id; only the always-numeric score is
+    * negated, so string id columns work (negating cell_id would bind
+    * the operator to numeric ids). The corpus norm rides through the
+    * fold so the scoring join never recomputes it. Output:
+    * `(idCol, vecCol, __vn, cell_id)`.
+    */
+  private[operators] def assignCells(
+      corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val normed = corpus.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("__vn"))
+    val cn = cents.select(col("cell_id"), col("centroid"),
+      l2Norm(col("centroid")).as("__cen"))
+    normed
+      .join(broadcast(cn))
+      .select(col(idCol), col(vecCol), col("__vn"), col("cell_id"),
+        (dot(col(vecCol), col("centroid")) / (col("__vn") * col("__cen")))
+          .as("cscore"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("cell_id"), col(vecCol).as("__v"),
+          col("__vn").as("__n")),
+        struct(-col("cscore"), col("cell_id"))).as("__a"))
+      .select(col(idCol), col("__a.__v").as(vecCol),
+        col("__a.__n").as("__vn"), col("__a.cell_id").as("cell_id"))
+  }
 
-    val assigned = assign(centroids)
-
-    // probe the nProbe nearest cells per query
+  /** The nProbe nearest cells per query: `(qIdCol, qVecCol, cell_id)`. */
+  private[operators] def probeCells(
+      queries: DataFrame, centroids: DataFrame, nProbe: Int,
+      qIdCol: String, qVecCol: String): DataFrame = {
     val wProbe = Window.partitionBy(qIdCol).orderBy(col("cscore").desc, col("cell_id").asc)
-    val probed = queries.join(broadcast(centroids))
+    queries.join(broadcast(centroids))
       .select(col(qIdCol), col(qVecCol), col("cell_id"),
         cosine(col(qVecCol), col("centroid")).as("cscore"))
       .withColumn("r", row_number().over(wProbe)).where(col("r") <= nProbe)
       .select(col(qIdCol), col(qVecCol), col("cell_id"))
+  }
 
+  /** Score each query against its probed cells' members and keep k.
+    * `assigned` must carry `(idCol, vecCol, __vn, cell_id)`.
+    */
+  private[operators] def scoreProbed(
+      assigned: DataFrame, probed: DataFrame, k: Int,
+      idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String): DataFrame = {
     val scored = assigned
       .join(probed.withColumn("__qn", l2Norm(col(qVecCol))), "cell_id")
       .select(col(qIdCol), col(idCol),

@@ -217,6 +217,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall") // nProbe=half the cells
   }
 
+  test("persisted IVF index: build+query equals ivfTopK; scan prunes to probed cells") {
+    val queries = emb.where($"vec_id" % 200 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val path = Spill.newPath(spark) + "/ivfidx"
+    IvfIndex.build(emb, path, nCells = 8, kmeansIters = 2)
+    val viaIndex = IvfIndex.query(spark, path, queries, 5, nProbe = 4)
+    val direct = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 4,
+      kmeansIters = 2)
+    // both paths are deterministic compositions of the SAME kernels on
+    // the same values (the parquet round-trip preserves floats/doubles
+    // bit-exactly, dots are sequential folds, ties break by id), so the
+    // outputs must be identical — not merely similar. This is a safe
+    // exact float compare: nothing here depends on partial-agg order.
+    assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+    assert(viaIndex.count() == direct.count() && direct.count() > 0)
+    // the vectors scan must carry the probed cells as a PARTITION
+    // filter (pruned directories), not a post-scan predicate
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cell_id") && !l.contains("PartitionFilters: []")),
+      s"vectors scan is not partition-pruned:\n$plan")
+  }
+
   test("IVF Lloyd iterations stop at convergence: large cap equals its own rerun") {
     val queries = emb.where($"vec_id" % 200 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
