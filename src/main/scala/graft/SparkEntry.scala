@@ -942,6 +942,28 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Paragraph-level boilerplate removal (RefinedWeb-style): a banner
+    // planted at the HEAD of 50 % of docs must be excised (≥ the 30 %
+    // doc-frequency threshold), a footer on 20 % must SURVIVE (below
+    // it), and every original paragraph must reassemble in order — the
+    // full cleaned text enters the hash, so the oracle recomputes the
+    // split / doc-frequency / excise / reassemble pipeline and any
+    // divergence (false excision, lost paragraph, wrong order) breaks
+    // it. The synthetic docs contain no newlines, so the planted
+    // "\n\n" separators are the only paragraph boundaries.
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.withColumn("text", concat(
+        when(col("doc_id") % 2 === 0,
+          lit("SITE BANNER subscribe to our newsletter\n\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\n\nfooter links and contact info page")).otherwise(lit(""))))
+      val minFreq = math.ceil(0.3 * docs.count()).toLong
+      Dedup.dropRepeatedParagraphs(corpus, "text", "doc_id", minFreq)
+        .select(col("doc_id"), col("text").as("cleaned"))
+    }),
+
     // SimHash near-dup candidates on the same planted corpus — same
     // recall contract (identical text → identical signature → every
     // block collides → hamming 0, deterministically).
@@ -2113,6 +2135,32 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT member FROM canon WHERE member <> canonical)
         |""".stripMargin,
+
+    "q_dedup_paragraphs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN 'SITE BANNER subscribe to our newsletter' || chr(10) || chr(10)
+        |      ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || chr(10) || 'footer links and contact info page'
+        |      ELSE '' END) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, r.range::INT AS pos, parts[r.range::INT] AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+        |        FROM corpus) p
+        |  CROSS JOIN range(1, 4) r
+        |  WHERE r.range <= len(parts)
+        |), boiler AS (
+        |  SELECT para FROM (
+        |    SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para)
+        |  WHERE df >= (SELECT ceil(0.3 * count(*)) FROM documents)
+        |)
+        |SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+        |FROM paras WHERE para NOT IN (SELECT para FROM boiler)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,

@@ -543,6 +543,52 @@ object Dedup {
     * the returned frame is LAZY (nothing to release, so nothing to
     * spill).
     */
+  /** Paragraph-level boilerplate removal (the RefinedWeb/FineWeb
+    * pipeline stage): a paragraph appearing VERBATIM in at least
+    * `minDocFreq` distinct documents is boilerplate (headers, cookie
+    * notices, newsletter prompts) and is excised from every document;
+    * the surviving paragraphs are reassembled in their original order.
+    * Documents whose every paragraph was boilerplate are DROPPED (the
+    * pipeline contract: nothing left to train on), so the output row
+    * set can shrink.
+    *
+    * Matching is exact on the raw paragraph string — boilerplate
+    * repeats verbatim; fuzzy paragraph matching is what the
+    * document-level near-dup operators are for. `sep` splits literally
+    * (regex-quoted). Trailing empty paragraphs are dropped by Spark's
+    * `split`; keep gate/oracle data free of trailing separators.
+    *
+    * Scale shape: paragraphs shuffle ONCE keyed by md5 digest (long
+    * paragraphs travel as 32-byte digests) for the doc-frequency
+    * count, the (small) boilerplate digest set comes back
+    * spill-measured and broadcast-gated on EXACT bytes
+    * (`spark.graft.dedup.broadcastCandidatesBytes`, the established
+    * cliff-proof discipline), and reassembly is one shuffle by doc id.
+    * Nothing is quadratic; no driver materialization.
+    */
+  def dropRepeatedParagraphs(df: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Long, sep: String = "\n\n"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be >= 2 (1 would drop everything)")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__para")))
+      .withColumn("__ph", md5(col("__para")))
+    // doc frequency per distinct paragraph: dedupe (id, digest) first
+    // so a paragraph repeated WITHIN one document counts once
+    val boiler0 = paras.select(col(idCol), col("__ph")).distinct()
+      .groupBy(col("__ph")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq).select(col("__ph"))
+    val (boiler, boilerBytes) = Spill.roundTripSized(boiler0)
+    val bcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
+    val boilerHinted = if (boilerBytes <= bcLimit) broadcast(boiler) else boiler
+    paras.join(boilerHinted, Seq("__ph"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")), sep).as(textCol))
+  }
+
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
     val bitsPerBlock = 64 / blocks

@@ -20,6 +20,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(groups.where($"n_dups" =!= 2).count() == 0)
   }
 
+  test("paragraph boilerplate removal: excise, threshold, order, all-boiler drop") {
+    val rows = Seq(
+      // "ad" appears in 3 of 4 docs (freq 3 >= 3) -> boilerplate;
+      // "promo" in 2 (freq 2 < 3) -> kept
+      (1L, "ad\n\nalpha text\n\npromo"),
+      (2L, "beta one\n\nad\n\nbeta two"),
+      // within-doc repeat counts ONCE toward doc frequency
+      (3L, "ad\n\nad\n\ngamma text\n\npromo"),
+      // every paragraph boilerplate -> the document drops entirely
+      (4L, "ad")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(rows, "text", "doc_id", minDocFreq = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "alpha text\n\npromo",
+      2L -> "beta one\n\nbeta two",
+      3L -> "gamma text\n\npromo"))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val planted = docs.where($"doc_id" % 50 === 0)
       .withColumn("doc_id", $"doc_id" + 1000000L)
