@@ -1161,6 +1161,30 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // Contiguous token-budget sharding: bin_id = floor(exclusive
+    // prefix sum of n_chars in doc_id order / budget). The engine runs
+    // the two-phase distributed prefix sum (range buckets + bounded
+    // offsets collect); the oracle runs the equivalent single global
+    // window — any divergence in bucket math, offset stitching, or
+    // within-bucket ordering breaks the hash on every row after it.
+    "q_pack_tokens" -> ((s, dir) => {
+      Sampling.packByTokenBudget(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 50000)
+        .select(col("doc_id"), col("bin_id"))
+    }),
+
+    // Stratified downsample on the natural `lang` strata — the
+    // training-mix primitive (downweight the dominant language, keep
+    // all of a rare one). The oracle recomputes the md5-grid threshold
+    // per stratum, so a wrong threshold, wrong stratum routing, or any
+    // nondeterminism in the kept set breaks the hash.
+    "q_sample_stratified" -> ((s, dir) => {
+      Sampling.sampleByHashStratified(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Seq("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5)
+    }),
+
     // The END-TO-END corpus curation funnel — what an LLM data pipeline
     // actually runs, composed from the individually-gated operators:
     // Gopher/C4 quality rules → repetition filter → near-dup drop
@@ -2015,6 +2039,23 @@ object SparkEntry {
     "q_split_hash" ->
       s"""$sqlSplitAssign
         |  FROM documents)""".stripMargin,
+
+    "q_pack_tokens" ->
+      """SELECT doc_id,
+        |  CAST(floor(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 50000.0)
+        |    AS BIGINT) AS bin_id
+        |FROM documents""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      % 10000 AS b
+        |  FROM documents)
+        |WHERE b < (CASE WHEN lang = 'en' THEN 2500
+        |                WHEN lang = 'zh' THEN 10000
+        |                ELSE 5000 END)""".stripMargin,
 
     // the full curation funnel: quality + repetition in SQL, exact
     // all-pairs >= 0.8 Jaccard + transitive-closure components over the

@@ -62,4 +62,90 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
     df.where(hashBucket(col(keyCol), salt) < math.round(fraction * 10000).toInt)
   }
+
+  /** Per-stratum deterministic downsample — the training-mix
+    * primitive ("keep 25 % of en, all of the rare languages"):
+    * `fractions` maps stratum value -> keep fraction; strata not
+    * listed keep `defaultFraction`. Same hash grid as [[sampleByHash]]
+    * (a key kept at fraction f is kept at every fraction ≥ f — nested
+    * samples), same null-key discipline, and the stratum column only
+    * selects the THRESHOLD, so re-proportioning one stratum never
+    * reshuffles which keys survive in another. Pure projection+filter:
+    * zero shuffle at any corpus size.
+    */
+  def sampleByHashStratified(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require(fractions.map(_._2).forall(f => f >= 0 && f <= 1) &&
+      defaultFraction >= 0 && defaultFraction <= 1,
+      s"fractions out of range: $fractions / $defaultFraction")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "duplicate stratum in fractions")
+    def cut(f: Double): Int = math.round(f * 10000).toInt
+    val threshold = fractions.foldRight(lit(cut(defaultFraction))) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === lit(stratum), lit(cut(f))).otherwise(rest)
+    }
+    df.where(hashBucket(col(keyCol), salt) < threshold)
+  }
+
+  /** Contiguous token-budget sharding (sequence packing / shard
+    * planning): rows ordered by `keyCol` are assigned to consecutive
+    * bins of ~`budget` tokens — `bin_id = floor(exclusive-prefix-sum
+    * (weight) / budget)` — so shard N of the training corpus holds a
+    * contiguous, reproducible ~budget-token slice.
+    *
+    * The semantics are exactly one global-ordered window prefix sum —
+    * which Spark executes as a SINGLE task (an `orderBy`-without-
+    * `partitionBy` window collapses to one partition): the textbook
+    * 100 TB bottleneck. This implementation is the classic two-phase
+    * distributed prefix sum instead: (1) rows map to `nBuckets`
+    * key-RANGE buckets (monotone in key, so bucket order = key order);
+    * (2) one tiny aggregation collects per-bucket totals (bounded:
+    * nBuckets rows) and the driver turns them into per-bucket
+    * exclusive offsets, shipped back as a broadcast join; (3) a
+    * per-BUCKET window (parallel across buckets) adds the local
+    * exclusive prefix. One shuffle + one bounded collect; per-task
+    * work is corpus/nBuckets.
+    *
+    * Contract: `keyCol` numeric with UNIQUE values (duplicate keys
+    * would make the within-bucket order — and thus bins — ambiguous);
+    * weights non-negative (`require`d from the same totals pass,
+    * free). Dense-ish keys spread buckets evenly; pathological key
+    * clustering skews bucket sizes but never correctness.
+    */
+  def packByTokenBudget(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long, binCol: String = "bin_id",
+      nBuckets: Int = 256): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val stats = df.agg(
+      min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"),
+      min(col(weightCol)).cast("long")).head()
+    if (stats.isNullAt(0)) return df.withColumn(binCol, lit(0L))
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    require(stats.getLong(2) >= 0, s"negative weights in $weightCol")
+    val span = hi - lo + 1.0
+    val bucket = least(
+      floor((col(keyCol).cast("double") - lit(lo)) * nBuckets / lit(span)),
+      lit((nBuckets - 1).toLong)).cast("int").as("__pb")
+    val bucketed = df.withColumn("__pb", bucket)
+      .withColumn("__w", col(weightCol).cast("long"))
+    // bounded collect: nBuckets (bucket, total) rows -> exclusive
+    // per-bucket offsets, shipped back as a tiny broadcast join
+    val totals = bucketed.groupBy(col("__pb")).agg(sum(col("__w")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .init.zip(totals).map { case ((_, off), (b, _)) => (b, off) }
+    import df.sparkSession.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__pb", "__off")
+    val w = Window.partitionBy(col("__pb")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsetsDf), Seq("__pb"))
+      .withColumn(binCol,
+        floor((coalesce(sum(col("__w")).over(w), lit(0L)) + col("__off"))
+          .cast("double") / lit(budget.toDouble)).cast("long"))
+      .drop("__pb", "__w", "__off")
+  }
 }

@@ -34,6 +34,47 @@ class SamplingPiiSpec extends SparkTestBase {
       s"independent re-split should move ~half the keys, moved $moved")
   }
 
+  test("sampleByHashStratified: per-stratum fractions, nesting, null default") {
+    val df = (0L until 6000L).toDF("id")
+      .withColumn("grp", when($"id" % 3 === 0, lit("a"))
+        .when($"id" % 3 === 1, lit("b")).otherwise(lit(null: String)))
+    val out = Sampling.sampleByHashStratified(df, "id", "grp",
+      Seq("a" -> 0.2, "b" -> 1.0), defaultFraction = 0.5)
+      .as[(Long, Option[String])].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGrp(Some("b")) == 2000, "fraction 1.0 keeps the whole stratum")
+    assert(math.abs(byGrp(Some("a")) - 400) < 90, s"stratum a skew: $byGrp")
+    assert(math.abs(byGrp(None) - 1000) < 140, s"null->default skew: $byGrp")
+    // nesting: the same stratum at a smaller fraction is a SUBSET —
+    // the stratum column only moves the threshold on one shared grid
+    val smaller = Sampling.sampleByHashStratified(df, "id", "grp",
+      Seq("a" -> 0.05, "b" -> 1.0), defaultFraction = 0.5)
+      .where($"grp" === "a").as[(Long, Option[String])].collect().map(_._1).toSet
+    val kept = out.filter(_._2.contains("a")).map(_._1).toSet
+    assert(smaller.subsetOf(kept), "smaller fraction must nest inside larger")
+  }
+
+  test("packByTokenBudget: equals the global-window reference, partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 3000L).toDF("id")
+      .withColumn("tok", ($"id" * 37) % 100 + 1)
+    val got = Sampling.packByTokenBudget(df, "id", "tok", budget = 1000,
+      nBuckets = 16).select($"id", $"bin_id").as[(Long, Long)].collect().toMap
+    // reference: the single-task global-window formulation the
+    // distributed two-phase prefix sum must reproduce exactly
+    val wRef = Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df.withColumn("bin",
+      floor((coalesce(sum($"tok").over(wRef), lit(0L))).cast("double") / 1000.0)
+        .cast("long"))
+      .select($"id", $"bin").as[(Long, Long)].collect().toMap
+    assert(got == ref, "distributed prefix sum diverges from global window")
+    assert(got.values.max > 50, "test should span many bins")
+    val got13 = Sampling.packByTokenBudget(df.repartition(13), "id", "tok",
+      budget = 1000, nBuckets = 16)
+      .select($"id", $"bin_id").as[(Long, Long)].collect().toMap
+    assert(got13 == got, "bin assignment must not depend on partitioning")
+  }
+
   test("sampleByHash: subset semantics and fraction accuracy") {
     val df = (0L until 5000L).toDF("id")
     val tenPct = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
