@@ -27,6 +27,17 @@ object CurationStage {
     * reference set beyond `maxSharedFraction`. */
   case class Decontaminate(k: Int = 5, w: Int = 4,
       maxSharedFraction: Double = 0.0) extends CurationStage
+  /** Excise paragraphs appearing verbatim in ≥ `minDocFreq` documents
+    * (boilerplate); documents reduced to nothing drop. */
+  case class ParagraphDedup(minDocFreq: Long, sep: String = "\n\n")
+      extends CurationStage
+  /** Deterministic hash downsample — keep `fraction` of documents. */
+  case class Sample(fraction: Double, salt: String = "")
+      extends CurationStage
+  /** Assign contiguous ~`budget`-token shard ids (`bin_id`) in id
+    * order; tokens approximated as ceil(chars/4), matching
+    * `approxTokenCount`'s ASCII heuristic. Keeps the corpus columns. */
+  case class PackTokens(budget: Long) extends CurationStage
   /** Deterministic hash split — must be the LAST stage (its output is
     * the (id, split) assignment, not a corpus). */
   case class Split(splits: Seq[(String, Double)], salt: String = "")
@@ -59,6 +70,9 @@ case class CurationPipeline(textCol: String, idCol: String,
   require(!stages.dropRight(1).exists(_.isInstanceOf[CurationStage.Split]),
     "Split must be the last stage: it replaces the corpus with the " +
       "(id, split) assignment")
+  require(!stages.dropRight(1).exists(_.isInstanceOf[CurationStage.PackTokens]),
+    "PackTokens must be the last stage: downstream filters would " +
+      "silently drop its bin_id column (and invalidate the packing)")
 
   import CurationStage._
 
@@ -96,6 +110,14 @@ case class CurationPipeline(textCol: String, idCol: String,
           val (ref, refText, refId) = reference.get
           TextAnalysis.decontaminate(cur, textCol, idCol, ref, refText,
             refId, k, w, TextAnalysis.DecontaminateAction.Drop, maxFrac)
+        case ParagraphDedup(minDocFreq, sep) =>
+          Dedup.dropRepeatedParagraphs(cur, textCol, idCol, minDocFreq, sep)
+        case Sample(fraction, salt) =>
+          Sampling.sampleByHash(cur, idCol, fraction, salt)
+        case PackTokens(budget) =>
+          Sampling.packByTokenBudget(
+            cur.withColumn("__tok", ceil(length(col(textCol)) / 4.0).cast("long")),
+            idCol, "__tok", budget).drop("__tok")
         case Split(splits, salt) =>
           Sampling.splitByHash(cur.select(idCol), idCol, splits, salt)
       }
@@ -130,6 +152,14 @@ object CurationPipeline {
         case Decontaminate(k, w, f) =>
           n.put("stage", "decontaminate")
           n.put("k", k); n.put("w", w); n.put("max_shared_fraction", f)
+        case ParagraphDedup(minDf, sep) =>
+          n.put("stage", "paragraph_dedup")
+          n.put("min_doc_freq", minDf); n.put("sep", sep)
+        case Sample(f, salt) =>
+          n.put("stage", "sample")
+          n.put("fraction", f); n.put("salt", salt)
+        case PackTokens(budget) =>
+          n.put("stage", "pack_tokens"); n.put("budget", budget)
         case Split(splits, salt) =>
           n.put("stage", "split"); n.put("salt", salt)
           val sa = n.putArray("splits")
@@ -155,6 +185,11 @@ object CurationPipeline {
         case "pii_redact" => PiiRedact
         case "decontaminate" => Decontaminate(n.get("k").asInt,
           n.get("w").asInt, n.get("max_shared_fraction").asDouble)
+        case "paragraph_dedup" => ParagraphDedup(
+          n.get("min_doc_freq").asLong, n.get("sep").asText)
+        case "sample" => Sample(n.get("fraction").asDouble,
+          n.get("salt").asText)
+        case "pack_tokens" => PackTokens(n.get("budget").asLong)
         case "split" => Split(
           n.get("splits").elements().asScala.map(o =>
             o.get("name").asText -> o.get("fraction").asDouble).toSeq,

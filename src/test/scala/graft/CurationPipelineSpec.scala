@@ -24,7 +24,14 @@ class CurationPipelineSpec extends SparkTestBase {
     for {
       k <- Gen.chooseNum(2, 9); w <- Gen.chooseNum(2, 9)
       f <- Gen.chooseNum(0, 99)
-    } yield Decontaminate(k, w, f / 100.0))
+    } yield Decontaminate(k, w, f / 100.0),
+    for {
+      mdf <- Gen.chooseNum(2L, 1000L)
+      sep <- Gen.oneOf("\n\n", "\n", "|")
+    } yield ParagraphDedup(mdf, sep),
+    for {
+      f <- Gen.chooseNum(1, 100); salt <- Gen.oneOf("", "epoch2")
+    } yield Sample(f / 100.0, salt))
 
   private val genSplit: Gen[CurationStage] = for {
     n <- Gen.chooseNum(2, 4)
@@ -34,12 +41,15 @@ class CurationPipelineSpec extends SparkTestBase {
     Split(fracs.zipWithIndex.map { case (f, i) => s"part$i" -> f }, salt)
   }
 
+  private val genTerminal: Gen[CurationStage] = Gen.oneOf(genSplit,
+    Gen.chooseNum(1000L, 10000000L).map(PackTokens(_)))
+
   private val genPipeline: Gen[CurationPipeline] = for {
     mid <- Gen.listOfN(3, genStage).map(_.take(3))
     nMid <- Gen.chooseNum(0, 3)
-    split <- Gen.option(genSplit)
+    terminal <- Gen.option(genTerminal)
   } yield CurationPipeline("text", "doc_id",
-    mid.take(math.max(nMid, if (split.isEmpty) 1 else 0)) ++ split.toSeq)
+    mid.take(math.max(nMid, if (terminal.isEmpty) 1 else 0)) ++ terminal.toSeq)
 
   test("JSON round-trip is the identity for generated pipelines (property)") {
     val prop = Prop.forAll(genPipeline) { p =>
@@ -57,8 +67,28 @@ class CurationPipelineSpec extends SparkTestBase {
         Split(Seq("a" -> 0.5, "b" -> 0.5)), NearDupDrop(0.8)))
     }
     intercept[IllegalArgumentException] {
+      CurationPipeline("text", "doc_id", Seq(
+        PackTokens(1000), NearDupDrop(0.8)))
+    }
+    intercept[IllegalArgumentException] {
       CurationPipeline("text", "doc_id", Nil)
     }
+  }
+
+  test("runner: paragraph dedup, sample, and pack stages compose") {
+    val corpus = (0L until 40L)
+      .map(i => (i, s"shared banner line\n\ndocument body number $i"))
+      .toDF("doc_id", "text")
+    val out = CurationPipeline("text", "doc_id", Seq(
+      ParagraphDedup(minDocFreq = 30), Sample(0.5), PackTokens(budget = 20)))
+      .run(corpus)
+      .as[(Long, String, Long)].collect()
+    assert(out.forall(!_._2.contains("banner")), "boilerplate must be excised")
+    assert(out.length > 10 && out.length < 30, s"~half kept, got ${out.length}")
+    // bins are contiguous from 0 and fill in doc_id order
+    val bins = out.sortBy(_._1).map(_._3)
+    assert(bins.head == 0L && bins.sameElements(bins.sorted))
+    assert(bins.distinct.sameElements(0L to bins.max))
   }
 
   test("runner composes stages in order over a constructed corpus") {
