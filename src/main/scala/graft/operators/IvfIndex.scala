@@ -46,6 +46,26 @@ object IvfIndex {
       .parquet(s"$path/vectors")
   }
 
+  /** Incrementally index new vectors: assign them to the EXISTING
+    * centroids and append to the partitioned layout — the daily-delta
+    * shape (a full rebuild re-reads the whole corpus; an append reads
+    * only the delta). Centroids are NOT re-trained, so cell balance
+    * degrades if the data distribution drifts from what trained them —
+    * standard IVF practice is to rebuild when the per-cell population
+    * skew (or recall against a sampled exact baseline) crosses a
+    * threshold. Appending an id that is already indexed creates a
+    * duplicate: dedupe deltas upstream (the exact-dedup operator) —
+    * the index is a layout, not a key-value store.
+    */
+  def append(
+      corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = corpus.sparkSession.read.parquet(s"$path/centroids")
+    Similarity.assignCells(corpus, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$path/vectors")
+  }
+
   /** Top-k over a persisted index. The probed cell set (bounded:
     * ≤ min(|queries| · nProbe, nCells) values) is collected and planted
     * as a PARTITION filter on the vectors scan — `.explain` shows it
@@ -66,5 +86,18 @@ object IvfIndex {
     val vectors = spark.read.parquet(s"$path/vectors")
       .where(col("cell_id").isin(cells.map(c => c: Any): _*))
     Similarity.scoreProbed(vectors, probed, k, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** The distinct cells a query batch would touch — the introspection
+    * behind [[query]]'s partition filter, exposed for capacity
+    * planning ("what fraction of the index does this batch read?") and
+    * for the scale probe's ground-truth pruning measurement.
+    */
+  def probedCells(
+      spark: SparkSession, path: String, queries: DataFrame, nProbe: Int,
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): Seq[Int] = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    Similarity.probeCells(queries, centroids, nProbe, qIdCol, qVecCol)
+      .select("cell_id").distinct().collect().map(_.getInt(0)).toSeq.sorted
   }
 }

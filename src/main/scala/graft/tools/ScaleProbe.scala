@@ -44,6 +44,9 @@ object ScaleProbe {
     // entirely, so wall-clock alone understates what a real cluster
     // pays — shuffle volume is the 100 TB-relevant metric
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // bytes READ from storage (parquet): the axis-8 metric — partition
+    // pruning shows up here, not in shuffle volume
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
     // per-task durations: max/median over an action is the SKEW
     // signature (axis 6) — a hot key serializes into one straggler
     // task, which wall-clock alone hides at probe sizes
@@ -52,8 +55,10 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          inputBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        }
         if (t.taskInfo != null) taskDurations.add(t.taskInfo.duration)
       }
       private val jobSites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
@@ -453,6 +458,59 @@ object ScaleProbe {
             f"i8stage1=$sSec%6.2fs/${sMb}%8.1fMB")
         warmedI8 = true
         corpusF.unpersist()
+      }
+    }
+    // ── axis 8: persisted IVF index — bytes read under pruning ───────
+    // The index's claim is that a probe READS ~(probed cells)/nCells
+    // of the corpus (partition pruning on cell_id). Task
+    // inputMetrics.bytesRead under-reports the local vectorized
+    // parquet path (measured ~1 % of file size), so the measurement is
+    // GROUND TRUTH instead: the on-disk bytes of exactly the
+    // cell_id=… directories the query's partition filter selects
+    // (IvfIndex.probedCells — the same cell set query() plants in the
+    // filter) vs the whole index and the flat corpus. Corpus
+    // replicated n× on DISK, 5 fixed queries probing 4 of 64 cells
+    // each (≤ 20/64 of cells in the worst union).
+    {
+      import graft.operators.{IvfIndex, Similarity, Spill}
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = emb0.where(col("vec_id") % 400 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+      queries.count()
+      def diskMb(p: String): Double = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength / 1e6
+      }
+      var warmedIdx = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "ivfindex") {
+        val base = Spill.newPath(spark)
+        val corpusPath = s"$base/corpus"
+        (0 until n).map(i => emb0
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(corpusPath)
+        val corpusDisk = spark.read.parquet(corpusPath)
+        val rows = corpusDisk.count()
+        val t0 = System.nanoTime()
+        IvfIndex.build(corpusDisk, s"$base/idx", nCells = 64, kmeansIters = 1)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val (qSec, _) = time(
+          IvfIndex.query(spark, s"$base/idx", queries, 10, nProbe = 4)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        val (bSec, _) = time(
+          Similarity.bruteForceTopK(corpusDisk, queries, 10)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        val cells = IvfIndex.probedCells(spark, s"$base/idx", queries, nProbe = 4)
+        val prunedMb = cells.map(c => diskMb(s"$base/idx/vectors/cell_id=$c")).sum
+        if (warmedIdx)
+          println(f"[scale] n=$n%-3d vecs=$rows%-9d build=$buildSec%6.2fs " +
+            f"idxQuery=$qSec%6.2fs bruteScan=$bSec%6.2fs " +
+            f"prunedRead=${prunedMb}%.1fMB (${cells.size} cells) " +
+            f"idxDisk=${diskMb(s"$base/idx/vectors")}%.1fMB " +
+            f"corpusDisk=${diskMb(corpusPath)}%.1fMB")
+        warmedIdx = true
       }
     }
     // ── axis 6: Zipfian KEY SKEW ──────────────────────────────────────

@@ -259,6 +259,28 @@ class LlmOpsSpec extends SparkTestBase {
       s"vectors scan is not partition-pruned:\n$plan")
   }
 
+  test("IVF index append: delta routes through frozen centroids exactly") {
+    val queries = emb.where($"vec_id" % 200 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val half1 = emb.where($"vec_id" % 2 === 0)
+    val half2 = emb.where($"vec_id" % 2 =!= 0)
+    val path = Spill.newPath(spark) + "/ivfappend"
+    IvfIndex.build(half1, path, nCells = 8, kmeansIters = 2)
+    IvfIndex.append(half2, path)
+    // probing ALL cells is exact search: every indexed vector gets
+    // scored with the same cosine kernel as the brute-force baseline,
+    // so if the appended delta landed intact (and nothing duplicated
+    // or dropped), the outputs must be IDENTICAL — a lost or mangled
+    // appended vector would change some query's top-5
+    val allCells = IvfIndex.query(spark, path, queries, 5, nProbe = 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    assert(allCells.exceptAll(exact).isEmpty && exact.exceptAll(allCells).isEmpty)
+    assert(allCells.count() > 0)
+    // and a real (pruned) probe still returns k rows per query
+    val pruned = IvfIndex.query(spark, path, queries, 5, nProbe = 3)
+    assert(pruned.groupBy("q_id").count().where($"count" =!= 5).count() == 0)
+  }
+
   test("IVF Lloyd iterations stop at convergence: large cap equals its own rerun") {
     val queries = emb.where($"vec_id" % 200 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
