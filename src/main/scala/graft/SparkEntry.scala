@@ -942,6 +942,29 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Incremental (delta-vs-reference) near-dup: today's crawl against
+    // the accumulated corpus. The delta plants verbatim copies of 10 %
+    // of the reference (every one must match its source) and
+    // vowel-rewritten fresh docs (must match nothing — every word in
+    // the synthetic vocabulary carries a vowel, so rewriting drives
+    // cross-shingle overlap to zero). The oracle computes EXACT
+    // all-pairs delta×reference jaccard, so false positives AND
+    // negatives break the hash — including copies matching natural
+    // near-dups of their source beyond the planted pair, which the
+    // operator must also find. Pair ids only in the output: a rounded
+    // jaccard quotient in the hash would be a cross-engine float
+    // hazard.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "bcdfg").as("text")))
+      Dedup.nearDuplicatesAgainst(delta, docs, "text", "doc_id", 0.9)
+        .select(col("id_delta"), col("id_ref"))
+    }),
+
     // Paragraph-level boilerplate removal (RefinedWeb-style): a banner
     // planted at the HEAD of 50 % of docs must be excised (≥ the 30 %
     // doc-frequency threshold), a footer on 20 % must SURVIVE (below
@@ -2176,6 +2199,38 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT member FROM canon WHERE member <> canonical)
         |""".stripMargin,
+
+    // exact all-pairs delta×reference jaccard over 5-word shingles —
+    // precision AND recall enter the hash; pair ids only (no float
+    // quotient)
+    "q_dedup_incremental" ->
+      s"""WITH delta AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, translate(text, 'aeiou', 'bcdfg')
+        |  FROM documents WHERE doc_id % 10 = 1
+        |), dn AS (
+        |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM delta
+        |), rn AS (
+        |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM documents
+        |), dsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 5, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
+        |  FROM dn
+        |), rsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(w) - 5, 0) + 1),
+        |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
+        |  FROM rn
+        |)
+        |SELECT id_delta, id_ref FROM (
+        |  SELECT d.doc_id AS id_delta, r.doc_id AS id_ref,
+        |    len(list_intersect(d.s, r.s))::DOUBLE /
+        |      len(list_distinct(list_concat(d.s, r.s))) AS j
+        |  FROM dsh d CROSS JOIN rsh r)
+        |WHERE j >= 0.9""".stripMargin,
 
     "q_dedup_paragraphs" ->
       """WITH corpus AS (

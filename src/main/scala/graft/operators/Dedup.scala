@@ -543,6 +543,86 @@ object Dedup {
     * the returned frame is LAZY (nothing to release, so nothing to
     * spill).
     */
+  /** Near-duplicate pairs between a DELTA corpus and a REFERENCE
+    * corpus — the continuous-ingestion shape (today's crawl against
+    * the accumulated corpus): candidates come from joining the delta's
+    * LSH band buckets against the reference's, so the reference is
+    * NEVER self-paired — incremental cost is O(delta) band rows joined
+    * into the reference's bucket structure, not O(reference²) — and
+    * verification shingles only candidate docs from each side.
+    * Returns `(id_delta, id_ref, jaccard)` for exact jaccard ≥
+    * `threshold`.
+    *
+    * Only the REFERENCE side is bucket-capped: its accumulated
+    * boilerplate mass is the degenerate-bucket hazard, while capping
+    * the delta would silently drop a fresh document's only chance to
+    * match. Same exact-bytes broadcast gating as
+    * [[minhashNearDuplicates]]. At steady state the reference's band
+    * rows are a pure function of (text, numHashes, bands) — persist
+    * them once and reuse across deltas (the [[IvfIndex]] posture);
+    * this entry point recomputes them for a self-contained call.
+    */
+  def nearDuplicatesAgainst(
+      delta: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 128, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    def sigOf(df: DataFrame): DataFrame = df.select(col(idCol),
+      graft.functions.MinHashSigExpr.minhashSig(
+        normText(col(textCol)), numHashes, shingleSize).as("sig"))
+      .where(col("sig").isNotNull)
+    val dBands = lshBandsFromSig(sigOf(delta), idCol, numHashes, bands)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("id_delta"))
+    val rBands = capBuckets(lshBandsFromSig(sigOf(reference), idCol, numHashes, bands),
+      Seq("band_id", "band_hash"), idCol)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("id_ref"))
+    val (cands, candBytes) = Spill.roundTripSized(
+      dBands.join(rBands, Seq("band_id", "band_hash"))
+        .select(col("id_delta"), col("id_ref")).distinct())
+    val bcLimit = delta.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
+    def maybeBc(small: DataFrame): DataFrame =
+      if (candBytes <= bcLimit) broadcast(small) else small
+    // exact-jaccard verification: shingle ONLY the candidate docs of
+    // each side (semi-join-filtered before the explode)
+    def shingleSets(df: DataFrame, ids: DataFrame, as: String): (DataFrame, Long) =
+      Spill.roundTripSized(
+        shingleRows(df.select(col(idCol), col(textCol))
+            .join(maybeBc(ids), Seq(idCol), "left_semi")
+            .repartition(col(idCol)), textCol, idCol, shingleSize)
+          .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as(as)))
+    val (dSh, dShBytes) = shingleSets(delta,
+      cands.select(col("id_delta").as(idCol)).distinct(), "sh_d")
+    val (rSh, rShBytes) = shingleSets(reference,
+      cands.select(col("id_ref").as(idCol)).distinct(), "sh_r")
+    val shBcLimit = delta.sparkSession.conf
+      .get("spark.graft.dedup.broadcastShinglesBytes", (32L << 20).toString).toLong
+    def bcSh(p: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= shBcLimit) broadcast(p) else p
+    val result = maybeBc(cands)
+      .join(bcSh(dSh.select(col(idCol).as("id_delta"), col("sh_d")), dShBytes), "id_delta")
+      .join(bcSh(rSh.select(col(idCol).as("id_ref"), col("sh_r")), rShBytes), "id_ref")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_r"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_delta", "id_ref", "jaccard")
+    materialize(result)
+  }
+
+  /** Keep only the delta documents that are NOT near-duplicates of the
+    * reference corpus — the ingest-time admission filter. */
+  def dropNearDuplicatesAgainst(
+      delta: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      numHashes: Int = 128, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val dup = nearDuplicatesAgainst(delta, reference, textCol, idCol,
+      threshold, numHashes, bands, shingleSize)
+      .select(col("id_delta").as(idCol)).distinct()
+    delta.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-level boilerplate removal (the RefinedWeb/FineWeb
     * pipeline stage): a paragraph appearing VERBATIM in at least
     * `minDocFreq` distinct documents is boilerplate (headers, cookie

@@ -20,6 +20,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(groups.where($"n_dups" =!= 2).count() == 0)
   }
 
+  test("incremental dedup: delta copies rejected, fresh docs admitted") {
+    val reference = docs.select("doc_id", "text")
+    val copies = reference.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    val fresh = reference.where($"doc_id" % 10 === 1)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        translate($"text", "aeiou", "bcdfg").as("text"))
+    val delta = copies.unionByName(fresh)
+    val admitted = Dedup.dropNearDuplicatesAgainst(delta, reference,
+      "text", "doc_id", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // every verbatim copy is a near-dup of its source -> rejected;
+    // every rewritten doc shares no shingle with the reference -> admitted
+    assert(copies.select("doc_id").as[Long].collect().forall(!admitted.contains(_)))
+    assert(fresh.select("doc_id").as[Long].collect().forall(admitted.contains))
+    // and the pair finder reports each copy matching its own source
+    val pairs = Dedup.nearDuplicatesAgainst(delta, reference,
+      "text", "doc_id", 0.9)
+    val selfPairs = pairs.where($"id_delta" - 2000000L === $"id_ref")
+    assert(selfPairs.count() == copies.count())
+    assert(selfPairs.where($"jaccard" =!= 1.0).count() == 0)
+  }
+
   test("paragraph boilerplate removal: excise, threshold, order, all-boiler drop") {
     val rows = Seq(
       // "ad" appears in 3 of 4 docs (freq 3 >= 3) -> boilerplate;
