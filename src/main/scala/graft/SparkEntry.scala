@@ -965,6 +965,24 @@ object SparkEntry {
         .select(col("id_delta"), col("id_ref"))
     }),
 
+    // The persisted-index form of the same contract: build the
+    // reference's band/shingle store once, query the identical delta —
+    // same exact all-pairs oracle, so the store round-trip (band rows,
+    // shingle sets, config pinning) must reproduce the batch
+    // operator's pairs exactly.
+    "q_dedup_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "bcdfg").as("text")))
+      val path = Spill.newPath(s) + "/ndindex"
+      NearDupIndex.build(docs, path, "text", "doc_id")
+      NearDupIndex.query(s, path, delta, "text", "doc_id", 0.9)
+        .select(col("id_delta"), col("id_ref"))
+    }),
+
     // Paragraph-level boilerplate removal (RefinedWeb-style): a banner
     // planted at the HEAD of 50 % of docs must be excised (≥ the 30 %
     // doc-frequency threshold), a footer on 20 % must SURVIVE (below
@@ -1475,6 +1493,39 @@ object SparkEntry {
   private def sqlNt(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), " +
       """'([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** Exact all-pairs delta×reference jaccard over 5-word shingles —
+    * the shared oracle for `q_dedup_incremental` (batch operator) and
+    * `q_dedup_index` (persisted store): both must reproduce the same
+    * pairs exactly. */
+  private val sqlIncrementalDedup =
+    s"""WITH delta AS (
+      |  SELECT doc_id + 2000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, translate(text, 'aeiou', 'bcdfg')
+      |  FROM documents WHERE doc_id % 10 = 1
+      |), dn AS (
+      |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM delta
+      |), rn AS (
+      |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM documents
+      |), dsh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(w) - 5, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
+      |  FROM dn
+      |), rsh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(w) - 5, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
+      |  FROM rn
+      |)
+      |SELECT id_delta, id_ref FROM (
+      |  SELECT d.doc_id AS id_delta, r.doc_id AS id_ref,
+      |    len(list_intersect(d.s, r.s))::DOUBLE /
+      |      len(list_distinct(list_concat(d.s, r.s))) AS j
+      |  FROM dsh d CROSS JOIN rsh r)
+      |WHERE j >= 0.9""".stripMargin
 
   private val sqlNorm =
     s"""norm AS (
@@ -2202,35 +2253,10 @@ object SparkEntry {
 
     // exact all-pairs delta×reference jaccard over 5-word shingles —
     // precision AND recall enter the hash; pair ids only (no float
-    // quotient)
-    "q_dedup_incremental" ->
-      s"""WITH delta AS (
-        |  SELECT doc_id + 2000000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000, translate(text, 'aeiou', 'bcdfg')
-        |  FROM documents WHERE doc_id % 10 = 1
-        |), dn AS (
-        |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM delta
-        |), rn AS (
-        |  SELECT doc_id, string_split(${sqlNt("text")}, ' ') AS w FROM documents
-        |), dsh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(w) - 5, 0) + 1),
-        |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
-        |  FROM dn
-        |), rsh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(w) - 5, 0) + 1),
-        |    i -> array_to_string(w[i+1:i+5], ' '))) AS s
-        |  FROM rn
-        |)
-        |SELECT id_delta, id_ref FROM (
-        |  SELECT d.doc_id AS id_delta, r.doc_id AS id_ref,
-        |    len(list_intersect(d.s, r.s))::DOUBLE /
-        |      len(list_distinct(list_concat(d.s, r.s))) AS j
-        |  FROM dsh d CROSS JOIN rsh r)
-        |WHERE j >= 0.9""".stripMargin,
+    // quotient). Shared verbatim by q_dedup_index: the persisted-index
+    // path must reproduce the batch operator's pairs exactly.
+    "q_dedup_incremental" -> sqlIncrementalDedup,
+    "q_dedup_index" -> sqlIncrementalDedup,
 
     "q_dedup_paragraphs" ->
       """WITH corpus AS (

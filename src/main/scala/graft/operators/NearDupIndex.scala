@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-duplicate index — the steady-state form of
+  * [[Dedup.nearDuplicatesAgainst]] (which recomputes the reference's
+  * signatures on every call): the reference corpus's LSH band rows and
+  * exact-verification shingle sets are pure functions of (text, LSH
+  * config), so they are computed ONCE and stored; each delta batch
+  * then pays only its own (small) side. The admission loop is
+  * `query(delta)` → drop matched → `append(admitted)`.
+  *
+  * Layout under `path`:
+  *  - `bands/`    — `(band_id, band_hash, id)`, the candidate-join
+  *    structure (bucket-capped at build, the degenerate-boilerplate
+  *    defense);
+  *  - `shingles/` — `(id, sh array<bigint>)`, the exact-jaccard
+  *    verification sets (xxhash64'd shingles — same hashing as the
+  *    batch operator);
+  *  - `config/`   — one row pinning (numHashes, bands, shingleSize):
+  *    a delta hashed under a different config would silently match
+  *    nothing, so `query`/`append` read it back and hash the delta
+  *    under the STORED config rather than trusting the caller.
+  *
+  * Query plan shape: the reference bands STREAM from disk while the
+  * delta's band rows are spill-measured and broadcast (gated on exact
+  * bytes) — the big side never shuffles; above the gate the join falls
+  * back to a shuffle, still linear. Verification fetches only
+  * candidate ids' shingle rows from the store.
+  */
+object NearDupIndex {
+
+  private val B = "bands"
+  private val S = "shingles"
+  private val C = "config"
+
+  def build(reference: DataFrame, path: String,
+      textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5): Unit = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleSize))
+      .toDF("num_hashes", "bands", "shingle_size")
+      .write.mode("overwrite").parquet(s"$path/$C")
+    Dedup.capBuckets(
+      bandsOf(reference, textCol, idCol, numHashes, bands, shingleSize),
+      Seq("band_id", "band_hash"), idCol)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+      .write.mode("overwrite").parquet(s"$path/$B")
+    shingleStore(reference, textCol, idCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/$S")
+  }
+
+  /** Index additional (already-admitted) documents. Appended band rows
+    * are NOT re-capped against existing buckets — re-capping would
+    * need a full-bucket recount; rebuild when append volume since the
+    * last build rivals the base (the [[IvfIndex.append]] guidance).
+    */
+  def append(delta: DataFrame, path: String,
+      textCol: String, idCol: String): Unit = {
+    val (numHashes, bands, shingleSize) = readConfig(delta.sparkSession, path)
+    bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+      .write.mode("append").parquet(s"$path/$B")
+    shingleStore(delta, textCol, idCol, shingleSize)
+      .write.mode("append").parquet(s"$path/$S")
+  }
+
+  /** Near-dup pairs `(id_delta, id_ref, jaccard)` between a delta
+    * batch and the indexed reference — same contract as
+    * [[Dedup.nearDuplicatesAgainst]], reference side read from the
+    * store.
+    */
+  def query(spark: SparkSession, path: String, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val (numHashes, bands, shingleSize) = readConfig(spark, path)
+    val (dBands, dBandBytes) = Spill.roundTripSized(
+      bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
+        .select(col("band_id"), col("band_hash"), col(idCol).as("id_delta")))
+    val bcLimit = spark.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
+    def maybeBc(small: DataFrame): DataFrame =
+      if (dBandBytes <= bcLimit) broadcast(small) else small
+    val rBands = spark.read.parquet(s"$path/$B")
+    val (cands, candBytes) = Spill.roundTripSized(
+      rBands.join(maybeBc(dBands), Seq("band_id", "band_hash"))
+        .select(col("id_delta"), col("id").as("id_ref")).distinct())
+    def bcCand(small: DataFrame): DataFrame =
+      if (candBytes <= bcLimit) broadcast(small) else small
+    // delta shingles recomputed (small side); reference shingles
+    // fetched from the store, candidate ids only
+    val dSh = shingleStore(
+      delta.join(bcCand(cands.select(col("id_delta").as(idCol)).distinct()),
+        Seq(idCol), "left_semi"), textCol, idCol, shingleSize)
+      .select(col("id").as("id_delta"), col("sh").as("sh_d"))
+    val rSh = spark.read.parquet(s"$path/$S")
+      .join(bcCand(cands.select(col("id_ref").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("id_ref"), col("sh").as("sh_r"))
+    bcCand(cands)
+      .join(dSh, "id_delta")
+      .join(rSh, "id_ref")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_r"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_delta", "id_ref", "jaccard")
+  }
+
+  /** Band rows via the codegen'd signature expression — signatures
+    * computed inside the scan projection, zero shuffle (the
+    * `minhashSignatures` pipeline formulation shuffles every shingle
+    * of every doc by id before folding). */
+  private def bandsOf(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame =
+    Dedup.lshBandsFromSig(
+      df.select(col(idCol), graft.functions.MinHashSigExpr.minhashSig(
+        Dedup.normText(col(textCol)), numHashes, shingleSize).as("sig"))
+        .where(col("sig").isNotNull),
+      idCol, numHashes, bands)
+
+  private def shingleStore(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int): DataFrame =
+    Dedup.shingleRows(df.select(col(idCol), col(textCol))
+        .repartition(col(idCol)), textCol, idCol, shingleSize)
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("__s"))).as("sh"))
+      .select(col(idCol).as("id"), col("sh"))
+
+  private def readConfig(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/$C").head()
+    (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_size"))
+  }
+}

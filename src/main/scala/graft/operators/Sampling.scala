@@ -125,6 +125,7 @@ object Sampling {
       min(col(weightCol)).cast("long")).head()
     if (stats.isNullAt(0)) return df.withColumn(binCol, lit(0L))
     val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    require(!stats.isNullAt(2), s"$weightCol has no non-null values")
     require(stats.getLong(2) >= 0, s"negative weights in $weightCol")
     val span = hi - lo + 1.0
     val bucket = least(

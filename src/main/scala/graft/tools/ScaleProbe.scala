@@ -460,6 +460,38 @@ object ScaleProbe {
         corpusF.unpersist()
       }
     }
+    // ── axis 9: incremental dedup — fixed delta, growing reference ───
+    // nearDuplicatesAgainst's claim: incremental cost is O(delta) band
+    // rows joined into the reference's buckets — as the accumulated
+    // reference grows n×, the shuffle should grow ~linearly (the
+    // reference's band rows must be computed once per call here) and
+    // the verification stays bounded by the delta's match count, so
+    // wall should grow SUB-linearly, nothing quadratic. Delta fixed at
+    // ~10 % of the base corpus: half verbatim copies (match), half
+    // vowel-rewritten (no match).
+    {
+      import graft.operators.Dedup
+      val delta = docs0.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+        .unionByName(docs0.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 91000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "bcdfg").as("text")))
+        .cache()
+      val dRows = delta.count()
+      var warmedInc = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "incdedup") {
+        val reference = replicatedDocs(n).cache()
+        val rRows = reference.count()
+        val (sec, mb) = time(Dedup.nearDuplicatesAgainst(
+          delta, reference, "text", "doc_id", 0.9).count() + 1)
+        if (warmedInc)
+          println(f"[scale] n=$n%-3d refDocs=$rRows%-9d deltaDocs=$dRows%-7d " +
+            f"incNearDup=$sec%6.2fs/${mb}%8.1fMB")
+        warmedInc = true
+        reference.unpersist()
+      }
+      delta.unpersist()
+    }
     // ── axis 8: persisted IVF index — bytes read under pruning ───────
     // The index's claim is that a probe READS ~(probed cells)/nCells
     // of the corpus (partition pruning on cell_id). Task

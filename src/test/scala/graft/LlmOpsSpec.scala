@@ -43,6 +43,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(selfPairs.where($"jaccard" =!= 1.0).count() == 0)
   }
 
+  test("near-dup index: query equals the batch operator; admission loop works") {
+    val reference = docs.select("doc_id", "text")
+    val delta = reference.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+      .unionByName(reference.where($"doc_id" % 10 === 1)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          translate($"text", "aeiou", "bcdfg").as("text")))
+    val path = Spill.newPath(spark) + "/ndidx"
+    NearDupIndex.build(reference, path, "text", "doc_id")
+    // identical pipelines on identical inputs (same signature
+    // expression, same shingle hashing, deterministic parquet
+    // round-trip) — the index must reproduce the batch operator's
+    // pairs EXACTLY, jaccard included
+    val viaIndex = NearDupIndex.query(spark, path, delta, "text", "doc_id", 0.9)
+    val batch = Dedup.nearDuplicatesAgainst(delta, reference, "text", "doc_id", 0.9)
+    assert(viaIndex.exceptAll(batch).isEmpty && batch.exceptAll(viaIndex).isEmpty)
+    assert(viaIndex.count() > 0)
+    // admission loop: append the admitted docs, then re-submitting the
+    // SAME admitted docs under new ids must now match their indexed
+    // selves (jaccard 1.0)
+    val admittedIds = delta.join(
+      viaIndex.select($"id_delta".as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti").select("doc_id").as[Long].collect().toSet
+    val admitted = delta.where($"doc_id".isin(admittedIds.toSeq: _*))
+    NearDupIndex.append(admitted, path, "text", "doc_id")
+    val resub = admitted.select(($"doc_id" + 5000000L).as("doc_id"), $"text")
+    val rematch = NearDupIndex.query(spark, path, resub, "text", "doc_id", 0.9)
+      .where($"id_delta" - 5000000L === $"id_ref")
+    assert(rematch.count() == admitted.count(),
+      "every re-submitted admitted doc must match its indexed self")
+  }
+
   test("paragraph boilerplate removal: excise, threshold, order, all-boiler drop") {
     val rows = Seq(
       // "ad" appears in 3 of 4 docs (freq 3 >= 3) -> boilerplate;
