@@ -773,6 +773,40 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // Batch sessionization (gaps-and-islands): per-user sessions with
+    // a 30-minute inactivity gap. Session identity, bounds, integer
+    // duration, and the value sum all enter the hash — a boundary-rule
+    // or tie-handling divergence from the oracle's window SQL breaks it.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "ts", "value")
+      Sessionize.sessions(ev, "user_id", "ts", 1800L,
+        round(sum("value"), 4).as("v_sum"))
+    }),
+
+    // The same session partition computed by Structured Streaming's
+    // native session_window (merge-on-gap state) — session identity is
+    // (user, session_start), and the oracle is the SAME gaps-and-islands
+    // SQL, so the streaming merge semantics must equal the batch rule
+    // (diff >= gap opens a session; session_window's end is exclusive).
+    "q_stream_session" -> ((s, dir) => {
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = s"stream_sess_${System.nanoTime()}"
+      val q = fixTs(s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parque*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("v_sum"))
+        .select(col("user_id"),
+          col("session_window").getField("start").as("session_start"),
+          col("n_events"), col("v_sum"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    }),
+
     // K4/T3 under the oracle gate: the streaming windowed aggregation is
     // driven through `runWithTimeout` — foreachBatch → the SAME
     // Materializer sink writers as batch — into the online KV store,
@@ -1966,6 +2000,47 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, event_type,
         |  count(*) AS n, round(sum(value), 4) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands with the >= gap boundary (matches Spark's
+    // exclusive session_window end); default RANGE cumsum frame makes
+    // tied timestamps land in one session on both engines
+    "q_sessionize" ->
+      s"""WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sq AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |  FROM e
+        |)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS v_sum
+        |FROM sq GROUP BY 1, 2""".stripMargin,
+
+    // same partition of events as q_sessionize, keyed by (user,
+    // session_start) since streaming emits no ordinal
+    "q_stream_session" ->
+      s"""WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sq AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |  FROM e
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS v_sum
+        |FROM sq GROUP BY user_id, session_seq""".stripMargin,
 
     // identical to q_stream_window_agg: the streaming-sink write→read
     // must preserve every group's final aggregate

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gaps-and-islands: boundary is >= gap (exclusive session end)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),  // 10 min < 30 -> same session
+      (1L, ts("2024-01-01 10:40:00")),  // EXACTLY 30 min -> NEW session
+      (1L, ts("2024-01-01 11:09:59")),  // 29:59 < 30 -> same
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Sessionize.assign(df, "user_id", "ts", 1800L)
+      .select($"user_id", $"ts", $"session_seq").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 10:00:00.0", 1L),
+      (1L, "2024-01-01 10:10:00.0", 1L),
+      (1L, "2024-01-01 10:40:00.0", 2L),
+      (1L, "2024-01-01 11:09:59.0", 2L),
+      (2L, "2024-01-01 10:00:00.0", 1L)))
+  }
+
+  test("tied timestamps at a session boundary land in ONE session") {
+    // two events at the identical instant, 31 min after the previous:
+    // whichever the lag order picks, the RANGE cumsum must put both in
+    // the same (new) session
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:31:00")),
+      (1L, ts("2024-01-01 10:31:00"))
+    ).toDF("user_id", "ts")
+    val seqs = Sessionize.assign(df, "user_id", "ts", 1800L)
+      .where($"ts" === ts("2024-01-01 10:31:00"))
+      .select("session_seq").as[Long].collect().toSet
+    assert(seqs == Set(2L), s"tied pair split across sessions: $seqs")
+  }
+
+  test("batch sessions equal native session_window on the events table") {
+    // the same partition of events two ways: the operator's
+    // gaps-and-islands vs Spark's session_window run in batch mode.
+    // Session identity maps as (user, session_start == window.start);
+    // counts must agree pairwise and in total.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read
+      .option("mergeSchema", "false").parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("user_id", "ts", "value")
+    val ours = Sessionize.sessions(ev, "user_id", "ts", 1800L)
+      .select($"user_id", $"session_start", $"n_events")
+    val native = ev.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window".getField("start").as("session_start"),
+        $"n_events")
+    assert(ours.count() > 0)
+    assert(ours.exceptAll(native).isEmpty && native.exceptAll(ours).isEmpty)
+  }
+
+  test("session roll-up: duration, bounds, extra aggregates") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:05:00"), 20.0),
+      (1L, ts("2024-01-01 12:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Sessionize.sessions(df, "user_id", "ts", 1800L,
+        round(sum("value"), 4).as("v_sum"))
+      .orderBy("session_seq")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("duration_us") == 300000000L)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[Double]("v_sum") == 30.0)
+    assert(out(1).getAs[Long]("duration_us") == 0L)
+    assert(out(1).getAs[Double]("v_sum") == 5.0)
+  }
+}
