@@ -1260,6 +1260,16 @@ object SparkEntry {
         Seq("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5)
     }),
 
+    // Static data mixing: resample the corpus to a 4:2:2:1:1 language
+    // mixture. The keep thresholds are data-dependent (computed from
+    // the observed per-language counts via exact integer arithmetic),
+    // so the oracle recomputes counts → n_max → thresholds → md5-grid
+    // filter; a one-row divergence in any step breaks the hash.
+    "q_mix_domains" -> ((s, dir) =>
+      Sampling.resampleToMixture(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Seq("en" -> 4L, "zh" -> 2L, "es" -> 2L, "de" -> 1L, "fr" -> 1L))),
+
     // The END-TO-END corpus curation funnel — what an LLM data pipeline
     // actually runs, composed from the individually-gated operators:
     // Gopher/C4 quality rules → repetition filter → near-dup drop
@@ -2205,6 +2215,25 @@ object SparkEntry {
         |WHERE b < (CASE WHEN lang = 'en' THEN 2500
         |                WHEN lang = 'zh' THEN 10000
         |                ELSE 5000 END)""".stripMargin,
+
+    // counts -> n_max (scarcest domain binds) -> integer thresholds ->
+    // md5-grid filter; all integer arithmetic, no float rates
+    "q_mix_domains" ->
+      """WITH parts(lang, p) AS (
+        |  VALUES ('en', 4), ('zh', 2), ('es', 2), ('de', 1), ('fr', 1)
+        |), cnts AS (
+        |  SELECT d.lang, count(*) AS c
+        |  FROM documents d JOIN parts USING (lang) GROUP BY d.lang
+        |), nmax AS (
+        |  SELECT min(c.c * 10 // p.p) AS n FROM cnts c JOIN parts p USING (lang)
+        |), thr AS (
+        |  SELECT p.lang, 10000 * n.n * p.p // (10 * c.c) AS t
+        |  FROM parts p JOIN cnts c USING (lang) CROSS JOIN nmax n
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |  % 10000 < thr.t""".stripMargin,
 
     // the full curation funnel: quality + repetition in SQL, exact
     // all-pairs >= 0.8 Jaccard + transitive-closure components over the

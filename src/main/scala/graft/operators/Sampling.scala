@@ -89,6 +89,52 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < threshold)
   }
 
+  /** Resample a corpus to a TARGET mixture (the static data-mixing
+    * step of a training pipeline: "the output should be 40 % en,
+    * 20 % zh, …"). Downsample-only: the achievable total is set by
+    * the SCARCEST domain relative to its target share — `n_max =
+    * min_d floor(count_d · S / p_d)` — and every other domain is
+    * hash-downsampled to its share of that total. Rows whose domain
+    * is not in `parts` are dropped.
+    *
+    * `parts` are INTEGER ratios (e.g. en→4, zh→2, …, summing to S),
+    * not float fractions, so the per-domain keep thresholds
+    * `floor(10000 · n_max · p_d / (S · count_d))` are exact integer
+    * arithmetic — reproducible bit-for-bit on any engine (a float
+    * rate rounded at the hash grid could straddle a half-point
+    * between engines). Overflow bound: `10000 · n_max · p_d` must fit
+    * a signed 64-bit long — holds to ~10^12 rows per domain at
+    * two-digit parts, `require`d below.
+    *
+    * Cost: one tiny groupBy-count (partial-agg'd, #domains rows
+    * collected) + a pure filter — no data shuffle at any corpus size.
+    * The achieved mixture tracks the target within hash-grid
+    * resolution (1/10000) per domain.
+    */
+  def resampleToMixture(df: DataFrame, keyCol: String, domainCol: String,
+      parts: Seq[(String, Long)], salt: String = ""): DataFrame = {
+    require(parts.nonEmpty && parts.forall(_._2 > 0),
+      s"parts must be non-empty positive integer ratios: $parts")
+    require(parts.map(_._1).distinct.size == parts.size,
+      "duplicate domain in parts")
+    val s = parts.map(_._2).sum
+    val cnts = df.where(col(domainCol).isin(parts.map(_._1): _*))
+      .groupBy(col(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    parts.foreach { case (d, _) =>
+      require(cnts.getOrElse(d, 0L) > 0, s"domain '$d' has no rows") }
+    val nMax = parts.map { case (d, p) => cnts(d) * s / p }.min
+    val thresholds = parts.map { case (d, p) =>
+      require(nMax * p <= Long.MaxValue / 10000,
+        s"threshold arithmetic would overflow for domain '$d'")
+      d -> 10000L * nMax * p / (s * cnts(d))
+    }
+    val thrCol = thresholds.foldRight(lit(-1L)) { case ((d, t), rest) =>
+      when(col(domainCol) === lit(d), lit(t)).otherwise(rest)
+    }
+    df.where(hashBucket(col(keyCol), salt) < thrCol)
+  }
+
   /** Contiguous token-budget sharding (sequence packing / shard
     * planning): rows ordered by `keyCol` are assigned to consecutive
     * bins of ~`budget` tokens — `bin_id = floor(exclusive-prefix-sum

@@ -54,6 +54,28 @@ class SamplingPiiSpec extends SparkTestBase {
     assert(smaller.subsetOf(kept), "smaller fraction must nest inside larger")
   }
 
+  test("resampleToMixture: achieved mixture, binding domain kept whole, off-mix dropped") {
+    // 4000 en / 1000 zh / 500 other; target 2:1 en:zh. zh is scarce
+    // relative to its share (1000 vs en's 4000/2=2000-equivalent), so
+    // zh binds: n_max = 3000, zh kept whole, en downsampled to ~2000.
+    val df = ((0L until 4000L).map(i => (i, "en")) ++
+        (10000L until 11000L).map(i => (i, "zh")) ++
+        (20000L until 20500L).map(i => (i, "xx")))
+      .toDF("id", "lang")
+    val out = Sampling.resampleToMixture(df, "id", "lang",
+      Seq("en" -> 2L, "zh" -> 1L))
+    val byLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byLang.contains("xx"), "domains outside the mixture must drop")
+    assert(byLang("zh") == 1000L, "the binding domain must be kept whole")
+    assert(math.abs(byLang("en") - 2000L) < 120,
+      s"en must downsample to ~2x zh: $byLang")
+    // deterministic + partitioning-invariant
+    val again = Sampling.resampleToMixture(df.repartition(7), "id", "lang",
+      Seq("en" -> 2L, "zh" -> 1L))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("packByTokenBudget: equals the global-window reference, partitioning-invariant") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 3000L).toDF("id")
