@@ -1260,6 +1260,14 @@ object SparkEntry {
         Seq("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5)
     }),
 
+    // Training-export shuffle: deterministic global permutation into 8
+    // shards. Shard assignment AND within-shard position enter the
+    // hash, so the full permutation must be bit-identical to the
+    // oracle's md5-rank reconstruction.
+    "q_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id", 8)),
+
     // Static data mixing: resample the corpus to a 4:2:2:1:1 language
     // mixture. The keep thresholds are data-dependent (computed from
     // the observed per-language counts via exact integer arithmetic),
@@ -2215,6 +2223,18 @@ object SparkEntry {
         |WHERE b < (CASE WHEN lang = 'en' THEN 2500
         |                WHEN lang = 'zh' THEN 10000
         |                ELSE 5000 END)""".stripMargin,
+
+    // the full epoch permutation: shard = md5-bucket % 8, pos =
+    // md5-rank within shard (key tiebreak)
+    "q_shuffle_shards" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |    % 8 AS BIGINT) AS shard_id,
+        |  row_number() OVER (
+        |    PARTITION BY CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+        |      AS UBIGINT) % 8
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+        |FROM documents""".stripMargin,
 
     // counts -> n_max (scarcest domain binds) -> integer thresholds ->
     // md5-grid filter; all integer arithmetic, no float rates

@@ -135,6 +135,35 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < thrCol)
   }
 
+  /** Deterministic global shuffle into training shards — the export
+    * step after curate/mix/pack: every row gets `(shard_id, pos)`
+    * where shard assignment and within-shard order are both derived
+    * from the md5 of the key (`salt` selects an independent epoch
+    * permutation). Readers stream shards in parallel and interleave —
+    * the standard sharded-training-data layout; a re-run, a different
+    * partitioning, or a different engine produces the identical
+    * permutation.
+    *
+    * Within-shard order is the full md5 hex with the key as tiebreak
+    * (equal digests across DISTINCT keys would otherwise make `pos`
+    * ambiguous). One shuffle (hash on `shard_id`); `pos` is a per-shard
+    * `row_number`, sequential per shard but parallel across shards —
+    * size `nShards` so a shard's rows fit a task comfortably
+    * (corpus/nShards rows each; at 100 TB that means thousands of
+    * shards, which is also what the training reader wants).
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(coalesce(col(keyCol).cast("string"), lit("")), lit(salt)))
+    val shard = conv(substring(h, 1, 8), 16, 10).cast("long") % nShards
+    df.withColumn("shard_id", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard_id")).orderBy(h, col(keyCol)))
+        .cast("long"))
+  }
+
   /** Contiguous token-budget sharding (sequence packing / shard
     * planning): rows ordered by `keyCol` are assigned to consecutive
     * bins of ~`budget` tokens — `bin_id = floor(exclusive-prefix-sum

@@ -76,6 +76,27 @@ class SamplingPiiSpec extends SparkTestBase {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("shuffleShards: permutation is total, balanced, salt-independent, invariant") {
+    val df = (0L until 4000L).toDF("id")
+    val a = Sampling.shuffleShards(df, "id", 8)
+      .as[(Long, Long, Long)].collect()
+    // total: every row exactly once; pos is 1..count(shard) per shard
+    assert(a.length == 4000 && a.map(_._1).distinct.length == 4000)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+      assert(math.abs(rows.length - 500) < 120, s"shard $shard skew: ${rows.length}")
+    }
+    // partitioning-invariant
+    val b = Sampling.shuffleShards(df.repartition(11), "id", 8)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSet == b.toSet)
+    // a different salt is a genuinely different permutation
+    val c = Sampling.shuffleShards(df, "id", 8, salt = "epoch2")
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSet != c.toSet)
+  }
+
   test("packByTokenBudget: equals the global-window reference, partitioning-invariant") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 3000L).toDF("id")
