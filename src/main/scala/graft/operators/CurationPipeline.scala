@@ -34,6 +34,16 @@ object CurationStage {
   /** Deterministic hash downsample — keep `fraction` of documents. */
   case class Sample(fraction: Double, salt: String = "")
       extends CurationStage
+  /** Resample to a target domain mixture (integer ratios; the scarcest
+    * domain binds). `domainCol` must exist on the input corpus — the
+    * runner threads it through every upstream stage. */
+  case class Mix(domainCol: String, parts: Seq[(String, Long)],
+      salt: String = "") extends CurationStage
+  /** Deterministic epoch shuffle into `nShards` training shards —
+    * must be the LAST stage (downstream drops would invalidate the
+    * within-shard positions). */
+  case class Shuffle(nShards: Int, salt: String = "")
+      extends CurationStage
   /** Assign contiguous ~`budget`-token shard ids (`bin_id`) in id
     * order; tokens approximated as ceil(chars/4), matching
     * `approxTokenCount`'s ASCII heuristic. Keeps the corpus columns. */
@@ -67,12 +77,15 @@ object CurationStage {
 case class CurationPipeline(textCol: String, idCol: String,
     stages: Seq[CurationStage]) {
   require(stages.nonEmpty, "a curation pipeline needs at least one stage")
-  require(!stages.dropRight(1).exists(_.isInstanceOf[CurationStage.Split]),
-    "Split must be the last stage: it replaces the corpus with the " +
-      "(id, split) assignment")
-  require(!stages.dropRight(1).exists(_.isInstanceOf[CurationStage.PackTokens]),
-    "PackTokens must be the last stage: downstream filters would " +
-      "silently drop its bin_id column (and invalidate the packing)")
+  private def isTerminal(st: CurationStage): Boolean = st match {
+    case _: CurationStage.Split | _: CurationStage.PackTokens |
+         _: CurationStage.Shuffle => true
+    case _ => false
+  }
+  require(!stages.dropRight(1).exists(isTerminal),
+    "Split/PackTokens/Shuffle must be the last stage: Split replaces " +
+      "the corpus with the (id, split) assignment, and downstream " +
+      "filters would invalidate bin_id / shard positions")
 
   import CurationStage._
 
@@ -89,11 +102,18 @@ case class CurationPipeline(textCol: String, idCol: String,
     require(reference.isDefined ||
       !stages.exists(_.isInstanceOf[Decontaminate]),
       "a Decontaminate stage needs a run-time reference corpus")
-    stages.foldLeft(df.select(col(idCol), col(textCol))) { (cur, st) =>
+    // columns threaded through the funnel: the corpus pair plus any
+    // domain column a Mix stage will need downstream
+    val keep = (Seq(idCol, textCol) ++
+      stages.collect { case Mix(d, _, _) => d }).distinct
+    keep.foreach(c => require(df.columns.contains(c),
+      s"pipeline input is missing required column '$c'"))
+    stages.foldLeft(df.select(keep.map(col): _*)) { (cur, st) =>
+      val extras = cur.columns.toSeq.filterNot(c => c == idCol || c == textCol)
       st match {
         case Quality(minW, maxW, minS) =>
           TextAnalysis.gopherRules(cur, textCol, minW, maxW, minS)
-            .where(col("passes")).select(idCol, textCol)
+            .where(col("passes")).select(cur.columns.map(col): _*)
         case Repetition(n, maxDup) =>
           val (rep, repBytes) = Spill.roundTripSized(
             TextAnalysis.repetitionStats(cur, textCol, idCol, n, maxDup)
@@ -105,15 +125,26 @@ case class CurationPipeline(textCol: String, idCol: String,
             threshold)
         case PiiRedact =>
           TextAnalysis.redactPii(cur, textCol)
-            .select(col(idCol), col(s"${textCol}_redacted").as(textCol))
+            .select(col(idCol) +: col(s"${textCol}_redacted").as(textCol) +:
+              extras.map(col): _*)
         case Decontaminate(k, w, maxFrac) =>
           val (ref, refText, refId) = reference.get
           TextAnalysis.decontaminate(cur, textCol, idCol, ref, refText,
             refId, k, w, TextAnalysis.DecontaminateAction.Drop, maxFrac)
         case ParagraphDedup(minDocFreq, sep) =>
-          Dedup.dropRepeatedParagraphs(cur, textCol, idCol, minDocFreq, sep)
+          // the paragraph pipeline reprojects to (id, cleaned text);
+          // re-attach threaded columns by id (co-partitioned equi-join,
+          // only paid when a downstream stage needs them)
+          val cleaned =
+            Dedup.dropRepeatedParagraphs(cur, textCol, idCol, minDocFreq, sep)
+          if (extras.isEmpty) cleaned
+          else cleaned.join(cur.select(idCol, extras: _*), Seq(idCol))
         case Sample(fraction, salt) =>
           Sampling.sampleByHash(cur, idCol, fraction, salt)
+        case Mix(domainCol, parts, salt) =>
+          Sampling.resampleToMixture(cur, idCol, domainCol, parts, salt)
+        case Shuffle(nShards, salt) =>
+          Sampling.shuffleShards(cur, idCol, nShards, salt)
         case PackTokens(budget) =>
           Sampling.packByTokenBudget(
             cur.withColumn("__tok", ceil(length(col(textCol)) / 4.0).cast("long")),
@@ -158,6 +189,17 @@ object CurationPipeline {
         case Sample(f, salt) =>
           n.put("stage", "sample")
           n.put("fraction", f); n.put("salt", salt)
+        case Mix(domainCol, parts, salt) =>
+          n.put("stage", "mix")
+          n.put("domain_col", domainCol); n.put("salt", salt)
+          val pa = n.putArray("parts")
+          parts.foreach { case (d, p) =>
+            val o = pa.addObject()
+            o.put("domain", d); o.put("p", p)
+          }
+        case Shuffle(nShards, salt) =>
+          n.put("stage", "shuffle")
+          n.put("n_shards", nShards); n.put("salt", salt)
         case PackTokens(budget) =>
           n.put("stage", "pack_tokens"); n.put("budget", budget)
         case Split(splits, salt) =>
@@ -188,6 +230,12 @@ object CurationPipeline {
         case "paragraph_dedup" => ParagraphDedup(
           n.get("min_doc_freq").asLong, n.get("sep").asText)
         case "sample" => Sample(n.get("fraction").asDouble,
+          n.get("salt").asText)
+        case "mix" => Mix(n.get("domain_col").asText,
+          n.get("parts").elements().asScala.map(o =>
+            o.get("domain").asText -> o.get("p").asLong).toSeq,
+          n.get("salt").asText)
+        case "shuffle" => Shuffle(n.get("n_shards").asInt,
           n.get("salt").asText)
         case "pack_tokens" => PackTokens(n.get("budget").asLong)
         case "split" => Split(

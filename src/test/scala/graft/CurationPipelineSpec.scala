@@ -31,7 +31,11 @@ class CurationPipelineSpec extends SparkTestBase {
     } yield ParagraphDedup(mdf, sep),
     for {
       f <- Gen.chooseNum(1, 100); salt <- Gen.oneOf("", "epoch2")
-    } yield Sample(f / 100.0, salt))
+    } yield Sample(f / 100.0, salt),
+    for {
+      nd <- Gen.chooseNum(1, 4); salt <- Gen.oneOf("", "epoch2")
+      ps <- Gen.listOfN(nd, Gen.chooseNum(1L, 9L))
+    } yield Mix("lang", ps.zipWithIndex.map { case (p, i) => s"d$i" -> p }, salt))
 
   private val genSplit: Gen[CurationStage] = for {
     n <- Gen.chooseNum(2, 4)
@@ -42,7 +46,10 @@ class CurationPipelineSpec extends SparkTestBase {
   }
 
   private val genTerminal: Gen[CurationStage] = Gen.oneOf(genSplit,
-    Gen.chooseNum(1000L, 10000000L).map(PackTokens(_)))
+    Gen.chooseNum(1000L, 10000000L).map(PackTokens(_)),
+    for {
+      n <- Gen.chooseNum(1, 64); salt <- Gen.oneOf("", "epoch2")
+    } yield Shuffle(n, salt))
 
   private val genPipeline: Gen[CurationPipeline] = for {
     mid <- Gen.listOfN(3, genStage).map(_.take(3))
@@ -123,6 +130,36 @@ class CurationPipelineSpec extends SparkTestBase {
       "Quality-only survivors all get split assignments")
     assert(assigned.values.forall(Set("train", "test")),
       s"splits named by config: ${assigned.values.toSet}")
+  }
+
+  test("runner: Mix threads its domain column through reprojecting stages; Shuffle is terminal") {
+    // 300 en / 100 zh, every doc carrying the same boilerplate banner;
+    // Mix comes AFTER ParagraphDedup (which reprojects to (id, text)),
+    // so the runner must thread `lang` through it
+    val corpus = ((0L until 300L).map(i =>
+        (i, s"site banner\n\nenglish body number $i", "en")) ++
+      (1000L until 1100L).map(i =>
+        (i, s"site banner\n\nchinese body number $i", "zh")))
+      .toDF("doc_id", "text", "lang")
+    val p = CurationPipeline("text", "doc_id", Seq(
+      ParagraphDedup(minDocFreq = 300),
+      Mix("lang", Seq("en" -> 1L, "zh" -> 1L)),
+      Shuffle(nShards = 4)))
+    val out = p.run(corpus).collect()
+    assert(out.forall(!_.getAs[String]("text").contains("banner")))
+    // zh (100 docs) binds a 1:1 mixture: ~100 en survive alongside 100 zh
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(byLang("zh") == 100 && math.abs(byLang("en") - 100) < 40,
+      s"mixture off: ${byLang.toMap}")
+    // shard/pos assignment covers every surviving row exactly once
+    assert(out.map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("pos")))
+      .distinct.length == out.length)
+    intercept[IllegalArgumentException] {
+      CurationPipeline("text", "doc_id", Seq(Shuffle(4), Sample(0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      p.run(corpus.drop("lang"))
+    }
   }
 
   test("a Decontaminate stage without a reference is rejected at run time") {
