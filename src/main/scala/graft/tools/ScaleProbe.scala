@@ -492,6 +492,42 @@ object ScaleProbe {
       }
       delta.unpersist()
     }
+    // ── axis 10: sessionize under Zipfian key skew ───────────────────
+    // Sessionization's scale hazard is the per-key window sort: a hot
+    // key's whole timeline serializes into ONE task. Same Zipf
+    // construction as axis 6 (hottest key ~10 % of rows); uniform vs
+    // zipf on identical row counts, straggler signature = max/median
+    // task time.
+    {
+      import graft.operators.Sessionize
+      var warmedSess = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "sessionize") {
+        def zipfKey(c: org.apache.spark.sql.Column) =
+          floor(pow(lit(1000.0),
+            pmod(xxhash64(c), lit(1000000)).cast("double") / 1000000.0))
+            .cast("long")
+        def dens(offsetSec: Int): DataFrame =
+          (0 until n).map(i => ev0
+              .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 37 + offsetSec} SECONDS"))
+              .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+            .reduce(_ unionByName _)
+        val uni = dens(21).select("user_id", "ts").cache()
+        val uRows = uni.count()
+        val u = timeSkew(
+          Sessionize.sessions(uni, "user_id", "ts", 1800L).count())
+        val zip = dens(22)
+          .select(zipfKey(col("user_id")).as("user_id"), col("ts")).cache()
+        zip.count()
+        val z = timeSkew(
+          Sessionize.sessions(zip, "user_id", "ts", 1800L).count())
+        uni.unpersist(); zip.unpersist()
+        if (warmedSess)
+          println(f"[scale] n=$n%-3d SKEW sessionize   rows=$uRows%-9d " +
+            f"uniform=${u._1}%6.2fs/${u._2}%8.1fMB/x${u._3}%5.1f  " +
+            f"zipf=${z._1}%6.2fs/${z._2}%8.1fMB/x${z._3}%5.1f")
+        warmedSess = true
+      }
+    }
     // ── axis 8: persisted IVF index — bytes read under pruning ───────
     // The index's claim is that a probe READS ~(probed cells)/nCells
     // of the corpus (partition pruning on cell_id). Task
