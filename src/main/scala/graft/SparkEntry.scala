@@ -1184,6 +1184,23 @@ object SparkEntry {
           "quality", "fingerprint")
     }),
 
+    // Linear-classifier scoring with a weights TABLE (the exported-
+    // model serving path). Weights are derived per corpus term from
+    // its md5 (a deterministic stand-in for trained weights, exactly
+    // reproducible in SQL) on the 0.01 grid, so the tf-weighted sums
+    // are grid-aligned and round(4) is hash-safe.
+    "q_text_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val vocab = docs
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .distinct()
+      val weights = vocab.withColumn("weight",
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % 200 - 100).cast("double") / 100.0)
+      TextAnalysis.scoreLinear(docs, "text", "doc_id", weights)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // Language ID by stopword hits + approximate token count.
     "q_text_lang_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2110,6 +2127,22 @@ object SparkEntry {
     // the int8 path's rescored output is contractually identical to
     // the exact float baseline — one shared oracle
     "q_sim_topk_int8" -> sqlExactTopK,
+
+    // per-term md5-derived weights on the 0.01 grid; tf-weighted sum
+    // per doc (vocab misses contribute 0), round(4)
+    "q_text_score" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |  FROM documents
+        |), wt AS (
+        |  SELECT term,
+        |    (CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT)
+        |       % 200 AS BIGINT) - 100)::DOUBLE / 100.0 AS weight
+        |  FROM (SELECT DISTINCT term FROM tok)
+        |)
+        |SELECT t.doc_id, round(sum(coalesce(w.weight, 0)), 4) AS score
+        |FROM tok t LEFT JOIN wt w USING (term)
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH norm AS (

@@ -390,4 +390,40 @@ object TextAnalysis {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Model-based quality scoring — the serving plumbing for an
+    * EXPORTED linear text classifier (the fastText-style quality
+    * filters of the big corpus pipelines): `score(doc) = bias +
+    * Σ_token tf(token) · weight(token)`, with the weights table as
+    * DATA (term, weight) — train anywhere, score here.
+    *
+    * Scale posture: tokenization is a zero-shuffle projection; the
+    * weights side is vocabulary-sized (≪ corpus), spill-measured and
+    * broadcast iff its EXACT bytes fit the configured gate, so the
+    * corpus never shuffles on token — above the gate the join falls
+    * back to a token-keyed shuffle, still linear. One groupBy(id) to
+    * fold scores (map-side partial agg on the doc id).
+    *
+    * Float discipline: weights on a fixed decimal grid (e.g. 0.01
+    * steps) keep tf-weighted sums grid-aligned, so a `round(score, 4)`
+    * is cross-engine-safe (the established events.value convention).
+    */
+  def scoreLinear(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, termCol: String = "term",
+      weightCol: String = "weight", bias: Double = 0.0): DataFrame = {
+    val bcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+      .toLong
+    val (wts, wBytes) = Spill.roundTripSized(
+      weights.select(col(termCol).as("__term"), col(weightCol).as("__w")))
+    val wHinted = if (wBytes <= bcLimit) broadcast(wts) else wts
+    // left join: a document whose tokens all miss the vocabulary
+    // scores `bias`, it does not disappear (docs with EMPTY text have
+    // no token rows and do drop — score of nothing is not 0)
+    df.select(col(idCol), explode(words(col(textCol))).as("__term"))
+      .where(col("__term") =!= "") // split("") yields one empty token
+      .join(wHinted, Seq("__term"), "left_outer")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("__w"), lit(0.0))) + bias).as("score"))
+  }
 }

@@ -144,4 +144,21 @@ class TextQualitySpec extends SparkTestBase {
     assert(r.getInt(2) == 2)
     assert(r.getBoolean(3))
   }
+
+  test("scoreLinear: tf weighting, bias, vocab misses score bias, empty text drops") {
+    val docs = Seq(
+      (1L, "good good bad"),     // 2*0.5 - 0.3 = 0.7
+      (2L, "unknown words only"), // all miss -> bias
+      (3L, "good"),               // 0.5
+      (4L, "")                    // no tokens -> dropped
+    ).toDF("doc_id", "text")
+    val weights = Seq(("good", 0.5), ("bad", -0.3)).toDF("term", "weight")
+    val out = TextAnalysis.scoreLinear(docs, "text", "doc_id", weights,
+        bias = 0.1)
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(out(1L) - 0.8) < 1e-9, s"tf-weighted: ${out(1L)}")
+    assert(math.abs(out(2L) - 0.1) < 1e-9, s"all-miss scores bias: ${out(2L)}")
+    assert(math.abs(out(3L) - 0.6) < 1e-9)
+  }
 }
