@@ -1184,6 +1184,14 @@ object SparkEntry {
           "quality", "fingerprint")
     }),
 
+    // Corpus vocabulary: top 200 terms by document frequency (term
+    // tiebreak makes the cutoff deterministic); df values AND the
+    // exact member set enter the hash.
+    "q_text_vocab" -> ((s, dir) =>
+      TextAnalysis.buildVocab(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", minDf = 2, topK = 200)),
+
     // Linear-classifier scoring with a weights TABLE (the exported-
     // model serving path). Weights are derived per corpus term from
     // its md5 (a deterministic stand-in for trained weights, exactly
@@ -2127,6 +2135,18 @@ object SparkEntry {
     // the int8 path's rescored output is contractually identical to
     // the exact float baseline — one shared oracle
     "q_sim_topk_int8" -> sqlExactTopK,
+
+    // doc-frequency vocabulary with (df desc, term asc) cutoff
+    "q_text_vocab" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''
+        |)
+        |SELECT term, count(*) AS df FROM tok
+        |GROUP BY term HAVING count(*) >= 2
+        |ORDER BY df DESC, term LIMIT 200""".stripMargin,
 
     // per-term md5-derived weights on the 0.01 grid; tf-weighted sum
     // per doc (vocab misses contribute 0), round(4)

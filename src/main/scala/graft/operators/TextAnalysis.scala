@@ -391,6 +391,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Corpus vocabulary by document frequency — the builder for
+    * tokenizer vocabularies / derived stopword lists: terms appearing
+    * in ≥ `minDf` documents, top `topK` by document frequency with the
+    * term itself as tiebreak, so the cutoff set is deterministic under
+    * ties. A term repeated within one document counts ONCE.
+    *
+    * Scale: (id, term) distinct + term count are token-keyed shuffles
+    * of the exploded corpus (linear); the top-k executes as Spark's
+    * distributed TakeOrderedAndProject (per-partition heaps, no global
+    * sort materialization).
+    */
+  def buildVocab(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 2, topK: Int = 10000): DataFrame = {
+    require(minDf >= 1 && topK >= 1, s"bad vocab bounds: $minDf/$topK")
+    df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Model-based quality scoring — the serving plumbing for an
     * EXPORTED linear text classifier (the fastText-style quality
     * filters of the big corpus pipelines): `score(doc) = bias +

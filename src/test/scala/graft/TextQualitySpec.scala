@@ -145,6 +145,21 @@ class TextQualitySpec extends SparkTestBase {
     assert(r.getBoolean(3))
   }
 
+  test("buildVocab: per-doc dedup, minDf, deterministic tie cutoff") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"), // apple counts once here
+      (2L, "apple banana date"),
+      (3L, "apple cherry date"),
+      (4L, "elderberry")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(docs, "text", "doc_id", minDf = 2, topK = 3)
+      .as[(String, Long)].collect()
+    // df: apple 3; banana/cherry/date 2 (tie) -> term-asc cutoff keeps
+    // banana, cherry; elderberry (df 1) excluded by minDf
+    assert(v.toSeq == Seq(("apple", 3L), ("banana", 2L), ("cherry", 2L)),
+      s"got ${v.toSeq}")
+  }
+
   test("scoreLinear: tf weighting, bias, vocab misses score bias, empty text drops") {
     val docs = Seq(
       (1L, "good good bad"),     // 2*0.5 - 0.3 = 0.7
