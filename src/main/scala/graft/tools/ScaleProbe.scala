@@ -484,9 +484,16 @@ object ScaleProbe {
         val rRows = reference.count()
         val (sec, mb) = time(Dedup.nearDuplicatesAgainst(
           delta, reference, "text", "doc_id", 0.9).count() + 1)
+        // the steady-state comparison: the same query against the
+        // PERSISTED index (reference bands/shingles on disk) — the
+        // build is paid once, so only query cost is timed
+        val idxPath = graft.operators.Spill.newPath(spark) + s"/probe_ndidx_$n"
+        graft.operators.NearDupIndex.build(reference, idxPath, "text", "doc_id")
+        val (qSec, qMb) = time(graft.operators.NearDupIndex.query(
+          spark, idxPath, delta, "text", "doc_id", 0.9).count() + 1)
         if (warmedInc)
           println(f"[scale] n=$n%-3d refDocs=$rRows%-9d deltaDocs=$dRows%-7d " +
-            f"incNearDup=$sec%6.2fs/${mb}%8.1fMB")
+            f"incNearDup=$sec%6.2fs/${mb}%8.1fMB idxQuery=$qSec%6.2fs/${qMb}%8.1fMB")
         warmedInc = true
         reference.unpersist()
       }
