@@ -1175,6 +1175,21 @@ object SparkEntry {
           .as("q_md5"))
     }),
 
+    // Exact group centroids over the int8-quantized embeddings
+    // (vec_id % 10 as synthetic classes): per-dimension LONG sums are
+    // order-free exact, so sums AND the derived double centroids can
+    // enter the hash without float-aggregation hazards.
+    "q_embed_centroids" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(
+          t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
+        .select((col("vec_id") % 10).as("grp"), col("embedding_q8"))
+      Similarity.int8Centroids(q, "grp", "embedding_q8")
+        .select(col("grp"), col("n"),
+          posexplode(col("sum_q8")).as(Seq("pos", "s")))
+        .withColumn("c", col("s").cast("double") / col("n"))
+        .select("grp", "pos", "n", "s", "c")
+    }),
+
     // Text quality statistics (pure projection).
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.stats(t(s, dir, "documents"), "text")
@@ -2135,6 +2150,27 @@ object SparkEntry {
     // the int8 path's rescored output is contractually identical to
     // the exact float baseline — one shared oracle
     "q_sim_topk_int8" -> sqlExactTopK,
+
+    // same int8 derivation as q_embed_quantize, then exact integer
+    // per-dimension sums (sum cast back to BIGINT — DuckDB widens to
+    // HUGEINT) and the sum/n centroid
+    "q_embed_centroids" ->
+      """WITH q AS (
+        |  SELECT vec_id % 10 AS grp,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      x * (127.0 / greatest(list_max(list_transform(embedding,
+        |        y -> abs(y)))::DOUBLE, 1e-30)) + 0.5) AS BIGINT)) AS q8
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT grp, count(*) AS n FROM q GROUP BY 1
+        |), e AS (
+        |  SELECT grp, r.range::INT - 1 AS pos, q8[r.range] AS v
+        |  FROM q CROSS JOIN range(1, 65) r
+        |), sums AS (
+        |  SELECT grp, pos, sum(v)::BIGINT AS s FROM e GROUP BY 1, 2
+        |)
+        |SELECT sums.grp, sums.pos, n.n, sums.s, sums.s::DOUBLE / n.n AS c
+        |FROM sums JOIN n USING (grp)""".stripMargin,
 
     // doc-frequency vocabulary with (df desc, term asc) cutoff
     "q_text_vocab" ->

@@ -70,3 +70,52 @@ object VectorAggregator {
   /** Aggregate Column over an `array<double>` input column. */
   def apply(op: String, input: Column): Column = fns(op)(input)
 }
+
+/** Element-wise LONG sum over integer vectors — the EXACT counterpart
+  * of [[VectorAggregator]]'s float sum: integer addition is
+  * associative/commutative, so the result is independent of partial-
+  * aggregation order (float vector sums are not — the documented
+  * cross-engine hazard). The exactness is what makes distributed
+  * centroids over int8-quantized embeddings hash-gateable. Buffer is
+  * O(dim); map-side combine applies.
+  */
+class LongVectorSumAggregator
+    extends Aggregator[Seq[Long], LongVectorSumAggregator.Buf, Seq[Long]] {
+  import LongVectorSumAggregator.Buf
+
+  override def zero: Buf = Buf(null)
+
+  private def add(acc: Array[Long], v: Array[Long]): Array[Long] = {
+    require(acc.length == v.length,
+      s"elementwise sum over mismatched lengths: ${acc.length} vs ${v.length}")
+    var i = 0
+    while (i < acc.length) { acc(i) += v(i); i += 1 }
+    acc
+  }
+
+  override def reduce(b: Buf, in: Seq[Long]): Buf =
+    if (in == null) b
+    else if (b.vec == null) Buf(in.toArray)
+    else { b.vec = add(b.vec, in.toArray); b }
+
+  override def merge(a: Buf, b: Buf): Buf =
+    if (a.vec == null) b
+    else if (b.vec == null) a
+    else { a.vec = add(a.vec, b.vec); a }
+
+  override def finish(b: Buf): Seq[Long] =
+    if (b.vec == null) null else b.vec.toSeq
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object LongVectorSumAggregator {
+  case class Buf(var vec: Array[Long])
+
+  private lazy val fn = udaf(new LongVectorSumAggregator())
+
+  /** Aggregate Column over an `array<bigint>` input column. */
+  def longVecSum(input: Column): Column = fn(input)
+}

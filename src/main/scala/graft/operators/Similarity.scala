@@ -443,6 +443,24 @@ object Similarity {
   def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
     transform(qCol, q => q.cast("double") / scaleCol)
 
+  /** Exact distributed group centroids over int8-quantized vectors
+    * (cluster means, per-class embedding prototypes): per-dimension
+    * sums accumulate in LONGs — order-free exact, unlike float partial
+    * aggregation, so the result is reproducible bit-for-bit at any
+    * partitioning — and the centroid is `sum/n` per dimension (a single
+    * deterministic division of exact operands). One shuffle on the
+    * group key with map-side combine; buffer O(dim) per group.
+    * Emits `(groupCol, sum_q8 array<bigint>, n, centroid array<double>)`.
+    */
+  def int8Centroids(df: DataFrame, groupCol: String, qCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        graft.functions.LongVectorSumAggregator
+          .longVecSum(col(qCol).cast("array<bigint>")).as("sum_q8"),
+        count(lit(1)).as("n"))
+      .withColumn("centroid",
+        transform(col("sum_q8"), x => x.cast("double") / col("n")))
+
   /** Random-hyperplane LSH bucketing for cosine: bit i of the bucket id
     * is the sign of `dot(v, h_i)` where the `h_i` are deterministic
     * seeded hyperplanes materialized as LITERAL arrays — computed once

@@ -75,6 +75,29 @@ class LlmOpsSpec extends SparkTestBase {
       "every re-submitted admitted doc must match its indexed self")
   }
 
+  test("int8Centroids: exact sums are partitioning-invariant; mismatched dims fail") {
+    val vecs = (0L until 500L)
+      .map(i => (i % 7, Seq.fill(16)(((i * 31 + 17) % 255 - 127).toInt)))
+      .toDF("grp", "q8")
+    val a = Similarity.int8Centroids(vecs, "grp", "q8")
+      .select($"grp", $"sum_q8", $"n").as[(Long, Seq[Long], Long)]
+      .collect().toSet
+    val b = Similarity.int8Centroids(vecs.repartition(13), "grp", "q8")
+      .select($"grp", $"sum_q8", $"n").as[(Long, Seq[Long], Long)]
+      .collect().toSet
+    assert(a == b, "integer sums must not depend on partial-agg order")
+    assert(a.size == 7 && a.forall(_._2.length == 16))
+    // independent reference fold for one group
+    val g0 = (0L until 500L).filter(_ % 7 == 0)
+      .map(i => Seq.fill(16)(((i * 31 + 17) % 255 - 127).toLong))
+    val expected = g0.reduce((x, y) => x.zip(y).map { case (p, q) => p + q })
+    assert(a.find(_._1 == 0L).get._2 == expected)
+    val bad = Seq((1L, Seq(1, 2, 3)), (1L, Seq(1, 2))).toDF("grp", "q8")
+    intercept[org.apache.spark.SparkException] {
+      Similarity.int8Centroids(bad, "grp", "q8").collect()
+    }
+  }
+
   test("paragraph boilerplate removal: excise, threshold, order, all-boiler drop") {
     val rows = Seq(
       // "ad" appears in 3 of 4 docs (freq 3 >= 3) -> boilerplate;
