@@ -807,6 +807,49 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // The CONTINUOUS sessionizer (flatMapGroupsWithState,
+    // buffer-until-watermark, event-time-timeout flush) against the
+    // same gaps-and-islands oracle: sessions must emit EXACTLY once
+    // with exactly the batch partition of events. Per-key far-future
+    // sentinels advance the watermark so every real session provably
+    // closes; sentinel sessions stay open and are never emitted.
+    "q_stream_session_state" -> ((s, dir) => {
+      import graft.streaming.StreamingSessionize
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
+          col("value"))
+      implicit val sqlCtx = s.sqlContext
+      implicit val evEnc = StreamingSessionize.eventEnc
+      val stream = MemoryStream[StreamingSessionize.Event]
+      stream.addData(ev.as[StreamingSessionize.Event](evEnc).collect().toSeq)
+      val name = s"stream_sess_state_${System.nanoTime()}"
+      val q = StreamingSessionize(stream.toDS(), gapSeconds = 1800)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      val maxTs = ev.agg(max("tsMicros")).head().getLong(0)
+      import s.implicits.newLongEncoder
+      stream.addData(ev.select("key").distinct().as[Long].collect()
+        .map(k => StreamingSessionize.Event(
+          k, maxTs + 10000L * 1000000L, 0.0)).toSeq: _*)
+      q.processAllAvailable()
+      // timeout firings ride no-data micro-batches; poll to a stable count
+      var last = -1L; var stable = 0
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+        val c = s.table(name).count()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      q.stop()
+      s.table(name)
+        .select(col("key").as("user_id"),
+          timestamp_micros(col("startMicros")).as("session_start"),
+          timestamp_micros(col("endMicros")).as("session_end"),
+          col("n").as("n_events"), round(col("vSum"), 4).as("v_sum"))
+    }),
+
     // K4/T3 under the oracle gate: the streaming windowed aggregation is
     // driven through `runWithTimeout` — foreachBatch → the SAME
     // Materializer sink writers as batch — into the online KV store,
@@ -2080,6 +2123,25 @@ object SparkEntry {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
         |  count(*) AS n_events, round(sum(value), 4) AS v_sum
         |FROM sq GROUP BY 1, 2""".stripMargin,
+
+    // the stateful sessionizer must land on the identical partition of
+    // events as the batch window SQL — bounds, counts, and value sums
+    "q_stream_session_state" ->
+      s"""WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sq AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |  FROM e
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS v_sum
+        |FROM sq GROUP BY user_id, session_seq""".stripMargin,
 
     // same partition of events as q_sessionize, keyed by (user,
     // session_start) since streaming emits no ordinal
