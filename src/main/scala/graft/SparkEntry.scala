@@ -1267,6 +1267,33 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
+    // CCNet-style LM coverage, integer-exact: a bigram LM trained on
+    // the doc_id%5!=0 slice scores EVERY document's gram stream —
+    // total/matched/occurrence-weighted counts plus a 50% coverage
+    // verdict via integer cross-multiply. Held-out docs (doc_id%5==0)
+    // genuinely exercise the miss path; zero-gram docs survive with
+    // n_grams=0.
+    "q_text_lm_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val lm = TextAnalysis.buildNgramLm(
+        docs.where(col("doc_id") % 5 =!= 0), "text", n = 2, minCount = 2)
+      TextAnalysis.lmCoverage(docs, "text", "doc_id", lm, n = 2)
+        .withColumn("pass", col("n_matched") * 2 >= col("n_grams"))
+    }),
+
+    // BM25 top-k retrieval: every 50th document's 120-char prefix is a
+    // query against the full corpus. Self-retrieval (the query's own
+    // source doc must surface) plus the exact ranked lists and rounded
+    // scores all enter the hash; ranking happens on the 1e-5-grid
+    // score, so the oracle's independent ln/Σ reproduce it exactly.
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      Retrieval.bm25TopK(docs, queries, k = 10)
+    }),
+
     // Language ID by stopword hits + approximate token count.
     "q_text_lang_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2261,6 +2288,74 @@ object SparkEntry {
         |SELECT t.doc_id, round(sum(coalesce(w.weight, 0)), 4) AS score
         |FROM tok t LEFT JOIN wt w USING (term)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // bigram LM + coverage recomputed end-to-end; every column is an
+    // integer count (or an integer-compare boolean) so the hash is
+    // float-free by construction
+    "q_text_lm_coverage" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
+        |    t -> t <> '') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w), 1)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS gram
+        |  FROM toks
+        |), lm AS (
+        |  SELECT gram, count(*) AS c FROM grams WHERE doc_id % 5 <> 0
+        |  GROUP BY gram HAVING count(*) >= 2
+        |), agg AS (
+        |  SELECT g.doc_id, count(*) AS n_grams, count(l.c) AS n_matched,
+        |    coalesce(sum(l.c), 0) AS lm_hits
+        |  FROM grams g LEFT JOIN lm l USING (gram)
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_matched, 0) AS n_matched,
+        |  coalesce(a.lm_hits, 0) AS lm_hits,
+        |  coalesce(a.n_matched, 0) * 2 >= coalesce(a.n_grams, 0) AS pass
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // BM25 mirrored operation-for-operation (same expression tree →
+    // identical IEEE results per contribution; Σ order + ln's last ulp
+    // absorbed by ranking on the 1e-5-rounded score, doc_id tiebreak)
+    "q_bm25_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
+        |    t -> t <> '') AS w
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY doc_id, dl, term
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
+        |      t -> t <> '')) AS term
+        |    FROM documents WHERE doc_id % 50 = 0)
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY term
+        |), scored AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
+        |    ), 5) AS score
+        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
+        |  GROUP BY q.q_id, tf.doc_id
+        |), ranked AS (
+        |  SELECT q_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH norm AS (

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAggregator
+
+/** Sparse lexical retrieval — BM25 top-k over the engine's token
+  * stack (SURVEY.md §2.11). The training-data use cases are retrieval
+  * for RAG corpus construction, query-based corpus audits ("which
+  * documents answer this eval question" — the lexical complement of
+  * `TextAnalysis.contaminatedWith`), and hard-negative mining.
+  *
+  * Model: Robertson/Spärck-Jones BM25 with the +1 idf smoothing
+  * (Lucene's formulation, always non-negative):
+  *
+  *   idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+  *   score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+  *
+  * summed over DISTINCT query terms (unit query-term weight).
+  *
+  * Scale posture (the 100 TB shape):
+  *   - Tokenization is a zero-shuffle projection (`TextAnalysis.words`,
+  *     the one normalization shared by dedup/langID/winnow, so CJK text
+  *     segments here too).
+  *   - The corpus side is a zero-shuffle scan+explode: tokens join the
+  *     broadcast query-term set (spilled, exact-bytes gate) BELOW the
+  *     tf aggregation, so only query-matched tokens ever enter an
+  *     exchange — under a fixed query load the shuffle stays bounded
+  *     by Σ df(query terms) while the corpus grows (SCALE.md axis 11),
+  *     and df() aggregates only the pruned postings.
+  *   - Per-query top-k uses the bounded map-side [[TopKAggregator]] —
+  *     the shuffle carries ≤ partitions·k candidate rows per query and
+  *     nothing is globally sorted (no Window/row_number over the full
+  *     candidate set).
+  *   - Worst case is a query full of stopwords: candidates ≈ Σ df(t)
+  *     approaches the corpus. `maxDfFrac` drops query terms whose df
+  *     exceeds the fraction (their idf ≈ 0 contributes nothing but
+  *     cost); 1.0 disables the prune.
+  *
+  * Float discipline (cross-engine hashes): per-(q,d,t) contributions
+  * mirror the oracle's expression tree operation-for-operation (IEEE
+  * ops are deterministic given operand order), the only divergence is
+  * the Σ fold order and ln's last ulp, both absorbed by ranking on the
+  * score ROUNDED to the 1e-5 grid (ties broken by doc id), the
+  * q_sim_topk convention.
+  */
+object Retrieval {
+
+  /** Top-k BM25 retrieval: one output row per (query, rank ≤ k) with
+    * the rounded score. Queries with no surviving terms return no rows.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "q_id", qtextCol: String = "q_text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, s"bad maxDfFrac: $maxDfFrac")
+    val bcLimit = corpus.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+      .toLong
+
+    def toks(text: org.apache.spark.sql.Column) =
+      filter(TextAnalysis.words(text), t => t =!= lit(""))
+
+    // one row: corpus size + total token count (avgdl = sumdl/N, both
+    // integers, so the double division is identical cross-engine)
+    val stats = corpus.select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+
+    // distinct query terms, spilled for an exact-bytes broadcast call
+    val (qt, qBytes) = Spill.roundTripSized(
+      queries
+        .select(col(qidCol).as("__qid"), explode(toks(col(qtextCol))).as("__term"))
+        .distinct())
+    val qtH = if (qBytes <= bcLimit) broadcast(qt) else qt
+    val qTerms = qt.select(col("__term")).distinct()
+    val qTermsH = if (qBytes <= bcLimit) broadcast(qTerms) else qTerms
+
+    // postings for QUERY terms only: the prune sits below the tf
+    // aggregation, so the corpus contributes a zero-shuffle
+    // scan+explode and only matching tokens ever shuffle — under a
+    // fixed query load the exchange stays bounded by Σ df(query
+    // terms) as the corpus grows (measured, SCALE.md axis 11)
+    val tfQ = corpus
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+      .select(col("__id"), size(col("__w")).as("__dl"),
+        explode(col("__w")).as("__term"))
+      .join(qTermsH, Seq("__term"))
+      .groupBy(col("__id"), col("__term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val (dfT, dfBytes) = Spill.roundTripSized(
+      tfQ.groupBy(col("__term")).agg(count(lit(1)).as("__df")))
+    val dfH = if (dfBytes <= bcLimit) broadcast(dfT) else dfT
+
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val contrib = idf * (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+
+    val scored = tfQ
+      .join(dfH, Seq("__term"))
+      .join(qtH, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .where(col("__df") <= lit(maxDfFrac) * col("__n"))
+      .select(col("__qid"), col("__id"), contrib.as("__c"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(round(sum(col("__c")), 5).as("score"))
+
+    // bounded map-side top-k on the ROUNDED score (cross-engine-stable
+    // order), then unpack to (rank, doc, score) rows
+    scored
+      .groupBy(col("__qid").as("q_id"))
+      .agg(TopKAggregator(k)(col("score"), col("__id").cast("long")).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__hit")))
+      .select(col("q_id"),
+        col("__hit").getField("_2").as("doc_id"),
+        (col("__pos") + 1).as("rank"),
+        col("__hit").getField("_1").as("score"))
+  }
+}

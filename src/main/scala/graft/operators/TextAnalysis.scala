@@ -414,6 +414,94 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token n-grams of `textCol` as space-joined strings, empty array
+    * when the document has fewer than `n` tokens. (The `sequence`
+    * guard matters: Spark's `sequence(1, 0)` DESCENDS instead of
+    * returning empty.)
+    */
+  private def ngrams(text: Column, n: Int): Column = {
+    val w = filter(words(text), t => t =!= lit(""))
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** n-gram language-model table from a reference corpus: one row per
+    * gram appearing ≥ `minCount` times (token-level occurrences, not
+    * document frequency). This is the trained artifact the CCNet-style
+    * coverage filter scores against — build it on the trusted slice,
+    * score everything.
+    *
+    * Scale: gram explode is n× the token count, then ONE gram-keyed
+    * shuffle for the count — linear in corpus tokens.
+    */
+  def buildNgramLm(df: DataFrame, textCol: String, n: Int = 2,
+      minCount: Long = 2): DataFrame = {
+    require(n >= 1 && minCount >= 1, s"bad LM bounds: n=$n minCount=$minCount")
+    df.select(explode(ngrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("count"))
+      .where(col("count") >= minCount)
+  }
+
+  /** CCNet-style LM coverage scoring, INTEGER-EXACT: per document, how
+    * much of its n-gram stream the reference LM has seen — `n_grams`
+    * (total grams), `n_matched` (grams present in the LM), `lm_hits`
+    * (Σ LM counts of matched grams, occurrence-weighted). The usual
+    * formulation scores mean log-probability (perplexity); these
+    * integer sufficient statistics carry the same signal (a
+    * gibberish/OCR-noise/wrong-language doc has low coverage) with
+    * none of the cross-engine transcendental hazard — thresholds are
+    * exact integer cross-multiplications (see [[filterByLmCoverage]]).
+    *
+    * Documents with fewer than `n` tokens emit `n_grams = 0` (and
+    * survive — deciding on no evidence is the caller's policy knob).
+    *
+    * Scale posture: gram projection is zero-shuffle; the LM side is
+    * vocabulary-sized (≪ corpus), spilled for its EXACT bytes and
+    * broadcast under the configured gate so the corpus never shuffles
+    * on gram — above the gate it falls back to a gram-keyed shuffle
+    * join, still linear. One groupBy(id) with map-side partial agg.
+    */
+  def lmCoverage(df: DataFrame, textCol: String, idCol: String,
+      lm: DataFrame, n: Int = 2, gramCol: String = "gram",
+      countCol: String = "count"): DataFrame = {
+    require(n >= 1, s"bad n: $n")
+    val bcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+      .toLong
+    val (lmS, lmBytes) = Spill.roundTripSized(
+      lm.select(col(gramCol).as("__gram"), col(countCol).as("__lmc")))
+    val lmH = if (lmBytes <= bcLimit) broadcast(lmS) else lmS
+    df.select(col(idCol), explode_outer(ngrams(col(textCol), n)).as("__gram"))
+      .join(lmH, Seq("__gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__gram")).as("n_grams"),
+        count(col("__lmc")).as("n_matched"),
+        coalesce(sum(col("__lmc")), lit(0L)).as("lm_hits"))
+  }
+
+  /** Keep documents whose LM coverage clears `minNum/minDen` (exact
+    * integer cross-multiply — no float threshold). Zero-gram documents
+    * are kept iff `keepEmpty`.
+    */
+  def filterByLmCoverage(df: DataFrame, textCol: String, idCol: String,
+      lm: DataFrame, minNum: Long, minDen: Long, n: Int = 2,
+      keepEmpty: Boolean = true): DataFrame = {
+    require(minDen > 0 && minNum >= 0, s"bad threshold: $minNum/$minDen")
+    // the threshold is vacuously true at n_grams = 0 (0 ≥ 0), so the
+    // empty case must be split out and decided by keepEmpty alone
+    val cov = lmCoverage(df, textCol, idCol, lm, n)
+      .select(col(idCol),
+        (col("n_grams") > 0 &&
+          col("n_matched") * minDen >= col("n_grams") * minNum).as("__covered"),
+        (col("n_grams") === 0).as("__empty"))
+    val keep = cov.where(col("__covered") || (if (keepEmpty) col("__empty") else lit(false)))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Model-based quality scoring — the serving plumbing for an
     * EXPORTED linear text classifier (the fastText-style quality
     * filters of the big corpus pipelines): `score(doc) = bias +

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 top-k retrieval (`Retrieval.bm25TopK`). */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the lazy dog sleeps all day in the sun"),
+    (3L, "quantum chromodynamics governs the strong interaction"),
+    (4L, "a fox and a dog walk into the sun"),
+    (5L, "the the the the the the the the")
+  ).toDF("doc_id", "text")
+
+  test("self-retrieval: a document's own text is its best match") {
+    val queries = corpus.select($"doc_id".as("q_id"), $"text".as("q_text"))
+    val top = Retrieval.bm25TopK(corpus, queries, k = 1)
+      .select("q_id", "doc_id").as[(Long, Long)].collect().toMap
+    for (id <- 1L to 5L)
+      assert(top(id) == id, s"query $id retrieved ${top(id)}")
+  }
+
+  test("idf ordering: rare-term match outranks common-term match") {
+    // "quantum" appears in one doc, "dog" in three; a query with both
+    // must rank the quantum doc (rare term, high idf) first
+    val queries = Seq((100L, "quantum dog")).toDF("q_id", "q_text")
+    val hits = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .orderBy($"rank").select("doc_id").as[Long].collect()
+    assert(hits.head == 3L, s"expected doc 3 first, got ${hits.toSeq}")
+    // every dog-containing doc surfaces after it
+    assert(hits.toSet.intersect(Set(1L, 2L, 4L)) == Set(1L, 2L, 4L))
+  }
+
+  test("maxDfFrac prunes saturated terms from the candidate set") {
+    // "the" is in 5/5 docs; with maxDfFrac=0.9 a the-only query
+    // matches nothing instead of fanning out to the whole corpus
+    val queries = Seq((100L, "the")).toDF("q_id", "q_text")
+    val pruned = Retrieval.bm25TopK(corpus, queries, k = 5, maxDfFrac = 0.9)
+    assert(pruned.count() == 0)
+    val unpruned = Retrieval.bm25TopK(corpus, queries, k = 5)
+    assert(unpruned.count() == 5)
+  }
+
+  test("scores match an independent plain-Scala BM25 fold (rounded grid)") {
+    val docs = corpus.as[(Long, String)].collect().toSeq
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def df(term: String) = toks.values.count(_.contains(term))
+    def bm25(q: Seq[String], d: Long): Double = {
+      val dl = toks(d).size
+      q.distinct.filter(t => toks(d).contains(t)).map { t =>
+        val tf = toks(d).count(_ == t)
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val qText = "lazy fox sun"
+    val queries = Seq((7L, qText)).toDF("q_id", "q_text")
+    val got = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val want = docs.map(_._1)
+      .map(id => id -> bm25(qText.split(" ").toSeq, id))
+      .filter(_._2 > 0).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, s) <- want)
+      assert(math.abs(got(id) - s) < 1e-5, s"doc $id: got ${got(id)}, want $s")
+  }
+
+  test("query terms absent from the corpus contribute nothing") {
+    val queries = Seq((9L, "zzz unseen fox")).toDF("q_id", "q_text")
+    val withUnseen = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val foxOnly = Retrieval.bm25TopK(
+        corpus, Seq((9L, "fox")).toDF("q_id", "q_text"), k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(withUnseen == foxOnly)
+  }
+}

@@ -176,4 +176,52 @@ class TextQualitySpec extends SparkTestBase {
     assert(math.abs(out(2L) - 0.1) < 1e-9, s"all-miss scores bias: ${out(2L)}")
     assert(math.abs(out(3L) - 0.6) < 1e-9)
   }
+
+  test("lmCoverage: exact integer stats on a constructed corpus") {
+    import org.apache.spark.sql.functions.col
+    // reference: "a b" ×3 (docs 1,2 + doc 1 again), "b c" ×2 → LM keeps both
+    // at minCount=2; "c d" appears once → dropped
+    val ref = Seq(
+      (1L, "a b c d"),     // grams: a b, b c, c d
+      (2L, "a b a b"),     // grams: a b, b a, a b
+      (3L, "b c x y")      // grams: b c, c x, x y
+    ).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildNgramLm(ref, "text", n = 2, minCount = 2)
+    val lmMap = lm.as[(String, Long)].collect().toMap
+    assert(lmMap == Map("a b" -> 3L, "b c" -> 2L), s"lm: $lmMap")
+
+    val score = Seq(
+      (10L, "a b c"),      // grams: "a b"(hit 3), "b c"(hit 2)
+      (11L, "q r s"),      // 2 grams, 0 matched
+      (12L, "a")           // 0 grams
+    ).toDF("doc_id", "text")
+    val cov = TextAnalysis.lmCoverage(score, "text", "doc_id", lm)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cov(10L) == ((2L, 2L, 5L)), s"doc 10: ${cov(10L)}")
+    assert(cov(11L) == ((2L, 0L, 0L)), s"doc 11: ${cov(11L)}")
+    assert(cov(12L) == ((0L, 0L, 0L)), s"doc 12: ${cov(12L)}")
+
+    // threshold: need ≥ 1/2 of grams matched; zero-gram doc kept by default
+    val kept = TextAnalysis.filterByLmCoverage(
+        score, "text", "doc_id", lm, minNum = 1, minDen = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L), s"kept: $kept")
+    val keptStrict = TextAnalysis.filterByLmCoverage(
+        score, "text", "doc_id", lm, minNum = 1, minDen = 2, keepEmpty = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStrict == Set(10L), s"keptStrict: $keptStrict")
+  }
+
+  test("lmCoverage: occurrence weighting counts repeated grams per occurrence") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildNgramLm(ref, "text", n = 2, minCount = 2)
+    // "x y" count 3 (twice in doc 1, once in doc 2); others < 2 dropped
+    val cov = TextAnalysis.lmCoverage(
+        Seq((5L, "x y x y x")).toDF("doc_id", "text"), "text", "doc_id", lm)
+      .as[(Long, Long, Long, Long)].collect().head
+    // grams: "x y","y x","x y","y x" → 4 total, "x y" matched twice, 3+3 hits
+    assert(cov == ((5L, 4L, 2L, 6L)), s"cov: $cov")
+  }
 }
