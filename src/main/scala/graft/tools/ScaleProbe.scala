@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|all selects the axis
+    // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
+    //   sessionize|ivfindex|skew|bm25|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -679,6 +680,35 @@ object ScaleProbe {
           println(f"[scale] n=$n%-3d SKEW minhashHot10 docs=$hotRows%-9d ${lsh._1}%6.2fs/${lsh._2}%8.1fMB/x${lsh._3}%5.1f")
         }
         warmedSkew = true
+      }
+    }
+    // ── axis 11: BM25 retrieval under fixed query load ───────────────
+    // The retrieval claim (Retrieval.bm25TopK): the corpus side is a
+    // zero-shuffle scan+explode — only query-matched postings enter an
+    // exchange, so with a FIXED query set the shuffle is bounded by
+    // Σ df(query terms) while the corpus grows n×. Replica texts are
+    // injectively vowel-rewritten (the minhash-axis discipline), so
+    // replica tokens do not collide with base-corpus query terms;
+    // queries come from en docs only (CJK text has no vowels to
+    // rewrite — zh replicas WOULD collide and re-grow df). Expected
+    // signature: wall grows with the scan, shuffle stays ~flat.
+    {
+      var warmedBm = false
+      val enDocs = spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en").select("doc_id", "text")
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "bm25") {
+        val corpus = replicatedDocs(n).cache()
+        val rows = corpus.count()
+        val queries = enDocs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("q_id"),
+            substring(col("text"), 1, 120).as("q_text"))
+        val (sec, mb) = time(graft.operators.Retrieval
+          .bm25TopK(corpus, queries, k = 10)
+          .select(count(lit(1))).head().getLong(0))
+        if (warmedBm)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d bm25TopK=$sec%6.2fs/${mb}%8.1fMB")
+        warmedBm = true
+        corpus.unpersist()
       }
     }
     spark.stop()
