@@ -1200,6 +1200,14 @@ object SparkEntry {
     // (the floor(x·scale+½) construction is pure IEEE arithmetic on
     // bit-identical inputs, so the md5 of the joined int array must
     // match to the last element).
+    // JL sign random projection 64 → 16 dims on the md5 sign grid;
+    // every projected component (1e-5 grid) of every vector enters
+    // the hash.
+    "q_embed_project" -> ((s, dir) =>
+      Similarity.randomProject(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "embedding", "vec_id", inDim = 64, outDim = 16)),
+
     "q_embed_quantize" -> ((s, dir) => {
       val q = Similarity.quantizeInt8(
         t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
@@ -1266,6 +1274,33 @@ object SparkEntry {
       TextAnalysis.scoreLinear(docs, "text", "doc_id", weights)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+
+    // URL-blocklist audit (the C4 url-filter shape): URLs planted
+    // deterministically on doc_id%3 docs — host site(doc_id%7)
+    // .example.com (exact-match path) and cdn(doc_id%5).assets.net
+    // (dot-SUFFIX match path, 'assets.net' blocks every cdn host).
+    // Counts + keep verdict are integers; URL-free docs survive with
+    // n_urls=0.
+    "q_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://site"), col("doc_id") % 7,
+              lit(".example.com/path and http://cdn"), col("doc_id") % 5,
+              lit(".assets.net/x")))
+            .otherwise(lit(""))).as("text"))
+      val blocklist = Seq("site0.example.com", "site3.example.com",
+        "assets.net").toDF("domain")
+      TextAnalysis.domainBlocklistStats(planted, "text", "doc_id", blocklist)
+        .withColumn("kept", col("n_blocked") === 0)
+    }),
+
+    // Dataset-card composition report by (lang, source): doc/token/
+    // char totals, exact-dup and empty counts — all integer columns.
+    "q_corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(
+        t(s, dir, "documents"), "text", Seq("lang", "source"))),
 
     // CCNet-style LM coverage, integer-exact: a bigram LM trained on
     // the doc_id%5!=0 slice scores EVERY document's gram stream —
@@ -2240,6 +2275,17 @@ object SparkEntry {
     // the exact float baseline — one shared oracle
     "q_sim_topk_int8" -> sqlExactTopK,
 
+    // the ±1 sign grid re-derived from md5 in SQL; sequential list
+    // fold + round(5) per component
+    "q_embed_project" ->
+      """SELECT vec_id, j AS out_dim,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> embedding[i]::DOUBLE *
+        |      (CASE WHEN ('0x' || substr(md5((i-1) || '_' || j || '_jl'),
+        |         1, 8))::UBIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END))), 5)
+        |    AS value
+        |FROM embeddings CROSS JOIN range(0, 16) r(j)""".stripMargin,
+
     // same int8 derivation as q_embed_quantize, then exact integer
     // per-dimension sums (sum cast back to BIGINT — DuckDB widens to
     // HUGEINT) and the sum/n centroid
@@ -2288,6 +2334,55 @@ object SparkEntry {
         |SELECT t.doc_id, round(sum(coalesce(w.weight, 0)), 4) AS score
         |FROM tok t LEFT JOIN wt w USING (term)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // blocklist inlined as a literal list; per-URL blocked verdict via
+    // exact-or-dot-suffix list_filter (the engine's suffix-chain
+    // equi-join computes the same predicate)
+    "q_domain_filter" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
+        |      '.example.com/path and http://cdn' || (doc_id % 5) ||
+        |      '.assets.net/x'
+        |    ELSE '' END AS text
+        |  FROM documents
+        |), urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    'https?://([a-z0-9.-]+)', 1)) AS u
+        |  FROM planted
+        |), marked AS (
+        |  SELECT doc_id, u,
+        |    len(list_filter(['site0.example.com','site3.example.com','assets.net'],
+        |      bd -> u = bd OR ends_with(u, '.' || bd))) > 0 AS blocked
+        |  FROM urls
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_urls,
+        |    sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS n_blocked
+        |  FROM marked GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.n_urls, 0) AS n_urls,
+        |  coalesce(a.n_blocked, 0) AS n_blocked,
+        |  coalesce(a.n_blocked, 0) = 0 AS kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // integer totals only; token proxy reuses the proven
+    // q_text_lang_tokens fragment (per-doc BIGINT before the group sum)
+    "q_corpus_report" ->
+      s"""WITH norm AS (
+        |  SELECT lang, source, text,
+        |    string_split(${sqlNt("text")}, ' ') AS w,
+        |    md5(${sqlNt("text")}) AS fp
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  coalesce(sum(list_sum(
+        |    list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT), 0)
+        |    AS n_tokens,
+        |  coalesce(sum(length(text)), 0) AS n_chars,
+        |  count(*) - count(DISTINCT fp) AS n_dup_docs,
+        |  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        |    AS n_empty
+        |FROM norm GROUP BY lang, source""".stripMargin,
 
     // bigram LM + coverage recomputed end-to-end; every column is an
     // integer count (or an integer-compare boolean) so the hash is

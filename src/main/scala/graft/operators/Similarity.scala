@@ -468,6 +468,48 @@ object Similarity {
     * formulation re-evaluated nBits×dim hash calls per row).
     * Same-bucket rows are near-duplicate candidates.
     */
+  /** Deterministic ±1 sign matrix for [[randomProject]] on the repo's
+    * md5 grid: `sign(i,j) = +1` iff the first 8 hex chars of
+    * `md5("i_j_seed")` parse even — exactly reproducible in any engine
+    * with md5, no RNG state.
+    */
+  def signProjectionMatrix(inDim: Int, outDim: Int,
+      seed: String): Array[Array[Double]] = {
+    require(inDim >= 1 && outDim >= 1, s"bad dims: $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val hex = md.digest(s"${i}_${j}_$seed".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss sign random projection: `out_j = Σ_i x_i ·
+    * sign(i,j)` — the cheap, deterministic dimensionality reduction in
+    * front of clustering / LSH / ANN when the raw dim is large.
+    * Long-format output `(id, out_dim, value)` with values on the 1e-5
+    * grid (the per-component sum is a SEQUENTIAL array fold, so
+    * cross-engine divergence is last-ulp only and round(5) absorbs
+    * it).
+    *
+    * Scale: a pure zero-shuffle projection; the matrix is `outDim ·
+    * inDim` ±1 literals baked into the plan — fine to ~10⁵ entries;
+    * past that, move the matrix into a broadcast and a custom
+    * Expression (the [[graft.functions.DotProductExpr]] pattern)
+    * rather than growing the plan.
+    */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+      inDim: Int, outDim: Int, seed: String = "jl"): DataFrame = {
+    val mat = signProjectionMatrix(inDim, outDim, seed)
+    val comps = array((0 until outDim).map { j =>
+      val signs = array(mat(j).map(lit): _*)
+      round(aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v), 5)
+    }: _*)
+    df.select(col(idCol), posexplode(comps).as(Seq("out_dim", "value")))
+  }
+
   def cosineLshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nBits, dim)(rng.nextGaussian())

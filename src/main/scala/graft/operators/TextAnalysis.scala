@@ -414,6 +414,97 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Lower-cased host parts of http(s) URL mentions. Alternation-free
+    * greedy-char-class pattern (the [[piiPatterns]] Java ≡ RE2
+    * discipline) so engines agree on every match.
+    */
+  val urlHostPattern: String = "https?://([a-z0-9.-]+)"
+
+  /** All URL hosts mentioned in `text`, lower-cased, in order. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(lower(text), lit(urlHostPattern), lit(1))
+
+  /** The dot-suffix chain of a host — `cdn0.assets.net` →
+    * `[cdn0.assets.net, assets.net, net]`. Blocklist matching joins
+    * EQUI on these (bounded fan-out: one row per label, realistically
+    * ≤5), which stays a hash join at any blocklist size — the naive
+    * `host = d OR endswith(host, '.'||d)` predicate forces a
+    * nested-loop join that only survives while the blocklist
+    * broadcasts.
+    */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + lit(1)), "."))
+  }
+
+  /** Per-document URL-blocklist audit (the C4/RefinedWeb URL-filter
+    * shape): `n_urls` mentions, `n_blocked` of them matching the
+    * blocklist exactly or as a dot-suffix (`assets.net` blocks
+    * `cdn0.assets.net`). Blocklist is DATA (a `domain` column) — ship
+    * the list, not code.
+    *
+    * Scale: URL extraction is a zero-shuffle projection; the suffix
+    * expansion is a ≤labels-per-host fan-out; the blocklist side is
+    * spilled (exact bytes) and broadcast under the configured gate,
+    * falling back to a suffix-keyed hash shuffle join — linear either
+    * way. One groupBy(doc) with map-side partial agg folds it back.
+    */
+  def domainBlocklistStats(df: DataFrame, textCol: String, idCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val bcLimit = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+      .toLong
+    val (bl, blBytes) = Spill.roundTripSized(
+      blocklist.select(col(domainCol).as("__bd")))
+    val blH = if (blBytes <= bcLimit) broadcast(bl) else bl
+    df.select(col(idCol),
+        posexplode_outer(urlDomains(col(textCol))).as(Seq("__pos", "__d")))
+      .select(col(idCol), col("__pos"), col("__d"),
+        explode_outer(when(col("__d").isNotNull,
+          domainSuffixes(col("__d")))).as("__sfx"))
+      .join(blH, col("__sfx") === col("__bd"), "left_outer")
+      // collapse the suffix fan-out: one row per URL INSTANCE, blocked
+      // iff any suffix level matched
+      .groupBy(col(idCol), col("__pos"), col("__d"))
+      .agg((count(col("__bd")) > 0).as("__blocked"))
+      .groupBy(col(idCol))
+      .agg(count(col("__d")).as("n_urls"),
+        sum(when(col("__blocked"), 1L).otherwise(0L)).as("n_blocked"))
+  }
+
+  /** Drop documents mentioning any blocklisted domain (exact or
+    * dot-suffix match); documents with no URLs survive.
+    */
+  def dropBlockedDomains(df: DataFrame, textCol: String, idCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val blocked = domainBlocklistStats(df, textCol, idCol, blocklist, domainCol)
+      .where(col("n_blocked") > 0).select(col(idCol))
+    df.join(blocked, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus composition report — the "dataset card" numbers, grouped
+    * by arbitrary dimension columns (lang, source, split, …): document
+    * / token / char totals, exact-duplicate count (docs minus distinct
+    * normalized fingerprints), empty-text count. All INTEGER columns —
+    * engine-invariant by construction.
+    *
+    * Scale: one groupBy over the dimensions with map-side partial
+    * aggregation; the `countDistinct` is Spark's standard two-phase
+    * distinct-aggregate expansion. Nothing is collected.
+    */
+  def corpusReport(df: DataFrame, textCol: String,
+      byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "corpusReport needs at least one dimension")
+    df.groupBy(byCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(approxTokenCount(col(textCol))), lit(0L)).as("n_tokens"),
+      coalesce(sum(length(col(textCol))), lit(0L)).as("n_chars"),
+      (count(lit(1)) - countDistinct(fingerprint(col(textCol)))).as("n_dup_docs"),
+      sum(when(col(textCol).isNull || length(col(textCol)) === 0, 1L)
+        .otherwise(0L)).as("n_empty"))
+  }
+
   /** Token n-grams of `textCol` as space-joined strings, empty array
     * when the document has fewer than `n` tokens. (The `sequence`
     * guard matters: Spark's `sequence(1, 0)` DESCENDS instead of

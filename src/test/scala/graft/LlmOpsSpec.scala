@@ -461,4 +461,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(top.count() == scored.count())
     assert(top.join(scored, Seq("q_id", "vec_id", "rank"), "left_anti").count() == 0)
   }
+
+  test("randomProject matches an independent Scala fold; deterministic; JL-sane") {
+    val dim = 16; val outDim = 8
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      i -> Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq).toMap
+    val df = vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+
+    val got = Similarity.randomProject(df, "embedding", "vec_id", dim, outDim)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // independent fold over the same md5 sign matrix
+    val mat = Similarity.signProjectionMatrix(dim, outDim, "jl")
+    for ((id, v) <- vecs; j <- 0 until outDim) {
+      val want = v.zip(mat(j)).map { case (x, s) => x.toDouble * s }.sum
+      assert(math.abs(got(id)(j) - want) < 1e-5, s"vec $id dim $j")
+    }
+    // partitioning-invariant
+    val got13 = Similarity.randomProject(
+        df.repartition(13), "embedding", "vec_id", dim, outDim)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got == got13)
+    // JL sanity: projected squared norms concentrate around outDim/inDim
+    // × input (±1 rows have norm² = inDim per row, E[‖Px‖²] = outDim·‖x‖²)
+    val ratios = vecs.map { case (id, v) =>
+      val in = v.map(x => x.toDouble * x).sum
+      got(id).map(p => p * p).sum / (outDim * in)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"JL norm-ratio mean off: $mean")
+  }
 }

@@ -177,6 +177,45 @@ class TextQualitySpec extends SparkTestBase {
     assert(math.abs(out(3L) - 0.6) < 1e-9)
   }
 
+  test("domain blocklist: exact match, dot-suffix match, multi-URL counts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "read https://bad.example.com/page now"),          // exact
+      (2L, "assets at http://cdn7.assets.net/x plus https://ok.org/y"), // suffix + clean
+      (3L, "see https://notbad.example.com.evil.io/q"),       // suffix of neither
+      (4L, "no urls here at all"),
+      (5L, "https://bad.example.com/a and https://bad.example.com/b")
+    ).toDF("doc_id", "text")
+    val bl = Seq("bad.example.com", "assets.net").toDF("domain")
+    val stats = TextAnalysis.domainBlocklistStats(docs, "text", "doc_id", bl)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats(1L) == ((1L, 1L)))
+    assert(stats(2L) == ((2L, 1L)), s"suffix match: ${stats(2L)}")
+    assert(stats(3L) == ((1L, 0L)), "evil.io host must NOT match a mid-domain")
+    assert(stats(4L) == ((0L, 0L)), "URL-free doc survives with zeros")
+    assert(stats(5L) == ((2L, 2L)), "every instance counted")
+    val kept = TextAnalysis.dropBlockedDomains(docs, "text", "doc_id", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"kept: $kept")
+  }
+
+  test("corpusReport: integer dataset-card totals per group") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "web", "alpha beta gamma"),
+      (2L, "en", "web", "alpha beta gamma"),   // exact dup of 1
+      (3L, "en", "web", ""),                   // empty
+      (4L, "zh", "web", "delta epsilon")
+    ).toDF("doc_id", "lang", "source", "text")
+    val rep = TextAnalysis.corpusReport(docs, "text", Seq("lang", "source"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // en/web: 3 docs; tokens: alpha(2)+beta(1)+gamma(2)=5 per doc ×2 + 0;
+    // chars 16+16+0; 1 dup (two identical fps + the empty fp distinct)
+    assert(rep(("en", "web")) == ((3L, 10L, 32L, 1L, 1L)), rep(("en", "web")).toString)
+    assert(rep(("zh", "web")) == ((1L, 4L, 13L, 0L, 0L)), rep(("zh", "web")).toString)
+  }
+
   test("lmCoverage: exact integer stats on a constructed corpus") {
     import org.apache.spark.sql.functions.col
     // reference: "a b" ×3 (docs 1,2 + doc 1 again), "b c" ×2 → LM keeps both
