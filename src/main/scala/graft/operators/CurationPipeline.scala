@@ -31,6 +31,16 @@ object CurationStage {
     * (boilerplate); documents reduced to nothing drop. */
   case class ParagraphDedup(minDocFreq: Long, sep: String = "\n\n")
       extends CurationStage
+  /** Drop documents mentioning a blocklisted domain (exact or
+    * dot-suffix). The blocklist travels IN the config — a curation
+    * run's exclusions are part of its provenance. */
+  case class DomainBlock(domains: Seq[String]) extends CurationStage
+  /** Keep documents whose bigram-LM coverage (trained on the run-time
+    * reference corpus — the CCNet trusted-slice posture, shared with
+    * Decontaminate's reference) clears `minNum/minDen`. */
+  case class LmCoverage(n: Int = 2, minCount: Long = 2,
+      minNum: Long = 1, minDen: Long = 2, keepEmpty: Boolean = true)
+      extends CurationStage
   /** Deterministic hash downsample — keep `fraction` of documents. */
   case class Sample(fraction: Double, salt: String = "")
       extends CurationStage
@@ -100,8 +110,9 @@ case class CurationPipeline(textCol: String, idCol: String,
   def run(df: DataFrame,
       reference: Option[(DataFrame, String, String)] = None): DataFrame = {
     require(reference.isDefined ||
-      !stages.exists(_.isInstanceOf[Decontaminate]),
-      "a Decontaminate stage needs a run-time reference corpus")
+      !stages.exists(st => st.isInstanceOf[Decontaminate] ||
+        st.isInstanceOf[LmCoverage]),
+      "Decontaminate/LmCoverage stages need a run-time reference corpus")
     // columns threaded through the funnel: the corpus pair plus any
     // domain column a Mix stage will need downstream
     val keep = (Seq(idCol, textCol) ++
@@ -139,6 +150,16 @@ case class CurationPipeline(textCol: String, idCol: String,
             Dedup.dropRepeatedParagraphs(cur, textCol, idCol, minDocFreq, sep)
           if (extras.isEmpty) cleaned
           else cleaned.join(cur.select(idCol, extras: _*), Seq(idCol))
+        case DomainBlock(domains) =>
+          val bl = cur.sparkSession
+            .createDataset(domains)(org.apache.spark.sql.Encoders.STRING)
+            .toDF("domain")
+          TextAnalysis.dropBlockedDomains(cur, textCol, idCol, bl)
+        case LmCoverage(n, minCount, minNum, minDen, keepEmpty) =>
+          val (ref, refText, _) = reference.get
+          val lm = TextAnalysis.buildNgramLm(ref, refText, n, minCount)
+          TextAnalysis.filterByLmCoverage(cur, textCol, idCol, lm,
+            minNum, minDen, n, keepEmpty)
         case Sample(fraction, salt) =>
           Sampling.sampleByHash(cur, idCol, fraction, salt)
         case Mix(domainCol, parts, salt) =>
@@ -186,6 +207,15 @@ object CurationPipeline {
         case ParagraphDedup(minDf, sep) =>
           n.put("stage", "paragraph_dedup")
           n.put("min_doc_freq", minDf); n.put("sep", sep)
+        case DomainBlock(domains) =>
+          n.put("stage", "domain_block")
+          val da = n.putArray("domains")
+          domains.foreach(da.add)
+        case LmCoverage(g, minCount, minNum, minDen, keepEmpty) =>
+          n.put("stage", "lm_coverage")
+          n.put("n", g); n.put("min_count", minCount)
+          n.put("min_num", minNum); n.put("min_den", minDen)
+          n.put("keep_empty", keepEmpty)
         case Sample(f, salt) =>
           n.put("stage", "sample")
           n.put("fraction", f); n.put("salt", salt)
@@ -229,6 +259,11 @@ object CurationPipeline {
           n.get("w").asInt, n.get("max_shared_fraction").asDouble)
         case "paragraph_dedup" => ParagraphDedup(
           n.get("min_doc_freq").asLong, n.get("sep").asText)
+        case "domain_block" => DomainBlock(
+          n.get("domains").elements().asScala.map(_.asText()).toSeq)
+        case "lm_coverage" => LmCoverage(n.get("n").asInt,
+          n.get("min_count").asLong, n.get("min_num").asLong,
+          n.get("min_den").asLong, n.get("keep_empty").asBoolean)
         case "sample" => Sample(n.get("fraction").asDouble,
           n.get("salt").asText)
         case "mix" => Mix(n.get("domain_col").asText,

@@ -30,6 +30,16 @@ class CurationPipelineSpec extends SparkTestBase {
       sep <- Gen.oneOf("\n\n", "\n", "|")
     } yield ParagraphDedup(mdf, sep),
     for {
+      nd <- Gen.chooseNum(1, 4)
+      ds <- Gen.listOfN(nd, Gen.oneOf("bad.example.com", "assets.net",
+        "spam.io", "tracker.org"))
+    } yield DomainBlock(ds.distinct),
+    for {
+      g <- Gen.chooseNum(1, 4); mc <- Gen.chooseNum(1L, 5L)
+      num <- Gen.chooseNum(0L, 4L); den <- Gen.chooseNum(1L, 8L)
+      ke <- Gen.oneOf(true, false)
+    } yield LmCoverage(g, mc, num, den, ke),
+    for {
       f <- Gen.chooseNum(1, 100); salt <- Gen.oneOf("", "epoch2")
     } yield Sample(f / 100.0, salt),
     for {
@@ -167,5 +177,32 @@ class CurationPipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       p.run(Seq((1L, "a b c")).toDF("doc_id", "text"))
     }
+    intercept[IllegalArgumentException] {
+      CurationPipeline("text", "doc_id", Seq(LmCoverage()))
+        .run(Seq((1L, "a b c")).toDF("doc_id", "text"))
+    }
+  }
+
+  test("runner: DomainBlock and LmCoverage stages compose with a reference") {
+    val corpus = Seq(
+      (1L, "the quick brown fox and the lazy dog run through the field"),
+      (2L, "spam offer at https://deals.spam.io/buy now"),
+      (3L, "zz qq xx vv kk jj pp ww")   // gibberish: no LM bigrams
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, "the quick brown fox and the lazy dog"),
+      (101L, "the quick brown fox and the lazy dog run through"),
+      (102L, "run through the field")
+    ).toDF("doc_id", "text")
+    val p = CurationPipeline("text", "doc_id", Seq(
+      DomainBlock(Seq("spam.io")),
+      LmCoverage(n = 2, minCount = 2, minNum = 1, minDen = 2)))
+    val kept = p.run(corpus, Some((reference, "text", "doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2 drops on the blocked domain; doc 3 drops on LM coverage
+    assert(kept == Set(1L), s"kept: $kept")
+    // the config round-trips with both new stages
+    val json = CurationPipeline.toJson(p)
+    assert(CurationPipeline.fromJson(json) == p)
   }
 }
