@@ -1329,6 +1329,30 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, queries, k = 10)
     }),
 
+    // Hybrid retrieval: BM25 (120-char-prefix queries) ⊕ exact dense
+    // cosine, fused by reciprocal-rank fusion over the corpus of
+    // documents that carry BOTH text and an embedding (doc_id =
+    // vec_id). Both k=20 input rankings are the independently-gated
+    // q_bm25_topk / q_sim_topk formulations; the fused top-10 lists
+    // AND floor-scaled rrf integers enter the hash, so a rank
+    // perturbation on either side or a fusion-arithmetic defect
+    // breaks it.
+    "q_hybrid_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+          "left_semi")
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      val qVecs = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val lex = Retrieval.bm25TopK(docs, queries, k = 20)
+      val dense = Similarity.bruteForceTopK(emb, qVecs, k = 20)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, k = 10)
+    }),
+
     // Language ID by stopword hits + approximate token count.
     "q_text_lang_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2451,6 +2475,76 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // Hybrid RRF: the lexical CTEs are the q_bm25_topk formulation over
+    // the documents∩embeddings corpus (%100 queries, k=20); the dense
+    // CTEs are the q_sim_topk formulation (k=20); fusion is the fixed
+    // two-term sum floor-scaled to an integer (no decimal round of a
+    // quotient — floor of bit-identical doubles).
+    "q_hybrid_topk" ->
+      s"""WITH corpus AS (
+        |  SELECT d.doc_id, d.text
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
+        |    t -> t <> '') AS w
+        |  FROM corpus
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY doc_id, dl, term
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
+        |      t -> t <> '')) AS term
+        |    FROM corpus WHERE doc_id % 100 = 0)
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY term
+        |), lex_scored AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
+        |    ), 5) AS score
+        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
+        |  GROUP BY q.q_id, tf.doc_id
+        |), lex AS (
+        |  SELECT q_id, doc_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM lex_scored
+        |), qv AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        |  WHERE vec_id % 100 = 0
+        |), den_scored AS (
+        |  SELECT qv.q_id, e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * qv.q_vec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(qv.q_vec, x -> x::DOUBLE * x::DOUBLE)))) AS score
+        |  FROM embeddings e CROSS JOIN qv
+        |), den AS (
+        |  SELECT q_id, doc_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM den_scored
+        |), fused AS (
+        |  SELECT q_id, doc_id,
+        |    coalesce(1.0 / (60 + l.rank), 0.0) +
+        |    coalesce(1.0 / (60 + d.rank), 0.0) AS rrf
+        |  FROM (SELECT * FROM lex WHERE rank <= 20) l
+        |  FULL OUTER JOIN (SELECT * FROM den WHERE rank <= 20) d
+        |    USING (q_id, doc_id)
+        |), fr AS (
+        |  SELECT q_id, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rank
+        |  FROM fused
+        |)
+        |SELECT q_id, doc_id, rank, floor(rrf * 1e9)::BIGINT AS rrf_i
+        |FROM fr WHERE rank <= 10""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH norm AS (

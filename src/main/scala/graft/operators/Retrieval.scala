@@ -120,4 +120,51 @@ object Retrieval {
         (col("__pos") + 1).as("rank"),
         col("__hit").getField("_1").as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of two ranked
+    * lists — the standard hybrid-retrieval combiner (BM25 ⊕ dense
+    * cosine for RAG corpus construction, or any ranker pair: the
+    * inputs are just `(q_id, doc_id, rank)` tables).
+    *
+    *   rrf(q, d) = Σ_lists 1 / (rrfK + rank_list(q, d))
+    *
+    * missing-from-a-list contributes 0. Output is the fused top-k per
+    * query with `rrf_i = floor(rrf · 1e9)` — floor of a bit-identical
+    * IEEE double (the two-term sum has a FIXED operand order, unlike
+    * an aggregate fold), so the integer is reproducible cross-engine
+    * where a decimal round of the quotient would sit on half-point
+    * hazards.
+    *
+    * Scale posture: both inputs are already top-k lists, so the fusion
+    * joins ≤ |queries|·k rows per side — cost is independent of corpus
+    * size (the rankers upstream own the corpus-shaped work) and the
+    * join/agg shuffles only fused candidates. Ties (a doc in only one
+    * list at the same rank as another doc in only the other) break by
+    * doc id via the same bounded [[TopKAggregator]] as every top-k in
+    * the engine.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10, rrfK: Int = 60,
+      qidCol: String = "q_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rrfK >= 1, s"rrfK must be >= 1: $rrfK")
+    def side(df: DataFrame, rc: String) = df.select(
+      col(qidCol).as("__qid"), col(idCol).as("__id"),
+      col(rankCol).as(rc))
+    val joined = side(a, "__ra").join(side(b, "__rb"),
+      Seq("__qid", "__id"), "full_outer")
+    // fixed two-term sum: each term one double division on integer
+    // operands, mirrored operation-for-operation by the oracle
+    val rrf = coalesce(lit(1.0) / (lit(rrfK) + col("__ra")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(rrfK) + col("__rb")), lit(0.0))
+    joined
+      .select(col("__qid"), col("__id"), rrf.as("__rrf"))
+      .groupBy(col("__qid").as(qidCol))
+      .agg(TopKAggregator(k)(col("__rrf"), col("__id").cast("long")).as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__pos", "__hit")))
+      .select(col(qidCol),
+        col("__hit").getField("_2").as(idCol),
+        (col("__pos") + 1).as(rankCol),
+        floor(col("__hit").getField("_1") * lit(1e9)).as("rrf_i"))
+  }
 }

@@ -72,6 +72,40 @@ class RetrievalSpec extends SparkTestBase {
       assert(math.abs(got(id) - s) < 1e-5, s"doc $id: got ${got(id)}, want $s")
   }
 
+  test("rrfFuse matches an independent plain-Scala fusion fold") {
+    // two hand-built rankings with partial overlap and a cross-list tie
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 12L, 3),
+      (2L, 21L, 1)).toDF("q_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 10)
+      .select("q_id", "doc_id", "rank", "rrf_i")
+      .as[(Long, Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(r => (r._2, r._4)).toSeq)
+      .toMap
+    def rrf(ra: Option[Int], rb: Option[Int]): Double =
+      ra.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+    val wantQ1 = Map(
+      10L -> rrf(Some(1), None), 11L -> rrf(Some(2), Some(1)),
+      12L -> rrf(Some(3), Some(3)), 13L -> rrf(None, Some(2)))
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+      .map { case (id, s) => (id, math.floor(s * 1e9).toLong) }
+    assert(got(1L) == wantQ1, s"q1: ${got(1L)} vs $wantQ1")
+    // q2: doc 20 (list a rank 1) and doc 21 (list b rank 1) tie on
+    // rrf — the id tiebreak must order 20 before 21
+    assert(got(2L).map(_._1) == Seq(20L, 21L))
+    assert(got(2L)(0)._2 == got(2L)(1)._2)
+  }
+
+  test("rrfFuse caps output at k per query") {
+    val a = (1 to 30).map(r => (1L, 100L + r, r)).toDF("q_id", "doc_id", "rank")
+    val b = (1 to 30).map(r => (1L, 200L + r, r)).toDF("q_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, k = 7)
+    assert(fused.count() == 7)
+    assert(fused.agg(max("rank")).as[Int].head() == 7)
+  }
+
   test("query terms absent from the corpus contribute nothing") {
     val queries = Seq((9L, "zzz unseen fox")).toDF("q_id", "q_text")
     val withUnseen = Retrieval.bm25TopK(corpus, queries, k = 5)
