@@ -1429,6 +1429,19 @@ object SparkEntry {
         Seq("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5)
     }),
 
+    // Quality-threshold selection: keep the top 25 % of documents by
+    // the integer approx-token score. The engine's two-pass histogram
+    // cutoff (no global sort) must reproduce the oracle's textbook
+    // rank()-over-(score desc, id asc) ≤ ceil(0.25·N) formulation row
+    // for row — a wrong cutoff score, a mis-counted tie budget, or a
+    // nondeterministic boundary take breaks the hash.
+    "q_top_fraction" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.approxTokenCount(col("text")).as("score"))
+      Sampling.topFractionByScore(scored, "doc_id", "score", 0.25)
+    }),
+
     // Training-export shuffle: deterministic global permutation into 8
     // shards. Shard assignment AND within-shard position enter the
     // hash, so the full permutation must be bit-identical to the
@@ -2658,6 +2671,23 @@ object SparkEntry {
         |WHERE b < (CASE WHEN lang = 'en' THEN 2500
         |                WHEN lang = 'zh' THEN 10000
         |                ELSE 5000 END)""".stripMargin,
+
+    // textbook formulation of the top-fraction cutoff: rank over the
+    // total order (score desc, id asc) vs ceil(0.25·N)
+    "q_top_fraction" ->
+      s"""WITH sc AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(
+        |      string_split(${sqlNt("text")}, ' '),
+        |      x -> ceil(length(x) / 4.0)))::BIGINT AS score
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM sc
+        |)
+        |SELECT doc_id, score FROM r WHERE rn <= ceil(0.25 * n)""".stripMargin,
 
     // the full epoch permutation: shard = md5-bucket % 8, pos =
     // md5-rank within shard (key tiebreak)

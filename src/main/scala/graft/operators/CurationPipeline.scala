@@ -41,6 +41,15 @@ object CurationStage {
   case class LmCoverage(n: Int = 2, minCount: Long = 2,
       minNum: Long = 1, minDen: Long = 2, keepEmpty: Boolean = true)
       extends CurationStage
+  /** Keep the top `fraction` of documents by an integer score —
+    * `by` ∈ {"tokens" (approx token count), "quality" (the heuristic
+    * quality score's 1e-4 grid × 10⁴)}. Exact histogram cutoff under
+    * the (score desc, id asc) total order, no global sort
+    * ([[Sampling.topFractionByScore]]). */
+  case class TopFraction(fraction: Double, by: String = "tokens")
+      extends CurationStage {
+    require(Seq("tokens", "quality").contains(by), s"unknown scorer: $by")
+  }
   /** Deterministic hash downsample — keep `fraction` of documents. */
   case class Sample(fraction: Double, salt: String = "")
       extends CurationStage
@@ -160,6 +169,18 @@ case class CurationPipeline(textCol: String, idCol: String,
           val lm = TextAnalysis.buildNgramLm(ref, refText, n, minCount)
           TextAnalysis.filterByLmCoverage(cur, textCol, idCol, lm,
             minNum, minDen, n, keepEmpty)
+        case TopFraction(fraction, by) =>
+          val score = by match {
+            case "tokens" => TextAnalysis.approxTokenCount(col(textCol))
+            case "quality" =>
+              // quality lives on the 1e-4 grid; ×10⁴ + ½-floor lands
+              // each value on its exact integer despite double ulps
+              floor(TextAnalysis.qualityScore(col(textCol)) * 10000
+                + lit(0.5)).cast("long")
+          }
+          Sampling.topFractionByScore(
+            cur.withColumn("__tf_score", score), idCol, "__tf_score", fraction)
+            .drop("__tf_score")
         case Sample(fraction, salt) =>
           Sampling.sampleByHash(cur, idCol, fraction, salt)
         case Mix(domainCol, parts, salt) =>
@@ -216,6 +237,9 @@ object CurationPipeline {
           n.put("n", g); n.put("min_count", minCount)
           n.put("min_num", minNum); n.put("min_den", minDen)
           n.put("keep_empty", keepEmpty)
+        case TopFraction(f, by) =>
+          n.put("stage", "top_fraction")
+          n.put("fraction", f); n.put("by", by)
         case Sample(f, salt) =>
           n.put("stage", "sample")
           n.put("fraction", f); n.put("salt", salt)
@@ -264,6 +288,8 @@ object CurationPipeline {
         case "lm_coverage" => LmCoverage(n.get("n").asInt,
           n.get("min_count").asLong, n.get("min_num").asLong,
           n.get("min_den").asLong, n.get("keep_empty").asBoolean)
+        case "top_fraction" => TopFraction(n.get("fraction").asDouble,
+          n.get("by").asText)
         case "sample" => Sample(n.get("fraction").asDouble,
           n.get("salt").asText)
         case "mix" => Mix(n.get("domain_col").asText,

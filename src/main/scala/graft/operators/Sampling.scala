@@ -164,6 +164,60 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Keep the top `fraction` of rows by an INTEGER score under the
+    * total deterministic order (score desc, key asc) — the
+    * quality-threshold selection step of a curation pipeline
+    * (FineWeb-Edu-style "keep the top 10 % by classifier score").
+    * Exactly `ceil(fraction · N)` rows survive; rows with a null
+    * score never do.
+    *
+    * Scale posture: the textbook formulation — `rank() OVER (ORDER BY
+    * score DESC)` — is a single-task global sort at 100 TB. This is a
+    * two-pass histogram cutoff instead: (1) a partial-agg'd
+    * `groupBy(score).count()` histogram, bounded by score cardinality
+    * (`require`d ≤ `maxDistinctScores` — quality scores live on small
+    * integer grids by construction), from which the driver derives
+    * the cutoff score s* and the surviving tie count; (2) `score >
+    * s*` is a pure zero-shuffle filter, and only the BOUNDARY CLASS
+    * (`score = s*`) pays an ordered take of its first `rem` keys —
+    * ~N/|grid| rows, not N. Worst case (every row the same score)
+    * degenerates to an ordered take of one class; that is the
+    * problem's intrinsic cost, not a plan artifact.
+    */
+  def topFractionByScore(df: DataFrame, keyCol: String, scoreCol: String,
+      fraction: Double, maxDistinctScores: Int = 1 << 20): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    val hist = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxDistinctScores + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    require(hist.length <= maxDistinctScores,
+      s"more than $maxDistinctScores distinct scores in $scoreCol — " +
+        "not a bounded quality grid; bucket the score first")
+    val n = hist.map(_._2).sum
+    val quota = math.ceil(fraction * n).toLong
+    if (quota == 0) return df.where(lit(false))
+    // walk the histogram best-first to the cutoff class
+    var (rem, i) = (quota, 0)
+    val sorted = hist.sortBy(-_._1)
+    while (sorted(i)._2 < rem) { rem -= sorted(i)._2; i += 1 }
+    val (sStar, tiesAtCut) = sorted(i)
+    val above = df.where(col(scoreCol).cast("long") > lit(sStar))
+    if (rem == tiesAtCut) above.unionByName(
+      df.where(col(scoreCol).cast("long") === lit(sStar)))
+    else {
+      require(rem <= Int.MaxValue,
+        s"$rem boundary-class survivors exceed a single take — " +
+          "refine the score grid so the cutoff class is smaller")
+      above.unionByName(
+        // ordered take of the boundary class only (TakeOrdered, not a
+        // global sort): its first `rem` keys ascending
+        df.where(col(scoreCol).cast("long") === lit(sStar))
+          .orderBy(col(keyCol)).limit(rem.toInt))
+    }
+  }
+
   /** Contiguous token-budget sharding (sequence packing / shard
     * planning): rows ordered by `keyCol` are assigned to consecutive
     * bins of ~`budget` tokens — `bin_id = floor(exclusive-prefix-sum

@@ -40,6 +40,9 @@ class CurationPipelineSpec extends SparkTestBase {
       ke <- Gen.oneOf(true, false)
     } yield LmCoverage(g, mc, num, den, ke),
     for {
+      f <- Gen.chooseNum(1, 100); by <- Gen.oneOf("tokens", "quality")
+    } yield TopFraction(f / 100.0, by),
+    for {
       f <- Gen.chooseNum(1, 100); salt <- Gen.oneOf("", "epoch2")
     } yield Sample(f / 100.0, salt),
     for {
@@ -181,6 +184,26 @@ class CurationPipelineSpec extends SparkTestBase {
       CurationPipeline("text", "doc_id", Seq(LmCoverage()))
         .run(Seq((1L, "a b c")).toDF("doc_id", "text"))
     }
+  }
+
+  test("runner: TopFraction keeps the best-scored half by token count") {
+    // 4 docs with strictly increasing token counts: top-half by
+    // "tokens" must keep exactly the two longest
+    val corpus = Seq(
+      (1L, "one two"),
+      (2L, "one two three four"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val p = CurationPipeline("text", "doc_id",
+      Seq(TopFraction(0.5, by = "tokens")))
+    val kept = p.run(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"kept: $kept")
+    assert(p.run(corpus).columns.toSeq == Seq("doc_id", "text"),
+      "the score scratch column must not leak")
+    val json = CurationPipeline.toJson(p)
+    assert(CurationPipeline.fromJson(json) == p)
+    intercept[IllegalArgumentException] { TopFraction(0.5, by = "nope") }
   }
 
   test("runner: DomainBlock and LmCoverage stages compose with a reference") {

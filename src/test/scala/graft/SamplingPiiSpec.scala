@@ -54,6 +54,37 @@ class SamplingPiiSpec extends SparkTestBase {
     assert(smaller.subsetOf(kept), "smaller fraction must nest inside larger")
   }
 
+  test("topFractionByScore reproduces the rank-over-total-order contract") {
+    // deterministic pseudo-random integer scores with heavy ties
+    val df = (0L until 3000L).toDF("id")
+      .withColumn("score", (($"id" * 2654435761L) % 37).cast("long"))
+    val rows = df.as[(Long, Long)].collect()
+    for (frac <- Seq(0.0, 0.1, 0.25, 0.5, 1.0)) {
+      val quota = math.ceil(frac * rows.length).toLong
+      val want = rows.sortBy { case (id, s) => (-s, id) }
+        .take(quota.toInt).map(_._1).toSet
+      val got = Sampling.topFractionByScore(df, "id", "score", frac)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"frac $frac: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("topFractionByScore: null scores never survive; degenerate one-class grid") {
+    val df = (0L until 100L).toDF("id")
+      .withColumn("score",
+        when($"id" < 10, lit(null).cast("long")).otherwise(lit(7L)))
+    // quota is ceil(frac * non-null rows); boundary take is id-ordered
+    val got = Sampling.topFractionByScore(df, "id", "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == (10L until 55L).toSet, s"got ${got.toSeq.sorted}")
+    // cardinality guard trips on an unbounded score column
+    val wide = (0L until 100L).toDF("id").withColumn("score", $"id")
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionByScore(wide, "id", "score", 0.5,
+        maxDistinctScores = 10)
+    }
+  }
+
   test("resampleToMixture: achieved mixture, binding domain kept whole, off-mix dropped") {
     // 4000 en / 1000 zh / 500 other; target 2:1 en:zh. zh is scarce
     // relative to its share (1000 vs en's 4000/2=2000-equivalent), so
