@@ -1121,6 +1121,27 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 4))
     }),
 
+    // SemDeDup: semantic (embedding-space) near-dup DROP. Duplicate
+    // vectors planted at +1M (every 10th) and +2M (every 20th) form
+    // 2- and 3-member components; the engine's LSH-bucketed pairs →
+    // CC → min-id-survivor composition must reproduce the oracle's
+    // UNPLANTED exact recomputation (all-pairs cosine ≥ 0.9 +
+    // recursive-CTE components over the same 2600-vector corpus), so
+    // a dropped original (false positive) or a surviving plant (false
+    // negative, e.g. a hot-bucket cap swallowing a pair) breaks the
+    // row count and hash. Natural pairs can't reach the threshold
+    // (measured max unplanted cosine ~0.6 at sf0.1).
+    "q_sem_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb
+        .unionByName(emb.where(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+        .unionByName(emb.where(col("vec_id") % 20 === 0)
+          .withColumn("vec_id", col("vec_id") + 2000000L))
+      Similarity.semDedup(corpus, threshold = 0.9, dim = 64)
+        .select("vec_id")
+    }),
+
     // Brute-force cosine top-k similarity search (exact baseline).
     "q_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2882,6 +2903,39 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
         |  1.0::DOUBLE AS cos
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // unplanted exact recomputation: all-pairs cosine over the planted
+    // corpus, recursive transitive closure, min-id canonical, anti-join
+    "q_sem_dedup" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, embedding FROM embeddings
+        |  WHERE vec_id % 20 = 0
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    >= 0.9
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        |), canon AS (
+        |  SELECT src AS member, min(dst) AS canonical FROM reach GROUP BY src
+        |)
+        |SELECT vec_id FROM c
+        |WHERE vec_id NOT IN (
+        |  SELECT member FROM canon WHERE member <> canonical)""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH q AS (

@@ -510,6 +510,31 @@ object Similarity {
     df.select(col(idCol), posexplode(comps).as(Seq("out_dim", "value")))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): drop all but one member (the minimum id) of
+    * every transitive group of embedding-cosine near-duplicates —
+    * the embedding-space complement of the lexical
+    * [[Dedup.dropNearDuplicates]], catching paraphrases and
+    * re-encodings that share no n-grams.
+    *
+    * Composition of independently-tested pieces:
+    * [[embeddingNearDuplicates]] (LSH-bucketed candidates, exact
+    * cosine verify — never all-pairs) → [[Dedup.dropDuplicatesByPairs]]
+    * (connected components → anti-join of non-canonical members).
+    * Scale posture is inherited: the corpus shuffles once by bucket
+    * id, buckets are capped against degenerate hot spots, and the
+    * pair set — bounded by the caps — is the only input to the CC
+    * step, whose driver fast path is gated at
+    * `spark.graft.cc.localThreshold` edges.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double, dim: Int,
+      nBits: Int = 12, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Dedup.dropDuplicatesByPairs(corpus,
+      embeddingNearDuplicates(corpus, threshold, dim, nBits, idCol, vecCol)
+        .select("id_a", "id_b"),
+      idCol)
+
   def cosineLshBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nBits, dim)(rng.nextGaussian())

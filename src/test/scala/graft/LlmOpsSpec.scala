@@ -434,6 +434,21 @@ class LlmOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.lsh.maxBucket", "1000")
   }
 
+  test("semDedup keeps one min-id survivor per semantic component") {
+    val base = emb.limit(100).select("vec_id", "embedding")
+    val corpus = base
+      .unionByName(base.where($"vec_id" % 10 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L))
+      .unionByName(base.where($"vec_id" % 20 === 0)
+        .withColumn("vec_id", $"vec_id" + 2000000L))
+    val kept = Similarity.semDedup(corpus, threshold = 0.9, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    // every original survives (it IS the min of its component);
+    // every planted copy drops — including the 3-member components
+    assert(kept == base.select("vec_id").as[Long].collect().toSet,
+      s"survivors: ${kept.size}")
+  }
+
   test("dot-product expression matches the interpreted HOF fold bit for bit") {
     val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
