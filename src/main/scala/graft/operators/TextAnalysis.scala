@@ -505,18 +505,29 @@ object TextAnalysis {
         .otherwise(0L)).as("n_empty"))
   }
 
-  /** Token n-grams of `textCol` as space-joined strings, empty array
-    * when the document has fewer than `n` tokens. (The `sequence`
-    * guard matters: Spark's `sequence(1, 0)` DESCENDS instead of
-    * returning empty.)
+  /** Token n-grams over a MATERIALIZED token-array column, as
+    * space-joined strings; empty array when the document has fewer
+    * than `n` tokens. (The `sequence` guard matters: Spark's
+    * `sequence(1, 0)` DESCENDS instead of returning empty.)
+    *
+    * `w` must be a bound column (projected in a child), NOT an inline
+    * `words(text)` expression: HOF lambdas are interpreted and get no
+    * common-subexpression elimination, so an inline token array means
+    * the whole normText regex chain re-runs per GRAM POSITION —
+    * measured 8 s instead of 0.5 s to build 265k bigrams at sf0.1.
+    * A multiply-referenced non-trivial alias is safe: CollapseProject
+    * declines to inline it back.
     */
-  private def ngrams(text: Column, n: Int): Column = {
-    val w = filter(words(text), t => t =!= lit(""))
+  private def ngramsOf(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - lit(n - 1)),
         i => array_join(slice(w, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** The token-array projection [[ngramsOf]] expects: non-empty
+    * normalized tokens of `textCol`. */
+  private def tokArr(textCol: String): Column =
+    filter(words(col(textCol)), t => t =!= lit(""))
 
   /** n-gram language-model table from a reference corpus: one row per
     * gram appearing ≥ `minCount` times (token-level occurrences, not
@@ -530,7 +541,8 @@ object TextAnalysis {
   def buildNgramLm(df: DataFrame, textCol: String, n: Int = 2,
       minCount: Long = 2): DataFrame = {
     require(n >= 1 && minCount >= 1, s"bad LM bounds: n=$n minCount=$minCount")
-    df.select(explode(ngrams(col(textCol), n)).as("gram"))
+    df.select(tokArr(textCol).as("__w"))
+      .select(explode(ngramsOf(col("__w"), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("count"))
       .where(col("count") >= minCount)
   }
@@ -564,7 +576,8 @@ object TextAnalysis {
     val (lmS, lmBytes) = Spill.roundTripSized(
       lm.select(col(gramCol).as("__gram"), col(countCol).as("__lmc")))
     val lmH = if (lmBytes <= bcLimit) broadcast(lmS) else lmS
-    df.select(col(idCol), explode_outer(ngrams(col(textCol), n)).as("__gram"))
+    df.select(col(idCol), tokArr(textCol).as("__w"))
+      .select(col(idCol), explode_outer(ngramsOf(col("__w"), n)).as("__gram"))
       .join(lmH, Seq("__gram"), "left_outer")
       .groupBy(col(idCol))
       .agg(

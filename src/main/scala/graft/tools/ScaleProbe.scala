@@ -29,7 +29,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
-    //   sessionize|ivfindex|skew|bm25|all selects the axis
+    //   sessionize|ivfindex|skew|bm25|topfrac|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -708,6 +708,45 @@ object ScaleProbe {
         if (warmedBm)
           println(f"[scale] n=$n%-3d docs=$rows%-9d bm25TopK=$sec%6.2fs/${mb}%8.1fMB")
         warmedBm = true
+        corpus.unpersist()
+      }
+    }
+    // ── axis 12: top-fraction cutoff — histogram vs global rank ──────
+    // topFractionByScore's claim: the textbook rank()-over-(score desc)
+    // formulation collapses the WHOLE corpus into one window task (the
+    // orderBy-without-partitionBy shape), while the histogram cutoff
+    // pays a partial-agg'd score histogram plus an ordered take of the
+    // boundary class only. Same replicated-ids corpus, score =
+    // n_chars (a realistic bounded integer grid — cardinality stays
+    // constant as the corpus grows). Expected signature: the window
+    // plan's wall AND max/median task ratio grow with n (one task
+    // sorts everything); the histogram plan stays linear-flat with
+    // near-zero shuffle.
+    {
+      import graft.operators.Sampling
+      import org.apache.spark.sql.expressions.Window
+      val docsC0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "n_chars")
+      var warmedTf = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "topfrac") {
+        val corpus = (0 until n).map(i => docsC0
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).cache()
+        val rows = corpus.count()
+        val quota = math.ceil(0.25 * rows).toLong
+        val h = timeSkew(
+          Sampling.topFractionByScore(corpus, "doc_id", "n_chars", 0.25)
+            .agg(count(col("doc_id"))).head().getLong(0))
+        val w = timeSkew(
+          corpus.withColumn("__rn", row_number().over(
+              Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+            .where(col("__rn") <= quota)
+            .agg(count(col("doc_id"))).head().getLong(0))
+        if (warmedTf)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d " +
+            f"topFracHist=${h._1}%6.2fs/${h._2}%8.1fMB/x${h._3}%5.1f " +
+            f"globalRankWindow=${w._1}%6.2fs/${w._2}%8.1fMB/x${w._3}%5.1f")
+        warmedTf = true
         corpus.unpersist()
       }
     }
