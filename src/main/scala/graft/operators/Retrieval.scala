@@ -82,14 +82,19 @@ object Retrieval {
     // aggregation, so the corpus contributes a zero-shuffle
     // scan+explode and only matching tokens ever shuffle — under a
     // fixed query load the exchange stays bounded by Σ df(query
-    // terms) as the corpus grows (measured, SCALE.md axis 11)
-    val tfQ = corpus
+    // terms) as the corpus grows (measured, SCALE.md axis 11).
+    // Spilled ONCE: the postings feed both the df() aggregation and
+    // the scoring join, and a lazy plan would re-run the corpus
+    // tokenization pass for each (measured 2× the call's corpus work
+    // at sf0.1); the spill payload is the same bounded Σ df(query
+    // terms) row set, never the corpus.
+    val tfQ = Spill.roundTrip(corpus
       .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
       .select(col("__id"), size(col("__w")).as("__dl"),
         explode(col("__w")).as("__term"))
       .join(qTermsH, Seq("__term"))
       .groupBy(col("__id"), col("__term"), col("__dl"))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("__tf")))
     val (dfT, dfBytes) = Spill.roundTripSized(
       tfQ.groupBy(col("__term")).agg(count(lit(1)).as("__df")))
     val dfH = if (dfBytes <= bcLimit) broadcast(dfT) else dfT
