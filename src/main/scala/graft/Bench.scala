@@ -19,6 +19,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture drift probe: name the drift before queries fail one by one
+    FixtureContract.check(spark, sfDir).foreach(v =>
+      System.err.println(s"[bench] FIXTURE DRIFT: $v"))
     // warm up the JVM / codegen / parquet reader so the first timed
     // query doesn't absorb session startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -24,19 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** The driver's `events.parquet` stores TIMESTAMP(NANOS), which the
-    * Spark 4 parquet reader rejects. Read nanos as long and convert to
-    * micros — lossless here (the data has no sub-microsecond component)
-    * and exactly what DuckDB's TIMESTAMP does, so the oracle agrees.
+  /** The driver has written `events.parquet` with several physical ts
+    * encodings across rounds (TIMESTAMP(NANOS), then micro-NTZ). The
+    * nanos conf keeps the nanos encoding readable at all (Spark 4
+    * rejects it otherwise); [[EventTime.normalize]] then maps whatever
+    * was read to a proper `TimestampType`, matching DuckDB's view.
     */
   private def nanosConf(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  private def fixTs(df: DataFrame): DataFrame =
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+  private def fixTs(df: DataFrame): DataFrame = EventTime.normalize(df)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     nanosConf(s)
@@ -815,24 +812,35 @@ object SparkEntry {
     // closes; sentinel sessions stay open and are never emitted.
     "q_stream_session_state" -> ((s, dir) => {
       import graft.streaming.StreamingSessionize
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = t(s, dir, "events")
-        .select(col("user_id").as("key"), unix_micros(col("ts")).as("tsMicros"),
-          col("value"))
-      implicit val sqlCtx = s.sqlContext
+      // partitioned file stream, NOT collect()+MemoryStream (same shape
+      // as q_stream_stateful_swa): events scale with executors and
+      // driver memory stays flat at any sf. The per-key far-future
+      // sentinels are PLANNED from a batch aggregate and written
+      // distributed as a second streamed source — the driver never
+      // materializes events, only the one maxTs scalar.
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val evBatch = t(s, dir, "events")
+        .select(col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"), col("value"))
+      val maxTs = evBatch.agg(max("tsMicros")).head().getLong(0)
+      val sentinelDir = graft.operators.Spill.newPath(s) + "/session_sentinels"
+      evBatch.select(col("key")).distinct()
+        .select(col("key"), lit(maxTs + 10000L * 1000000L).as("tsMicros"),
+          lit(0.0).as("value"))
+        .write.mode("overwrite").parquet(sentinelDir)
+      val evStream = fixTs(s.readStream.schema(rawSchema)
+          .option("basePath", dir).parquet(s"$dir/events.parque*"))
+        .select(col("user_id").as("key"),
+          unix_micros(col("ts")).as("tsMicros"), col("value"))
+      val sentStream = s.readStream
+        .schema(s.read.parquet(sentinelDir).schema).parquet(sentinelDir)
       implicit val evEnc = StreamingSessionize.eventEnc
-      val stream = MemoryStream[StreamingSessionize.Event]
-      stream.addData(ev.as[StreamingSessionize.Event](evEnc).collect().toSeq)
+      val events = evStream.unionByName(sentStream)
+        .as[StreamingSessionize.Event](evEnc)
       val name = s"stream_sess_state_${System.nanoTime()}"
-      val q = StreamingSessionize(stream.toDS(), gapSeconds = 1800)
+      val q = StreamingSessionize(events, gapSeconds = 1800)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .start()
-      q.processAllAvailable()
-      val maxTs = ev.agg(max("tsMicros")).head().getLong(0)
-      import s.implicits.newLongEncoder
-      stream.addData(ev.select("key").distinct().as[Long].collect()
-        .map(k => StreamingSessionize.Event(
-          k, maxTs + 10000L * 1000000L, 0.0)).toSeq: _*)
       q.processAllAvailable()
       // timeout firings ride no-data micro-batches; poll to a stable count
       var last = -1L; var stable = 0
@@ -2238,7 +2246,7 @@ object SparkEntry {
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
         |  FROM e
         |)
-        |SELECT user_id, session_seq,
+        |SELECT user_id, session_seq::BIGINT AS session_seq,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
         |  count(*) AS n_events, round(sum(value), 4) AS v_sum
@@ -2419,7 +2427,7 @@ object SparkEntry {
         |  FROM marked GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(a.n_urls, 0) AS n_urls,
-        |  coalesce(a.n_blocked, 0) AS n_blocked,
+        |  coalesce(a.n_blocked, 0)::BIGINT AS n_blocked,
         |  coalesce(a.n_blocked, 0) = 0 AS kept
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
@@ -2434,11 +2442,11 @@ object SparkEntry {
         |)
         |SELECT lang, source, count(*) AS n_docs,
         |  coalesce(sum(list_sum(
-        |    list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT), 0)
+        |    list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT), 0)::BIGINT
         |    AS n_tokens,
-        |  coalesce(sum(length(text)), 0) AS n_chars,
+        |  coalesce(sum(length(text)), 0)::BIGINT AS n_chars,
         |  count(*) - count(DISTINCT fp) AS n_dup_docs,
-        |  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        |  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_empty
         |FROM norm GROUP BY lang, source""".stripMargin,
 
@@ -2467,7 +2475,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  coalesce(a.n_grams, 0) AS n_grams,
         |  coalesce(a.n_matched, 0) AS n_matched,
-        |  coalesce(a.lm_hits, 0) AS lm_hits,
+        |  coalesce(a.lm_hits, 0)::BIGINT AS lm_hits,
         |  coalesce(a.n_matched, 0) * 2 >= coalesce(a.n_grams, 0) AS pass
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 

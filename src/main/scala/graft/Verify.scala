@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture drift probe: one named diff up front beats N scattered
+    // analysis errors below (non-fatal — still dump what still works)
+    FixtureContract.check(spark, sfDir).foreach(v =>
+      System.err.println(s"[verify] FIXTURE DRIFT: $v"))
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (unset by the driver): comma-separated
     // query names to dump instead of the full suite

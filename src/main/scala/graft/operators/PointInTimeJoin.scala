@@ -46,7 +46,8 @@ object PointInTimeJoin {
 
     var obs = obsTime match {
       case Some((c, fmt)) =>
-        observation.withColumn(ObsTs, TimestampParser.toTimestampCol(col(c), fmt))
+        observation.withColumn(ObsTs,
+          TimestampParser.toTimestampColOf(observation, c, fmt))
       case None => observation
     }
 

@@ -86,6 +86,19 @@ object TimestampParser {
     case "native"       => col.cast("timestamp")
     case javaFmt        => to_timestamp(col.cast("string"), javaFmt)
   }
+
+  /** Type-aware variant: `native` dispatches on the column's physical
+    * type via [[graft.EventTime.normalizeCol]] — nanos-as-long, NTZ,
+    * and TZ (every encoding the driver fixtures have shipped) all land
+    * on `TimestampType`, instead of a blind cast that misreads a nanos
+    * long as seconds. Non-`native` formats are unchanged.
+    */
+  def toTimestampColOf(df: DataFrame, column: String, format: String): Column =
+    format match {
+      case "native" =>
+        graft.EventTime.normalizeCol(col(column), df.schema(column).dataType)
+      case fmt => toTimestampCol(col(column), fmt)
+    }
 }
 
 /** A named external dataset + optional event-time metadata + optional
@@ -235,7 +248,8 @@ object SourceResolver {
     val pre = src.preprocessing.map(_(raw)).getOrElse(raw)
     src.timeWindow match {
       case Some(tw) => pre.withColumn(Internal.SrcTs,
-        TimestampParser.toTimestampCol(col(tw.timestampColumn), tw.timestampColumnFormat))
+        TimestampParser.toTimestampColOf(pre, tw.timestampColumn,
+          tw.timestampColumnFormat))
       case None => pre
     }
   }

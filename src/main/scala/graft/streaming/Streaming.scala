@@ -41,7 +41,8 @@ object StreamingIngest {
   /** Event-time normalization, same grammar as batch (S7). */
   def withEventTime(df: DataFrame, tw: TimeWindowParameters): DataFrame =
     df.withColumn(Internal.SrcTs,
-      TimestampParser.toTimestampCol(col(tw.timestampColumn), tw.timestampColumnFormat))
+      TimestampParser.toTimestampColOf(df, tw.timestampColumn,
+        tw.timestampColumnFormat))
 
   /** T2: watermarked sliding/tumbling window aggregation. */
   def windowedAgg(df: DataFrame, tsCol: String, watermarkDelay: String,

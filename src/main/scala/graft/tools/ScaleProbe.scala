@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.EventTime.Ops
 import graft.FeathrClient
 import graft.model._
 import graft.project._
@@ -78,7 +79,7 @@ object ScaleProbe {
     })
 
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
       .select("event_id", "user_id", "ts", "event_type", "value")
 
     def densified(n: Int): DataFrame =

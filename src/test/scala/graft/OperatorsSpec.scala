@@ -1,5 +1,6 @@
 package graft
 
+import graft.EventTime.Ops
 import graft.model._
 import graft.operators._
 import graft.project._
@@ -108,7 +109,7 @@ class OperatorsSpec extends SparkTestBase {
     val stream = StreamingIngest.readStream(spark,
         DataLocation.Hdfs(s"$sf/events.parque*", Some("parquet"),
           Map("basePath" -> sf)), Some(schema))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
       .where($"event_type" === "purchase")
       .select("event_id", "user_id", "ts", "value")
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/out"
@@ -176,7 +177,7 @@ class OperatorsSpec extends SparkTestBase {
     p.addAnchorGroup("g", Source("ev", DataLocation.Hdfs(s"$sf/events.parquet"),
       timeWindow = Some(TimeWindowParameters("ts", "native")),
       preprocessing = Some(df =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        df.normalizeEventTime
           .where(col("event_type") === "purchase"))), Seq(
       AnchorFeature("f_last", FeatureType.DOUBLE,
         Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64))),
@@ -232,6 +233,57 @@ class OperatorsSpec extends SparkTestBase {
     assert(row.getTimestamp(2).toInstant == base, "custom Java pattern (UTC session)")
     // epoch_millis keeps sub-second precision
     assert(row.getTimestamp(3).toInstant == base.plusMillis(500))
+  }
+
+  test("S7 native format is type-aware: nanos-long, NTZ, TZ all land on TimestampType") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val base = java.time.Instant.parse("2024-03-05T06:07:08Z")
+    val micros = base.getEpochSecond * 1000000L
+    val df = Seq((micros * 1000L, micros)).toDF("nanos", "us")
+      .select(col("nanos"),
+        timestamp_micros(col("us")).as("tz"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ntz"))
+    def parsed(c: String) = {
+      val out = df.select(TimestampParser.toTimestampColOf(df, c, "native").as("t"))
+      assert(out.schema("t").dataType == TimestampType, s"$c type")
+      out.head.getTimestamp(0).toInstant
+    }
+    // a nanos long must NOT be misread as epoch seconds (blind cast did)
+    assert(parsed("nanos") == base, "nanos-as-long")
+    assert(parsed("ntz") == base, "micro-NTZ (UTC session)")
+    assert(parsed("tz") == base, "TimestampType pass-through")
+  }
+
+  test("S7 native over raw NTZ source: as-of + SWA join with NO preprocessing shim") {
+    // the parser itself must absorb the fixture's current NTZ encoding —
+    // a source declaring ("ts", "native") needs no fixTs preprocessing
+    import org.apache.spark.sql.types.TimestampNTZType
+    val obs = Seq((7L, "2024-01-10 00:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast(TimestampNTZType)).select("user_id", "ts")
+    val src = Seq(
+      (7L, "2024-01-08 00:00:00", 3.0),   // in 7d window, latest as-of
+      (7L, "2024-01-05 00:00:00", 2.0),   // in window
+      (7L, "2024-01-12 00:00:00", 99.0))  // future: excluded
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast(TimestampNTZType))
+      .select("user_id", "ts", "value")
+    src.createOrReplaceTempView("ntz_src")
+    val p = FeatureProject("ntz_native")
+    p.addAnchorGroup("a",
+      Source("s", DataLocation.Table("ntz_src"),
+        timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+      AnchorFeature("f_last", FeatureType.DOUBLE,
+        Transformation.Expr("value"), Seq(TypedKey("user_id", ValueType.INT64))),
+      AnchorFeature("f_sum", FeatureType.DOUBLE,
+        Transformation.windowAgg("value", "SUM", "7d"),
+        Seq(TypedKey("user_id", ValueType.INT64)))))
+    val out = FeathrClient.joinFeatures(spark, p, obs, Some(("ts", "native")),
+      Seq(FeatureQuery(Seq("f_last", "f_sum"), Seq("user_id")))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(r.fieldIndex("f_last")) == 3.0, "as-of over NTZ source")
+    assert(r.getDouble(r.fieldIndex("f_sum")) == 5.0, "SWA over NTZ source")
   }
 
   test("online sink batches: one putAll per partition; newlines round-trip") {
@@ -323,7 +375,7 @@ class OperatorsSpec extends SparkTestBase {
     val src = Source("ev", DataLocation.Hdfs(s"$sf/events.parquet"),
       timeWindow = Some(TimeWindowParameters("ts", "native")),
       preprocessing = Some(df =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        df.normalizeEventTime
           .where(col("event_type") === "purchase")))
     p.addAnchorGroup("g", src, Seq(
       AnchorFeature("f_cnt_1d", FeatureType.INT64,

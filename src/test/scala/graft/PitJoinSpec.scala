@@ -1,5 +1,6 @@
 package graft
 
+import graft.EventTime.Ops
 import graft.model._
 import graft.operators._
 import graft.project._
@@ -23,7 +24,7 @@ class PitJoinSpec extends SparkTestBase {
     val df = SparkEntry.queries("q_asof_join")(spark, sf)
     // recompute the max qualifying source value per output row
     val src = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
       .where($"event_type" === "purchase")
       .select($"user_id".as("u"), $"ts".as("sts"), $"value".as("sval"))
     val joined = df.join(src, $"user_id" === $"u" && $"sts" <= $"ts", "left")
@@ -62,10 +63,7 @@ class PitJoinSpec extends SparkTestBase {
     val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
       timeWindow = Some(TimeWindowParameters("ts", "native")),
       preprocessing = Some { df =>
-        val fixed = if (df.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else df
-        fixed.where(col("event_type") === "purchase")
+        df.normalizeEventTime.where(col("event_type") === "purchase")
       })
     p.addAnchorGroup("a", purchases, Seq(
       AnchorFeature("f_last", FeatureType.DOUBLE,
@@ -84,7 +82,7 @@ class PitJoinSpec extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = SparkEntry.queries("q_swa_basic")(spark, sf)
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
     val clicks = ev.where($"event_type" === "click")
       .select($"event_id", $"user_id".as("cu"), $"ts".as("ots"))
     val purchases = ev.where($"event_type" === "purchase")
@@ -104,7 +102,7 @@ class PitJoinSpec extends SparkTestBase {
       val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
         timeWindow = Some(TimeWindowParameters("ts", "native")),
         preprocessing = Some { df =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          df.normalizeEventTime
             .where(col("event_type") === "purchase")
         })
       pp.addAnchorGroup("a", purchases, Seq(
@@ -133,7 +131,7 @@ class PitJoinSpec extends SparkTestBase {
       val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
         timeWindow = Some(TimeWindowParameters("ts", "native")),
         preprocessing = Some { df =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          df.normalizeEventTime
             .where(col("event_type") === "purchase")
         })
       pp.addAnchorGroup("a", purchases, Seq(
@@ -171,7 +169,7 @@ class PitJoinSpec extends SparkTestBase {
       val purchases = Source("purchases", DataLocation.Hdfs(s"$sf/events.parquet"),
         timeWindow = Some(TimeWindowParameters("ts", "native")),
         preprocessing = Some { df =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          df.normalizeEventTime
             .where(col("event_type") === "purchase")
         })
       pp.addAnchorGroup("a", purchases, Seq(

@@ -1,5 +1,6 @@
 package graft
 
+import graft.EventTime.Ops
 import graft.operators.Sessionize
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -51,7 +52,7 @@ class SessionizeSpec extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read
       .option("mergeSchema", "false").parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
       .select("user_id", "ts", "value")
     val ours = Sessionize.sessions(ev, "user_id", "ts", 1800L)
       .select($"user_id", $"session_start", $"n_events")

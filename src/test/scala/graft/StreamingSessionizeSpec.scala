@@ -1,5 +1,6 @@
 package graft
 
+import graft.EventTime.Ops
 import graft.streaming.StreamingSessionize
 import graft.operators.Sessionize
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -93,7 +94,7 @@ class StreamingSessionizeSpec extends SparkTestBase {
   test("parity with the batch operator over the events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
       .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"),
         $"value")
     implicit val sqlCtx = spark.sqlContext

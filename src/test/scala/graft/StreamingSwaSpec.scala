@@ -1,5 +1,6 @@
 package graft
 
+import graft.EventTime.Ops
 import graft.streaming.StreamingSwa
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -14,7 +15,7 @@ class StreamingSwaSpec extends SparkTestBase {
   test("streaming SWA matches the batch range-join aggregate per event") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val purchases = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .normalizeEventTime
       .where($"event_type" === "purchase")
       .select($"user_id".as("key"), unix_micros($"ts").as("tsMicros"), $"value")
     // duplicate (key, ts) pairs would make per-event emission ambiguous
