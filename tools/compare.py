@@ -10,6 +10,7 @@ cell-by-cell (exact, which is what a hash compare amounts to).
 """
 import json, sys, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -24,10 +25,21 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def _is_float(x):
+    return isinstance(x, (float, np.floating))
+
+def _is_int(x):
+    return isinstance(x, (int, np.integer)) and not isinstance(x, (bool, np.bool_))
+
 def cells_equal(a, b):
     if pd.isna(a) and pd.isna(b):
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    # Type-strict: the driver hashes rendered values, so int64 3 and
+    # float64 3.0 must NOT compare equal here — that laxity is exactly
+    # how DuckDB HUGEINT->float64 drift shipped as a false local green.
+    if (_is_float(a) and _is_int(b)) or (_is_int(a) and _is_float(b)):
+        return False
+    if _is_float(a) and _is_float(b):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
