@@ -635,8 +635,13 @@ object Dedup {
     * Matching is exact on the raw paragraph string — boilerplate
     * repeats verbatim; fuzzy paragraph matching is what the
     * document-level near-dup operators are for. `sep` splits literally
-    * (regex-quoted). Trailing empty paragraphs are dropped by Spark's
-    * `split`; keep gate/oracle data free of trailing separators.
+    * (regex-quoted). Spark's `split` KEEPS trailing empty strings
+    * (unlike `java.lang.String.split`), so a document ending in `sep`
+    * carries an empty trailing paragraph through the pipeline; it
+    * counts toward doc frequency like any other paragraph, and when
+    * frequent enough it is excised — i.e. trailing separators are then
+    * stripped from the reassembled text. Oracle SQL must mirror this
+    * (duckdb `string_split` also keeps trailing empties).
     *
     * Scale shape: paragraphs shuffle ONCE keyed by md5 digest (long
     * paragraphs travel as 32-byte digests) for the doc-frequency

@@ -395,7 +395,9 @@ class EmbeddedRespServer {
             out.write(s"-ERR unknown command '$other'\r\n".getBytes(UTF_8))
         } catch {
           case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
-            out.write(s"-ERR ${e.getMessage.replaceAll("[\r\n]", " ")}\r\n"
+            // getMessage may be null (e.g. bare NumberFormatException)
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            out.write(s"-ERR ${msg.replaceAll("[\r\n]", " ")}\r\n"
               .getBytes(UTF_8))
         }
         // a pipelined client flushes many commands before reading; only

@@ -125,7 +125,9 @@ object Sampling {
       require(cnts.getOrElse(d, 0L) > 0, s"domain '$d' has no rows") }
     val nMax = parts.map { case (d, p) => cnts(d) * s / p }.min
     val thresholds = parts.map { case (d, p) =>
-      require(nMax * p <= Long.MaxValue / 10000,
+      // divide-before-multiply: `nMax * p` itself can wrap, so the
+      // guard must never form the product it is guarding
+      require(p <= Long.MaxValue / 10000 / nMax,
         s"threshold arithmetic would overflow for domain '$d'")
       d -> 10000L * nMax * p / (s * cnts(d))
     }
@@ -200,7 +202,8 @@ object Sampling {
     if (quota == 0) return df.where(lit(false))
     // walk the histogram best-first to the cutoff class
     var (rem, i) = (quota, 0)
-    val sorted = hist.sortBy(-_._1)
+    // Ordering.reverse, not sortBy(-_): negating Long.MinValue overflows
+    val sorted = hist.sortBy(_._1)(Ordering[Long].reverse)
     while (sorted(i)._2 < rem) { rem -= sorted(i)._2; i += 1 }
     val (sStar, tiesAtCut) = sorted(i)
     val above = df.where(col(scoreCol).cast("long") > lit(sStar))

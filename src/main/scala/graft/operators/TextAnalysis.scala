@@ -326,13 +326,23 @@ object TextAnalysis {
       k: Int = 5, w: Int = 4, maxSharedFraction: Double = 0.0): DataFrame = {
     val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
     val refHinted = referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w)
-    corpusFps
+    val perDoc = corpusFps
       .join(refHinted.withColumn("__hit", lit(1L)), Seq("fp"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fps"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+    // a document too short to emit any fingerprint (< k + w - 1 tokens)
+    // shares nothing, but must still get a row — n_fps = 0, frac = 0.0,
+    // contaminated = false — not vanish and resurface as nulls through
+    // Flag mode's outer join
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contamination_frac",
-        col("n_shared").cast("double") / col("n_fps"))
+        when(col("n_fps") === 0, lit(0.0))
+          .otherwise(col("n_shared").cast("double") / col("n_fps")))
       .withColumn("contaminated", col("contamination_frac") > maxSharedFraction)
   }
 

@@ -104,6 +104,33 @@ class WinnowSpec extends SparkTestBase {
       s"more quote, higher fraction: ${stats(4L)._4} vs ${stats(3L)._4}")
   }
 
+  test("zero-fingerprint doc: stats row with n_fps=0, Flag emits false, not null") {
+    import TextAnalysis.DecontaminateAction
+    val quote = wordsOf("eval", 10)
+    val corpus = Seq(
+      (1L, quote),
+      // null text → posexplode emits no tokens → zero fingerprints
+      // (short non-null text still emits one truncated gram by design)
+      (2L, null.asInstanceOf[String]),
+      (3L, wordsOf("clean", 40))).toDF("doc_id", "text")
+    val reference = Seq((100L, quote)).toDF("ref_id", "text")
+    val stats = TextAnalysis.decontaminationStats(
+      corpus, "text", "doc_id", reference, "text", "ref_id", K, W)
+      .select("doc_id", "n_fps", "n_shared", "contamination_frac", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.size == 3, s"zero-fp doc must still get a row: $stats")
+    assert(stats(2L) == ((2L, 0L, 0L, 0.0, false)),
+      s"zero-fp doc is (0, 0, 0.0, false): ${stats(2L)}")
+    val flagged = TextAnalysis.decontaminate(corpus, "text", "doc_id",
+      reference, "text", "ref_id", K, W, DecontaminateAction.Flag)
+    val row = flagged.where($"doc_id" === 2L)
+      .select("contaminated", "contamination_frac").head
+    assert(!row.isNullAt(0) && !row.getBoolean(0),
+      "Flag mode must emit contaminated = false for a zero-fp doc, not null")
+    assert(!row.isNullAt(1) && row.getDouble(1) == 0.0)
+  }
+
   test("decontaminate: Drop removes exactly the contaminated docs; Flag keeps all") {
     import TextAnalysis.DecontaminateAction
     val quote = wordsOf("eval", 10)
