@@ -1345,6 +1345,25 @@ object SparkEntry {
         .withColumn("pass", col("n_matched") * 2 >= col("n_grams"))
     }),
 
+    // Span-level exact-dup accounting (Lee et al. 2021 repeated
+    // substrings): every 10th document gets an appended 8-token
+    // slogan, so those docs provably share a full window (plus any
+    // repeats the real corpus text already contains — both engines
+    // count them identically). Integer counts + boolean → float-free.
+    "q_text_repeated_spans" -> ((s, dir) =>
+      TextAnalysis.repeatedSpanStats(
+        sloganCorpus(t(s, dir, "documents")), "text", "doc_id",
+        spanTokens = 8)),
+
+    // The CUT policy over the same corpus: every repeated-window
+    // occurrence is excised from every document and survivors
+    // reassemble in order — the planted slogan must vanish from every
+    // planted doc, and the whole normalized reassembly enters the hash.
+    "q_text_drop_spans" -> ((s, dir) =>
+      TextAnalysis.dropRepeatedSpans(
+        sloganCorpus(t(s, dir, "documents")), "text", "doc_id",
+        spanTokens = 8)),
+
     // BM25 top-k retrieval: every 50th document's 120-char prefix is a
     // query against the full corpus. Self-retrieval (the query's own
     // source doc must surface) plus the exact ranked lists and rounded
@@ -1753,6 +1772,30 @@ object SparkEntry {
     * Java's `\p{IsHan}`-family used on the Spark side. ONE canonical
     * copy, interpolated by every oracle that normalizes text.
     */
+  /** Shared corpus for the span-dedup queries: every 10th document
+    * carries an appended 8-token slogan (a guaranteed cross-doc
+    * repeated window at spanTokens = 8).
+    */
+  private def sloganCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"),
+          lit(" alpha beta gamma delta epsilon zeta eta theta")))
+        .otherwise(col("text")).as("text"))
+
+  /** DuckDB mirror of [[sloganCorpus]] + normalized token arrays. */
+  private val sqlSpanNorm =
+    s"""corpus AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+      |    THEN text || ' alpha beta gamma delta epsilon zeta eta theta'
+      |    ELSE text END AS text
+      |  FROM documents
+      |), norm AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(${sqlNt("text")}, ' '), t -> t <> '') AS w
+      |  FROM corpus
+      |)""".stripMargin
+
   private def sqlNt(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), " +
       """'([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), '\s+', ' ', 'g'))"""
@@ -2478,6 +2521,50 @@ object SparkEntry {
         |  coalesce(a.lm_hits, 0)::BIGINT AS lm_hits,
         |  coalesce(a.n_matched, 0) * 2 >= coalesce(a.n_grams, 0) AS pass
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // span accounting recomputed on the raw span STRINGS (the engine
+    // groups 64-bit hashes; at fixture scale a collision is ~1e-10);
+    // per-doc distinct-first so within-doc repeats don't count
+    "q_text_repeated_spans" ->
+      s"""WITH $sqlSpanNorm, wins AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(w) - 7, 0)),
+        |    i -> array_to_string(w[i+1:i+8], ' '))) AS span
+        |  FROM norm
+        |), rep AS (
+        |  SELECT span FROM (SELECT DISTINCT doc_id, span FROM wins)
+        |  GROUP BY span HAVING count(*) >= 2
+        |), agg AS (
+        |  SELECT w.doc_id, count(*) AS n_windows, count(r.span) AS n_repeated
+        |  FROM wins w LEFT JOIN rep r USING (span) GROUP BY w.doc_id
+        |)
+        |SELECT c.doc_id, coalesce(a.n_windows, 0)::BIGINT AS n_windows,
+        |  coalesce(a.n_repeated, 0)::BIGINT AS n_repeated,
+        |  coalesce(a.n_repeated, 0) > 0 AS has_repeat
+        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the CUT policy: tokens covered by ANY repeated window are
+    // excised, survivors reassemble in order over the normalized
+    // stream; fully-covered and token-less docs keep a row with ''
+    "q_text_drop_spans" ->
+      s"""WITH $sqlSpanNorm, wp AS (
+        |  SELECT doc_id, u.i AS i, u.sp AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, greatest(len(w) - 7, 0)),
+        |      i -> {'i': i, 'sp': array_to_string(w[i+1:i+8], ' ')})) AS u
+        |    FROM norm)
+        |), rep AS (
+        |  SELECT span FROM (SELECT DISTINCT doc_id, span FROM wp)
+        |  GROUP BY span HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT doc_id, flatten(list(range(i, i + 8))) AS cov
+        |  FROM wp WHERE span IN (SELECT span FROM rep) GROUP BY doc_id
+        |)
+        |SELECT n.doc_id, coalesce(array_to_string(list_transform(
+        |  list_filter(range(0, len(n.w)),
+        |    j -> NOT list_contains(coalesce(c.cov, []::BIGINT[]), j)),
+        |  j -> n.w[j+1]), ' '), '') AS text
+        |FROM norm n LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     // BM25 mirrored operation-for-operation (same expression tree →
     // identical IEEE results per contribution; Σ order + ln's last ulp

@@ -616,6 +616,124 @@ object TextAnalysis {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Sliding-window span hashes: one `xxhash64` per window of `n`
+    * normalized tokens; EMPTY for documents shorter than `n` tokens.
+    * Hashing INSIDE the HOF lambda means the exploded stream carries
+    * 8-byte longs, not n-token strings — without it the span-level
+    * operators would shuttle ~n× the corpus bytes through the shuffle.
+    * 64-bit birthday bound: spurious hash equality needs ~2^32 distinct
+    * spans in one counting domain; shard the corpus before that.
+    */
+  private def spanHashesOf(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => xxhash64(array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Span-level exact-duplicate accounting — the repeated-substring
+    * modality of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2021): every sliding window of
+    * `spanTokens` normalized tokens is a span; a span occurring in at
+    * least `minDocFreq` DISTINCT documents is repeated (cross-doc
+    * boilerplate), and every window of every document is scored
+    * against the repeated set. Emits per-doc integer sufficient
+    * statistics — `n_windows`, `n_repeated`, `has_repeat` — the
+    * exact-window analogue of [[decontaminationStats]] (winnowing
+    * SAMPLES fingerprints; this counts EVERY window). Documents
+    * shorter than `spanTokens` tokens emit `n_windows = 0` and
+    * `has_repeat = false`.
+    *
+    * Scale posture: the window stream (8-byte hashes, see
+    * [[spanHashesOf]]) spills ONCE and feeds both consumers — the
+    * doc-frequency count and the per-doc scoring — instead of
+    * re-tokenizing the corpus per consumer (the BM25 discipline).
+    * Doc frequency dedupes (id, hash) first so a span repeated WITHIN
+    * one document is not counted as boilerplate; one hash-keyed
+    * shuffle. The repeated set is spilled for its EXACT bytes and
+    * broadcast under `spark.graft.dedup.broadcastCandidatesBytes`,
+    * falling back to a shuffled join — linear in corpus tokens
+    * either way.
+    */
+  def repeatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 50, minDocFreq: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"bad spanTokens: $spanTokens")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val (spans, _) = Spill.roundTripSized(
+      df.select(col(idCol), tokArr(textCol).as("__w"))
+        .select(col(idCol),
+          explode_outer(spanHashesOf(col("__w"), spanTokens)).as("__h")))
+    val repH = repeatedSpanSet(spans, idCol, minDocFreq)
+    spans.join(repH, Seq("__h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("__h")).as("n_windows"),
+        count(col("__rep")).as("n_repeated"))
+      .withColumn("has_repeat", col("n_repeated") > 0)
+  }
+
+  /** The cross-doc repeated span-hash set, broadcast-gated on exact
+    * spilled bytes (shared by [[repeatedSpanStats]] and
+    * [[dropRepeatedSpans]]). Input must carry (`idCol`, `__h`).
+    */
+  private def repeatedSpanSet(spans: DataFrame, idCol: String,
+      minDocFreq: Int): DataFrame = {
+    val rep0 = spans.where(col("__h").isNotNull)
+      .select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("__h"), lit(1L).as("__rep"))
+    val bcLimit = spans.sparkSession.conf
+      .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
+      .toLong
+    val (rep, repBytes) = Spill.roundTripSized(rep0)
+    if (repBytes <= bcLimit) broadcast(rep) else rep
+  }
+
+  /** Remove every repeated span occurrence from every document (the
+    * Lee et al. CUT policy — both copies lose the span; the document
+    * survives with its remaining tokens): a token is dropped iff ANY
+    * repeated window covers its position, survivors reassemble in
+    * original order, single-space joined. Output is (`idCol`,
+    * `textCol`) over the NORMALIZED token stream — span matching is
+    * definitionally on normalized tokens, so the reassembly is too
+    * (same contract as [[Dedup.dropRepeatedParagraphs]] reassembling
+    * split paragraphs). A fully-covered document survives as an empty
+    * string — dropping it is the caller's policy.
+    *
+    * Scale shape: all-relational (explode → anti-join → re-collect,
+    * the dropRepeatedParagraphs idiom), no per-token membership scans:
+    * covered positions come from exploding `sequence(p, p+span-1)` off
+    * the (typically tiny) repeated-window position set, tokens
+    * anti-join them on (id, pos), and one groupBy(id) reassembles.
+    * Linear in corpus tokens; two id-keyed shuffles.
+    */
+  def dropRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 50, minDocFreq: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"bad spanTokens: $spanTokens")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val (toks, _) = Spill.roundTripSized(
+      df.select(col(idCol), tokArr(textCol).as("__w")))
+    val (spans, _) = Spill.roundTripSized(
+      toks.select(col(idCol),
+        posexplode_outer(spanHashesOf(col("__w"), spanTokens))
+          .as(Seq("__pos", "__h"))))
+    val repH = repeatedSpanSet(spans, idCol, minDocFreq)
+    val covered = spans.join(repH, Seq("__h"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(spanTokens - 1)))
+          .as("__j"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__w")).as(Seq("__j", "__t")))
+      .join(covered, Seq(idCol, "__j"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__j"), col("__t")))),
+          x => x.getField("__t")), " ").as(textCol))
+    // fully-covered (and token-less) documents still get a row
+    df.select(col(idCol)).join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Model-based quality scoring — the serving plumbing for an
     * EXPORTED linear text classifier (the fastText-style quality
     * filters of the big corpus pipelines): `score(doc) = bias +
