@@ -30,7 +30,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
-    //   sessionize|ivfindex|skew|bm25|topfrac|all selects the axis
+    //   sessionize|ivfindex|skew|bm25|topfrac|spans|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -748,6 +748,57 @@ object ScaleProbe {
             f"topFracHist=${h._1}%6.2fs/${h._2}%8.1fMB/x${h._3}%5.1f " +
             f"globalRankWindow=${w._1}%6.2fs/${w._2}%8.1fMB/x${w._3}%5.1f")
         warmedTf = true
+        corpus.unpersist()
+      }
+    }
+    // ── axis 13: repeated-span dedup — hash-in-lambda vs span strings ─
+    // repeatedSpanStats's claim: hashing each window INSIDE the HOF
+    // lambda means the exploded window stream carries 8-byte longs, so
+    // shuffle grows with token COUNT, not token count × span length.
+    // The naive formulation (explode the L-token span STRINGS, then
+    // count doc frequency on the string) is built inline here as the
+    // strawman. Same replicated-ids + injective-rewrite corpus (the
+    // minhash-axis discipline: cross-replica spans never collide, so
+    // the repeated RATE stays constant as the corpus grows). Expected
+    // signature: both linear in wall, string variant ~L× the shuffle
+    // bytes of the hashed variant at every n.
+    {
+      import graft.operators.TextAnalysis
+      val spanL = 8
+      var warmedSp = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "spans") {
+        val corpus = replicatedDocs(n).cache()
+        val rows = corpus.count()
+        val (hSec, hMb) = time(
+          TextAnalysis.repeatedSpanStats(corpus, "text", "doc_id",
+              spanTokens = spanL)
+            .agg(sum(col("n_windows")) + sum(col("n_repeated")))
+            .head().getLong(0))
+        val (sSec, sMb) = time {
+          val w = filter(split(graft.operators.Dedup.normText(col("text")),
+            " "), t => t =!= lit(""))
+          val spans = corpus.select(col("doc_id"), w.as("__w"))
+            .select(col("doc_id"), explode_outer(
+              when(size(col("__w")) >= spanL,
+                transform(sequence(lit(1), size(col("__w")) - lit(spanL - 1)),
+                  i => array_join(slice(col("__w"), i, lit(spanL)), " ")))
+                .otherwise(array().cast("array<string>"))).as("__s"))
+          val rep = spans.where(col("__s").isNotNull)
+            .select(col("doc_id"), col("__s")).distinct()
+            .groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+            .where(col("__df") >= 2).select(col("__s"), lit(1L).as("__rep"))
+          spans.join(rep, Seq("__s"), "left_outer")
+            .groupBy(col("doc_id"))
+            .agg(count(col("__s")).as("n_windows"),
+              count(col("__rep")).as("n_repeated"))
+            .agg(sum(col("n_windows")) + sum(col("n_repeated")))
+            .head().getLong(0)
+        }
+        if (warmedSp)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d " +
+            f"spanStatsHashed=$hSec%6.2fs/${hMb}%8.1fMB " +
+            f"spanStatsStrings=$sSec%6.2fs/${sMb}%8.1fMB")
+        warmedSp = true
         corpus.unpersist()
       }
     }
