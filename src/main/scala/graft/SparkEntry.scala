@@ -1009,6 +1009,29 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Quality-aware keep policy over the same planted corpus: the
+    // COPIES carry the higher quality score, so keep-best must keep
+    // every copy and drop every original-multiple-of-10 — the inverse
+    // of q_dedup_drop's min-id survivors, which is exactly what makes
+    // the policy observable in the hash.
+    "q_dedup_drop_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = docs.unionByName(planted)
+        .withColumn("quality",
+          when(col("doc_id") >= 1000000L, 2L).otherwise(1L))
+      val found = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        threshold = 0.8)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val plantedPairs = found.join(expected, Seq("id_a", "id_b"), "inner")
+        .select("id_a", "id_b")
+      Dedup.dropDuplicatesByPairsKeepBest(corpus, plantedPairs, "doc_id",
+        "quality")
+        .select("doc_id")
+    }),
+
     // The FULL user-facing dedup composition with NO planted-pair
     // intersection: detection → connected components → drop runs on
     // whatever the detector finds in the NATURAL corpus, and the oracle
@@ -2946,6 +2969,14 @@ object SparkEntry {
     // exactly the original documents
     "q_dedup_drop" ->
       """SELECT doc_id FROM documents""".stripMargin,
+
+    // keep-best inverts it: the higher-quality COPY survives, the
+    // original multiple-of-10 drops
+    "q_dedup_drop_best" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id FROM documents
+        |WHERE doc_id % 10 = 0""".stripMargin,
 
     // exact all-pairs >= 0.8 Jaccard over 5-word shingles, connected
     // components via recursive transitive closure (components are tiny

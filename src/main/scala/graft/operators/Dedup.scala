@@ -467,6 +467,31 @@ object Dedup {
         shingleSize),
       idCol)
 
+  /** Quality-aware drop policy: keep the HIGHEST-`scoreCol` member of
+    * each duplicate cluster (ties → smallest id), instead of
+    * [[dropDuplicatesByPairs]]'s smallest-id canonical — the policy a
+    * training pipeline actually wants (keep the cleanest / longest /
+    * best-scored copy). Documents in no pair keep themselves.
+    *
+    * Scale shape: every join after [[connectedComponents]] is
+    * cluster-MEMBERSHIP-sized (ids + scores), never corpus-sized; one
+    * groupBy(canonical) picks winners via `max_by` on
+    * (score, -member), then the loser id set anti-joins the corpus.
+    */
+  def dropDuplicatesByPairsKeepBest(df: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val scored = connectedComponents(pairs).join(
+      df.select(col(idCol).as("member"), col(scoreCol).as("__score")),
+      Seq("member"))
+    val winners = scored.groupBy(col("canonical"))
+      .agg(max_by(col("member"),
+        struct(col("__score"), -col("member"))).as("__keep"))
+    val losers = scored.join(winners, Seq("canonical"))
+      .where(col("member") =!= col("__keep"))
+      .select(col("member").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate id pairs.
     *
     * Shingles are hashed to 64-bit (`xxhash64`) BEFORE set-collection:

@@ -156,6 +156,25 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("keep-best drop: highest score survives per cluster, ties break to min id") {
+    bothCcPaths {
+      val docs = Seq(
+        (1L, 5L), (2L, 9L), (3L, 9L),  // cluster {1,2,3}: 2 and 3 tie at 9
+        (10L, 1L), (11L, 7L),          // cluster {10,11}: 11 wins
+        (20L, 0L))                     // unpaired: survives regardless
+        .toDF("doc_id", "quality")
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val kept = Dedup.dropDuplicatesByPairsKeepBest(
+        docs, pairs, "doc_id", "quality")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 11L, 20L), s"got $kept")
+      // contrast: the min-id policy keeps 1 and 10
+      val minId = Dedup.dropDuplicatesByPairs(docs, pairs, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(minId == Set(1L, 10L, 20L), s"got $minId")
+    }
+  }
+
   test("connectedComponents matches an in-memory union-find on random graphs") {
     bothCcPaths {
       val rnd = new scala.util.Random(23)
