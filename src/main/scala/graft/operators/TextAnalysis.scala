@@ -616,19 +616,22 @@ object TextAnalysis {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Sliding-window span hashes: one `xxhash64` per window of `n`
-    * normalized tokens; EMPTY for documents shorter than `n` tokens.
-    * Hashing INSIDE the HOF lambda means the exploded stream carries
-    * 8-byte longs, not n-token strings — without it the span-level
-    * operators would shuttle ~n× the corpus bytes through the shuffle.
-    * 64-bit birthday bound: spurious hash equality needs ~2^32 distinct
-    * spans in one counting domain; shard the corpus before that.
+  /** Sliding-window span hashes of a NORMALIZED string: one 64-bit
+    * hash per window of `n` whitespace tokens, computed by the
+    * codegen'd Rabin-Karp rolling expression
+    * ([[graft.functions.RollingSpanHash64Expr]] — O(tokens) total,
+    * vs O(tokens·n) for the HOF `transform` + `xxhash64(array_join)`
+    * formulation; measured on SCALE.md axis 13). The exploded stream
+    * carries 8-byte longs, not n-token strings. EMPTY for documents
+    * shorter than `n` tokens (null text included, via the coalesce).
+    * 64-bit birthday bound: spurious hash equality needs ~2^32
+    * distinct spans in one counting domain; shard the corpus before
+    * that.
     */
-  private def spanHashesOf(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => xxhash64(array_join(slice(w, i, lit(n)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+  private def spanHashesOf(normStr: Column, n: Int): Column =
+    coalesce(
+      graft.functions.RollingSpanHash64Expr.spanHashes64(normStr, n),
+      array().cast("array<bigint>"))
 
   /** Span-level exact-duplicate accounting — the repeated-substring
     * modality of Lee et al., "Deduplicating Training Data Makes
@@ -659,9 +662,9 @@ object TextAnalysis {
     require(spanTokens >= 1, s"bad spanTokens: $spanTokens")
     require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
     val (spans, _) = Spill.roundTripSized(
-      df.select(col(idCol), tokArr(textCol).as("__w"))
-        .select(col(idCol),
-          explode_outer(spanHashesOf(col("__w"), spanTokens)).as("__h")))
+      df.select(col(idCol),
+        explode_outer(spanHashesOf(Dedup.normText(col(textCol)), spanTokens))
+          .as("__h")))
     val repH = repeatedSpanSet(spans, idCol, minDocFreq)
     spans.join(repH, Seq("__h"), "left_outer")
       .groupBy(col(idCol))
@@ -712,9 +715,13 @@ object TextAnalysis {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
     val (toks, _) = Spill.roundTripSized(
       df.select(col(idCol), tokArr(textCol).as("__w")))
+    // span hashes from the REJOINED token array (equivalent to the
+    // normalized string — normText collapses whitespace), so the
+    // spilled tokens feed both the hash pass and the reassembly and
+    // window position k aligns with token position k
     val (spans, _) = Spill.roundTripSized(
       toks.select(col(idCol),
-        posexplode_outer(spanHashesOf(col("__w"), spanTokens))
+        posexplode_outer(spanHashesOf(array_join(col("__w"), " "), spanTokens))
           .as(Seq("__pos", "__h"))))
     val repH = repeatedSpanSet(spans, idCol, minDocFreq)
     val covered = spans.join(repH, Seq("__h"))

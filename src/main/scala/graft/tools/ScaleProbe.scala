@@ -751,53 +751,68 @@ object ScaleProbe {
         corpus.unpersist()
       }
     }
-    // ── axis 13: repeated-span dedup — hash-in-lambda vs span strings ─
-    // repeatedSpanStats's claim: hashing each window INSIDE the HOF
-    // lambda means the exploded window stream carries 8-byte longs, so
-    // shuffle grows with token COUNT, not token count × span length.
-    // The naive formulation (explode the L-token span STRINGS, then
-    // count doc frequency on the string) is built inline here as the
-    // strawman. Same replicated-ids + injective-rewrite corpus (the
-    // minhash-axis discipline: cross-replica spans never collide, so
-    // the repeated RATE stays constant as the corpus grows). Expected
-    // signature: both linear in wall, string variant ~L× the shuffle
-    // bytes of the hashed variant at every n.
+    // ── axis 13: repeated-span dedup — rolling expr vs HOF hash vs
+    // span strings ─ Two independent claims, measured separately:
+    // (a) BYTES: hashing each window (either way) means the exploded
+    //     stream carries 8-byte longs, so shuffle grows with token
+    //     COUNT, not token count × span length — the string strawman
+    //     explodes the L-token span STRINGS instead;
+    // (b) CPU: the codegen'd Rabin-Karp rolling expression
+    //     (RollingSpanHash64Expr, the production path) does O(tokens)
+    //     hash work where the interpreted HOF transform+xxhash64 does
+    //     O(tokens·L) — same bytes, less wall.
+    // Same replicated-ids + injective-rewrite corpus (the minhash-axis
+    // discipline: cross-replica spans never collide, so the repeated
+    // RATE stays constant as the corpus grows).
     {
       import graft.operators.TextAnalysis
       val spanL = 8
+      def statsOver(spans: DataFrame, spanCol: String): Long = {
+        val rep = spans.where(col(spanCol).isNotNull)
+          .select(col("doc_id"), col(spanCol)).distinct()
+          .groupBy(col(spanCol)).agg(count(lit(1)).as("__df"))
+          .where(col("__df") >= 2).select(col(spanCol), lit(1L).as("__rep"))
+        spans.join(rep, Seq(spanCol), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(col(spanCol)).as("n_windows"),
+            count(col("__rep")).as("n_repeated"))
+          .agg(sum(col("n_windows")) + sum(col("n_repeated")))
+          .head().getLong(0)
+      }
+      def tokCol = filter(split(graft.operators.Dedup.normText(col("text")),
+        " "), t => t =!= lit(""))
       var warmedSp = false
       for (n <- Seq(2) ++ mults; if axes == "all" || axes == "spans") {
         val corpus = replicatedDocs(n).cache()
         val rows = corpus.count()
-        val (hSec, hMb) = time(
+        // production path: codegen'd rolling hash (spill-once inside)
+        val (eSec, eMb) = time(
           TextAnalysis.repeatedSpanStats(corpus, "text", "doc_id",
               spanTokens = spanL)
             .agg(sum(col("n_windows")) + sum(col("n_repeated")))
             .head().getLong(0))
-        val (sSec, sMb) = time {
-          val w = filter(split(graft.operators.Dedup.normText(col("text")),
-            " "), t => t =!= lit(""))
-          val spans = corpus.select(col("doc_id"), w.as("__w"))
+        // HOF strawman: per-window xxhash64(array_join(slice)) lambda
+        val (hSec, hMb) = time(statsOver(
+          corpus.select(col("doc_id"), tokCol.as("__w"))
+            .select(col("doc_id"), explode_outer(
+              when(size(col("__w")) >= spanL,
+                transform(sequence(lit(1), size(col("__w")) - lit(spanL - 1)),
+                  i => xxhash64(array_join(slice(col("__w"), i, lit(spanL)),
+                    " "))))
+                .otherwise(array().cast("array<bigint>"))).as("__h")), "__h"))
+        // string strawman: the L-token span text itself shuffles
+        val (sSec, sMb) = time(statsOver(
+          corpus.select(col("doc_id"), tokCol.as("__w"))
             .select(col("doc_id"), explode_outer(
               when(size(col("__w")) >= spanL,
                 transform(sequence(lit(1), size(col("__w")) - lit(spanL - 1)),
                   i => array_join(slice(col("__w"), i, lit(spanL)), " ")))
-                .otherwise(array().cast("array<string>"))).as("__s"))
-          val rep = spans.where(col("__s").isNotNull)
-            .select(col("doc_id"), col("__s")).distinct()
-            .groupBy(col("__s")).agg(count(lit(1)).as("__df"))
-            .where(col("__df") >= 2).select(col("__s"), lit(1L).as("__rep"))
-          spans.join(rep, Seq("__s"), "left_outer")
-            .groupBy(col("doc_id"))
-            .agg(count(col("__s")).as("n_windows"),
-              count(col("__rep")).as("n_repeated"))
-            .agg(sum(col("n_windows")) + sum(col("n_repeated")))
-            .head().getLong(0)
-        }
+                .otherwise(array().cast("array<string>"))).as("__s")), "__s"))
         if (warmedSp)
           println(f"[scale] n=$n%-3d docs=$rows%-9d " +
-            f"spanStatsHashed=$hSec%6.2fs/${hMb}%8.1fMB " +
-            f"spanStatsStrings=$sSec%6.2fs/${sMb}%8.1fMB")
+            f"spanRollingExpr=$eSec%6.2fs/${eMb}%8.1fMB " +
+            f"spanHofHash=$hSec%6.2fs/${hMb}%8.1fMB " +
+            f"spanStrings=$sSec%6.2fs/${sMb}%8.1fMB")
         warmedSp = true
         corpus.unpersist()
       }
