@@ -27,11 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Fewer than `span` tokens → empty array; null input → null.
   */
 object RollingSpanHash64 {
-  private final val B = 0x100000001b3L // FNV prime (odd → bijective ·B)
+  private[functions] final val B = 0x100000001b3L // FNV prime (odd → bijective ·B)
 
-  def hashes(s: UTF8String, span: Int): ArrayData = {
-    if (s == null) return null
-    val str = s.toString
+  /** Per-token 64-bit FNV-1a hashes of a whitespace-tokenized string,
+    * one pass over the chars (shared by the rolling-span and winnow
+    * expressions).
+    */
+  private[functions] def tokenHashes(str: String): Array[Long] = {
     val tb = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
     val len = str.length
@@ -47,7 +49,12 @@ object RollingSpanHash64 {
         tb += h
       }
     }
-    val t = tb.result()
+    tb.result()
+  }
+
+  def hashes(s: UTF8String, span: Int): ArrayData = {
+    if (s == null) return null
+    val t = tokenHashes(s.toString)
     val m = t.length - span + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
     var bn = 1L // B^(span-1): the roll-out coefficient

@@ -186,31 +186,23 @@ object TextAnalysis {
     * boilerplate, benchmark contamination — while storing only
     * ~1/w of the k-gram hashes.
     *
-    * Plan shape: one shuffle by document id (the ordering windows; the
-    * same exchange the k-gram, sliding-min, and per-doc distinct all
-    * reuse), fully codegen'd hashing — linear in corpus size. Documents
-    * shorter than w + k - 1 words emit their prefix-window minima, so
-    * every non-empty document carries at least one fingerprint.
+    * Plan shape: a ZERO-SHUFFLE projection — the whole pipeline
+    * (tokenize → k-gram rolling hashes → sliding-min deque → per-doc
+    * dedupe) runs in one codegen'd pass per row
+    * ([[graft.functions.WinnowFps64Expr]]), replacing the posexplode +
+    * three-ordering-windows formulation that exchanged and sorted
+    * every token in the corpus by doc id (measured: SCALE.md axis 14).
+    * Documents shorter than w + k - 1 words emit their prefix-window
+    * minima, so every tokenized document carries at least one
+    * fingerprint; token-less (null/empty) documents emit none.
     */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val byPos = Window.partitionBy(idCol).orderBy("__pos")
-    val gramParts = (1 until k).map(i => lead(col("__w"), i).over(byPos))
-    val grams = df
-      .select(col(idCol), posexplode(split(Dedup.normText(col(textCol)), " "))
-        .as(Seq("__pos", "__w")))
-      .select(col(idCol), col("__pos"),
-        xxhash64(concat_ws(" ", col("__w") +: gramParts: _*)).as("__h"),
-        row_number().over(byPos).as("__rn"),
-        count(lit(1)).over(Window.partitionBy(idCol)).as("__n"))
-      .where(col("__rn") <= greatest(col("__n") - k + 1, lit(1)))
-    val slide = Window.partitionBy(idCol).orderBy("__pos")
-      .rowsBetween(-(w - 1), Window.currentRow)
-    grams
-      .select(col(idCol), min(col("__h")).over(slide).as("fp"))
-      .distinct()
+    df.select(col(idCol), explode(coalesce(
+      graft.functions.WinnowFps64Expr.winnowFps64(
+        Dedup.normText(col(textCol)), k, w),
+      array().cast("array<bigint>"))).as("fp"))
   }
 
   /** PII patterns with IDENTICAL semantics under Java regex and RE2

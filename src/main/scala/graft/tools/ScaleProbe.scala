@@ -817,6 +817,54 @@ object ScaleProbe {
         corpus.unpersist()
       }
     }
+    // ── axis 14: winnow fingerprints — codegen'd expression vs
+    // ordering-window formulation ─ winnowFingerprints' claim: the
+    // single-pass WinnowFps64Expr makes fingerprinting a ZERO-SHUFFLE
+    // projection, where the posexplode + three-ordering-windows
+    // formulation (the pre-r10 implementation, inlined here as the
+    // strawman) exchanges and sorts EVERY TOKEN in the corpus by doc
+    // id, then pays a global distinct. The timed consumer aggregates
+    // the fingerprints per doc so neither plan can prune the operator.
+    // Expected signature: both linear in wall; the window formulation
+    // shuffles ~token-stream bytes, the expression ~0.
+    {
+      import graft.operators.{Dedup, TextAnalysis}
+      import org.apache.spark.sql.expressions.Window
+      def consume(fps: DataFrame): Long = fps
+        .groupBy(col("doc_id")).agg(count(col("fp")).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      def windowFormulation(corpus: DataFrame, k: Int, w: Int): DataFrame = {
+        val byPos = Window.partitionBy(col("doc_id")).orderBy("__pos")
+        val gramParts = (1 until k).map(i => lead(col("__w"), i).over(byPos))
+        val grams = corpus
+          .select(col("doc_id"),
+            posexplode(split(Dedup.normText(col("text")), " "))
+              .as(Seq("__pos", "__w")))
+          .select(col("doc_id"), col("__pos"),
+            xxhash64(concat_ws(" ", col("__w") +: gramParts: _*)).as("__h"),
+            row_number().over(byPos).as("__rn"),
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("__n"))
+          .where(col("__rn") <= greatest(col("__n") - k + 1, lit(1)))
+        val slide = Window.partitionBy(col("doc_id")).orderBy("__pos")
+          .rowsBetween(-(w - 1), Window.currentRow)
+        grams.select(col("doc_id"), min(col("__h")).over(slide).as("fp"))
+          .distinct()
+      }
+      var warmedWf = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "winnow") {
+        val corpus = replicatedDocs(n).cache()
+        val rows = corpus.count()
+        val (eSec, eMb) = time(consume(
+          TextAnalysis.winnowFingerprints(corpus, "text", "doc_id")))
+        val (wSec, wMb) = time(consume(windowFormulation(corpus, 5, 4)))
+        if (warmedWf)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d " +
+            f"winnowExpr=$eSec%6.2fs/${eMb}%8.1fMB " +
+            f"winnowWindows=$wSec%6.2fs/${wMb}%8.1fMB")
+        warmedWf = true
+        corpus.unpersist()
+      }
+    }
     spark.stop()
   }
 }
