@@ -35,29 +35,10 @@ object WinnowFps64 {
     if (s == null) return null
     val t = tokenHashes(s.toString)
     if (t.length == 0) return new GenericArrayData(Array.emptyLongArray)
-    // k-gram polynomial hashes; < k tokens → one truncated gram
-    val m = math.max(t.length - k + 1, 1)
-    val grams = new Array[Long](m)
-    if (t.length < k) {
-      var h = 0L
-      var i = 0
-      while (i < t.length) { h = h * B + t(i); i += 1 }
-      grams(0) = h
-    } else {
-      var bn = 1L // B^(k-1)
-      var i = 0
-      while (i < k - 1) { bn *= B; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < k) { h = h * B + t(i); i += 1 }
-      grams(0) = h
-      var g = 1
-      while (g < m) {
-        h = (h - t(g - 1) * bn) * B + t(g + k - 1)
-        grams(g) = h
-        g += 1
-      }
-    }
+    // k-gram rolling hashes (shared with the shingle expression);
+    // < k tokens → one truncated gram
+    val grams = KGramHashes64.gramHashes(t, k)
+    val m = grams.length
     // sliding min over w grams (partial prefix windows included) via a
     // monotonic deque of gram indices; one fingerprint per gram position
     val out = new Array[Long](m)

@@ -89,6 +89,21 @@ object Dedup {
       .select(col(idCol), col("__s"))
   }
 
+  /** The distinct shingle-HASH set of a document as a zero-shuffle
+    * projection (codegen'd rolling k-gram hashes,
+    * [[graft.functions.KGramHashes64Expr]]) — replaces
+    * `shingleRows → groupBy(id) → collect_set(xxhash64)` wherever the
+    * consumer needs only shingle EQUALITY (exact-Jaccard verification,
+    * the persisted index): no ordering windows, no exchange, 8-byte
+    * elements. Edge parity with [[shingleRows]]: < n tokens → one
+    * truncated shingle, token-less text → the empty-token shingle (two
+    * empty documents still Jaccard-match at 1.0, as the string
+    * formulation and the DuckDB oracles do).
+    */
+  def shingleHashSet(text: Column, n: Int): Column =
+    array_distinct(
+      graft.functions.KGramHashes64Expr.kgramHashes64(normText(text), n))
+
   /** MinHash signatures as an aggregation, the 100 TB-safe shape:
     * explode shingles, hash each ONCE into two 64-bit values, and build
     * the `numHashes` families via Kirsch-Mitzenmacher (`h1 + k*h2`) as
@@ -254,8 +269,7 @@ object Dedup {
     // this join falling off Catalyst's 10 MB ESTIMATED-size cliff at
     // 320k docs and shuffling the corpus once — still linear, but 1.7×
     // the bytes; the exact on-disk size is a better gate than the
-    // estimate). Above the limit the shuffled semi-join co-partitions
-    // the corpus by id, which shingleRows' repartition then reuses.
+    // estimate).
     val bcLimit = df.sparkSession.conf
       .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
     def maybeBc(small: DataFrame): DataFrame =
@@ -280,8 +294,8 @@ object Dedup {
     // WORSE here: per-pair row expansion with per-row overhead shuffles
     // ~1.8× the packed-array bytes.)
     val (sh, shBytes) = Spill.roundTripSized(
-      shingleRows(candDocs.repartition(col(idCol)), textCol, idCol, shingleSize)
-        .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as("sh")))
+      candDocs.select(col(idCol),
+        shingleHashSet(col(textCol), shingleSize).as("sh")))
     val shBcLimit = df.sparkSession.conf
       .get("spark.graft.dedup.broadcastShinglesBytes", (32L << 20).toString).toLong
     def bcSh(p: DataFrame): DataFrame =
@@ -504,9 +518,10 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
-    // persisted because both join sides read it; released on return
-    val sh = shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
-      .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as("sh")).persist()
+    // zero-shuffle shingle-set projection; persisted because both join
+    // sides read it (released on return)
+    val sh = df.select(col(idCol),
+      shingleHashSet(col(textCol), n).as("sh")).persist()
     val result = pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -612,10 +627,9 @@ object Dedup {
     // each side (semi-join-filtered before the explode)
     def shingleSets(df: DataFrame, ids: DataFrame, as: String): (DataFrame, Long) =
       Spill.roundTripSized(
-        shingleRows(df.select(col(idCol), col(textCol))
-            .join(maybeBc(ids), Seq(idCol), "left_semi")
-            .repartition(col(idCol)), textCol, idCol, shingleSize)
-          .groupBy(col(idCol)).agg(collect_set(xxhash64(col("__s"))).as(as)))
+        df.select(col(idCol), col(textCol))
+          .join(maybeBc(ids), Seq(idCol), "left_semi")
+          .select(col(idCol), shingleHashSet(col(textCol), shingleSize).as(as)))
     val (dSh, dShBytes) = shingleSets(delta,
       cands.select(col("id_delta").as(idCol)).distinct(), "sh_d")
     val (rSh, rShBytes) = shingleSets(reference,

@@ -122,11 +122,8 @@ object NearDupIndex {
 
   private def shingleStore(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int): DataFrame =
-    Dedup.shingleRows(df.select(col(idCol), col(textCol))
-        .repartition(col(idCol)), textCol, idCol, shingleSize)
-      .groupBy(col(idCol))
-      .agg(collect_set(xxhash64(col("__s"))).as("sh"))
-      .select(col(idCol).as("id"), col("sh"))
+    df.select(col(idCol).as("id"),
+      Dedup.shingleHashSet(col(textCol), shingleSize).as("sh"))
 
   private def readConfig(spark: SparkSession, path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/$C").head()

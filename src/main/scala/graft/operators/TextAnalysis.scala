@@ -158,12 +158,16 @@ object TextAnalysis {
     * appearing c > 1 times contributes all c occurrences). Boilerplate,
     * chorus-like spam, and degenerate generations score high; Gopher
     * drops documents with duplicate-2-gram fraction above ~0.2.
-    * One shuffle by document id (shared with the shingle windows);
-    * returns (idCol, n_grams, dup_frac: double, rule_repetition).
+    * Plan shape: the gram stream is a zero-shuffle codegen'd
+    * projection ([[graft.functions.KGramHashes64Expr]]); the only
+    * exchange is the (id, gram) occurrence count.
+    * Returns (idCol, n_grams, dup_frac: double, rule_repetition).
     */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String,
       n: Int = 2, maxDupFraction: Double = 0.2): DataFrame = {
-    val counts = Dedup.shingleRows(df.repartition(col(idCol)), textCol, idCol, n)
+    val counts = df.select(col(idCol),
+        explode(graft.functions.KGramHashes64Expr.kgramHashes64(
+          Dedup.normText(col(textCol)), n)).as("__s"))
       .groupBy(col(idCol), col("__s")).agg(count(lit(1)).as("__c"))
     val dupFrac = sum(when(col("__c") > 1, col("__c")).otherwise(0L))
       .cast("double") / sum(col("__c"))
