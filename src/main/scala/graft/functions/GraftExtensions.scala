@@ -13,9 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   SELECT simhash64(text),
   *          minhash_sig(text, 128, 5),
-  *          graft_dot(a, b), graft_l2norm(a)
+  *          graft_dot(a, b), graft_l2norm(a),
+  *          winnow_fps64(text, 5, 4),
+  *          kgram_hashes64(text, 5),
+  *          rolling_span_hash64(text, 50)
   *
-  * All four are codegen'd native expressions — usable from pure-SQL
+  * All are codegen'd native expressions — usable from pure-SQL
   * pipelines without touching the Scala API. The SQL text fingerprints
   * apply the SAME normalization as the operator path
   * ([[graft.operators.Dedup.normText]]: lowercase, collapse
@@ -54,7 +57,14 @@ object GraftFunctions {
       if (es.length > 2) intArg(es(2), "minhash_sig shingleSize") else 5)),
     fn("graft_dot", es => DotProductExpr(es(0), es(1))),
     fn("graft_l2norm", es =>
-      org.apache.spark.sql.catalyst.expressions.Sqrt(DotProductExpr(es.head, es.head))))
+      org.apache.spark.sql.catalyst.expressions.Sqrt(DotProductExpr(es.head, es.head))),
+    fn("winnow_fps64", es => WinnowFps64Expr(normText(es.head),
+      if (es.length > 1) intArg(es(1), "winnow_fps64 k") else 5,
+      if (es.length > 2) intArg(es(2), "winnow_fps64 w") else 4)),
+    fn("kgram_hashes64", es => KGramHashes64Expr(normText(es.head),
+      if (es.length > 1) intArg(es(1), "kgram_hashes64 k") else 5)),
+    fn("rolling_span_hash64", es => RollingSpanHash64Expr(normText(es.head),
+      if (es.length > 1) intArg(es(1), "rolling_span_hash64 span") else 50)))
 
   /** Register every graft function on an already-running session. */
   def registerAll(spark: SparkSession): Unit =

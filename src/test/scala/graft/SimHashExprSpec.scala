@@ -37,6 +37,25 @@ class SimHashExprSpec extends SparkTestBase {
     assert(rows.length == 5 && rows.forall(!_.isNullAt(1)))
   }
 
+  test("SQL registration: winnow/kgram/rolling-span expressions via registerAll") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$sf/documents.parquet").limit(5)
+      .createOrReplaceTempView("sql_fn_docs")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |  size(winnow_fps64(text)) AS n_fps,
+        |  size(winnow_fps64(text, 5, 4)) AS n_fps_args,
+        |  size(kgram_hashes64(text, 5)) AS n_grams,
+        |  size(rolling_span_hash64(text, 8)) AS n_spans
+        |FROM sql_fn_docs""".stripMargin).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0 && r.getInt(1) == r.getInt(2))
+      assert(r.getInt(3) > 0, "every doc has at least one shingle")
+      assert(r.getInt(4) >= 0)
+    }
+  }
+
   test("similar texts have small hamming distance, dissimilar large") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "the quick brown fox jumps over the lazy dog again and again tonight"
