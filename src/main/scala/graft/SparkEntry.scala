@@ -1091,6 +1091,33 @@ object SparkEntry {
         .select(col("id_delta"), col("id_ref"))
     }),
 
+    // T1 × the persisted index: the continuous-ingestion admission
+    // loop. The SAME planted delta as q_dedup_incremental/_index
+    // streams through foreachBatch admission against the reference
+    // index; survivors (idempotent batch-partitioned parquet) must be
+    // exactly the delta minus every doc with a >= 0.9 match — the
+    // oracle recomputes the exact all-pairs matched set and SUBTRACTS.
+    // A false drop loses a row; a missed duplicate adds one.
+    "q_stream_neardup_admission" -> ((s, dir) => {
+      import graft.streaming.StreamingAdmission
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            translate(col("text"), "aeiou", "bcdfg").as("text")))
+      val base = Spill.newPath(s)
+      val idxPath = base + "/adm_index"
+      val deltaPath = base + "/adm_delta"
+      val outPath = base + "/adm_admitted"
+      NearDupIndex.build(docs, idxPath, "text", "doc_id")
+      delta.write.mode("overwrite").parquet(deltaPath)
+      val stream = s.readStream
+        .schema(s.read.parquet(deltaPath).schema).parquet(deltaPath)
+      StreamingAdmission.run(stream, "text", "doc_id", idxPath, outPath, 0.9)
+      s.read.parquet(outPath).select("doc_id")
+    }),
+
     // Paragraph-level boilerplate removal (RefinedWeb-style): a banner
     // planted at the HEAD of 50 % of docs must be excised (≥ the 30 %
     // doc-frequency threshold), a footer on 20 % must SURVIVE (below
@@ -2993,6 +3020,15 @@ object SparkEntry {
     // path must reproduce the batch operator's pairs exactly.
     "q_dedup_incremental" -> sqlIncrementalDedup,
     "q_dedup_index" -> sqlIncrementalDedup,
+
+    // admission = delta MINUS every doc the exact all-pairs match set
+    // (the shared incremental-dedup oracle) flags
+    "q_stream_neardup_admission" ->
+      s"""SELECT doc_id FROM (
+        |  SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id FROM documents WHERE doc_id % 10 = 1)
+        |WHERE doc_id NOT IN (SELECT id_delta FROM ($sqlIncrementalDedup))""".stripMargin,
 
     "q_dedup_paragraphs" ->
       """WITH corpus AS (

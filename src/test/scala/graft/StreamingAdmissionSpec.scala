@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.NearDupIndex
+import graft.streaming.StreamingAdmission
+import org.apache.spark.sql.functions._
+
+/** Continuous near-dup admission: reference duplicates are rejected,
+  * novel documents admitted, and with `appendAdmitted` a later batch
+  * duplicating an EARLIER admission is rejected too (the growing-
+  * corpus loop).
+  */
+class StreamingAdmissionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def words(p: String, n: Int) =
+    (0 until n).map(i => s"$p$i").mkString(" ")
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_adm").toString
+
+  test("duplicates of the reference are rejected, novel docs admitted") {
+    val reference = Seq(
+      (1L, words("ref", 30)), (2L, words("other", 30))).toDF("doc_id", "text")
+    val idx = tmp() + "/idx"
+    NearDupIndex.build(reference, idx, "text", "doc_id")
+    val deltaDir = tmp() + "/delta"
+    Seq((101L, words("ref", 30)),   // verbatim reference copy → reject
+        (102L, words("novel", 30))) // unseen → admit
+      .toDF("doc_id", "text").write.parquet(deltaDir)
+    val out = tmp() + "/out"
+    StreamingAdmission.run(
+      spark.readStream.schema(spark.read.parquet(deltaDir).schema)
+        .parquet(deltaDir),
+      "text", "doc_id", idx, out, threshold = 0.9)
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(102L), s"got $admitted")
+  }
+
+  test("appendAdmitted: a later batch duplicating an earlier admission is rejected") {
+    val reference = Seq((1L, words("base", 30))).toDF("doc_id", "text")
+    val idx = tmp() + "/idx"
+    NearDupIndex.build(reference, idx, "text", "doc_id")
+    val deltaDir = new java.io.File(tmp(), "delta")
+    deltaDir.mkdirs()
+    // two files, processed as two batches (maxFilesPerTrigger = 1);
+    // modification order pins batch order
+    Seq((201L, words("fresh", 30))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(deltaDir.toString)
+    Thread.sleep(1100)
+    Seq((202L, words("fresh", 30)),   // copy of batch-1 admission → reject
+        (203L, words("newer", 30)))   // novel → admit
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(deltaDir.toString)
+    val out = tmp() + "/out"
+    StreamingAdmission.run(
+      spark.readStream.schema(spark.read.parquet(deltaDir.toString).schema)
+        .option("maxFilesPerTrigger", "1").parquet(deltaDir.toString),
+      "text", "doc_id", idx, out, threshold = 0.9, appendAdmitted = true)
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(201L, 203L), s"got $admitted")
+  }
+}
