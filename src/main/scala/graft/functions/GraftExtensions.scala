@@ -39,12 +39,18 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
-  /** The Catalyst form of [[graft.operators.Dedup.normText]] — keeps
-    * SQL-computed fingerprints collision-compatible with operator-side
-    * ones (idempotent, so double application is harmless).
+  /** The Catalyst form of [[graft.operators.Dedup.normText]] — the
+    * SAME three passes (CJK codepoint spacing, whitespace collapse,
+    * lowercase+trim), so SQL-computed fingerprints are
+    * collision-compatible with operator-side ones for CJK text too
+    * (idempotent, so double application is harmless).
     */
   def normText(e: Expression): Expression =
-    StringTrim(RegExpReplace(Lower(e), Literal("\\s+"), Literal(" ")))
+    StringTrim(RegExpReplace(
+      RegExpReplace(Lower(e),
+        Literal("([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])"),
+        Literal(" $1 ")),
+      Literal("\\s+"), Literal(" ")))
 
   private def fn(name: String, builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** All sliding-window span hashes of a whitespace-tokenized string in
-  * ONE pass — the Rabin-Karp rolling formulation: per-token 64-bit
+/** All sliding-window span hashes of a single-space-tokenized string
+  * (normText output) in ONE pass — the Rabin-Karp rolling
+  * formulation: per-token 64-bit
   * FNV-1a once per token, then each window hash derives from its
   * predecessor in O(1) (`H' = (H - t_out·B^(n-1))·B + t_in` over the
   * 2^64 ring). The SQL-combinator formulation
@@ -29,19 +30,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object RollingSpanHash64 {
   private[functions] final val B = 0x100000001b3L // FNV prime (odd → bijective ·B)
 
-  /** Per-token 64-bit FNV-1a hashes of a whitespace-tokenized string,
-    * one pass over the chars (shared by the rolling-span and winnow
-    * expressions).
+  /** Per-token 64-bit FNV-1a hashes, one pass over the chars (shared
+    * by the rolling-span, k-gram, and winnow expressions).
+    *
+    * Tokens split on the ASCII space ONLY — exact parity with the
+    * `split(normText(text), " ")` formulation these expressions
+    * replace and with the DuckDB oracles' `string_split(..., ' ')`.
+    * `Character.isWhitespace` would NOT be parity: `normText`'s
+    * Java-regex `\s+` collapse leaves non-ASCII whitespace (U+3000
+    * ideographic space, U+2028/29, …) INSIDE tokens, and so must we.
     */
   private[functions] def tokenHashes(str: String): Array[Long] = {
     val tb = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
     val len = str.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < len && str.charAt(i) == ' ') i += 1
       if (i < len) {
         var h = 0xcbf29ce484222325L
-        while (i < len && !Character.isWhitespace(str.charAt(i))) {
+        while (i < len && str.charAt(i) != ' ') {
           h ^= str.charAt(i)
           h *= B
           i += 1

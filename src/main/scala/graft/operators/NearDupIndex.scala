@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   *    structure (bucket-capped at build, the degenerate-boilerplate
   *    defense);
   *  - `shingles/` — `(id, sh array<bigint>)`, the exact-jaccard
-  *    verification sets (xxhash64'd shingles — same hashing as the
-  *    batch operator);
-  *  - `config/`   — one row pinning (numHashes, bands, shingleSize):
-  *    a delta hashed under a different config would silently match
-  *    nothing, so `query`/`append` read it back and hash the delta
-  *    under the STORED config rather than trusting the caller.
+  *    verification sets (rolling k-gram hashes — same family as the
+  *    batch operator, [[Dedup.shingleHashSet]]);
+  *  - `config/`   — one row pinning (numHashes, bands, shingleSize,
+  *    hash_family): a delta hashed under a different config would
+  *    silently match nothing, so `query`/`append` read it back, hash
+  *    the delta under the STORED config, and REFUSE a store written
+  *    under a different hash family (rebuild instead).
   *
   * Query plan shape: the reference bands STREAM from disk while the
   * delta's band rows are spill-measured and broadcast (gated on exact
@@ -35,13 +36,24 @@ object NearDupIndex {
   private val S = "shingles"
   private val C = "config"
 
+  /** Persisted hash-family version. The shingle sets are hash VALUES
+    * on disk; a store written under one family intersected with a
+    * delta hashed under another gives jaccard ≈ 0 — every duplicate
+    * silently admitted. So the family is pinned in `config/` alongside
+    * the LSH parameters, and `query`/`append` refuse a store written
+    * under a different one (rebuild the index instead). Bump this
+    * whenever [[Dedup.shingleHashSet]] or the signature expression's
+    * hash family changes.
+    */
+  private val HashFamily = "kgram_fnv_v1"
+
   def build(reference: DataFrame, path: String,
       textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5): Unit = {
     val spark = reference.sparkSession
     import spark.implicits._
-    Seq((numHashes, bands, shingleSize))
-      .toDF("num_hashes", "bands", "shingle_size")
+    Seq((numHashes, bands, shingleSize, HashFamily))
+      .toDF("num_hashes", "bands", "shingle_size", "hash_family")
       .write.mode("overwrite").parquet(s"$path/$C")
     Dedup.capBuckets(
       bandsOf(reference, textCol, idCol, numHashes, bands, shingleSize),
@@ -126,7 +138,17 @@ object NearDupIndex {
       Dedup.shingleHashSet(col(textCol), shingleSize).as("sh"))
 
   private def readConfig(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/$C").head()
+    val df = spark.read.parquet(s"$path/$C")
+    val r = df.head()
+    // pre-versioning stores (r9 and earlier) carried xxhash64'd
+    // shingle strings and no family column
+    val family =
+      if (df.columns.contains("hash_family")) r.getAs[String]("hash_family")
+      else "xxhash64_str_v0"
+    require(family == HashFamily,
+      s"near-dup index at $path was written under hash family '$family', " +
+        s"this engine uses '$HashFamily' — stored shingle sets would " +
+        "silently match nothing; rebuild the index with NearDupIndex.build")
     (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_size"))
   }
 }

@@ -92,6 +92,13 @@ object TimestampParser {
     * and TZ (every encoding the driver fixtures have shipped) all land
     * on `TimestampType`, instead of a blind cast that misreads a nanos
     * long as seconds. Non-`native` formats are unchanged.
+    *
+    * CONTRACT (differs from the pre-r10 blind cast): an INTEGER column
+    * under `native` is epoch-NANOS — the only integer encoding a
+    * "native timestamp" fixture actually ships. A long holding epoch
+    * seconds or millis must declare `epoch` / `epoch_millis`; the old
+    * behavior (`cast` = seconds) was an accident of the cast, not a
+    * supported grammar.
     */
   def toTimestampColOf(df: DataFrame, column: String, format: String): Column =
     format match {

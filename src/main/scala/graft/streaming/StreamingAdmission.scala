@@ -44,7 +44,16 @@ object StreamingAdmission {
       }
       .start()
     q.awaitTermination(timeoutMs)
-    if (q.isActive) q.stop()
+    if (q.isActive) {
+      q.stop()
+      // a timed-out admission has UNPROCESSED batches: surfacing a
+      // partial survivor set as complete would silently lose documents
+      // (and leave a half-grown index under appendAdmitted)
+      throw new IllegalStateException(
+        s"streaming admission timed out after ${timeoutMs}ms with batches " +
+          s"unprocessed — output at $outPath is PARTIAL; raise timeoutMs " +
+          "or shrink the delta")
+    }
     q
   }
 }

@@ -30,7 +30,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
-    //   sessionize|ivfindex|skew|bm25|topfrac|spans|all selects the axis
+    //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")

@@ -50,8 +50,11 @@ class RollingSpanHashSpec extends SparkTestBase {
     assert(a.distinct.size == a.size, "distinct windows must not collide here")
   }
 
-  test("whitespace runs, short input, empty, and null semantics") {
-    assert(viaExpr("  a   b\tc  ", 2) == direct(Seq("a", "b", "c"), 2))
+  test("space runs, short input, empty, and null semantics") {
+    assert(viaExpr("  a   b c  ", 2) == direct(Seq("a", "b", "c"), 2))
+    // space-ONLY tokenization (normText-output contract): a tab stays
+    // inside its token, exactly like split(normText, " ")
+    assert(viaExpr("a b\tc", 2) == direct(Seq("a", "b\tc"), 2))
     assert(viaExpr("a b", 3).isEmpty, "fewer tokens than span -> empty")
     assert(viaExpr("", 2).isEmpty)
     val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")

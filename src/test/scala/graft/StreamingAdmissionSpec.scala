@@ -37,6 +37,21 @@ class StreamingAdmissionSpec extends SparkTestBase {
     assert(admitted == Set(102L), s"got $admitted")
   }
 
+  test("a store written under a different hash family is refused, not silently empty") {
+    val reference = Seq((1L, words("base", 30))).toDF("doc_id", "text")
+    val idx = tmp() + "/idx"
+    NearDupIndex.build(reference, idx, "text", "doc_id")
+    // simulate a pre-versioning (r9-era) store: config without the
+    // hash_family column
+    Seq((128, 16, 5)).toDF("num_hashes", "bands", "shingle_size")
+      .write.mode("overwrite").parquet(idx + "/config")
+    val delta = Seq((9L, words("base", 30))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.query(spark, idx, delta, "text", "doc_id", 0.9).collect()
+    }
+    assert(e.getMessage.contains("hash family"), e.getMessage)
+  }
+
   test("appendAdmitted: a later batch duplicating an earlier admission is rejected") {
     val reference = Seq((1L, words("base", 30))).toDF("doc_id", "text")
     val idx = tmp() + "/idx"

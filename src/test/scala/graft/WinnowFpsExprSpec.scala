@@ -65,10 +65,24 @@ class WinnowFpsExprSpec extends SparkTestBase {
     }
   }
 
+  test("non-ASCII whitespace stays IN-token (parity with split-on-space)") {
+    // normText's \s+ collapse is ASCII-only, so U+3000 survives inside
+    // a token; the expression tokenizer must agree with
+    // split(normText, " ") — not with Character.isWhitespace
+    val ideographic = s"a　b"
+    val expr = viaExpr(s"x $ideographic y", 1, 1)
+    val ref = reference(Seq("x", ideographic, "y"), 1, 1)
+    assert(expr == ref, "U+3000 must not split a token")
+    assert(expr.size == 3, s"3 tokens expected, fps=$expr")
+  }
+
   test("edge semantics: short, empty, null") {
     assert(viaExpr("a b", 5, 4).size == 1, "sub-k doc emits ONE truncated gram fp")
     assert(viaExpr("", 5, 4) == Set.empty, "token-less doc emits none")
-    assert(viaExpr("   \t ", 5, 4) == Set.empty)
+    assert(viaExpr("     ", 5, 4) == Set.empty, "all-space doc emits none")
+    // space-ONLY tokenization: a lone tab IS a token (normText would
+    // have collapsed it before this expression ever sees it)
+    assert(viaExpr("\t", 5, 4).size == 1)
     val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
       .select(WinnowFps64Expr.winnowFps64(col("t"), 5, 4).as("h")).head
     assert(nullRow.isNullAt(0))

@@ -28,8 +28,11 @@ def canon(df):
 def _is_float(x):
     return isinstance(x, (float, np.floating))
 
+def _is_bool(x):
+    return isinstance(x, (bool, np.bool_))
+
 def _is_int(x):
-    return isinstance(x, (int, np.integer)) and not isinstance(x, (bool, np.bool_))
+    return isinstance(x, (int, np.integer)) and not _is_bool(x)
 
 def cells_equal(a, b):
     if pd.isna(a) and pd.isna(b):
@@ -37,6 +40,10 @@ def cells_equal(a, b):
     # Type-strict: the driver hashes rendered values, so int64 3 and
     # float64 3.0 must NOT compare equal here — that laxity is exactly
     # how DuckDB HUGEINT->float64 drift shipped as a false local green.
+    # Same for booleans: True == 1 == 1.0 in Python, but 'true' != '1'
+    # under the driver's hash.
+    if _is_bool(a) != _is_bool(b):
+        return False
     if (_is_float(a) and _is_int(b)) or (_is_int(a) and _is_float(b)):
         return False
     if _is_float(a) and _is_float(b):
