@@ -1806,6 +1806,46 @@ object SparkEntry {
           size(Multimodal.frameSample(col("payload"), 32, 4)))
         .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
           col("decoded.channels"), col("decoded.mean_intensity"), col("n_frames"))
+    }),
+
+    // Mergeable KMV distinct-count sketch (SURVEY §2.11 sketches):
+    // per-lang distinct-token estimates plus a '__all__' row built by
+    // MERGING the per-lang sketches (never rescanning the corpus) —
+    // bottom-k of the union ≡ union of bottom-ks, so the oracle's
+    // direct global sketch must match the merged one bit-for-bit.
+    // O(k) state, map-side combine, integer-grid estimator.
+    "q_sketch_kmv" -> ((s, dir) => {
+      val k = 128
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      val perLang = Sketches.kmvSketch(tok, col("term"), k, Seq("lang"))
+      val all = Sketches.kmvMergeAll(perLang, k)
+        .withColumn("lang", lit("__all__"))
+      perLang.select(col("lang"), col("sketch"))
+        .unionByName(all.select(col("lang"), col("sketch")))
+        .select(col("lang").as("grp"),
+          size(col("sketch")).cast("long").as("n_sketch"),
+          element_at(col("sketch"), size(col("sketch"))).as("h_max"),
+          Sketches.kmvEstimate(col("sketch"), k).as("est_distinct"))
+    }),
+
+    // Count-Min frequency sketch: 4×2048 counter array built in one
+    // partial-agg pass over token occurrences (64 KB mergeable state —
+    // the exact groupBy(term).count it replaces shuffles every distinct
+    // term), then point-queried for the top-40 vocab terms. Estimates
+    // overcount only; both engines derive identical cells from the md5
+    // grid, so the min-over-depth values are hash-exact.
+    "q_sketch_cms" -> ((s, dir) => {
+      val (depth, width) = (4, 2048)
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      val cms = Sketches.cmsBuild(tok, col("term"), depth, width)
+      val probes = TextAnalysis.buildVocab(docs.select("doc_id", "text"),
+        "text", "doc_id", minDf = 2, topK = 40).select("term")
+      Sketches.cmsEstimate(cms, probes, "term", depth, width)
+        .select("term", "est_count")
     })
   )
 
@@ -3170,6 +3210,64 @@ object SparkEntry {
         |  ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
         |   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))::DOUBLE AS mean_intensity,
         |  (greatest((n // 128) - 1, 0) + 1)::INT AS n_frames
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // KMV: per-lang bottom-128 of 56-bit md5 token hashes + direct
+    // global bottom-128 (≡ the engine's merged sketch); two-term
+    // overflow-free integer estimator mirrors Sketches.kmvEstimate
+    "q_sketch_kmv" ->
+      s"""WITH tok AS (
+        |  SELECT lang, unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT lang, term FROM tok WHERE term <> ''),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 14)) AS UBIGINT)::BIGINT AS h
+        |  FROM t2
+        |), bk AS (
+        |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h
+        |), g AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT h FROM h)
+        |), u AS (
+        |  SELECT lang, h FROM bk WHERE rn <= 128
+        |  UNION ALL
+        |  SELECT '__all__' AS lang, h FROM g WHERE rn <= 128
+        |)
+        |SELECT lang AS grp, count(*)::BIGINT AS n_sketch, max(h) AS h_max,
+        |  (CASE WHEN count(*) < 128 THEN count(*)
+        |    ELSE 127 * (72057594037927936 // max(h))
+        |       + (127 * (72057594037927936 % max(h))) // max(h)
+        |    END)::BIGINT AS est_distinct
+        |FROM u GROUP BY lang""".stripMargin,
+
+    // CMS 4x2048: per-depth collision-cell counts over token
+    // occurrences; probe estimate = min over depth rows (same md5 cell
+    // derivation as Sketches.cmsCells)
+    "q_sketch_cms" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |probes AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS df
+        |    FROM (SELECT DISTINCT doc_id, term FROM t2)
+        |    GROUP BY term HAVING count(*) >= 2
+        |    ORDER BY df DESC, term LIMIT 40)
+        |), depths AS (SELECT range AS i FROM range(0, 4)),
+        |cnt AS (
+        |  SELECT i, CAST(('0x' || substr(md5(i || '_' || term), 1, 8))
+        |      AS UBIGINT) % 2048 AS cell, count(*) AS c
+        |  FROM t2 CROSS JOIN depths GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT term, i, CAST(('0x' || substr(md5(i || '_' || term), 1, 8))
+        |      AS UBIGINT) % 2048 AS cell
+        |  FROM probes CROSS JOIN depths
+        |)
+        |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
+        |FROM pc LEFT JOIN cnt c USING (i, cell)
+        |GROUP BY pc.term""".stripMargin
   )
 }

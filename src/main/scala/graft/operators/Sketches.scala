@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.{BottomKDistinctAgg, CountMinAgg}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable data sketches over corpus-scale streams (SURVEY.md §2.11
+  * "novel sketch" extension ops): KMV distinct-count and Count-Min
+  * frequency.
+  *
+  * Both are built on the repo's cross-engine md5 hash grid instead of
+  * engine-private hashing (`approx_count_distinct`'s HLL buffer,
+  * DataSketches binaries), which buys three properties at once:
+  *
+  *   1. the sketch is a pure function of the input SET — row order,
+  *      partitioning, and engine all produce bit-identical sketches,
+  *      so the DuckDB oracle recomputes them exactly;
+  *   2. sketches are MERGEABLE (bottom-k of a union ≡ bottom-k of the
+  *      union of per-part bottom-k's; CMS counters add elementwise),
+  *      so per-shard/per-day sketches roll up without rescanning — the
+  *      posture that matters at 100 TB where "count distinct tokens"
+  *      must not shuffle every distinct token;
+  *   3. estimates stay on an exact integer grid (no float harmonic
+  *      means), so verdicts are hash-stable.
+  *
+  * Scale shape: one partial-agg pass over the corpus (map-side
+  * combine), O(k) or O(depth·width) state, a one-row final shuffle.
+  */
+object Sketches {
+
+  /** 56-bit hash space: 14 md5 hex digits. Wide enough that collisions
+    * are negligible for billions of distinct values (n²/2^57), narrow
+    * enough that the KMV estimator's integer arithmetic stays in
+    * overflow-checked Long range (see [[kmvEstimate]]).
+    */
+  val KmvSpace: Long = 1L << 56
+
+  /** Cross-engine 56-bit item hash — DuckDB mirror:
+    * `CAST(('0x' || substr(md5(x), 1, 14)) AS UBIGINT)`.
+    */
+  def kmvHash(item: Column): Column =
+    conv(substring(md5(item.cast("string")), 1, 14), 16, 10).cast("long")
+
+  /** Per-group KMV sketch: `groupCols* , sketch: array<long>` — the k
+    * smallest distinct [[kmvHash]] values per group, ascending. Null
+    * items are excluded (SQL distinct-count semantics).
+    */
+  def kmvSketch(df: DataFrame, item: Column, k: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val hashed = df.where(item.isNotNull)
+      .select(groupCols.map(col) :+ kmvHash(item).as("__h"): _*)
+    hashed.groupBy(groupCols.map(col): _*)
+      .agg(BottomKDistinctAgg(k)(col("__h")).as("sketch"))
+  }
+
+  /** Merge per-group sketches into one global sketch WITHOUT rescanning
+    * the corpus: the k smallest of the union of the groups' k smallest
+    * is exactly the global bottom-k (every global bottom-k member is in
+    * its own group's bottom-k). Input is `groups × k` longs — driver-
+    * free, one tiny agg.
+    */
+  def kmvMergeAll(sketches: DataFrame, k: Int,
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.select(explode(col(sketchCol)).as("__h"))
+      .groupBy()
+      .agg(BottomKDistinctAgg(k)(col("__h")).as("sketch"))
+
+  /** Distinct-count estimate from a KMV sketch, exact integer grid.
+    *
+    * Fewer than k distinct values → the sketch IS the distinct set →
+    * exact count. Otherwise the classic (k−1)/r_k estimator with
+    * r_k = h_k / 2^56, computed as
+    * `(k−1)·⌊S/h⌋ + ⌊(k−1)·(S mod h)/h⌋` — algebraically equal to
+    * ⌊(k−1)·S/h⌋ but overflow-free: with k ≤ 128 every intermediate is
+    * < 2^63 (h ≥ k−1 since the sketch holds k distinct non-negatives,
+    * so (k−1)·⌊S/h⌋ ≤ (k−1)·S/(k−1) = S < 2^57, and
+    * (k−1)·(S mod h) < 127·2^56 < 2^63). A DuckDB oracle states the
+    * same two-term formula in BIGINT. Relative error ~1/√(k−2) (≈9% at
+    * k=128) — raise the hash space to decimals if you need larger k.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    require(k >= 2 && k <= 128,
+      s"kmvEstimate integer grid supports 2 <= k <= 128, got $k")
+    val h = element_at(sketch, k) // sorted ascending: k-th = max
+    val s = lit(KmvSpace)
+    val est = lit(k - 1L) * call_function("div", s, h) +
+      call_function("div", lit(k - 1L) * (s % h), h)
+    when(size(sketch) < k, size(sketch).cast("long")).otherwise(est)
+  }
+
+  /** Per-occurrence CMS cell indices: for row i in 0..depth−1, cell =
+    * first-8-hex-md5(i ‖ '_' ‖ item) mod width. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(i || '_' || x), 1, 8)) AS UBIGINT) % width`.
+    */
+  def cmsCells(item: Column, depth: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(depth - 1)), i =>
+      conv(substring(md5(concat(i.cast("string"), lit("_"),
+        item.cast("string"))), 1, 8), 16, 10).cast("long") % width)
+
+  /** Build a Count-Min sketch over `item` occurrences (with
+    * multiplicity): one row, `cms: array<long>` of length depth·width,
+    * row-major. Null items excluded.
+    */
+  def cmsBuild(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame =
+    df.where(item.isNotNull)
+      .select(cmsCells(item, depth, width).as("__cells"))
+      .groupBy()
+      .agg(CountMinAgg(depth, width)(col("__cells")).as("cms"))
+
+  /** Point-query the sketch for each probe item: min over depth rows of
+    * the probe's cell counters — an upper bound on the true occurrence
+    * count (error ≤ ε·N with ε ≈ e/width, probability 1−e^−depth).
+    * The one-row sketch broadcasts; probes never shuffle.
+    */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame =
+    probes
+      .withColumn("__cells", cmsCells(col(itemCol), depth, width))
+      .crossJoin(broadcast(cms))
+      .withColumn("est_count",
+        array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
+          element_at(col("cms"),
+            (i.cast("long") * width + element_at(col("__cells"), i + 1) + 1L)
+              .cast("int")))))
+      .drop("__cells", "cms")
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Sketches
+import graft.functions.BottomKDistinctAgg
+
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("bottom-k distinct aggregator: dedupes, caps, order-invariant") {
+    val vals = Seq(5L, 3L, 9L, 3L, 1L, 7L, 5L, 2L, 8L, 1L)
+    val k = 4
+    val direct = vals.distinct.sorted.take(k)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(BottomKDistinctAgg(k)(col("h")).as("s"))
+        .as[Seq[Long]].head()
+      assert(got == direct, s"parts=$parts")
+    }
+  }
+
+  test("kmv: exact when distinct count < k") {
+    val df = (1 to 40).map(i => s"tok${i % 10}").toDF("t")
+    val sk = Sketches.kmvSketch(df, col("t"), k = 64)
+    val est = sk.select(Sketches.kmvEstimate(col("sketch"), 64)).as[Long].head()
+    assert(est == 10L)
+  }
+
+  test("kmv: estimate within 4/sqrt(k) of truth; merge == direct global") {
+    val n = 5000
+    val df = (1 to n).map(i => (s"g${i % 3}", s"item$i")).toDF("g", "t")
+    val k = 128
+    val perGroup = Sketches.kmvSketch(df, col("t"), k, Seq("g"))
+    assert(perGroup.count() == 3)
+
+    val merged = Sketches.kmvMergeAll(perGroup, k)
+      .as[Seq[Long]].head()
+    val direct = Sketches.kmvSketch(df, col("t"), k)
+      .select("sketch").as[Seq[Long]].head()
+    assert(merged == direct, "bottom-k of union must equal union of bottom-ks")
+
+    val est = Sketches.kmvMergeAll(perGroup, k)
+      .select(Sketches.kmvEstimate(col("sketch"), k)).as[Long].head()
+    // relative std error ~1/sqrt(k-2); 4 sigma bound
+    val bound = 4.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est - n.toDouble) / n < bound, s"est=$est truth=$n")
+  }
+
+  test("kmv estimate arithmetic: overflow-free two-term division is exact") {
+    // h chosen near the top and bottom of the space: the two-term
+    // formula must match BigInt floor division exactly
+    val k = 128
+    for (h <- Seq(127L, 1000L, Sketches.KmvSpace - 1, Sketches.KmvSpace / 3)) {
+      val sketch = (0L until (k - 1)).toSeq :+ h // ascending, k-th = h
+      val got = Seq(sketch).toDF("sketch")
+        .select(Sketches.kmvEstimate(col("sketch"), k)).as[Long].head()
+      val want = (BigInt(k - 1) * BigInt(Sketches.KmvSpace) / BigInt(h)).toLong
+      assert(got == want, s"h=$h")
+    }
+  }
+
+  test("cms: estimate >= exact count, tight for heavy hitters; partition-invariant") {
+    val tokens =
+      Seq.fill(400)("alpha") ++ Seq.fill(150)("beta") ++
+        (1 to 500).map(i => s"noise$i")
+    val (depth, width) = (4, 2048)
+    val probes = Seq("alpha", "beta", "absent").toDF("term")
+
+    val ests = (for (parts <- Seq(1, 5)) yield {
+      val cms = Sketches.cmsBuild(
+        tokens.toDF("term").repartition(parts), col("term"), depth, width)
+      Sketches.cmsEstimate(cms, probes, "term", depth, width)
+        .select("term", "est_count").as[(String, Long)].collect().toMap
+    }).distinct
+    assert(ests.size == 1, "CMS must be partition-invariant")
+
+    val est = ests.head
+    assert(est("alpha") >= 400 && est("beta") >= 150 && est("absent") >= 0)
+    // eps*N bound with eps = e/width over N=1050 occurrences: < 2 here
+    assert(est("alpha") <= 400 + 3 && est("beta") <= 150 + 3 && est("absent") <= 3)
+  }
+
+  test("cms: sketches merge by elementwise add (union corpus == summed sketches)") {
+    val a = Seq.fill(10)("x") ++ Seq("y", "z")
+    val b = Seq.fill(5)("x") ++ Seq("w")
+    val (depth, width) = (2, 64)
+    val skA = Sketches.cmsBuild(a.toDF("t"), col("t"), depth, width)
+      .as[Seq[Long]].head()
+    val skB = Sketches.cmsBuild(b.toDF("t"), col("t"), depth, width)
+      .as[Seq[Long]].head()
+    val skU = Sketches.cmsBuild((a ++ b).toDF("t"), col("t"), depth, width)
+      .as[Seq[Long]].head()
+    assert(skA.zip(skB).map { case (u, v) => u + v } == skU)
+  }
+}
