@@ -1846,6 +1846,27 @@ object SparkEntry {
         "text", "doc_id", minDf = 2, topK = 40).select("term")
       Sketches.cmsEstimate(cms, probes, "term", depth, width)
         .select("term", "est_count")
+    }),
+
+    // Bucketed co-located materialization (SURVEY §2.8 at 100 TB): both
+    // tables written bucketBy(custkey) once, then joined through the
+    // catalog — Catalyst sees the hash-clustered layout and plans the
+    // equi-join with no Exchange on either bucketed side (zero-shuffle
+    // proof lives in BucketedLayoutSpec; here the contract is values).
+    // DROP + overwrite each run keeps bench reruns idempotent.
+    "q_bucketed_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").repartition(16, col("c_custkey"))
+      val ord = t(s, dir, "orders").repartition(16, col("o_custkey"))
+      BucketedLayout.write(cust, "q_bkt_cust", Spill.newPath(s),
+        Seq("c_custkey"), 16)
+      BucketedLayout.write(ord, "q_bkt_ord", Spill.newPath(s),
+        Seq("o_custkey"), 16)
+      BucketedLayout.table(s, "q_bkt_cust")
+        .join(BucketedLayout.table(s, "q_bkt_ord"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total"))
     })
   )
 
@@ -3268,6 +3289,13 @@ object SparkEntry {
         |)
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
-        |GROUP BY pc.term""".stripMargin
+        |GROUP BY pc.term""".stripMargin,
+
+    // bucketing is layout metadata — values must equal the plain join
+    "q_bucketed_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 4) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }
