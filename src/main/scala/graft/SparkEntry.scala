@@ -1848,6 +1848,39 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // Stream-STREAM interval join (clickstream attribution): purchases
+    // enriched with same-user views from the 6 h before the purchase.
+    // Two independent file streams; state on both sides is bounded by
+    // watermark + lookback (not stream length). Inner join appends as
+    // matches arrive; the oracle is the plain batch BETWEEN join, so a
+    // dropped or duplicated pair breaks the hash.
+    "q_stream_interval_join" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def streamOf(tpe: String) = fixTs(
+        s.readStream.schema(rawSchema).option("basePath", dir)
+          .parquet(s"$dir/events.parque*"))
+        .where(col("event_type") === tpe)
+      val p = streamOf("purchase").select(col("user_id"),
+        col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+      val v = streamOf("view").select(col("user_id").as("v_user_id"),
+        col("event_id").as("v_event_id"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      val name = s"stream_ij_${System.nanoTime()}"
+      val q = StreamingIngest.intervalJoin(p, v,
+          Seq("user_id" -> "v_user_id"), "p_ts", "v_ts",
+          lookbackSeconds = 6 * 3600L, watermarkDelay = "1 hour")
+        .select(col("user_id"), col("p_event_id"), col("v_event_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("v_ts")).as("v_ts_us"),
+          round(col("v_value"), 4).as("v_value"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    }),
+
     // Bucketed co-located materialization (SURVEY §2.8 at 100 TB): both
     // tables written bucketBy(custkey) once, then joined through the
     // catalog — Catalyst sees the hash-clustered layout and plans the
@@ -3290,6 +3323,16 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // inclusive BETWEEN bounds; micros so the ts compare is integer
+    "q_stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS p_event_id, v.event_id AS v_event_id,
+        |  epoch_us(p.ts)::BIGINT AS p_ts_us, epoch_us(v.ts)::BIGINT AS v_ts_us,
+        |  round(v.value, 4) AS v_value
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
 
     // bucketing is layout metadata — values must equal the plain join
     "q_bucketed_join" ->

@@ -95,6 +95,38 @@ object StreamingIngest {
     graft.operators.PointInTimeJoin.run(spark, project, stream, None, queries)
   }
 
+  /** Stream-STREAM event-time interval join — the clickstream
+    * attribution shape: each spine event (purchase) pairs with the
+    * other stream's events (views) for the same key whose timestamp
+    * falls in `[spineTs − lookbackSeconds, spineTs]` (inclusive both
+    * ends, matching SQL BETWEEN). Both sides carry the same watermark
+    * delay; Spark derives each side's state-eviction watermark from
+    * the interval bounds in the join condition, so state is bounded by
+    * `watermarkDelay + lookback` of event-time per key — NOT by stream
+    * length — which is what makes the join runnable forever at ingest
+    * scale. Inner joins emit as matches arrive; `leftOuter` emits the
+    * unmatched-spine row only once the watermark passes the spine
+    * event (the null side is known complete then).
+    *
+    * Column names must be disjoint across the two inputs (rename the
+    * event side before calling) — the condition references both
+    * unambiguously.
+    */
+  def intervalJoin(spine: DataFrame, events: DataFrame,
+      joinKeys: Seq[(String, String)], spineTs: String, eventTs: String,
+      lookbackSeconds: Long, watermarkDelay: String,
+      joinType: String = "inner"): DataFrame = {
+    require(joinKeys.nonEmpty, "interval join needs at least one equi-key")
+    val l = spine.withWatermark(spineTs, watermarkDelay)
+    val r = events.withWatermark(eventTs, watermarkDelay)
+    val keyCond = joinKeys.map { case (a, b) => col(a) === col(b) }
+      .reduce(_ && _)
+    val cond = keyCond &&
+      col(eventTs) >= col(spineTs) - expr(s"INTERVAL $lookbackSeconds SECOND") &&
+      col(eventTs) <= col(spineTs)
+    l.join(r, cond, joinType)
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Micro-batches go through [[Materializer.writeBatch]] —
