@@ -1848,6 +1848,20 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // Table-maintenance rewrite: documents range-clustered by doc_id
+    // (repartitionByRange + sortWithinPartitions), then a key-range
+    // scan over the new layout — every file's footer min/max is a
+    // disjoint doc_id interval, so the scan reads only overlapping
+    // files (pruning measured in CompactionSpec; values gated here).
+    "q_compact_layout" -> ((s, dir) => {
+      val out = Spill.newPath(s)
+      val (_, bytes) = Compaction.fileStats(s, s"$dir/documents.parquet")
+      Compaction.rangeLayout(s, s"$dir/documents.parquet", out,
+        Seq("doc_id"), targetBytes = math.max(bytes / 8, 1L))
+      s.read.parquet(out).where(col("doc_id").between(100, 199))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // Stream-STREAM interval join (clickstream attribution): purchases
     // enriched with same-user views from the 6 h before the purchase.
     // Two independent file streams; state on both sides is bounded by
@@ -3323,6 +3337,11 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // layout is physical only — the range scan must equal a plain filter
+    "q_compact_layout" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199""".stripMargin,
 
     // inclusive BETWEEN bounds; micros so the ts compare is integer
     "q_stream_interval_join" ->
