@@ -1848,6 +1848,26 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // Keyed MERGE (incremental materialization, SURVEY §2.8): a delta
+    // derived deterministically from the base — %10 keys update
+    // (acctbal + 1000), %7 keys insert under new ids, %17 keys
+    // tombstone-delete; sets disjoint so no version arbitration is
+    // needed. One delta-keyed anti-join, never a full-table rewrite.
+    "q_upsert_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+      val mod = base
+        .where(col("c_custkey") % 10 === 0 && col("c_custkey") % 17 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("__dead", lit(false))
+      val ins = base.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 200000L)
+        .withColumn("__dead", lit(false))
+      val del = base.where(col("c_custkey") % 17 === 0)
+        .withColumn("__dead", lit(true))
+      Upsert.merge(base, mod.unionByName(ins).unionByName(del),
+        Seq("c_custkey"), tombstoneCol = Some("__dead"))
+    }),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -3337,6 +3357,26 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // replace ∪ insert ∪ (base minus delta keys) — tombstones delete
+    "q_upsert_merge" ->
+      """WITH mod AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 1000 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+        |), ins AS (
+        |  SELECT c_custkey + 200000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), dk AS (
+        |  SELECT c_custkey FROM mod
+        |  UNION SELECT c_custkey FROM ins
+        |  UNION SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0
+        |)
+        |SELECT * FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM dk)
+        |UNION ALL SELECT * FROM mod
+        |UNION ALL SELECT * FROM ins""".stripMargin,
 
     // layout is physical only — the range scan must equal a plain filter
     "q_compact_layout" ->

@@ -84,14 +84,22 @@ object Compaction {
     Stats(fb, bb, fa, ba, parts)
   }
 
-  /** Rows the scan node actually produced for `df` — file/row-group
+  /** Rows the file scans actually produced for `df` — file/row-group
     * skipping shows up here (skipped groups contribute nothing). Runs
-    * the query.
+    * the query. Descends AQE's adaptive and query-stage wrappers,
+    * which `collectLeaves` treats as leaves.
     */
   def scannedRows(df: DataFrame): Long = {
-    df.queryExecution.executedPlan // force planning
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.collect()
-    val scans = df.queryExecution.executedPlan.collectLeaves()
-    scans.flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
   }
 }

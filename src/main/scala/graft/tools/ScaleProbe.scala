@@ -30,7 +30,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
-    //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|all selects the axis
+    //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
+    //   layout|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -863,6 +864,102 @@ object ScaleProbe {
             f"winnowWindows=$wSec%6.2fs/${wMb}%8.1fMB")
         warmedWf = true
         corpus.unpersist()
+      }
+    }
+    // ── axis 15: bucketed co-located join — join-time shuffle bytes ──
+    // BucketedLayout's claim: writing the fact table bucketBy(custkey)
+    // pays the join shuffle once at write time; every later equi-join
+    // plans Exchange-free. Expected signature: plain-join shuffle MB
+    // grows linearly with the fact side, bucketed-join shuffle stays
+    // ~0 at every multiplier (wall follows once shuffle dominates).
+    {
+      import graft.operators.{BucketedLayout, Spill}
+      val ord0 = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def factOf(n: Int): DataFrame =
+        (0 until n).map(i => ord0
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L)))
+          .reduce(_ unionByName _)
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      var warmedBkt = false
+      for (n <- Seq(1) ++ mults; if axes == "all" || axes == "bucket") {
+        val plainPath = Spill.newPath(spark)
+        factOf(n).write.parquet(plainPath)
+        BucketedLayout.write(cust.repartition(32, col("c_custkey")),
+          "probe_bkt_cust", Spill.newPath(spark), Seq("c_custkey"), 32)
+        val (wSec, _) = time {
+          BucketedLayout.write(
+            spark.read.parquet(plainPath).repartition(32, col("o_custkey")),
+            "probe_bkt_ord", Spill.newPath(spark), Seq("o_custkey"), 32)
+          1L
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def consume(c: DataFrame, o: DataFrame): Long =
+          c.join(o, col("c_custkey") === col("o_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(sum("o_totalprice").as("s")).count()
+        val (pSec, pMb) = time(consume(
+          spark.read.parquet(s"$dir/customer.parquet"),
+          spark.read.parquet(plainPath)))
+        val (bSec, bMb) = time(consume(
+          BucketedLayout.table(spark, "probe_bkt_cust"),
+          BucketedLayout.table(spark, "probe_bkt_ord")))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        if (warmedBkt)
+          println(f"[scale] n=$n%-3d layoutWrite=$wSec%6.2fs " +
+            f"plainJoin=$pSec%6.2fs/${pMb}%8.1fMB " +
+            f"bucketedJoin=$bSec%6.2fs/${bMb}%8.1fMB")
+        warmedBkt = true
+      }
+    }
+
+    // ── axis 16: range-clustered layout — bytes READ under a fixed
+    // key-range predicate ─ Compaction.rangeLayout's claim: footer
+    // min/max pruning makes per-query input bytes a function of the
+    // PREDICATE, not the corpus. Expected signature: scattered-layout
+    // bytes read grow linearly with n, ranged-layout bytes stay ~flat
+    // (only the overlapping files open).
+    {
+      import graft.operators.{Compaction, Spill}
+      def readBytes(f: => Long): (Double, Double) = {
+        Thread.sleep(300)
+        val b0 = inputBytes.get()
+        val t0 = System.nanoTime(); val r = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(r > 0, "probe scan matched no rows")
+        Thread.sleep(300)
+        (sec, (inputBytes.get() - b0) / 1e6)
+      }
+      var warmedLay = false
+      for (n <- Seq(1) ++ mults; if axes == "all" || axes == "layout") {
+        val scattered = Spill.newPath(spark)
+        replicatedDocs(n)
+          .repartition(32, md5(col("doc_id").cast("string")))
+          .write.parquet(scattered)
+        val (_, bytes) = Compaction.fileStats(spark, scattered)
+        val ranged = Spill.newPath(spark)
+        Compaction.rangeLayout(spark, scattered, ranged,
+          Seq("doc_id"), targetBytes = math.max(bytes / 32, 1L))
+        def q(p: String): DataFrame = spark.read.parquet(p)
+          .where(col("doc_id").between(100, 1099))
+          .agg(sum(length(col("text"))))
+        def scan(p: String): Long = q(p).head().getLong(0)
+        val (sSec, sMb) = readBytes(scan(scattered))
+        val (rSec, rMb) = readBytes(scan(ranged))
+        // rows the scan emitted after row-group/page skipping — the
+        // semantic pruning signal (byte reads flatten early because
+        // parquet's page-level column index already skips pages in
+        // BOTH layouts; at 100 TB the file-level skip is what saves
+        // the opens/seeks)
+        val sRows = Compaction.scannedRows(q(scattered))
+        val rRows = Compaction.scannedRows(q(ranged))
+        if (warmedLay)
+          println(f"[scale] n=$n%-3d " +
+            f"scatteredScan=$sSec%6.2fs/${sMb}%8.1fMBread/$sRows%7d rows " +
+            f"rangedScan=$rSec%6.2fs/${rMb}%8.1fMBread/$rRows%7d rows")
+        warmedLay = true
       }
     }
     spark.stop()
