@@ -1838,14 +1838,31 @@ object SparkEntry {
     // grid, so the min-over-depth values are hash-exact.
     "q_sketch_cms" -> ((s, dir) => {
       val (depth, width) = (4, 2048)
-      val docs = t(s, dir, "documents")
-      val tok = docs.select(explode(TextAnalysis.words(col("text"))).as("term"))
-        .where(col("term") =!= "")
+      // tokenize ONCE, spill: both the sketch build (occurrences) and
+      // the probe vocabulary (doc-frequency cutoff, == buildVocab's
+      // rule) read the same token stream
+      val tok = Spill.roundTrip(t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= ""))
       val cms = Sketches.cmsBuild(tok, col("term"), depth, width)
-      val probes = TextAnalysis.buildVocab(docs.select("doc_id", "text"),
-        "text", "doc_id", minDf = 2, topK = 40).select("term")
+      val probes = tok.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2)
+        .orderBy(col("df").desc, col("term")).limit(40)
+        .select("term")
       Sketches.cmsEstimate(cms, probes, "term", depth, width)
         .select("term", "est_count")
+    }),
+
+    // Fixed-grid histogram quantiles — the mergeable, engine-exact
+    // counterpart of approx_percentile: ≤1024 bin rows shuffle, the
+    // integer cumulative rule picks identical cutoff bins on any
+    // engine (binary64 bin arithmetic, same operand order).
+    "q_sketch_quantile" -> ((s, dir) => {
+      val (lo, hi, bins) = (0.0, 600000.0, 1024)
+      val hist = Sketches.histogram(
+        t(s, dir, "orders"), col("o_totalprice"), lo, hi, bins)
+      Sketches.histogramQuantiles(hist, Seq(0.5, 0.9, 0.99), lo, hi, bins)
     }),
 
     // Keyed MERGE (incremental materialization, SURVEY §2.8): a delta
@@ -3357,6 +3374,24 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // same grid, same cumulative rule; q as DOUBLE to match the engine
+    "q_sketch_quantile" ->
+      """WITH h AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((o_totalprice - 0.0) * 1024 / 600000.0), 0), 1023) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT bin, sum(n) OVER (ORDER BY bin) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM h
+        |), qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+        |SELECT qs.q, min(c.bin) AS bin,
+        |  0.0 + (min(c.bin) * 600000.0) / 1024.0 AS cutoff,
+        |  min(c.total)::BIGINT AS n_total
+        |FROM qs JOIN c ON c.cum * 10000 >= qs.q * 10000 * c.total
+        |GROUP BY qs.q""".stripMargin,
 
     // replace ∪ insert ∪ (base minus delta keys) — tombstones delete
     "q_upsert_merge" ->

@@ -108,6 +108,57 @@ object Sketches {
       .groupBy()
       .agg(CountMinAgg(depth, width)(col("__cells")).as("cms"))
 
+  /** Fixed-grid histogram sketch over `[lo, hi)` — the
+    * engine-reproducible, MERGEABLE counterpart of `approx_percentile`
+    * (whose GK/KLL buffer is engine-private and order-sensitive). One
+    * partial-agg `groupBy(bin)`: ≤ nBins rows ever shuffle, histograms
+    * from shards/days merge by adding bin counts. Bin arithmetic is a
+    * single `floor((v − lo)·n / (hi − lo))` in binary64 — identical
+    * operand order reproduces bit-for-bit on any IEEE engine. Values
+    * outside the range clamp to the edge bins (count preserved, like
+    * any production histogram).
+    */
+  def histogram(df: DataFrame, value: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad histogram grid: [$lo,$hi) x $nBins")
+    val bin = least(greatest(
+      floor((value - lit(lo)) * nBins / lit(hi - lo)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    df.where(value.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from a [[histogram]]: for each q, the smallest
+    * bin whose cumulative count reaches `ceil(q·N)`, reported as the
+    * bin's lower edge — integer cumulative logic on the shared grid,
+    * so any engine derives the identical cutoffs. ≤ nBins rows: runs
+    * wherever the histogram lives.
+    */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Double],
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    val spark = hist.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(
+        Window.orderBy(col("bin")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qdf = spark.createDataFrame(
+      qs.map(q => Tuple1(math.rint(q * 10000).toLong / 10000.0)))
+      .toDF("q")
+    qdf.crossJoin(broadcast(cum))
+      .where(col("cum") * 10000 >= col("q") * 10000 * col("total"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("bin"), first(col("total")).as("n_total"))
+      .withColumn("cutoff",
+        lit(lo) + col("bin") * lit(hi - lo) / lit(nBins.toDouble))
+      .select("q", "bin", "cutoff", "n_total")
+  }
+
   /** Point-query the sketch for each probe item: min over depth rows of
     * the probe's cell counters — an upper bound on the true occurrence
     * count (error ≤ ε·N with ε ≈ e/width, probability 1−e^−depth).

@@ -82,6 +82,34 @@ class SketchesSpec extends SparkTestBase {
     assert(est("alpha") <= 400 + 3 && est("beta") <= 150 + 3 && est("absent") <= 3)
   }
 
+  test("histogram: mergeable by bin add; quantiles within one bin of exact; clamps") {
+    val (lo, hi, bins) = (0.0, 100.0, 50)
+    val a = (1 to 400).map(i => (i % 100).toDouble)
+    val b = Seq(-5.0, 250.0) ++ (1 to 100).map(_ => 99.0) // out-of-range clamps
+    def hist(xs: Seq[Double]) =
+      Sketches.histogram(xs.toDF("v"), col("v"), lo, hi, bins)
+        .as[(Long, Long)].collect().toMap
+
+    val hu = hist(a ++ b)
+    val merged = (hist(a).toSeq ++ hist(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(hu == merged, "histograms must merge by adding bin counts")
+    assert(hu.values.sum == a.size + b.size, "clamped values keep their count")
+    assert(hu.contains(0L) && hu.contains(49L))
+
+    val qs = Seq(0.5, 0.9)
+    val got = Sketches.histogramQuantiles(
+      Sketches.histogram(a.toDF("v"), col("v"), lo, hi, bins), qs, lo, hi, bins)
+      .select("q", "cutoff").as[(Double, Double)].collect().toMap
+    val sorted = a.sorted
+    for (q <- qs) {
+      val exact = sorted(math.ceil(q * a.size).toInt - 1)
+      val binW = (hi - lo) / bins
+      assert(math.abs(got(q) - exact) <= binW,
+        s"q=$q cutoff=${got(q)} exact=$exact")
+    }
+  }
+
   test("cms: sketches merge by elementwise add (union corpus == summed sketches)") {
     val a = Seq.fill(10)("x") ++ Seq("y", "z")
     val b = Seq.fill(5)("x") ++ Seq("w")
