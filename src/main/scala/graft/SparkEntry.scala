@@ -1854,6 +1854,25 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // Streaming CDC upsert: the events stream folds into a MergeLog
+    // keyed by user (latest event per user wins, ts + full-column
+    // tiebreak), O(batch) per micro-batch, replay-idempotent. The
+    // snapshot must equal the batch latest-per-user window — a stale
+    // or double-applied row breaks the hash.
+    "q_stream_upsert" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val log = Spill.newPath(s)
+      val stream = fixTs(s.readStream.schema(rawSchema)
+        .option("basePath", dir).parquet(s"$dir/events.parque*"))
+      StreamingIngest.upsertStream(stream, log, Seq("user_id"), "ts")
+      MergeLog.snapshot(s, log, Seq("user_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          round(col("value"), 4).as("value"))
+    }),
+
     // Fixed-grid histogram quantiles — the mergeable, engine-exact
     // counterpart of approx_percentile: ≤1024 bin rows shuffle, the
     // integer cumulative rule picks identical cutoff bins on any
@@ -3374,6 +3393,18 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // latest event per user under the engine's exact tiebreak order
+    "q_stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC, event_type DESC,
+        |               value DESC, props DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
+        |  event_type, round(value, 4) AS value
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // same grid, same cumulative rule; q as DOUBLE to match the engine
     "q_sketch_quantile" ->

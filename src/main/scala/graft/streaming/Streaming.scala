@@ -127,6 +127,40 @@ object StreamingIngest {
     l.join(r, cond, joinType)
   }
 
+  /** Continuous keyed upsert into a [[graft.operators.MergeLog]] — the
+    * streaming CDC-materialization shape: each micro-batch dedupes to
+    * its latest row per key (by `orderCol` desc, remaining columns
+    * desc as the deterministic tiebreak — the [[graft.operators.Upsert]]
+    * discipline) and appends as version = batchId, O(batch) work per
+    * batch with no base rewrite. Replayed batches overwrite their own
+    * version partition, so at-least-once delivery cannot double-apply.
+    *
+    * Cross-batch arbitration is by batch id: the source must deliver
+    * in `orderCol` order across batches (a CDC/changelog source's
+    * contract). Within a batch, `orderCol` arbitrates.
+    */
+  def upsertStream(stream: DataFrame, dir: String, keyCols: Seq[String],
+      orderCol: String, timeoutMs: Long = 120000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val q = stream.writeStream.outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tie = batch.columns.toSeq
+          .filterNot(keyCols.contains).filterNot(_ == orderCol)
+          .map(col(_).desc)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc +: tie: _*)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        graft.operators.MergeLog.append(latest, dir, batchId, keyCols)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Micro-batches go through [[Materializer.writeBatch]] —

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{MergeLog, Spill, Upsert}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MergeLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def multiset(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  private val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "v")
+
+  test("snapshot resolves latest-wins across versions; tombstones delete") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(Seq((2L, "b1", 21.0, false), (4L, "d", 40.0, false))
+      .toDF("k", "name", "v", "dead"), dir, 1L, Seq("k"), Some("dead"))
+    MergeLog.append(Seq((2L, "b2", 22.0, false), (3L, "c", 0.0, true))
+      .toDF("k", "name", "v", "dead"), dir, 2L, Seq("k"), Some("dead"))
+
+    val want = Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == multiset(want))
+  }
+
+  test("snapshot equals the equivalent eager Upsert.merge chain") {
+    val dir = Spill.newPath(spark)
+    val d1 = Seq((2L, "b1", 21.0, false), (4L, "d", 40.0, false))
+      .toDF("k", "name", "v", "dead")
+    val d2 = Seq((1L, "a", 0.0, true), (4L, "d2", 44.0, false))
+      .toDF("k", "name", "v", "dead")
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(d1, dir, 1L, Seq("k"), Some("dead"))
+    MergeLog.append(d2, dir, 2L, Seq("k"), Some("dead"))
+
+    val eager = Upsert.merge(
+      Upsert.merge(base, d1, Seq("k"), tombstoneCol = Some("dead")),
+      d2, Seq("k"), tombstoneCol = Some("dead"))
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == multiset(eager))
+  }
+
+  test("replayed append is idempotent (overwrites its own version)") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    val d = Seq((2L, "b1", 21.0)).toDF("k", "name", "v")
+    MergeLog.append(d, dir, 1L, Seq("k"))
+    val once = multiset(MergeLog.snapshot(spark, dir, Seq("k")))
+    MergeLog.append(d, dir, 1L, Seq("k")) // replay
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == once)
+  }
+
+  test("compact folds to one version, same snapshot, tombstones gone") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(Seq((3L, "c", 0.0, true), (5L, "e", 50.0, false))
+      .toDF("k", "name", "v", "dead"), dir, 1L, Seq("k"), Some("dead"))
+    val before = multiset(MergeLog.snapshot(spark, dir, Seq("k")))
+    MergeLog.compact(spark, dir, Seq("k"))
+    assert(MergeLog.versions(spark, dir) == Seq(1L))
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == before)
+    // appending after compaction continues the lineage
+    MergeLog.append(Seq((5L, "e2", 55.0)).toDF("k", "name", "v"),
+      dir, 2L, Seq("k"))
+    assert(MergeLog.snapshot(spark, dir, Seq("k"))
+      .where($"k" === 5L).as[(Long, String, Double)].head() == ((5L, "e2", 55.0)))
+  }
+
+  test("upsertStream: micro-batches fold into a latest-per-key snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String)] // (k, seq, payload)
+    stream.addData((1L, 1L, "a1"), (2L, 1L, "b1"), (1L, 2L, "a2"))
+    stream.addData((2L, 2L, "b2"), (3L, 1L, "c1"))
+
+    val dir = Spill.newPath(spark)
+    graft.streaming.StreamingIngest.upsertStream(
+      stream.toDF().toDF("k", "seq", "payload"), dir, Seq("k"), "seq")
+
+    val snap = MergeLog.snapshot(spark, dir, Seq("k"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(snap == Set((1L, 2L, "a2"), (2L, 2L, "b2"), (3L, 1L, "c1")))
+  }
+
+  test("intra-version duplicate keys are rejected") {
+    val dir = Spill.newPath(spark)
+    val e = intercept[IllegalArgumentException] {
+      MergeLog.append(Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "name", "v"),
+        dir, 0L, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+}
