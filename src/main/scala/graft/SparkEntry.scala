@@ -1854,6 +1854,16 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // RAG-prep chunking: 32-token windows with 8-token overlap (sized
+    // so the fixture's 56-median-token docs genuinely multi-chunk),
+    // ceil-strided so the tail always adds new tokens; chunk identity
+    // (doc_id, chunk_idx), text, and token count all enter the hash.
+    // Pure projection — zero shuffle.
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", chunkTokens = 32, overlapTokens = 8)),
+
     // Streaming CDC upsert: the events stream folds into a MergeLog
     // keyed by user (latest event per user wins, ts + full-column
     // tiebreak), O(batch) per micro-batch, replay-idempotent. The
@@ -3393,6 +3403,22 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // same start rule (s=0 or s < n-overlap), inclusive 1-based slices
+    "q_text_chunks" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${sqlNt("text")}, ' '), t -> t <> '') AS w
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+        |idx AS (
+        |  SELECT doc_id, w, r.range AS i FROM t2 CROSS JOIN range(0, 64) r
+        |  WHERE r.range <= CASE WHEN n > 8 THEN (n - 9) // 24 ELSE 0 END
+        |)
+        |SELECT doc_id, i::INT AS chunk_idx,
+        |  array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |  len(w[i*24+1 : i*24+32])::INT AS n_tokens
+        |FROM idx""".stripMargin,
 
     // latest event per user under the engine's exact tiebreak order
     "q_stream_upsert" ->

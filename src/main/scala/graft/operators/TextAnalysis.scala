@@ -13,6 +13,43 @@ object TextAnalysis {
   /** Whitespace word tokens of the normalized text. */
   def words(text: Column): Column = split(Dedup.normText(text), " ")
 
+  /** Overlapping token-window chunking — the retrieval/RAG prep
+    * primitive: each document becomes `ceil`-strided windows of
+    * `chunkTokens` tokens with `overlapTokens` shared between
+    * neighbors, so no span longer than the overlap is ever split
+    * across a chunk boundary without appearing whole in one chunk.
+    *
+    * Chunk starts are `0, stride, 2·stride, …` (stride = chunk −
+    * overlap); a final start is kept only while `start < n − overlap`,
+    * so the tail chunk always contributes ≥1 NEW token (no chunk fully
+    * contained in its predecessor). Zero-token documents emit no
+    * chunks. Pure projection (`transform` + `posexplode`): zero
+    * shuffle at any corpus size, chunk identity (`doc, chunk_idx`) is
+    * stable across runs/engines.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got $overlapTokens/$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val w = filter(words(col(textCol)), _ =!= "")
+    df.select(col(idCol), w.as("__w"), size(w).as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            // last kept start s satisfies s < n - overlap (or s = 0):
+            // count = 1 + floor((n - overlap - 1) / stride) when
+            // n > overlap, else 1
+            when(col("__n") > overlapTokens,
+              (col("__n") - overlapTokens - 1) / stride)
+              .otherwise(lit(0)).cast("int")),
+          i => slice(col("__w"), i * stride + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).as("n_tokens"))
+  }
+
   /** Basic quality statistics. Deterministic, oracle-friendly
     * definitions (documented inline).
     */

@@ -263,4 +263,31 @@ class TextQualitySpec extends SparkTestBase {
     // grams: "x y","y x","x y","y x" → 4 total, "x y" matched twice, 3+3 hits
     assert(cov == ((5L, 4L, 2L, 6L)), s"cov: $cov")
   }
+
+  test("chunkDocuments: coverage, overlap, tail rule, empty docs") {
+    import org.apache.spark.sql.functions.col
+    val toks = (1 to 25).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+        chunkTokens = 10, overlapTokens = 3)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // doc 1: starts 0,7,14,21 (21 < 25-3) → 4 chunks; last has 4 tokens
+    val c1 = got(1L)
+    assert(c1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(c1.map(_._4).toSeq == Seq(10, 10, 10, 4))
+    // consecutive chunks share exactly `overlap` tokens (except tail len)
+    val w0 = c1(0)._3.split(" "); val w1 = c1(1)._3.split(" ")
+    assert(w0.takeRight(3).sameElements(w1.take(3)))
+    // full coverage in order: stitching non-overlap suffixes rebuilds the doc
+    val rebuilt = c1(0)._3.split(" ") ++
+      c1.drop(1).flatMap(_._3.split(" ").drop(3))
+    assert(rebuilt.toSeq == toks)
+    // short doc: single chunk, whole text
+    assert(got(2L).toSeq == Seq((2L, 0, "a b", 2)))
+    // empty doc: no chunks
+    assert(!got.contains(3L))
+  }
 }
