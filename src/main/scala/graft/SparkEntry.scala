@@ -1247,6 +1247,26 @@ object SparkEntry {
         .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
+    // Product quantization (32× scan compression, one octave past
+    // int8's 4×): ADC over m=8 × 16-code codebooks, bounded
+    // top-(10·k) candidates per query, exact float rescore. Same
+    // recall-gate contract as q_sim_ivf: every probe query must clear
+    // recall@10 ≥ 0.7 vs brute force or its row vanishes.
+    "q_sim_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val k = 10
+      val approx = ProductQuant.pqTopK(emb, queries, k,
+        m = 8, kCodes = 16, rescoreFactor = 10, iters = 5)
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+      approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
+        .select(col("q_id"), lit(true).as("recall_ok"))
+    }),
+
     // Persisted-index serving path: build the IVF index once (centroids
     // + cell-partitioned vectors in a spill dir), query it back, same
     // 0.7 recall@10 gate as q_sim_ivf. build+query ≡ ivfTopK is
@@ -3291,6 +3311,11 @@ object SparkEntry {
     // vs the brute-force baseline clears 0.5 — the oracle asserts EVERY
     // probe clears it.
     "q_sim_ivf" ->
+      """SELECT vec_id AS q_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Same recall-gate contract for the PQ+rescore path.
+    "q_sim_pq" ->
       """SELECT vec_id AS q_id, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 

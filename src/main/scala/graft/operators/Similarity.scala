@@ -44,7 +44,7 @@ object Similarity {
     * columns.) Both paths rank by (score desc, id asc) — identical
     * rows out.
     */
-  private def perQueryTopK(scored: DataFrame, k: Int,
+  private[operators] def perQueryTopK(scored: DataFrame, k: Int,
       qIdCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = scored.schema(idCol).dataType
