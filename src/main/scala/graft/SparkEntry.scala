@@ -1874,6 +1874,32 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // Declarative data-quality gate (deequ shape): row checks fold
+    // into ONE conditional-count pass, uniqueness one groupBy,
+    // referential integrity one anti-join — only counts reach the
+    // driver. Planted passes AND failures; every (check, passed,
+    // violations) row enters the hash.
+    "q_validate" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val segs = Seq("MACHINERY", "BUILDING", "FURNITURE",
+        "AUTOMOBILE", "HOUSEHOLD")
+      Validate.run(cust, Seq(
+        Validate.NotNull("c_name"),
+        Validate.InRange("c_acctbal", -1000, 10000),
+        Validate.InRange("c_acctbal", 0, 10000),
+        Validate.InSet("c_mktsegment", segs),
+        Validate.InSet("c_mktsegment", segs.take(2)),
+        Validate.MatchesRegex("c_name", "Customer#[0-9]+"),
+        Validate.Unique(Seq("c_custkey")),
+        Validate.Unique(Seq("c_mktsegment")),
+        Validate.SizeBetween(1, 1000000000L)))
+        .unionByName(Validate.run(ord, Seq(
+          Validate.RefIntegrity("o_custkey", cust, "c_custkey"),
+          Validate.RefIntegrity("o_custkey",
+            cust.where(col("c_custkey") % 2 === 0), "c_custkey", "even"))))
+    }),
+
     // RAG-prep chunking: 32-token windows with 8-token overlap (sized
     // so the fixture's 56-median-token docs genuinely multi-chunk),
     // ceil-strided so the tail always adds new tokens; chunk identity
@@ -3428,6 +3454,64 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // one scalar row per check; names mirror Validate.Check.name exactly
+    "q_validate" ->
+      """WITH c AS (SELECT * FROM customer), o AS (SELECT * FROM orders),
+        |seg AS (SELECT ['MACHINERY','BUILDING','FURNITURE','AUTOMOBILE',
+        |  'HOUSEHOLD'] AS all5, ['MACHINERY','BUILDING'] AS two)
+        |SELECT 'not_null(c_name)' AS "check",
+        |  count(*) FILTER (c_name IS NULL) = 0 AS passed,
+        |  count(*) FILTER (c_name IS NULL)::BIGINT AS violations FROM c
+        |UNION ALL
+        |SELECT 'in_range(c_acctbal,-1000.0,10000.0)',
+        |  count(*) FILTER (c_acctbal < -1000 OR c_acctbal > 10000) = 0,
+        |  count(*) FILTER (c_acctbal < -1000 OR c_acctbal > 10000)::BIGINT
+        |FROM c
+        |UNION ALL
+        |SELECT 'in_range(c_acctbal,0.0,10000.0)',
+        |  count(*) FILTER (c_acctbal < 0 OR c_acctbal > 10000) = 0,
+        |  count(*) FILTER (c_acctbal < 0 OR c_acctbal > 10000)::BIGINT FROM c
+        |UNION ALL
+        |SELECT 'in_set(c_mktsegment:MACHINERY|BUILDING|FURNITURE|AUTOMOBILE|HOUSEHOLD)',
+        |  count(*) FILTER (NOT list_contains(seg.all5, c_mktsegment)) = 0,
+        |  count(*) FILTER (NOT list_contains(seg.all5, c_mktsegment))::BIGINT
+        |FROM c, seg GROUP BY seg.all5
+        |UNION ALL
+        |SELECT 'in_set(c_mktsegment:MACHINERY|BUILDING)',
+        |  count(*) FILTER (NOT list_contains(seg.two, c_mktsegment)) = 0,
+        |  count(*) FILTER (NOT list_contains(seg.two, c_mktsegment))::BIGINT
+        |FROM c, seg GROUP BY seg.two
+        |UNION ALL
+        |SELECT 'matches_regex(c_name)',
+        |  count(*) FILTER (NOT regexp_full_match(c_name, 'Customer#[0-9]+')) = 0,
+        |  count(*) FILTER (NOT regexp_full_match(c_name, 'Customer#[0-9]+'))::BIGINT
+        |FROM c
+        |UNION ALL
+        |SELECT 'size_between(1,1000000000)',
+        |  count(*) BETWEEN 1 AND 1000000000,
+        |  (CASE WHEN count(*) BETWEEN 1 AND 1000000000
+        |        THEN 0 ELSE count(*) END)::BIGINT FROM c
+        |UNION ALL
+        |SELECT 'unique(c_custkey)', coalesce(sum(n - 1), 0) = 0,
+        |  coalesce(sum(n - 1), 0)::BIGINT
+        |FROM (SELECT count(*) AS n FROM c GROUP BY c_custkey) WHERE n > 1
+        |UNION ALL
+        |SELECT 'unique(c_mktsegment)', coalesce(sum(n - 1), 0) = 0,
+        |  coalesce(sum(n - 1), 0)::BIGINT
+        |FROM (SELECT count(*) AS n FROM c GROUP BY c_mktsegment) WHERE n > 1
+        |UNION ALL
+        |SELECT 'ref_integrity(o_custkey->c_custkey)',
+        |  count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM c)) = 0,
+        |  count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM c))::BIGINT
+        |FROM o WHERE o_custkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'ref_integrity(o_custkey->c_custkey,even)',
+        |  count(*) FILTER (o_custkey NOT IN
+        |    (SELECT c_custkey FROM c WHERE c_custkey % 2 = 0)) = 0,
+        |  count(*) FILTER (o_custkey NOT IN
+        |    (SELECT c_custkey FROM c WHERE c_custkey % 2 = 0))::BIGINT
+        |FROM o WHERE o_custkey IS NOT NULL""".stripMargin,
 
     // same start rule (s=0 or s < n-overlap), inclusive 1-based slices
     "q_text_chunks" ->
