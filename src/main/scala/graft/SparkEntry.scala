@@ -1874,6 +1874,22 @@ object SparkEntry {
         .select("term", "est_count")
     }),
 
+    // Distribution drift monitor: o_totalprice histograms of the
+    // pre-/post-1998 order populations compared as INTEGER
+    // total-variation (Σ|nA·NB − nB·NA|) — no log/float-sum hazard,
+    // bit-exact on any engine; ≤1024 rows per side after the two
+    // histogram passes.
+    "q_drift" -> ((s, dir) => {
+      val (lo, hi, bins) = (0.0, 600000.0, 1024)
+      val ord = t(s, dir, "orders")
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val ha = Sketches.histogram(
+        ord.where(col("o_orderdate") < cutoff), col("o_totalprice"), lo, hi, bins)
+      val hb = Sketches.histogram(
+        ord.where(col("o_orderdate") >= cutoff), col("o_totalprice"), lo, hi, bins)
+      Sketches.histogramDrift(ha, hb)
+    }),
+
     // Declarative data-quality gate (deequ shape): row checks fold
     // into ONE conditional-count pass, uniqueness one groupBy,
     // referential integrity one anti-join — only counts reach the
@@ -3454,6 +3470,30 @@ object SparkEntry {
         |SELECT pc.term, min(coalesce(c.c, 0))::BIGINT AS est_count
         |FROM pc LEFT JOIN cnt c USING (i, cell)
         |GROUP BY pc.term""".stripMargin,
+
+    // same grid as q_sketch_quantile; integer TV numerator and ppm
+    "q_drift" ->
+      """WITH pre AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((o_totalprice - 0.0) * 1024 / 600000.0), 0), 1023) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1
+        |), post AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((o_totalprice - 0.0) * 1024 / 600000.0), 0), 1023) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(pre.n, 0) AS na, coalesce(post.n, 0) AS nb
+        |  FROM pre FULL OUTER JOIN post USING (bin)
+        |), t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j)
+        |SELECT t.ta::BIGINT AS n_a, t.tb::BIGINT AS n_b,
+        |  sum(abs(na * t.tb - nb * t.ta))::BIGINT AS tv_num,
+        |  (sum(abs(na * t.tb - nb * t.ta)) * 1000000
+        |     // (2 * t.ta * t.tb))::BIGINT AS tv_ppm
+        |FROM j, t GROUP BY t.ta, t.tb""".stripMargin,
 
     // one scalar row per check; names mirror Validate.Check.name exactly
     "q_validate" ->

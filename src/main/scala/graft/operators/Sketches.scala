@@ -89,6 +89,34 @@ object Sketches {
     when(size(sketch) < k, size(sketch).cast("long")).otherwise(est)
   }
 
+  /** Distribution drift between two [[histogram]]s on the SAME grid,
+    * as total-variation distance — the monitoring primitive ("did
+    * today's feature distribution move?") that PSI serves elsewhere,
+    * chosen over PSI because TV needs no logarithm: the statistic is
+    * the exact INTEGER `tv_num = Σ_bins |nA·NB − nB·NA|` (TV distance
+    * = tv_num / (2·NA·NB) ∈ [0,1]), so any engine reproduces it
+    * bit-for-bit — no cross-engine float-summation-order hazard.
+    * `tv_ppm` is the integer-division parts-per-million rendering.
+    *
+    * Works on ≤ nBins rows per side — runs wherever the histograms
+    * live, so drift across 100 TB snapshots costs two histogram
+    * passes (or none, if per-shard histograms were already merged).
+    * Count bound: nA·NB must fit a long — beyond ~3·10⁹ rows per
+    * side, pre-merge bins or lift to decimals.
+    */
+  def histogramDrift(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val j = histA.select(col("bin"), col("n").as("na"))
+      .join(histB.select(col("bin"), col("n").as("nb")), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+    val tot = j.groupBy().agg(sum("na").as("ta"), sum("nb").as("tb"))
+    j.crossJoin(broadcast(tot))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("tv_num"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("tv_num"),
+        call_function("div", col("tv_num") * lit(1000000L),
+          lit(2L) * col("ta") * col("tb")).as("tv_ppm"))
+  }
+
   /** Per-occurrence CMS cell indices: for row i in 0..depth−1, cell =
     * first-8-hex-md5(i ‖ '_' ‖ item) mod width. DuckDB mirror:
     * `CAST(('0x' || substr(md5(i || '_' || x), 1, 8)) AS UBIGINT) % width`.

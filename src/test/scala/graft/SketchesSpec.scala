@@ -110,6 +110,28 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("histogramDrift: 0 for identical, 1e6 ppm for disjoint, symmetric") {
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    def h(xs: Seq[Double]) =
+      Sketches.histogram(xs.toDF("v"), col("v"), lo, hi, bins)
+    val a = (1 to 300).map(i => (i % 50).toDouble)        // bins 0..4
+    val b = (1 to 200).map(i => 50.0 + (i % 50))          // bins 5..9
+
+    val same = Sketches.histogramDrift(h(a), h(a))
+      .select("tv_num", "tv_ppm").as[(Long, Long)].head()
+    assert(same == ((0L, 0L)))
+
+    val disjoint = Sketches.histogramDrift(h(a), h(b))
+      .select("n_a", "n_b", "tv_ppm").as[(Long, Long, Long)].head()
+    assert(disjoint == ((300L, 200L, 1000000L)))
+
+    val ab = Sketches.histogramDrift(h(a), h(a ++ b)).as[(Long, Long, Long, Long)].head()
+    val ba = Sketches.histogramDrift(h(a ++ b), h(a)).as[(Long, Long, Long, Long)].head()
+    assert(ab._3 == ba._3 && ab._4 == ba._4, "TV must be symmetric")
+    // a vs a∪b: mass 2/5 of the union moved out of a's support → TV = 0.4
+    assert(ab._4 == 400000L, s"got ${ab._4}")
+  }
+
   test("cms: sketches merge by elementwise add (union corpus == summed sketches)") {
     val a = Seq.fill(10)("x") ++ Seq("y", "z")
     val b = Seq.fill(5)("x") ++ Seq("w")
