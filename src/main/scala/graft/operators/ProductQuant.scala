@@ -118,6 +118,20 @@ object ProductQuant {
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     val cb = trainCodebooks(corpus, m, kCodes, idCol, vecCol, iters, trainSampleCap)
     val codes = encode(corpus, cb, idCol, vecCol)
+    pqTopKEncoded(codes, corpus, queries, cb, k, rescoreFactor,
+      idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** Search over PRE-ENCODED codes — the serving/ingest posture (train
+    * once, store codes, search forever): the scan side never touches
+    * the float vectors except for the bounded candidate rescore.
+    */
+  def pqTopKEncoded(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Float]]], k: Int, rescoreFactor: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val m = cb.length
+    val kCodes = cb.head.length
 
     // per-query ADC table: table[s*kCodes + c] = dot(q̂_s, centroid_sc)
     val tableOf = udf { (qv: Seq[Float]) =>
@@ -143,12 +157,8 @@ object ProductQuant {
 
     val scored = codes.join(broadcast(qt.select(col(qIdCol), col("__tbl"))))
       .select(col(qIdCol), col(idCol),
-        aggregate(
-          zip_with(col("codes"),
-            sequence(lit(0), lit(m - 1)),
-            (code, s) => element_at(col("__tbl"),
-              (s * kCodes + code + 1).cast("int"))),
-          lit(0.0f), (acc, x) => acc + x).cast("double").as("score"))
+        graft.functions.PqAdcExpr.pqAdc(col("codes"), col("__tbl"), kCodes)
+          .as("score"))
     val cands = Similarity.perQueryTopK(scored, rescoreFactor * k, qIdCol, idCol)
       .select(col(qIdCol), col(idCol))
 

@@ -31,7 +31,7 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|all selects the axis
+    //   layout|pq|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -912,6 +912,47 @@ object ScaleProbe {
             f"plainJoin=$pSec%6.2fs/${pMb}%8.1fMB " +
             f"bucketedJoin=$bSec%6.2fs/${bMb}%8.1fMB")
         warmedBkt = true
+      }
+    }
+
+    // ── axis 17: PQ code scan vs float scan, fixed query load ────────
+    // PQ's reason to exist is one bandwidth octave past int8: the scan
+    // side reads m=16 code ints per 512-dim vector (64 B boxed, 2 KB
+    // of floats avoided) and scores via m table lookups. The ingest
+    // posture holds: codebooks trained + corpus encoded OUTSIDE the
+    // timed region; timed = ADC scan → bounded candidates → exact
+    // rescore of candidates only, vs the float brute force.
+    {
+      import graft.operators.{ProductQuant, Similarity}
+      val dimX = 8
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          flatten(array_repeat(col("embedding"), dimX)).as("embedding"))
+      val pqueries = emb0.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      var warmedPq = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "pq") {
+        val corpus = (0 until n).map(i => emb0
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).cache()
+        val rows = corpus.count()
+        val cb = ProductQuant.trainCodebooks(corpus, m = 16, kCodes = 16,
+          iters = 3)
+        val codes = ProductQuant.encode(corpus, cb).cache()
+        codes.count()
+        val (fSec, fMb) = time(
+          Similarity.bruteForceTopK(corpus, pqueries, 10)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        val (pSec, pMb) = time(
+          ProductQuant.pqTopKEncoded(codes, corpus, pqueries, cb, 10,
+              rescoreFactor = 8)
+            .agg(count(col("vec_id"))).head().getLong(0))
+        if (warmedPq)
+          println(f"[scale] n=$n%-3d vecs=$rows%-9d " +
+            f"floatTopK=$fSec%6.2fs/${fMb}%8.1fMB " +
+            f"pqTopK=$pSec%6.2fs/${pMb}%8.1fMB")
+        warmedPq = true
+        corpus.unpersist(); codes.unpersist()
       }
     }
 
