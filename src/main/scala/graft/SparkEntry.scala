@@ -1294,6 +1294,31 @@ object SparkEntry {
         .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
+    // Composed IVF-PQ index (both pruning regimes at once): probed
+    // cells as a PARTITION filter (require()d below) × PQ code scan
+    // inside them, bounded candidates, exact rescore. Same recall-gate
+    // contract as the other ANN queries.
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val k = 10
+      val path = Spill.newPath(s) + "/ivfpq"
+      IvfPqIndex.build(emb, path, nCells = 16, m = 8, kCodes = 16)
+      val approx = IvfPqIndex.query(s, path, queries, k,
+        nProbe = 12, rescoreFactor = 20)
+      val plan = approx.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell_id") && !l.contains("PartitionFilters: []")),
+        "IVF-PQ vectors scan is not partition-pruned")
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+      approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
+        .select(col("q_id"), lit(true).as("recall_ok"))
+    }),
+
     // Embedding int8 quantization (storage compression): per-vector
     // scale + quantized array, both reproduced exactly by the oracle
     // (the floor(x·scale+½) construction is pure IEEE arithmetic on
@@ -3358,6 +3383,11 @@ object SparkEntry {
 
     // Same recall-gate contract for the PQ+rescore path.
     "q_sim_pq" ->
+      """SELECT vec_id AS q_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Same recall-gate contract through the composed IVF-PQ index.
+    "q_sim_ivfpq" ->
       """SELECT vec_id AS q_id, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 

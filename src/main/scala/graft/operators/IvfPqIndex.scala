@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the two pruning regimes composed, each
+  * already proven separately: the IVF layer reads only the probed
+  * cells' PARTITIONS (~nProbe/nCells of the corpus, [[IvfIndex]] /
+  * SCALE.md axis 8) and the PQ layer scans those cells as m-byte code
+  * arrays instead of float vectors (32×, [[ProductQuant]] / axis 17).
+  * A query batch therefore touches ~(probed/nCells)·(1/32) of the
+  * index bytes before the bounded exact rescore — the FAISS IVFPQ
+  * serving shape.
+  *
+  * Layout under `path`:
+  *  - `centroids/` — IVF cell centroids (tiny).
+  *  - `codebooks/` — `(sub, code, centroid)` PQ codebooks (tiny).
+  *  - `vectors/`   — `(id, vector, codes, cell_id)` partitioned by
+  *    cell: codes for the ADC scan, the float vector rides along for
+  *    candidate rescore (columnar parquet: the ADC scan reads ONLY the
+  *    codes column — column pruning keeps the float bytes on disk).
+  *
+  * Training is deterministic end to end (both layers train at the
+  * driver over the xxhash64-ordered bounded sample), so rebuilds on
+  * any partitioning produce byte-identical indexes.
+  */
+object IvfPqIndex {
+
+  def build(corpus: DataFrame, path: String,
+      nCells: Int, m: Int = 8, kCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kmeansIters: Int = 3, pqIters: Int = 5,
+      trainSampleCap: Int = 1 << 16): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = Similarity.trainCentroids(corpus, nCells, idCol, vecCol,
+      kmeansIters, 1e-6, trainSampleCap)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+
+    val cb = ProductQuant.trainCodebooks(corpus, m, kCodes, idCol, vecCol,
+      pqIters, trainSampleCap)
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+
+    val coded = ProductQuant.encode(corpus, cb, idCol, vecCol)
+    Similarity.assignCells(corpus, centroids, idCol, vecCol)
+      .join(coded, Seq(idCol))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/vectors")
+  }
+
+  private[operators] def loadCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (s, c, cent) => cb(s)(c) = cent }
+    cb.map(_.toArray)
+  }
+
+  /** Top-k: probe → partition-pruned ADC scan over codes → bounded
+    * candidates → exact rescore reading only candidate rows' vectors.
+    */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int, rescoreFactor: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = loadCodebooks(spark, path)
+    val kCodes = cb.head.length
+
+    val probed = Similarity.probeCells(queries, centroids, nProbe, qIdCol, qVecCol)
+    // bounded driver materialization (≤ nCells ints) for a literal
+    // partition filter — the IvfIndex.query discipline
+    val cells = probed.select("cell_id").distinct().collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(s"$path/vectors")
+      .where(col("cell_id").isin(cells.map(c => c: Any): _*))
+
+    // ADC over (probed cells ∩ each query's OWN cells): join on cell_id
+    // routes each query to its probe list only
+    val qt = ProductQuant.queryTables(queries, cb, qIdCol, qVecCol)
+      .join(probed.select(col(qIdCol), col("cell_id")), Seq(qIdCol))
+    val scored = pruned
+      .join(broadcast(qt), Seq("cell_id"))
+      .select(col(qIdCol), col(idCol),
+        graft.functions.PqAdcExpr.pqAdc(col("codes"), col("__tbl"), kCodes)
+          .as("score"))
+    val cands = Similarity.perQueryTopK(scored, rescoreFactor * k, qIdCol, idCol)
+      .select(col(qIdCol), col(idCol))
+
+    ProductQuant.rescoreExact(
+      pruned.select(col(idCol), col(vecCol)), cands, queries,
+      k, idCol, vecCol, qIdCol, qVecCol)
+  }
+}

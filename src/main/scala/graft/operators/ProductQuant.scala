@@ -130,10 +130,25 @@ object ProductQuant {
       cb: Array[Array[Array[Float]]], k: Int, rescoreFactor: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val kCodes = cb.head.length
+    val qt = queryTables(queries, cb, qIdCol, qVecCol)
+    val scored = codes.join(broadcast(qt))
+      .select(col(qIdCol), col(idCol),
+        graft.functions.PqAdcExpr.pqAdc(col("codes"), col("__tbl"), kCodes)
+          .as("score"))
+    val cands = Similarity.perQueryTopK(scored, rescoreFactor * k, qIdCol, idCol)
+      .select(col(qIdCol), col(idCol))
+    rescoreExact(corpus, cands, queries, k, idCol, vecCol, qIdCol, qVecCol)
+  }
+
+  /** `(qIdCol, __tbl)` — per-query ADC tables,
+    * `__tbl[s·kCodes + c] = dot(q̂_s, centroid_sc)`, broadcast-sized.
+    */
+  private[operators] def queryTables(queries: DataFrame,
+      cb: Array[Array[Array[Float]]],
+      qIdCol: String, qVecCol: String): DataFrame = {
     val m = cb.length
     val kCodes = cb.head.length
-
-    // per-query ADC table: table[s*kCodes + c] = dot(q̂_s, centroid_sc)
     val tableOf = udf { (qv: Seq[Float]) =>
       val n = math.max(math.sqrt(qv.iterator.map(x => x.toDouble * x).sum), 1e-30)
       val q = qv.toArray.map(e => (e / n).toFloat)
@@ -152,17 +167,17 @@ object ProductQuant {
       }
       t
     }
-    val qt = queries.select(col(qIdCol), col(qVecCol),
-      tableOf(col(qVecCol)).as("__tbl"))
+    queries.select(col(qIdCol), tableOf(col(qVecCol)).as("__tbl"))
+  }
 
-    val scored = codes.join(broadcast(qt.select(col(qIdCol), col("__tbl"))))
-      .select(col(qIdCol), col(idCol),
-        graft.functions.PqAdcExpr.pqAdc(col("codes"), col("__tbl"), kCodes)
-          .as("score"))
-    val cands = Similarity.perQueryTopK(scored, rescoreFactor * k, qIdCol, idCol)
-      .select(col(qIdCol), col(idCol))
-
-    // exact cosine over candidates only (broadcast pair list + queries)
+  /** Exact cosine over the candidate pairs only (broadcast pair list +
+    * broadcast queries; one map-side pass over the corpus) — identical
+    * scoring to [[Similarity.bruteForceTopK]].
+    */
+  private[operators] def rescoreExact(corpus: DataFrame, cands: DataFrame,
+      queries: DataFrame, k: Int,
+      idCol: String, vecCol: String,
+      qIdCol: String, qVecCol: String): DataFrame = {
     val exact = corpus
       .join(broadcast(cands), Seq(idCol))
       .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
