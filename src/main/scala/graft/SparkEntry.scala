@@ -1548,6 +1548,25 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // Leakage-safe split: planted near-dup pairs cluster, and every
+    // cluster member inherits its CANONICAL's split assignment — a
+    // copy of a train doc can never land in test. Oracle recomputes
+    // the cluster keys closed-form and re-derives every assignment.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = docs.unionByName(planted)
+      val found = Dedup.minhashNearDuplicates(corpus, "text", "doc_id", 0.8)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      val pairs = found.join(expected, Seq("id_a", "id_b"), "inner")
+        .select("id_a", "id_b")
+      Sampling.splitByHashGrouped(corpus.select("doc_id"), "doc_id",
+        Dedup.connectedComponents(pairs),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // Contiguous token-budget sharding: bin_id = floor(exclusive
     // prefix sum of n_chars in doc_id order / budget). The engine runs
     // the two-phase distributed prefix sum (range buckets + bounded
@@ -3081,6 +3100,24 @@ object SparkEntry {
     "q_split_hash" ->
       s"""$sqlSplitAssign
         |  FROM documents)""".stripMargin,
+
+    // cluster key = the planted pair's original id; everyone else self
+    "q_split_leakage" ->
+      """WITH k AS (
+        |  SELECT doc_id, doc_id AS key FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, doc_id AS key
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(key::VARCHAR), 1, 8)) AS UBIGINT)
+        |      % 10000 AS b
+        |  FROM k)""".stripMargin,
 
     "q_pack_tokens" ->
       """SELECT doc_id,

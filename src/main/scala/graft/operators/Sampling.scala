@@ -53,6 +53,28 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Leakage-safe split: like [[splitByHash]], but rows that share a
+    * duplicate CLUSTER split together — the train/test-contamination
+    * guard (a near-duplicate of a training document landing in test
+    * leaks labels/loss; hashing each doc independently guarantees it
+    * happens). `groups` is `(member, canonical)` — the
+    * [[Dedup.connectedComponents]] output — and the split key is the
+    * cluster canonical (rows outside any cluster key on themselves),
+    * so every member inherits the canonical's assignment. One
+    * membership-sized left join (broadcast when small) on top of the
+    * pure-projection hash split.
+    */
+  def splitByHashGrouped(df: DataFrame, idCol: String, groups: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    val g = groups.select(col("member").as(idCol), col("canonical").as("__canon"))
+    splitByHash(
+      df.join(g, Seq(idCol), "left")
+        .withColumn("__skey", coalesce(col("__canon"), col(idCol))),
+      "__skey", splits, salt, splitCol)
+      .drop("__canon", "__skey")
+  }
+
   /** Keep a deterministic `fraction` of rows by key hash — the
     * reproducible corpus downsample (same keys survive at every
     * partitioning and on every engine).

@@ -214,4 +214,24 @@ class SamplingPiiSpec extends SparkTestBase {
       .as[(Int, Int, String)].head()
     assert(r == ((1, 0, "reach me at <EMAIL> today")), r.toString)
   }
+
+  test("splitByHashGrouped: cluster members co-locate; singletons match plain split") {
+    import graft.operators.Sampling
+    val ids = (1L to 200L).toDF("id")
+    // clusters: {1,101,102}, {2,103}
+    val groups = Seq((1L, 1L), (101L, 1L), (102L, 1L), (2L, 2L), (103L, 2L))
+      .toDF("member", "canonical")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val got = Sampling.splitByHashGrouped(ids, "id", groups, splits)
+      .as[(Long, String)].collect().toMap
+
+    assert(got(101L) == got(1L) && got(102L) == got(1L) && got(103L) == got(2L),
+      "cluster members must inherit the canonical's split")
+    val plain = Sampling.splitByHash(ids, "id", splits)
+      .as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 101L, 102L, 103L)
+    assert(got.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)),
+      "rows outside any cluster keep their independent assignment")
+  }
 }
