@@ -71,6 +71,11 @@ object CurationStage {
     * the (id, split) assignment, not a corpus). */
   case class Split(splits: Seq[(String, Double)], salt: String = "")
       extends CurationStage
+  /** Overlapping token-window chunking (retrieval/RAG export) — must
+    * be the LAST stage (it replaces document identity with
+    * (id, chunk_idx) rows). */
+  case class Chunk(chunkTokens: Int = 128, overlapTokens: Int = 32)
+      extends CurationStage
 }
 
 /** A declarative corpus-curation funnel: an ordered stage list over a
@@ -98,7 +103,7 @@ case class CurationPipeline(textCol: String, idCol: String,
   require(stages.nonEmpty, "a curation pipeline needs at least one stage")
   private def isTerminal(st: CurationStage): Boolean = st match {
     case _: CurationStage.Split | _: CurationStage.PackTokens |
-         _: CurationStage.Shuffle => true
+         _: CurationStage.Shuffle | _: CurationStage.Chunk => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(isTerminal),
@@ -193,6 +198,8 @@ case class CurationPipeline(textCol: String, idCol: String,
             idCol, "__tok", budget).drop("__tok")
         case Split(splits, salt) =>
           Sampling.splitByHash(cur.select(idCol), idCol, splits, salt)
+        case Chunk(ct, ot) =>
+          TextAnalysis.chunkDocuments(cur, textCol, idCol, ct, ot)
       }
     }
   }
@@ -263,6 +270,9 @@ object CurationPipeline {
             val o = sa.addObject()
             o.put("name", name); o.put("fraction", frac)
           }
+        case Chunk(ct, ot) =>
+          n.put("stage", "chunk")
+          n.put("chunk_tokens", ct); n.put("overlap_tokens", ot)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
@@ -303,6 +313,8 @@ object CurationPipeline {
           n.get("splits").elements().asScala.map(o =>
             o.get("name").asText -> o.get("fraction").asDouble).toSeq,
           n.get("salt").asText)
+        case "chunk" => Chunk(n.get("chunk_tokens").asInt,
+          n.get("overlap_tokens").asInt)
         case other =>
           throw new IllegalArgumentException(s"unknown curation stage: $other")
       }

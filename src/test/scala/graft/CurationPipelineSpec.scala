@@ -62,7 +62,10 @@ class CurationPipelineSpec extends SparkTestBase {
     Gen.chooseNum(1000L, 10000000L).map(PackTokens(_)),
     for {
       n <- Gen.chooseNum(1, 64); salt <- Gen.oneOf("", "epoch2")
-    } yield Shuffle(n, salt))
+    } yield Shuffle(n, salt),
+    for {
+      ct <- Gen.chooseNum(16, 512); ot <- Gen.chooseNum(0, 15)
+    } yield Chunk(ct, ot))
 
   private val genPipeline: Gen[CurationPipeline] = for {
     mid <- Gen.listOfN(3, genStage).map(_.take(3))
@@ -109,6 +112,25 @@ class CurationPipelineSpec extends SparkTestBase {
     val bins = out.sortBy(_._1).map(_._3)
     assert(bins.head == 0L && bins.sameElements(bins.sorted))
     assert(bins.distinct.sameElements(0L to bins.max))
+  }
+
+  test("runner: Chunk is terminal and chunks only the funnel's survivors") {
+    val corpus = (0L until 20L)
+      .map(i => (i, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CurationPipeline("text", "doc_id", Seq(
+      Sample(0.5), Chunk(chunkTokens = 10, overlapTokens = 2)))
+      .run(corpus)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk_text", "n_tokens"))
+    val perDoc = out.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // 30 tokens at stride 8 → starts 0,8,16,24 → 4 chunks per survivor
+    assert(perDoc.values.forall(_ == 4L), s"got $perDoc")
+    assert(perDoc.size > 4 && perDoc.size < 16, "Sample(0.5) ran first")
+    intercept[IllegalArgumentException] {
+      CurationPipeline("text", "doc_id", Seq(Chunk(), Sample(0.5)))
+    }
   }
 
   test("runner composes stages in order over a constructed corpus") {
