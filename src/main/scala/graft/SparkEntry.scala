@@ -2000,6 +2000,37 @@ object SparkEntry {
       Sketches.histogramQuantiles(hist, Seq(0.5, 0.9, 0.99), lo, hi, bins)
     }),
 
+    // Schema evolution through the source layer: two parquet batches
+    // written under DIFFERENT schemas (a column added later), read
+    // back through DataLocation.Generic with mergeSchema — old rows
+    // surface the new column as null. The real migration shape: no
+    // rewrite of historical partitions when the schema grows.
+    "q_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = Spill.newPath(s)
+      docs.where(col("doc_id") < 250).select("doc_id", "lang")
+        .write.parquet(s"$base/batch=1")
+      docs.where(col("doc_id") >= 250).select("doc_id", "lang", "n_chars")
+        .write.parquet(s"$base/batch=2")
+      SourceResolver.read(s, DataLocation.Generic("parquet",
+          options = Map("mergeSchema" -> "true", "basePath" -> base),
+          path = Some(s"$base/batch=*")))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // Feature-freshness monitor: lag of each user's LAST event vs the
+    // asOf a day-2 snapshot claims, plus membership drift (users whose
+    // first event postdates the snapshot show in_snapshot=false).
+    // Integer-seconds lag — engine-exact.
+    "q_freshness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val snapKeys = ev
+        .where(col("ts") <= lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("user_id").distinct()
+      Materializer.freshnessReport(snapKeys, ev, "user_id", "ts",
+        java.time.Instant.parse("2024-01-31T00:00:00Z"))
+    }),
+
     // Keyed MERGE (incremental materialization, SURVEY §2.8): a delta
     // derived deterministically from the base — %10 keys update
     // (acctbal + 1000), %7 keys insert under new ids, %17 keys
@@ -3665,6 +3696,29 @@ object SparkEntry {
         |  min(c.total)::BIGINT AS n_total
         |FROM qs JOIN c ON c.cum * 10000 >= qs.q * 10000 * c.total
         |GROUP BY qs.q""".stripMargin,
+
+    // old-batch rows surface the later-added column as NULL
+    "q_schema_evolution" ->
+      """SELECT doc_id, lang, NULL::BIGINT AS n_chars
+        |FROM documents WHERE doc_id < 250
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 250""".stripMargin,
+
+    // 2024-01-31T00:00:00Z = 1706659200000000 epoch-us
+    "q_freshness" ->
+      """WITH snap AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-02 00:00:00'
+        |), le AS (
+        |  SELECT user_id, max(epoch_us(ts))::BIGINT AS last_event_us
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT coalesce(le.user_id, s.user_id) AS user_id,
+        |  le.last_event_us,
+        |  (1706659200000000 - le.last_event_us) // 1000000 AS lag_s,
+        |  s.user_id IS NOT NULL AS in_snapshot
+        |FROM le FULL OUTER JOIN snap s ON le.user_id = s.user_id""".stripMargin,
 
     // replace ∪ insert ∪ (base minus delta keys) — tombstones delete
     "q_upsert_merge" ->

@@ -124,6 +124,33 @@ object Materializer {
       .agg(min(coalesce(col("__first_ts"), floor)).as("__first_ts"))
   }
 
+  /** Feature-freshness monitor: per key, when its LAST source event
+    * arrived vs the `asOf` the snapshot claims — the staleness signal
+    * an online store is judged by ("how old is what we serve?"), plus
+    * membership drift (keys with events but absent from the snapshot =
+    * materialization lag; snapshot keys with no events = static or
+    * orphaned). One groupBy over the source + one full-outer join with
+    * the snapshot's key set; lag is integer seconds, so the report is
+    * engine-exact and hash-gateable.
+    */
+  def freshnessReport(
+      snapshotKeys: DataFrame, source: DataFrame,
+      keyCol: String, tsCol: String,
+      asOf: Instant): DataFrame = {
+    val asOfUs = asOf.getEpochSecond * 1000000L +
+      asOf.getNano / 1000L
+    val last = source.groupBy(col(keyCol))
+      .agg(max(unix_micros(col(tsCol))).as("last_event_us"))
+    last.join(
+        snapshotKeys.select(col(keyCol)).distinct()
+          .withColumn("__snap", lit(true)),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol), col("last_event_us"),
+        call_function("div", lit(asOfUs) - col("last_event_us"), lit(1000000L))
+          .as("lag_s"),
+        coalesce(col("__snap"), lit(false)).as("in_snapshot"))
+  }
+
   def snapshot(
       spark: SparkSession,
       project: FeatureProject,
