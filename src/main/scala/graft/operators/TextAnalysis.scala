@@ -308,24 +308,52 @@ object TextAnalysis {
       reference: DataFrame, refTextCol: String, refIdCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
-    corpusFps.join(referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w),
-        Seq("fp"), "left_semi")
+    val (ref, broadcastable) =
+      referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w)
+    val probe =
+      if (broadcastable) corpusFps else bloomPrefilter(corpusFps, ref)
+    probe.join(ref, Seq("fp"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
   /** The reference set reduced to its distinct fingerprints, spilled
     * and broadcast-hinted iff its EXACT on-disk bytes fit (the
-    * engine's standard gate — see [[contaminatedWith]]'s plan notes).
+    * engine's standard gate — see [[contaminatedWith]]'s plan notes);
+    * the flag tells callers whether the broadcast engaged (false →
+    * apply [[bloomPrefilter]] to the probe side before the shuffle).
     */
   private def referenceFpsHinted(session: DataFrame, reference: DataFrame,
-      refTextCol: String, refIdCol: String, k: Int, w: Int): DataFrame = {
+      refTextCol: String, refIdCol: String, k: Int, w: Int): (DataFrame, Boolean) = {
     val (refFps, refBytes) = Spill.roundTripSized(
       winnowFingerprints(reference, refTextCol, refIdCol, k, w)
         .select(col("fp")).distinct())
     val bcLimit = session.sparkSession.conf
       .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
       .toLong
-    if (refBytes <= bcLimit) broadcast(refFps) else refFps
+    if (refBytes <= bcLimit) (broadcast(refFps), true) else (refFps, false)
+  }
+
+  /** Semi-join reduction for an oversize reference: one pass over the
+    * reference fingerprints builds a Bloom summary (collected once,
+    * ≤16 MiB of bits, task-broadcast), and only probe rows that PASS
+    * it enter the shuffled join — true matches plus an ~0.24 % false-
+    * positive residue instead of the whole corpus fingerprint stream.
+    * No false negatives, and the exact join still runs downstream, so
+    * the answer is unchanged (spec-asserted against the broadcast
+    * path).
+    */
+  private def bloomPrefilter(probeFps: DataFrame, refFps: DataFrame,
+      fpCol: String = "fp"): DataFrame = {
+    import graft.functions.BloomFilter
+    val numHashes = 4
+    val nKeys = refFps.count()
+    val numBits = BloomFilter.sizeFor(nKeys)
+    val bits = refFps
+      .agg(BloomFilter.agg(numBits, numHashes)(col(fpCol)))
+      .head().getSeq[Long](0).toArray
+    val bc = probeFps.sparkSession.sparkContext.broadcast(bits)
+    val member = udf((fp: Long) => BloomFilter.contains(bc.value, numHashes, fp))
+    probeFps.where(member(col(fpCol)))
   }
 
   /** What [[decontaminate]] does with contaminated documents. */
@@ -358,12 +386,26 @@ object TextAnalysis {
       reference: DataFrame, refTextCol: String, refIdCol: String,
       k: Int = 5, w: Int = 4, maxSharedFraction: Double = 0.0): DataFrame = {
     val corpusFps = winnowFingerprints(df, textCol, idCol, k, w)
-    val refHinted = referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w)
-    val perDoc = corpusFps
-      .join(refHinted.withColumn("__hit", lit(1L)), Seq("fp"), "left_outer")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_fps"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+    val (refHinted, broadcastable) =
+      referenceFpsHinted(df, reference, refTextCol, refIdCol, k, w)
+    val perDoc = if (broadcastable) {
+      corpusFps
+        .join(refHinted.withColumn("__hit", lit(1L)), Seq("fp"), "left_outer")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_fps"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+    } else {
+      // oversize reference: n_fps needs every corpus fingerprint but
+      // n_shared only the true matches — count n_fps in a doc-id agg
+      // (no fp shuffle), bloom-prefilter the fp join to matches + ε
+      val nFps = corpusFps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
+      val shared = bloomPrefilter(corpusFps, refHinted)
+        .join(refHinted, Seq("fp"), "left_semi")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      nFps.join(shared, Seq(idCol), "left_outer")
+        .select(col(idCol), col("n_fps"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    }
     // a document too short to emit any fingerprint (< k + w - 1 tokens)
     // shares nothing, but must still get a row — n_fps = 0, frac = 0.0,
     // contaminated = false — not vanish and resurface as nulls through
