@@ -31,7 +31,7 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|pq|all selects the axis
+    //   layout|pq|bloom|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -953,6 +953,56 @@ object ScaleProbe {
             f"pqTopK=$pSec%6.2fs/${pMb}%8.1fMB")
         warmedPq = true
         corpus.unpersist(); codes.unpersist()
+      }
+    }
+
+    // ── axis 18: bloom prefilter — shuffle under an OVERSIZE reference ─
+    // contaminatedWith's claim: when the reference outgrows broadcast,
+    // the bloom prefilter shuffles only matches + ε instead of the
+    // whole corpus fingerprint stream. Forced oversize via the bcLimit
+    // conf; A/B on the SAME growing corpus against a fixed reference
+    // (corpus replicas rewritten injectively, so true matches stay
+    // constant while the fingerprint stream grows).
+    {
+      import graft.operators.TextAnalysis
+      val key = "spark.graft.dedup.broadcastCandidatesBytes"
+      val prevBc2 = spark.conf.get(key, (16L << 20).toString)
+      val docs0b = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val reference = docs0b.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+      var warmedBloom = false
+      for (n <- Seq(1) ++ mults; if axes == "all" || axes == "bloom") {
+        val corpus = replicatedDocs(n).cache()
+        val rows = corpus.count()
+        def consume(): Long = TextAnalysis.contaminatedWith(
+          corpus, "text", "doc_id", reference, "text", "doc_id")
+          .agg(count(lit(1))).head().getLong(0)
+        // strawman: the pre-bloom oversize fallback — the full corpus
+        // fingerprint stream meets the reference in a shuffled join
+        def naive(): Long = {
+          val cfps = TextAnalysis.winnowFingerprints(corpus, "text", "doc_id")
+          val rfps = TextAnalysis.winnowFingerprints(
+            reference, "text", "doc_id").select("fp").distinct()
+          cfps.join(rfps, Seq("fp"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)))
+            .agg(count(lit(1))).head().getLong(0)
+        }
+        val (bSec, bMb) = time(consume()) // broadcast path (default)
+        spark.conf.set(key, "1") // force the oversize/bloom path
+        val (fSec, fMb) = time(consume())
+        spark.conf.set(key, prevBc2)
+        val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (nSec, nMb) = time(naive())
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+        if (warmedBloom)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d " +
+            f"broadcastJoin=$bSec%6.2fs/${bMb}%8.1fMB " +
+            f"bloomShuffleJoin=$fSec%6.2fs/${fMb}%8.1fMB " +
+            f"naiveShuffleJoin=$nSec%6.2fs/${nMb}%8.1fMB")
+        warmedBloom = true
+        corpus.unpersist()
       }
     }
 
