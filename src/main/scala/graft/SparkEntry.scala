@@ -2000,6 +2000,18 @@ object SparkEntry {
       Sketches.histogramQuantiles(hist, Seq(0.5, 0.9, 0.99), lo, hi, bins)
     }),
 
+    // Conversion funnel view→click→purchase anchored at each user's
+    // first view; greedy first-after-t matching, 1-day completion
+    // horizon, over the first two days only so EVERY outcome is
+    // populated (92 users reach step 1, 41 step 2, 21 step 3; some
+    // completers miss the horizon). Integer-micros anchors.
+    "q_funnel" -> ((s, dir) =>
+      Sessionize.funnel(
+        t(s, dir, "events")
+          .where(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp")),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 86400L)),
+
     // Schema evolution through the source layer: two parquet batches
     // written under DIFFERENT schemas (a column added later), read
     // back through DataLocation.Generic with mergeSchema — old rows
@@ -3696,6 +3708,34 @@ object SparkEntry {
         |  min(c.total)::BIGINT AS n_total
         |FROM qs JOIN c ON c.cum * 10000 >= qs.q * 10000 * c.total
         |GROUP BY qs.q""".stripMargin,
+
+    // nested first-after-t minimums — the anchored-greedy contract
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        |), t1 AS (
+        |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t1_us
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t2_us
+        |  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1_us
+        |  GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t3_us
+        |  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2_us
+        |  GROUP BY 1
+        |)
+        |SELECT t1.user_id, t1.t1_us, t2.t2_us, t3.t3_us,
+        |  (1 + CASE WHEN t2.t2_us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN t3.t3_us IS NULL THEN 0 ELSE 1 END)::INT
+        |    AS steps_reached,
+        |  t3.t3_us IS NOT NULL
+        |    AND t3.t3_us - t1.t1_us <= 86400000000 AS completed
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
 
     // old-batch rows surface the later-added column as NULL
     "q_schema_evolution" ->

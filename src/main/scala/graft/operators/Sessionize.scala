@@ -57,4 +57,53 @@ object Sessionize {
           (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
             .as("duration_us"),
           count(lit(1)).as("n_events")) ++ extraAggs: _*)
+
+  /** Conversion funnel anchored at each key's FIRST occurrence of
+    * `steps.head`: step i+1 matches its first event strictly after
+    * step i's match, and `completed` requires every step matched with
+    * the last inside `horizonSeconds` of the anchor. The
+    * anchored-greedy semantic is deliberate — it is the one a SQL
+    * oracle states exactly (nested first-after-t minimums), where
+    * sliding-anchor variants are engine-folklore.
+    *
+    * Output per key with step 1: `t1_us … tN_us` (null from the first
+    * unmatched step on), `steps_reached`, `completed`.
+    *
+    * Plan shape: one type-filtered scan + min-aggregate per step
+    * (filter pushdown keeps each scan to its step's rows), chained by
+    * key-equi joins — no per-key event lists ever materialize, so a
+    * key with millions of events costs the same as one with ten.
+    */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], horizonSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    val tsUs = unix_micros(col(tsCol))
+    val base = df.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(tsUs).as("t1_us"))
+
+    // inner-chain: frame i holds keys that reached step i, with all
+    // earlier anchor times carried (constant per key under max)
+    val frames = steps.zipWithIndex.tail.scanLeft(base) {
+      case (prev, (step, i)) =>
+        val carried = (1 until i + 1).map(j => max(col(s"t${j}_us")).as(s"t${j}_us"))
+        df.where(col(typeCol) === step)
+          .join(prev, Seq(keyCol))
+          .where(tsUs > col(s"t${i}_us"))
+          .groupBy(col(keyCol))
+          .agg(min(tsUs).as(s"t${i + 1}_us"), carried: _*)
+    }
+
+    // left-join the deeper frames back onto the anchor population
+    val full = frames.tail.foldLeft(frames.head) { (acc, f) =>
+      val newCol = f.columns.filter(_.startsWith("t")).maxBy(_.drop(1).dropRight(3).toInt)
+      acc.join(f.select(col(keyCol), col(newCol)), Seq(keyCol), "left_outer")
+    }
+    val tCols = steps.indices.map(i => col(s"t${i + 1}_us"))
+    val reached = tCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    full.select(col(keyCol) +: tCols :+
+      reached.as("steps_reached") :+
+      (tCols.last.isNotNull &&
+        tCols.last - tCols.head <= horizonSeconds * 1000000L).as("completed"): _*)
+  }
 }

@@ -81,4 +81,34 @@ class SessionizeSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("duration_us") == 0L)
     assert(out(1).getAs[Double]("v_sum") == 5.0)
   }
+
+  test("funnel: anchored-greedy matching, horizon, and partial reach") {
+    import graft.operators.Sessionize
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1 completes in order within horizon
+      (1L, t(100), "a"), (1L, t(200), "b"), (1L, t(300), "c"),
+      // u2: b BEFORE the anchor must not count; the later b does
+      (2L, t(50), "b"), (2L, t(100), "a"), (2L, t(400), "b"), (2L, t(500), "c"),
+      // u3 reaches b only
+      (3L, t(100), "a"), (3L, t(150), "b"),
+      // u4 completes but outside the 1000s horizon
+      (4L, t(100), "a"), (4L, t(200), "b"), (4L, t(2000), "c"),
+      // u5 never starts (no 'a') -> no row
+      (5L, t(100), "c"))
+      .toDF("user_id", "ts", "event_type")
+
+    val out = Sessionize.funnel(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"), horizonSeconds = 1000L)
+      .as[(Long, Long, Option[Long], Option[Long], Int, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((1L, 100000000L, Some(200000000L), Some(300000000L), 3, true)))
+    assert(out(2L)._3.contains(400000000L), "pre-anchor step must not match")
+    assert(out(2L)._6, "u2 completes within horizon")
+    assert(out(3L) == ((3L, 100000000L, Some(150000000L), None, 2, false)))
+    assert(out(4L)._5 == 3 && !out(4L)._6, "reached but missed the horizon")
+  }
 }
