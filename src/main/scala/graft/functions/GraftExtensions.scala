@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *          graft_dot(a, b), graft_l2norm(a),
   *          winnow_fps64(text, 5, 4),
   *          kgram_hashes64(text, 5),
-  *          rolling_span_hash64(text, 50)
+  *          rolling_span_hash64(text, 50),
+  *          pq_adc(codes, table, 16)
   *
   * All are codegen'd native expressions — usable from pure-SQL
   * pipelines without touching the Scala API. The SQL text fingerprints
@@ -70,7 +71,9 @@ object GraftFunctions {
     fn("kgram_hashes64", es => KGramHashes64Expr(normText(es.head),
       if (es.length > 1) intArg(es(1), "kgram_hashes64 k") else 5)),
     fn("rolling_span_hash64", es => RollingSpanHash64Expr(normText(es.head),
-      if (es.length > 1) intArg(es(1), "rolling_span_hash64 span") else 50)))
+      if (es.length > 1) intArg(es(1), "rolling_span_hash64 span") else 50)),
+    fn("pq_adc", es => PqAdcExpr(es(0), es(1),
+      if (es.length > 2) intArg(es(2), "pq_adc kCodes") else 16)))
 
   /** Register every graft function on an already-running session. */
   def registerAll(spark: SparkSession): Unit =

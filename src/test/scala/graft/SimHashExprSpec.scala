@@ -54,6 +54,15 @@ class SimHashExprSpec extends SparkTestBase {
       assert(r.getInt(3) > 0, "every doc has at least one shingle")
       assert(r.getInt(4) >= 0)
     }
+
+    // pq_adc: codes (1, 0) over a 2-subspace x 2-code table picks
+    // table[0*2+1] + table[1*2+0] = 0.25 + 4.0
+    val adc = spark.sql(
+      """SELECT pq_adc(array(1, 0),
+        |  array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT),
+        |        CAST(4.0 AS FLOAT), CAST(8.0 AS FLOAT)), 2) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(adc == 4.25, s"got $adc")
   }
 
   test("similar texts have small hamming distance, dissimilar large") {
