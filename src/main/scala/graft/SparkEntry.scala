@@ -2012,6 +2012,13 @@ object SparkEntry {
         "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), horizonSeconds = 86400L)),
 
+    // Weekly cohort retention over the events table: cohort = the
+    // user's first-event week on the epoch-anchored grid, offset =
+    // weeks-after-cohort the user was active. Integer triangle.
+    "q_retention" -> ((s, dir) =>
+      Sessionize.retention(t(s, dir, "events"), "user_id", "ts",
+        periodSeconds = 7L * 86400)),
+
     // Schema evolution through the source layer: two parquet batches
     // written under DIFFERENT schemas (a column added later), read
     // back through DataLocation.Generic with mergeSchema — old rows
@@ -3736,6 +3743,20 @@ object SparkEntry {
         |FROM t1
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+
+    // epoch-anchored week grid; distinct (user, offset) then count
+    "q_retention" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS pd FROM events
+        |), f AS (
+        |  SELECT user_id, min(pd) AS cohort FROM p GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT p.user_id, f.cohort, p.pd - f.cohort AS "offset"
+        |  FROM p JOIN f ON p.user_id = f.user_id
+        |)
+        |SELECT cohort::BIGINT AS cohort, "offset"::BIGINT AS "offset",
+        |  count(*) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     // old-batch rows surface the later-added column as NULL
     "q_schema_evolution" ->

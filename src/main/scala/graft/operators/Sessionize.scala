@@ -58,6 +58,31 @@ object Sessionize {
             .as("duration_us"),
           count(lit(1)).as("n_events")) ++ extraAggs: _*)
 
+  /** Cohort retention: keys cohorted by the UTC day-grid period of
+    * their first event (`periodSeconds` wide, anchored at the epoch),
+    * then counted per (cohort, offset) where offset = how many whole
+    * periods after its cohort a key was active. The classic retention
+    * triangle, all integer arithmetic on epoch-micros — engine-exact.
+    *
+    * Two key-grouped aggregations (first-event, then distinct
+    * (key, cohort, offset)) and one count — no per-key timelines, no
+    * windows; scales as groupBys do.
+    */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, s"bad period: $periodSeconds")
+    val periodUs = periodSeconds * 1000000L
+    val period = call_function("div", unix_micros(col(tsCol)), lit(periodUs))
+    val first = df.groupBy(col(keyCol))
+      .agg(min(period).as("cohort"))
+    df.select(col(keyCol), period.as("__p"))
+      .join(first, Seq(keyCol))
+      .select(col(keyCol), col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Conversion funnel anchored at each key's FIRST occurrence of
     * `steps.head`: step i+1 matches its first event strictly after
     * step i's match, and `completed` requires every step matched with

@@ -111,4 +111,25 @@ class SessionizeSpec extends SparkTestBase {
     assert(out(3L) == ((3L, 100000000L, Some(150000000L), None, 2, false)))
     assert(out(4L)._5 == 3 && !out(4L)._6, "reached but missed the horizon")
   }
+
+  test("retention: cohorts by first-event period, offsets count distinct actives") {
+    import graft.operators.Sessionize
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val period = 100L
+    // u1 joins period 0, active 0 and 2 (twice in 2 — counted once);
+    // u2 joins period 0, active 0 only; u3 joins period 1, active 1,3
+    val ev = Seq(
+      (1L, t(10)), (1L, t(250)), (1L, t(260)),
+      (2L, t(50)),
+      (3L, t(150)), (3L, t(320)))
+      .toDF("user_id", "ts")
+    val got = Sessionize.retention(ev, "user_id", "ts", period)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L), // u1, u2 in their join period
+      (0L, 2L, 1L), // u1 returns two periods later (deduped)
+      (1L, 0L, 1L), // u3's join period
+      (1L, 2L, 1L))) // u3 returns at offset 2
+  }
 }
