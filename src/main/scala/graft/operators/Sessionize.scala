@@ -102,31 +102,37 @@ object Sessionize {
   def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
       steps: Seq[String], horizonSeconds: Long): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    // internal anchor columns carry a reserved __-prefix and are
+    // tracked by NAME, never rediscovered by pattern: a keyCol like
+    // "token_id" or "type" must not be mistaken for an anchor column
+    def tc(i: Int) = s"__t${i}_us"
     val tsUs = unix_micros(col(tsCol))
     val base = df.where(col(typeCol) === steps.head)
-      .groupBy(col(keyCol)).agg(min(tsUs).as("t1_us"))
+      .groupBy(col(keyCol)).agg(min(tsUs).as(tc(1)))
 
     // inner-chain: frame i holds keys that reached step i, with all
     // earlier anchor times carried (constant per key under max)
     val frames = steps.zipWithIndex.tail.scanLeft(base) {
       case (prev, (step, i)) =>
-        val carried = (1 until i + 1).map(j => max(col(s"t${j}_us")).as(s"t${j}_us"))
+        val carried = (1 until i + 1).map(j => max(col(tc(j))).as(tc(j)))
         df.where(col(typeCol) === step)
           .join(prev, Seq(keyCol))
-          .where(tsUs > col(s"t${i}_us"))
+          .where(tsUs > col(tc(i)))
           .groupBy(col(keyCol))
-          .agg(min(tsUs).as(s"t${i + 1}_us"), carried: _*)
+          .agg(min(tsUs).as(tc(i + 1)), carried: _*)
     }
 
-    // left-join the deeper frames back onto the anchor population
-    val full = frames.tail.foldLeft(frames.head) { (acc, f) =>
-      val newCol = f.columns.filter(_.startsWith("t")).maxBy(_.drop(1).dropRight(3).toInt)
-      acc.join(f.select(col(keyCol), col(newCol)), Seq(keyCol), "left_outer")
+    // left-join each deeper frame's NEW anchor (frame at index i
+    // introduced __t{i+2}_us) back onto the anchor population
+    val full = frames.tail.zipWithIndex.foldLeft(frames.head) {
+      case (acc, (f, i)) =>
+        acc.join(f.select(col(keyCol), col(tc(i + 2))), Seq(keyCol), "left_outer")
     }
-    val tCols = steps.indices.map(i => col(s"t${i + 1}_us"))
+    val tCols = steps.indices.map(i => col(tc(i + 1)))
     val reached = tCols.map(c => when(c.isNotNull, 1).otherwise(0))
       .reduce(_ + _)
-    full.select(col(keyCol) +: tCols :+
+    full.select(col(keyCol) +:
+      steps.indices.map(i => col(tc(i + 1)).as(s"t${i + 1}_us")) :+
       reached.as("steps_reached") :+
       (tCols.last.isNotNull &&
         tCols.last - tCols.head <= horizonSeconds * 1000000L).as("completed"): _*)

@@ -112,6 +112,27 @@ class SessionizeSpec extends SparkTestBase {
     assert(out(4L)._5 == 3 && !out(4L)._6, "reached but missed the horizon")
   }
 
+  test("funnel: key column starting with 't' does not collide with anchor columns") {
+    // regression (r10 ADVICE): internal anchor columns were rediscovered
+    // via columns.filter(_.startsWith("t")), so keyCol = "token_id"
+    // entered the filter and "oken_".toInt threw. Anchors are now
+    // tracked by their reserved __t{i}_us names.
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, t(100), "a"), (1L, t(200), "b"), (1L, t(300), "c"),
+      (2L, t(100), "a"))
+      .toDF("token_id", "ts", "type")
+    val out = Sessionize.funnel(ev, "token_id", "ts", "type",
+        Seq("a", "b", "c"), horizonSeconds = 1000L)
+    assert(out.columns.toSeq ==
+      Seq("token_id", "t1_us", "t2_us", "t3_us", "steps_reached", "completed"))
+    val rows = out.as[(Long, Long, Option[Long], Option[Long], Int, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) == ((1L, 100000000L, Some(200000000L), Some(300000000L), 3, true)))
+    assert(rows(2L)._5 == 1 && !rows(2L)._6)
+  }
+
   test("retention: cohorts by first-event period, offsets count distinct actives") {
     import graft.operators.Sessionize
     import spark.implicits._
