@@ -2070,6 +2070,42 @@ object SparkEntry {
         Seq("c_custkey"), tombstoneCol = Some("__dead"))
     }),
 
+    // Time-travel on the merge log (the backfill-reproducibility
+    // primitive: replaying step N must see step N's data). Three
+    // deterministic customer deltas land as versions 0/1/2; the output
+    // unions snapshotAsOf(1) — version 2's updates AND tombstones
+    // invisible — with snapshotAsOf(2) — latest-wins plus deletes
+    // applied. The oracle replays both states by explicit key
+    // membership, so a leaked later version, a resurrected tombstone,
+    // or a wrong winner all break the hash.
+    "q_timetravel" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val log = Spill.newPath(s)
+      MergeLog.append(base, log, 0L, Seq("c_custkey"))
+      // v1: %10 keys raise acctbal; %7 keys insert under new ids
+      val d1 = base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(base.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 200000L))
+      MergeLog.append(d1, log, 1L, Seq("c_custkey"))
+      // v2: %3 keys re-update FROM BASE (latest-wins must overwrite a
+      // v1 update at %30 keys); %17∧¬%3 keys tombstone
+      val d2 = base.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 5000.0)
+        .withColumn("__dead", lit(false))
+        .unionByName(base
+          .where(col("c_custkey") % 17 === 0 && col("c_custkey") % 3 =!= 0)
+          .withColumn("__dead", lit(true)))
+      MergeLog.append(d2, log, 2L, Seq("c_custkey"), Some("__dead"))
+      Seq(1L, 2L).map { v =>
+        MergeLog.snapshotAsOf(s, log, Seq("c_custkey"), v)
+          .withColumn("asof", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("asof"), col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 4).as("c_acctbal"))
+    }),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -3800,6 +3836,34 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM dk)
         |UNION ALL SELECT * FROM mod
         |UNION ALL SELECT * FROM ins""".stripMargin,
+
+    // both historical states replayed by explicit key membership
+    "q_timetravel" ->
+      """WITH d1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000 AS c_custkey, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), asof1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM d1)
+        |  UNION ALL SELECT c_custkey, c_name, c_acctbal FROM d1
+        |), d2u AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 5000 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |), asof2 AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM asof1
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM d2u)
+        |    AND c_custkey NOT IN (SELECT c_custkey FROM customer
+        |                          WHERE c_custkey % 17 = 0 AND c_custkey % 3 <> 0)
+        |  UNION ALL SELECT c_custkey, c_name, c_acctbal FROM d2u
+        |)
+        |SELECT 1::BIGINT AS asof, c_custkey, c_name,
+        |  round(c_acctbal, 4) AS c_acctbal FROM asof1
+        |UNION ALL
+        |SELECT 2::BIGINT AS asof, c_custkey, c_name,
+        |  round(c_acctbal, 4) AS c_acctbal FROM asof2""".stripMargin,
 
     // layout is physical only — the range scan must equal a plain filter
     "q_compact_layout" ->

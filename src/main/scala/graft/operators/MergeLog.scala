@@ -12,13 +12,31 @@ import org.apache.hadoop.fs.Path
   * foreachBatch above all — must pay only O(delta) per append. Here
   * every delta lands as its own `__v=<version>/` parquet partition;
   * [[snapshot]] resolves latest-wins by key at READ time with one
-  * window over (key, version desc); [[compact]] folds the log back
-  * into a single base version when read amplification grows.
+  * window over (key, version desc); [[snapshotAsOf]] is the same read
+  * truncated at a version — the time-travel primitive a reproducible
+  * backfill loop needs (a rerun of step N must see step N's data, the
+  * materialization step-loop contract, feathr-rs/src/materialization.rs:200-231);
+  * [[compact]] folds the log back into a single base version when read
+  * amplification grows.
   *
   * Idempotence falls out of the layout: a replayed append OVERWRITES
   * its own version partition (exactly the `__graft_batch_id` sink
   * discipline, Materializer.writeBatch), so at-least-once delivery
   * cannot double-apply a delta.
+  *
+  * Crash posture of [[compact]]: the fold is written to a NEW version
+  * (`max+1`) with tombstone rows RETAINED, and only then are the
+  * superseded partitions deleted. At every intermediate state the log
+  * resolves each key identically — fold rows dominate at the top
+  * version, and a surviving older live row cannot resurrect a deleted
+  * key because its tombstone is still present in the fold. The cost is
+  * one retained row per deleted key (they are filtered at read);
+  * history below the fold is REBASED — [[snapshotAsOf]] refuses
+  * versions older than the oldest surviving partition with a named
+  * error rather than silently returning the fold. Writers are assumed
+  * single-writer per log dir (the streaming `foreachBatch` posture);
+  * concurrent appends during a compact could collide with the fold's
+  * `max+1` slot — use [[nextVersion]] to continue the lineage.
   */
 object MergeLog {
 
@@ -29,6 +47,9 @@ object MergeLog {
     * delta (checked, delta-sized) — cross-version conflicts are what
     * the log resolves; intra-version conflicts would make the winner
     * partition-order nondeterminism. `tombstoneCol` rows mark deletes.
+    * The delta's columns (minus the tombstone marker) must match the
+    * existing log's — a schema drift would otherwise surface as nulls
+    * at read time, far from the writer that caused it.
     */
   def append(delta: DataFrame, dir: String, version: Long,
       keyCols: Seq[String], tombstoneCol: Option[String] = None): Unit = {
@@ -39,12 +60,25 @@ object MergeLog {
       s"delta for version $version has duplicate keys (e.g. ${dups.headOption})")
     val dead = tombstoneCol.map(c => coalesce(col(c), lit(false)))
       .getOrElse(lit(false))
+    // a caller's tombstone column may itself be named __dead — the
+    // withColumn then already holds the normalized marker and the
+    // drop must not remove it
+    val rows0 = delta.withColumn(DeadCol, dead)
+    val rows = tombstoneCol.filter(_ != DeadCol)
+      .map(rows0.drop(_)).getOrElse(rows0)
+    val existing = versions(delta.sparkSession, dir)
+      .filterNot(_ == version) // replays may legally overwrite themselves
+    existing.headOption.foreach { v =>
+      val logCols = delta.sparkSession.read
+        .parquet(s"$dir/$VCol=$v").columns.toSeq.sorted
+      require(rows.columns.toSeq.sorted == logCols,
+        s"delta schema ${rows.columns.toSeq.sorted} does not match merge " +
+          s"log at $dir (version $v has $logCols); latest-wins over " +
+          "mismatched columns would read back nulls")
+    }
     // the path carries the version (partition discovery reads it back
     // as the `__v` column) — the files must NOT also contain it
-    delta.withColumn(DeadCol, dead)
-      .drop(tombstoneCol.toSeq: _*)
-      .write.mode("overwrite")
-      .parquet(s"$dir/$VCol=$version")
+    rows.write.mode("overwrite").parquet(s"$dir/$VCol=$version")
   }
 
   /** Latest-wins view of the log: for each key, the row of the highest
@@ -54,26 +88,68 @@ object MergeLog {
     */
   def snapshot(spark: SparkSession, dir: String,
       keyCols: Seq[String]): DataFrame = {
-    val all = readLog(spark, dir)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(VCol).desc)
-    all.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && !col(DeadCol))
-      .drop("__rn", VCol, DeadCol)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"merge log at $dir is empty or missing — " +
+      "append at least one version before reading a snapshot")
+    resolve(readVersions(spark, dir, vs), keyCols)
   }
 
-  /** Fold the log into one base partition at `max(version)`: snapshot
-    * rewritten once, older partitions removed — read amplification
-    * back to 1. Tombstones are physically dropped (their work is done).
+  /** Time-travel read: the latest-wins view as it stood at
+    * `asOfVersion` — resolved over the partitions with version <=
+    * `asOfVersion` only, so replaying backfill step N sees exactly
+    * step N's data no matter how many deltas landed since. Refuses,
+    * with a named error, a version whose history a [[compact]] has
+    * rebased away — silently answering from the fold would be a
+    * reproducibility lie.
+    */
+  def snapshotAsOf(spark: SparkSession, dir: String, keyCols: Seq[String],
+      asOfVersion: Long): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"merge log at $dir is empty or missing")
+    require(asOfVersion >= vs.min,
+      s"history before version ${vs.min} of the merge log at $dir has " +
+        s"been rebased by compaction (or was never written); cannot " +
+        s"time-travel to version $asOfVersion")
+    resolve(readVersions(spark, dir, vs.filter(_ <= asOfVersion)), keyCols)
+  }
+
+  /** Fold the log into one base partition: the per-key latest rows
+    * (tombstones INCLUDED — see the crash posture above) written as
+    * version `max+1`, then the superseded partitions deleted. Read
+    * amplification back to 1; history below the fold is rebased.
     */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
-    val vmax = versions(spark, dir).max
-    val snap = Spill.roundTrip(snapshot(spark, dir, keyCols))
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"compact: merge log at $dir is empty or missing")
+    val vmax = vs.max
+    writeFold(spark, dir, keyCols, vmax)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    append(snap, dir, vmax, keyCols)
-    versions(spark, dir).filter(_ != vmax).foreach(v =>
-      fs.delete(new Path(s"$dir/$VCol=$v"), true))
+    vs.foreach(v => fs.delete(new Path(s"$dir/$VCol=$v"), true))
   }
+
+  /** Phase 1 of [[compact]], package-visible so the crash-window spec
+    * can stop between the fold write and the deletes: fold versions
+    * <= `upTo` (tombstones retained) into partition `upTo + 1`. */
+  private[graft] def writeFold(spark: SparkSession, dir: String,
+      keyCols: Seq[String], upTo: Long): Unit = {
+    val vs = versions(spark, dir).filter(_ <= upTo)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(VCol).desc)
+    val fold = Spill.roundTrip(
+      readVersions(spark, dir, vs)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .drop("__rn", VCol))
+    fold.write.mode("overwrite").parquet(s"$dir/$VCol=${upTo + 1}")
+  }
+
+  /** The next free version slot — continue the lineage after a
+    * [[compact]] (which consumes `max+1` for its fold). */
+  def nextVersion(spark: SparkSession, dir: String): Long =
+    versions(spark, dir) match {
+      case Nil => 0L
+      case vs => vs.max + 1
+    }
 
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new Path(dir)
@@ -84,7 +160,15 @@ object MergeLog {
       .map(_.getPath.getName.stripPrefix(s"$VCol=").toLong)
   }
 
-  private def readLog(spark: SparkSession, dir: String): DataFrame =
+  private def resolve(log: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(VCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && !col(DeadCol))
+      .drop("__rn", VCol, DeadCol)
+  }
+
+  private def readVersions(spark: SparkSession, dir: String,
+      vs: Seq[Long]): DataFrame =
     spark.read.option("basePath", dir).parquet(
-      versions(spark, dir).map(v => s"$dir/$VCol=$v"): _*)
+      vs.map(v => s"$dir/$VCol=$v"): _*)
 }

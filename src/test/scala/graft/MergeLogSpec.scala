@@ -53,20 +53,91 @@ class MergeLogSpec extends SparkTestBase {
     assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == once)
   }
 
-  test("compact folds to one version, same snapshot, tombstones gone") {
+  test("compact folds to one NEW version, same snapshot") {
     val dir = Spill.newPath(spark)
     MergeLog.append(base, dir, 0L, Seq("k"))
     MergeLog.append(Seq((3L, "c", 0.0, true), (5L, "e", 50.0, false))
       .toDF("k", "name", "v", "dead"), dir, 1L, Seq("k"), Some("dead"))
     val before = multiset(MergeLog.snapshot(spark, dir, Seq("k")))
     MergeLog.compact(spark, dir, Seq("k"))
-    assert(MergeLog.versions(spark, dir) == Seq(1L))
+    // the fold lands in a fresh version slot (crash safety: the old
+    // vmax partition is never overwritten in place)
+    assert(MergeLog.versions(spark, dir) == Seq(2L))
     assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == before)
     // appending after compaction continues the lineage
+    assert(MergeLog.nextVersion(spark, dir) == 3L)
     MergeLog.append(Seq((5L, "e2", 55.0)).toDF("k", "name", "v"),
-      dir, 2L, Seq("k"))
+      dir, MergeLog.nextVersion(spark, dir), Seq("k"))
     assert(MergeLog.snapshot(spark, dir, Seq("k"))
       .where($"k" === 5L).as[(Long, String, Double)].head() == ((5L, "e2", 55.0)))
+  }
+
+  test("snapshotAsOf replays every historical state; compact rebases with a named error") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(Seq((2L, "b1", 21.0, false), (4L, "d", 40.0, false))
+      .toDF("k", "name", "v", "dead"), dir, 1L, Seq("k"), Some("dead"))
+    MergeLog.append(Seq((2L, "b2", 22.0, false), (3L, "c", 0.0, true))
+      .toDF("k", "name", "v", "dead"), dir, 2L, Seq("k"), Some("dead"))
+
+    assert(multiset(MergeLog.snapshotAsOf(spark, dir, Seq("k"), 0L)) ==
+      multiset(base))
+    assert(multiset(MergeLog.snapshotAsOf(spark, dir, Seq("k"), 1L)) ==
+      multiset(Seq((1L, "a", 10.0), (2L, "b1", 21.0), (3L, "c", 30.0),
+        (4L, "d", 40.0)).toDF("k", "name", "v")))
+    // as-of between versions = as-of the floor; beyond max = snapshot
+    assert(multiset(MergeLog.snapshotAsOf(spark, dir, Seq("k"), 99L)) ==
+      multiset(MergeLog.snapshot(spark, dir, Seq("k"))))
+
+    MergeLog.compact(spark, dir, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      MergeLog.snapshotAsOf(spark, dir, Seq("k"), 1L)
+    }
+    assert(e.getMessage.contains("rebased by compaction"))
+    // the surviving fold version still reads
+    assert(multiset(MergeLog.snapshotAsOf(spark, dir, Seq("k"), 3L)) ==
+      multiset(MergeLog.snapshot(spark, dir, Seq("k"))))
+  }
+
+  test("crash between compact's fold write and deletes cannot resurrect tombstoned keys") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(Seq((3L, "c", 0.0, true), (5L, "e", 50.0, false))
+      .toDF("k", "name", "v", "dead"), dir, 1L, Seq("k"), Some("dead"))
+    val before = multiset(MergeLog.snapshot(spark, dir, Seq("k")))
+
+    // phase 1 only — the crash window: fold written, old partitions live
+    MergeLog.writeFold(spark, dir, Seq("k"), 1L)
+    assert(MergeLog.versions(spark, dir).sorted == Seq(0L, 1L, 2L))
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == before,
+      "k=3's tombstone must survive in the fold while version 0's live row exists")
+
+    // partial phase 2 (only version 1 deleted) — still identical
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/__v=1"), true)
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == before)
+  }
+
+  test("append rejects a delta whose schema drifted from the log") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      MergeLog.append(Seq((9L, 90.0)).toDF("k", "v"), dir, 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("does not match merge log"))
+  }
+
+  test("snapshot/compact on an empty or missing log fail with a named error") {
+    val dir = Spill.newPath(spark) + "/nonexistent"
+    val e1 = intercept[IllegalArgumentException] {
+      MergeLog.snapshot(spark, dir, Seq("k"))
+    }
+    assert(e1.getMessage.contains("empty or missing"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeLog.compact(spark, dir, Seq("k"))
+    }
+    assert(e2.getMessage.contains("empty or missing"))
   }
 
   test("upsertStream: micro-batches fold into a latest-per-key snapshot") {
@@ -83,6 +154,17 @@ class MergeLogSpec extends SparkTestBase {
     val snap = MergeLog.snapshot(spark, dir, Seq("k"))
       .as[(Long, Long, String)].collect().toSet
     assert(snap == Set((1L, 2L, "a2"), (2L, 2L, "b2"), (3L, 1L, "c1")))
+  }
+
+  test("a caller tombstone column literally named __dead still deletes") {
+    // regression: withColumn(__dead, ...) replaced the caller's column
+    // and the subsequent drop removed the internal marker entirely
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(Seq((3L, "c", 0.0, true)).toDF("k", "name", "v", "__dead"),
+      dir, 1L, Seq("k"), Some("__dead"))
+    assert(MergeLog.snapshot(spark, dir, Seq("k"))
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("intra-version duplicate keys are rejected") {
