@@ -1653,6 +1653,40 @@ object SparkEntry {
         .run(t(s, dir, "documents").select("doc_id", "text"))
     }),
 
+    // The O(delta) nightly refresh, gated against its own batch
+    // meaning: bootstrap curates the documents table (quality +
+    // admission-order near-dup), then ONE refresh ingests a planted
+    // delta — exact copies of admitted docs (index query must drop),
+    // word-reversed variants (no shared shingles — must admit),
+    // delta-internal duplicates of those variants (delta pairs must
+    // drop the larger id), and truncated docs (quality must drop).
+    // The oracle IS the full batch rerun over base ∪ delta, so any
+    // divergence between the incremental composition (per-doc stages
+    // on delta, index admission, merge-log append) and the batch
+    // pipeline breaks the hash.
+    "q_curate_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val revText = concat_ws(" ",
+        reverse(split(Dedup.normText(col("text")), " ")))
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), revText.as("text")))
+        .unionByName(docs.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 4000000L).as("doc_id"), revText.as("text")))
+        .unionByName(docs.where(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat_ws(" ",
+              slice(split(Dedup.normText(col("text")), " "), 1, 10)).as("text")))
+      val pipeline = graft.operators.CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Quality(50, 100000, 2),
+        CurationStage.NearDupDrop(0.8)))
+      val root = Spill.newPath(s) + "/inccur"
+      IncrementalCuration.bootstrap(docs, pipeline, root)
+      IncrementalCuration.refresh(delta, root, version = 1L)
+        .select("doc_id", "text")
+    }),
+
     // Gopher repetition filter: duplicate-2-gram occurrence fraction.
     "q_text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(
@@ -3286,6 +3320,51 @@ object SparkEntry {
         |)
         |$sqlSplitAssign
         |  FROM survivors)""".stripMargin,
+
+    // the incremental contract: the oracle is the BATCH pipeline over
+    // base ∪ delta — quality filter, then admission-order near-dup
+    // (drop iff ANY smaller-id entrant within 0.8 jaccard, exact
+    // all-pairs, no transitive closure: admission order is what an
+    // incremental loop implements and what monotone ids make batch-
+    // reproducible)
+    "q_curate_incremental" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    array_to_string(list_reverse(string_split(${sqlNt("text")}, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    array_to_string(list_reverse(string_split(${sqlNt("text")}, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 5000000,
+        |    array_to_string(string_split(${sqlNt("text")}, ' ')[1:10], ' ')
+        |  FROM documents WHERE doc_id % 10 = 5
+        |), norm AS (
+        |  SELECT doc_id,
+        |    ${sqlNt("text")} AS nt,
+        |    string_split(${sqlNt("text")}, ' ') AS w
+        |  FROM corpus
+        |), $sqlQualityM, kept AS (
+        |  SELECT m.doc_id FROM m
+        |  WHERE $sqlQualityPasses
+        |), sh AS (
+        |  SELECT n.doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(n.w) - 5, 0) + 1),
+        |    i -> array_to_string(n.w[i+1:i+5], ' '))) AS s
+        |  FROM norm n JOIN kept USING (doc_id)
+        |), losers AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |)
+        |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH $sqlNorm, $sqlRepGrams

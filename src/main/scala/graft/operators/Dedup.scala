@@ -481,6 +481,34 @@ object Dedup {
         shingleSize),
       idCol)
 
+  /** ADMISSION-ORDER near-dup drop: a document is dropped iff SOME
+    * smaller-id document within `threshold` exists — whether or not
+    * that document itself survived. This is the semantics an
+    * incremental admission loop implements by construction (every doc
+    * is judged against everything ingested before it), and unlike
+    * [[dropNearDuplicates]]'s connected-component min-id it DECOMPOSES
+    * exactly: with monotone id assignment (delta ids > base ids),
+    * ordered-drop(base ∪ delta) ≡ ordered-drop(base) then
+    * delta-vs-index + delta-internal ordered drop — the
+    * [[IncrementalCuration]] contract, gated by `q_curate_incremental`
+    * whose oracle IS the batch rerun. (CC semantics cannot compose: a
+    * delta doc bridging two base clusters would retroactively drop an
+    * already-admitted base doc.)
+    *
+    * Same plan shape as [[dropNearDuplicates]]: LSH candidates,
+    * exact-jaccard verification, then one anti-join of the `id_b`
+    * (larger) sides — no component propagation at all, so this is
+    * strictly cheaper than the CC variant.
+    */
+  def dropNearDuplicatesOrdered(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val losers = minhashNearDuplicates(df, textCol, idCol, threshold,
+        numHashes, bands, shingleSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Quality-aware drop policy: keep the HIGHEST-`scoreCol` member of
     * each duplicate cluster (ties → smallest id), instead of
     * [[dropDuplicatesByPairs]]'s smallest-id canonical — the policy a

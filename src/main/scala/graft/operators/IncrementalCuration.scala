@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.hadoop.fs.Path
+
+import java.nio.charset.StandardCharsets
+
+/** The O(delta) nightly curation refresh — the production posture of a
+  * 100 TB corpus, where re-running the batch funnel over the whole
+  * corpus per delta is impossible. Composes the pieces that each exist
+  * standalone:
+  *
+  *  - [[CurationPipeline]] supplies the declarative stage list; its
+  *    per-document stages (quality, repetition, PII, domain blocklist,
+  *    decontamination against a FIXED reference, hash sampling) apply
+  *    to a delta in isolation, so the incremental run pays only
+  *    delta-sized work for them;
+  *  - [[NearDupIndex]] holds the one cross-corpus stage's state: every
+  *    document that ever ENTERED the near-dup stage is banded and
+  *    shingled once, so a delta is judged against the full history at
+  *    O(delta) join cost (the reference band store streams, the
+  *    delta side broadcasts);
+  *  - [[MergeLog]] holds the curated corpus itself: each refresh
+  *    appends its admitted documents as one version partition —
+  *    O(delta) write, idempotent under replay, time-travel readable.
+  *
+  * The correctness CONTRACT is incremental ≡ batch: bootstrap(base)
+  * followed by refresh(delta) must produce exactly the corpus that one
+  * batch run of the same pipeline over base ∪ delta produces. That
+  * forces the admission-order near-dup semantic
+  * ([[Dedup.dropNearDuplicatesOrdered]]: drop iff a smaller-id
+  * near-dup EXISTS among stage entrants) together with two pinned
+  * invariants, both enforced here:
+  *
+  *  1. monotone ids — every delta id must exceed every previously
+  *     ingested id (checked against persisted state; a violation is an
+  *     error, not a silent reorder), since "admission order" and "id
+  *     order" must be the same order for batch to reproduce it;
+  *  2. entrants are indexed whether or not they were admitted — batch
+  *     ordered-drop judges a doc against every smaller entrant, so the
+  *     index must too (indexing only survivors would silently admit a
+  *     doc whose only match was itself dropped).
+  *
+  * Stages with corpus-GLOBAL state (TopFraction's histogram cutoff,
+  * Mix's domain counts, ParagraphDedup's doc frequencies, the terminal
+  * reshapes Shuffle/PackTokens/Split/Chunk) cannot be maintained
+  * incrementally and are refused by name at bootstrap — an incremental
+  * pipeline that silently recomputed them per-delta would diverge from
+  * its batch meaning.
+  *
+  * The pipeline config is persisted IN the state directory and read
+  * back by [[refresh]] (never passed again) — the [[NearDupIndex]]
+  * config-pinning posture: a refresh under a drifted config would
+  * silently match nothing.
+  *
+  * Crash/replay posture: the merge-log append is version-overwrite
+  * idempotent; a replayed refresh re-appends its band/shingle rows,
+  * which duplicates index rows but cannot change any future admission
+  * decision (candidates are distinct-ed, verification joins by id).
+  * Single writer per state dir, the [[MergeLog]] assumption.
+  */
+object IncrementalCuration {
+
+  import CurationStage._
+
+  private def logDir(root: String) = s"$root/log"
+  private def indexDir(root: String) = s"$root/neardup"
+  private def metaDir(root: String) = s"$root/meta"
+  private def configPath(root: String) = s"$root/pipeline.json"
+
+  /** One-time batch pass: run the pipeline over the initial corpus,
+    * persist the curated result as merge-log version 0 plus the
+    * near-dup index over every stage entrant. Returns the curated
+    * snapshot.
+    */
+  def bootstrap(corpus: DataFrame, pipeline: CurationPipeline, root: String,
+      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val (pre, nd, post) = splitStages(pipeline)
+    writeConfig(spark, root, pipeline)
+    val maxId = corpus.agg(max(col(pipeline.idCol).cast("long")))
+      .head().getLong(0)
+    val entrants = Spill.roundTrip(
+      runStages(corpus, pre, pipeline, reference))
+    val admitted = nd match {
+      case Some(NearDupDrop(threshold)) =>
+        NearDupIndex.build(entrants, indexDir(root),
+          pipeline.textCol, pipeline.idCol)
+        Dedup.dropNearDuplicatesOrdered(entrants,
+          pipeline.textCol, pipeline.idCol, threshold)
+      case None => entrants
+    }
+    val curated = runStages(admitted, post, pipeline, reference)
+    MergeLog.append(curated, logDir(root), 0L, Seq(pipeline.idCol))
+    writeMeta(spark, root, maxId)
+    snapshot(spark, root)
+  }
+
+  /** One O(delta) refresh: per-document stages on the delta alone,
+    * near-dup admission against the persisted index plus the delta's
+    * own internal pairs, admitted survivors appended to index and log
+    * as `version`. Returns the updated curated snapshot. No operation
+    * here shuffles or rewrites the existing corpus — the index's
+    * reference side streams from disk and the merge log grows by one
+    * partition.
+    */
+  def refresh(delta: DataFrame, root: String, version: Long,
+      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+    val spark = delta.sparkSession
+    val pipeline = readConfig(spark, root)
+    val (pre, nd, post) = splitStages(pipeline)
+    require(version > 0L, s"refresh versions start at 1 (0 is the bootstrap)")
+
+    val priorMax = readMeta(spark, root)
+    val bounds = delta.agg(
+      min(col(pipeline.idCol).cast("long")),
+      max(col(pipeline.idCol).cast("long"))).head()
+    require(!bounds.isNullAt(0), s"refresh called with an empty delta")
+    val (dMin, dMax) = (bounds.getLong(0), bounds.getLong(1))
+    require(dMin > priorMax,
+      s"delta id $dMin <= already-ingested max id $priorMax: incremental " +
+        "admission is id-ordered (batch equivalence needs monotone ids); " +
+        "assign fresh ids above the high-water mark")
+
+    val entrants = Spill.roundTrip(
+      runStages(delta, pre, pipeline, reference))
+    val admitted = nd match {
+      case Some(NearDupDrop(threshold)) =>
+        val refMatched = NearDupIndex.query(spark, indexDir(root), entrants,
+            pipeline.textCol, pipeline.idCol, threshold)
+          .select(col("id_delta").as(pipeline.idCol))
+        val internal = Dedup.minhashNearDuplicates(entrants,
+            pipeline.textCol, pipeline.idCol, threshold)
+          .select(col("id_b").as(pipeline.idCol))
+        // the admission decision must be MATERIALIZED before the
+        // entrants are appended to the index — a lazy plan evaluated
+        // afterwards would find every delta doc matching itself
+        val out = Spill.roundTrip(entrants.join(
+          refMatched.unionByName(internal).distinct(),
+          Seq(pipeline.idCol), "left_anti"))
+        NearDupIndex.append(entrants, indexDir(root),
+          pipeline.textCol, pipeline.idCol)
+        out
+      case None => entrants
+    }
+    val curated = runStages(admitted, post, pipeline, reference)
+    MergeLog.append(curated, logDir(root), version, Seq(pipeline.idCol))
+    writeMeta(spark, root, math.max(priorMax, dMax))
+    snapshot(spark, root)
+  }
+
+  /** The curated corpus as of the latest refresh. */
+  def snapshot(spark: SparkSession, root: String): DataFrame = {
+    val pipeline = readConfig(spark, root)
+    MergeLog.snapshot(spark, logDir(root), Seq(pipeline.idCol))
+  }
+
+  /** Validate and split the stage list around the (at most one)
+    * cross-corpus near-dup stage. */
+  private[operators] def splitStages(p: CurationPipeline)
+      : (Seq[CurationStage], Option[NearDupDrop], Seq[CurationStage]) = {
+    val perDoc: CurationStage => Boolean = {
+      case _: Quality | _: Repetition | PiiRedact | _: DomainBlock |
+           _: Decontaminate | _: LmCoverage | _: Sample => true
+      case _ => false
+    }
+    val bad = p.stages.filter(st => !perDoc(st) && !st.isInstanceOf[NearDupDrop])
+    require(bad.isEmpty,
+      s"stages ${bad.map(_.getClass.getSimpleName).distinct.mkString(", ")} " +
+        "cannot be maintained incrementally: they carry corpus-global " +
+        "state (histogram cutoffs, domain counts, doc frequencies) or " +
+        "terminally reshape the corpus; run them as a batch export over " +
+        "the incremental snapshot instead")
+    val ndIdx = p.stages.zipWithIndex.collect {
+      case (_: NearDupDrop, i) => i
+    }
+    require(ndIdx.size <= 1,
+      "at most one NearDupDrop stage can be maintained incrementally " +
+        "(one persisted index per state dir)")
+    ndIdx.headOption match {
+      case Some(i) =>
+        (p.stages.take(i),
+          Some(p.stages(i).asInstanceOf[NearDupDrop]), p.stages.drop(i + 1))
+      case None => (p.stages, None, Nil)
+    }
+  }
+
+  private def runStages(df: DataFrame, stages: Seq[CurationStage],
+      p: CurationPipeline,
+      reference: Option[(DataFrame, String, String)]): DataFrame =
+    if (stages.isEmpty) df.select(col(p.idCol), col(p.textCol))
+    else CurationPipeline(p.textCol, p.idCol, stages).run(df, reference)
+
+  private def writeConfig(spark: SparkSession, root: String,
+      p: CurationPipeline): Unit = {
+    val path = new Path(configPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(CurationPipeline.toJson(p).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readConfig(spark: SparkSession, root: String): CurationPipeline = {
+    val path = new Path(configPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path),
+      s"no pipeline config at $path — bootstrap the state dir first")
+    val in = fs.open(path)
+    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    CurationPipeline.fromJson(json)
+  }
+
+  /** High-water mark of ingested ids — the monotonicity witness. One
+    * row, rewritten per refresh. */
+  private def writeMeta(spark: SparkSession, root: String, maxId: Long): Unit = {
+    import spark.implicits._
+    Seq(maxId).toDF("max_ingested_id").coalesce(1)
+      .write.mode("overwrite").parquet(metaDir(root))
+  }
+
+  private def readMeta(spark: SparkSession, root: String): Long =
+    spark.read.parquet(metaDir(root)).head().getLong(0)
+}

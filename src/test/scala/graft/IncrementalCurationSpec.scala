@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // A corpus where every interesting admission path is planted:
+  // quality-passing docs need >= 50 words and >= 2 English stopwords.
+  // text depends on the SEED only — docs sharing a seed are exact
+  // duplicates (jaccard 1.0), docs with different seeds share no
+  // content shingles (jaccard ~0 at the 0.9 threshold)
+  private def doc(id: Long, seed: String): (Long, String) =
+    id -> (s"the quick $seed document is " +
+      (1 to 50).map(i => s"w$seed$i").mkString(" "))
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val pipeline = CurationPipeline("text", "doc_id", Seq(
+    CurationStage.Quality(50, 100000, 2),
+    CurationStage.NearDupDrop(0.9)))
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("incremental bootstrap+refresh equals the batch ordered run") {
+    val base = corpus(
+      doc(1, "alpha"), doc(2, "beta"), doc(3, "alpha"), // 3 dups 1
+      doc(4, "gamma"),
+      5L -> "too short to pass quality")
+    val delta = corpus(
+      doc(10, "alpha"), // dup of admitted base doc 1 -> dropped
+      doc(11, "delta"), // fresh -> admitted
+      doc(12, "delta"), // delta-internal dup of 11 -> dropped
+      13L -> "also too short",
+      doc(14, "gamma")) // dup of base doc 4 -> dropped
+
+    val root = Spill.newPath(spark) + "/state"
+    val boot = IncrementalCuration.bootstrap(base, pipeline, root)
+    assert(ids(boot) == Set(1L, 2L, 4L))
+
+    val snap = IncrementalCuration.refresh(delta, root, version = 1L)
+    val batch = CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Quality(50, 100000, 2)))
+      .run(base.unionByName(delta))
+    val batchOrdered = Dedup.dropNearDuplicatesOrdered(
+      batch, "text", "doc_id", 0.9)
+    assert(ids(snap) == ids(batchOrdered))
+    assert(ids(snap) == Set(1L, 2L, 4L, 11L))
+  }
+
+  test("a doc matching only a DROPPED entrant is still dropped (entrants are indexed)") {
+    // base doc 3 is a near-dup of 1 and is dropped; delta doc 20 is a
+    // near-dup of 3 (and of 1, identical text) — batch ordered-drop
+    // drops 20 because SOME smaller entrant matches, so the index must
+    // contain dropped entrants too
+    val base = corpus(doc(1, "alpha"), doc(3, "alpha"))
+    val delta = corpus(doc(20, "alpha"))
+    val root = Spill.newPath(spark) + "/state"
+    assert(ids(IncrementalCuration.bootstrap(base, pipeline, root)) == Set(1L))
+    assert(ids(IncrementalCuration.refresh(delta, root, 1L)) == Set(1L))
+  }
+
+  test("second refresh is judged against the first refresh's entrants") {
+    val base = corpus(doc(1, "alpha"))
+    val root = Spill.newPath(spark) + "/state"
+    IncrementalCuration.bootstrap(base, pipeline, root)
+    IncrementalCuration.refresh(corpus(doc(10, "beta")), root, 1L)
+    // 20 duplicates refresh-1's doc 10, 21 is fresh
+    val snap = IncrementalCuration.refresh(
+      corpus(doc(20, "beta"), doc(21, "zeta")), root, 2L)
+    assert(ids(snap) == Set(1L, 10L, 21L))
+    // and the log's history replays: as of version 1 there was no 21
+    assert(ids(MergeLog.snapshotAsOf(spark, s"$root/log", Seq("doc_id"), 1L))
+      == Set(1L, 10L))
+  }
+
+  test("non-monotone delta ids are refused by name") {
+    val root = Spill.newPath(spark) + "/state"
+    IncrementalCuration.bootstrap(corpus(doc(5, "alpha")), pipeline, root)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.refresh(corpus(doc(3, "beta")), root, 1L)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
+  test("corpus-global stages are refused at bootstrap by name") {
+    val bad = CurationPipeline("text", "doc_id", Seq(
+      CurationStage.Quality(), CurationStage.TopFraction(0.5)))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.bootstrap(corpus(doc(1, "a")), bad,
+        Spill.newPath(spark) + "/state")
+    }
+    assert(e.getMessage.contains("TopFraction"))
+  }
+
+  test("refresh runs under the PERSISTED config (config pinning)") {
+    val root = Spill.newPath(spark) + "/state"
+    IncrementalCuration.bootstrap(corpus(doc(1, "alpha")), pipeline, root)
+    // refresh takes no pipeline argument at all — the state dir's
+    // pipeline.json governs; a fresh-session read-back must round-trip
+    val stored = CurationPipeline.fromJson(
+      CurationPipeline.toJson(pipeline))
+    assert(stored == pipeline)
+    val snap = IncrementalCuration.refresh(corpus(doc(10, "alpha")), root, 1L)
+    assert(ids(snap) == Set(1L)) // dup dropped under the stored threshold
+  }
+
+  test("per-doc post stages after the near-dup stage apply to admitted docs only") {
+    val p = CurationPipeline("text", "doc_id", Seq(
+      CurationStage.NearDupDrop(0.9), CurationStage.PiiRedact))
+    val base = corpus(
+      1L -> "contact me at alice@example.com for the details",
+      2L -> "contact me at alice@example.com for the details")
+    val root = Spill.newPath(spark) + "/state"
+    val boot = IncrementalCuration.bootstrap(base, p, root)
+    val texts = boot.select("text").as[String].collect()
+    assert(texts.length == 1 && !texts.head.contains("alice@example.com"),
+      s"post-stage redaction missing: ${texts.toSeq}")
+  }
+}
