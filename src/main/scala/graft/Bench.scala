@@ -63,13 +63,19 @@ object Bench {
         // 8.6x vs fresh-JVM reruns)
         spark.sharedState.cacheManager.clearCache()
         System.gc()
-        System.err.println(f"[bench] $name%-24s run$i $sec%8.2fs  rows=$n")
+        // per-RUN chatter only on request: the driver's stdout capture
+        // window is finite, and three lines per query crowded the
+        // machine-readable summary out of the r10 artifact
+        if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
+          System.err.println(f"[bench] $name%-24s run$i $sec%8.2fs  rows=$n")
         (sec, n >= 0)
       }
       val ok = runs.filter(_._2).map(_._1).sorted
       // a failed run must surface as a failure, not contribute its
       // time-to-failure as a plausible median sample
       val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      System.err.println(f"[bench] $name%-28s median $median%8.2fs" +
+        (if (runs.exists(!_._2)) s"  FAILED_RUNS=${runs.count(!_._2)}" else ""))
       (name, median, runs.count(!_._2), runs.map(_._1))
     }
     // millisecond resolution: sub-ms digits are pure noise (±30 % with
@@ -82,13 +88,18 @@ object Bench {
     val failed = results.filter(_._3 > 0)
       .map { case (k, _, f, _) => "\"" + k + "\":" + f }.mkString("{", ",", "}")
     val total = ms(results.map(_._2).filter(_ >= 0).sum)
-    // the stdout line must fit the driver's capture window, so the note
-    // is terse; BENCH_LOCAL.json carries the decision-grade detail
-    // (every run's time per query — the spread IS the host-load noise
-    // estimate a reader needs before calling a delta a regression)
-    val note = "warm medians of 3; full per-run detail in BENCH_LOCAL.json; " +
-      "host load inflates pure scans ~1.3x - compare medians across quiet runs"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failed,"note":"$note","sf":"$sfDir"}"""
+    // the stdout line must fit the driver's capture window whole: no
+    // prose note (BENCH_LOCAL.json carries the per-run detail and the
+    // host-load caveat), failed_runs only when something failed
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+      (if (results.exists(_._3 > 0)) s""","failed_runs":$failed""" else "") +
+      s""","sf":"$sfDir"}"""
+    // the summary is the FIRST (and only) stdout payload, emitted and
+    // flushed before the detail-file write — whatever direction the
+    // driver's capture truncates from, the line is adjacent to the
+    // program's stdout boundary and maximally likely to survive whole
+    println(line)
+    Console.out.flush()
     // complete artifact, immune to stdout-capture truncation: medians
     // plus all raw run times, overwritten on every full run (skipped
     // for SPARK_GRAFT_BENCH_ONLY partial runs so a targeted iteration
@@ -105,7 +116,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     }
-    println(line)
     spark.stop()
   }
 }

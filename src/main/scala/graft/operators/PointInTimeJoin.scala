@@ -272,6 +272,27 @@ object PointInTimeJoin {
       .withColumn(vals, lit(null).cast(valsType))
       .withColumn(Tag, lit(1))
 
+    // skew-hardened bucketed formulation (SURVEY §2.4's "bucketed
+    // sort-merge-range join at scale"), opt-in via
+    // spark.graft.asof.bucketSeconds — the SWA bucket-conf discipline.
+    // The union-sort window above partitions by KEY alone, so one hot
+    // key's entire timeline serializes into a single task; the
+    // bucketed plan's expensive window partitions by (key, time
+    // bucket) instead, splitting a hot key across its buckets, and
+    // reduces the per-key serial pass to one row per BUCKET (the
+    // bucket-close carry), not one per event. Results are identical —
+    // AsofBucketParitySpec pins union-sort ≡ bucketed on the q_asof
+    // query and Zipf-skewed data; axis 19 measures the straggler win.
+    val bucketSeconds = obs.sparkSession.conf
+      .get("spark.graft.asof.bucketSeconds", "off")
+    val bucketUs = bucketSeconds match {
+      case "off" | "0" | "auto" => 0L // no window to derive "auto" from
+      case s => s.toLong * 1000000L
+    }
+    if (bucketUs > 0)
+      return asOfJoinBucketed(obs, obsKeyCols, srcSel, pairs, feats,
+        ts, vals, bucketUs)
+
     val w = Window
       .partitionBy(obsKeyCols.map(col): _*)
       .orderBy(col(ts).asc, col(Tag).asc, col(vals).asc_nulls_first)
@@ -280,6 +301,70 @@ object PointInTimeJoin {
     val featRows = srcSel.unionByName(pairs)
       .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))
       .where(col(Tag) === 1)
+      .select(obsKeyCols.map(col) ++ Seq(col(ts).as(ObsTs)) ++
+        feats.map { case (_, out) => col(s"$vals.$out").as(out) }: _*)
+
+    obs.join(featRows, obsKeyCols :+ ObsTs, "left_outer")
+  }
+
+  /** The bucketed as-of plan. Three bounded pieces replace the one
+    * per-key window:
+    *
+    *  1. bucket closes — per (key, bucket) the value-struct of the
+    *     LATEST source row (ties: greatest struct, the union-sort
+    *     rule), one map-side-combinable aggregate;
+    *  2. carried values — over the per-key BUCKET GRID (distinct
+    *     buckets present on either side: rows = buckets, not events),
+    *     the latest close strictly before each bucket via one
+    *     `last(ignoreNulls)` window — the only per-key serial pass,
+    *     shrunk from the key's event count to its bucket count;
+    *  3. within-bucket resolution — the union-sort window partitioned
+    *     by (key, bucket): a spine row takes the latest same-bucket
+    *     source row at-or-before it, else the carried value.
+    *
+    * Exactness: a qualifying source row is either in the spine row's
+    * own bucket (piece 3 finds the latest, and same-bucket rows AFTER
+    * obs_ts sort after the spine row so the frame excludes them) or in
+    * an earlier bucket (every such row precedes the bucket boundary,
+    * so the latest one is its bucket's close, and the latest close is
+    * what piece 2 carries). Cross-bucket ties are impossible — equal
+    * timestamps share a bucket.
+    */
+  private def asOfJoinBucketed(
+      obs: DataFrame, obsKeyCols: Seq[String], srcSel: DataFrame,
+      pairs: DataFrame, feats: Seq[(AnchorFeature, String)],
+      ts: String, vals: String, bucketUs: Long): DataFrame = {
+    val b = "__graft_b"
+    val close = "__graft_close"
+    val carried = "__graft_carried"
+    def idiv(c: Column, d: Long): Column =
+      ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+    def withB(df: DataFrame): DataFrame =
+      df.withColumn(b, idiv(unix_micros(col(ts)), bucketUs))
+    val srcB = withB(srcSel)
+    val spineB = withB(pairs)
+
+    val closes = srcB
+      .groupBy((obsKeyCols :+ b).map(col): _*)
+      .agg(max_by(col(vals), struct(col(ts), col(vals))).as(close))
+    val grid = closes.select((obsKeyCols :+ b).map(col): _*)
+      .unionByName(spineB.select((obsKeyCols :+ b).map(col): _*))
+      .distinct()
+    val carry = grid.join(closes, obsKeyCols :+ b, "left_outer")
+      .withColumn(carried, last(col(close), ignoreNulls = true).over(
+        Window.partitionBy(obsKeyCols.map(col): _*).orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select((obsKeyCols :+ b).map(col) :+ col(carried): _*)
+
+    val wInner = Window
+      .partitionBy((obsKeyCols :+ b).map(col): _*)
+      .orderBy(col(ts).asc, col(Tag).asc, col(vals).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val featRows = srcB.unionByName(spineB)
+      .withColumn(vals, last(col(vals), ignoreNulls = true).over(wInner))
+      .where(col(Tag) === 1)
+      .join(carry, obsKeyCols :+ b) // inner: the grid contains every spine bucket
+      .withColumn(vals, coalesce(col(vals), col(carried)))
       .select(obsKeyCols.map(col) ++ Seq(col(ts).as(ObsTs)) ++
         feats.map { case (_, out) => col(s"$vals.$out").as(out) }: _*)
 

@@ -31,7 +31,7 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|pq|bloom|all selects the axis
+    //   layout|pq|bloom|asof|inccur|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1051,6 +1051,127 @@ object ScaleProbe {
             f"scatteredScan=$sSec%6.2fs/${sMb}%8.1fMBread/$sRows%7d rows " +
             f"rangedScan=$rSec%6.2fs/${rMb}%8.1fMBread/$rRows%7d rows")
         warmedLay = true
+      }
+    }
+    // ── axis 19: as-of join — union-sort vs BUCKETED under Zipf skew ──
+    // The union-sort as-of windows by KEY alone: a hot key's whole
+    // timeline serializes into one task (axis 6 measured the
+    // straggler). The bucketed variant (spark.graft.asof.bucketSeconds)
+    // windows by (key, time bucket) and carries bucket closes in a
+    // per-key pass over BUCKET COUNTS, so the same hot key spreads
+    // across its buckets. PATHOLOGICAL skew here — Zipf base 10, the
+    // hottest key carries ln2/ln10 ≈ 30 % of ALL rows — because that is
+    // the regime the variant exists for: at axis-6's 10 % skew the
+    // union-sort plan's one extra task is cheaper than the bucketed
+    // plan's two extra shuffles, and the conf default stays "off".
+    // Identical outputs (AsofBucketParitySpec), so the delta in (wall,
+    // shuffle, max/median task time) is pure physical.
+    {
+      var warmedAsof = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "asof") {
+        def zipfKey(c: org.apache.spark.sql.Column) =
+          floor(pow(lit(10.0),
+            pmod(xxhash64(c), lit(1000000)).cast("double") / 1000000.0))
+            .cast("long")
+        def dens(offsetSec: Int): DataFrame =
+          (0 until n).map(i => ev0
+              .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 37 + offsetSec} SECONDS"))
+              .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+            .reduce(_ unionByName _)
+        def runAsof(view: String, base: DataFrame): (Double, Double, Double) = {
+          val src = base.where(col("event_type") === "purchase")
+          val spine = base.where(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          src.createOrReplaceTempView(view)
+          val p = FeatureProject(s"probe_$view")
+          p.addAnchorGroup("g", Source("src", DataLocation.Table(view),
+            timeWindow = Some(TimeWindowParameters("ts", "native"))), Seq(
+            AnchorFeature("f_last", FeatureType.DOUBLE,
+              Transformation.Expr("value"), Seq(userKey))))
+          timeSkew(FeathrClient.joinFeatures(spark, p, spine,
+            Some(("ts", "native")),
+            Seq(FeatureQuery(Seq("f_last"), Seq("user_id"))))
+            .select(count(col("f_last"))).head().getLong(0))
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val zBase = dens(14)
+          .withColumn("user_id", zipfKey(col("user_id"))).cache()
+        val rows = zBase.count()
+        val u = runAsof(s"probe_asof19_u_$n", zBase)
+        spark.conf.set("spark.graft.asof.bucketSeconds", "3600")
+        val b = runAsof(s"probe_asof19_b_$n", zBase)
+        spark.conf.unset("spark.graft.asof.bucketSeconds")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        zBase.unpersist()
+        if (warmedAsof)
+          println(f"[scale] n=$n%-3d ASOF zipf rows=$rows%-9d " +
+            f"unionSort=${u._1}%6.2fs/${u._2}%8.1fMB/x${u._3}%5.1f  " +
+            f"bucketed=${b._1}%6.2fs/${b._2}%8.1fMB/x${b._3}%5.1f")
+        warmedAsof = true
+      }
+    }
+    // ── axis 20: incremental curation — refresh cost vs corpus, vs delta ─
+    // IncrementalCuration's claim: a refresh pays O(delta), not
+    // O(corpus). Two sweeps: (a) accumulated corpus grows n× with the
+    // delta FIXED — refresh wall/shuffle must stay ~flat (the index's
+    // reference bands stream from disk, three int columns, never
+    // shuffle; only the delta side hashes/joins); (b) corpus fixed,
+    // delta grows k× — cost tracks k. Bootstrap is the one-time batch
+    // pass and is not timed. refresh() itself is the timed unit — its
+    // eager work is the admission decision + index/log appends; the
+    // returned snapshot stays lazy (consumers pay the corpus read when
+    // THEY scan, which no nightly refresh does).
+    {
+      import graft.operators._
+      val pipe = CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Quality(50, 100000, 2),
+        CurationStage.NearDupDrop(0.9)))
+      // copies of replica-0 docs (index hits) + word-reversed docs (no
+      // shared shingles with any forward text — admitted); id offsets
+      // clear every replicated base id
+      def deltaOf(k: Int): DataFrame =
+        (0 until k).map { i =>
+          val off = 900000000L + i.toLong * 1000000L
+          docs0.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("text"))
+            .unionByName(docs0.where(col("doc_id") % 10 === 1)
+              .select((col("doc_id") + off + 500000L).as("doc_id"),
+                concat_ws(" ", reverse(split(
+                  graft.operators.Dedup.normText(col("text")), " "))).as("text")))
+        }.reduce(_ unionByName _)
+      var warmedIc = false
+      for (n <- Seq(1) ++ mults; if axes == "all" || axes == "inccur") {
+        val root = Spill.newPath(spark) + s"/probe_inccur_$n"
+        val base = replicatedDocs(n)
+        IncrementalCuration.bootstrap(base, pipe, root)
+        val delta = deltaOf(1).cache()
+        val dRows = delta.count()
+        val bRows = base.count()
+        val (sec, mb) = time {
+          IncrementalCuration.refresh(delta, root, 1L); dRows
+        }
+        if (warmedIc)
+          println(f"[scale] n=$n%-3d baseDocs=$bRows%-9d deltaDocs=$dRows%-7d " +
+            f"incRefresh=$sec%6.2fs/${mb}%8.1fMB")
+        warmedIc = true
+        delta.unpersist()
+      }
+      var warmedIcD = false
+      for (k <- Seq(1) ++ mults; if axes == "all" || axes == "inccur") {
+        val root = Spill.newPath(spark) + s"/probe_inccur_d$k"
+        IncrementalCuration.bootstrap(docs0, pipe, root)
+        val delta = deltaOf(k).cache()
+        val dRows = delta.count()
+        val (sec, mb) = time {
+          IncrementalCuration.refresh(delta, root, 1L); dRows
+        }
+        if (warmedIcD)
+          println(f"[scale] k=$k%-3d deltaDocs=$dRows%-9d fixedBase " +
+            f"incRefresh=$sec%6.2fs/${mb}%8.1fMB")
+        warmedIcD = true
+        delta.unpersist()
       }
     }
     spark.stop()
