@@ -1312,10 +1312,11 @@ object SparkEntry {
         l.contains("cell_id") && !l.contains("PartitionFilters: []")),
         "IVF-PQ vectors scan is not partition-pruned")
       val exact = Similarity.bruteForceTopK(emb, queries, k)
+      // >= 0.8 per query: residual encoding's bar (raw codes gated 0.7)
       approx.select("q_id", "vec_id")
         .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-        .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
+        .where(col("n_hits") >= math.ceil(0.8 * k).toInt)
         .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
@@ -3785,7 +3786,10 @@ object SparkEntry {
         |    (SELECT c_custkey FROM c WHERE c_custkey % 2 = 0))::BIGINT
         |FROM o WHERE o_custkey IS NOT NULL""".stripMargin,
 
-    // same start rule (s=0 or s < n-overlap), inclusive 1-based slices
+    // same start rule (s=0 or s < n-overlap), inclusive 1-based slices;
+    // the chunk generator is keyed on each row's OWN chunk count (a
+    // fixed CROSS JOIN range(0, 64) silently truncated docs longer
+    // than 1521 tokens, where the engine's chunking is unbounded)
     "q_text_chunks" ->
       s"""WITH tok AS (
         |  SELECT doc_id,
@@ -3793,8 +3797,9 @@ object SparkEntry {
         |  FROM documents
         |), t2 AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
         |idx AS (
-        |  SELECT doc_id, w, r.range AS i FROM t2 CROSS JOIN range(0, 64) r
-        |  WHERE r.range <= CASE WHEN n > 8 THEN (n - 9) // 24 ELSE 0 END
+        |  SELECT doc_id, w, unnest(range(0,
+        |    CASE WHEN n > 8 THEN (n - 9) // 24 + 1 ELSE 1 END)) AS i
+        |  FROM t2
         |)
         |SELECT doc_id, i::INT AS chunk_idx,
         |  array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk_text,

@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfPqIndex {
 
+  /** Persisted encoding version: codes are PQ over the RESIDUAL
+    * v̂ − centroid(cell) (the FAISS IVFPQ default — residuals span a
+    * far smaller ball than raw vectors, so the same m·kCodes budget
+    * quantizes them more finely), and [[query]] adds the exact
+    * dot(q̂, centroid) term per probed cell. An index written under a
+    * different encoding would score garbage silently, so the marker is
+    * persisted and [[query]] refuses a mismatch — the
+    * [[NearDupIndex]] hash-family discipline.
+    */
+  private val Encoding = "pq_residual_v1"
+
   def build(corpus: DataFrame, path: String,
       nCells: Int, m: Int = 8, kCodes: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -35,17 +46,31 @@ object IvfPqIndex {
     val centroids = Similarity.trainCentroids(corpus, nCells, idCol, vecCol,
       kmeansIters, 1e-6, trainSampleCap)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-
-    val cb = ProductQuant.trainCodebooks(corpus, m, kCodes, idCol, vecCol,
-      pqIters, trainSampleCap)
     import spark.implicits._
+    Seq(Encoding).toDF("encoding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+
+    // residual frame, spilled ONCE: codebook training samples it and
+    // the encode pass scans it — both must see bit-identical residuals
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    val vhat = transform(col(vecCol),
+      x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
+    val res = Spill.roundTrip(
+      assigned.join(broadcast(centroids), Seq("cell_id"))
+        .select(col(idCol), col(vecCol), col("cell_id"),
+          zip_with(vhat, col("centroid"),
+            (a, b) => (a - b).cast("float")).as("__res")))
+
+    val cb = ProductQuant.trainCodebooks(res, m, kCodes, idCol, "__res",
+      pqIters, trainSampleCap, normalizeInput = false)
     cb.zipWithIndex.flatMap { case (codes, s) =>
       codes.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
       .write.mode("overwrite").parquet(s"$path/codebooks")
 
-    val coded = ProductQuant.encode(corpus, cb, idCol, vecCol)
-    Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    val coded = ProductQuant.encode(res, cb, idCol, "__res",
+      normalizeInput = false)
+    res.select(col(idCol), col(vecCol), col("cell_id"))
       .join(coded, Seq(idCol))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$path/vectors")
@@ -70,6 +95,12 @@ object IvfPqIndex {
       k: Int, nProbe: Int, rescoreFactor: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val enc = try spark.read.parquet(s"$path/meta").head().getString(0)
+      catch { case _: Throwable => "pq_raw_v0" }
+    require(enc == Encoding,
+      s"IVF-PQ index at $path was written under encoding '$enc', this " +
+        s"engine scores '$Encoding' — ADC over mismatched codes is " +
+        "silently wrong; rebuild the index with IvfPqIndex.build")
     val centroids = spark.read.parquet(s"$path/centroids")
     val cb = loadCodebooks(spark, path)
     val kCodes = cb.head.length
@@ -82,14 +113,21 @@ object IvfPqIndex {
       .where(col("cell_id").isin(cells.map(c => c: Any): _*))
 
     // ADC over (probed cells ∩ each query's OWN cells): join on cell_id
-    // routes each query to its probe list only
+    // routes each query to its probe list only. Residual decomposition:
+    // dot(q̂, v̂) = dot(q̂, centroid_cell) + dot(q̂, residual) — the first
+    // term is EXACT per (query, cell), only the residual is quantized
     val qt = ProductQuant.queryTables(queries, cb, qIdCol, qVecCol)
       .join(probed.select(col(qIdCol), col("cell_id")), Seq(qIdCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .join(broadcast(centroids), Seq("cell_id"))
+      .select(col(qIdCol), col("cell_id"), col("__tbl"),
+        (Similarity.dot(col(qVecCol), col("centroid")) /
+          greatest(Similarity.l2Norm(col(qVecCol)), lit(1e-30))).as("__qc"))
     val scored = pruned
       .join(broadcast(qt), Seq("cell_id"))
       .select(col(qIdCol), col(idCol),
-        graft.functions.PqAdcExpr.pqAdc(col("codes"), col("__tbl"), kCodes)
-          .as("score"))
+        (graft.functions.PqAdcExpr.pqAdc(col("codes"), col("__tbl"), kCodes) +
+          col("__qc")).as("score"))
     val cands = Similarity.perQueryTopK(scored, rescoreFactor * k, qIdCol, idCol)
       .select(col(qIdCol), col(idCol))
 

@@ -31,10 +31,15 @@ object ProductQuant {
     */
   def trainCodebooks(corpus: DataFrame, m: Int, kCodes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      iters: Int = 5, trainSampleCap: Int = 1 << 16): Array[Array[Array[Float]]] = {
+      iters: Int = 5, trainSampleCap: Int = 1 << 16,
+      normalizeInput: Boolean = true): Array[Array[Array[Float]]] = {
     require(m > 0 && kCodes > 1 && iters >= 0, s"bad PQ params: m=$m k=$kCodes")
+    // normalizeInput=false is the RESIDUAL path (IvfPqIndex): inputs
+    // are already v̂ − centroid differences, not unit vectors
+    val vec = if (normalizeInput) normalized(col(vecCol))
+      else transform(col(vecCol), x => x.cast("float"))
     val sample: Array[Array[Float]] = corpus
-      .select(col(idCol), normalized(col(vecCol)).as("__v"))
+      .select(col(idCol), vec.as("__v"))
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(math.max(trainSampleCap, kCodes))
       .select("__v").collect().map(_.getSeq[Float](0).toArray)
@@ -83,20 +88,25 @@ object ProductQuant {
   }
 
   // float-rounded like the encode UDF's (e / n).toFloat, so training
-  // and encoding see identical subvectors
+  // and encoding see identical subvectors; same 1e-30 zero-vector
+  // floor as the UDFs — train and encode must see the SAME values
   private def normalized(v: Column): Column =
-    transform(v, x => (x / Similarity.l2Norm(v)).cast("float"))
+    transform(v, x =>
+      (x / greatest(Similarity.l2Norm(v), lit(1e-30))).cast("float"))
 
   /** One distributed pass: `(idCol, codes array<int>)` — the vector's
     * m nearest-centroid ids over the NORMALIZED vector (cosine
     * contract). Codebooks ship as a broadcast-sized closure literal.
     */
   def encode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      normalizeInput: Boolean = true): DataFrame = {
     val m = codebooks.length
     val enc = udf { (v: Seq[Float]) =>
-      val n = math.max(math.sqrt(v.iterator.map(x => x.toDouble * x).sum), 1e-30)
-      val x = v.toArray.map(e => (e / n).toFloat)
+      val x = if (normalizeInput) {
+        val n = math.max(math.sqrt(v.iterator.map(x => x.toDouble * x).sum), 1e-30)
+        v.toArray.map(e => (e / n).toFloat)
+      } else v.toArray
       val sub = x.length / m
       Array.tabulate(m)(s =>
         nearest(codebooks(s), java.util.Arrays.copyOfRange(x, s * sub, (s + 1) * sub)))

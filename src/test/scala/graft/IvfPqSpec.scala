@@ -11,7 +11,7 @@ class IvfPqSpec extends SparkTestBase {
   private lazy val queries = emb.where(col("vec_id") % 100 === 0)
     .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
-  test("ivfpq: build layout, recall@10 >= 0.7 per query, rebuild-identical") {
+  test("ivfpq: build layout, recall@10 >= 0.8 per query, rebuild-identical") {
     val path = Spill.newPath(spark)
     IvfPqIndex.build(emb, path, nCells = 16, m = 8, kCodes = 16)
 
@@ -28,8 +28,10 @@ class IvfPqSpec extends SparkTestBase {
       .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     assert(hits.count() == queries.count())
+    // residual encoding (pq_residual_v1) buys the tighter bar at the
+    // SAME rescoreFactor — raw-vector codes held >= 0.7 here
     val worst = hits.agg(min("n_hits")).as[Long].head()
-    assert(worst >= 7, s"worst recall@10 = ${worst / 10.0}")
+    assert(worst >= 8, s"worst recall@10 = ${worst / 10.0}")
 
     // deterministic rebuild on another partitioning: same codes per id
     val path2 = Spill.newPath(spark)
