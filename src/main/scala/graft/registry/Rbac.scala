@@ -10,11 +10,15 @@ import scala.collection.mutable
   *  - `Credential`: a user name or an application UUID (`User`/`App`,
   *    rbac_provider.rs:12-27); `RbacDisabled` is the `*` wildcard that
   *    short-circuits every check.
-  *  - `Permission`: Read ("consumer") < Write ("producer") < Admin
-  *    (rbac_provider.rs:40-57) — higher grants imply lower ones.
+  *  - `Permission`: Read ("consumer") / Write ("producer") / Admin
+  *    (rbac_provider.rs:40-57). Checks are EXACT-match plus an
+  *    Admin-only cascade (sql-provider/src/lib.rs:454-486): a
+  *    credential passes iff it holds global Admin, Admin on the
+  *    resource, or the EXACT requested permission on the resource —
+  *    Write does NOT imply Read, and a global Read/Write grant does
+  *    NOT cascade to projects (only global Admin does).
   *  - `Resource`: `Global`, a named entity (so far projects,
-  *    rbac_provider.rs:59-74), or an entity UUID; a grant on `Global`
-  *    applies to every resource.
+  *    rbac_provider.rs:59-74), or an entity UUID.
   *  - `RbacRecord` is the audit-carrying grant row (credential,
   *    resource, permission, requestor, reason, time,
   *    rbac_provider.rs:102-110).
@@ -37,10 +41,7 @@ object Credential {
     else User(s)
 }
 
-sealed abstract class Permission(val rank: Int, val repr: String) {
-  /** Admin implies Write implies Read. */
-  def implies(other: Permission): Boolean = rank >= other.rank
-}
+sealed abstract class Permission(val rank: Int, val repr: String)
 object Permission {
   case object Read  extends Permission(0, "consumer")
   case object Write extends Permission(1, "producer")
@@ -163,14 +164,21 @@ class SecuredRegistry(val registry: InMemoryRegistry, val rbac: InMemoryRbac) {
 class InMemoryRbac {
   private val records = mutable.ArrayBuffer.empty[RbacRecord]
 
+  /** The reference's check verbatim (sql-provider/src/lib.rs:454-486
+    * over rbac_map.rs:62-73): global Admin, OR Admin on the resource,
+    * OR the exact (credential, resource, permission) grant. No
+    * Write-implies-Read, no global-Read/Write cascade — only Admin
+    * fans out, and only from Global or the resource itself.
+    */
   def checkPermission(credential: Credential, resource: Resource,
       permission: Permission): Boolean =
     credential == Credential.RbacDisabled ||
       records.synchronized {
-        records.exists(r =>
-          r.credential == credential &&
-            r.permission.implies(permission) &&
-            (r.resource == Resource.Global || r.resource == resource))
+        def holds(res: Resource, p: Permission) = records.exists(r =>
+          r.credential == credential && r.permission == p && r.resource == res)
+        holds(Resource.Global, Permission.Admin) ||
+          holds(resource, Permission.Admin) ||
+          holds(resource, permission)
       }
 
   def requirePermission(credential: Credential, resource: Resource,

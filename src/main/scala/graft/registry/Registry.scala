@@ -113,18 +113,31 @@ class InMemoryRegistry {
     (tokenize(e.name) ++ tokenize(e.qualifiedName) ++
       e.attributes.valuesIterator.flatMap(tokenize)).distinct
 
-  /** Tie-break score: first 12 alphanumeric chars base-36, ascending —
-    * mirrors the reference's `str_score` (fts.rs:24-48).
+  /** Rank score: first 12 alphanumeric chars base-36, ZERO-PADDED to
+    * exactly 12 digits — the reference's `str_score` (fts.rs:24-48)
+    * chains a [0;12] fill before `take(12)`, so "ab" compares as
+    * `ab0000000000` and sorts BEFORE "b" (positional, not magnitude —
+    * an unpadded fold would order them the other way).
     */
-  private def nameScore(name: String): Long =
-    tokenize(name).mkString.take(12).foldLeft(0L)((acc, c) =>
-      acc * 36 + (if (c.isDigit) c - '0' else c - 'a' + 10))
+  private def nameScore(name: String): Long = {
+    val ds = tokenize(name).mkString.take(12)
+      .map(c => if (c.isDigit) c - '0' else c - 'a' + 10)
+    (ds ++ Seq.fill(12 - ds.length)(0)).foldLeft(0L)(_ * 36 + _)
+  }
 
-  /** R3 full-text search (reference fts.rs:59-220 semantics): OR over
-    * query terms, ranked by number of matching terms (desc), ties by
-    * alphanumeric name order; optional entity-type filter; optional
-    * scope = restrict to entities with a `BelongsTo` edge to the named
-    * scope entity (or the scope entity itself); limit/offset paging.
+  /** R3 full-text search (reference fts.rs:59-260 semantics): OR over
+    * query terms for MEMBERSHIP (Tantivy's QueryParser default is
+    * disjunction), but ranking is by `name_score` ALONE —
+    * `TopDocs...order_by_u64_field(name_score)` (fts.rs:241-246), i.e.
+    * alphanumeric name ascending regardless of how many terms matched;
+    * ties by full name. Non-alphanumeric query characters are inert
+    * (the reference strips `:+()[]{}` / AND / OR / TO via its cleaner
+    * regex on parse failure, fts.rs:133-135,200-205 — tokenize drops
+    * them up front). Optional entity-type filter (exact term,
+    * fts.rs:220-239); optional scope = restrict to entities with a
+    * `BelongsTo` edge to the named scope entity (or the scope entity
+    * itself); limit/offset paging. Known simplification vs the
+    * reference: no `en_stem` stemming — tokens match verbatim.
     */
   def search(q: String, types: Set[String] = Set.empty,
       scope: Option[String] = None, limit: Int = 10, offset: Int = 0): Seq[RegistryEntity] = {
@@ -146,7 +159,7 @@ class InMemoryRegistry {
         sg.contains(e.guid) ||
           edges.exists(ed => ed.from == e.guid && sg.contains(ed.to) &&
             ed.edgeType == EdgeType.BelongsTo)) }
-      .sortBy { case (e, score) => (-score, nameScore(e.name), e.name) }
+      .sortBy { case (e, _) => (nameScore(e.name), e.name) }
       .slice(offset, offset + limit)
       .map(_._1)
   }

@@ -29,7 +29,10 @@ class RbacSpec extends AnyFunSuite {
     assert(Permission.parse("producer") == Permission.Write)
   }
 
-  test("permission hierarchy: admin implies producer implies consumer") {
+  test("resource Admin cascades to read/write; exact grants stay exact") {
+    // reference sql-provider/src/lib.rs:477-486: Admin on the resource
+    // passes any permission check on it; a plain grant passes only its
+    // own permission
     val rbac = new InMemoryRbac
     rbac.loadPermissions(Seq(rec(alice, proj, Permission.Admin)))
     assert(rbac.checkPermission(alice, proj, Permission.Read))
@@ -40,12 +43,17 @@ class RbacSpec extends AnyFunSuite {
     assert(!rbac.checkPermission(bob, proj, Permission.Write))
   }
 
-  test("global grants apply to every resource; RbacDisabled bypasses") {
+  test("only global ADMIN cascades to other resources; RbacDisabled bypasses") {
+    // reference lib.rs:478-480: the global clause checks Admin ONLY —
+    // a global Write grant authorizes nothing on a project
     val rbac = new InMemoryRbac
     rbac.loadPermissions(Seq(rec(alice, Resource.Global, Permission.Write)))
-    assert(rbac.checkPermission(alice, proj, Permission.Read))
-    assert(rbac.checkPermission(alice, Resource.NamedEntity("other"), Permission.Write))
-    assert(!rbac.checkPermission(alice, proj, Permission.Admin))
+    assert(rbac.checkPermission(alice, Resource.Global, Permission.Write))
+    assert(!rbac.checkPermission(alice, proj, Permission.Write))
+    assert(!rbac.checkPermission(alice, proj, Permission.Read))
+    rbac.loadPermissions(Seq(rec(bob, Resource.Global, Permission.Admin)))
+    assert(rbac.checkPermission(bob, proj, Permission.Admin))
+    assert(rbac.checkPermission(bob, Resource.NamedEntity("other"), Permission.Read))
     assert(rbac.checkPermission(Credential.RbacDisabled, proj, Permission.Admin))
   }
 

@@ -116,14 +116,15 @@ class RegistrySpec extends AnyFunSuite {
     r.link("g1", "g0", EdgeType.BelongsTo)
     r.link("g2", "g0", EdgeType.BelongsTo)
 
-    // more matching terms ranks first: f1 matches purchase+user, s1 only purchase
-    val byScore = r.search("user purchase")
-    assert(byScore.take(2).map(_.guid) == Seq("g1", "g2") ||
-      byScore.head.guid == "g1") // f1 matches both terms, must lead
-    assert(byScore.head.guid == "g1")
-    assert(byScore.map(_.guid).contains("g3"))
-    // body (attributes) is searchable
-    assert(r.search("click events").head.guid == "g2")
+    // ranking is by NAME alone (reference fts.rs:241-246 orders
+    // TopDocs by the name_score fast field, never by relevance):
+    // every term-matching entity returns, alphanumeric name ascending
+    val byName = r.search("user purchase")
+    assert(byName.map(_.guid) == Seq("g3", "g2", "g1"),
+      s"expected name-ordered [g3, g2, g1], got ${byName.map(_.guid)}")
+    // body (attributes) is searchable; "events" also hits g3's name,
+    // which sorts first
+    assert(r.search("click events").map(_.guid) == Seq("g3", "g2"))
     // type filter
     assert(r.search("purchase", types = Set(EntityType.Source)).map(_.guid) == Seq("g3"))
     // scope filter: only entities BelongsTo proj (s1 has no edge)
