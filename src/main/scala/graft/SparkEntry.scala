@@ -224,6 +224,18 @@ object SparkEntry {
         Seq(FeatureQuery(Seq("f_last_value", "f_last_type"), Seq("user_id"))))
     }),
 
+    // The skew-hardened BUCKETED as-of plan against the SAME oracle as
+    // q_asof_join — physical variants must be value-identical. The
+    // bucket conf is read at plan-construction time, so it is set for
+    // the build and unset before returning the (lazy) frame.
+    "q_asof_bucketed" -> ((s, dir) => {
+      s.conf.set("spark.graft.asof.bucketSeconds", "21600")
+      try FeathrClient.joinFeatures(s, purchaseProject(dir), clicks(s, dir),
+        Some(("ts", "native")),
+        Seq(FeatureQuery(Seq("f_last_value", "f_last_type"), Seq("user_id"))))
+      finally s.conf.unset("spark.graft.asof.bucketSeconds")
+    }),
+
     // §1.2 non-scalar tensors end to end: a SPARSE (struct indices/
     // values) and a 2-d DENSE (array<array<float>>) anchor feature flow
     // through the as-of PIT join and the declared-type cast; the
@@ -2284,6 +2296,21 @@ object SparkEntry {
       |  FROM dsh d CROSS JOIN rsh r)
       |WHERE j >= 0.9""".stripMargin
 
+  /** Shared by `q_asof_join` and `q_asof_bucketed`: the two engine
+    * plans are physical variants of one semantic operator, so they
+    * answer to one oracle. */
+  private lazy val sqlAsofJoin =
+    s"""SELECT o.event_id, o.user_id, o.ts,
+      |  (SELECT s.value FROM events s
+      |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+      |     AND s.ts <= o.ts
+      |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
+      |  (SELECT s.event_type FROM events s
+      |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
+      |     AND s.ts <= o.ts
+      |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_type
+      |FROM ($clicksSql) o""".stripMargin
+
   private val sqlNorm =
     s"""norm AS (
       |  SELECT doc_id,
@@ -2446,17 +2473,9 @@ object SparkEntry {
         |  c.c_nationkey AS f_nationkey
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
-    "q_asof_join" ->
-      s"""SELECT o.event_id, o.user_id, o.ts,
-        |  (SELECT s.value FROM events s
-        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
-        |     AND s.ts <= o.ts
-        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_value,
-        |  (SELECT s.event_type FROM events s
-        |   WHERE s.event_type = 'purchase' AND s.user_id = o.user_id
-        |     AND s.ts <= o.ts
-        |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_type
-        |FROM ($clicksSql) o""".stripMargin,
+    "q_asof_join" -> sqlAsofJoin,
+    // same oracle: the bucketed plan is a pure physical variant
+    "q_asof_bucketed" -> sqlAsofJoin,
 
     "q_tensor_features" ->
       s"""SELECT o.event_id, o.user_id, o.ts,
