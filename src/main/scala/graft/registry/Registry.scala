@@ -106,12 +106,22 @@ class InMemoryRegistry {
   private def tokenize(s: String): Seq[String] =
     s.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSeq
 
+  /** Index/query terms: tokenized then Porter-stemmed — the
+    * reference's `en_stem` tokenizer on name and body (fts.rs:94-96),
+    * so "events" matches "event" and "normalization" matches
+    * "normalize" from either side. `nameScore` stays on RAW tokens:
+    * the reference's str_score reads the name's characters, not its
+    * stemmed terms (fts.rs:24-48,154).
+    */
+  private def terms(s: String): Seq[String] =
+    tokenize(s).map(PorterStemmer.stem)
+
   /** Indexed fields mirror the reference's doc: name + id + body
     * (attributes) (registry/sql-provider/src/fts.rs:148-156).
     */
   private def docTerms(e: RegistryEntity): Seq[String] =
-    (tokenize(e.name) ++ tokenize(e.qualifiedName) ++
-      e.attributes.valuesIterator.flatMap(tokenize)).distinct
+    (terms(e.name) ++ terms(e.qualifiedName) ++
+      e.attributes.valuesIterator.flatMap(terms)).distinct
 
   /** Rank score: first 12 alphanumeric chars base-36, ZERO-PADDED to
     * exactly 12 digits — the reference's `str_score` (fts.rs:24-48)
@@ -136,12 +146,14 @@ class InMemoryRegistry {
     * them up front). Optional entity-type filter (exact term,
     * fts.rs:220-239); optional scope = restrict to entities with a
     * `BelongsTo` edge to the named scope entity (or the scope entity
-    * itself); limit/offset paging. Known simplification vs the
-    * reference: no `en_stem` stemming — tokens match verbatim.
+    * itself); limit/offset paging. Terms are Porter-stemmed on both
+    * sides mirroring `en_stem` (the reference stems with Snowball
+    * English — identical on regular inflections, minor divergences on
+    * exotic forms; [[PorterStemmer]]).
     */
   def search(q: String, types: Set[String] = Set.empty,
       scope: Option[String] = None, limit: Int = 10, offset: Int = 0): Seq[RegistryEntity] = {
-    val qTerms = tokenize(q).distinct
+    val qTerms = terms(q).distinct
     val hits = mutable.LinkedHashMap[String, Int]()
     qTerms.foreach { t =>
       index.getOrElse(t, mutable.LinkedHashSet.empty).foreach { g =>

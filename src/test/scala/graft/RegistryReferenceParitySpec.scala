@@ -62,6 +62,15 @@ class RegistryReferenceParitySpec extends AnyFunSuite {
       Seq("target_feature"))
   }
 
+  test("query and index terms are stemmed alike (fts.rs:94-96 en_stem)") {
+    // "events" and "normalize" must reach the document indexed under
+    // "event_normalization" — both sides stem to event / normal
+    val r = registryWith("event_normalization")
+    assert(r.search("events normalize").map(_.name) ==
+      Seq("event_normalization"))
+    assert(r.search("xyzzy").isEmpty, "unmatched terms find nothing")
+  }
+
   test("type filter is an exact term, not a text match (fts.rs:220-239)") {
     val r = new InMemoryRegistry
     r.create(RegistryEntity("g1", EntityType.AnchorFeature, "x_feat", "proj__x_feat"))
