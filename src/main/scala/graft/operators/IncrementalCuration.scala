@@ -88,13 +88,17 @@ object IncrementalCuration {
       case Some(NearDupDrop(threshold)) =>
         NearDupIndex.build(entrants, indexDir(root),
           pipeline.textCol, pipeline.idCol)
-        Dedup.dropNearDuplicatesOrdered(entrants,
-          pipeline.textCol, pipeline.idCol, threshold)
+        // ordered drop FROM the just-built store — the build's
+        // signature/shingle passes serve the drop decision too
+        // (equality with Dedup.dropNearDuplicatesOrdered is spec-pinned)
+        val losers = NearDupIndex.orderedLosers(spark, indexDir(root),
+          threshold).select(col("id").as(pipeline.idCol))
+        entrants.join(losers, Seq(pipeline.idCol), "left_anti")
       case None => entrants
     }
     val curated = runStages(admitted, post, pipeline, reference)
     MergeLog.append(curated, logDir(root), 0L, Seq(pipeline.idCol))
-    writeMeta(spark, root, maxId)
+    writeMeta(spark, root, 0L, maxId)
     snapshot(spark, root)
   }
 
@@ -113,7 +117,10 @@ object IncrementalCuration {
     val (pre, nd, post) = splitStages(pipeline)
     require(version > 0L, s"refresh versions start at 1 (0 is the bootstrap)")
 
-    val priorMax = readMeta(spark, root)
+    // the high-water mark is read over versions STRICTLY BEFORE this
+    // one, so a crash-replay of the same version validates against the
+    // same prior state instead of tripping over its own first attempt
+    val priorMax = readMetaBefore(spark, root, version)
     val bounds = delta.agg(
       min(col(pipeline.idCol).cast("long")),
       max(col(pipeline.idCol).cast("long"))).head()
@@ -128,26 +135,18 @@ object IncrementalCuration {
       runStages(delta, pre, pipeline, reference))
     val admitted = nd match {
       case Some(NearDupDrop(threshold)) =>
-        val refMatched = NearDupIndex.query(spark, indexDir(root), entrants,
+        // one-pass decision + append: the delta's bands are computed
+        // once and reused; the decision is materialized inside admit
+        // before anything lands in the store
+        val losers = NearDupIndex.admit(spark, indexDir(root), entrants,
             pipeline.textCol, pipeline.idCol, threshold)
-          .select(col("id_delta").as(pipeline.idCol))
-        val internal = Dedup.minhashNearDuplicates(entrants,
-            pipeline.textCol, pipeline.idCol, threshold)
-          .select(col("id_b").as(pipeline.idCol))
-        // the admission decision must be MATERIALIZED before the
-        // entrants are appended to the index — a lazy plan evaluated
-        // afterwards would find every delta doc matching itself
-        val out = Spill.roundTrip(entrants.join(
-          refMatched.unionByName(internal).distinct(),
-          Seq(pipeline.idCol), "left_anti"))
-        NearDupIndex.append(entrants, indexDir(root),
-          pipeline.textCol, pipeline.idCol)
-        out
+          .select(col("id").as(pipeline.idCol))
+        entrants.join(losers, Seq(pipeline.idCol), "left_anti")
       case None => entrants
     }
     val curated = runStages(admitted, post, pipeline, reference)
     MergeLog.append(curated, logDir(root), version, Seq(pipeline.idCol))
-    writeMeta(spark, root, math.max(priorMax, dMax))
+    writeMeta(spark, root, version, math.max(priorMax, dMax))
     snapshot(spark, root)
   }
 
@@ -214,13 +213,24 @@ object IncrementalCuration {
   }
 
   /** High-water mark of ingested ids — the monotonicity witness. One
-    * row, rewritten per refresh. */
-  private def writeMeta(spark: SparkSession, root: String, maxId: Long): Unit = {
+    * row per version (partition overwrite = replay-idempotent, the
+    * [[MergeLog.append]] discipline). */
+  private def writeMeta(spark: SparkSession, root: String, version: Long,
+      maxId: Long): Unit = {
     import spark.implicits._
     Seq(maxId).toDF("max_ingested_id").coalesce(1)
-      .write.mode("overwrite").parquet(metaDir(root))
+      .write.mode("overwrite").parquet(s"${metaDir(root)}/__v=$version")
   }
 
-  private def readMeta(spark: SparkSession, root: String): Long =
-    spark.read.parquet(metaDir(root)).head().getLong(0)
+  private def readMetaBefore(spark: SparkSession, root: String,
+      version: Long): Long = {
+    val r = spark.read.option("basePath", metaDir(root))
+      .parquet(metaDir(root))
+      .where(col("__v") < version)
+      .agg(max(col("max_ingested_id"))).head()
+    require(!r.isNullAt(0),
+      s"no curation state before version $version at $root — bootstrap " +
+        "first (version 0), then refresh in increasing version order")
+    r.getLong(0)
+  }
 }

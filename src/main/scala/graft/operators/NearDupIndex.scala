@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted near-duplicate index — the steady-state form of
@@ -95,8 +95,14 @@ object NearDupIndex {
     def maybeBc(small: DataFrame): DataFrame =
       if (dBandBytes <= bcLimit) broadcast(small) else small
     val rBands = spark.read.parquet(s"$path/$B")
+    // ids are unique by contract, so an id-EQUAL collision means the
+    // same document re-presented (an at-least-once replay after its
+    // rows were appended) — matching it against itself would drop
+    // every replayed doc, turning an idempotent batch rewrite into
+    // silent data loss
     val (cands, candBytes) = Spill.roundTripSized(
       rBands.join(maybeBc(dBands), Seq("band_id", "band_hash"))
+        .where(col("id_delta") =!= col("id"))
         .select(col("id_delta"), col("id").as("id_ref")).distinct())
     def bcCand(small: DataFrame): DataFrame =
       if (candBytes <= bcLimit) broadcast(small) else small
@@ -119,6 +125,124 @@ object NearDupIndex {
       .where(col("jaccard") >= threshold)
       .select("id_delta", "id_ref", "jaccard")
   }
+
+  /** Ordered self-dedup losers over the index's OWN store: every id
+    * with a >= `threshold` match to a SMALLER indexed id. Candidates
+    * come from the persisted (already bucket-capped) band rows and
+    * verification sets from the persisted shingle store, so the
+    * build's signature and shingle passes are REUSED — the previous
+    * bootstrap composition ([[build]] then
+    * [[Dedup.dropNearDuplicatesOrdered]]) paid the full-corpus
+    * signature scan twice. Same loser set as the recomputing operator
+    * over the same corpus and config (the spec pins equality).
+    */
+  def orderedLosers(spark: SparkSession, path: String,
+      threshold: Double): DataFrame = {
+    readConfig(spark, path) // validates the hash family
+    val (cands, candBytes) = Spill.roundTripSized(Dedup.candidatePairs(
+      spark.read.parquet(s"$path/$B"), Seq("band_id", "band_hash"), "id"))
+    def maybeBc(small: DataFrame): DataFrame =
+      if (candBytes <= bcLimit(spark)) broadcast(small) else small
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+    val (sh, shBytes) = Spill.roundTripSized(
+      spark.read.parquet(s"$path/$S")
+        .join(maybeBc(candIds), Seq("id"), "left_semi"))
+    def bcSh(p: DataFrame): DataFrame =
+      if (shBytes <= shBcLimit(spark)) broadcast(p) else p
+    maybeBc(cands)
+      .join(bcSh(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(bcSh(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+  }
+
+  /** The full one-pass admission step for a delta: compute the delta's
+    * band rows ONCE, decide ordered admission (drop a delta doc
+    * matching ANY indexed doc, or a smaller-id doc within the delta
+    * itself — [[Dedup.dropNearDuplicatesOrdered]] semantics with the
+    * index as the smaller-id history), then append the delta's band
+    * and shingle rows to the store, reusing the spilled bands. The
+    * previous composition ([[query]] + `minhashNearDuplicates` +
+    * [[append]]) computed the delta's signatures three times.
+    *
+    * Returns the loser ids (`id`). The decision is MATERIALIZED before
+    * anything is appended — a lazy plan evaluated after the append
+    * would find every delta doc matching itself.
+    */
+  def admit(spark: SparkSession, path: String, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val (numHashes, bands, shingleSize) = readConfig(spark, path)
+    val (dBands, dBandBytes) = Spill.roundTripSized(
+      bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
+        .select(col("band_id"), col("band_hash"), col(idCol).as("id")))
+    def maybeBcD(small: DataFrame): DataFrame =
+      if (dBandBytes <= bcLimit(spark)) broadcast(small) else small
+
+    // cross candidates: delta bands against the stored reference bands
+    // (the big side streams); internal candidates: capped self-pairs
+    // within the delta's own bands
+    val rBands = spark.read.parquet(s"$path/$B")
+    // id-equal collisions are the doc matching ITSELF from a replayed
+    // append — excluded, same rationale as [[query]]
+    val (crossCands, crossBytes) = Spill.roundTripSized(
+      rBands.join(maybeBcD(dBands.select(col("band_id"), col("band_hash"),
+          col("id").as("id_delta"))), Seq("band_id", "band_hash"))
+        .where(col("id_delta") =!= col("id"))
+        .select(col("id_delta"), col("id").as("id_ref")).distinct())
+    val (intCands, intBytes) = Spill.roundTripSized(Dedup.candidatePairs(
+      Dedup.capBuckets(dBands, Seq("band_id", "band_hash"), "id"),
+      Seq("band_id", "band_hash"), "id"))
+    def bcCand(small: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= bcLimit(spark)) broadcast(small) else small
+
+    // one candidate-bounded shingle pass over the delta; reference
+    // sets come from the store
+    val needIds = crossCands.select(col("id_delta").as("id"))
+      .unionByName(intCands.select(col("id_a").as("id")))
+      .unionByName(intCands.select(col("id_b").as("id"))).distinct()
+    val (dSh, dShBytes) = Spill.roundTripSized(
+      shingleStore(delta.join(
+          bcCand(needIds.select(col("id").as(idCol)), crossBytes + intBytes),
+          Seq(idCol), "left_semi"), textCol, idCol, shingleSize))
+    val rSh = spark.read.parquet(s"$path/$S")
+      .join(bcCand(crossCands.select(col("id_ref").as("id")).distinct(),
+        crossBytes), Seq("id"), "left_semi")
+    def bcSh(p: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= shBcLimit(spark)) broadcast(p) else p
+
+    val crossMatched = bcCand(crossCands, crossBytes)
+      .join(bcSh(dSh.select(col("id").as("id_delta"), col("sh").as("sh_d")),
+        dShBytes), "id_delta")
+      .join(rSh.select(col("id").as("id_ref"), col("sh").as("sh_r")), "id_ref")
+      .where(jaccard(col("sh_d"), col("sh_r")) >= threshold)
+      .select(col("id_delta").as("id"))
+    val intMatched = bcCand(intCands, intBytes)
+      .join(bcSh(dSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        dShBytes), "id_a")
+      .join(bcSh(dSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        dShBytes), "id_b")
+      .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_b").as("id"))
+    val losers = Spill.roundTrip(
+      crossMatched.unionByName(intMatched).distinct())
+
+    // append AFTER the materialized decision: bands reuse the spill,
+    // shingles are the refresh's single full-delta shingle pass
+    dBands.write.mode("append").parquet(s"$path/$B")
+    shingleStore(delta, textCol, idCol, shingleSize)
+      .write.mode("append").parquet(s"$path/$S")
+    losers
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  private def bcLimit(spark: SparkSession): Long = spark.conf
+    .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
+
+  private def shBcLimit(spark: SparkSession): Long = spark.conf
+    .get("spark.graft.dedup.broadcastShinglesBytes", (32L << 20).toString).toLong
 
   /** Band rows via the codegen'd signature expression — signatures
     * computed inside the scan projection, zero shuffle (the

@@ -19,9 +19,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * earlier admissions — the admission loop of a training corpus that
   * grows by deltas. Caveat: the index append itself is NOT
   * batchId-idempotent (band/shingle rows are blind appends), so a
-  * replayed batch would re-append its rows; duplicate index rows cost
-  * extra candidate checks but cannot change verdicts (jaccard is
-  * recomputed per pair). Default off.
+  * replayed batch re-appends its rows; duplicate index rows cost
+  * extra candidate checks but cannot change verdicts — id-EQUAL
+  * collisions (a replayed doc meeting its own earlier append) are
+  * excluded inside [[NearDupIndex.query]], so the replay's idempotent
+  * rewrite reproduces the same survivors instead of dropping
+  * everything as self-duplicates. Default off.
   */
 object StreamingAdmission {
 

@@ -78,6 +78,47 @@ class IncrementalCurationSpec extends SparkTestBase {
       == Set(1L, 10L))
   }
 
+  test("store-reusing ordered drop equals the recomputing operator on real documents") {
+    // NearDupIndex.orderedLosers (candidates from the persisted band
+    // store, verification from the persisted shingle store) must drop
+    // exactly what Dedup.dropNearDuplicatesOrdered drops when it
+    // recomputes everything — on the fixture corpus plus planted
+    // copies, where natural near-dups exercise nontrivial clusters
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val planted = docs.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val all = docs.unionByName(planted)
+    val path = Spill.newPath(spark) + "/olidx"
+    NearDupIndex.build(all, path, "text", "doc_id")
+    val viaStore = all.join(
+        NearDupIndex.orderedLosers(spark, path, 0.8)
+          .select($"id".as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val recomputed = ids(
+      Dedup.dropNearDuplicatesOrdered(all, "text", "doc_id", 0.8))
+    assert(viaStore == recomputed)
+    assert(viaStore.size < all.count(), "planted copies must drop")
+  }
+
+  test("replaying a refresh (crash recovery) reproduces the same snapshot") {
+    val base = corpus(doc(1, "alpha"), doc(2, "beta"))
+    val delta = corpus(doc(10, "alpha"), doc(11, "gamma"))
+    val root = Spill.newPath(spark) + "/state"
+    IncrementalCuration.bootstrap(base, pipeline, root)
+    val first = ids(IncrementalCuration.refresh(delta, root, 1L))
+    // the replay validates against the PRE-refresh high-water mark and
+    // overwrites its own log/meta versions; duplicate index rows from
+    // the re-append cannot change any decision
+    val replay = ids(IncrementalCuration.refresh(delta, root, 1L))
+    assert(replay == first && first == Set(1L, 2L, 11L))
+    // and a subsequent refresh still judges against refresh-1 entrants
+    val next = ids(IncrementalCuration.refresh(
+      corpus(doc(20, "gamma"), doc(21, "delta")), root, 2L))
+    assert(next == Set(1L, 2L, 11L, 21L))
+  }
+
   test("non-monotone delta ids are refused by name") {
     val root = Spill.newPath(spark) + "/state"
     IncrementalCuration.bootstrap(corpus(doc(5, "alpha")), pipeline, root)
