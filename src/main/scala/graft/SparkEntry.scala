@@ -1679,25 +1679,28 @@ object SparkEntry {
     // pipeline breaks the hash.
     "q_curate_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val revText = concat_ws(" ",
-        reverse(split(Dedup.normText(col("text")), " ")))
-      val delta = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-        .unionByName(docs.where(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 3000000L).as("doc_id"), revText.as("text")))
-        .unionByName(docs.where(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 4000000L).as("doc_id"), revText.as("text")))
-        .unionByName(docs.where(col("doc_id") % 10 === 5)
-          .select((col("doc_id") + 5000000L).as("doc_id"),
-            concat_ws(" ",
-              slice(split(Dedup.normText(col("text")), " "), 1, 10)).as("text")))
-      val pipeline = graft.operators.CurationPipeline("text", "doc_id", Seq(
-        CurationStage.Quality(50, 100000, 2),
-        CurationStage.NearDupDrop(0.8)))
       val root = Spill.newPath(s) + "/inccur"
-      IncrementalCuration.bootstrap(docs, pipeline, root)
-      IncrementalCuration.refresh(delta, root, version = 1L)
+      IncrementalCuration.bootstrap(docs, curatePipeline, root)
+      IncrementalCuration.refresh(curateDelta(docs), root, version = 1L)
         .select("doc_id", "text")
+    }),
+
+    // The STREAMED form of the same contract: the identical delta
+    // flows through StreamingCuration's foreachBatch (each micro-batch
+    // = one replay-idempotent IncrementalCuration.refresh at version
+    // batchId+1) and the final snapshot must land on the same batch
+    // oracle as q_curate_incremental.
+    "q_stream_curate" -> ((s, dir) => {
+      import graft.streaming.StreamingCuration
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val root = Spill.newPath(s) + "/sccur"
+      IncrementalCuration.bootstrap(docs, curatePipeline, root)
+      val deltaPath = Spill.newPath(s) + "/sccur_delta"
+      curateDelta(docs).coalesce(1).write.parquet(deltaPath)
+      val stream = s.readStream
+        .schema(s.read.parquet(deltaPath).schema).parquet(deltaPath)
+      StreamingCuration.run(stream, root)
+      IncrementalCuration.snapshot(s, root).select("doc_id", "text")
     }),
 
     // Gopher repetition filter: duplicate-2-gram occurrence fraction.
@@ -2235,6 +2238,32 @@ object SparkEntry {
     * Java's `\p{IsHan}`-family used on the Spark side. ONE canonical
     * copy, interpolated by every oracle that normalizes text.
     */
+  /** Shared fixture for the incremental/streaming curation gates: the
+    * planted delta (copies → index hits, word-reversed variants →
+    * admitted, delta-internal duplicates of those variants → internal
+    * drops, truncated docs → quality drops) and the pipeline config.
+    * `sqlCurateIncremental` is the batch meaning of both.
+    */
+  private def curateDelta(docs: DataFrame): DataFrame = {
+    val revText = concat_ws(" ",
+      reverse(split(Dedup.normText(col("text")), " ")))
+    docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"), revText.as("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 4000000L).as("doc_id"), revText.as("text")))
+      .unionByName(docs.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat_ws(" ",
+            slice(split(Dedup.normText(col("text")), " "), 1, 10)).as("text")))
+  }
+
+  private def curatePipeline = graft.operators.CurationPipeline(
+    "text", "doc_id", Seq(
+      CurationStage.Quality(50, 100000, 2),
+      CurationStage.NearDupDrop(0.8)))
+
   /** Shared corpus for the span-dedup queries: every 10th document
     * carries an appended 8-token slogan (a guaranteed cross-doc
     * repeated window at spanTokens = 8).
@@ -2310,6 +2339,48 @@ object SparkEntry {
       |     AND s.ts <= o.ts
       |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_type
       |FROM ($clicksSql) o""".stripMargin
+
+  /** The batch meaning of incremental/streaming curation — shared by
+    * `q_curate_incremental` and `q_stream_curate`, whose engine paths
+    * must land on the identical corpus. */
+  private lazy val sqlCurateIncremental =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    array_to_string(list_reverse(string_split(${sqlNt("text")}, ' ')), ' ')
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    array_to_string(list_reverse(string_split(${sqlNt("text")}, ' ')), ' ')
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000000,
+      |    array_to_string(string_split(${sqlNt("text")}, ' ')[1:10], ' ')
+      |  FROM documents WHERE doc_id % 10 = 5
+      |), norm AS (
+      |  SELECT doc_id,
+      |    ${sqlNt("text")} AS nt,
+      |    string_split(${sqlNt("text")}, ' ') AS w
+      |  FROM corpus
+      |), $sqlQualityM, kept AS (
+      |  SELECT m.doc_id FROM m
+      |  WHERE $sqlQualityPasses
+      |), sh AS (
+      |  SELECT n.doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(n.w) - 5, 0) + 1),
+      |    i -> array_to_string(n.w[i+1:i+5], ' '))) AS s
+      |  FROM norm n JOIN kept USING (doc_id)
+      |), losers AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |)
+      |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
+      |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
   private val sqlNorm =
     s"""norm AS (
@@ -3346,45 +3417,10 @@ object SparkEntry {
     // (drop iff ANY smaller-id entrant within 0.8 jaccard, exact
     // all-pairs, no transitive closure: admission order is what an
     // incremental loop implements and what monotone ids make batch-
-    // reproducible)
-    "q_curate_incremental" ->
-      s"""WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 3000000,
-        |    array_to_string(list_reverse(string_split(${sqlNt("text")}, ' ')), ' ')
-        |  FROM documents WHERE doc_id % 10 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 4000000,
-        |    array_to_string(list_reverse(string_split(${sqlNt("text")}, ' ')), ' ')
-        |  FROM documents WHERE doc_id % 10 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 5000000,
-        |    array_to_string(string_split(${sqlNt("text")}, ' ')[1:10], ' ')
-        |  FROM documents WHERE doc_id % 10 = 5
-        |), norm AS (
-        |  SELECT doc_id,
-        |    ${sqlNt("text")} AS nt,
-        |    string_split(${sqlNt("text")}, ' ') AS w
-        |  FROM corpus
-        |), $sqlQualityM, kept AS (
-        |  SELECT m.doc_id FROM m
-        |  WHERE $sqlQualityPasses
-        |), sh AS (
-        |  SELECT n.doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(n.w) - 5, 0) + 1),
-        |    i -> array_to_string(n.w[i+1:i+5], ' '))) AS s
-        |  FROM norm n JOIN kept USING (doc_id)
-        |), losers AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |)
-        |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
-        |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    // reproducible). Shared with q_stream_curate: the streamed
+    // micro-batch path must land on the identical corpus.
+    "q_curate_incremental" -> sqlCurateIncremental,
+    "q_stream_curate" -> sqlCurateIncremental,
 
     "q_text_repetition" ->
       s"""WITH $sqlNorm, $sqlRepGrams
