@@ -2170,6 +2170,21 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // Z-order rewrite: documents Morton-clustered on
+    // (doc_id, n_chars), then a TWO-predicate scan — layout is
+    // physical only, so the oracle is the plain filter (the pruning
+    // itself is measured in CompactionSpec on an independent grid).
+    "q_zorder_layout" -> ((s, dir) => {
+      val out = Spill.newPath(s)
+      val (_, bytes) = Compaction.fileStats(s, s"$dir/documents.parquet")
+      Compaction.zorderLayout(s, s"$dir/documents.parquet", out,
+        Seq("doc_id", "n_chars"), targetBytes = math.max(bytes / 8, 1L))
+      s.read.parquet(out)
+        .where(col("doc_id").between(100, 299) &&
+          col("n_chars").between(200, 2000))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // Stream-STREAM interval join (clickstream attribution): purchases
     // enriched with same-user views from the 6 h before the purchase.
     // Two independent file streams; state on both sides is bounded by
@@ -4008,6 +4023,12 @@ object SparkEntry {
     "q_compact_layout" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 199""".stripMargin,
+
+    // z-order too: values must equal the plain two-predicate filter
+    "q_zorder_layout" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299
+        |  AND n_chars BETWEEN 200 AND 2000""".stripMargin,
 
     // inclusive BETWEEN bounds; micros so the ts compare is integer
     "q_stream_interval_join" ->

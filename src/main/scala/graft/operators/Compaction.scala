@@ -84,6 +84,62 @@ object Compaction {
     Stats(fb, bb, fa, ba, parts)
   }
 
+  /** Z-order (Morton-curve) rewrite for MULTI-predicate pruning:
+    * [[rangeLayout]] clusters one key — a predicate on any OTHER key
+    * then overlaps every file. Here each key is first reduced to a
+    * `bits`-bit equi-depth rank (boundaries from `approxQuantile` —
+    * the layout is physical, so approximation costs balance, never
+    * correctness), the ranks' bits are interleaved into one Morton
+    * value, and files are range-partitioned and sorted along that
+    * space-filling curve. Every file then spans a NARROW min/max
+    * interval in every keyed dimension at once, so a predicate on any
+    * subset of the keys skips most files — the Delta/Iceberg
+    * OPTIMIZE ZORDER trade, paid once at write time.
+    *
+    * The rank and interleave are pure codegen'd expressions (a
+    * when-chain over the boundary literals and a shiftleft/bitwise-or
+    * fold) — no UDF in the rewrite path.
+    */
+  def zorderLayout(spark: SparkSession, inputDir: String, outputDir: String,
+      keys: Seq[String], targetBytes: Long, bits: Int = 6): Stats = {
+    require(keys.size >= 2,
+      "zorderLayout needs >= 2 keys (one key is rangeLayout)")
+    require(bits >= 1 && bits * keys.size <= 62,
+      s"bits=$bits x ${keys.size} keys must fit a long")
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val (fb, bb) = fileStats(spark, inputDir)
+    val parts = partsFor(bb, targetBytes)
+    val df = spark.read.parquet(inputDir)
+
+    val nBuckets = 1 << bits
+    // per-key equi-depth boundaries; rank = #(boundaries < value),
+    // a codegen'd when-chain (write-time only, one pass)
+    val ranks = keys.map { k =>
+      val bounds = df.stat.approxQuantile(k,
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(k).cast("double") > b, 1).otherwise(0)
+      }
+    }
+    // Morton interleave: key j contributes its rank's bit i at output
+    // position i * nKeys + j — adjacent curve positions differ little
+    // in EVERY key
+    val z = (0 until bits).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        shiftleft(shiftright(r.cast("long"), i).bitwiseAND(lit(1L)),
+          i * keys.size + j)
+      }
+    }.reduce(_ bitwiseOR _)
+
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(parts, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(outputDir)
+    val (fa, ba) = fileStats(spark, outputDir)
+    Stats(fb, bb, fa, ba, parts)
+  }
+
   /** Rows the file scans actually produced for `df` — file/row-group
     * skipping shows up here (skipped groups contribute nothing). Runs
     * the query. Descends AQE's adaptive and query-stage wrappers,

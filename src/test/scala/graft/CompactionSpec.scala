@@ -58,4 +58,46 @@ class CompactionSpec extends SparkTestBase {
     assert(rowsRanged <= total / 4,
       s"ranged layout scanned $rowsRanged rows, expected <= ${total / 4}")
   }
+
+  test("zorderLayout: predicates on EITHER key prune; single-key range layout cannot") {
+    import spark.implicits._
+    // two independent uniform keys — the multi-predicate regime where
+    // one-key clustering leaves the other dimension unsorted
+    val n = 200000L
+    val grid = spark.range(n).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1000)).as("x"),
+      pmod(xxhash64(col("id") + 7), lit(1000)).as("y"))
+    val scattered = Spill.newPath(spark)
+    grid.repartition(16, md5(col("id").cast("string"))).write.parquet(scattered)
+    val (_, bytes) = Compaction.fileStats(spark, scattered)
+
+    val byX = Spill.newPath(spark)
+    Compaction.rangeLayout(spark, scattered, byX, Seq("x"), bytes / 64)
+    val byZ = Spill.newPath(spark)
+    val stats = Compaction.zorderLayout(spark, scattered, byZ,
+      Seq("x", "y"), bytes / 64)
+    assert(stats.filesAfter >= 32, s"want ~64 z-files, got $stats")
+
+    def q(dir: String, pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(dir).where(pred).select("id", "x", "y")
+    val predX = col("x") < 50
+    val predY = col("y") < 50
+    // values are layout-invariant
+    assert(multiset(q(byZ, predX && predY)) == multiset(q(scattered, predX && predY)))
+
+    val xOnRange = Compaction.scannedRows(q(byX, predX))
+    val yOnRange = Compaction.scannedRows(q(byX, predY))
+    val xOnZ = Compaction.scannedRows(q(byZ, predX))
+    val yOnZ = Compaction.scannedRows(q(byZ, predY))
+    // the single-key layout prunes its own key and nothing else
+    assert(xOnRange <= n / 8, s"x-range layout scanned $xOnRange on x-pred")
+    assert(yOnRange >= n / 2, s"x-range layout should NOT prune y: $yOnRange")
+    // the z-layout prunes BOTH dimensions (coarser than the dedicated
+    // single-key sort on x, far better than nothing on y)
+    assert(xOnZ <= n / 2, s"zorder scanned $xOnZ on x-pred")
+    assert(yOnZ <= n / 2, s"zorder scanned $yOnZ on y-pred")
+    assert(yOnZ * 2 <= yOnRange,
+      s"zorder y-pred scan ($yOnZ) should beat range layout ($yOnRange)")
+  }
 }
