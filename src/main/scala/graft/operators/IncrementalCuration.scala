@@ -79,9 +79,12 @@ object IncrementalCuration {
       reference: Option[(DataFrame, String, String)] = None): DataFrame = {
     val spark = corpus.sparkSession
     val (pre, nd, post) = splitStages(pipeline)
+    val maxRow = corpus.agg(max(col(pipeline.idCol).cast("long"))).head()
+    require(!maxRow.isNullAt(0),
+      "bootstrap called with an empty corpus — there is no high-water " +
+        "mark to anchor incremental admission on")
+    val maxId = maxRow.getLong(0)
     writeConfig(spark, root, pipeline)
-    val maxId = corpus.agg(max(col(pipeline.idCol).cast("long")))
-      .head().getLong(0)
     val entrants = Spill.roundTrip(
       runStages(corpus, pre, pipeline, reference))
     val admitted = nd match {
@@ -130,6 +133,18 @@ object IncrementalCuration {
       s"delta id $dMin <= already-ingested max id $priorMax: incremental " +
         "admission is id-ordered (batch equivalence needs monotone ids); " +
         "assign fresh ids above the high-water mark")
+    // version-rewrite tripwire: a GENUINE crash replay re-presents the
+    // same delta, so the recorded high-water for this version matches;
+    // a mismatch means a different delta is claiming an already-written
+    // version — the fresh-checkpoint-against-a-used-state-dir mistake —
+    // and overwriting history with it must fail loudly
+    metaFor(spark, root, version).foreach(recorded =>
+      require(recorded == math.max(priorMax, dMax),
+        s"version $version of the curation state at $root was already " +
+          s"written with a different delta (recorded high-water " +
+          s"$recorded, this delta's ${math.max(priorMax, dMax)}); a " +
+          "replay must re-present the same data — if this is a new " +
+          "stream, resume its checkpoint instead of starting a fresh one"))
 
     val entrants = Spill.roundTrip(
       runStages(delta, pre, pipeline, reference))
@@ -220,6 +235,14 @@ object IncrementalCuration {
     import spark.implicits._
     Seq(maxId).toDF("max_ingested_id").coalesce(1)
       .write.mode("overwrite").parquet(s"${metaDir(root)}/__v=$version")
+  }
+
+  private def metaFor(spark: SparkSession, root: String,
+      version: Long): Option[Long] = {
+    val p = new Path(s"${metaDir(root)}/__v=$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getLong(0))
   }
 
   private def readMetaBefore(spark: SparkSession, root: String,

@@ -95,8 +95,14 @@ object IvfPqIndex {
       k: Int, nProbe: Int, rescoreFactor: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val enc = try spark.read.parquet(s"$path/meta").head().getString(0)
-      catch { case _: Throwable => "pq_raw_v0" }
+    // a MISSING meta marks a pre-residual (v0) index and must say so;
+    // any other read failure (wrong path, FS trouble) must surface
+    // as itself, not masquerade as an encoding mismatch
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val enc = if (fs.exists(metaPath))
+      spark.read.parquet(metaPath.toString).head().getString(0)
+    else "pq_raw_v0"
     require(enc == Encoding,
       s"IVF-PQ index at $path was written under encoding '$enc', this " +
         s"engine scores '$Encoding' — ADC over mismatched codes is " +

@@ -69,12 +69,16 @@ object MergeLog {
     val existing = versions(delta.sparkSession, dir)
       .filterNot(_ == version) // replays may legally overwrite themselves
     existing.headOption.foreach { v =>
-      val logCols = delta.sparkSession.read
-        .parquet(s"$dir/$VCol=$v").columns.toSeq.sorted
-      require(rows.columns.toSeq.sorted == logCols,
-        s"delta schema ${rows.columns.toSeq.sorted} does not match merge " +
-          s"log at $dir (version $v has $logCols); latest-wins over " +
-          "mismatched columns would read back nulls")
+      // names AND types: a same-named column of a drifted type passes a
+      // name check but fails the cross-version union at READ time, far
+      // from the writer
+      def sig(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val logSig = sig(delta.sparkSession.read.parquet(s"$dir/$VCol=$v").schema)
+      require(sig(rows.schema) == logSig,
+        s"delta schema ${sig(rows.schema)} does not match merge log at " +
+          s"$dir (version $v has $logSig); latest-wins over mismatched " +
+          "columns would fail or coerce at read time, far from this writer")
     }
     // the path carries the version (partition discovery reads it back
     // as the `__v` column) — the files must NOT also contain it

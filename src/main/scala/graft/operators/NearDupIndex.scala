@@ -119,9 +119,7 @@ object NearDupIndex {
     bcCand(cands)
       .join(dSh, "id_delta")
       .join(rSh, "id_ref")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_d"), col("sh_r"))).cast("double") /
-          size(array_union(col("sh_d"), col("sh_r"))))
+      .withColumn("jaccard", jaccard(col("sh_d"), col("sh_r")))
       .where(col("jaccard") >= threshold)
       .select("id_delta", "id_ref", "jaccard")
   }
@@ -183,12 +181,19 @@ object NearDupIndex {
     // (the big side streams); internal candidates: capped self-pairs
     // within the delta's own bands
     val rBands = spark.read.parquet(s"$path/$B")
-    // id-equal collisions are the doc matching ITSELF from a replayed
-    // append — excluded, same rationale as [[query]]
+    // STRICTLY-ORDERED cross match: a delta doc is dropped only for a
+    // stored entrant with a SMALLER id. Under the monotone-id
+    // invariant every genuine prior entrant IS smaller, so this
+    // changes nothing on a first run — but on a crash replay the
+    // store also holds the delta itself, and a mere self-exclusion
+    // (id inequality) would let an ADMITTED doc match its own
+    // dropped-sibling's appended rows and vanish from the rewritten
+    // version (found by review: delta {10, 11} near-dups, first run
+    // admits 10, replay matched 10 against stored 11)
     val (crossCands, crossBytes) = Spill.roundTripSized(
       rBands.join(maybeBcD(dBands.select(col("band_id"), col("band_hash"),
           col("id").as("id_delta"))), Seq("band_id", "band_hash"))
-        .where(col("id_delta") =!= col("id"))
+        .where(col("id") < col("id_delta"))
         .select(col("id_delta"), col("id").as("id_ref")).distinct())
     val (intCands, intBytes) = Spill.roundTripSized(Dedup.candidatePairs(
       Dedup.capBuckets(dBands, Seq("band_id", "band_hash"), "id"),

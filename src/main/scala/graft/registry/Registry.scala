@@ -153,27 +153,25 @@ class InMemoryRegistry {
     */
   def search(q: String, types: Set[String] = Set.empty,
       scope: Option[String] = None, limit: Int = 10, offset: Int = 0): Seq[RegistryEntity] = {
+    // membership only: any term hit qualifies, and ranking never reads
+    // relevance (the reference orders purely by name_score)
     val qTerms = terms(q).distinct
-    val hits = mutable.LinkedHashMap[String, Int]()
-    qTerms.foreach { t =>
-      index.getOrElse(t, mutable.LinkedHashSet.empty).foreach { g =>
-        hits(g) = hits.getOrElse(g, 0) + 1
-      }
-    }
+    val hits = mutable.LinkedHashSet[String]()
+    qTerms.foreach(t =>
+      index.getOrElse(t, mutable.LinkedHashSet.empty).foreach(hits += _))
     val scopeGuids: Option[Set[String]] = scope.map { s =>
       entities.values.filter(e => e.qualifiedName == s || e.name == s)
         .map(_.guid).toSet
     }
     hits.toSeq
-      .flatMap { case (g, score) => entities.get(g).map(_ -> score) }
-      .filter { case (e, _) => types.isEmpty || types.contains(e.typeName) }
-      .filter { case (e, _) => scopeGuids.forall(sg =>
+      .flatMap(entities.get)
+      .filter(e => types.isEmpty || types.contains(e.typeName))
+      .filter(e => scopeGuids.forall(sg =>
         sg.contains(e.guid) ||
           edges.exists(ed => ed.from == e.guid && sg.contains(ed.to) &&
-            ed.edgeType == EdgeType.BelongsTo)) }
-      .sortBy { case (e, _) => (nameScore(e.name), e.name) }
+            ed.edgeType == EdgeType.BelongsTo)))
+      .sortBy(e => (nameScore(e.name), e.name))
       .slice(offset, offset + limit)
-      .map(_._1)
   }
 
   def link(from: String, to: String, edgeType: String): Unit =

@@ -17,14 +17,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * With `appendAdmitted = true` each batch's survivors are indexed
   * before the next batch, so later deltas also dedup against
   * earlier admissions — the admission loop of a training corpus that
-  * grows by deltas. Caveat: the index append itself is NOT
-  * batchId-idempotent (band/shingle rows are blind appends), so a
-  * replayed batch re-appends its rows; duplicate index rows cost
-  * extra candidate checks but cannot change verdicts — id-EQUAL
-  * collisions (a replayed doc meeting its own earlier append) are
-  * excluded inside [[NearDupIndex.query]], so the replay's idempotent
-  * rewrite reproduces the same survivors instead of dropping
-  * everything as self-duplicates. Default off.
+  * grows by deltas. This mode IS the ordered admission
+  * ([[NearDupIndex.admit]], the [[graft.operators.IncrementalCuration]]
+  * contract): document ids must be monotone across batches, a doc is
+  * dropped for a smaller-id match whether stored OR within its own
+  * batch, and every stage entrant is indexed. Ordering is what makes
+  * at-least-once replay idempotent: a replayed doc meets only its own
+  * id (excluded) or larger ids (not drop-eligible), so the batch's
+  * idempotent output rewrite reproduces the same survivors. The
+  * pre-r11 composition (query + append-admitted-only) admitted
+  * batch-internal near-dup pairs whole and then dropped BOTH sides on
+  * a replay — silent loss found by review and pinned by spec. Default
+  * off (static reference index; symmetric query, no ordering
+  * requirement).
   */
 object StreamingAdmission {
 
@@ -36,14 +41,21 @@ object StreamingAdmission {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val matched = NearDupIndex.query(batch.sparkSession, indexPath,
-            batch, textCol, idCol, threshold)
-          .select(col("id_delta").as(idCol)).distinct()
-        val admitted = batch.join(matched, Seq(idCol), "left_anti")
+        val admitted = if (appendAdmitted) {
+          // growing index => the ordered admission step (decides, then
+          // appends the batch's entrants — see the class doc)
+          val losers = NearDupIndex.admit(batch.sparkSession, indexPath,
+              batch, textCol, idCol, threshold)
+            .select(col("id").as(idCol))
+          batch.join(losers, Seq(idCol), "left_anti")
+        } else {
+          val matched = NearDupIndex.query(batch.sparkSession, indexPath,
+              batch, textCol, idCol, threshold)
+            .select(col("id_delta").as(idCol)).distinct()
+          batch.join(matched, Seq(idCol), "left_anti")
+        }
         Materializer.writeBatch(admitted, batchId, Seq(idCol),
           Seq(OutputSink.Generic("parquet", outPath)))
-        if (appendAdmitted)
-          NearDupIndex.append(admitted, indexPath, textCol, idCol)
       }
       .start()
     q.awaitTermination(timeoutMs)

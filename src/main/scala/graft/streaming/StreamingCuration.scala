@@ -21,16 +21,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * contract). Batches must arrive in id-monotone order (the admission
   * semantics are id-ordered); an out-of-order batch FAILS the
   * high-water check loudly rather than silently reordering history.
-  * One streaming checkpoint per state dir lineage — a fresh checkpoint
-  * restarts batchIds at 0 and would overwrite version 1.
+  *
+  * ONE streaming checkpoint per state dir lineage: pass
+  * `checkpointLocation` (e.g. `s"$root/checkpoint"`) so a restarted
+  * stream RESUMES its batchId sequence instead of restarting at 0 —
+  * a fresh checkpoint against a used state dir would re-issue version
+  * 1, and while refresh's high-water tripwire refuses a version
+  * rewrite whose data differs from the recorded one, resumability is
+  * the correct posture, not just the guarded one.
   */
 object StreamingCuration {
 
   def run(delta: DataFrame, root: String, timeoutMs: Long = 300000,
-      reference: Option[(DataFrame, String, String)] = None): StreamingQuery = {
-    val q = delta.writeStream
+      reference: Option[(DataFrame, String, String)] = None,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = delta.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .fold(writer)(writer.option("checkpointLocation", _))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a replayed empty batch has nothing to version
         if (!batch.isEmpty)

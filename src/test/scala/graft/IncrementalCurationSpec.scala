@@ -119,6 +119,35 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(next == Set(1L, 2L, 11L, 21L))
   }
 
+  test("replay with delta-INTERNAL near-dup pairs keeps the admitted sibling") {
+    // the r11 review's counterexample: delta docs 10 and 11 duplicate
+    // each other; the first run admits 10 and appends BOTH entrants'
+    // rows to the index. A replay must not drop 10 against its stored
+    // sibling 11 — the cross match is strictly ordered (stored id <
+    // delta id), not merely self-excluding
+    val root = Spill.newPath(spark) + "/state"
+    IncrementalCuration.bootstrap(corpus(doc(1, "alpha")), pipeline, root)
+    val delta = corpus(doc(10, "xray"), doc(11, "xray"))
+    val first = ids(IncrementalCuration.refresh(delta, root, 1L))
+    assert(first == Set(1L, 10L))
+    val replay = ids(IncrementalCuration.refresh(delta, root, 1L))
+    assert(replay == first,
+      s"replay dropped the admitted sibling: $replay vs $first")
+  }
+
+  test("a DIFFERENT delta claiming an already-written version is refused") {
+    // fresh-checkpoint-against-a-used-state-dir tripwire: version 1
+    // exists; re-presenting it with other data must fail loudly, not
+    // silently rewrite history
+    val root = Spill.newPath(spark) + "/state"
+    IncrementalCuration.bootstrap(corpus(doc(1, "alpha")), pipeline, root)
+    IncrementalCuration.refresh(corpus(doc(10, "beta")), root, 1L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.refresh(corpus(doc(20, "gamma")), root, 1L)
+    }
+    assert(e.getMessage.contains("already"))
+  }
+
   test("non-monotone delta ids are refused by name") {
     val root = Spill.newPath(spark) + "/state"
     IncrementalCuration.bootstrap(corpus(doc(5, "alpha")), pipeline, root)

@@ -76,4 +76,34 @@ class StreamingAdmissionSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(201L, 203L), s"got $admitted")
   }
+
+  test("appendAdmitted: replaying the whole stream reproduces the same survivors") {
+    // at-least-once simulation: the same delta files re-run against an
+    // index that ALREADY holds the first run's appends (fresh
+    // checkpoint, same batch partitioning). A batch with an internal
+    // near-dup pair is the review's counterexample: without the ordered
+    // filter, both sides matched each other's stored rows and vanished
+    val reference = Seq((1L, words("base", 30))).toDF("doc_id", "text")
+    val idx = tmp() + "/idx"
+    NearDupIndex.build(reference, idx, "text", "doc_id")
+    val deltaDir = new java.io.File(tmp(), "delta")
+    deltaDir.mkdirs()
+    Seq((301L, words("twin", 30)),  // admitted
+        (302L, words("twin", 30)))  // internal dup of 301 → rejected
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(deltaDir.toString)
+    val out = tmp() + "/out"
+    def runOnce(): Set[Long] = {
+      StreamingAdmission.run(
+        spark.readStream.schema(spark.read.parquet(deltaDir.toString).schema)
+          .parquet(deltaDir.toString),
+        "text", "doc_id", idx, out, threshold = 0.9, appendAdmitted = true)
+      spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    }
+    val first = runOnce()
+    assert(first == Set(301L), s"first run: $first")
+    val replayed = runOnce()
+    assert(replayed == first,
+      s"replay changed the survivor set: $replayed vs $first")
+  }
 }
