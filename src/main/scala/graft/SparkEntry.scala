@@ -2277,7 +2277,7 @@ object SparkEntry {
   private def curatePipeline = graft.operators.CurationPipeline(
     "text", "doc_id", Seq(
       CurationStage.Quality(50, 100000, 2),
-      CurationStage.NearDupDrop(0.8)))
+      CurationStage.NearDupDrop(0.8, ordered = true)))
 
   /** Shared corpus for the span-dedup queries: every 10th document
     * carries an appended 8-token slogan (a guaranteed cross-doc

@@ -19,8 +19,18 @@ object CurationStage {
     * occurrence fraction ≤ `maxDupFraction`. */
   case class Repetition(n: Int = 2, maxDupFraction: Double = 0.2)
       extends CurationStage
-  /** MinHash/LSH near-duplicate drop at the given Jaccard threshold. */
-  case class NearDupDrop(threshold: Double = 0.8) extends CurationStage
+  /** MinHash/LSH near-duplicate drop at the given Jaccard threshold.
+    * `ordered = false` (default) keeps one doc per connected CLUSTER
+    * (min id — [[Dedup.dropNearDuplicates]]); `ordered = true` drops a
+    * doc iff ANY smaller-id entrant matches
+    * ([[Dedup.dropNearDuplicatesOrdered]]) — the semantic an
+    * incremental refresh can maintain exactly, so
+    * [[IncrementalCuration]] requires it DECLARED rather than silently
+    * reinterpreting the stage. The choice is config data: a pipeline's
+    * meaning must not depend on which runner executes it.
+    */
+  case class NearDupDrop(threshold: Double = 0.8,
+      ordered: Boolean = false) extends CurationStage
   /** Replace the text with its PII-redacted form. */
   case object PiiRedact extends CurationStage
   /** Drop documents sharing winnowed fingerprints with the run-time
@@ -145,9 +155,12 @@ case class CurationPipeline(textCol: String, idCol: String,
               .where(col("rule_repetition")).select(idCol))
           val hinted = if (repBytes <= bcLimit(cur)) broadcast(rep) else rep
           cur.join(hinted, Seq(idCol), "left_semi")
-        case NearDupDrop(threshold) =>
-          Dedup.dropNearDuplicates(Spill.roundTrip(cur), textCol, idCol,
-            threshold)
+        case NearDupDrop(threshold, ordered) =>
+          val spilled = Spill.roundTrip(cur)
+          if (ordered)
+            Dedup.dropNearDuplicatesOrdered(spilled, textCol, idCol, threshold)
+          else
+            Dedup.dropNearDuplicates(spilled, textCol, idCol, threshold)
         case PiiRedact =>
           TextAnalysis.redactPii(cur, textCol)
             .select(col(idCol) +: col(s"${textCol}_redacted").as(textCol) +:
@@ -225,8 +238,9 @@ object CurationPipeline {
         case Repetition(g, f) =>
           n.put("stage", "repetition")
           n.put("n", g); n.put("max_dup_fraction", f)
-        case NearDupDrop(t) =>
+        case NearDupDrop(t, ordered) =>
           n.put("stage", "near_dup_drop"); n.put("threshold", t)
+          n.put("ordered", ordered)
         case PiiRedact =>
           n.put("stage", "pii_redact")
         case Decontaminate(k, w, f) =>
@@ -287,7 +301,9 @@ object CurationPipeline {
           n.get("max_words").asInt, n.get("min_stopwords").asInt)
         case "repetition" => Repetition(n.get("n").asInt,
           n.get("max_dup_fraction").asDouble)
-        case "near_dup_drop" => NearDupDrop(n.get("threshold").asDouble)
+        case "near_dup_drop" => NearDupDrop(n.get("threshold").asDouble,
+          // absent in pre-r11 configs -> the historical CC semantics
+          Option(n.get("ordered")).exists(_.asBoolean))
         case "pii_redact" => PiiRedact
         case "decontaminate" => Decontaminate(n.get("k").asInt,
           n.get("w").asInt, n.get("max_shared_fraction").asDouble)

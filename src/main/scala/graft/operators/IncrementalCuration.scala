@@ -88,7 +88,7 @@ object IncrementalCuration {
     val entrants = Spill.roundTrip(
       runStages(corpus, pre, pipeline, reference))
     val admitted = nd match {
-      case Some(NearDupDrop(threshold)) =>
+      case Some(NearDupDrop(threshold, _)) =>
         NearDupIndex.build(entrants, indexDir(root),
           pipeline.textCol, pipeline.idCol)
         // ordered drop FROM the just-built store — the build's
@@ -149,7 +149,7 @@ object IncrementalCuration {
     val entrants = Spill.roundTrip(
       runStages(delta, pre, pipeline, reference))
     val admitted = nd match {
-      case Some(NearDupDrop(threshold)) =>
+      case Some(NearDupDrop(threshold, _)) =>
         // one-pass decision + append: the delta's bands are computed
         // once and reused; the decision is materialized inside admit
         // before anything lands in the store
@@ -193,6 +193,13 @@ object IncrementalCuration {
     require(ndIdx.size <= 1,
       "at most one NearDupDrop stage can be maintained incrementally " +
         "(one persisted index per state dir)")
+    p.stages.collect { case nd: NearDupDrop => nd }.foreach(nd =>
+      require(nd.ordered,
+        "NearDupDrop(ordered = false) keeps one doc per connected " +
+          "CLUSTER — corpus-global state no refresh can maintain (a " +
+          "delta doc bridging two clusters would retroactively drop an " +
+          "admitted doc); declare NearDupDrop(threshold, ordered = true) " +
+          "so the batch and incremental meanings coincide"))
     ndIdx.headOption match {
       case Some(i) =>
         (p.stages.take(i),

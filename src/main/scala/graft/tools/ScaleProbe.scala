@@ -1127,7 +1127,7 @@ object ScaleProbe {
       import graft.operators._
       val pipe = CurationPipeline("text", "doc_id", Seq(
         CurationStage.Quality(50, 100000, 2),
-        CurationStage.NearDupDrop(0.9)))
+        CurationStage.NearDupDrop(0.9, ordered = true)))
       // copies of replica-0 docs (index hits) + word-reversed docs (no
       // shared shingles with any forward text — admitted); id offsets
       // clear every replicated base id

@@ -19,7 +19,9 @@ class CurationPipelineSpec extends SparkTestBase {
     for {
       n <- Gen.chooseNum(1, 5); f <- Gen.chooseNum(1, 99)
     } yield Repetition(n, f / 100.0),
-    Gen.chooseNum(50, 99).map(t => NearDupDrop(t / 100.0)),
+    for {
+      t <- Gen.chooseNum(50, 99); o <- Gen.oneOf(true, false)
+    } yield NearDupDrop(t / 100.0, o),
     Gen.const(PiiRedact),
     for {
       k <- Gen.chooseNum(2, 9); w <- Gen.chooseNum(2, 9)

@@ -21,7 +21,7 @@ class IncrementalCurationSpec extends SparkTestBase {
 
   private val pipeline = CurationPipeline("text", "doc_id", Seq(
     CurationStage.Quality(50, 100000, 2),
-    CurationStage.NearDupDrop(0.9)))
+    CurationStage.NearDupDrop(0.9, ordered = true)))
 
   private def ids(df: DataFrame): Set[Long] =
     df.select("doc_id").as[Long].collect().toSet
@@ -181,7 +181,7 @@ class IncrementalCurationSpec extends SparkTestBase {
 
   test("per-doc post stages after the near-dup stage apply to admitted docs only") {
     val p = CurationPipeline("text", "doc_id", Seq(
-      CurationStage.NearDupDrop(0.9), CurationStage.PiiRedact))
+      CurationStage.NearDupDrop(0.9, ordered = true), CurationStage.PiiRedact))
     val base = corpus(
       1L -> "contact me at alice@example.com for the details",
       2L -> "contact me at alice@example.com for the details")

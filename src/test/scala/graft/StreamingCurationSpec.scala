@@ -17,7 +17,7 @@ class StreamingCurationSpec extends SparkTestBase {
 
   private val pipeline = CurationPipeline("text", "doc_id", Seq(
     CurationStage.Quality(50, 100000, 2),
-    CurationStage.NearDupDrop(0.9)))
+    CurationStage.NearDupDrop(0.9, ordered = true)))
 
   private def ids(df: DataFrame): Set[Long] =
     df.select("doc_id").as[Long].collect().toSet
