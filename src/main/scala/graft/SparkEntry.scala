@@ -1666,6 +1666,28 @@ object SparkEntry {
         .run(t(s, dir, "documents").select("doc_id", "text"))
     }),
 
+    // Per-document disposition audit over a quality -> domain-block ->
+    // sample funnel on URL-planted text: every input doc reports the
+    // FIRST stage that dropped it (or 'kept'). The oracle restates
+    // each stage's predicate and takes the CASE-first-match — so any
+    // divergence in stage order, stage semantics, or the audit's
+    // first-drop attribution breaks the hash.
+    "q_curate_audit" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://site"), col("doc_id") % 7,
+              lit(".example.com/path and http://cdn"), col("doc_id") % 5,
+              lit(".assets.net/x")))
+            .otherwise(lit(""))).as("text"))
+      CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Quality(50, 100000, 2),
+        CurationStage.DomainBlock(Seq(
+          "site0.example.com", "site3.example.com", "assets.net")),
+        CurationStage.Sample(0.5, "aud")))
+        .audit(planted)
+    }),
+
     // The O(delta) nightly refresh, gated against its own batch
     // meaning: bootstrap curates the documents table (quality +
     // admission-order near-dup), then ONE refresh ingests a planted
@@ -3426,6 +3448,42 @@ object SparkEntry {
         |)
         |$sqlSplitAssign
         |  FROM survivors)""".stripMargin,
+
+    // first-drop attribution: each stage's predicate restated, CASE
+    // picks the first failing stage in pipeline order
+    "q_curate_audit" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
+        |      '.example.com/path and http://cdn' || (doc_id % 5) ||
+        |      '.assets.net/x'
+        |    ELSE '' END AS text
+        |  FROM documents
+        |), norm AS (
+        |  SELECT doc_id,
+        |    ${sqlNt("text")} AS nt,
+        |    string_split(${sqlNt("text")}, ' ') AS w
+        |  FROM planted
+        |), $sqlQualityM, q AS (
+        |  SELECT doc_id, ($sqlQualityPasses) AS q_pass FROM m
+        |), urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    'https?://([a-z0-9.-]+)', 1)) AS u
+        |  FROM planted
+        |), blk AS (
+        |  SELECT DISTINCT doc_id FROM urls
+        |  WHERE len(list_filter(
+        |    ['site0.example.com','site3.example.com','assets.net'],
+        |    bd -> u = bd OR ends_with(u, '.' || bd))) > 0
+        |)
+        |SELECT p.doc_id,
+        |  CASE WHEN NOT coalesce(q.q_pass, FALSE) THEN '0:quality'
+        |       WHEN b.doc_id IS NOT NULL THEN '1:domain_block'
+        |       WHEN CAST(('0x' || substr(md5(p.doc_id::VARCHAR || 'aud'), 1, 8))
+        |         AS UBIGINT) % 10000 >= 5000 THEN '2:sample'
+        |       ELSE 'kept' END AS disposition
+        |FROM planted p JOIN q USING (doc_id)
+        |LEFT JOIN blk b USING (doc_id)""".stripMargin,
 
     // the incremental contract: the oracle is the BATCH pipeline over
     // base ∪ delta — quality filter, then admission-order near-dup

@@ -127,12 +127,8 @@ case class CurationPipeline(textCol: String, idCol: String,
     .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
     .toLong
 
-  /** Run the configured funnel. `reference` supplies the
-    * (frame, textCol, idCol) for a [[CurationStage.Decontaminate]]
-    * stage and is required iff one is configured.
-    */
-  def run(df: DataFrame,
-      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+  private def checkedInput(df: DataFrame,
+      reference: Option[(DataFrame, String, String)]): DataFrame = {
     require(reference.isDefined ||
       !stages.exists(st => st.isInstanceOf[Decontaminate] ||
         st.isInstanceOf[LmCoverage]),
@@ -143,9 +139,56 @@ case class CurationPipeline(textCol: String, idCol: String,
       stages.collect { case Mix(d, _, _) => d }).distinct
     keep.foreach(c => require(df.columns.contains(c),
       s"pipeline input is missing required column '$c'"))
-    stages.foldLeft(df.select(keep.map(col): _*)) { (cur, st) =>
-      val extras = cur.columns.toSeq.filterNot(c => c == idCol || c == textCol)
-      st match {
+    df.select(keep.map(col): _*)
+  }
+
+  /** Run the configured funnel. `reference` supplies the
+    * (frame, textCol, idCol) for a [[CurationStage.Decontaminate]]
+    * stage and is required iff one is configured.
+    */
+  def run(df: DataFrame,
+      reference: Option[(DataFrame, String, String)] = None): DataFrame =
+    stages.foldLeft(checkedInput(df, reference))(applyStage(_, _, reference))
+
+  /** Per-document disposition audit — the "why is doc X not in the
+    * corpus?" answer a 100-TB curation run must give WITHOUT a rerun.
+    * Runs the same funnel as [[run]] but records, for every input
+    * document, the FIRST stage that removed it. Returns
+    * `(idCol, disposition)` with disposition `"kept"` or
+    * `"<stageIdx>:<stageName>"` (indices disambiguate repeated stage
+    * types; names match the JSON config, so the audit joins back to
+    * the pipeline provenance).
+    *
+    * Cost shape: the funnel itself plus, per stage, one id-projection
+    * spill and one id-only anti-join — ids are narrow, so the stages'
+    * own corpus-sized work dominates. Each stage output is spilled
+    * (lineage cut), so no stage's upstream is ever recomputed: audit
+    * is O(funnel), not O(stages × funnel). Text-rewriting stages
+    * (PiiRedact; ParagraphDedup excision short of emptiness) keep ids
+    * and correctly audit as non-drops; identity-reshaping terminals
+    * (Chunk) audit on distinct ids.
+    */
+  def audit(df: DataFrame,
+      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+    var cur = Spill.roundTrip(checkedInput(df, reference))
+    val dropped = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val next = Spill.roundTrip(applyStage(cur, st, reference))
+      dropped += cur.select(col(idCol))
+        .join(next.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .withColumn("disposition",
+          lit(s"$i:${CurationPipeline.stageName(st)}"))
+      cur = next
+    }
+    val kept = cur.select(col(idCol)).distinct()
+      .withColumn("disposition", lit("kept"))
+    (dropped :+ kept).reduce(_ unionByName _)
+  }
+
+  private def applyStage(cur: DataFrame, st: CurationStage,
+      reference: Option[(DataFrame, String, String)]): DataFrame = {
+    val extras = cur.columns.toSeq.filterNot(c => c == idCol || c == textCol)
+    st match {
         case Quality(minW, maxW, minS) =>
           TextAnalysis.gopherRules(cur, textCol, minW, maxW, minS)
             .where(col("passes")).select(cur.columns.map(col): _*)
@@ -213,7 +256,6 @@ case class CurationPipeline(textCol: String, idCol: String,
           Sampling.splitByHash(cur.select(idCol), idCol, splits, salt)
         case Chunk(ct, ot) =>
           TextAnalysis.chunkDocuments(cur, textCol, idCol, ct, ot)
-      }
     }
   }
 }
@@ -222,6 +264,28 @@ object CurationPipeline {
   import CurationStage._
 
   private val mapper = new ObjectMapper()
+
+  /** The stage's JSON config name — audit dispositions use these, so
+    * an audit row joins straight back to the pipeline's provenance
+    * record. Keep in lock-step with [[toJson]]/[[fromJson]].
+    */
+  def stageName(st: CurationStage): String = st match {
+    case _: Quality => "quality"
+    case _: Repetition => "repetition"
+    case _: NearDupDrop => "near_dup_drop"
+    case PiiRedact => "pii_redact"
+    case _: Decontaminate => "decontaminate"
+    case _: ParagraphDedup => "paragraph_dedup"
+    case _: DomainBlock => "domain_block"
+    case _: LmCoverage => "lm_coverage"
+    case _: TopFraction => "top_fraction"
+    case _: Sample => "sample"
+    case _: Mix => "mix"
+    case _: Shuffle => "shuffle"
+    case _: PackTokens => "pack_tokens"
+    case _: Split => "split"
+    case _: Chunk => "chunk"
+  }
 
   def toJson(p: CurationPipeline): String = {
     val root = mapper.createObjectNode()

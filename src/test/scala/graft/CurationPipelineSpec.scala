@@ -169,6 +169,39 @@ class CurationPipelineSpec extends SparkTestBase {
       s"splits named by config: ${assigned.values.toSet}")
   }
 
+  test("audit attributes each doc to the first dropping stage; kept set equals run's") {
+    def wordsOf(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val good = wordsOf("alpha", 60) + " the of and is"
+    val chorus = (0 until 30).map(_ => "lala lala spam haha").mkString(" ") +
+      " the of and is"
+    val evalQuote = wordsOf("eval", 60) + " the of and is"
+    val corpus = Seq(
+      (1L, good),
+      (2L, wordsOf("short", 5)),
+      (3L, chorus),
+      (4L, good),
+      (5L, evalQuote),
+      (6L, wordsOf("beta", 55) + " the of and is pii bob@example.com"))
+      .toDF("doc_id", "text")
+    val reference = Seq((100L, evalQuote)).toDF("ref_id", "text")
+    val p = CurationPipeline("text", "doc_id", Seq(
+      Quality(), Repetition(), NearDupDrop(0.8), Decontaminate(), PiiRedact))
+    val ref = Some((reference, "text", "ref_id"))
+    val audit = p.audit(corpus, ref).as[(Long, String)].collect().toMap
+    assert(audit == Map(
+      1L -> "kept",
+      2L -> "0:quality",
+      3L -> "1:repetition",
+      4L -> "2:near_dup_drop",
+      5L -> "3:decontaminate",
+      6L -> "kept"), s"got $audit")
+    // the audit is a partition of the input: every doc exactly once,
+    // and its kept set is precisely run()'s output ids
+    assert(audit.size == 6)
+    val ran = p.run(corpus, ref).select("doc_id").as[Long].collect().toSet
+    assert(audit.filter(_._2 == "kept").keySet == ran)
+  }
+
   test("runner: Mix threads its domain column through reprojecting stages; Shuffle is terminal") {
     // 300 en / 100 zh, every doc carrying the same boilerplate banner;
     // Mix comes AFTER ParagraphDedup (which reprojects to (id, text)),
