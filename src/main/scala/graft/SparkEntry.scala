@@ -1966,6 +1966,27 @@ object SparkEntry {
           Sketches.kmvEstimate(col("sketch"), k).as("est_distinct"))
     }),
 
+    // HyperLogLog registers on the cross-engine md5 grid: per-lang
+    // register tables (≤ 2^12 rows each, one partial-agg pass), the
+    // __all__ group derived by MAX-MERGING the per-lang tables (the
+    // mergeability contract itself is under test — the oracle builds
+    // __all__ from the union's distinct hashes instead), and integer
+    // sufficient statistics: v_zero, s_num = the exact numerator of
+    // the harmonic mean (no float sum anywhere; est_raw is single
+    // IEEE ops over exact ints, bit-stable cross-engine).
+    "q_sketch_hll" -> ((s, dir) => {
+      val p = 12
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      val perLang = Sketches.hllRegisters(tok, col("term"), p, Seq("lang"))
+      val all = Sketches.hllMergeAll(perLang.select("bucket", "rho"))
+        .withColumn("lang", lit("__all__"))
+      Sketches.hllStats(perLang.unionByName(all), p, Seq("lang"))
+        .select(col("lang").as("grp"), col("n_registers"), col("v_zero"),
+          col("s_num"), round(col("est_raw"), 4).as("est_raw"))
+    }),
+
     // Count-Min frequency sketch: 4×2048 counter array built in one
     // partial-agg pass over token occurrences (64 KB mergeable state —
     // the exact groupBy(term).count it replaces shuffles every distinct
@@ -3803,6 +3824,44 @@ object SparkEntry {
         |       + (127 * (72057594037927936 % max(h))) // max(h)
         |    END)::BIGINT AS est_distinct
         |FROM u GROUP BY lang""".stripMargin,
+
+    // HLL p=12 over the 56-bit md5 grid: bucket = top 12 bits, rho =
+    // 45 - bitlen(low 44 bits) (bin-string length, no float log),
+    // registers = max rho per bucket; __all__ from the union's
+    // distinct hashes (== max-merge of per-lang tables). All-integer
+    // stats; est_raw association mirrors the engine exactly.
+    "q_sketch_hll" ->
+      s"""WITH tok AS (
+        |  SELECT lang, unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT lang, term FROM tok WHERE term <> ''),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(term), 1, 14)) AS UBIGINT) AS h
+        |  FROM t2
+        |), hu AS (
+        |  SELECT lang, h FROM h
+        |  UNION ALL
+        |  SELECT '__all__' AS lang, h FROM (SELECT DISTINCT h FROM h)
+        |), br AS (
+        |  SELECT lang, (h >> 44)::BIGINT AS bucket,
+        |    CASE WHEN (h & ((1::UBIGINT << 44) - 1)) = 0 THEN 45
+        |         ELSE 45 - length(bin(h & ((1::UBIGINT << 44) - 1))) END AS rho
+        |  FROM hu
+        |), regs AS (
+        |  SELECT lang, bucket, max(rho) AS rho FROM br GROUP BY lang, bucket
+        |), st AS (
+        |  SELECT lang, count(*)::BIGINT AS n_registers,
+        |    sum((1::BIGINT << (45 - rho)))::BIGINT AS s_hit
+        |  FROM regs GROUP BY lang
+        |)
+        |SELECT lang AS grp, n_registers,
+        |  (4096 - n_registers)::BIGINT AS v_zero,
+        |  (s_hit + (4096 - n_registers) * 35184372088832)::BIGINT AS s_num,
+        |  round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
+        |    / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
+        |    AS est_raw
+        |FROM st""".stripMargin,
 
     // CMS 4x2048: per-depth collision-cell counts over token
     // occurrences; probe estimate = min over depth rows (same md5 cell

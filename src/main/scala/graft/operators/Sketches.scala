@@ -6,8 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable data sketches over corpus-scale streams (SURVEY.md §2.11
-  * "novel sketch" extension ops): KMV distinct-count and Count-Min
-  * frequency.
+  * "novel sketch" extension ops): KMV and HLL distinct-count,
+  * Count-Min frequency, fixed-grid histograms.
   *
   * Both are built on the repo's cross-engine md5 hash grid instead of
   * engine-private hashing (`approx_count_distinct`'s HLL buffer,
@@ -87,6 +87,97 @@ object Sketches {
     val est = lit(k - 1L) * call_function("div", s, h) +
       call_function("div", lit(k - 1L) * (s % h), h)
     when(size(sketch) < k, size(sketch).cast("long")).otherwise(est)
+  }
+
+  /** HLL register table over `item`'s distinct set: `groupCols*,
+    * bucket: long, rho: int` — bucket = top p bits of the 56-bit
+    * [[kmvHash]], rho = leading-zero count of the remaining 56−p bits
+    * + 1, max-aggregated per bucket. The FULL HyperLogLog state, but
+    * as ≤ 2^p ROWS on the cross-engine md5 grid rather than an
+    * engine-private binary buffer: a pure function of the distinct
+    * set (order/partition/engine-invariant, so the DuckDB oracle
+    * recomputes it exactly), and mergeable by `max` per bucket —
+    * union semantics without rescanning (per-shard/day register
+    * tables roll up with [[hllMergeAll]]).
+    *
+    * rho via bit-length, not log2: `length(bin(w))` = ⌊log2 w⌋+1
+    * exactly on both engines (binary STRING length — no float log
+    * near-integer hazard), so rho = (56−p)+1 − bitlen(w), with the
+    * w=0 case pinned explicitly (bin(0)='0' would mis-count).
+    *
+    * One partial-agg pass (map-side max combine), ≤ 2^p rows shuffle.
+    * vs [[kmvSketch]]: KMV gives the exact-integer estimate grid;
+    * HLL gives ~1.04/√m error in 2^p registers — the standard
+    * engine-interop sketch shape. 4 ≤ p ≤ 16 keeps s_num in
+    * overflow-checked range (see [[hllStats]]).
+    */
+  def hllRegisters(df: DataFrame, item: Column, p: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision out of range: $p")
+    val b = 56 - p
+    val h = kmvHash(item)
+    val w = h.bitwiseAND(lit((1L << b) - 1))
+    val rho = when(w === 0L, lit(b + 1))
+      .otherwise(lit(b + 1) - length(bin(w))).cast("int")
+    df.where(item.isNotNull)
+      .select(groupCols.map(col) :+ shiftright(h, b).as("bucket")
+        :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge per-group register tables into one global table WITHOUT
+    * rescanning: HLL(A ∪ B) register = max of the groups' registers
+    * (the hash of a value is the same in every group). Input is
+    * ≤ groups × 2^p rows — driver-free, one tiny agg.
+    */
+  def hllMergeAll(registers: DataFrame): DataFrame =
+    registers.groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+
+  /** Integer sufficient statistics of a register table, per group:
+    * `n_registers` (buckets hit), `v_zero` = 2^p − n_registers (empty
+    * buckets), and `s_num` = Σ_buckets 2^(R − rho) with R = (56−p)+1
+    * (empty buckets contribute 2^R) — the EXACT integer numerator of
+    * the harmonic mean: Σ 2^(−rho) = s_num / 2^R. Bound: every bucket
+    * contributes ≤ 2^R, so s_num ≤ 2^p · 2^(57−p) = 2^57 — fits a
+    * long at every allowed p. `est_raw` is the uncorrected HLL
+    * estimate α_m·m²·2^R/s_num — single IEEE ops over exact integers,
+    * so cross-engine bit-identical (no float SUM order anywhere; the
+    * sum happened in integers).
+    */
+  def hllStats(registers: DataFrame, p: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll precision out of range: $p")
+    val m = 1L << p
+    val r = (56 - p) + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_registers"),
+        sum(call_function("shiftleft", lit(1L),
+          (lit(r) - col("rho")).cast("int"))).as("__s_hit"))
+      .withColumn("v_zero", lit(m) - col("n_registers"))
+      .withColumn("s_num",
+        col("__s_hit") + col("v_zero") * lit(1L << r))
+      .withColumn("est_raw",
+        lit(alpha * m.toDouble * m.toDouble) * lit(math.pow(2.0, r)) /
+          col("s_num").cast("double"))
+      .drop("__s_hit")
+  }
+
+  /** The corrected estimate from [[hllStats]] columns: linear counting
+    * m·ln(m/V) when empty buckets remain and the raw estimate is in
+    * the small-range regime (≤ 2.5m) — Flajolet et al.'s standard
+    * correction. `ln` is a libm call (cross-engine last-ulp hazard),
+    * so this column belongs in dashboards and error-bound specs, NOT
+    * in hash-compared oracle output — the oracle pins `s_num`/`v_zero`
+    * and `est_raw` instead.
+    */
+  def hllEstimate(p: Int): Column = {
+    val m = (1L << p).toDouble
+    when(col("v_zero") > 0L && col("est_raw") <= lit(2.5 * m),
+      lit(m) * log(lit(m) / col("v_zero").cast("double")))
+      .otherwise(col("est_raw"))
   }
 
   /** Distribution drift between two [[histogram]]s on the SAME grid,

@@ -61,6 +61,41 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("hll: registers partition/order-invariant; merge == direct union; estimate in 4-sigma") {
+    val n = 5000
+    val p = 12
+    val df = (1 to n).map(i => (s"g${i % 3}", s"item$i")).toDF("g", "t")
+    val perGroup = Sketches.hllRegisters(df, col("t"), p, Seq("g"))
+    // max-merge of the groups' registers == registers of the union
+    val merged = Sketches.hllMergeAll(perGroup.select("bucket", "rho"))
+    val direct = Sketches.hllRegisters(df, col("t"), p)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "HLL(A u B) registers must equal max-merge of HLL(A), HLL(B)")
+    // registers are a pure function of the distinct set
+    for (parts <- Seq(1, 7)) {
+      val re = Sketches.hllRegisters(df.repartition(parts), col("t"), p)
+      assert(re.exceptAll(direct).isEmpty && direct.exceptAll(re).isEmpty)
+    }
+    val est = Sketches.hllStats(direct, p)
+      .select(Sketches.hllEstimate(p)).as[Double].head()
+    val bound = 4.0 * 1.04 / math.sqrt((1L << p).toDouble) // 4 sigma
+    assert(math.abs(est - n) / n < bound, s"est=$est truth=$n")
+  }
+
+  test("hll: linear counting regime is near-exact at tiny cardinality; stats are integers") {
+    val p = 12
+    val df = (1 to 300).map(i => s"v${i % 50}").toDF("t")
+    val regs = Sketches.hllRegisters(df, col("t"), p)
+    val st = Sketches.hllStats(regs, p)
+    val (nr, vz, sn) = st.select(col("n_registers"), col("v_zero"),
+      col("s_num")).as[(Long, Long, Long)].head()
+    assert(nr + vz == (1L << p) && sn > 0)
+    // 50 distinct into 4096 buckets: collisions are possible but rare;
+    // linear counting is within a couple of buckets of exact
+    val est = st.select(Sketches.hllEstimate(p)).as[Double].head()
+    assert(math.abs(est - 50.0) <= 3.0, s"est=$est")
+  }
+
   test("cms: estimate >= exact count, tight for heavy hitters; partition-invariant") {
     val tokens =
       Seq.fill(400)("alpha") ++ Seq.fill(150)("beta") ++
