@@ -2199,6 +2199,37 @@ object SparkEntry {
           round(col("c_acctbal"), 4).as("c_acctbal"))
     }),
 
+    // Snapshot diff over the SAME constructed log as q_timetravel:
+    // changed keys between two time-travel views, computed in ONE
+    // aggregation over the log (no join, no double resolution). The
+    // oracle enumerates the planted change matrix per window — added
+    // clones, tombstoned removals, updated keys — and hash-compares,
+    // so an unchanged key leaking in (or a change mis-classified)
+    // breaks the gate.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val log = Spill.newPath(s)
+      MergeLog.append(base, log, 0L, Seq("c_custkey"))
+      val d1 = base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(base.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 200000L))
+      MergeLog.append(d1, log, 1L, Seq("c_custkey"))
+      val d2 = base.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 5000.0)
+        .withColumn("__dead", lit(false))
+        .unionByName(base
+          .where(col("c_custkey") % 17 === 0 && col("c_custkey") % 3 =!= 0)
+          .withColumn("__dead", lit(true)))
+      MergeLog.append(d2, log, 2L, Seq("c_custkey"), Some("__dead"))
+      Seq((0L, 2L), (1L, 2L)).map { case (f, v) =>
+        MergeLog.diff(s, log, Seq("c_custkey"), f, v)
+          .withColumn("win", lit(s"$f-$v"))
+      }.reduce(_ unionByName _)
+        .select("win", "c_custkey", "change")
+    }),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -4135,6 +4166,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2::BIGINT AS asof, c_custkey, c_name,
         |  round(c_acctbal, 4) AS c_acctbal FROM asof2""".stripMargin,
+
+    // the planted change matrix: v0->v2 and v1->v2 windows; updated
+    // only where the value truly differs, tombstones -> removed
+    "q_snapshot_diff" ->
+      """SELECT '0-2' AS win, c_custkey + 200000 AS c_custkey,
+        |  'added' AS change
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT '0-2', c_custkey, 'removed' FROM customer
+        |WHERE c_custkey % 17 = 0 AND c_custkey % 3 <> 0
+        |UNION ALL
+        |SELECT '0-2', c_custkey, 'updated' FROM customer
+        |WHERE c_custkey % 3 = 0 OR (c_custkey % 10 = 0
+        |  AND c_custkey % 3 <> 0 AND c_custkey % 17 <> 0)
+        |UNION ALL
+        |SELECT '1-2', c_custkey, 'removed' FROM customer
+        |WHERE c_custkey % 17 = 0 AND c_custkey % 3 <> 0
+        |UNION ALL
+        |SELECT '1-2', c_custkey, 'updated' FROM customer
+        |WHERE c_custkey % 3 = 0""".stripMargin,
 
     // layout is physical only — the range scan must equal a plain filter
     "q_compact_layout" ->

@@ -117,6 +117,47 @@ object MergeLog {
     resolve(readVersions(spark, dir, vs.filter(_ <= asOfVersion)), keyCols)
   }
 
+  /** Changed keys between the [[snapshotAsOf]] views at `fromVersion`
+    * and `toVersion`: `keyCols*, change` with change ∈ added | removed
+    * | updated (unchanged keys are absent). The "what moved between
+    * yesterday's corpus and today's" ops primitive — at 100 TB you
+    * diff the log, not two materialized snapshots.
+    *
+    * One pass, one key shuffle, NO join: instead of resolving two
+    * snapshots (two window shuffles) and full-outer-joining them, the
+    * log ≤ `toVersion` is aggregated once per key with two conditional
+    * `max_by`s — the winning row at `fromVersion` (ordinal nulled for
+    * v > from, so max_by skips those) and at `toVersion`. Tombstones
+    * ride inside the row struct: a key added-then-deleted inside the
+    * window correctly reports nothing.
+    */
+  def diff(spark: SparkSession, dir: String, keyCols: Seq[String],
+      fromVersion: Long, toVersion: Long,
+      changeCol: String = "change"): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diff window is backwards: $fromVersion > $toVersion")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"diff: merge log at $dir is empty or missing")
+    require(fromVersion >= vs.min,
+      s"history before version ${vs.min} of the merge log at $dir has " +
+        s"been rebased by compaction (or was never written); cannot " +
+        s"diff from version $fromVersion")
+    val log = readVersions(spark, dir, vs.filter(_ <= toVersion))
+    val dataCols = log.columns.filterNot(c => keyCols.contains(c) || c == VCol)
+    val rowS = struct(dataCols.map(col): _*) // __dead rides along
+    val agg = log.groupBy(keyCols.map(col): _*).agg(
+      max_by(rowS, when(col(VCol) <= fromVersion, col(VCol))).as("__from"),
+      max_by(rowS, col(VCol)).as("__to"))
+    val fromLive = col("__from").isNotNull && !col(s"__from.$DeadCol")
+    val toLive = col("__to").isNotNull && !col(s"__to.$DeadCol")
+    agg.withColumn(changeCol,
+      when(!fromLive && toLive, "added")
+        .when(fromLive && !toLive, "removed")
+        .when(fromLive && toLive && col("__from") =!= col("__to"), "updated"))
+      .where(col(changeCol).isNotNull)
+      .select(keyCols.map(col) :+ col(changeCol): _*)
+  }
+
   /** Fold the log into one base partition: the per-key latest rows
     * (tombstones INCLUDED — see the crash posture above) written as
     * version `max+1`, then the superseded partitions deleted. Read

@@ -43,6 +43,53 @@ class MergeLogSpec extends SparkTestBase {
     assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == multiset(eager))
   }
 
+  test("diff classifies added/removed/updated; equals the two-snapshot reference") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    // v1: update 2, add 4, add-then-delete candidate 5
+    MergeLog.append(Seq((2L, "b1", 21.0, false), (4L, "d", 40.0, false),
+      (5L, "e", 50.0, false)).toDF("k", "name", "v", "dead"),
+      dir, 1L, Seq("k"), Some("dead"))
+    // v2: delete 3 and 5, re-update 2, touch 1 with an IDENTICAL row
+    MergeLog.append(Seq((2L, "b2", 22.0, false), (3L, "c", 0.0, true),
+      (5L, "e", 0.0, true), (1L, "a", 10.0, false))
+      .toDF("k", "name", "v", "dead"), dir, 2L, Seq("k"), Some("dead"))
+
+    val got = MergeLog.diff(spark, dir, Seq("k"), 0L, 2L)
+      .as[(Long, String)].collect().toMap
+    // 1 rewritten with identical values -> NOT a change; 5 added then
+    // deleted inside the window -> invisible
+    assert(got == Map(2L -> "updated", 3L -> "removed", 4L -> "added"),
+      s"got $got")
+
+    // reference implementation: full-outer join of the two snapshots
+    def ref(f: Long, t: Long): Map[Long, String] = {
+      val a = MergeLog.snapshotAsOf(spark, dir, Seq("k"), f)
+        .withColumnRenamed("name", "an").withColumnRenamed("v", "av")
+      val b = MergeLog.snapshotAsOf(spark, dir, Seq("k"), t)
+        .withColumnRenamed("name", "bn").withColumnRenamed("v", "bv")
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("an").isNull, "added")
+            .when(col("bn").isNull, "removed")
+            .when(col("an") =!= col("bn") || col("av") =!= col("bv"), "updated"))
+        .where(col("change").isNotNull)
+        .select(col("k"), col("change")).as[(Long, String)].collect().toMap
+    }
+    assert(got == ref(0L, 2L))
+    assert(MergeLog.diff(spark, dir, Seq("k"), 1L, 2L)
+      .as[(Long, String)].collect().toMap == ref(1L, 2L))
+    // identical endpoints -> empty; backwards/rebased windows refused
+    assert(MergeLog.diff(spark, dir, Seq("k"), 2L, 2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      MergeLog.diff(spark, dir, Seq("k"), 2L, 1L)
+    }
+    MergeLog.compact(spark, dir, Seq("k"))
+    intercept[IllegalArgumentException] {
+      MergeLog.diff(spark, dir, Seq("k"), 0L, MergeLog.versions(spark, dir).max)
+    }
+  }
+
   test("replayed append is idempotent (overwrites its own version)") {
     val dir = Spill.newPath(spark)
     MergeLog.append(base, dir, 0L, Seq("k"))
