@@ -31,7 +31,7 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|pq|bloom|asof|inccur|all selects the axis
+    //   layout|pq|bloom|asof|inccur|audit|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -322,7 +322,8 @@ object ScaleProbe {
     // text and minhash axes; this measures the COMPOSITION (the joins
     // between stages and the spilled hand-off) at corpus growth.
     {
-      import graft.operators.{Dedup, Sampling, Spill, TextAnalysis}
+      import graft.operators.{CurationPipeline, CurationStage, Dedup,
+        Sampling, Spill, TextAnalysis}
       // the plain vowel-rewrite would fail EVERY replica at the quality
       // gate (it destroys the English stopwords the rule needs), so the
       // funnel would silently process only the original docs at every n
@@ -364,6 +365,32 @@ object ScaleProbe {
         if (warmedCurate)
           println(f"[scale] n=$n%-3d docs=$rows%-9d curateFunnel=$sec%6.2fs/${mb}%8.1fMB")
         warmedCurate = true
+        corpus.unpersist()
+      }
+
+      // audit axis: the disposition audit claims O(funnel), not
+      // O(stages × funnel) — its per-stage spill must prevent upstream
+      // recomputation, and the id-only anti-joins must stay in the
+      // noise next to the stages' own corpus-sized work. Measured as
+      // run() vs audit() on the SAME 3-stage pipeline (projection
+      // filter + shuffling Repetition + hash sample): expect both
+      // linear in corpus, with the audit/run wall ratio bounded by a
+      // small constant at every n.
+      var warmedAudit = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "audit") {
+        val corpus = replicatedQualityDocs(n).cache()
+        val rows = corpus.count()
+        val pipeA = CurationPipeline("text", "doc_id", Seq(
+          CurationStage.Quality(), CurationStage.Repetition(),
+          CurationStage.Sample(0.5)))
+        val (rSec, rMb) = time(pipeA.run(corpus).count() + 1)
+        val (aSec, aMb) = time(
+          pipeA.audit(corpus).groupBy(col("disposition")).count()
+            .agg(sum("count")).head().getLong(0))
+        if (warmedAudit)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d run=$rSec%6.2fs/${rMb}%8.1fMB " +
+            f"audit=$aSec%6.2fs/${aMb}%8.1fMB ratio=${aSec / rSec}%4.2f")
+        warmedAudit = true
         corpus.unpersist()
       }
     }
