@@ -1688,6 +1688,31 @@ object SparkEntry {
         .audit(planted)
     }),
 
+    // Pipeline-level predicate-order optimization: the authored order
+    // is deliberately pessimal (the shuffling Repetition stage first),
+    // optimized() reorders the commuting pure-filter run by measured
+    // cost/(1-selectivity) on a hash-sample probe, and the result must
+    // STILL equal the order-free conjunction of all four predicates —
+    // the oracle is the AND of the stage predicates, so any reordering
+    // that changes semantics (or any non-commuting stage sneaking into
+    // the reorderable set) breaks the hash.
+    "q_curate_optimized" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://site"), col("doc_id") % 7,
+              lit(".example.com/path and http://cdn"), col("doc_id") % 5,
+              lit(".assets.net/x")))
+            .otherwise(lit(""))).as("text"))
+      val authored = CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Repetition(2, 0.2),
+        CurationStage.Quality(50, 100000, 2),
+        CurationStage.DomainBlock(Seq(
+          "site0.example.com", "site3.example.com", "assets.net")),
+        CurationStage.Sample(0.5, "aud")))
+      authored.optimized(planted).run(planted)
+    }),
+
     // The O(delta) nightly refresh, gated against its own batch
     // meaning: bootstrap curates the documents table (quality +
     // admission-order near-dup), then ONE refresh ingests a planted
@@ -3536,6 +3561,42 @@ object SparkEntry {
         |       ELSE 'kept' END AS disposition
         |FROM planted p JOIN q USING (doc_id)
         |LEFT JOIN blk b USING (doc_id)""".stripMargin,
+
+    // order-free conjunction of the four commuting predicates: any
+    // optimizer reordering must land on exactly this set
+    "q_curate_optimized" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
+        |      '.example.com/path and http://cdn' || (doc_id % 5) ||
+        |      '.assets.net/x'
+        |    ELSE '' END AS text
+        |  FROM documents
+        |), norm AS (
+        |  SELECT doc_id,
+        |    ${sqlNt("text")} AS nt,
+        |    string_split(${sqlNt("text")}, ' ') AS w
+        |  FROM planted
+        |), $sqlQualityM, $sqlRepGrams, rep AS (
+        |  SELECT doc_id FROM c GROUP BY doc_id
+        |  HAVING $sqlRepRule
+        |), urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    'https?://([a-z0-9.-]+)', 1)) AS u
+        |  FROM planted
+        |), blk AS (
+        |  SELECT DISTINCT doc_id FROM urls
+        |  WHERE len(list_filter(
+        |    ['site0.example.com','site3.example.com','assets.net'],
+        |    bd -> u = bd OR ends_with(u, '.' || bd))) > 0
+        |)
+        |SELECT p.doc_id, p.text
+        |FROM planted p
+        |JOIN m USING (doc_id) JOIN rep USING (doc_id)
+        |WHERE ($sqlQualityPasses)
+        |  AND p.doc_id NOT IN (SELECT doc_id FROM blk)
+        |  AND CAST(('0x' || substr(md5(p.doc_id::VARCHAR || 'aud'), 1, 8))
+        |    AS UBIGINT) % 10000 < 5000""".stripMargin,
 
     // the incremental contract: the oracle is the BATCH pipeline over
     // base ∪ delta — quality filter, then admission-order near-dup

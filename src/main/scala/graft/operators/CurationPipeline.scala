@@ -185,6 +185,74 @@ case class CurationPipeline(textCol: String, idCol: String,
     (dropped :+ kept).reduce(_ unionByName _)
   }
 
+  /** True iff the stage is a pure per-document PREDICATE on the
+    * unmodified (id, text): it drops rows, never rewrites them, and
+    * its verdict for a document is independent of every other
+    * document's presence. Exactly these stages commute, so
+    * [[optimized]] may reorder them freely. Set-dependent stages
+    * (NearDupDrop, TopFraction, Mix — their output depends on WHICH
+    * other docs survive) and text-rewriting stages (PiiRedact,
+    * ParagraphDedup) are fences the optimizer never crosses.
+    */
+  private def isPureFilter(st: CurationStage): Boolean = st match {
+    case _: Quality | _: Repetition | _: DomainBlock | _: Sample => true
+    case _ => false
+  }
+
+  /** Predicate-order optimization — the System-R filter-ordering rule
+    * applied at the pipeline level, where Catalyst can't see it (each
+    * stage is an opaque operator composition, not a conjunct it may
+    * reorder): within every maximal contiguous run of commuting pure
+    * filters, measure each stage's per-row cost and selectivity on a
+    * deterministic hash-sample probe and sort by the classic rank
+    * cost/(1 − selectivity) ascending — cheapest-most-selective
+    * first, so expensive stages (Repetition's shuffle above all) see
+    * the fewest rows. The authored order is still the author's
+    * choice: this returns a NEW pipeline, result-identical by the
+    * commuting property (spec- and oracle-gated), for the author to
+    * adopt.
+    *
+    * Probe cost: one footer-count of the input, one spilled ~probeRows
+    * sample, one sample-sized pass per reorderable stage — bounded by
+    * config, independent of corpus size.
+    */
+  def optimized(df: DataFrame,
+      reference: Option[(DataFrame, String, String)] = None,
+      probeRows: Long = 20000L): CurationPipeline = {
+    if (!stages.exists(isPureFilter)) return this
+    val input = checkedInput(df, reference)
+    val n = input.count()
+    val frac = math.min(1.0, probeRows.toDouble / math.max(1L, n))
+    val probe = Spill.roundTrip(
+      Sampling.sampleByHash(input, idCol, frac, "optprobe"))
+    val pn = math.max(1L, probe.count())
+    def rank(st: CurationStage): Double = {
+      val t0 = System.nanoTime()
+      val kept = applyStage(probe, st, reference).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sel = kept.toDouble / pn
+      (sec / pn) / math.max(1e-9, 1.0 - sel)
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[CurationStage]
+    var i = 0
+    while (i < stages.length) {
+      if (isPureFilter(stages(i))) {
+        val j = stages.indexWhere(st => !isPureFilter(st), i) match {
+          case -1 => stages.length
+          case k => k
+        }
+        val run = stages.slice(i, j)
+        out ++= (if (run.length > 1) run.map(st => st -> rank(st))
+          .sortBy(_._2).map(_._1)
+        else run)
+        i = j
+      } else {
+        out += stages(i); i += 1
+      }
+    }
+    copy(stages = out.toSeq)
+  }
+
   private def applyStage(cur: DataFrame, st: CurationStage,
       reference: Option[(DataFrame, String, String)]): DataFrame = {
     val extras = cur.columns.toSeq.filterNot(c => c == idCol || c == textCol)

@@ -31,7 +31,7 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|pq|bloom|asof|inccur|audit|all selects the axis
+    //   layout|pq|bloom|asof|inccur|audit|optorder|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -391,6 +391,31 @@ object ScaleProbe {
           println(f"[scale] n=$n%-3d docs=$rows%-9d run=$rSec%6.2fs/${rMb}%8.1fMB " +
             f"audit=$aSec%6.2fs/${aMb}%8.1fMB ratio=${aSec / rSec}%4.2f")
         warmedAudit = true
+        corpus.unpersist()
+      }
+
+      // predicate-order axis: a pessimal authored order (the shuffling
+      // Repetition stage FIRST, a 0.25 hash-sample LAST) vs
+      // optimized()'s measured cost/(1-sel) order. The win is bounded
+      // by how much of the funnel's cost sits in reorderable stages
+      // seeing avoidable rows — here Repetition should see 4× fewer
+      // docs once Sample ranks ahead of it. Probe/reorder time is
+      // charged to the optimized side (it is part of that plan's cost).
+      var warmedOpt = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "optorder") {
+        val corpus = replicatedQualityDocs(n).cache()
+        val rows = corpus.count()
+        val pess = CurationPipeline("text", "doc_id", Seq(
+          CurationStage.Repetition(), CurationStage.Quality(),
+          CurationStage.Sample(0.25)))
+        val (pSec, pMb) = time(pess.run(corpus).count() + 1)
+        val (oSec, oMb) = time {
+          pess.optimized(corpus).run(corpus).count() + 1
+        }
+        if (warmedOpt)
+          println(f"[scale] n=$n%-3d docs=$rows%-9d pessimal=$pSec%6.2fs/${pMb}%8.1fMB " +
+            f"optimized=$oSec%6.2fs/${oMb}%8.1fMB speedup=${pSec / oSec}%4.2fx")
+        warmedOpt = true
         corpus.unpersist()
       }
     }

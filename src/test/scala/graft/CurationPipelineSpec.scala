@@ -202,6 +202,37 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(audit.filter(_._2 == "kept").keySet == ran)
   }
 
+  test("optimized reorders only commuting filters, never crosses fences, preserves results") {
+    def wordsOf(p: String, i: Long, n: Int) =
+      (0 until n).map(j => s"$p${i}_$j").mkString(" ")
+    val corpus = (0L until 60L)
+      .map(i => (i, wordsOf("tok", i, 60) + " the of and is"))
+      .toDF("doc_id", "text")
+    val authored = CurationPipeline("text", "doc_id", Seq(
+      Repetition(), Quality(), Sample(0.5), // commuting run (pessimal order)
+      PiiRedact, // fence: rewrites text
+      DomainBlock(Seq("x.example.com")), Sample(0.9, "b"))) // second run
+    val opt = authored.optimized(corpus)
+    // permutation WITHIN each run; the fence holds its position
+    assert(opt.stages.length == authored.stages.length)
+    assert(opt.stages(3) == PiiRedact, s"fence moved: ${opt.stages}")
+    assert(opt.stages.take(3).toSet ==
+      Set[CurationStage](Repetition(), Quality(), Sample(0.5)))
+    assert(opt.stages.drop(4).toSet ==
+      Set[CurationStage](DomainBlock(Seq("x.example.com")), Sample(0.9, "b")))
+    // the shuffling Repetition stage cannot rank ahead of the
+    // projection filters: it must run last in its run
+    assert(opt.stages(2) == Repetition(), s"got ${opt.stages}")
+    // result-identical
+    val a = authored.run(corpus).orderBy("doc_id").collect().toSeq
+    val b = opt.run(corpus).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // a pipeline with no commuting pairs comes back unchanged
+    val single = CurationPipeline("text", "doc_id",
+      Seq(Quality(), PiiRedact, Sample(0.5)))
+    assert(single.optimized(corpus).stages == single.stages)
+  }
+
   test("runner: Mix threads its domain column through reprojecting stages; Shuffle is terminal") {
     // 300 en / 100 zh, every doc carrying the same boilerplate banner;
     // Mix comes AFTER ParagraphDedup (which reprojects to (id, text)),
