@@ -2317,6 +2317,29 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // Batch point-in-interval range join: view events against
+    // purchase-anchored intervals [p_ts-2h, p_ts+1h] per user, planned
+    // as the bucketed time-grid EQUI-join (explode intervals to 1h
+    // buckets, point meets interval at exactly one bucket) instead of
+    // the per-key-quadratic theta join. The oracle IS the plain
+    // BETWEEN theta join — a pair duplicated across buckets or missed
+    // at a bucket edge breaks the hash.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_event_id"),
+          unix_micros(col("ts")).as("v_us"), col("value").as("v_value"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("p_event_id"),
+          (unix_micros(col("ts")) - 7200L * 1000000L).as("lo_us"),
+          (unix_micros(col("ts")) + 3600L * 1000000L).as("hi_us"))
+      RangeJoin.pointInInterval(views, "v_us", purch, "lo_us", "hi_us",
+        Seq("user_id" -> "p_user_id"), widthUs = 3600L * 1000000L)
+        .select(col("user_id"), col("p_event_id"), col("v_event_id"),
+          col("v_us"), round(col("v_value"), 4).as("v_value"))
+    }),
+
     // Bucketed co-located materialization (SURVEY §2.8 at 100 TB): both
     // tables written bucketBy(custkey) once, then joined through the
     // catalog — Catalyst sees the hash-clustered layout and plans the
@@ -4258,6 +4281,23 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 299
         |  AND n_chars BETWEEN 200 AND 2000""".stripMargin,
+
+    // the definitionally-correct theta join the bucketed plan must match
+    "q_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_event_id,
+        |    epoch_us(ts)::BIGINT - 7200000000 AS lo_us,
+        |    epoch_us(ts)::BIGINT + 3600000000 AS hi_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, event_id AS v_event_id,
+        |    epoch_us(ts)::BIGINT AS v_us, value AS v_value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT v.user_id, p.p_event_id, v.v_event_id, v.v_us,
+        |  round(v.v_value, 4) AS v_value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v.v_us BETWEEN p.lo_us AND p.hi_us""".stripMargin,
 
     // inclusive BETWEEN bounds; micros so the ts compare is integer
     "q_stream_interval_join" ->

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch point-in-interval join: points with a long (epoch-micros)
+  * time column against intervals `[lo, hi]`, optionally under
+  * equi-keys — "which campaign/session/window was this event inside".
+  *
+  * The naive formulation `points.join(intervals, keys && pt BETWEEN
+  * lo AND hi)` plans as an equi-join on the keys with the range as a
+  * POST-FILTER: every (point, interval) pair sharing a key is
+  * materialized before the filter runs — per-key quadratic, and with
+  * no keys at all a BroadcastNestedLoopJoin. The classic fix (the
+  * bucketed range join every warehouse engine ships) is applied here
+  * with plain Spark operators:
+  *
+  *  1. each interval explodes to the fixed-width time buckets it
+  *     covers — `sequence(lo/W, hi/W)` rows;
+  *  2. each point maps to its single bucket `pt/W`;
+  *  3. equi-join on (keys…, bucket) — hash-partitioned, no theta
+  *     condition — then the exact BETWEEN filter.
+  *
+  * Every matching pair survives exactly once WITHOUT dedup: a point
+  * lives in one bucket, so it can meet a given interval only at that
+  * bucket row. Shuffle is points + Σ⌈len/W⌉ interval replicas; the
+  * per-bucket population bounds the join's worst task, so `widthUs`
+  * trades replication against bucket density (pick ≈ the typical
+  * interval length; the guard below names the blast radius if a
+  * pathological interval would explode).
+  *
+  * When to use it (measured, SCALE.md axis 23): on UNIFORM keys the
+  * theta plan is competitive at moderate density — codegen'd SMJ
+  * streams each key block at ~3·10⁸ comparisons/s/core while this
+  * plan pays the interval-replication shuffle. The bucketed plan's
+  * regime is SKEW and extreme density: a 30 %-hot key serializes the
+  * theta join into one ×50 straggler task; bucketing spreads the same
+  * key across its time buckets (×1.3, 16× faster wall at the probe).
+  *
+  * Interval sanity (`hi >= lo`, bounded bucket count per interval) is
+  * checked with ONE aggregate over the intervals side — intervals are
+  * the small side of every sane range join; the check is what keeps a
+  * mis-specified width from silently planning a 10⁶-row explosion.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, pointTimeCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      equiKeys: Seq[(String, String)] = Nil,
+      widthUs: Long = 3600L * 1000000L,
+      maxBucketsPerInterval: Long = 4096L): DataFrame = {
+    require(widthUs > 0, s"bucket width must be positive: $widthUs")
+    val stats = intervals.agg(
+      min(col(hiCol) - col(loCol)).as("minLen"),
+      max(call_function("div", col(hiCol), lit(widthUs)) -
+        call_function("div", col(loCol), lit(widthUs)) + 1L).as("maxB"))
+      .head()
+    if (!stats.isNullAt(0)) {
+      require(stats.getLong(0) >= 0,
+        s"intervals contain hi < lo (min length ${stats.getLong(0)})")
+      require(stats.getLong(1) <= maxBucketsPerInterval,
+        s"an interval spans ${stats.getLong(1)} buckets of $widthUs us — " +
+          s"raise widthUs or maxBucketsPerInterval (currently " +
+          s"$maxBucketsPerInterval) if this explosion is intended")
+    }
+    val iv = intervals.withColumn("__bucket", explode(sequence(
+      call_function("div", col(loCol), lit(widthUs)),
+      call_function("div", col(hiCol), lit(widthUs)))))
+    val pt = points.withColumn("__bucket",
+      call_function("div", col(pointTimeCol), lit(widthUs)))
+    val cond = equiKeys.foldLeft(
+      pt("__bucket") === iv("__bucket") &&
+        col(pointTimeCol) >= col(loCol) && col(pointTimeCol) <= col(hiCol)) {
+      case (c, (pk, ik)) => c && pt(pk) === iv(ik)
+    }
+    pt.join(iv, cond, "inner").drop("__bucket")
+  }
+}

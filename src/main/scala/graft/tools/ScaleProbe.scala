@@ -31,7 +31,7 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|pq|bloom|asof|inccur|audit|optorder|all selects the axis
+    //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1162,6 +1162,65 @@ object ScaleProbe {
             f"unionSort=${u._1}%6.2fs/${u._2}%8.1fMB/x${u._3}%5.1f  " +
             f"bucketed=${b._1}%6.2fs/${b._2}%8.1fMB/x${b._3}%5.1f")
         warmedAsof = true
+      }
+    }
+    // ── axis 23: range join — theta post-filter vs bucketed equi-join ──
+    // The naive point-in-interval plan equi-joins on the KEY and
+    // post-filters the BETWEEN: every same-key (point, interval) pair
+    // materializes first, so growing a key's TIMELINE n× grows the
+    // join's intermediate ~n² while the true match count grows ~n —
+    // On UNIFORM keys the theta plan is competitive at probe sizes —
+    // measured first: codegen'd SMJ streams each key block at ~3·10⁸
+    // comparisons/s/core, so the quadratic intermediate is cheap CPU
+    // while the bucketed plan pays a real 4× interval-replication
+    // shuffle (theta 2.5 s vs bucketed 3.7 s at 6.4 M rows, disjoint
+    // 31-day-shifted replicas). The regime the bucketed plan exists
+    // for is SKEW: a hot key's whole (views × purchases) block
+    // serializes into ONE SMJ task — quadratic in the hot share, on
+    // one core — while bucketing spreads the same work across the
+    // key's time buckets. 30 % of rows remapped to one user
+    // (axis-19's pathological posture); max/median task time is the
+    // straggler signature. Outputs asserted identical per n.
+    {
+      import graft.operators.RangeJoin
+      def spread(n: Int): DataFrame =
+        (0 until n).map(i => ev0
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+          .withColumn("user_id",
+            when(pmod(col("event_id"), lit(10)) < 3, lit(1L))
+              .otherwise(col("user_id")))
+      var warmedRj = false
+      for (n <- Seq(2) ++ mults; if axes == "all" || axes == "rangejoin") {
+        val ev = spread(n).cache()
+        val rows = ev.count()
+        val pts = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("t_us"))
+        val ivs = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("iv_user_id"),
+            col("event_id").as("iv_id"),
+            (unix_micros(col("ts")) - 7200L * 1000000L).as("lo_us"),
+            (unix_micros(col("ts")) + 3600L * 1000000L).as("hi_us"))
+        def theta = pts.join(ivs, col("user_id") === col("iv_user_id") &&
+          col("t_us") >= col("lo_us") && col("t_us") <= col("hi_us"))
+        val t3 = timeSkew(theta.agg(count(col("iv_id"))).head().getLong(0))
+        val b3 = timeSkew(
+          RangeJoin.pointInInterval(pts, "t_us", ivs, "lo_us", "hi_us",
+            Seq("user_id" -> "iv_user_id"), widthUs = 3600L * 1000000L)
+            .agg(count(col("iv_id"))).head().getLong(0))
+        val nBucket = RangeJoin.pointInInterval(pts, "t_us", ivs, "lo_us",
+          "hi_us", Seq("user_id" -> "iv_user_id"),
+          widthUs = 3600L * 1000000L).count()
+        require(theta.count() == nBucket,
+          s"range-join parity broke vs $nBucket")
+        if (warmedRj)
+          println(f"[scale] n=$n%-3d rows=$rows%-9d matches=$nBucket%-9d " +
+            f"theta=${t3._1}%6.2fs/${t3._2}%8.1fMB/x${t3._3}%5.1f " +
+            f"bucketed=${b3._1}%6.2fs/${b3._2}%8.1fMB/x${b3._3}%5.1f")
+        warmedRj = true
+        ev.unpersist()
       }
     }
     // ── axis 20: incremental curation — refresh cost vs corpus, vs delta ─
