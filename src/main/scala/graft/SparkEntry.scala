@@ -1604,6 +1604,14 @@ object SparkEntry {
         Seq("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5)
     }),
 
+    // PPS sample: survival probability n_chars/2000 capped at 1, all
+    // integer arithmetic on the md5 grid — the oracle restates the
+    // exact threshold, so rate rounding or cap handling can't drift.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.sampleByHashWeighted(
+        t(s, dir, "documents").select("doc_id", "n_chars", "lang"),
+        "doc_id", "n_chars", num = 1L, den = 2000L, salt = "w")),
+
     // Quality-threshold selection: keep the top 25 % of documents by
     // the integer approx-token score. The engine's two-pass histogram
     // cutoff (no global sort) must reproduce the oracle's textbook
@@ -3473,6 +3481,12 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 50000.0)
         |    AS BIGINT) AS bin_id
         |FROM documents""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'w'), 1, 8))
+        |    AS UBIGINT) % 10000
+        |  < LEAST(10000, (coalesce(n_chars, 0) * 1 * 10000) // 2000)""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -111,6 +111,41 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < threshold)
   }
 
+  /** Probability-proportional-to-weight deterministic sample: each row
+    * survives with p = min(1, weight·num/den) — "sample documents in
+    * proportion to their token count" without a random number
+    * generator. The keep decision is `hashBucket(key) <
+    * min(10000, ⌊weight·num·10000/den⌋)` — ALL-INTEGER arithmetic on
+    * the shared md5 grid, so the survivor set is a pure function of
+    * (key, weight, num/den, salt): partitioning/engine-invariant and
+    * exactly restatable by a SQL oracle (a float rate rounded at the
+    * grid could straddle a half-point between engines). The rate is a
+    * RATIONAL num/den by the same reasoning as
+    * [[resampleToMixture]]'s integer parts.
+    *
+    * Monotone in the rate: a key kept at num/den survives at every
+    * larger rate (nested samples, like [[sampleByHash]]); weight ≥
+    * den/num pins survival, weight 0 (or null) never survives.
+    * Overflow bound: `weight·num·10000` must fit a signed long —
+    * holds to weight·num ≤ ~9·10^14, `require`d per partition below
+    * via the threshold expression staying non-negative. Pure
+    * projection+filter: zero shuffle at any corpus size.
+    */
+  def sampleByHashWeighted(df: DataFrame, keyCol: String, weightCol: String,
+      num: Long, den: Long, salt: String = ""): DataFrame = {
+    require(num > 0 && den > 0, s"rate must be a positive rational: $num/$den")
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    val thr = least(lit(10000L),
+      call_function("div", w * lit(num) * lit(10000L), lit(den)))
+    // a negative product means the long overflowed (or a negative
+    // weight) — fail loudly rather than silently dropping rows
+    val guarded = when(w * lit(num) * lit(10000L) < 0L,
+      raise_error(concat(lit(s"sampleByHashWeighted: weight*num*10000 " +
+        s"overflowed or weight negative (num=$num) for weight="), w)))
+      .otherwise(thr)
+    df.where(hashBucket(col(keyCol), salt) < guarded)
+  }
+
   /** Resample a corpus to a TARGET mixture (the static data-mixing
     * step of a training pipeline: "the output should be 40 % en,
     * 20 % zh, …"). Downsample-only: the achievable total is set by

@@ -158,6 +158,34 @@ class SamplingPiiSpec extends SparkTestBase {
     assert(math.abs(tenPct.size - 500) < 100, s"10% of 5000 ~ 500, got ${tenPct.size}")
   }
 
+  test("sampleByHashWeighted: rate-proportional, pinned extremes, nested in the rate") {
+    // weight classes 0, 500, 1000, 2000, 5000 at rate 1/2000:
+    // p = 0, 0.25, 0.5, 1, 1 respectively
+    val df = (0L until 5000L).map(i => (i, Seq(0L, 500L, 1000L, 2000L, 5000L)(
+      (i % 5).toInt))).toDF("id", "w")
+    val kept = Sampling.sampleByHashWeighted(df, "id", "w", 1L, 2000L)
+      .as[(Long, Long)].collect()
+    val byW = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byW.contains(0L), "zero weight never survives")
+    assert(byW(2000L) == 1000 && byW(5000L) == 1000,
+      s"weight >= den/num survives always: $byW")
+    assert(math.abs(byW(500L) - 250) < 60 && math.abs(byW(1000L) - 500) < 80,
+      s"rate-proportional survival: $byW")
+    // deterministic and partitioning-invariant
+    val re = Sampling.sampleByHashWeighted(df.repartition(13), "id", "w",
+      1L, 2000L).as[(Long, Long)].collect()
+    assert(kept.sorted.toSeq == re.sorted.toSeq)
+    // nested: survivors at rate 1/2000 all survive at 2/2000
+    val wider = Sampling.sampleByHashWeighted(df, "id", "w", 2L, 2000L)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(kept.map(_._1).forall(wider.contains))
+    // null weights behave as zero
+    val withNull = Seq((1L, Some(5000L)), (2L, None))
+      .toDF("id", "w")
+    assert(Sampling.sampleByHashWeighted(withNull, "id", "w", 1L, 2000L)
+      .as[(Long, Option[Long])].collect().forall(_._2.isDefined))
+  }
+
   test("quantizeInt8: round-trip error bounded by half a step; range [-127,127]") {
     import graft.operators.Similarity
     val df = Seq(
