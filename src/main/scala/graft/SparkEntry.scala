@@ -782,6 +782,30 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // Streaming distinct-count monitor: the HLL register table IS a
+    // streaming aggregation state (groupBy(bucket).max(rho) in
+    // complete mode — micro-batches max-merge into ≤2^p rows of
+    // state, the mergeability contract live under Structured
+    // Streaming). The final stats must land on the exact batch
+    // registers the oracle recomputes — any state-merge defect
+    // changes s_num and breaks the hash.
+    "q_stream_hll" -> ((s, dir) => {
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = s"stream_hll_${System.nanoTime()}"
+      val q = Sketches.hllRegisters(
+        fixTs(s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parque*")),
+        col("user_id"), p = 12)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      Sketches.hllStats(s.table(name), p = 12)
+        .select(col("n_registers"), col("v_zero"), col("s_num"),
+          round(col("est_raw"), 4).as("est_raw"))
+    }),
+
     // Batch sessionization (gaps-and-islands): per-user sessions with
     // a 30-minute inactivity gap. Session identity, bounds, integer
     // duration, and the value sum all enter the hash — a boundary-rule
@@ -3985,6 +4009,33 @@ object SparkEntry {
         |  FROM regs GROUP BY lang
         |)
         |SELECT lang AS grp, n_registers,
+        |  (4096 - n_registers)::BIGINT AS v_zero,
+        |  (s_hit + (4096 - n_registers) * 35184372088832)::BIGINT AS s_num,
+        |  round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
+        |    / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
+        |    AS est_raw
+        |FROM st""".stripMargin,
+
+    // batch restatement of the streamed register state over distinct
+    // user hashes — p=12 grid identical to q_sketch_hll's
+    "q_stream_hll" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 14)) AS UBIGINT) AS h
+        |  FROM events
+        |), br AS (
+        |  SELECT (h >> 44)::BIGINT AS bucket,
+        |    CASE WHEN (h & ((1::UBIGINT << 44) - 1)) = 0 THEN 45
+        |         ELSE 45 - length(bin(h & ((1::UBIGINT << 44) - 1))) END AS rho
+        |  FROM h
+        |), regs AS (
+        |  SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
+        |), st AS (
+        |  SELECT count(*)::BIGINT AS n_registers,
+        |    sum((1::BIGINT << (45 - rho)))::BIGINT AS s_hit
+        |  FROM regs
+        |)
+        |SELECT n_registers,
         |  (4096 - n_registers)::BIGINT AS v_zero,
         |  (s_hit + (4096 - n_registers) * 35184372088832)::BIGINT AS s_num,
         |  round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0

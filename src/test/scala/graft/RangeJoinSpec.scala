@@ -71,6 +71,33 @@ class RangeJoinSpec extends SparkTestBase {
       Seq("pk" -> "k"), widthUs = W).isEmpty)
   }
 
+  test("random intervals/points match the brute-force reference at several widths") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 4) {
+      // times straddle zero so truncating vs floor division bucket
+      // boundaries are exercised on both signs
+      val ivs = (0 until 60).map { i =>
+        val lo = rnd.nextLong() % 5000L
+        (rnd.nextInt(4).toLong, i.toLong, lo, lo + rnd.nextInt(700))
+      }
+      val pts = (0 until 300).map(i =>
+        (rnd.nextInt(5).toLong, i.toLong, rnd.nextLong() % 5000L))
+      val ivDf = ivs.toDF("k", "iv_id", "lo", "hi")
+      val ptDf = pts.toDF("pk", "p_id", "t")
+      val want = (for {
+        (k, ivId, lo, hi) <- ivs
+        (pk, pid, t) <- pts
+        if pk == k && t >= lo && t <= hi
+      } yield (pid, ivId)).sorted
+      for (w <- Seq(37L, 128L, 1000L, 100000L)) {
+        val got = RangeJoin.pointInInterval(ptDf, "t", ivDf, "lo", "hi",
+          Seq("pk" -> "k"), widthUs = w)
+          .select("p_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"round=$round width=$w")
+      }
+    }
+  }
+
   test("keyless join still buckets (global time grid)") {
     val iv = Seq((10L, 95L, 205L), (20L, 300L, 310L))
       .toDF("iv_id", "lo", "hi")
