@@ -63,6 +63,12 @@ object CurationStage {
   /** Deterministic hash downsample — keep `fraction` of documents. */
   case class Sample(fraction: Double, salt: String = "")
       extends CurationStage
+  /** Token-weighted PPS downsample — keep each document with
+    * p = min(1, tokens·num/den), tokens = the ceil(chars/4) proxy
+    * shared with [[PackTokens]] ([[Sampling.sampleByHashWeighted]]'s
+    * integer grid). */
+  case class SampleWeighted(num: Long, den: Long, salt: String = "")
+      extends CurationStage
   /** Resample to a target domain mixture (integer ratios; the scarcest
     * domain binds). `domainCol` must exist on the input corpus — the
     * runner threads it through every upstream stage. */
@@ -195,7 +201,12 @@ case class CurationPipeline(textCol: String, idCol: String,
     * ParagraphDedup) are fences the optimizer never crosses.
     */
   private def isPureFilter(st: CurationStage): Boolean = st match {
-    case _: Quality | _: Repetition | _: DomainBlock | _: Sample => true
+    case _: Quality | _: Repetition | _: DomainBlock | _: Sample |
+         _: SampleWeighted => true
+    // pure per-doc predicates too, GIVEN the fixed run-time reference
+    // (the LM / fingerprint set is a constant of the run, so one
+    // doc's verdict never depends on another doc's presence)
+    case _: Decontaminate | _: LmCoverage => true
     case _ => false
   }
 
@@ -203,7 +214,9 @@ case class CurationPipeline(textCol: String, idCol: String,
     * applied at the pipeline level, where Catalyst can't see it (each
     * stage is an opaque operator composition, not a conjunct it may
     * reorder): within every maximal contiguous run of commuting pure
-    * filters, measure each stage's per-row cost and selectivity on a
+    * filters (including the reference-dependent Decontaminate and
+    * LmCoverage — their verdicts are per-doc against a constant of
+    * the run), measure each stage's per-row cost and selectivity on a
     * deterministic hash-sample probe and sort by the classic rank
     * cost/(1 − selectivity) ascending — cheapest-most-selective
     * first, so expensive stages (Repetition's shuffle above all) see
@@ -312,6 +325,10 @@ case class CurationPipeline(textCol: String, idCol: String,
             .drop("__tf_score")
         case Sample(fraction, salt) =>
           Sampling.sampleByHash(cur, idCol, fraction, salt)
+        case SampleWeighted(num, den, salt) =>
+          Sampling.sampleByHashWeighted(
+            cur.withColumn("__w", TextAnalysis.approxTokenCount(col(textCol))),
+            idCol, "__w", num, den, salt).drop("__w")
         case Mix(domainCol, parts, salt) =>
           Sampling.resampleToMixture(cur, idCol, domainCol, parts, salt)
         case Shuffle(nShards, salt) =>
@@ -348,6 +365,7 @@ object CurationPipeline {
     case _: LmCoverage => "lm_coverage"
     case _: TopFraction => "top_fraction"
     case _: Sample => "sample"
+    case _: SampleWeighted => "sample_weighted"
     case _: Mix => "mix"
     case _: Shuffle => "shuffle"
     case _: PackTokens => "pack_tokens"
@@ -396,6 +414,9 @@ object CurationPipeline {
         case Sample(f, salt) =>
           n.put("stage", "sample")
           n.put("fraction", f); n.put("salt", salt)
+        case SampleWeighted(num, den, salt) =>
+          n.put("stage", "sample_weighted")
+          n.put("num", num); n.put("den", den); n.put("salt", salt)
         case Mix(domainCol, parts, salt) =>
           n.put("stage", "mix")
           n.put("domain_col", domainCol); n.put("salt", salt)
@@ -450,6 +471,8 @@ object CurationPipeline {
           n.get("by").asText)
         case "sample" => Sample(n.get("fraction").asDouble,
           n.get("salt").asText)
+        case "sample_weighted" => SampleWeighted(n.get("num").asLong,
+          n.get("den").asLong, n.get("salt").asText)
         case "mix" => Mix(n.get("domain_col").asText,
           n.get("parts").elements().asScala.map(o =>
             o.get("domain").asText -> o.get("p").asLong).toSeq,

@@ -177,7 +177,8 @@ object IncrementalCuration {
       : (Seq[CurationStage], Option[NearDupDrop], Seq[CurationStage]) = {
     val perDoc: CurationStage => Boolean = {
       case _: Quality | _: Repetition | PiiRedact | _: DomainBlock |
-           _: Decontaminate | _: LmCoverage | _: Sample => true
+           _: Decontaminate | _: LmCoverage | _: Sample |
+           _: SampleWeighted => true
       case _ => false
     }
     val bad = p.stages.filter(st => !perDoc(st) && !st.isInstanceOf[NearDupDrop])

@@ -37,6 +37,10 @@ class CurationPipelineSpec extends SparkTestBase {
         "spam.io", "tracker.org"))
     } yield DomainBlock(ds.distinct),
     for {
+      num <- Gen.chooseNum(1L, 9L); den <- Gen.chooseNum(10L, 9999L)
+      salt <- Gen.oneOf("", "w", "epoch2")
+    } yield SampleWeighted(num, den, salt),
+    for {
       g <- Gen.chooseNum(1, 4); mc <- Gen.chooseNum(1L, 5L)
       num <- Gen.chooseNum(0L, 4L); den <- Gen.chooseNum(1L, 8L)
       ke <- Gen.oneOf(true, false)
