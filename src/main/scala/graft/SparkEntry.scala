@@ -42,6 +42,24 @@ object SparkEntry {
 
   private val userKey = TypedKey("user_id", ValueType.INT64)
 
+  /** Documents with URLs planted on doc_id%3 rows — the shared input
+    * of the domain-block family (q_domain_filter / q_curate_audit /
+    * q_curate_optimized), factored so the planting and the blocklist
+    * cannot drift between twin gates (their oracles share
+    * [[sqlPlantedDocs]]/[[sqlBlkFromPlanted]] for the same reason).
+    */
+  private def plantedDomainDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" see https://site"), col("doc_id") % 7,
+            lit(".example.com/path and http://cdn"), col("doc_id") % 5,
+            lit(".assets.net/x")))
+          .otherwise(lit(""))).as("text"))
+
+  private val plantedBlockDomains =
+    Seq("site0.example.com", "site3.example.com", "assets.net")
+
   /** Canonical demo project over `events` (the NYC-taxi e2e shape,
     * FIXTURES.md §4): source = purchase events with event-time `ts`
     * (preprocessing hook filters the type — S6), features keyed by
@@ -1444,16 +1462,8 @@ object SparkEntry {
     // n_urls=0.
     "q_domain_filter" -> ((s, dir) => {
       import s.implicits._
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" see https://site"), col("doc_id") % 7,
-              lit(".example.com/path and http://cdn"), col("doc_id") % 5,
-              lit(".assets.net/x")))
-            .otherwise(lit(""))).as("text"))
-      val blocklist = Seq("site0.example.com", "site3.example.com",
-        "assets.net").toDF("domain")
-      TextAnalysis.domainBlocklistStats(planted, "text", "doc_id", blocklist)
+      TextAnalysis.domainBlocklistStats(plantedDomainDocs(s, dir), "text",
+        "doc_id", plantedBlockDomains.toDF("domain"))
         .withColumn("kept", col("n_blocked") === 0)
     }),
 
@@ -1704,21 +1714,12 @@ object SparkEntry {
     // each stage's predicate and takes the CASE-first-match — so any
     // divergence in stage order, stage semantics, or the audit's
     // first-drop attribution breaks the hash.
-    "q_curate_audit" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" see https://site"), col("doc_id") % 7,
-              lit(".example.com/path and http://cdn"), col("doc_id") % 5,
-              lit(".assets.net/x")))
-            .otherwise(lit(""))).as("text"))
+    "q_curate_audit" -> ((s, dir) =>
       CurationPipeline("text", "doc_id", Seq(
         CurationStage.Quality(50, 100000, 2),
-        CurationStage.DomainBlock(Seq(
-          "site0.example.com", "site3.example.com", "assets.net")),
+        CurationStage.DomainBlock(plantedBlockDomains),
         CurationStage.Sample(0.5, "aud")))
-        .audit(planted)
-    }),
+        .audit(plantedDomainDocs(s, dir))),
 
     // Pipeline-level predicate-order optimization: the authored order
     // is deliberately pessimal (the shuffling Repetition stage first),
@@ -1729,18 +1730,11 @@ object SparkEntry {
     // that changes semantics (or any non-commuting stage sneaking into
     // the reorderable set) breaks the hash.
     "q_curate_optimized" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" see https://site"), col("doc_id") % 7,
-              lit(".example.com/path and http://cdn"), col("doc_id") % 5,
-              lit(".assets.net/x")))
-            .otherwise(lit(""))).as("text"))
+      val planted = plantedDomainDocs(s, dir)
       val authored = CurationPipeline("text", "doc_id", Seq(
         CurationStage.Repetition(2, 0.2),
         CurationStage.Quality(50, 100000, 2),
-        CurationStage.DomainBlock(Seq(
-          "site0.example.com", "site3.example.com", "assets.net")),
+        CurationStage.DomainBlock(plantedBlockDomains),
         CurationStage.Sample(0.5, "aud")))
       authored.optimized(planted).run(planted)
     }),
@@ -2551,6 +2545,52 @@ object SparkEntry {
       |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
       |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  /** URL-planted documents CTE + domain-block verdict CTEs — shared by
+    * the q_domain_filter / q_curate_audit / q_curate_optimized oracles
+    * (the planting and blocklist are also factored on the Scala side,
+    * [[plantedDomainDocs]], so twins cannot drift).
+    */
+  private val sqlPlantedDocs =
+    """planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
+      |      '.example.com/path and http://cdn' || (doc_id % 5) ||
+      |      '.assets.net/x'
+      |    ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  private val sqlBlkFromPlanted =
+    """urls AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+      |    'https?://([a-z0-9.-]+)', 1)) AS u
+      |  FROM planted
+      |), blk AS (
+      |  SELECT DISTINCT doc_id FROM urls
+      |  WHERE len(list_filter(
+      |    ['site0.example.com','site3.example.com','assets.net'],
+      |    bd -> u = bd OR ends_with(u, '.' || bd))) > 0
+      |)""".stripMargin
+
+  /** p=12 HLL register derivation (bucket + rho from a 56-bit hash
+    * column `h`) and the integer-stats final SELECT — shared by the
+    * q_sketch_hll / q_stream_hll oracles so the register definition
+    * and the est_raw operation order cannot drift between the batch
+    * and streaming gates.
+    */
+  private val sqlHllBr =
+    """(h >> 44)::BIGINT AS bucket,
+      |    CASE WHEN (h & ((1::UBIGINT << 44) - 1)) = 0 THEN 45
+      |         ELSE 45 - length(bin(h & ((1::UBIGINT << 44) - 1))) END AS rho""".stripMargin
+
+  private val sqlHllFinal =
+    """n_registers,
+      |  (4096 - n_registers)::BIGINT AS v_zero,
+      |  (s_hit + (4096 - n_registers) * 35184372088832)::BIGINT AS s_num,
+      |  round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
+      |    / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
+      |    AS est_raw""".stripMargin
+
   private val sqlNorm =
     s"""norm AS (
       |  SELECT doc_id,
@@ -3158,14 +3198,7 @@ object SparkEntry {
     // exact-or-dot-suffix list_filter (the engine's suffix-chain
     // equi-join computes the same predicate)
     "q_domain_filter" ->
-      s"""WITH planted AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
-        |      '.example.com/path and http://cdn' || (doc_id % 5) ||
-        |      '.assets.net/x'
-        |    ELSE '' END AS text
-        |  FROM documents
-        |), urls AS (
+      s"""WITH $sqlPlantedDocs, urls AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
         |    'https?://([a-z0-9.-]+)', 1)) AS u
         |  FROM planted
@@ -3590,30 +3623,14 @@ object SparkEntry {
     // first-drop attribution: each stage's predicate restated, CASE
     // picks the first failing stage in pipeline order
     "q_curate_audit" ->
-      s"""WITH planted AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
-        |      '.example.com/path and http://cdn' || (doc_id % 5) ||
-        |      '.assets.net/x'
-        |    ELSE '' END AS text
-        |  FROM documents
-        |), norm AS (
+      s"""WITH $sqlPlantedDocs, norm AS (
         |  SELECT doc_id,
         |    ${sqlNt("text")} AS nt,
         |    string_split(${sqlNt("text")}, ' ') AS w
         |  FROM planted
         |), $sqlQualityM, q AS (
         |  SELECT doc_id, ($sqlQualityPasses) AS q_pass FROM m
-        |), urls AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-        |    'https?://([a-z0-9.-]+)', 1)) AS u
-        |  FROM planted
-        |), blk AS (
-        |  SELECT DISTINCT doc_id FROM urls
-        |  WHERE len(list_filter(
-        |    ['site0.example.com','site3.example.com','assets.net'],
-        |    bd -> u = bd OR ends_with(u, '.' || bd))) > 0
-        |)
+        |), $sqlBlkFromPlanted
         |SELECT p.doc_id,
         |  CASE WHEN NOT coalesce(q.q_pass, FALSE) THEN '0:quality'
         |       WHEN b.doc_id IS NOT NULL THEN '1:domain_block'
@@ -3626,14 +3643,7 @@ object SparkEntry {
     // order-free conjunction of the four commuting predicates: any
     // optimizer reordering must land on exactly this set
     "q_curate_optimized" ->
-      s"""WITH planted AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || (doc_id % 7) ||
-        |      '.example.com/path and http://cdn' || (doc_id % 5) ||
-        |      '.assets.net/x'
-        |    ELSE '' END AS text
-        |  FROM documents
-        |), norm AS (
+      s"""WITH $sqlPlantedDocs, norm AS (
         |  SELECT doc_id,
         |    ${sqlNt("text")} AS nt,
         |    string_split(${sqlNt("text")}, ' ') AS w
@@ -3641,16 +3651,7 @@ object SparkEntry {
         |), $sqlQualityM, $sqlRepGrams, rep AS (
         |  SELECT doc_id FROM c GROUP BY doc_id
         |  HAVING $sqlRepRule
-        |), urls AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-        |    'https?://([a-z0-9.-]+)', 1)) AS u
-        |  FROM planted
-        |), blk AS (
-        |  SELECT DISTINCT doc_id FROM urls
-        |  WHERE len(list_filter(
-        |    ['site0.example.com','site3.example.com','assets.net'],
-        |    bd -> u = bd OR ends_with(u, '.' || bd))) > 0
-        |)
+        |), $sqlBlkFromPlanted
         |SELECT p.doc_id, p.text
         |FROM planted p
         |JOIN m USING (doc_id) JOIN rep USING (doc_id)
@@ -3997,9 +3998,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT '__all__' AS lang, h FROM (SELECT DISTINCT h FROM h)
         |), br AS (
-        |  SELECT lang, (h >> 44)::BIGINT AS bucket,
-        |    CASE WHEN (h & ((1::UBIGINT << 44) - 1)) = 0 THEN 45
-        |         ELSE 45 - length(bin(h & ((1::UBIGINT << 44) - 1))) END AS rho
+        |  SELECT lang, $sqlHllBr
         |  FROM hu
         |), regs AS (
         |  SELECT lang, bucket, max(rho) AS rho FROM br GROUP BY lang, bucket
@@ -4008,25 +4007,18 @@ object SparkEntry {
         |    sum((1::BIGINT << (45 - rho)))::BIGINT AS s_hit
         |  FROM regs GROUP BY lang
         |)
-        |SELECT lang AS grp, n_registers,
-        |  (4096 - n_registers)::BIGINT AS v_zero,
-        |  (s_hit + (4096 - n_registers) * 35184372088832)::BIGINT AS s_num,
-        |  round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
-        |    / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
-        |    AS est_raw
+        |SELECT lang AS grp, $sqlHllFinal
         |FROM st""".stripMargin,
 
     // batch restatement of the streamed register state over distinct
     // user hashes — p=12 grid identical to q_sketch_hll's
     "q_stream_hll" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT DISTINCT
         |    CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 14)) AS UBIGINT) AS h
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL
         |), br AS (
-        |  SELECT (h >> 44)::BIGINT AS bucket,
-        |    CASE WHEN (h & ((1::UBIGINT << 44) - 1)) = 0 THEN 45
-        |         ELSE 45 - length(bin(h & ((1::UBIGINT << 44) - 1))) END AS rho
+        |  SELECT $sqlHllBr
         |  FROM h
         |), regs AS (
         |  SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket
@@ -4035,12 +4027,7 @@ object SparkEntry {
         |    sum((1::BIGINT << (45 - rho)))::BIGINT AS s_hit
         |  FROM regs
         |)
-        |SELECT n_registers,
-        |  (4096 - n_registers)::BIGINT AS v_zero,
-        |  (s_hit + (4096 - n_registers) * 35184372088832)::BIGINT AS s_num,
-        |  round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
-        |    / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
-        |    AS est_raw
+        |SELECT $sqlHllFinal
         |FROM st""".stripMargin,
 
     // CMS 4x2048: per-depth collision-cell counts over token

@@ -180,7 +180,11 @@ case class CurationPipeline(textCol: String, idCol: String,
     val dropped = scala.collection.mutable.ListBuffer.empty[DataFrame]
     stages.zipWithIndex.foreach { case (st, i) =>
       val next = Spill.roundTrip(applyStage(cur, st, reference))
-      dropped += cur.select(col(idCol))
+      // distinct on BOTH sides: the audit is a partition of the
+      // input's distinct ids even if the caller's corpus carries
+      // duplicate ids (which would otherwise inflate dropped counts
+      // but not kept ones — an asymmetric lie in the report)
+      dropped += cur.select(col(idCol)).distinct()
         .join(next.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         .withColumn("disposition",
           lit(s"$i:${CurationPipeline.stageName(st)}"))

@@ -50,6 +50,11 @@ object RangeJoin {
       widthUs: Long = 3600L * 1000000L,
       maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(widthUs > 0, s"bucket width must be positive: $widthUs")
+    Seq(points, intervals).foreach(df =>
+      require(!df.columns.contains("__bucket"),
+        "'__bucket' is reserved by RangeJoin.pointInInterval — rename " +
+          "the caller's column (it would be silently overwritten and " +
+          "dropped from the output otherwise)"))
     val stats = intervals.agg(
       min(col(hiCol) - col(loCol)).as("minLen"),
       max(call_function("div", col(hiCol), lit(widthUs)) -

@@ -125,25 +125,24 @@ object Sampling {
     *
     * Monotone in the rate: a key kept at num/den survives at every
     * larger rate (nested samples, like [[sampleByHash]]); weight ≥
-    * den/num pins survival, weight 0 (or null) never survives.
-    * Overflow bound: `weight·num·10000` must fit a signed long —
-    * holds to weight·num ≤ ~9·10^14, `require`d per partition below
-    * via the threshold expression staying non-negative. Pure
+    * den/num pins survival, weight ≤ 0 (or null) never survives.
+    * Overflow is handled by CONSTRUCTION, not a guard: any weight ≥
+    * den/num + 1 already saturates p = 1, so weights clamp there
+    * BEFORE the threshold product — the product is then bounded by
+    * (den + num)·10000, which the `require` keeps inside a signed
+    * long (a post-hoc negativity check would miss wrap-to-positive
+    * overflow, and under ANSI mode would never be reached). Pure
     * projection+filter: zero shuffle at any corpus size.
     */
   def sampleByHashWeighted(df: DataFrame, keyCol: String, weightCol: String,
       num: Long, den: Long, salt: String = ""): DataFrame = {
     require(num > 0 && den > 0, s"rate must be a positive rational: $num/$den")
-    val w = coalesce(col(weightCol).cast("long"), lit(0L))
-    val thr = least(lit(10000L),
-      call_function("div", w * lit(num) * lit(10000L), lit(den)))
-    // a negative product means the long overflowed (or a negative
-    // weight) — fail loudly rather than silently dropping rows
-    val guarded = when(w * lit(num) * lit(10000L) < 0L,
-      raise_error(concat(lit(s"sampleByHashWeighted: weight*num*10000 " +
-        s"overflowed or weight negative (num=$num) for weight="), w)))
-      .otherwise(thr)
-    df.where(hashBucket(col(keyCol), salt) < guarded)
+    require(den + num <= 900000000000000L,
+      s"rate $num/$den too large for the 10000-grid threshold product")
+    val cap = den / num + 1 // smallest weight certain to saturate p = 1
+    val w = least(coalesce(col(weightCol).cast("long"), lit(0L)), lit(cap))
+    df.where(hashBucket(col(keyCol), salt) <
+      least(lit(10000L), call_function("div", w * lit(num) * lit(10000L), lit(den))))
   }
 
   /** Resample a corpus to a TARGET mixture (the static data-mixing

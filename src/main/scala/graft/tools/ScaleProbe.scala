@@ -1205,16 +1205,23 @@ object ScaleProbe {
             (unix_micros(col("ts")) + 3600L * 1000000L).as("hi_us"))
         def theta = pts.join(ivs, col("user_id") === col("iv_user_id") &&
           col("t_us") >= col("lo_us") && col("t_us") <= col("hi_us"))
-        val t3 = timeSkew(theta.agg(count(col("iv_id"))).head().getLong(0))
-        val b3 = timeSkew(
-          RangeJoin.pointInInterval(pts, "t_us", ivs, "lo_us", "hi_us",
-            Seq("user_id" -> "iv_user_id"), widthUs = 3600L * 1000000L)
-            .agg(count(col("iv_id"))).head().getLong(0))
-        val nBucket = RangeJoin.pointInInterval(pts, "t_us", ivs, "lo_us",
-          "hi_us", Seq("user_id" -> "iv_user_id"),
-          widthUs = 3600L * 1000000L).count()
-        require(theta.count() == nBucket,
-          s"range-join parity broke vs $nBucket")
+        // capture the match counts FROM the timed actions — a separate
+        // parity pass would re-execute both joins (doubling the most
+        // expensive axis; the n=16 theta run alone is ~17 s)
+        var nTheta = -1L
+        var nBucket = -1L
+        val t3 = timeSkew {
+          nTheta = theta.agg(count(col("iv_id"))).head().getLong(0); nTheta
+        }
+        val b3 = timeSkew {
+          nBucket = RangeJoin.pointInInterval(pts, "t_us", ivs, "lo_us",
+            "hi_us", Seq("user_id" -> "iv_user_id"),
+            widthUs = 3600L * 1000000L)
+            .agg(count(col("iv_id"))).head().getLong(0)
+          nBucket
+        }
+        require(nTheta == nBucket,
+          s"range-join parity broke: $nTheta != $nBucket")
         if (warmedRj)
           println(f"[scale] n=$n%-3d rows=$rows%-9d matches=$nBucket%-9d " +
             f"theta=${t3._1}%6.2fs/${t3._2}%8.1fMB/x${t3._3}%5.1f " +

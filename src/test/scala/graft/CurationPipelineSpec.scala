@@ -224,9 +224,13 @@ class CurationPipelineSpec extends SparkTestBase {
       Set[CurationStage](Repetition(), Quality(), Sample(0.5)))
     assert(opt.stages.drop(4).toSet ==
       Set[CurationStage](DomainBlock(Seq("x.example.com")), Sample(0.9, "b")))
-    // the shuffling Repetition stage cannot rank ahead of the
-    // projection filters: it must run last in its run
-    assert(opt.stages(2) == Repetition(), s"got ${opt.stages}")
+    // Sample(0.5) MUST rank ahead of Repetition: its rank divides by
+    // (1 − 0.5) while the nothing-dropping Repetition divides by the
+    // 1e-9 floor — a selectivity gap, deterministic regardless of the
+    // wall-clock noise in the tiny probe timings (Quality-vs-Repetition
+    // order IS timing-decided here, so it is deliberately not pinned)
+    assert(opt.stages.indexOf(Sample(0.5)) <
+      opt.stages.indexOf(Repetition()), s"got ${opt.stages}")
     // result-identical
     val a = authored.run(corpus).orderBy("doc_id").collect().toSeq
     val b = opt.run(corpus).orderBy("doc_id").collect().toSeq

@@ -184,6 +184,13 @@ class SamplingPiiSpec extends SparkTestBase {
       .toDF("id", "w")
     assert(Sampling.sampleByHashWeighted(withNull, "id", "w", 1L, 2000L)
       .as[(Long, Option[Long])].collect().forall(_._2.isDefined))
+    // a weight near Long.MaxValue saturates p=1 via the clamp instead
+    // of overflowing the threshold product (wrap-to-positive would
+    // silently DROP rows whose true p is 1); negatives never survive
+    val extreme = Seq((1L, Long.MaxValue), (2L, -5L), (3L, 2000L))
+      .toDF("id", "w")
+    assert(Sampling.sampleByHashWeighted(extreme, "id", "w", 1L, 2000L)
+      .as[(Long, Long)].collect().map(_._1).toSet == Set(1L, 3L))
   }
 
   test("quantizeInt8: round-trip error bounded by half a step; range [-127,127]") {
