@@ -2017,6 +2017,28 @@ object SparkEntry {
           Sketches.kmvEstimate(col("sketch"), k).as("est_distinct"))
     }),
 
+    // Corpus-overlap WITHOUT a join: vocabulary sketches of two
+    // overlapping slices (doc_id%2 vs doc_id%3), overlap estimated
+    // from the two O(k) sketches alone via the KMV set-op estimator.
+    // All-integer stats; the oracle recomputes the identical bottom-k
+    // union and two-term division.
+    "q_sketch_overlap" -> ((s, dir) => {
+      val k = 128
+      val tok = Spill.roundTrip(t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= ""))
+      val ska = Sketches.kmvSketch(
+        tok.where(col("doc_id") % 2 === 0), col("term"), k)
+        .withColumnRenamed("sketch", "ska")
+      val skb = Sketches.kmvSketch(
+        tok.where(col("doc_id") % 3 === 0), col("term"), k)
+        .withColumnRenamed("sketch", "skb")
+      ska.crossJoin(skb)
+        .select(Sketches.kmvOverlapStats(col("ska"), col("skb"), k).as("o"))
+        .select(col("o.j_num"), col("o.k_eff"), col("o.union_est"),
+          col("o.inter_est"))
+    }),
+
     // HyperLogLog registers on the cross-engine md5 grid: per-lang
     // register tables (≤ 2^12 rows each, one partial-agg pass), the
     // __all__ group derived by MAX-MERGING the per-lang tables (the
@@ -3978,6 +4000,54 @@ object SparkEntry {
         |       + (127 * (72057594037927936 % max(h))) // max(h)
         |    END)::BIGINT AS est_distinct
         |FROM u GROUP BY lang""".stripMargin,
+
+    // KMV set-op estimator, integer-exact: bottom-128 per slice,
+    // bottom-128 of the sketch union, j_num = union members present
+    // in BOTH sketches, the same two-term overflow-free division
+    "q_sketch_overlap" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |  FROM documents
+        |), t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |ha AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(term), 1, 14)) AS UBIGINT)::BIGINT AS h
+        |  FROM t2 WHERE doc_id % 2 = 0
+        |), hb AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(term), 1, 14)) AS UBIGINT)::BIGINT AS h
+        |  FROM t2 WHERE doc_id % 3 = 0
+        |), ska AS (
+        |  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+        |  WHERE rn <= 128
+        |), skb AS (
+        |  SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+        |  WHERE rn <= 128
+        |), un AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+        |      SELECT DISTINCT h FROM (
+        |        SELECT h FROM ska UNION ALL SELECT h FROM skb)))
+        |  WHERE rn <= 128
+        |), st AS (
+        |  SELECT
+        |    (SELECT count(*) FROM un
+        |     WHERE h IN (SELECT h FROM ska)
+        |       AND h IN (SELECT h FROM skb))::BIGINT AS j_num,
+        |    (SELECT count(*) FROM un)::BIGINT AS k_eff,
+        |    (SELECT max(h) FROM un) AS hmax
+        |), est AS (
+        |  SELECT j_num, k_eff,
+        |    (CASE WHEN k_eff < 128 THEN k_eff
+        |      ELSE 127 * (72057594037927936 // hmax)
+        |         + (127 * (72057594037927936 % hmax)) // hmax END)::BIGINT
+        |      AS union_est
+        |  FROM st
+        |)
+        |SELECT j_num, k_eff, union_est,
+        |  (j_num * (union_est // k_eff)
+        |    + (j_num * (union_est % k_eff)) // k_eff)::BIGINT AS inter_est
+        |FROM est""".stripMargin,
 
     // HLL p=12 over the 56-bit md5 grid: bucket = top 12 bits, rho =
     // 45 - bitlen(low 44 bits) (bin-string length, no float log),

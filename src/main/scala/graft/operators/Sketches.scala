@@ -89,6 +89,35 @@ object Sketches {
     when(size(sketch) < k, size(sketch).cast("long")).otherwise(est)
   }
 
+  /** Set-overlap statistics between two [[kmvSketch]]es built on the
+    * same hash grid with the same k — estimate |A ∩ B| and Jaccard
+    * WITHOUT joining the corpora: the classic KMV set-op estimator
+    * (bottom-k of A ∪ B is computable from the two sketches alone;
+    * J ≈ |bottomK(A∪B) ∩ skA ∩ skB| / k'). At 100 TB this answers
+    * "how much does corpus A overlap corpus B" from two O(k) sketch
+    * rows instead of a corpus-sized join.
+    *
+    * Returns a struct of EXACT integers on the shared grid:
+    * `j_num` (matching members), `k_eff` (union-sketch size — < k
+    * means the union was counted exactly), `union_est`
+    * ([[kmvEstimate]] of the union sketch), and `inter_est` =
+    * j_num·union_est/k_eff computed with the same overflow-free
+    * two-term division as [[kmvEstimate]] (j_num ≤ k_eff, so the
+    * first term is ≤ union_est < 2^57). Jaccard itself is
+    * j_num/k_eff — left to the caller's grid of choice.
+    */
+  def kmvOverlapStats(a: Column, b: Column, k: Int): Column = {
+    require(k >= 2 && k <= 128, s"kmv overlap supports 2 <= k <= 128, got $k")
+    val un = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    val kEff = size(un).cast("long")
+    val jNum = size(array_intersect(un, array_intersect(a, b))).cast("long")
+    val uEst = kmvEstimate(un, k)
+    val interEst = jNum * call_function("div", uEst, kEff) +
+      call_function("div", jNum * (uEst % kEff), kEff)
+    struct(jNum.as("j_num"), kEff.as("k_eff"),
+      uEst.as("union_est"), interEst.as("inter_est"))
+  }
+
   /** HLL register table over `item`'s distinct set: `groupCols*,
     * bucket: long, rho: int` — bucket = top p bits of the 56-bit
     * [[kmvHash]], rho = leading-zero count of the remaining 56−p bits

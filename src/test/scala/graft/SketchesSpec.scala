@@ -61,6 +61,35 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kmv overlap: exact below k, estimate within bounds above, disjoint/identical pinned") {
+    val k = 128
+    def sk(items: Seq[String]) = Sketches.kmvSketch(
+      items.toDF("t"), col("t"), k).select("sketch")
+    def overlap(a: Seq[String], b: Seq[String]) =
+      sk(a).crossJoin(sk(b).withColumnRenamed("sketch", "skb"))
+        .select(Sketches.kmvOverlapStats(col("sketch"), col("skb"), k).as("o"))
+        .select("o.j_num", "o.k_eff", "o.union_est", "o.inter_est")
+        .as[(Long, Long, Long, Long)].head()
+
+    // small sets: union < k, so everything is EXACT
+    val (jn, ke, ue, ie) = overlap(
+      (1 to 60).map(i => s"x$i"), (41 to 100).map(i => s"x$i"))
+    assert(ke == 100 && ue == 100 && jn == 20 && ie == 20, s"($jn,$ke,$ue,$ie)")
+    // disjoint and identical extremes
+    assert(overlap((1 to 50).map("a" + _), (1 to 50).map("b" + _))._1 == 0)
+    val idSelf = overlap((1 to 300).map("c" + _), (1 to 300).map("c" + _))
+    assert(idSelf._1 == idSelf._2, "identical sets: every union member matches both")
+    // large overlapping sets: estimate within 4 sigma of truth
+    val a = (1 to 4000).map("i" + _)
+    val b = (2001 to 6000).map("i" + _)
+    val (jn2, ke2, ue2, ie2) = overlap(a, b)
+    assert(ke2 == k)
+    assert(math.abs(ue2 - 6000.0) / 6000 < 4.0 / math.sqrt(k - 2.0), s"union $ue2")
+    // J = 2000/6000; j_num/k binomial, sd ~ sqrt(J(1-J)/k) ~ 0.042
+    assert(math.abs(jn2 / 128.0 - 1.0 / 3) < 0.17, s"jaccard ${jn2 / 128.0}")
+    assert(ie2 > 500 && ie2 < 4000, s"intersection estimate $ie2")
+  }
+
   test("hll: registers partition/order-invariant; merge == direct union; estimate in 4-sigma") {
     val n = 5000
     val p = 12
