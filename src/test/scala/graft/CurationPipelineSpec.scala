@@ -239,6 +239,18 @@ class CurationPipelineSpec extends SparkTestBase {
     val single = CurationPipeline("text", "doc_id",
       Seq(Quality(), PiiRedact, Sample(0.5)))
     assert(single.optimized(corpus).stages == single.stages)
+    // reference-dependent stages are IN the commuting set: a
+    // Decontaminate run reorders with the other filters and the
+    // result still equals the authored order's
+    val evalQuote = (0 until 60).map(j => s"eval$j").mkString(" ")
+    val withRef = CurationPipeline("text", "doc_id", Seq(
+      Decontaminate(), Quality(), Sample(0.5, "r")))
+    val refCorpus = corpus.unionByName(Seq((999L, evalQuote)).toDF("doc_id", "text"))
+    val ref = Some((Seq((1L, evalQuote)).toDF("ref_id", "text"), "text", "ref_id"))
+    val optRef = withRef.optimized(refCorpus, ref)
+    assert(optRef.stages.toSet == withRef.stages.toSet)
+    assert(optRef.run(refCorpus, ref).orderBy("doc_id").collect().toSeq ==
+      withRef.run(refCorpus, ref).orderBy("doc_id").collect().toSeq)
   }
 
   test("runner: Mix threads its domain column through reprojecting stages; Shuffle is terminal") {
