@@ -1638,6 +1638,17 @@ object SparkEntry {
         Seq("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5)
     }),
 
+    // Export-integrity manifest over the epoch shards: per shard, row
+    // count + two order-invariant content signatures (xor and
+    // mod-sum of 56-bit row hashes). The oracle recomputes both from
+    // scratch — any row lost, duplicated, or bit-flipped in any
+    // column changes a signature.
+    "q_shard_manifest" -> ((s, dir) => {
+      val sharded = Sampling.shuffleShards(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", 8)
+      Sampling.shardManifest(sharded, "shard_id", Seq("doc_id", "text"))
+    }),
+
     // PPS sample: survival probability n_chars/2000 capped at 1, all
     // integer arithmetic on the md5 grid — the oracle restates the
     // exact threshold, so rate rounding or cap handling can't drift.
@@ -1645,6 +1656,16 @@ object SparkEntry {
       Sampling.sampleByHashWeighted(
         t(s, dir, "documents").select("doc_id", "n_chars", "lang"),
         "doc_id", "n_chars", num = 1L, den = 2000L, salt = "w")),
+
+    // the SampleWeighted PIPELINE stage end-to-end: quality filter then
+    // token-proportional survival — the oracle recomputes the token
+    // proxy (the proven q_top_fraction fragment) and the exact grid
+    // threshold, so stage wiring or weight derivation can't drift.
+    "q_curate_weighted" -> ((s, dir) =>
+      CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Quality(50, 100000, 2),
+        CurationStage.SampleWeighted(1L, 400L, "tw")))
+        .run(t(s, dir, "documents").select("doc_id", "text"))),
 
     // Quality-threshold selection: keep the top 25 % of documents by
     // the integer approx-token score. The engine's two-pass histogram
@@ -3561,11 +3582,52 @@ object SparkEntry {
         |    AS BIGINT) AS bin_id
         |FROM documents""".stripMargin,
 
+    // identical shard derivation to q_shuffle_shards; the row hash is
+    // md5 over chr(1)-joined strings with chr(2) for null
+    "q_shard_manifest" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text,
+        |    CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      % 8 AS BIGINT) AS shard_id
+        |  FROM documents
+        |), h AS (
+        |  SELECT shard_id,
+        |    CAST(('0x' || substr(md5(
+        |      coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+        |      coalesce(text, chr(2))), 1, 14)) AS UBIGINT)::BIGINT AS h
+        |  FROM sh
+        |)
+        |SELECT shard_id, count(*)::BIGINT AS n_rows,
+        |  bit_xor(h)::BIGINT AS sig_xor,
+        |  sum(h % 1000000007)::BIGINT AS sig_sum
+        |FROM h GROUP BY shard_id""".stripMargin,
+
     "q_sample_weighted" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || 'w'), 1, 8))
         |    AS UBIGINT) % 10000
         |  < LEAST(10000, (coalesce(n_chars, 0) * 1 * 10000) // 2000)""".stripMargin,
+
+    // quality conjunction + the token-proxy weighted threshold
+    "q_curate_weighted" ->
+      s"""WITH norm AS (
+        |  SELECT doc_id,
+        |    ${sqlNt("text")} AS nt,
+        |    string_split(${sqlNt("text")}, ' ') AS w
+        |  FROM documents
+        |), $sqlQualityM, q AS (
+        |  SELECT doc_id FROM m WHERE $sqlQualityPasses
+        |), tokw AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(w, x -> ceil(length(x) / 4.0)))::BIGINT AS tw
+        |  FROM norm
+        |)
+        |SELECT d.doc_id, d.text
+        |FROM documents d
+        |JOIN q USING (doc_id) JOIN tokw USING (doc_id)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || 'tw'), 1, 8))
+        |    AS UBIGINT) % 10000
+        |  < LEAST(10000, (tw * 1 * 10000) // 400)""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (

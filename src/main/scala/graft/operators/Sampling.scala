@@ -222,6 +222,32 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Export-integrity manifest for sharded output: per shard, the row
+    * count and two ORDER-INVARIANT content signatures over `sigCols` —
+    * `sig_xor` (xor of 56-bit row hashes; cheap, but a row duplicated
+    * an even number of times cancels) and `sig_sum` (sum of the hashes
+    * mod 1e9+7; catches even-multiplicity duplicates, overflow-safe to
+    * ~9·10⁹ rows per shard). Together they verify a copy/move/rewrite
+    * of a 100 TB export without sorting anything: recompute on the
+    * destination, compare ≤ nShards tiny rows. Row hash = md5 over the
+    * \\u0001-joined column strings with \\u0002 standing in for null
+    * (plain concat would make ("ab","c") collide with ("a","bc") and
+    * null collide with empty). One partial-agg pass, map-side
+    * combinable, ≤ nShards rows shuffle.
+    */
+  def shardManifest(df: DataFrame, shardCol: String,
+      sigCols: Seq[String]): DataFrame = {
+    require(sigCols.nonEmpty, "shardManifest needs signature columns")
+    val joined = concat(sigCols.flatMap(c =>
+      Seq(coalesce(col(c).cast("string"), lit("\u0002")), lit("\u0001")))
+      .dropRight(1): _*)
+    val h = conv(substring(md5(joined), 1, 14), 16, 10).cast("long")
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("bit_xor", h).as("sig_xor"),
+        sum(h % 1000000007L).as("sig_sum"))
+  }
+
   /** Keep the top `fraction` of rows by an INTEGER score under the
     * total deterministic order (score desc, key asc) — the
     * quality-threshold selection step of a curation pipeline

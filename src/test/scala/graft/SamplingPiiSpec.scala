@@ -193,6 +193,33 @@ class SamplingPiiSpec extends SparkTestBase {
       .as[(Long, Long)].collect().map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("shardManifest: order/partition-invariant; detects loss, duplication, corruption") {
+    val df = (0L until 400L).map(i => (i, i % 7, s"payload$i"))
+      .toDF("id", "shard", "v")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shardManifest(d, "shard", Seq("id", "v"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = m(df)
+    assert(base.map(_._2).sum == 400)
+    assert(m(df.repartition(13)) == base, "partitioning must not matter")
+    assert(m(df.orderBy(desc("v"))) == base, "row order must not matter")
+    // corruption in any signature column changes a signature
+    val corrupted = df.withColumn("v",
+      when(col("id") === 123L, lit("tampered")).otherwise(col("v")))
+    assert(m(corrupted) != base)
+    // a dropped row changes n_rows AND both signatures for its shard
+    val dropped = m(df.where(col("id") =!= 42L))
+    val shard42 = 42L % 7
+    val (b, d) = (base.find(_._1 == shard42).get, dropped.find(_._1 == shard42).get)
+    assert(d._2 == b._2 - 1 && d._3 != b._3 && d._4 != b._4)
+    // an EVEN duplication cancels in the xor but not in the mod-sum —
+    // the reason the manifest carries both
+    val dup2 = m(df.unionByName(df.where(col("id") === 42L))
+      .unionByName(df.where(col("id") === 42L)))
+    val d2 = dup2.find(_._1 == shard42).get
+    assert(d2._3 == b._3 && d2._4 != b._4)
+  }
+
   test("quantizeInt8: round-trip error bounded by half a step; range [-127,127]") {
     import graft.operators.Similarity
     val df = Seq(
