@@ -824,6 +824,17 @@ object SparkEntry {
           round(col("est_raw"), 4).as("est_raw"))
     }),
 
+    // Within-session path trigrams (the product-analytics "what do
+    // users do, in order" report): n-grams assembled from lead()s
+    // over the session window — no per-session event-list arrays —
+    // then counted corpus-wide. Session boundaries, ordering
+    // tiebreak, and the short-tail cutoff all enter the hash.
+    "q_session_paths" -> ((s, dir) =>
+      Sessionize.pathNgrams(
+        t(s, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "event_id",
+        gapSeconds = 1800L, n = 3)),
+
     // Batch sessionization (gaps-and-islands): per-user sessions with
     // a 30-minute inactivity gap. Session identity, bounds, integer
     // duration, and the value sum all enter the hash — a boundary-rule
@@ -3069,6 +3080,31 @@ object SparkEntry {
     // gaps-and-islands with the >= gap boundary (matches Spark's
     // exclusive session_window end); default RANGE cumsum frame makes
     // tied timestamps land in one session on both engines
+    // identical session derivation; paths via window leads, short
+    // tails (last lead null) excluded
+    "q_session_paths" ->
+      s"""WITH e AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sq AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |  FROM e
+        |), p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER sw || '>' ||
+        |    lead(event_type, 2) OVER sw AS path,
+        |    lead(event_type, 2) OVER sw AS l2
+        |  FROM sq
+        |  WINDOW sw AS (PARTITION BY user_id, session_seq
+        |                ORDER BY ts, event_id)
+        |)
+        |SELECT path, count(*) AS n_occurrences
+        |FROM p WHERE l2 IS NOT NULL GROUP BY path""".stripMargin,
+
     "q_sessionize" ->
       s"""WITH e AS (
         |  SELECT user_id, ts, value,

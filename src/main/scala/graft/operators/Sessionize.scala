@@ -137,4 +137,34 @@ object Sessionize {
       (tCols.last.isNotNull &&
         tCols.last - tCols.head <= horizonSeconds * 1000000L).as("completed"): _*)
   }
+
+  /** Within-session path n-grams — "what do users DO, in order" (the
+    * product-analytics path report): for every run of `n` consecutive
+    * events inside one session, the '>'-joined `typeCol` sequence,
+    * counted corpus-wide. No per-session event-list materialization:
+    * the n-gram is assembled from n−1 `lead()`s over the session
+    * window (ordered by ts with `ordCol` as the deterministic
+    * tiebreak), so state per row is n small strings, never a
+    * session's timeline — a 100k-event bot session costs 100k rows,
+    * not a 100k-element array on one executor. One key shuffle (the
+    * session window) + one count shuffle bounded by distinct paths.
+    */
+  def pathNgrams(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, ordCol: String, gapSeconds: Long,
+      n: Int): DataFrame = {
+    require(n >= 2 && n <= 8, s"path n-gram length out of range: $n")
+    val w = Window.partitionBy(col(keyCol), col("session_seq"))
+      .orderBy(col(tsCol), col(ordCol))
+    val steps = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    assign(df, keyCol, tsCol, gapSeconds)
+      .withColumn("__path", concat_ws(">", steps: _*))
+      // rows whose trailing leads fell off the session end have a
+      // short path — exactly the rows where the last lead is null
+      // (projected first: window expressions can't sit in WHERE)
+      .withColumn("__last", steps.last)
+      .where(col("__last").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -153,4 +153,23 @@ class SessionizeSpec extends SparkTestBase {
       (1L, 0L, 1L), // u3's join period
       (1L, 2L, 1L))) // u3 returns at offset 2
   }
+
+  test("pathNgrams: session-bounded, tie-ordered, short tails excluded") {
+    // user 1: one session a,b,c,d; after the gap a second session b,c
+    // user 2: ties at the same ts ordered by event_id -> x,y,z
+    val base = 1700000000000000L
+    val ev = Seq(
+      (1L, base, "a", 1L), (1L, base + 1000000L, "b", 2L),
+      (1L, base + 2000000L, "c", 3L), (1L, base + 3000000L, "d", 4L),
+      (1L, base + 4000000000L, "b", 5L), (1L, base + 4001000000L, "c", 6L),
+      (2L, base + 100L, "x", 7L), (2L, base + 100L, "y", 8L),
+      (2L, base + 100L, "z", 9L))
+      .toDF("user_id", "ts_us", "event_type", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = Sessionize.pathNgrams(
+      ev, "user_id", "ts", "event_type", "event_id", 1800L, n = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b" -> 1L, "b>c" -> 2L, "c>d" -> 1L,
+      "x>y" -> 1L, "y>z" -> 1L), s"got $got")
+  }
 }
