@@ -2049,6 +2049,17 @@ object SparkEntry {
           Sketches.kmvEstimate(col("sketch"), k).as("est_distinct"))
     }),
 
+    // Per-dimension embedding statistics — the feature-scaling /
+    // drift-baseline pass. The sufficient statistics are EXACT longs
+    // on the 1e-4 grid (float partial sums are order-dependent across
+    // partitions; integer sums are not), mean/std single IEEE ops on
+    // those exact operands.
+    "q_embed_stats" -> ((s, dir) =>
+      Similarity.dimStats(
+        t(s, dir, "embeddings").select("embedding"), "embedding")
+        .select(col("dim"), col("n"), col("sum_q"), col("sumsq_q"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"))),
+
     // Corpus-overlap WITHOUT a join: vocabulary sketches of two
     // overlapping slices (doc_id%2 vs doc_id%3), overlap estimated
     // from the two O(k) sketches alone via the KMV set-op estimator.
@@ -4098,6 +4109,26 @@ object SparkEntry {
         |       + (127 * (72057594037927936 % max(h))) // max(h)
         |    END)::BIGINT AS est_distinct
         |FROM u GROUP BY lang""".stripMargin,
+
+    // same 1e-4 grid quantization and identical operation order in
+    // the derived mean/std
+    "q_embed_stats" ->
+      """WITH q AS (
+        |  SELECT d.j::INT AS dim,
+        |    CAST(floor(embedding[d.j + 1]::DOUBLE * 10000 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS d(j)
+        |), st AS (
+        |  SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sum_q,
+        |    sum(q * q)::BIGINT AS sumsq_q
+        |  FROM q GROUP BY dim
+        |)
+        |SELECT dim, n, sum_q, sumsq_q,
+        |  round(sum_q::DOUBLE / 10000 / n::DOUBLE, 6) AS mean,
+        |  round(sqrt(greatest(0.0,
+        |    sumsq_q::DOUBLE / n::DOUBLE -
+        |    (sum_q::DOUBLE / n::DOUBLE) * (sum_q::DOUBLE / n::DOUBLE)))
+        |    / 10000, 6) AS std
+        |FROM st""".stripMargin,
 
     // KMV set-op estimator, integer-exact: bottom-128 per slice,
     // bottom-128 of the sketch union, j_num = union members present

@@ -443,6 +443,33 @@ object Similarity {
   def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
     transform(qCol, q => q.cast("double") / scaleCol)
 
+  /** Per-dimension corpus statistics of an embedding column — the
+    * feature-scaling / drift-baseline pass ("is dimension 17 dead?
+    * what normalizer do we ship?"). Returns `dim, n, sum_q, sumsq_q,
+    * mean, std` where `sum_q`/`sumsq_q` are EXACT integer sufficient
+    * statistics of the values on a 1e-4 grid (`q = floor(x·10⁴ + ½)`):
+    * float partial aggregation is summation-order-dependent across
+    * partitions, so the exact sums come from LONGs and mean/std are
+    * single IEEE divisions of exact operands — reproducible
+    * bit-for-bit at any partitioning and on any engine. Overflow:
+    * |q| ≤ 10⁴·max|x|; sumsq per dim ≤ n·10⁸·max|x|² — fine to ~10¹⁰
+    * unit-norm rows per dimension. One posexplode + one groupBy(dim):
+    * shuffle bounded by dims × partitions (map-side combine).
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val q = floor(col("__x").cast("double") * 10000d + lit(0.5)).cast("long")
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(q).as("sum_q"),
+        sum(q * q).as("sumsq_q"))
+      .withColumn("mean", col("sum_q").cast("double") / 10000d /
+        col("n").cast("double"))
+      .withColumn("std", sqrt(greatest(lit(0.0),
+        (col("sumsq_q").cast("double") / col("n").cast("double") -
+          (col("sum_q").cast("double") / col("n").cast("double")) *
+            (col("sum_q").cast("double") / col("n").cast("double"))))) / 10000d)
+  }
+
   /** Exact distributed group centroids over int8-quantized vectors
     * (cluster means, per-class embedding prototypes): per-dimension
     * sums accumulate in LONGs — order-free exact, unlike float partial

@@ -527,4 +527,27 @@ class LlmOpsSpec extends SparkTestBase {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.5 && mean < 2.0, s"JL norm-ratio mean off: $mean")
   }
+
+  test("dimStats: exact integer sufficient stats, partition-invariant, matches local fold") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(_ =>
+      Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.dimStats(d, "embedding")
+        .select("dim", "n", "sum_q", "sumsq_q")
+        .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run(df)
+    assert(run(df.repartition(7)) == got, "integer sums are order-free")
+    // local reference on the same 1e-4 grid
+    val want = (0 until 8).map { d =>
+      val qs = vecs.map(v => math.floor(v(d).toDouble * 10000 + 0.5).toLong)
+      (d, qs.size.toLong, qs.sum, qs.map(q => q * q).sum)
+    }
+    assert(got == want)
+    val stds = graft.operators.Similarity.dimStats(df, "embedding")
+      .select("std").as[Double].collect()
+    // uniform[-1,1] has std ~ 0.577
+    assert(stds.forall(s => s > 0.45 && s < 0.7), stds.mkString(","))
+  }
 }
