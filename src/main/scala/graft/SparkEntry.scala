@@ -2049,6 +2049,17 @@ object SparkEntry {
           Sketches.kmvEstimate(col("sketch"), k).as("est_distinct"))
     }),
 
+    // Adaptive per-language length filter: each language keeps its own
+    // top three token-count quartiles (a global cutoff is wrong for
+    // every language at once). Exact integer cutoffs from per-group
+    // cumulative histograms — no global sort; the oracle restates the
+    // cum*4 >= tot rule on the proven token fragment.
+    "q_length_filter" -> ((s, dir) =>
+      Sampling.dropBelowGroupQuantile(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.approxTokenCount(col("text")).as("tokens")),
+        "lang", "tokens", qNum = 1L, qDen = 4L)),
+
     // Per-dimension embedding statistics — the feature-scaling /
     // drift-baseline pass. The sufficient statistics are EXACT longs
     // on the 1e-4 grid (float partial sums are order-dependent across
@@ -4109,6 +4120,29 @@ object SparkEntry {
         |       + (127 * (72057594037927936 % max(h))) // max(h)
         |    END)::BIGINT AS est_distinct
         |FROM u GROUP BY lang""".stripMargin,
+
+    // cum*4 >= tot integer cutoff per language over the token proxy
+    "q_length_filter" ->
+      s"""WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(list_sum(list_transform(
+        |      string_split(${sqlNt("text")}, ' '),
+        |      x -> ceil(length(x) / 4.0))), 0)::BIGINT AS tokens
+        |  FROM documents
+        |), h AS (
+        |  SELECT lang, tokens, count(*) AS c FROM sc GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT lang, tokens,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY tokens) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot
+        |  FROM h
+        |), cut AS (
+        |  SELECT lang, min(tokens) AS cutoff FROM cum
+        |  WHERE cum * 4 >= tot * 1 GROUP BY lang
+        |)
+        |SELECT s.lang, s.doc_id, s.tokens
+        |FROM sc s JOIN cut USING (lang)
+        |WHERE s.tokens >= cut.cutoff""".stripMargin,
 
     // same 1e-4 grid quantization and identical operation order in
     // the derived mean/std

@@ -222,6 +222,36 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Drop rows below their GROUP's q-quantile of an integer score —
+    * adaptive per-stratum filtering ("drop each language's shortest
+    * quartile": a fixed global length cutoff is wrong for every
+    * language at once). The quantile is a RATIONAL qNum/qDen and the
+    * cutoff is exact: the smallest score whose cumulative row count
+    * satisfies `cum·qDen ≥ total·qNum` — all-integer, engine- and
+    * partitioning-invariant (ties share one cumulative count under
+    * the default RANGE frame on both engines). Null scores never
+    * survive. Shuffle is bounded by groups × distinct scores (the
+    * histogram), NOT corpus rows — the same no-global-sort posture as
+    * [[topFractionByScore]], per group and lower-tailed; the per-group
+    * cutoff table is tiny and joins back broadcast.
+    */
+  def dropBelowGroupQuantile(df: DataFrame, groupCol: String,
+      scoreCol: String, qNum: Long, qDen: Long): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"quantile must be a rational in [0,1]: $qNum/$qDen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val cuts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__tot", sum("__c").over(Window.partitionBy(col(groupCol))))
+      .where(col("__cum") * qDen >= col("__tot") * qNum)
+      .groupBy(col(groupCol)).agg(min(col(scoreCol)).as("__cutoff"))
+    df.join(cuts, Seq(groupCol), "left")
+      .where(col(scoreCol) >= col("__cutoff"))
+      .drop("__cutoff")
+  }
+
   /** Export-integrity manifest for sharded output: per shard, the row
     * count and two ORDER-INVARIANT content signatures over `sigCols` —
     * `sig_xor` (xor of 56-bit row hashes; cheap, but a row duplicated

@@ -193,6 +193,29 @@ class SamplingPiiSpec extends SparkTestBase {
       .as[(Long, Long)].collect().map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("dropBelowGroupQuantile: per-group exact cutoffs, ties kept together, nulls dropped") {
+    // group a: scores 1..8 -> 25% cutoff is 2 (cum 2*4 >= 8), keep 2..8
+    // group b: all-tied scores -> everything survives at any quantile
+    // group c: one row -> survives
+    val df = ((1L to 8L).map(i => ("a", i, i)) ++
+      (20L to 25L).map(i => ("b", 5L, i)) ++ Seq(("c", 9L, 30L)))
+      .toDF("g", "score", "id")
+    val got = Sampling.dropBelowGroupQuantile(df, "g", "score", 1L, 4L)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val want = ((2L to 8L).map(("a", _)) ++ (20L to 25L).map(("b", _)) ++
+      Seq(("c", 30L))).toSet
+    assert(got == want, s"got $got")
+    // partitioning must not change the cutoff
+    val re = Sampling.dropBelowGroupQuantile(df.repartition(5), "g",
+      "score", 1L, 4L).select("g", "id").as[(String, Long)].collect().toSet
+    assert(re == got)
+    // null scores never survive
+    val withNull = df.unionByName(
+      Seq(("a", Option.empty[Long], 99L)).toDF("g", "score", "id"))
+    assert(!Sampling.dropBelowGroupQuantile(withNull, "g", "score", 1L, 4L)
+      .select("id").as[Long].collect().contains(99L))
+  }
+
   test("shardManifest: order/partition-invariant; detects loss, duplication, corruption") {
     val df = (0L until 400L).map(i => (i, i % 7, s"payload$i"))
       .toDF("id", "shard", "v")
