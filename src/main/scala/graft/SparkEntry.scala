@@ -2154,6 +2154,31 @@ object SparkEntry {
       Sketches.histogramDrift(ha, hb)
     }),
 
+    // Streaming drift monitor: the fixed-grid histogram IS a streaming
+    // aggregation (groupBy(bin) in complete mode, ≤ nBins state rows)
+    // folded against a batch reference through the integer TV drift —
+    // the "is today's stream distribution moving?" monitor, live. The
+    // purchase-vs-view value distributions genuinely differ, so
+    // tv_ppm is a real signal, not zero.
+    "q_stream_drift" -> ((s, dir) => {
+      nanosConf(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val (lo, hi, bins) = (0.0, 1000.0, 256)
+      val name = s"stream_drift_${System.nanoTime()}"
+      val q = Sketches.histogram(
+        fixTs(s.readStream.schema(rawSchema).option("basePath", dir)
+          .parquet(s"$dir/events.parque*"))
+          .where(col("event_type") === "purchase"),
+        col("value"), lo, hi, bins)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      val ref = Sketches.histogram(
+        t(s, dir, "events").where(col("event_type") === "view"),
+        col("value"), lo, hi, bins)
+      Sketches.histogramDrift(ref, s.table(name))
+    }),
+
     // Declarative data-quality gate (deequ shape): row checks fold
     // into ONE conditional-count pass, uniqueness one groupBy,
     // referential integrity one anti-join — only counts reach the
@@ -4305,6 +4330,30 @@ object SparkEntry {
         |    AS bin, count(*) AS n
         |  FROM orders WHERE o_totalprice IS NOT NULL
         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(pre.n, 0) AS na, coalesce(post.n, 0) AS nb
+        |  FROM pre FULL OUTER JOIN post USING (bin)
+        |), t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j)
+        |SELECT t.ta::BIGINT AS n_a, t.tb::BIGINT AS n_b,
+        |  sum(abs(na * t.tb - nb * t.ta))::BIGINT AS tv_num,
+        |  (sum(abs(na * t.tb - nb * t.ta)) * 1000000
+        |     // (2 * t.ta * t.tb))::BIGINT AS tv_ppm
+        |FROM j, t GROUP BY t.ta, t.tb""".stripMargin,
+
+    // batch restatement of both histograms on the shared 256-bin grid
+    "q_stream_drift" ->
+      """WITH pre AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 1000.0), 0), 255) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type = 'view' GROUP BY 1
+        |), post AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 1000.0), 0), 255) AS BIGINT)
+        |    AS bin, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |    AND event_type = 'purchase' GROUP BY 1
         |), j AS (
         |  SELECT coalesce(pre.n, 0) AS na, coalesce(post.n, 0) AS nb
         |  FROM pre FULL OUTER JOIN post USING (bin)
