@@ -1790,6 +1790,18 @@ object SparkEntry {
         .select("doc_id", "text")
     }),
 
+    // Dry-run disposition report for the same state and delta: NO
+    // version is written, yet every delta doc gets the exact verdict
+    // the commit would apply — quality first-drop, ordered near-dup
+    // loss against the persisted index, or admission. The oracle is
+    // the batch restatement of the per-doc verdicts over base ∪ delta.
+    "q_curate_preview" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val root = Spill.newPath(s) + "/prevcur"
+      IncrementalCuration.bootstrap(docs, curatePipeline, root)
+      IncrementalCuration.previewRefresh(curateDelta(docs), root)
+    }),
+
     // The STREAMED form of the same contract: the identical delta
     // flows through StreamingCuration's foreachBatch (each micro-batch
     // = one replay-idempotent IncrementalCuration.refresh at version
@@ -2604,11 +2616,13 @@ object SparkEntry {
       |   ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS f_last_type
       |FROM ($clicksSql) o""".stripMargin
 
-  /** The batch meaning of incremental/streaming curation — shared by
-    * `q_curate_incremental` and `q_stream_curate`, whose engine paths
-    * must land on the identical corpus. */
-  private lazy val sqlCurateIncremental =
-    s"""WITH corpus AS (
+  /** The batch meaning of incremental/streaming curation — the CTEs
+    * shared by `q_curate_incremental` / `q_stream_curate` (corpus
+    * tail) and `q_curate_preview` (per-delta-doc disposition tail):
+    * one statement of quality + ordered near-dup over base ∪ delta.
+    */
+  private lazy val sqlCurateCtes =
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
@@ -2642,7 +2656,10 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
       |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-      |)
+      |)""".stripMargin
+
+  private lazy val sqlCurateIncremental =
+    s"""WITH $sqlCurateCtes
       |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
       |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
@@ -3836,6 +3853,19 @@ object SparkEntry {
     // micro-batch path must land on the identical corpus.
     "q_curate_incremental" -> sqlCurateIncremental,
     "q_stream_curate" -> sqlCurateIncremental,
+
+    // per-delta-doc first-drop attribution over the same batch CTEs:
+    // quality failures, ordered near-dup losers, admitted — delta ids
+    // start at 2000000 in the shared fixture
+    "q_curate_preview" ->
+      s"""WITH $sqlCurateCtes
+        |SELECT c.doc_id,
+        |  CASE WHEN c.doc_id NOT IN (SELECT doc_id FROM kept)
+        |         THEN '0:quality'
+        |       WHEN c.doc_id IN (SELECT doc_id FROM losers)
+        |         THEN '1:near_dup_drop'
+        |       ELSE 'admitted' END AS disposition
+        |FROM corpus c WHERE c.doc_id >= 2000000""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH $sqlNorm, $sqlRepGrams

@@ -165,6 +165,71 @@ object IncrementalCuration {
     snapshot(spark, root)
   }
 
+  /** Dry-run disposition report for a WOULD-BE [[refresh]]: every
+    * delta document attributed to the first pre-stage that would drop
+    * it (`"<idx>:<stageName>"`, absolute pipeline indices), the
+    * near-dup admission verdict (`"<idx>:near_dup_drop"`), a
+    * post-stage drop, or `"admitted"` — with NO state touched: no
+    * index append, no log version, no meta row. The operational "why
+    * would tonight's refresh reject this" answer, runnable before
+    * committing the nightly version; the admission decision runs
+    * through the same code as [[refresh]]
+    * ([[NearDupIndex.previewLosers]] shares admit's decision path),
+    * so the preview cannot drift from the commit. Validation mirrors
+    * refresh's monotone-id check against the current high-water mark.
+    */
+  def previewRefresh(delta: DataFrame, root: String,
+      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+    val spark = delta.sparkSession
+    val pipeline = readConfig(spark, root)
+    val (pre, nd, post) = splitStages(pipeline)
+    val priorMax = readMetaBefore(spark, root, Long.MaxValue)
+    val b = delta.agg(min(col(pipeline.idCol).cast("long"))).head()
+    require(!b.isNullAt(0), "previewRefresh called with an empty delta")
+    require(b.getLong(0) > priorMax,
+      s"delta id ${b.getLong(0)} <= already-ingested max id $priorMax: " +
+        "incremental admission is id-ordered; assign fresh ids above " +
+        "the high-water mark")
+    val id = pipeline.idCol
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var cur = Spill.roundTrip(delta.select(col(id), col(pipeline.textCol)))
+    if (pre.nonEmpty) {
+      // pre is a PREFIX of the pipeline, so the audit's stage indices
+      // are already absolute
+      val aud = Spill.roundTrip(
+        CurationPipeline(pipeline.textCol, id, pre).audit(cur, reference))
+      parts += aud.where(col("disposition") =!= "kept")
+      cur = Spill.roundTrip(
+        cur.join(aud.where(col("disposition") === "kept").select(id),
+          Seq(id), "left_semi"))
+    }
+    nd.foreach { n =>
+      val losers = Spill.roundTrip(
+        NearDupIndex.previewLosers(spark, indexDir(root), cur,
+          pipeline.textCol, id, n.threshold)
+          .select(col("id").as(id))
+          .withColumn("disposition", lit(s"${pre.length}:near_dup_drop")))
+      parts += losers
+      cur = Spill.roundTrip(
+        cur.join(losers.select(id), Seq(id), "left_anti"))
+    }
+    if (post.nonEmpty) {
+      val aud = Spill.roundTrip(
+        CurationPipeline(pipeline.textCol, id, post).audit(cur, reference))
+      val off = pre.length + nd.size
+      val idx = split(col("disposition"), ":", 2)
+      parts += aud.where(col("disposition") =!= "kept")
+        .withColumn("disposition", concat(
+          (idx.getItem(0).cast("int") + off).cast("string"),
+          lit(":"), idx.getItem(1)))
+      cur = cur.join(aud.where(col("disposition") === "kept").select(id),
+        Seq(id), "left_semi")
+    }
+    val admitted = cur.select(col(id))
+      .withColumn("disposition", lit("admitted"))
+    (parts :+ admitted).reduce(_ unionByName _)
+  }
+
   /** The curated corpus as of the latest refresh. */
   def snapshot(spark: SparkSession, root: String): DataFrame = {
     val pipeline = readConfig(spark, root)

@@ -170,6 +170,31 @@ object NearDupIndex {
     */
   def admit(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val (_, _, shingleSize) = readConfig(spark, path)
+    val (losers, dBands) =
+      decideAdmission(spark, path, delta, textCol, idCol, threshold)
+    // append AFTER the materialized decision: bands reuse the spill,
+    // shingles are the refresh's single full-delta shingle pass
+    dBands.write.mode("append").parquet(s"$path/$B")
+    shingleStore(delta, textCol, idCol, shingleSize)
+      .write.mode("append").parquet(s"$path/$S")
+    losers
+  }
+
+  /** The [[admit]] DECISION without the append — the dry-run surface
+    * ([[IncrementalCuration.previewRefresh]]): which delta docs WOULD
+    * the store reject, with no state touched. Identical candidate
+    * generation, strictly-ordered matching, and verification as
+    * admit — they share [[decideAdmission]], so the preview cannot
+    * drift from the real admission.
+    */
+  def previewLosers(spark: SparkSession, path: String, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame =
+    decideAdmission(spark, path, delta, textCol, idCol, threshold)._1
+
+  private def decideAdmission(spark: SparkSession, path: String,
+      delta: DataFrame, textCol: String, idCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     val (numHashes, bands, shingleSize) = readConfig(spark, path)
     val (dBands, dBandBytes) = Spill.roundTripSized(
       bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
@@ -231,13 +256,7 @@ object NearDupIndex {
       .select(col("id_b").as("id"))
     val losers = Spill.roundTrip(
       crossMatched.unionByName(intMatched).distinct())
-
-    // append AFTER the materialized decision: bands reuse the spill,
-    // shingles are the refresh's single full-delta shingle pass
-    dBands.write.mode("append").parquet(s"$path/$B")
-    shingleStore(delta, textCol, idCol, shingleSize)
-      .write.mode("append").parquet(s"$path/$S")
-    losers
+    (losers, dBands)
   }
 
   private def jaccard(a: Column, b: Column): Column =

@@ -52,6 +52,36 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(ids(snap) == Set(1L, 2L, 4L, 11L))
   }
 
+  test("previewRefresh reports the exact verdicts and touches NO state") {
+    val base = corpus(
+      doc(1, "alpha"), doc(2, "beta"), doc(4, "gamma"),
+      5L -> "too short to pass quality")
+    val delta = corpus(
+      doc(10, "alpha"), // would be dropped against the index
+      doc(11, "delta"), // fresh -> admitted
+      doc(12, "delta"), // delta-internal dup of 11 -> dropped
+      13L -> "also too short")
+    val root = Spill.newPath(spark) + "/pvstate"
+    val bootIds = ids(IncrementalCuration.bootstrap(base, pipeline, root))
+    val before = MergeLog.versions(spark, s"$root/log")
+
+    val got = IncrementalCuration.previewRefresh(delta, root)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      10L -> "1:near_dup_drop",
+      11L -> "admitted",
+      12L -> "1:near_dup_drop",
+      13L -> "0:quality"), s"got $got")
+    // no state was written: versions unchanged, high-water unchanged,
+    // and a preview-then-refresh equals a plain refresh
+    assert(MergeLog.versions(spark, s"$root/log") == before)
+    val snap = IncrementalCuration.refresh(delta, root, version = 1L)
+    assert(ids(snap) == Set(1L, 2L, 4L, 11L),
+      "the preview must not have polluted the index with delta rows")
+    // the preview's admitted set IS the refresh's delta contribution
+    assert(got.filter(_._2 == "admitted").keySet == ids(snap) -- bootIds)
+  }
+
   test("a doc matching only a DROPPED entrant is still dropped (entrants are indexed)") {
     // base doc 3 is a near-dup of 1 and is dropped; delta doc 20 is a
     // near-dup of 3 (and of 1, identical text) — batch ordered-drop
