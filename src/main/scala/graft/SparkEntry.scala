@@ -2394,6 +2394,88 @@ object SparkEntry {
         .select("win", "c_custkey", "change")
     }),
 
+    // Incrementally-maintained SWA state — the M1 backfill loop's
+    // O(delta) production shape: the events fixture arrives as SIX
+    // day-range deltas ingested one at a time into per-(key, day)
+    // additive partials; serving the 7-day window at the final day
+    // boundary must equal the one-pass batch recompute the oracle
+    // runs. Only each delta is ever shuffled; at 100 TB the nightly
+    // refresh cost is the night's events, not the corpus.
+    "q_swa_incremental" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val us = unix_micros(col("ts"))
+      val ev = EventTime.normalize(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("__d", ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long"))
+      // two longs to the driver — the slicing plan, not data
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val span = maxB - minB + 1
+      val n = math.min(6L, span)
+      val step = (span + n - 1) / n
+      (0L until n).foreach { i =>
+        val lo = minB + i * step
+        IncrementalSwa.ingest(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          state, cfg, i)
+      }
+      require(IncrementalSwa.versions(s, state) == (0L until n),
+        s"expected $n ingested versions")
+      IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 7)
+        .select(col("user_id"),
+          round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
+          round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
+    }),
+
+    // Late data + compaction on the same state: the middle day-range
+    // delta is delivered LAST (additive partials need no correction
+    // path — one more version and every serve is exact), then the
+    // version tail is folded into a single partial per (key, day) in a
+    // new Publish generation (atomic pointer flip; in-place folding
+    // would double-count) and old generations are GC'd. The 14-day
+    // serve after all that must still equal the batch recompute.
+    "q_swa_late_compact" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val us = unix_micros(col("ts"))
+      val ev = EventTime.normalize(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("__d", ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long"))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val span = maxB - minB + 1
+      val n = math.min(6L, span)
+      val step = (span + n - 1) / n
+      def slice(i: Long) = {
+        val lo = minB + i * step
+        ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d")
+      }
+      val late = n / 2
+      val order = (0L until n).filterNot(_ == late) :+ late
+      order.zipWithIndex.foreach { case (sl, v) =>
+        IncrementalSwa.ingest(slice(sl), state, cfg, v.toLong)
+      }
+      IncrementalSwa.compact(s, state, cfg)
+      require(IncrementalSwa.versions(s, state) == Seq(n - 1),
+        "compact must fold the tail into the single highest version")
+      require(IncrementalSwa.foldedThrough(s, state) == n - 1,
+        "compact must record its fold horizon")
+      Publish.gc(s, state, keep = 1)
+      require(Publish.committed(s, state).size == 1,
+        "gc(keep=1) must leave exactly the live generation")
+      IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 14)
+        .select(col("user_id"),
+          round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
+          round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
+    }),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -4634,6 +4716,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT '1-2', c_custkey, 'updated' FROM customer
         |WHERE c_custkey % 3 = 0""".stripMargin,
+
+    // the one-pass batch recompute the incremental state must equal:
+    // 7 days ending at the day boundary after the last event, sums on
+    // the cent grid (exact integers both engines)
+    "q_swa_incremental" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e)
+        |SELECT user_id,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
+        |  count(value) AS f_cnt,
+        |  round((sum(round(value * 100)::BIGINT)::BIGINT / 100.0)
+        |        / count(value), 4) AS f_avg,
+        |  min(value) AS f_min,
+        |  max(value) AS f_max
+        |FROM e, mx
+        |WHERE e.us >= mx.t - 7 * 86400000000 AND e.us < mx.t
+        |GROUP BY user_id""".stripMargin,
+
+    // same recompute at 14 days — delivery order, compaction, and GC
+    // must all be invisible to the served values
+    "q_swa_late_compact" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e)
+        |SELECT user_id,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
+        |  count(value) AS f_cnt,
+        |  round((sum(round(value * 100)::BIGINT)::BIGINT / 100.0)
+        |        / count(value), 4) AS f_avg,
+        |  min(value) AS f_min,
+        |  max(value) AS f_max
+        |FROM e, mx
+        |WHERE e.us >= mx.t - 14 * 86400000000 AND e.us < mx.t
+        |GROUP BY user_id""".stripMargin,
 
     // layout is physical only — the range scan must equal a plain filter
     "q_compact_layout" ->

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.hadoop.fs.Path
+
+/** Incrementally-maintained sliding-window aggregate state — the
+  * production shape of the M1 backfill loop. The step-loop
+  * (feathr-rs/src/materialization.rs:200-231) recomputes each step's
+  * features FROM RAW EVENTS; at 100 TB a nightly refresh cannot
+  * re-shuffle the corpus, so this operator keeps per-(key, bucket)
+  * ADDITIVE partial aggregates as a version-partitioned log and pays
+  * only O(delta) per ingest:
+  *
+  *  - [[ingest]] folds ONE delta to (key, bucket) partials — sum on
+  *    the exact integer cent grid, count, min, max — and appends them
+  *    as `__v=<version>/`. Nothing but the delta is shuffled.
+  *  - [[serve]] answers "window aggregates as of boundary T" by
+  *    summing partials over the bucket range [T−W, T): SUM/COUNT add
+  *    across versions, MIN/MAX fold, AVG = final sum/count. Because
+  *    the state is additive, LATE-ARRIVING data needs no special
+  *    path: ingest the correction delta as one more version and every
+  *    subsequent serve is exact — no read-modify-write, no retraction.
+  *  - [[serveAsOf]] truncates the read at a version: the feature-state
+  *    time-travel primitive (rerunning backfill step N must see step
+  *    N's state, the same contract as [[MergeLog.snapshotAsOf]]).
+  *  - [[compact]] folds the version tail into a single partial per
+  *    (key, bucket) in a NEW [[Publish]] generation and atomically
+  *    flips the pointer. Additive state makes in-place compaction
+  *    unsafe in a way latest-wins never is: writing a fold NEXT TO
+  *    the versions it folds double-counts every row until the deletes
+  *    finish, so the fold must become visible all-or-nothing — which
+  *    is exactly the generation-pointer commit. A crash between fold
+  *    and flip leaves the old generation live and correct.
+  *
+  * Serving is defined at bucket boundaries with window = k buckets
+  * (the snapshot-generation contract, M2): features are exact with no
+  * raw-event edge correction, which is what a daily/hourly
+  * materialization serves anyway. Sub-bucket observation times belong
+  * to the J3 join path, not the store.
+  *
+  * Scale posture: ingest shuffles the delta once (map-side-combinable
+  * groupBy); state rows are bounded by keys × live buckets after
+  * [[compact]], not by event count; partials are written sorted by
+  * bucket so a serve's `[lo, hi)` range filter prunes parquet
+  * row-groups. Replays are idempotent (a version overwrites itself);
+  * versions at or below a compaction's fold are REFUSED with a named
+  * error — additive state cannot re-apply rebased history without
+  * double-counting (single-writer per store, the foreachBatch
+  * posture).
+  */
+object IncrementalSwa {
+  val VCol = "__v"
+  val BCol = "__b"
+  private val FoldPrefix = "_folded_through_"
+
+  /** `bucketUs` is the maintenance grain (day/hour) in epoch-micros;
+    * sums are maintained on the exact integer grid `round(value·100)`
+    * so partial-order and engine differences cannot drift the result.
+    */
+  case class Config(keyCols: Seq[String], tsCol: String, valueCol: String,
+      bucketUs: Long) {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live generation dir, creating (and committing) an empty
+    * generation 0 for a brand-new store.
+    */
+  private def liveGen(spark: SparkSession, dir: String): String = {
+    val g = Publish.current(spark, dir)
+      .getOrElse(Publish.publish(spark, dir) { p =>
+        fs(spark, dir).mkdirs(new Path(p))
+      })
+    Publish.genPath(dir, g)
+  }
+
+  /** Versions present in the live generation, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val gen = new Path(liveGen(spark, dir))
+    val f = fs(spark, dir)
+    if (!f.exists(gen)) Nil
+    else f.listStatus(gen).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$VCol="))
+      .map(_.getPath.getName.stripPrefix(s"$VCol=").toLong)
+      .sorted
+  }
+
+  /** Highest version a [[compact]] has folded history through in the
+    * live generation; -1 when never compacted.
+    */
+  def foldedThrough(spark: SparkSession, dir: String): Long = {
+    val gen = new Path(liveGen(spark, dir))
+    val f = fs(spark, dir)
+    if (!f.exists(gen)) -1L
+    else f.listStatus(gen).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(FoldPrefix))
+      .map(_.drop(FoldPrefix.length).toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def bucketCol(cfg: Config): Column = {
+    val us = unix_micros(col(cfg.tsCol))
+    // floor-div in long arithmetic (timestamps can predate the epoch)
+    ((us - pmod(us, lit(cfg.bucketUs))) / lit(cfg.bucketUs)).cast("long")
+  }
+
+  /** Fold `delta` to per-(key, bucket) partials and append them as
+    * `version`. Only the delta is shuffled; a replay of a live version
+    * overwrites its own partition (idempotent); a version at or below
+    * [[foldedThrough]] is refused — its history was rebased away.
+    */
+  def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
+    val spark = delta.sparkSession
+    val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.valueCol)
+      .filterNot(delta.columns.contains)
+    require(missing.isEmpty, s"delta is missing columns $missing")
+    val folded = foldedThrough(spark, dir)
+    require(version > folded,
+      s"version $version is at or below the compaction fold ($folded) at " +
+        s"$dir — additive state cannot replay rebased history without " +
+        "double-counting; re-ingest under a fresh version only if the " +
+        "delta was never applied")
+    val partials = delta
+      .withColumn(BCol, bucketCol(cfg))
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(
+        sum(round(col(cfg.valueCol) * 100).cast("long")).as("psum_c"),
+        count(col(cfg.valueCol)).as("pcnt"),
+        min(col(cfg.valueCol)).as("pmin"),
+        max(col(cfg.valueCol)).as("pmax"))
+    // sorted by bucket → parquet row-group min/max prune serve's
+    // [lo, hi) range filter
+    partials.sortWithinPartitions(BCol)
+      .write.mode("overwrite")
+      .parquet(s"${liveGen(spark, dir)}/$VCol=$version")
+  }
+
+  private def readState(spark: SparkSession, dir: String): DataFrame =
+    // partition discovery reads __v back as a column
+    spark.read.parquet(liveGen(spark, dir))
+
+  private def finishAgg(state: DataFrame, cfg: Config, loB: Long,
+      hiB: Long): DataFrame =
+    state
+      .where(col(BCol) >= loB && col(BCol) < hiB)
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(
+        sum(col("psum_c")).as("sum_c"),
+        sum(col("pcnt")).as("f_cnt"),
+        min(col("pmin")).as("f_min"),
+        max(col("pmax")).as("f_max"))
+      .withColumn("f_sum", col("sum_c") / 100.0)
+      .withColumn("f_avg", col("f_sum") / col("f_cnt"))
+      .select(cfg.keyCols.map(col) ++
+        Seq(col("f_sum"), col("f_cnt"), col("f_avg"), col("f_min"),
+          col("f_max")): _*)
+
+  /** Window aggregates as of bucket boundary `asOfUs` over the last
+    * `windowBuckets` buckets: events with ts ∈ [asOf − W, asOf). Keys
+    * with no events in the window are absent (the left join against a
+    * spine is the caller's).
+    */
+  def serve(spark: SparkSession, dir: String, cfg: Config, asOfUs: Long,
+      windowBuckets: Int): DataFrame = {
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid — " +
+        "the store serves snapshot boundaries; sub-bucket observation " +
+        "times belong to the windowed join (J3)")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val hiB = asOfUs / cfg.bucketUs
+    finishAgg(readState(spark, dir), cfg, hiB - windowBuckets, hiB)
+  }
+
+  /** [[serve]] as the state stood at `asOfVersion` — partials of later
+    * versions excluded. Refuses versions the live generation's
+    * compaction fold has rebased away.
+    */
+  def serveAsOf(spark: SparkSession, dir: String, cfg: Config, asOfUs: Long,
+      windowBuckets: Int, asOfVersion: Long): DataFrame = {
+    val folded = foldedThrough(spark, dir)
+    require(folded < 0 || asOfVersion >= folded,
+      s"version $asOfVersion predates the compaction fold ($folded) at " +
+        s"$dir — that history was rebased; serving the fold instead would " +
+        "be a reproducibility lie")
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    val hiB = asOfUs / cfg.bucketUs
+    finishAgg(readState(spark, dir).where(col(VCol) <= asOfVersion), cfg,
+      hiB - windowBuckets, hiB)
+  }
+
+  /** Fold the live generation's version tail into one partial per
+    * (key, bucket) and atomically flip the [[Publish]] pointer to it.
+    * The fold keeps the highest version's number (ingests continue
+    * above it) and records `_folded_through_<vmax>`; superseded
+    * generations are reclaimed by [[Publish.gc]] under its reader
+    * retention horizon. Returns the new generation number.
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
+      "least one delta before compacting")
+    val vmax = vs.max
+    val fold = readState(spark, dir)
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(
+        sum(col("psum_c")).as("psum_c"),
+        sum(col("pcnt")).as("pcnt"),
+        min(col("pmin")).as("pmin"),
+        max(col("pmax")).as("pmax"))
+    Publish.publish(spark, dir) { gen =>
+      fold.sortWithinPartitions(BCol)
+        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
+      val out = fs(spark, dir).create(
+        new Path(s"$gen/$FoldPrefix$vmax"), false)
+      out.close()
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{IncrementalSwa, Publish, Spill}
+import graft.operators.IncrementalSwa.Config
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalSwaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+  private val cfg = Config(Seq("k"), "ts", "v", DayUs)
+
+  /** events on day d (0-based from the epoch) at hour h */
+  private def ev(rows: (Long, Int, Int, Double)*): DataFrame =
+    rows.toDF("k", "d", "h", "v")
+      .withColumn("ts",
+        timestamp_micros(col("d") * DayUs + col("h") * 3600000000L))
+      .select("k", "ts", "v")
+
+  private def multiset(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  /** the batch oracle: one pass over all events */
+  private def batch(all: DataFrame, asOfUs: Long, w: Int): DataFrame =
+    all.withColumn("us", unix_micros(col("ts")))
+      .where(col("us") >= asOfUs - w * DayUs && col("us") < asOfUs)
+      .groupBy("k")
+      .agg(
+        (sum(round(col("v") * 100).cast("long")) / 100.0).as("f_sum"),
+        count("v").as("f_cnt"),
+        (sum(round(col("v") * 100).cast("long")) / 100.0 / count("v")).as("f_avg"),
+        min("v").as("f_min"), max("v").as("f_max"))
+      .select("k", "f_sum", "f_cnt", "f_avg", "f_min", "f_max")
+
+  private val d0 = ev((1L, 0, 1, 1.5), (1L, 0, 9, 2.25), (2L, 0, 3, 10.0))
+  private val d1 = ev((1L, 1, 2, 4.0), (2L, 1, 5, 0.5), (3L, 1, 7, 7.0))
+  private val d2 = ev((1L, 2, 4, 8.0), (3L, 2, 6, 1.0))
+
+  private def ingestAll(dir: String, deltas: Seq[DataFrame]): Unit =
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      IncrementalSwa.ingest(d, dir, cfg, i.toLong)
+    }
+
+  test("incremental serve equals the batch recompute at every boundary") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1, d2))
+    val all = d0.unionByName(d1).unionByName(d2)
+    for (day <- 1 to 3; w <- Seq(1, 2, 3)) {
+      val asOf = day * DayUs
+      assert(multiset(IncrementalSwa.serve(spark, dir, cfg, asOf, w)) ==
+        multiset(batch(all, asOf, w)), s"asOf day $day window $w")
+    }
+  }
+
+  test("late-arriving correction: one more version, every serve exact") {
+    val dir = Spill.newPath(spark)
+    // day-1 data arrives AFTER day 2 was ingested
+    IncrementalSwa.ingest(d0, dir, cfg, 0L)
+    IncrementalSwa.ingest(d2, dir, cfg, 1L)
+    IncrementalSwa.ingest(d1, dir, cfg, 2L)
+    val all = d0.unionByName(d1).unionByName(d2)
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 3 * DayUs, 3)) ==
+      multiset(batch(all, 3 * DayUs, 3)))
+  }
+
+  test("replayed version overwrites itself — at-least-once is idempotent") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1))
+    IncrementalSwa.ingest(d1, dir, cfg, 1L) // replay
+    val all = d0.unionByName(d1)
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2)) ==
+      multiset(batch(all, 2 * DayUs, 2)))
+  }
+
+  test("serveAsOf excludes later versions (backfill reproducibility)") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1, d2))
+    val v1 = IncrementalSwa.serveAsOf(spark, dir, cfg, 2 * DayUs, 2, 1L)
+    assert(multiset(v1) ==
+      multiset(batch(d0.unionByName(d1), 2 * DayUs, 2)))
+  }
+
+  test("compact folds to one version in a new generation; serves unchanged") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1, d2))
+    val before = multiset(IncrementalSwa.serve(spark, dir, cfg, 3 * DayUs, 3))
+    val gen = IncrementalSwa.compact(spark, dir, cfg)
+    assert(IncrementalSwa.versions(spark, dir) == Seq(2L))
+    assert(IncrementalSwa.foldedThrough(spark, dir) == 2L)
+    assert(Publish.current(spark, dir).contains(gen))
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 3 * DayUs, 3)) == before)
+    // ingests continue above the fold
+    IncrementalSwa.ingest(ev((5L, 3, 1, 3.0)), dir, cfg, 3L)
+    val all = d0.unionByName(d1).unionByName(d2)
+      .unionByName(ev((5L, 3, 1, 3.0)))
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 4 * DayUs, 4)) ==
+      multiset(batch(all, 4 * DayUs, 4)))
+  }
+
+  test("compact refuses replays of rebased versions; serveAsOf refuses rebased history") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1))
+    IncrementalSwa.compact(spark, dir, cfg)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSwa.ingest(d1, dir, cfg, 1L)
+    }
+    assert(e.getMessage.contains("fold"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalSwa.serveAsOf(spark, dir, cfg, 2 * DayUs, 2, 0L)
+    }
+    assert(e2.getMessage.contains("rebased"))
+  }
+
+  test("a crash between fold and pointer flip leaves the old generation live") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1))
+    val before = multiset(IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2))
+    val g = Publish.current(spark, dir).get
+    // simulate: fold data fully written in gen g+1, no commit marker
+    val crashGen = Publish.genPath(dir, g + 1)
+    spark.read.parquet(Publish.genPath(dir, g))
+      .write.parquet(s"$crashGen/${IncrementalSwa.VCol}=1")
+    assert(Publish.current(spark, dir).contains(g))
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2)) == before)
+    // the next compact reclaims the garbage and commits cleanly
+    IncrementalSwa.compact(spark, dir, cfg)
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2)) == before)
+  }
+
+  test("publish gc retains the reader horizon and never the live generation") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1))
+    IncrementalSwa.compact(spark, dir, cfg)
+    IncrementalSwa.ingest(d2, dir, cfg, 3L)
+    IncrementalSwa.compact(spark, dir, cfg)
+    assert(Publish.committed(spark, dir).size == 3)
+    Publish.gc(spark, dir, keep = 1)
+    val left = Publish.committed(spark, dir)
+    assert(left.size == 1 && Publish.current(spark, dir).contains(left.head))
+    val all = d0.unionByName(d1).unionByName(d2)
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 3 * DayUs, 3)) ==
+      multiset(batch(all, 3 * DayUs, 3)))
+    intercept[IllegalArgumentException] { Publish.gc(spark, dir, keep = 0) }
+  }
+}
