@@ -1292,6 +1292,47 @@ object ScaleProbe {
         delta.unpersist()
       }
     }
+
+    // ---- axis 24: incrementally-maintained SWA state. Grow the state
+    // to n versions of the fixture, then (a) ingest ONE more fixture-
+    // sized delta — wall and shuffle must stay FLAT as state grows,
+    // the O(delta) nightly-refresh claim — and (b) serve the 7-day
+    // window before and after compaction: pre-compact serve scans n+1
+    // version partitions (linear in history), post-compact it scans
+    // one folded partial per (key, day) (flat) — the read-amplification
+    // motivation for the atomic generation fold.
+    if (axes == "all" || axes == "swainc") {
+      import graft.operators.{IncrementalSwa, Publish, Spill}
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val evs = ev0.select("user_id", "ts", "value")
+      val maxB = evs.agg(max(
+        ((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(dayUs)))
+          / lit(dayUs)).cast("long"))).head().getLong(0)
+      val asOf = (maxB + 1) * dayUs
+      var warmedSw = false
+      for (n <- Seq(1) ++ mults) {
+        val root = Spill.newPath(spark) + s"/probe_swainc_$n"
+        (0 until n).foreach(i =>
+          IncrementalSwa.ingest(evs, root, cfg, i.toLong))
+        val (iSec, iMb) = time {
+          IncrementalSwa.ingest(evs, root, cfg, n.toLong); 1L
+        }
+        val (sSec, _) = time {
+          IncrementalSwa.serve(spark, root, cfg, asOf, 7).count()
+        }
+        IncrementalSwa.compact(spark, root, cfg)
+        Publish.gc(spark, root, keep = 1)
+        val (cSec, _) = time {
+          IncrementalSwa.serve(spark, root, cfg, asOf, 7).count()
+        }
+        if (warmedSw)
+          println(f"[scale] n=$n%-3d stateVersions=${n + 1}%-4d " +
+            f"ingestFixedDelta=$iSec%6.2fs/${iMb}%7.1fMB " +
+            f"serve=$sSec%6.2fs serveCompacted=$cSec%6.2fs")
+        warmedSw = true
+      }
+    }
     spark.stop()
   }
 }
