@@ -2476,6 +2476,38 @@ object SparkEntry {
           round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
     }),
 
+    // T1 × IncrementalSwa: the same state maintained by a STREAM —
+    // events split into day-ranged files and delivered one file per
+    // micro-batch; each batch lands as version = batchId. Additive
+    // state is invariant to how the source splits rows across batches,
+    // so the 30-day serve must equal the batch recompute regardless of
+    // file/batch boundaries.
+    "q_stream_swa_state" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val us = unix_micros(col("ts"))
+      val dcol = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val maxB = ev.agg(max(dcol)).head().getLong(0)
+      // day-range-clustered feed files → AvailableNow + one file per
+      // trigger yields several micro-batches (several state versions)
+      val feed = Spill.newPath(s) + "/swa_feed"
+      ev.withColumn("__d", dcol).repartitionByRange(4, col("__d"))
+        .drop("__d").write.parquet(feed)
+      val state = Spill.newPath(s)
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      StreamingIngest.swaStateStream(stream, state, cfg)
+      require(IncrementalSwa.versions(s, state).size >= 2,
+        "expected several micro-batch versions in the state")
+      IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 30)
+        .select(col("user_id"),
+          round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
+          round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
+    }),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -4750,6 +4782,23 @@ object SparkEntry {
         |  max(value) AS f_max
         |FROM e, mx
         |WHERE e.us >= mx.t - 14 * 86400000000 AND e.us < mx.t
+        |GROUP BY user_id""".stripMargin,
+
+    // the batch recompute again at 30 days — micro-batch boundaries
+    // must be invisible to the served values
+    "q_stream_swa_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e)
+        |SELECT user_id,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
+        |  count(value) AS f_cnt,
+        |  round((sum(round(value * 100)::BIGINT)::BIGINT / 100.0)
+        |        / count(value), 4) AS f_avg,
+        |  min(value) AS f_min,
+        |  max(value) AS f_max
+        |FROM e, mx
+        |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
 
     // layout is physical only — the range scan must equal a plain filter

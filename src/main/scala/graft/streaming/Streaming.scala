@@ -161,6 +161,33 @@ object StreamingIngest {
     q
   }
 
+  /** T1 × [[graft.operators.IncrementalSwa]]: continuous maintenance
+    * of the additive window-aggregate state. Each micro-batch folds to
+    * per-(key, bucket) partials and lands as version = batchId —
+    * O(batch) work, replay-idempotent (a replayed batch overwrites its
+    * own version), so at-least-once foreachBatch yields exactly-once
+    * state. Because the state is ADDITIVE, the result is invariant to
+    * how the source happens to split rows across micro-batches — late
+    * or out-of-order arrivals need no watermark here; they are simply
+    * partials in a later version. Compaction is an out-of-band
+    * maintenance action (single writer per store: do not compact while
+    * the stream runs — a replayed batch at or below the fold is
+    * refused loudly).
+    */
+  def swaStateStream(stream: DataFrame, dir: String,
+      cfg: graft.operators.IncrementalSwa.Config, timeoutMs: Long = 120000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val q = stream.writeStream.outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IncrementalSwa.ingest(batch, dir, cfg, batchId)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Micro-batches go through [[Materializer.writeBatch]] —
