@@ -2508,6 +2508,26 @@ object SparkEntry {
           round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
     }),
 
+    // Structural privacy: rows whose (lang, source, size-bucket)
+    // quasi-identifier combination is rarer than k=10 are suppressed
+    // — the linkage-attack guard PII redaction can't provide. The
+    // combo table (bounded by distinct combos, not corpus rows) is
+    // aggregated first and semi-joined back; the corpus never shuffles.
+    "q_kanon_rows" -> ((s, dir) =>
+      Privacy.kAnonymize(
+        t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
+        Seq("lang", "source", "size_kb"), 10)
+        .select("doc_id", "lang", "source", "size_kb")),
+
+    // k-anonymous rollup report: cells ≥ k keep their dimensions,
+    // smaller cells fold into one '*' residual row so totals still
+    // reconcile with the corpus (census-table discipline). The
+    // suppression pass runs on already-aggregated cells only.
+    "q_kanon_report" -> ((s, dir) =>
+      Privacy.kAnonymousReport(
+        t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
+        Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -4800,6 +4820,23 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    "q_kanon_rows" ->
+      """SELECT doc_id, lang, source, (n_chars // 1000) AS size_kb FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    count(*) OVER (PARTITION BY lang, source, (n_chars // 1000)) AS c
+        |  FROM documents) t WHERE c >= 10""".stripMargin,
+
+    "q_kanon_report" ->
+      """WITH per AS (
+        |  SELECT lang, source, (n_chars // 1000)::VARCHAR AS size_kb,
+        |    count(*) AS n_rows, sum(n_chars)::BIGINT AS sum_n_chars
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source, size_kb, n_rows, sum_n_chars
+        |FROM per WHERE n_rows >= 10
+        |UNION ALL
+        |SELECT '*', '*', '*', sum(n_rows)::BIGINT, sum(sum_n_chars)::BIGINT
+        |FROM per WHERE n_rows < 10 HAVING count(*) > 0""".stripMargin,
 
     // layout is physical only — the range scan must equal a plain filter
     "q_compact_layout" ->
