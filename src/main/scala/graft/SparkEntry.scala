@@ -2528,6 +2528,19 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // BPE trainer iteration 0 over the corpus: the weighted adjacent
+    // character-pair counts every merge decision ranks. The corpus is
+    // shuffled once (word freq); the pair table is bounded by the
+    // distinct-word table's total characters. Later iterations are
+    // engine loops the oracle can't express — BpeTrainerSpec pins them
+    // to the textbook merge sequence instead.
+    "q_bpe_pairs" -> ((s, dir) => {
+      val wf = BpeTrainer.wordFreq(
+        t(s, dir, "documents").select("text"), "text")
+      BpeTrainer.pairCounts(BpeTrainer.charSegmentation(wf))
+        .where(col("cnt") >= 5)
+    }),
+
     // Table-maintenance rewrite: documents range-clustered by doc_id
     // (repartitionByRange + sortWithinPartitions), then a key-range
     // scan over the new layout — every file's footer min/max is a
@@ -4820,6 +4833,22 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // frequency-weighted adjacent char pairs over the distinct-word
+    // table — BPE iteration 0
+    "q_bpe_pairs" ->
+      s"""WITH w AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(${sqlNt("text")}, ' ')) AS term
+        |    FROM documents) t
+        |  WHERE term <> '' GROUP BY term
+        |), pos AS (
+        |  SELECT term, freq, unnest(range(1, len(term))) AS i
+        |  FROM w WHERE len(term) >= 2
+        |)
+        |SELECT substr(term, i::INT, 1) AS a, substr(term, i::INT + 1, 1) AS b,
+        |  sum(freq)::BIGINT AS cnt
+        |FROM pos GROUP BY 1, 2 HAVING sum(freq) >= 5""".stripMargin,
 
     "q_kanon_rows" ->
       """SELECT doc_id, lang, source, (n_chars // 1000) AS size_kb FROM (
