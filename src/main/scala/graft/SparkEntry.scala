@@ -2428,7 +2428,8 @@ object SparkEntry {
       IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 7)
         .select(col("user_id"),
           round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
-          round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
+          round(round(col("f_sum") * 100) / col("f_cnt")).cast("long")
+            .as("f_avg_c"), col("f_min"), col("f_max"))
     }),
 
     // Late data + compaction on the same state: the middle day-range
@@ -2473,7 +2474,8 @@ object SparkEntry {
       IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 14)
         .select(col("user_id"),
           round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
-          round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
+          round(round(col("f_sum") * 100) / col("f_cnt")).cast("long")
+            .as("f_avg_c"), col("f_min"), col("f_max"))
     }),
 
     // T1 × IncrementalSwa: the same state maintained by a STREAM —
@@ -2505,7 +2507,8 @@ object SparkEntry {
       IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 30)
         .select(col("user_id"),
           round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
-          round(col("f_avg"), 4).as("f_avg"), col("f_min"), col("f_max"))
+          round(round(col("f_sum") * 100) / col("f_cnt")).cast("long")
+            .as("f_avg_c"), col("f_min"), col("f_max"))
     }),
 
     // Structural privacy: rows whose (lang, source, size-bucket)
@@ -2527,6 +2530,25 @@ object SparkEntry {
       Privacy.kAnonymousReport(
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
+
+    // The daily feature TABLE from the incremental state in ONE pass:
+    // keys × days with the 7-day window ending at each day — one
+    // partial merge, one spine join, one rolling RANGE-frame window
+    // over the bucket grid, vs 30 separate serve() scans. Empty
+    // windows are omitted.
+    "q_swa_feature_table" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val state = Spill.newPath(s)
+      IncrementalSwa.ingest(ev, state, cfg, 0L)
+      IncrementalSwa.serveDaily(s, state, cfg, 7)
+        .select(col("user_id"), col("bucket").as("day"),
+          round(col("f_sum"), 4).as("f_sum"), col("f_cnt"),
+          round(round(col("f_sum") * 100) / col("f_cnt")).cast("long")
+            .as("f_avg_c"), col("f_min"), col("f_max"))
+    }),
 
     // BPE trainer iteration 0 over the corpus: the weighted adjacent
     // character-pair counts every merge decision ranks. The corpus is
@@ -4792,8 +4814,8 @@ object SparkEntry {
         |SELECT user_id,
         |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
         |  count(value) AS f_cnt,
-        |  round((sum(round(value * 100)::BIGINT)::BIGINT / 100.0)
-        |        / count(value), 4) AS f_avg,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT
+        |        / count(value))::BIGINT AS f_avg_c,
         |  min(value) AS f_min,
         |  max(value) AS f_max
         |FROM e, mx
@@ -4809,8 +4831,8 @@ object SparkEntry {
         |SELECT user_id,
         |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
         |  count(value) AS f_cnt,
-        |  round((sum(round(value * 100)::BIGINT)::BIGINT / 100.0)
-        |        / count(value), 4) AS f_avg,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT
+        |        / count(value))::BIGINT AS f_avg_c,
         |  min(value) AS f_min,
         |  max(value) AS f_max
         |FROM e, mx
@@ -4826,13 +4848,32 @@ object SparkEntry {
         |SELECT user_id,
         |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
         |  count(value) AS f_cnt,
-        |  round((sum(round(value * 100)::BIGINT)::BIGINT / 100.0)
-        |        / count(value), 4) AS f_avg,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT
+        |        / count(value))::BIGINT AS f_avg_c,
         |  min(value) AS f_min,
         |  max(value) AS f_max
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // per-(user, day) 7-day rolling windows over the full day grid;
+    // INNER join drops empty windows, matching the engine's filter
+    "q_swa_feature_table" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
+        |           FROM events),
+        |bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM b),
+        |grid AS (
+        |  SELECT u.user_id, x.d FROM (SELECT DISTINCT user_id FROM b) u
+        |  CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS d FROM bounds) x)
+        |SELECT g.user_id, g.d AS day,
+        |  round(sum(round(e.value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
+        |  count(e.value) AS f_cnt,
+        |  round(sum(round(e.value * 100)::BIGINT)::BIGINT
+        |        / count(e.value))::BIGINT AS f_avg_c,
+        |  min(e.value) AS f_min, max(e.value) AS f_max
+        |FROM grid g JOIN b e
+        |  ON e.user_id = g.user_id AND e.d BETWEEN g.d - 6 AND g.d
+        |GROUP BY 1, 2""".stripMargin,
 
     // frequency-weighted adjacent char pairs over the distinct-word
     // table — BPE iteration 0

@@ -177,6 +177,49 @@ object IncrementalSwa {
     finishAgg(readState(spark, dir), cfg, hiB - windowBuckets, hiB)
   }
 
+  /** The daily feature TABLE in one pass: for every key × bucket in
+    * the state's bucket range, the window aggregates over the
+    * `windowBuckets` buckets ending AT that bucket (i.e. as served at
+    * boundary (b+1)·bucketUs). A materialization that published 30
+    * daily snapshots as 30 [[serve]] calls would scan the state 30
+    * times; this is ONE merge of the partials, one spine join, and one
+    * per-key rolling RANGE-frame window over the bucket GRID (rows =
+    * keys × buckets — the size of the output itself, not of the event
+    * history). Buckets whose window holds no events are omitted, same
+    * as [[serve]]'s absent keys.
+    */
+  def serveDaily(spark: SparkSession, dir: String, cfg: Config,
+      windowBuckets: Int): DataFrame = {
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val merged = readState(spark, dir)
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(sum(col("psum_c")).as("psum_c"), sum(col("pcnt")).as("pcnt"),
+        min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
+    // two longs to the driver: the global bucket range (the spine plan)
+    val Array(loB, hiB) = {
+      val r = merged.agg(min(col(BCol)), max(col(BCol))).head()
+      require(!r.isNullAt(0), s"state at $dir holds no partials")
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val spine = merged.select(cfg.keyCols.map(col): _*).distinct()
+      .withColumn(BCol, explode(sequence(lit(loB), lit(hiB))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cfg.keyCols.map(col): _*)
+      .orderBy(col(BCol))
+      .rangeBetween(-(windowBuckets - 1L), 0L)
+    spine.join(merged, cfg.keyCols :+ BCol, "left_outer")
+      .withColumn("sum_c", sum(col("psum_c")).over(w))
+      .withColumn("f_cnt", sum(col("pcnt")).over(w))
+      .withColumn("f_min", min(col("pmin")).over(w))
+      .withColumn("f_max", max(col("pmax")).over(w))
+      .where(col("f_cnt").isNotNull)
+      .withColumn("f_sum", col("sum_c") / 100.0)
+      .withColumn("f_avg", col("f_sum") / col("f_cnt"))
+      .select(cfg.keyCols.map(col) ++ Seq(col(BCol).as("bucket"),
+        col("f_sum"), col("f_cnt"), col("f_avg"), col("f_min"),
+        col("f_max")): _*)
+  }
+
   /** [[serve]] as the state stood at `asOfVersion` — partials of later
     * versions excluded. Refuses versions the live generation's
     * compaction fold has rebased away.

@@ -54,6 +54,17 @@ class IncrementalSwaSpec extends SparkTestBase {
     }
   }
 
+  test("serveDaily row at bucket b equals serve at boundary (b+1)·B") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1, d2))
+    val daily = IncrementalSwa.serveDaily(spark, dir, cfg, 2)
+    for (b <- 0L to 2L) {
+      val atB = daily.where(col("bucket") === b).drop("bucket")
+      val served = IncrementalSwa.serve(spark, dir, cfg, (b + 1) * DayUs, 2)
+      assert(multiset(atB) == multiset(served), s"bucket $b")
+    }
+  }
+
   test("late-arriving correction: one more version, every serve exact") {
     val dir = Spill.newPath(spark)
     // day-1 data arrives AFTER day 2 was ingested
