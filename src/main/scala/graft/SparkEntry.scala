@@ -2531,6 +2531,24 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // A3 LATEST from the incremental state: max(struct(ts, value)) is
+    // semilattice-foldable, so "newest value in the window" merges
+    // across buckets, versions, and compactions exactly like min/max
+    // — no ordered scan of history.
+    "q_swa_latest_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val us = unix_micros(col("ts"))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val maxB = ev.agg(max(((us - pmod(us, lit(dayUs))) / lit(dayUs))
+        .cast("long"))).head().getLong(0)
+      val state = Spill.newPath(s)
+      IncrementalSwa.ingest(ev, state, cfg, 0L)
+      IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 7)
+        .select(col("user_id"), col("f_latest"))
+    }),
+
     // The daily feature TABLE from the incremental state in ONE pass:
     // keys × days with the 7-day window ending at each day — one
     // partial merge, one spine join, one rolling RANGE-frame window
@@ -4855,6 +4873,17 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // newest (ts, value) per user in the window — value is the
+    // deterministic tiebreak, same as the engine's lexicographic max
+    "q_swa_latest_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |r AS (SELECT user_id, value, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY us DESC, value DESC) AS rn
+        |      FROM e, mx WHERE us >= t - 7 * 86400000000 AND us < t)
+        |SELECT user_id, value AS f_latest FROM r WHERE rn = 1""".stripMargin,
 
     // per-(user, day) 7-day rolling windows over the full day grid;
     // INNER join drops empty windows, matching the engine's filter

@@ -133,7 +133,13 @@ object IncrementalSwa {
         sum(round(col(cfg.valueCol) * 100).cast("long")).as("psum_c"),
         count(col(cfg.valueCol)).as("pcnt"),
         min(col(cfg.valueCol)).as("pmin"),
-        max(col(cfg.valueCol)).as("pmax"))
+        max(col(cfg.valueCol)).as("pmax"),
+        // LATEST is semilattice-foldable: lexicographic max of
+        // (event-time, value) — value as the deterministic tiebreak
+        // (the union-sort rule) — merges across buckets, versions,
+        // and compactions exactly like min/max
+        max(struct(unix_micros(col(cfg.tsCol)).as("us"),
+          col(cfg.valueCol).as("v"))).as("plast"))
     // sorted by bucket → parquet row-group min/max prune serve's
     // [lo, hi) range filter
     partials.sortWithinPartitions(BCol)
@@ -154,12 +160,13 @@ object IncrementalSwa {
         sum(col("psum_c")).as("sum_c"),
         sum(col("pcnt")).as("f_cnt"),
         min(col("pmin")).as("f_min"),
-        max(col("pmax")).as("f_max"))
+        max(col("pmax")).as("f_max"),
+        max(col("plast")).as("pl"))
       .withColumn("f_sum", col("sum_c") / 100.0)
       .withColumn("f_avg", col("f_sum") / col("f_cnt"))
       .select(cfg.keyCols.map(col) ++
         Seq(col("f_sum"), col("f_cnt"), col("f_avg"), col("f_min"),
-          col("f_max")): _*)
+          col("f_max"), col("pl").getField("v").as("f_latest")): _*)
 
   /** Window aggregates as of bucket boundary `asOfUs` over the last
     * `windowBuckets` buckets: events with ts ∈ [asOf − W, asOf). Keys
@@ -194,7 +201,8 @@ object IncrementalSwa {
     val merged = readState(spark, dir)
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
       .agg(sum(col("psum_c")).as("psum_c"), sum(col("pcnt")).as("pcnt"),
-        min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
+        min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"),
+        max(col("plast")).as("plast"))
     // two longs to the driver: the global bucket range (the spine plan)
     val Array(loB, hiB) = {
       val r = merged.agg(min(col(BCol)), max(col(BCol))).head()
@@ -212,12 +220,13 @@ object IncrementalSwa {
       .withColumn("f_cnt", sum(col("pcnt")).over(w))
       .withColumn("f_min", min(col("pmin")).over(w))
       .withColumn("f_max", max(col("pmax")).over(w))
+      .withColumn("pl", max(col("plast")).over(w))
       .where(col("f_cnt").isNotNull)
       .withColumn("f_sum", col("sum_c") / 100.0)
       .withColumn("f_avg", col("f_sum") / col("f_cnt"))
       .select(cfg.keyCols.map(col) ++ Seq(col(BCol).as("bucket"),
         col("f_sum"), col("f_cnt"), col("f_avg"), col("f_min"),
-        col("f_max")): _*)
+        col("f_max"), col("pl").getField("v").as("f_latest")): _*)
   }
 
   /** [[serve]] as the state stood at `asOfVersion` — partials of later
@@ -256,7 +265,8 @@ object IncrementalSwa {
         sum(col("psum_c")).as("psum_c"),
         sum(col("pcnt")).as("pcnt"),
         min(col("pmin")).as("pmin"),
-        max(col("pmax")).as("pmax"))
+        max(col("pmax")).as("pmax"),
+        max(col("plast")).as("plast"))
     Publish.publish(spark, dir) { gen =>
       fold.sortWithinPartitions(BCol)
         .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")

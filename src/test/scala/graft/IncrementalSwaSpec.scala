@@ -23,16 +23,22 @@ class IncrementalSwaSpec extends SparkTestBase {
     df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
 
   /** the batch oracle: one pass over all events */
-  private def batch(all: DataFrame, asOfUs: Long, w: Int): DataFrame =
-    all.withColumn("us", unix_micros(col("ts")))
+  private def batch(all: DataFrame, asOfUs: Long, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val in = all.withColumn("us", unix_micros(col("ts")))
       .where(col("us") >= asOfUs - w * DayUs && col("us") < asOfUs)
-      .groupBy("k")
+    val agg = in.groupBy("k")
       .agg(
         (sum(round(col("v") * 100).cast("long")) / 100.0).as("f_sum"),
         count("v").as("f_cnt"),
         (sum(round(col("v") * 100).cast("long")) / 100.0 / count("v")).as("f_avg"),
         min("v").as("f_min"), max("v").as("f_max"))
-      .select("k", "f_sum", "f_cnt", "f_avg", "f_min", "f_max")
+    val latest = in.withColumn("__rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("us").desc, col("v").desc)))
+      .where(col("__rn") === 1).select(col("k"), col("v").as("f_latest"))
+    agg.join(latest, Seq("k"))
+      .select("k", "f_sum", "f_cnt", "f_avg", "f_min", "f_max", "f_latest")
+  }
 
   private val d0 = ev((1L, 0, 1, 1.5), (1L, 0, 9, 2.25), (2L, 0, 3, 10.0))
   private val d1 = ev((1L, 1, 2, 4.0), (2L, 1, 5, 0.5), (3L, 1, 7, 7.0))
