@@ -2531,6 +2531,36 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // Per-key windowed QUANTILES from incremental state: exact
+    // quantiles don't merge, binned histograms do — (key, bucket, bin)
+    // counts are additive like every other partial, and serve applies
+    // the integer cumulative-cutoff rule per key on the fixed
+    // [0,200)×256 grid. Three day-range deltas prove the additivity.
+    "q_swa_quantile_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalQuantile.Config(Seq("user_id"), "ts", "value",
+        dayUs, 0.0, 200.0, 256)
+      val us = unix_micros(col("ts"))
+      val dcol = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("__d", dcol)
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalQuantile.ingest(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          state, cfg, i)
+      }
+      IncrementalQuantile.serveQuantiles(s, state, cfg,
+        (maxB + 1) * dayUs, 30, Seq(0.5, 0.95))
+    }),
+
     // A3 LATEST from the incremental state: max(struct(ts, value)) is
     // semilattice-foldable, so "newest value in the window" merges
     // across buckets, versions, and compactions exactly like min/max
@@ -4873,6 +4903,31 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // per-user binned-histogram quantiles over the 30-day window on
+    // the same fixed grid and integer cutoff rule
+    "q_swa_quantile_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |h AS (
+        |  SELECT user_id, CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM e, mx
+        |  WHERE us >= t - 30 * 86400000000 AND us < t AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, bin,
+        |    sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id) AS total
+        |  FROM h
+        |), qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
+        |SELECT c.user_id, qs.q, min(c.bin) AS bin,
+        |  0.0 + (min(c.bin) * 200.0) / 256.0 AS cutoff,
+        |  min(c.total)::BIGINT AS n_total
+        |FROM qs JOIN c ON c.cum * 10000 >= qs.q * 10000 * c.total
+        |GROUP BY 1, 2""".stripMargin,
 
     // newest (ts, value) per user in the window — value is the
     // deterministic tiebreak, same as the engine's lexicographic max

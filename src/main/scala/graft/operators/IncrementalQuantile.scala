@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed per-key QUANTILES from incrementally-maintained state —
+  * the percentile features (p50/p95 of a value over the last W days
+  * per key) that SUM/MIN/MAX cannot express. Exact quantiles are not
+  * mergeable, but BINNED histograms are: the state holds one row per
+  * (key, bucket, bin) with a count — additive across versions exactly
+  * like [[IncrementalSwa]]'s partials (same generation/version layout,
+  * same O(delta) ingest, same fold-into-a-new-[[Publish]]-generation
+  * compaction), and a serve sums bin counts over the bucket range and
+  * applies the integer cumulative-cutoff rule on the fixed grid
+  * ([[Sketches.histogramQuantiles]]'s rule, per key). Precision is the
+  * grid width (hi−lo)/nBins — the deterministic trade every
+  * cross-engine-reproducible quantile makes; out-of-range values
+  * clamp into the edge bins.
+  *
+  * State size: keys × live buckets × bins-hit (sparse — only bins a
+  * bucket's values actually land in). Serve shuffles the bounded
+  * state, never events.
+  */
+object IncrementalQuantile {
+  import IncrementalSwa.{BCol, VCol}
+
+  case class Config(keyCols: Seq[String], tsCol: String, valueCol: String,
+      bucketUs: Long, lo: Double, hi: Double, nBins: Int) {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    require(nBins > 0 && hi > lo, s"bad histogram grid: [$lo,$hi) x $nBins")
+  }
+
+  /** Fold `delta` to (key, bucket, bin) counts and append as
+    * `version`; the same replay/fold discipline as
+    * [[IncrementalSwa.ingest]].
+    */
+  def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
+    val spark = delta.sparkSession
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(version > folded,
+      s"version $version is at or below the compaction fold ($folded) at " +
+        s"$dir — additive state cannot replay rebased history")
+    val us = unix_micros(col(cfg.tsCol))
+    val b = ((us - pmod(us, lit(cfg.bucketUs))) / lit(cfg.bucketUs)).cast("long")
+    val v = col(cfg.valueCol)
+    val bin = least(greatest(
+      floor((v - lit(cfg.lo)) * cfg.nBins / lit(cfg.hi - cfg.lo)), lit(0.0)),
+      lit((cfg.nBins - 1).toDouble)).cast("long")
+    delta.where(v.isNotNull)
+      .groupBy((cfg.keyCols.map(col) :+ b.as(BCol) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .sortWithinPartitions(BCol)
+      .write.mode("overwrite")
+      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+  }
+
+  /** Per-key quantile cutoffs over the window [asOf − W, asOf): one
+    * (key, bin) merge of the state, one per-key cumulative window over
+    * ≤ nBins rows, the integer cross-multiply cutoff (no float
+    * comparisons on the decision path). Output: key cols, q, bin,
+    * cutoff (bin left edge mapped back to value space), n_total.
+    */
+  def serveQuantiles(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int, qs: Seq[Double]): DataFrame = {
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    val hiB = asOfUs / cfg.bucketUs
+    val merged = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy((cfg.keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(cfg.keyCols.map(col): _*).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(cfg.keyCols.map(col): _*)))
+    val qdf = spark.createDataFrame(
+      qs.map(q => Tuple1(math.rint(q * 10000).toLong / 10000.0))).toDF("q")
+    cum.crossJoin(broadcast(qdf))
+      .where(col("cum") * 10000 >= col("q") * 10000 * col("total"))
+      .groupBy((cfg.keyCols :+ "q").map(col): _*)
+      .agg(min(col("bin")).as("bin"), min(col("total")).as("n_total"))
+      .withColumn("cutoff",
+        lit(cfg.lo) + col("bin") * lit(cfg.hi - cfg.lo) / lit(cfg.nBins.toDouble))
+      .select((cfg.keyCols.map(col) ++
+        Seq(col("q"), col("bin"), col("cutoff"), col("n_total"))): _*)
+  }
+
+  /** Fold the version tail into one row per (key, bucket, bin) in a
+    * new [[Publish]] generation — same crash posture as
+    * [[IncrementalSwa.compact]].
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
+    val vs = IncrementalSwa.versions(spark, dir)
+    require(vs.nonEmpty, s"state at $dir is empty or missing")
+    val vmax = vs.max
+    val fold = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
+      .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bin")): _*)
+      .agg(sum(col("n")).as("n"))
+    Publish.publish(spark, dir) { gen =>
+      fold.sortWithinPartitions(BCol)
+        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$gen/${IncrementalSwa.FoldPrefix}$vmax")
+      val out = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, false)
+      out.close()
+    }
+  }
+}

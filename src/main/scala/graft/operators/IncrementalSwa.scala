@@ -53,7 +53,7 @@ import org.apache.hadoop.fs.Path
 object IncrementalSwa {
   val VCol = "__v"
   val BCol = "__b"
-  private val FoldPrefix = "_folded_through_"
+  private[operators] val FoldPrefix = "_folded_through_"
 
   /** `bucketUs` is the maintenance grain (day/hour) in epoch-micros;
     * sums are maintained on the exact integer grid `round(value·100)`
@@ -71,7 +71,7 @@ object IncrementalSwa {
   /** Live generation dir, creating (and committing) an empty
     * generation 0 for a brand-new store.
     */
-  private def liveGen(spark: SparkSession, dir: String): String = {
+  private[operators] def liveGen(spark: SparkSession, dir: String): String = {
     val g = Publish.current(spark, dir)
       .getOrElse(Publish.publish(spark, dir) { p =>
         fs(spark, dir).mkdirs(new Path(p))

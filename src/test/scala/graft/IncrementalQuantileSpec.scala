@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{IncrementalQuantile, IncrementalSwa, Spill}
+import graft.operators.IncrementalQuantile.Config
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalQuantileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+  // grid [0, 10) x 10 — bin = floor(v), cutoff = bin
+  private val cfg = Config(Seq("k"), "ts", "v", DayUs, 0.0, 10.0, 10)
+
+  private def ev(rows: (Long, Int, Double)*): DataFrame =
+    rows.toDF("k", "d", "v")
+      .withColumn("ts", timestamp_micros(col("d") * DayUs + 3600000000L))
+      .select("k", "ts", "v")
+
+  private def q(df: DataFrame): Map[(Long, Double), (Long, Double, Long)] =
+    df.select("k", "q", "bin", "cutoff", "n_total")
+      .as[(Long, Double, Long, Double, Long)].collect()
+      .map { case (k, qq, b, c, n) => (k, qq) -> ((b, c, n)) }.toMap
+
+  test("multi-version histograms merge; median and p95 on the grid") {
+    val dir = Spill.newPath(spark)
+    // key 1: values 1..8 on day 0, 9 and 9.5 on day 1 (10 values:
+    // p50 -> 5th value = 5 -> bin 5; p95 -> 10th = 9.5 -> bin 9)
+    IncrementalQuantile.ingest(
+      ev((1 to 8).map(i => (1L, 0, i.toDouble)): _*), dir, cfg, 0L)
+    IncrementalQuantile.ingest(
+      ev((1L, 1, 9.0), (1L, 1, 9.5)), dir, cfg, 1L)
+    val got = q(IncrementalQuantile.serveQuantiles(spark, dir, cfg,
+      2 * DayUs, 2, Seq(0.5, 0.95)))
+    assert(got((1L, 0.5)) == ((5L, 5.0, 10L)))
+    assert(got((1L, 0.95)) == ((9L, 9.0, 10L)))
+  }
+
+  test("window excludes out-of-range buckets; clamping hits edge bins") {
+    val dir = Spill.newPath(spark)
+    IncrementalQuantile.ingest(
+      ev((1L, 0, 1.0), (1L, 1, -5.0), (1L, 1, 42.0)), dir, cfg, 0L)
+    // window = day 1 only: values clamp to bins 0 and 9
+    val got = q(IncrementalQuantile.serveQuantiles(spark, dir, cfg,
+      2 * DayUs, 1, Seq(0.5, 1.0)))
+    assert(got((1L, 0.5)) == ((0L, 0.0, 2L)))
+    assert(got((1L, 1.0)) == ((9L, 9.0, 2L)))
+  }
+
+  test("compact folds to one version and serves identically") {
+    val dir = Spill.newPath(spark)
+    IncrementalQuantile.ingest(
+      ev((1 to 8).map(i => (1L, 0, i.toDouble)): _*), dir, cfg, 0L)
+    IncrementalQuantile.ingest(ev((1L, 1, 9.0)), dir, cfg, 1L)
+    val before = q(IncrementalQuantile.serveQuantiles(spark, dir, cfg,
+      2 * DayUs, 2, Seq(0.5)))
+    IncrementalQuantile.compact(spark, dir, cfg)
+    assert(IncrementalSwa.versions(spark, dir) == Seq(1L))
+    assert(q(IncrementalQuantile.serveQuantiles(spark, dir, cfg,
+      2 * DayUs, 2, Seq(0.5))) == before)
+    intercept[IllegalArgumentException] {
+      IncrementalQuantile.ingest(ev((1L, 1, 9.0)), dir, cfg, 1L)
+    }
+  }
+}
