@@ -2531,6 +2531,16 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // Temperature mixture at α = 0.5: share per lang ∝ √n — the
+    // multilingual rebalance recipe. The smallest lang keeps rate 1;
+    // thresholds go through sqrt (IEEE-correctly-rounded in BOTH
+    // engines, unlike pow) in a fixed op order, so the md5-grid sample
+    // is bit-reproducible cross-engine.
+    "q_mix_temperature" -> ((s, dir) =>
+      Sampling.resampleByTemperature(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        alpha = 0.5)),
+
     // Per-key windowed QUANTILES from incremental state: exact
     // quantiles don't merge, binned histograms do — (key, bucket, bin)
     // counts are additive like every other partial, and serve applies
@@ -4903,6 +4913,19 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // rate_d = sqrt(n_min/n_d) on the md5 grid, same sqrt op order
+    "q_mix_temperature" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |k AS (SELECT min(n) AS nmin FROM n),
+        |t AS (SELECT lang,
+        |        floor(10000.0 * sqrt(nmin::DOUBLE) / sqrt(n::DOUBLE))::BIGINT
+        |          AS thr
+        |      FROM n, k)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |  % 10000 < t.thr""".stripMargin,
 
     // per-user binned-histogram quantiles over the 30-day window on
     // the same fixed grid and integer cutoff rule

@@ -193,6 +193,49 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < thrCol)
   }
 
+  /** Temperature-resampled mixture (the α-sampling recipe multilingual
+    * / multi-domain pretraining mixes with): target share per domain
+    * ∝ n_d^α, α ∈ (0, 1] — α = 1 keeps natural proportions, α → 0
+    * approaches uniform. Sampling is WITHOUT replacement and never
+    * upsamples, so the feasible scale keeps the smallest-share domain
+    * intact (rate 1) and downsamples the rest toward it:
+    * rate_d = (n_min/n_d)^(1−α), realized as an integer threshold on
+    * the md5 grid — deterministic across runs, partitionings, and
+    * engines.
+    *
+    * α = 0.5 thresholds are computed through `sqrt` in a fixed
+    * operation order: IEEE requires sqrt (unlike pow) to be CORRECTLY
+    * rounded, so both engines produce bit-identical thresholds and the
+    * sample is exactly reproducible cross-engine; other α use
+    * `math.pow` (within 1 ulp — same rows in practice, but the
+    * boundary guarantee is sqrt-only).
+    *
+    * One bounded count per domain to the driver; the corpus itself is
+    * only filtered, never shuffled.
+    */
+  def resampleByTemperature(df: DataFrame, keyCol: String,
+      domainCol: String, alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val cnts = df.groupBy(col(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(cnts.nonEmpty, "no rows to resample")
+    val nMin = cnts.map(_._2).min
+    val thresholds = cnts.map { case (d, n) =>
+      val t =
+        if (alpha == 0.5)
+          math.floor(10000.0 * math.sqrt(nMin.toDouble) /
+            math.sqrt(n.toDouble)).toLong
+        else
+          math.floor(10000.0 * math.pow(nMin.toDouble, 1 - alpha) *
+            math.pow(n.toDouble, alpha - 1)).toLong
+      d -> t
+    }
+    val thrCol = thresholds.foldRight(lit(-1L)) { case ((d, t), rest) =>
+      when(col(domainCol) === lit(d), lit(t)).otherwise(rest)
+    }
+    df.where(hashBucket(col(keyCol), salt) < thrCol)
+  }
+
   /** Deterministic global shuffle into training shards — the export
     * step after curate/mix/pack: every row gets `(shard_id, pos)`
     * where shard assignment and within-shard order are both derived

@@ -320,3 +320,39 @@ class SamplingPiiSpec extends SparkTestBase {
       "rows outside any cluster keep their independent assignment")
   }
 }
+
+class SamplingTemperatureSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  // 4000 a-rows, 1000 b-rows, 250 c-rows: sqrt weights 63.2/31.6/15.8
+  private val df = ((1 to 4000).map(i => (i.toLong, "a")) ++
+    (1 to 1000).map(i => (i.toLong + 10000, "b")) ++
+    (1 to 250).map(i => (i.toLong + 20000, "c")))
+    .toDF("id", "dom")
+
+  test("alpha=1 keeps natural proportions (identity, no upsampling)") {
+    assert(Sampling.resampleByTemperature(df, "id", "dom", 1.0).count() == 5250)
+  }
+
+  test("alpha=0.5: smallest domain intact, rates follow sqrt(nmin/n)") {
+    val got = Sampling.resampleByTemperature(df, "id", "dom", 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(got("c") == 250) // rate 1
+    // expected rates: sqrt(250/1000)=0.5, sqrt(250/4000)=0.25 on the
+    // 10000-grid; md5 buckets are uniform so counts land within ~10%
+    assert(math.abs(got("b") - 500) < 60, s"b=${got("b")}")
+    assert(math.abs(got("a") - 1000) < 110, s"a=${got("a")}")
+  }
+
+  test("deterministic: identical result on rerun; salt changes the draw") {
+    val a = Sampling.resampleByTemperature(df, "id", "dom", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.resampleByTemperature(df, "id", "dom", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    val c = Sampling.resampleByTemperature(df, "id", "dom", 0.5, salt = "x")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a != c)
+  }
+}
