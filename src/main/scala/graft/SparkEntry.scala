@@ -2531,6 +2531,15 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // Contrastive negative sampling: 4 deterministic uniform-corpus
+    // negatives per anchor via hash probes into the md5 shard/position
+    // address space — one equi-join, never an all-pairs scan; self-hits
+    // dropped.
+    "q_contrastive_negatives" -> ((s, dir) =>
+      Sampling.hashNegatives(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        k = 4, nShards = 8)),
+
     // Temperature mixture at α = 0.5: share per lang ∝ √n — the
     // multilingual rebalance recipe. The smallest lang keeps rate 1;
     // thresholds go through sqrt (IEEE-correctly-rounded in BOTH
@@ -4913,6 +4922,36 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // the same (shard, pos) address space and probe hashes, re-derived
+    "q_contrastive_negatives" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+        |      % 8 AS BIGINT) AS shard_id,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+        |        AS UBIGINT) % 8
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+        |  FROM documents
+        |), sz AS (SELECT shard_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT d.doc_id AS anchor_id, j.p AS probe,
+        |    md5(d.doc_id::VARCHAR || '#' || j.p::VARCHAR) AS h
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 4)) AS p) j
+        |), p2 AS (
+        |  SELECT anchor_id, probe, h,
+        |    CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 8 AS BIGINT)
+        |      AS shard_id
+        |  FROM pr
+        |), p3 AS (
+        |  SELECT p2.anchor_id, p2.probe, p2.shard_id,
+        |    CAST(CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) % sz.n AS BIGINT)
+        |      + 1 AS pos
+        |  FROM p2 JOIN sz USING (shard_id))
+        |SELECT p3.anchor_id, p3.probe, sh.doc_id AS neg_id
+        |FROM p3 JOIN sh USING (shard_id, pos)
+        |WHERE sh.doc_id <> p3.anchor_id""".stripMargin,
 
     // rate_d = sqrt(n_min/n_d) on the md5 grid, same sqrt op order
     "q_mix_temperature" ->

@@ -265,6 +265,44 @@ object Sampling {
         .cast("long"))
   }
 
+  /** k deterministic pseudo-random NEGATIVES per anchor — the
+    * contrastive-training sampler (in-batch negatives bias toward
+    * whatever sharding put together; this draws uniformly from the
+    * whole corpus, reproducibly). Every doc gets a dense (shard, pos)
+    * address from the [[shuffleShards]] md5 permutation; anchor a's
+    * j-th probe hashes (a, j) to a shard and a position within it, and
+    * the probes resolve through ONE equi-join — never an all-pairs or
+    * per-anchor scan. Self-hits are dropped (an anchor may thus
+    * receive < k negatives, deterministically); two probes of one
+    * anchor may collide on the same negative (kept — the draw is
+    * with-replacement across probes). Same salt → same negatives on
+    * any engine, partitioning, or rerun.
+    *
+    * Scale: the address table costs one per-shard md5 sort (the
+    * export-shuffle discipline); shard sizes are an nShards-row
+    * broadcast; probes are k rows per anchor into an equi-join.
+    */
+  def hashNegatives(df: DataFrame, idCol: String, k: Int, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val addr = shuffleShards(df.select(col(idCol)), idCol, nShards, salt)
+      .select(col(idCol).as("neg_id"), col("shard_id"), col("pos"))
+    val sizes = addr.groupBy("shard_id").agg(count(lit(1)).as("__n"))
+    val h = md5(concat(col("anchor_id").cast("string"), lit("#"),
+      col("probe").cast("string"), lit(salt)))
+    val probes = df.select(col(idCol).as("anchor_id"))
+      .withColumn("probe", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("shard_id",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % nShards)
+      .join(broadcast(sizes), Seq("shard_id"))
+      .withColumn("pos",
+        conv(substring(h, 9, 8), 16, 10).cast("long") % col("__n") + 1)
+      .drop("__n")
+    probes.join(addr, Seq("shard_id", "pos"))
+      .where(col("neg_id") =!= col("anchor_id"))
+      .select("anchor_id", "probe", "neg_id")
+  }
+
   /** Drop rows below their GROUP's q-quantile of an integer score —
     * adaptive per-stratum filtering ("drop each language's shortest
     * quartile": a fixed global length cutoff is wrong for every

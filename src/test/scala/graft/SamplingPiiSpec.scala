@@ -356,3 +356,31 @@ class SamplingTemperatureSpec extends SparkTestBase {
     assert(a != c)
   }
 }
+
+class HashNegativesSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private val docs = (1L to 500L).toDF("id")
+
+  test("k probes per anchor, self-hits dropped, negatives are real ids") {
+    val neg = Sampling.hashNegatives(docs, "id", k = 3, nShards = 4)
+    val per = neg.groupBy("anchor_id").count().as[(Long, Long)].collect()
+    assert(per.length == 500 && per.forall(_._2 <= 3))
+    // the overwhelming majority keep all 3 (self-hit odds ~ 1/500)
+    assert(per.count(_._2 == 3L) >= 490)
+    assert(neg.where(col("neg_id") === col("anchor_id")).count() == 0)
+    val ids = docs.as[Long].collect().toSet
+    assert(neg.select("neg_id").as[Long].collect().forall(ids.contains))
+  }
+
+  test("deterministic across reruns; draws spread over the corpus") {
+    val a = Sampling.hashNegatives(docs, "id", 2, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Sampling.hashNegatives(docs, "id", 2, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    // 1000 draws over 500 docs: at least half the corpus gets hit
+    assert(a.map(_._3).size > 250)
+  }
+}
