@@ -2531,6 +2531,37 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // Windowed DISTINCT-count features from incremental state: exact
+    // COUNT(DISTINCT) doesn't merge, HLL registers do (max per
+    // register — the LATEST-partial trick with union semantics).
+    // Three day-range deltas; per-user stats over the 30-day window
+    // are exact integers + one bit-identical float division.
+    "q_swa_distinct_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalDistinct.Config(Seq("user_id"), "ts", "props",
+        dayUs, p = 12)
+      val us = unix_micros(col("ts"))
+      val dcol = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("props"))
+        .withColumn("__d", dcol)
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalDistinct.ingest(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          state, cfg, i)
+      }
+      IncrementalDistinct.serveDistinct(s, state, cfg, (maxB + 1) * dayUs, 30)
+        .select(col("user_id"), col("n_registers"), col("v_zero"),
+          col("s_num"), round(col("est_raw"), 4).as("est_raw"))
+    }),
+
     // Contrastive negative sampling: 4 deterministic uniform-corpus
     // negatives per anchor via hash probes into the md5 shard/position
     // address space — one equi-join, never an all-pairs scan; self-hits
@@ -4922,6 +4953,30 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // the same registers re-derived per user from the window's events
+    "q_swa_distinct_state" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, props FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |h AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(('0x' || substr(md5(props), 1, 14)) AS UBIGINT) AS h
+        |  FROM e, mx
+        |  WHERE us >= t - 30 * 86400000000 AND us < t AND props IS NOT NULL
+        |), br AS (
+        |  SELECT user_id, $sqlHllBr
+        |  FROM h
+        |), regs AS (
+        |  SELECT user_id, bucket, max(rho) AS rho FROM br
+        |  GROUP BY user_id, bucket
+        |), st AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_registers,
+        |    sum((1::BIGINT << (45 - rho)))::BIGINT AS s_hit
+        |  FROM regs GROUP BY user_id
+        |)
+        |SELECT user_id, $sqlHllFinal
+        |FROM st""".stripMargin,
 
     // the same (shard, pos) address space and probe hashes, re-derived
     "q_contrastive_negatives" ->

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Windowed per-key DISTINCT COUNTS from incrementally-maintained
+  * state — "distinct devices/sessions/terms per key over the last W
+  * days", the feature exact COUNT(DISTINCT) cannot provide
+  * incrementally (it doesn't merge) and [[IncrementalSwa]]'s additive
+  * partials cannot either. HLL registers CAN: the state holds
+  * [[Sketches.hllRegisters]] rows per (key, time-bucket) — a pure
+  * function of each bucket's distinct set on the cross-engine md5
+  * grid — and registers merge by MAX exactly like
+  * [[IncrementalSwa]]'s LATEST partial (union semantics without
+  * rescanning). Same generation/version layout, same O(delta)
+  * ingest and fold-into-a-new-[[Publish]]-generation compaction.
+  *
+  * Serve = max-merge the window's registers per key, then
+  * [[Sketches.hllStats]]'s exact-integer sufficient statistics
+  * (est_raw is single IEEE ops over exact integers — cross-engine
+  * bit-identical, hash-compared in the gate).
+  *
+  * State size: keys × live buckets × min(2^p, bucket's distinct
+  * items) rows. Serve shuffles the bounded state, never events.
+  */
+object IncrementalDistinct {
+  import IncrementalSwa.{BCol, VCol}
+
+  case class Config(keyCols: Seq[String], tsCol: String, itemCol: String,
+      bucketUs: Long, p: Int = 12) {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    require(p >= 4 && p <= 16, s"hll precision out of range: $p")
+  }
+
+  /** Fold `delta` to per-(key, bucket) HLL registers and append as
+    * `version`; same replay/fold discipline as
+    * [[IncrementalSwa.ingest]].
+    */
+  def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
+    val spark = delta.sparkSession
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(version > folded,
+      s"version $version is at or below the compaction fold ($folded) at " +
+        s"$dir — state cannot replay rebased history")
+    val us = unix_micros(col(cfg.tsCol))
+    val b = ((us - pmod(us, lit(cfg.bucketUs))) / lit(cfg.bucketUs)).cast("long")
+    Sketches.hllRegisters(delta.withColumn(BCol, b), col(cfg.itemCol),
+        cfg.p, cfg.keyCols :+ BCol)
+      .sortWithinPartitions(BCol)
+      .write.mode("overwrite")
+      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+  }
+
+  /** Per-key distinct-count statistics over [asOf − W, asOf): one
+    * max-merge of the window's registers, then the exact-integer HLL
+    * statistics per key.
+    */
+  def serveDistinct(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int): DataFrame = {
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    val hiB = asOfUs / cfg.bucketUs
+    val regs = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy((cfg.keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+    Sketches.hllStats(regs, cfg.p, cfg.keyCols)
+  }
+
+  /** Fold the version tail: max(rho) per (key, bucket, register) in a
+    * new [[Publish]] generation — [[IncrementalSwa.compact]]'s crash
+    * posture.
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
+    val vs = IncrementalSwa.versions(spark, dir)
+    require(vs.nonEmpty, s"state at $dir is empty or missing")
+    val vmax = vs.max
+    val fold = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
+      .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("rho"))
+    Publish.publish(spark, dir) { gen =>
+      fold.sortWithinPartitions(BCol)
+        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$gen/${IncrementalSwa.FoldPrefix}$vmax")
+      val out = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, false)
+      out.close()
+    }
+  }
+}
