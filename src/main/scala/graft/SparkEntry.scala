@@ -2404,10 +2404,9 @@ object SparkEntry {
     "q_swa_incremental" -> ((s, dir) => {
       val dayUs = 86400000000L
       val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
-      val us = unix_micros(col("ts"))
       val ev = EventTime.normalize(s.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"), col("value"))
-        .withColumn("__d", ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
       // two longs to the driver — the slicing plan, not data
       val (minB, maxB) = {
         val r = ev.agg(min(col("__d")), max(col("__d"))).head()
@@ -2442,10 +2441,9 @@ object SparkEntry {
     "q_swa_late_compact" -> ((s, dir) => {
       val dayUs = 86400000000L
       val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
-      val us = unix_micros(col("ts"))
       val ev = EventTime.normalize(s.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"), col("value"))
-        .withColumn("__d", ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
       val (minB, maxB) = {
         val r = ev.agg(min(col("__d")), max(col("__d"))).head()
         (r.getLong(0), r.getLong(1))
@@ -2488,8 +2486,7 @@ object SparkEntry {
       import graft.streaming.StreamingIngest
       val dayUs = 86400000000L
       val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
-      val us = unix_micros(col("ts"))
-      val dcol = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      val dcol = IncrementalSwa.bucketOf(col("ts"), dayUs)
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"), col("value"))
       val maxB = ev.agg(max(dcol)).head().getLong(0)
@@ -2540,8 +2537,7 @@ object SparkEntry {
       val dayUs = 86400000000L
       val cfg = IncrementalDistinct.Config(Seq("user_id"), "ts", "props",
         dayUs, p = 12)
-      val us = unix_micros(col("ts"))
-      val dcol = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      val dcol = IncrementalSwa.bucketOf(col("ts"), dayUs)
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"), col("props"))
         .withColumn("__d", dcol)
@@ -2590,8 +2586,7 @@ object SparkEntry {
       val dayUs = 86400000000L
       val cfg = IncrementalQuantile.Config(Seq("user_id"), "ts", "value",
         dayUs, 0.0, 200.0, 256)
-      val us = unix_micros(col("ts"))
-      val dcol = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      val dcol = IncrementalSwa.bucketOf(col("ts"), dayUs)
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"), col("value"))
         .withColumn("__d", dcol)
@@ -2618,11 +2613,10 @@ object SparkEntry {
     "q_swa_latest_state" -> ((s, dir) => {
       val dayUs = 86400000000L
       val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
-      val us = unix_micros(col("ts"))
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
         .select(col("user_id"), col("ts"), col("value"))
-      val maxB = ev.agg(max(((us - pmod(us, lit(dayUs))) / lit(dayUs))
-        .cast("long"))).head().getLong(0)
+      val maxB = ev.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
       val state = Spill.newPath(s)
       IncrementalSwa.ingest(ev, state, cfg, 0L)
       IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 7)
@@ -4762,11 +4756,13 @@ object SparkEntry {
         |  SELECT bin, sum(n) OVER (ORDER BY bin) AS cum,
         |    sum(n) OVER () AS total
         |  FROM h
-        |), qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+        |), qs AS (
+        |  SELECT q, round(q * 10000)::BIGINT AS q10k
+        |  FROM (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q))
         |SELECT qs.q, min(c.bin) AS bin,
         |  0.0 + (min(c.bin) * 600000.0) / 1024.0 AS cutoff,
         |  min(c.total)::BIGINT AS n_total
-        |FROM qs JOIN c ON c.cum * 10000 >= qs.q * 10000 * c.total
+        |FROM qs JOIN c ON c.cum * 10000 >= qs.q10k * c.total
         |GROUP BY qs.q""".stripMargin,
 
     // nested first-after-t minimums — the anchored-greedy contract
@@ -5039,11 +5035,13 @@ object SparkEntry {
         |    sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
         |    sum(n) OVER (PARTITION BY user_id) AS total
         |  FROM h
-        |), qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
+        |), qs AS (
+        |  SELECT q, round(q * 10000)::BIGINT AS q10k
+        |  FROM (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q))
         |SELECT c.user_id, qs.q, min(c.bin) AS bin,
         |  0.0 + (min(c.bin) * 200.0) / 256.0 AS cutoff,
         |  min(c.total)::BIGINT AS n_total
-        |FROM qs JOIN c ON c.cum * 10000 >= qs.q * 10000 * c.total
+        |FROM qs JOIN c ON c.cum * 10000 >= qs.q10k * c.total
         |GROUP BY 1, 2""".stripMargin,
 
     // newest (ts, value) per user in the window — value is the

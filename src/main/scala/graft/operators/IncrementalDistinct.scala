@@ -39,12 +39,14 @@ object IncrementalDistinct {
     */
   def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
     val spark = delta.sparkSession
+    val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.itemCol)
+      .filterNot(delta.columns.contains)
+    require(missing.isEmpty, s"delta is missing columns $missing")
     val folded = IncrementalSwa.foldedThrough(spark, dir)
     require(version > folded,
       s"version $version is at or below the compaction fold ($folded) at " +
         s"$dir — state cannot replay rebased history")
-    val us = unix_micros(col(cfg.tsCol))
-    val b = ((us - pmod(us, lit(cfg.bucketUs))) / lit(cfg.bucketUs)).cast("long")
+    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
     Sketches.hllRegisters(delta.withColumn(BCol, b), col(cfg.itemCol),
         cfg.p, cfg.keyCols :+ BCol)
       .sortWithinPartitions(BCol)
@@ -60,8 +62,9 @@ object IncrementalDistinct {
       asOfUs: Long, windowBuckets: Int): DataFrame = {
     require(asOfUs % cfg.bucketUs == 0,
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val hiB = asOfUs / cfg.bucketUs
-    val regs = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
+    val regs = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy((cfg.keyCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("rho"))
@@ -72,21 +75,9 @@ object IncrementalDistinct {
     * new [[Publish]] generation — [[IncrementalSwa.compact]]'s crash
     * posture.
     */
-  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
-    val vs = IncrementalSwa.versions(spark, dir)
-    require(vs.nonEmpty, s"state at $dir is empty or missing")
-    val vmax = vs.max
-    val fold = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
-      .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bucket")): _*)
-      .agg(max(col("rho")).as("rho"))
-    Publish.publish(spark, dir) { gen =>
-      fold.sortWithinPartitions(BCol)
-        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$gen/${IncrementalSwa.FoldPrefix}$vmax")
-      val out = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(marker, false)
-      out.close()
-    }
-  }
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+        .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bucket")): _*)
+        .agg(max(col("rho")).as("rho")))
 }

@@ -38,12 +38,14 @@ object IncrementalQuantile {
     */
   def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
     val spark = delta.sparkSession
+    val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.valueCol)
+      .filterNot(delta.columns.contains)
+    require(missing.isEmpty, s"delta is missing columns $missing")
     val folded = IncrementalSwa.foldedThrough(spark, dir)
     require(version > folded,
       s"version $version is at or below the compaction fold ($folded) at " +
         s"$dir — additive state cannot replay rebased history")
-    val us = unix_micros(col(cfg.tsCol))
-    val b = ((us - pmod(us, lit(cfg.bucketUs))) / lit(cfg.bucketUs)).cast("long")
+    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
     val v = col(cfg.valueCol)
     val bin = least(greatest(
       floor((v - lit(cfg.lo)) * cfg.nBins / lit(cfg.hi - cfg.lo)), lit(0.0)),
@@ -66,9 +68,10 @@ object IncrementalQuantile {
       asOfUs: Long, windowBuckets: Int, qs: Seq[Double]): DataFrame = {
     require(asOfUs % cfg.bucketUs == 0,
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
     val hiB = asOfUs / cfg.bucketUs
-    val merged = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
+    val merged = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy((cfg.keyCols :+ "bin").map(col): _*)
       .agg(sum(col("n")).as("n"))
@@ -78,10 +81,16 @@ object IncrementalQuantile {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum(col("n")).over(
         Window.partitionBy(cfg.keyCols.map(col): _*)))
+    // the quantile rides as its exact permyriad LONG — `cum·10⁴ ≥
+    // q10k·total` is all-integer, so a mathematically exact tie
+    // (cum·10⁴ = q10k·total) can never be lost to a float ulp the way
+    // `q * 10000 * total` in doubles loses it (e.g. 0.035·10⁴·400 =
+    // 70000.00000000001)
     val qdf = spark.createDataFrame(
-      qs.map(q => Tuple1(math.rint(q * 10000).toLong / 10000.0))).toDF("q")
+      qs.map(q => (math.rint(q * 10000).toLong / 10000.0,
+        math.rint(q * 10000).toLong))).toDF("q", "__q10k")
     cum.crossJoin(broadcast(qdf))
-      .where(col("cum") * 10000 >= col("q") * 10000 * col("total"))
+      .where(col("cum") * 10000 >= col("__q10k") * col("total"))
       .groupBy((cfg.keyCols :+ "q").map(col): _*)
       .agg(min(col("bin")).as("bin"), min(col("total")).as("n_total"))
       .withColumn("cutoff",
@@ -94,21 +103,9 @@ object IncrementalQuantile {
     * new [[Publish]] generation — same crash posture as
     * [[IncrementalSwa.compact]].
     */
-  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
-    val vs = IncrementalSwa.versions(spark, dir)
-    require(vs.nonEmpty, s"state at $dir is empty or missing")
-    val vmax = vs.max
-    val fold = spark.read.parquet(IncrementalSwa.liveGen(spark, dir))
-      .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bin")): _*)
-      .agg(sum(col("n")).as("n"))
-    Publish.publish(spark, dir) { gen =>
-      fold.sortWithinPartitions(BCol)
-        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$gen/${IncrementalSwa.FoldPrefix}$vmax")
-      val out = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(marker, false)
-      out.close()
-    }
-  }
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+        .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bin")): _*)
+        .agg(sum(col("n")).as("n")))
 }

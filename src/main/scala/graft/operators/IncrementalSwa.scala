@@ -68,8 +68,24 @@ object IncrementalSwa {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Live generation dir, creating (and committing) an empty
-    * generation 0 for a brand-new store.
+  /** Live generation dir if the store exists. Read paths go through
+    * this (or [[requireLiveGen]]) so that a read of a mistyped or
+    * missing path FAILS by name instead of committing an empty
+    * generation there as a side effect.
+    */
+  private[operators] def liveGenOpt(spark: SparkSession,
+      dir: String): Option[String] =
+    Publish.current(spark, dir).map(Publish.genPath(dir, _))
+
+  /** [[liveGenOpt]] or a named error — the read-path entry. */
+  private[operators] def requireLiveGen(spark: SparkSession,
+      dir: String): String =
+    liveGenOpt(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"no incremental state at $dir — ingest at least one delta first " +
+        "(reads never create stores)"))
+
+  /** Live generation dir for WRITERS, creating (and committing) an
+    * empty generation 0 for a brand-new store.
     */
   private[operators] def liveGen(spark: SparkSession, dir: String): String = {
     val g = Publish.current(spark, dir)
@@ -79,35 +95,66 @@ object IncrementalSwa {
     Publish.genPath(dir, g)
   }
 
-  /** Versions present in the live generation, ascending. */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val gen = new Path(liveGen(spark, dir))
-    val f = fs(spark, dir)
-    if (!f.exists(gen)) Nil
-    else f.listStatus(gen).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$VCol="))
-      .map(_.getPath.getName.stripPrefix(s"$VCol=").toLong)
-      .sorted
-  }
+  /** Versions present in the live generation, ascending; Nil for a
+    * missing store (no side effects).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    liveGenOpt(spark, dir).toSeq.flatMap { g =>
+      val gen = new Path(g)
+      val f = fs(spark, dir)
+      if (!f.exists(gen)) Nil
+      else f.listStatus(gen).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$VCol="))
+        .map(_.getPath.getName.stripPrefix(s"$VCol=").toLong)
+        .sorted
+    }
 
   /** Highest version a [[compact]] has folded history through in the
-    * live generation; -1 when never compacted.
+    * live generation; -1 when never compacted (or no store yet).
     */
-  def foldedThrough(spark: SparkSession, dir: String): Long = {
-    val gen = new Path(liveGen(spark, dir))
-    val f = fs(spark, dir)
-    if (!f.exists(gen)) -1L
-    else f.listStatus(gen).iterator
-      .map(_.getPath.getName)
-      .filter(_.startsWith(FoldPrefix))
-      .map(_.drop(FoldPrefix.length).toLong)
-      .foldLeft(-1L)(math.max)
+  def foldedThrough(spark: SparkSession, dir: String): Long =
+    liveGenOpt(spark, dir).map { g =>
+      val gen = new Path(g)
+      val f = fs(spark, dir)
+      if (!f.exists(gen)) -1L
+      else f.listStatus(gen).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith(FoldPrefix))
+        .map(_.drop(FoldPrefix.length).toLong)
+        .foldLeft(-1L)(math.max)
+    }.getOrElse(-1L)
+
+  /** Epoch-micros timestamp → bucket index under `bucketUs`. ONE
+    * definition shared by every incremental store and gate — the
+    * floor-div (not truncating div: timestamps can predate the epoch)
+    * must never diverge between writers.
+    */
+  def bucketOf(ts: Column, bucketUs: Long): Column = {
+    val us = unix_micros(ts)
+    ((us - pmod(us, lit(bucketUs))) / lit(bucketUs)).cast("long")
   }
 
-  private def bucketCol(cfg: Config): Column = {
-    val us = unix_micros(col(cfg.tsCol))
-    // floor-div in long arithmetic (timestamps can predate the epoch)
-    ((us - pmod(us, lit(cfg.bucketUs))) / lit(cfg.bucketUs)).cast("long")
+  private def bucketCol(cfg: Config): Column = bucketOf(col(cfg.tsCol), cfg.bucketUs)
+
+  /** Shared compaction choreography for every incremental store: write
+    * `fold` as the single `__v=<vmax>` of a NEW [[Publish]] generation,
+    * record the fold horizon marker, and atomically flip the pointer.
+    * The caller supplies only the store-specific fold aggregation.
+    */
+  private[operators] def compactFold(spark: SparkSession, dir: String,
+      fold: DataFrame): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
+      "least one delta before compacting")
+    val vmax = vs.max
+    Publish.publish(spark, dir) { gen =>
+      fold.sortWithinPartitions(BCol)
+        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
+      val marker = new Path(s"$gen/$FoldPrefix$vmax")
+      val out = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(marker, false)
+      out.close()
+    }
   }
 
   /** Fold `delta` to per-(key, bucket) partials and append them as
@@ -149,7 +196,7 @@ object IncrementalSwa {
 
   private def readState(spark: SparkSession, dir: String): DataFrame =
     // partition discovery reads __v back as a column
-    spark.read.parquet(liveGen(spark, dir))
+    spark.read.parquet(requireLiveGen(spark, dir))
 
   private def finishAgg(state: DataFrame, cfg: Config, loB: Long,
       hiB: Long): DataFrame =
@@ -254,25 +301,13 @@ object IncrementalSwa {
     * generations are reclaimed by [[Publish.gc]] under its reader
     * retention horizon. Returns the new generation number.
     */
-  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
-      "least one delta before compacting")
-    val vmax = vs.max
-    val fold = readState(spark, dir)
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    compactFold(spark, dir, readState(spark, dir)
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
       .agg(
         sum(col("psum_c")).as("psum_c"),
         sum(col("pcnt")).as("pcnt"),
         min(col("pmin")).as("pmin"),
         max(col("pmax")).as("pmax"),
-        max(col("plast")).as("plast"))
-    Publish.publish(spark, dir) { gen =>
-      fold.sortWithinPartitions(BCol)
-        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
-      val out = fs(spark, dir).create(
-        new Path(s"$gen/$FoldPrefix$vmax"), false)
-      out.close()
-    }
-  }
+        max(col("plast")).as("plast")))
 }

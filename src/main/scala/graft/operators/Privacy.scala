@@ -31,8 +31,14 @@ object Privacy {
     val keep = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= k)
-      .select(quasiCols.map(col): _*)
-    df.join(keep, quasiCols, "left_semi")
+      .select(quasiCols.map(c => col(c).as(s"__keep_$c")): _*)
+    // null-safe equality: groupBy above (and the SQL window the oracle
+    // uses) treat NULL as one combination, so the join back must too —
+    // a plain equi-semi-join would silently drop every null-bearing
+    // combination no matter how common
+    df.join(keep,
+      quasiCols.map(c => col(c) <=> col(s"__keep_$c")).reduce(_ && _),
+      "left_semi")
   }
 
   /** Aggregate report by `byCols` with small-cell suppression: cells

@@ -78,17 +78,20 @@ object Publish {
     g
   }
 
-  /** Drop all but the newest `keep` committed generations (marker
-    * first, then data — a crash between the two leaves an unmarked
-    * dir that the next [[gc]] or [[publish]] cleans). `keep >= 1`;
-    * the live generation is never collected.
+  /** Drop all but the newest `keep` committed generations — DATA
+    * first, then marker: a crash between the two leaves a marker whose
+    * data is gone, which the next [[gc]] pass retries and removes
+    * (markers are how gc finds work). The reverse order would orphan
+    * the data forever — with the marker gone, no later gc or publish
+    * ever looks at that generation again. `keep >= 1`; the live
+    * generation is never collected.
     */
   def gc(spark: SparkSession, dir: String, keep: Int = 2): Unit = {
     require(keep >= 1, s"gc must keep at least the live generation (keep=$keep)")
     val f = fs(spark, dir)
     committed(spark, dir).dropRight(keep).foreach { g =>
-      f.delete(new Path(s"$dir/$MarkerPrefix$g"), false)
       f.delete(new Path(genPath(dir, g)), true)
+      f.delete(new Path(s"$dir/$MarkerPrefix$g"), false)
     }
   }
 }

@@ -216,24 +216,44 @@ object Sampling {
   def resampleByTemperature(df: DataFrame, keyCol: String,
       domainCol: String, alpha: Double, salt: String = ""): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
-    val cnts = df.groupBy(col(domainCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // domains compare as strings; NULL is its own domain (counted AND
+    // matched below via isNull — a bare === would count nulls into
+    // nMin, drag every rate down, then match nothing and drop them)
+    val dcol = col(domainCol).cast("string")
+    val cnts = df.groupBy(dcol.as("__d")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
     require(cnts.nonEmpty, "no rows to resample")
     val nMin = cnts.map(_._2).min
     val thresholds = cnts.map { case (d, n) =>
-      val t =
-        if (alpha == 0.5)
-          math.floor(10000.0 * math.sqrt(nMin.toDouble) /
-            math.sqrt(n.toDouble)).toLong
-        else
-          math.floor(10000.0 * math.pow(nMin.toDouble, 1 - alpha) *
-            math.pow(n.toDouble, alpha - 1)).toLong
-      d -> t
+      d -> temperatureThreshold(nMin, n, alpha, d.getOrElse("NULL"))
     }
     val thrCol = thresholds.foldRight(lit(-1L)) { case ((d, t), rest) =>
-      when(col(domainCol) === lit(d), lit(t)).otherwise(rest)
+      val cond = d.map(dcol === lit(_)).getOrElse(dcol.isNull)
+      when(cond, lit(t)).otherwise(rest)
     }
     df.where(hashBucket(col(keyCol), salt) < thrCol)
+  }
+
+  /** The md5-grid threshold for one domain under [[resampleByTemperature]]:
+    * ⌊10⁴·(nMin/n)^(1−α)⌋, through correctly-rounded sqrt at α = 0.5.
+    * A threshold of 0 means the domain falls below the 1/10000 grid
+    * resolution and would be deleted ENTIRELY — at a realistic
+    * head/tail corpus (n/nMin > 10^(4/(1−α))) that silently loses the
+    * LARGEST domains, so it is refused by name instead.
+    */
+  private[graft] def temperatureThreshold(nMin: Long, n: Long,
+      alpha: Double, domainLabel: String): Long = {
+    val t =
+      if (alpha == 0.5)
+        math.floor(10000.0 * math.sqrt(nMin.toDouble) /
+          math.sqrt(n.toDouble)).toLong
+      else
+        math.floor(10000.0 * math.pow(nMin.toDouble, 1 - alpha) *
+          math.pow(n.toDouble, alpha - 1)).toLong
+    require(t >= 1, s"domain '$domainLabel' ($n rows vs smallest $nMin) " +
+      s"rates below the 1/10000 sampling grid at alpha=$alpha — raise " +
+      "alpha or exclude the domain explicitly")
+    t
   }
 
   /** Deterministic global shuffle into training shards — the export

@@ -295,11 +295,16 @@ object Sketches {
       .withColumn("total", sum(col("n")).over(
         Window.orderBy(col("bin")).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
+    // the quantile rides as its exact permyriad LONG: `cum·10⁴ ≥
+    // q10k·total` is all-integer, so a mathematically exact tie can
+    // never be lost to a float ulp (`q * 10000 * total` in doubles
+    // overshoots, e.g. 0.035·10⁴·400 = 70000.00000000001)
     val qdf = spark.createDataFrame(
-      qs.map(q => Tuple1(math.rint(q * 10000).toLong / 10000.0)))
-      .toDF("q")
+      qs.map(q => (math.rint(q * 10000).toLong / 10000.0,
+        math.rint(q * 10000).toLong)))
+      .toDF("q", "__q10k")
     qdf.crossJoin(broadcast(cum))
-      .where(col("cum") * 10000 >= col("q") * 10000 * col("total"))
+      .where(col("cum") * 10000 >= col("__q10k") * col("total"))
       .groupBy(col("q"))
       .agg(min(col("bin")).as("bin"), first(col("total")).as("n_total"))
       .withColumn("cutoff",

@@ -1306,9 +1306,8 @@ object ScaleProbe {
       val dayUs = 86400000000L
       val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
       val evs = ev0.select("user_id", "ts", "value")
-      val maxB = evs.agg(max(
-        ((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(dayUs)))
-          / lit(dayUs)).cast("long"))).head().getLong(0)
+      val maxB = evs.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
       val asOf = (maxB + 1) * dayUs
       var warmedSw = false
       for (n <- Seq(1) ++ mults) {

@@ -48,6 +48,29 @@ class IncrementalQuantileSpec extends SparkTestBase {
     assert(got((1L, 1.0)) == ((9L, 9.0, 2L)))
   }
 
+  test("exact rational tie cum*10^4 == q10k*total is honored (float-ulp regression)") {
+    // 400 rows, 14 in bin 0: q=0.035 -> cum 14 satisfies 14*10^4 =
+    // 350*400 exactly. The former double comparison computed
+    // 0.035*10000*400 = 140000.00000000003 and rejected the tie,
+    // serving bin 1.
+    val dir = Spill.newPath(spark)
+    val rows = (1 to 14).map(i => (1L, 0, 0.5)) ++
+      (1 to 386).map(i => (1L, 0, 1.5))
+    IncrementalQuantile.ingest(ev(rows: _*), dir, cfg, 0L)
+    val got = q(IncrementalQuantile.serveQuantiles(spark, dir, cfg,
+      DayUs, 1, Seq(0.035)))
+    assert(got((1L, 0.035))._1 == 0L, s"tie must resolve to bin 0: $got")
+  }
+
+  test("reads of a missing store fail by name and create nothing") {
+    val dir = Spill.newPath(spark) + "/never_written"
+    val e = intercept[IllegalArgumentException] {
+      IncrementalQuantile.serveQuantiles(spark, dir, cfg, DayUs, 1, Seq(0.5))
+    }
+    assert(e.getMessage.contains("no incremental state"))
+    assert(!new java.io.File(dir).exists())
+  }
+
   test("compact folds to one version and serves identically") {
     val dir = Spill.newPath(spark)
     IncrementalQuantile.ingest(

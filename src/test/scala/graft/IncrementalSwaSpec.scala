@@ -161,4 +161,21 @@ class IncrementalSwaSpec extends SparkTestBase {
       multiset(batch(all, 3 * DayUs, 3)))
     intercept[IllegalArgumentException] { Publish.gc(spark, dir, keep = 0) }
   }
+
+  test("gc crash recovery: an old marker whose data is already gone is retried") {
+    val dir = Spill.newPath(spark)
+    ingestAll(dir, Seq(d0, d1))
+    IncrementalSwa.compact(spark, dir, cfg) // gens 0,1 committed
+    val old = Publish.committed(spark, dir).head
+    // simulate a gc that crashed after deleting gen data, before marker
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(Publish.genPath(dir, old)))
+    assert(Publish.committed(spark, dir).contains(old)) // marker survives
+    Publish.gc(spark, dir, keep = 1) // next pass retries and removes it
+    assert(!Publish.committed(spark, dir).contains(old))
+    assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2)) ==
+      multiset(batch(d0.unionByName(d1), 2 * DayUs, 2)))
+  }
 }

@@ -28,6 +28,18 @@ class PrivacySpec extends SparkTestBase {
     assert(Privacy.kAnonymize(docs, Seq("lang", "source"), 1).count() == 7)
   }
 
+  test("null quasi-identifier combinations count and survive like any other") {
+    // 4 rows with lang=NULL share one combination — a plain equi-semi-
+    // join would drop all of them regardless of k
+    val withNulls = docs.unionByName(
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+        .toDF("id", "n").withColumn("lang", lit(null: String))
+        .withColumn("source", lit("web")).select("id", "lang", "source", "n"))
+    val kept = Privacy.kAnonymize(withNulls, Seq("lang", "source"), 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+  }
+
   test("kAnonymousReport folds small cells into a reconciling residual") {
     val rep = Privacy.kAnonymousReport(docs, Seq("lang", "source"), 3,
       Seq("n"))

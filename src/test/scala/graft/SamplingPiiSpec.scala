@@ -345,6 +345,29 @@ class SamplingTemperatureSpec extends SparkTestBase {
     assert(math.abs(got("a") - 1000) < 110, s"a=${got("a")}")
   }
 
+  test("NULL domains are a real domain: counted, matched, and sampled") {
+    val withNulls = df.unionByName(
+      (1 to 250).map(i => (i.toLong + 30000, null: String)).toDF("id", "dom"))
+    val got = Sampling.resampleByTemperature(withNulls, "id", "dom", 0.5)
+      .groupBy("dom").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // null ties c as smallest (250): both keep rate 1
+    assert(got(None) == 250L && got(Some("c")) == 250L)
+  }
+
+  test("a domain rating below the 1/10000 grid is refused by name") {
+    // the zero-threshold regime needs n/nMin > 10^(4/(1-alpha)) — a
+    // 100M:1 head/tail corpus at alpha=0.5 — so the guard is driven
+    // through the threshold function at the counts themselves
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureThreshold(1L, 200000000L, 0.5, "head")
+    }
+    assert(e.getMessage.contains("sampling grid"))
+    // boundary: exactly the grid resolution still passes
+    assert(Sampling.temperatureThreshold(1L, 10000L, 0.5, "x") == 100L)
+    assert(Sampling.temperatureThreshold(5L, 5L, 0.5, "x") == 10000L)
+  }
+
   test("deterministic: identical result on rerun; salt changes the draw") {
     val a = Sampling.resampleByTemperature(df, "id", "dom", 0.5)
       .select("id").as[Long].collect().sorted.toSeq
