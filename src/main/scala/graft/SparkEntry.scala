@@ -2528,6 +2528,29 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // Leak-free training-set generation FROM the state: click
+    // observations take the daily feature row of the PREVIOUS day —
+    // the 7-day window ending strictly before the observation's own
+    // day, so no same-day signal leaks into the features. One equi-
+    // join of observations against the keys×days feature table;
+    // events are never rescanned per observation.
+    "q_training_set_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val state = Spill.newPath(s)
+      IncrementalSwa.ingest(ev, state, cfg, 0L)
+      val feats = IncrementalSwa.serveDaily(s, state, cfg, 7)
+        .select(col("user_id"), (col("bucket") + 1).as("__obs_day"),
+          round(col("f_sum"), 4).as("f_sum"), col("f_cnt"))
+      val obs = fixTs(clicks(s, dir))
+        .withColumn("__obs_day", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      obs.join(feats, Seq("user_id", "__obs_day"), "left_outer")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("f_sum"), col("f_cnt"))
+    }),
+
     // Windowed DISTINCT-count features from incremental state: exact
     // COUNT(DISTINCT) doesn't merge, HLL registers do (max per
     // register — the LATEST-partial trick with union semantics).
@@ -4949,6 +4972,25 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // each click gets the 7-day window ending strictly before its own
+    // day (days d-7 .. d-1); empty windows stay NULL through the left
+    // join
+    "q_training_set_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, value
+        |           FROM events),
+        |o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        epoch_us(ts) // 86400000000 AS d
+        |      FROM events WHERE event_type = 'click'),
+        |f AS (SELECT o.event_id,
+        |        round(sum(round(e.value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |          AS f_sum,
+        |        count(e.value) AS f_cnt
+        |      FROM o JOIN e ON e.user_id = o.user_id
+        |        AND e.d BETWEEN o.d - 7 AND o.d - 1
+        |      GROUP BY o.event_id)
+        |SELECT o.event_id, o.user_id, o.us AS ts_us, f.f_sum, f.f_cnt
+        |FROM o LEFT JOIN f USING (event_id)""".stripMargin,
 
     // the same registers re-derived per user from the window's events
     "q_swa_distinct_state" ->
