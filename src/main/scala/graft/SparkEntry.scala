@@ -2528,6 +2528,34 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // Windowed heavy hitters from incremental state: per-(key, day)
+    // candidate truncation (top-8 by count desc, item asc — the
+    // SpaceSaving trade, exact within-bucket counts), candidate sums
+    // ranked at serve. Deterministic by rule, so the oracle restates
+    // it exactly. Three bucket-aligned day-range deltas.
+    "q_swa_topk_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalTopK.Config(Seq("user_id"), "ts", "props",
+        dayUs, candidatesPerBucket = 8)
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("props"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalTopK.ingest(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          state, cfg, i)
+      }
+      IncrementalTopK.serveTopK(s, state, cfg, (maxB + 1) * dayUs, 30, 3)
+        .select(col("user_id"), col("item"), col("cnt"), col("rank"))
+    }),
+
     // Leak-free training-set generation FROM the state: click
     // observations take the daily feature row of the PREVIOUS day —
     // the 7-day window ending strictly before the observation's own
@@ -4972,6 +5000,30 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // the same rule restated: per-(user, day) top-8 cut, candidate
+    // sums, final rank with the identical tiebreaks
+    "q_swa_topk_state" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    epoch_us(ts) AS us, props
+        |  FROM events WHERE props IS NOT NULL),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM (SELECT epoch_us(ts) AS us FROM events)),
+        |w AS (SELECT user_id, d, props FROM e, mx
+        |      WHERE us >= t - 30 * 86400000000 AND us < t),
+        |pb AS (SELECT user_id, d, props, count(*) AS n FROM w
+        |       GROUP BY 1, 2, 3),
+        |cand AS (SELECT user_id, d, props, n, row_number() OVER (
+        |    PARTITION BY user_id, d ORDER BY n DESC, props ASC) AS r
+        |  FROM pb),
+        |merged AS (SELECT user_id, props AS item, sum(n)::BIGINT AS cnt
+        |  FROM cand WHERE r <= 8 GROUP BY 1, 2),
+        |topk AS (SELECT user_id, item, cnt, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY cnt DESC, item ASC) AS rank
+        |  FROM merged)
+        |SELECT user_id, item, cnt, rank::INT AS rank
+        |FROM topk WHERE rank <= 3""".stripMargin,
 
     // each click gets the 7-day window ending strictly before its own
     // day (days d-7 .. d-1); empty windows stay NULL through the left

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed per-key HEAVY HITTERS ("top devices/domains/terms per key
+  * over the last W days") from incrementally-maintained state — the
+  * last member of the aggregate menu exact top-k cannot join
+  * incrementally (an item's full count needs every bucket's full
+  * count, which is the corpus). The mergeable shape is candidate
+  * truncation (the SpaceSaving trade): per (key, bucket) the state
+  * keeps only the `candidatesPerBucket` most frequent items (count
+  * desc, item asc — deterministic), with EXACT within-bucket counts;
+  * serve sums candidate counts over the window and ranks. Served
+  * counts are LOWER BOUNDS (an item's occurrences in buckets where it
+  * ranked below the cut are lost), and an item is guaranteed into the
+  * true top-k whenever its bound exceeds every rival's bound plus the
+  * rivals' maximum possible loss — the standard candidate-union
+  * guarantee, sharpened by raising `candidatesPerBucket`.
+  *
+  * Everything is deterministic given the rule, so the DuckDB oracle
+  * restates it exactly (per-bucket rank cut → candidate sum → final
+  * rank). Candidate truncation is per (version, bucket): late data
+  * into an existing bucket contributes its own candidate set (a valid
+  * union merge, still lower bounds); the gate feeds bucket-aligned
+  * deltas where per-bucket counts are complete.
+  *
+  * Same generation/version layout, O(delta) ingest, and atomic fold
+  * as every other incremental store. State rows: keys × live buckets
+  * × candidatesPerBucket.
+  */
+object IncrementalTopK {
+  import IncrementalSwa.{BCol, VCol}
+
+  case class Config(keyCols: Seq[String], tsCol: String, itemCol: String,
+      bucketUs: Long, candidatesPerBucket: Int) {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    require(candidatesPerBucket > 0,
+      s"candidatesPerBucket must be positive: $candidatesPerBucket")
+  }
+
+  /** Fold `delta` to per-(key, bucket) candidate counts and append as
+    * `version`; same replay/fold discipline as
+    * [[IncrementalSwa.ingest]].
+    */
+  def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
+    val spark = delta.sparkSession
+    val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.itemCol)
+      .filterNot(delta.columns.contains)
+    require(missing.isEmpty, s"delta is missing columns $missing")
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(version > folded,
+      s"version $version is at or below the compaction fold ($folded) at " +
+        s"$dir — state cannot replay rebased history")
+    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+    val counts = delta.where(col(cfg.itemCol).isNotNull)
+      .groupBy((cfg.keyCols.map(col) :+ b.as(BCol) :+
+        col(cfg.itemCol).as("item")): _*)
+      .agg(count(lit(1)).as("n"))
+    val cut = Window
+      .partitionBy((cfg.keyCols :+ BCol).map(col): _*)
+      .orderBy(col("n").desc, col("item").asc)
+    counts.withColumn("__r", row_number().over(cut))
+      .where(col("__r") <= cfg.candidatesPerBucket).drop("__r")
+      .sortWithinPartitions(BCol)
+      .write.mode("overwrite")
+      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+  }
+
+  /** Top `k` items per key over [asOf − W, asOf): candidate counts
+    * sum per (key, item), then rank (count desc, item asc). Output:
+    * key cols, item, cnt (the lower-bound count), rank.
+    */
+  def serveTopK(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int, k: Int): DataFrame = {
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    require(k > 0, s"k must be positive: $k")
+    val hiB = asOfUs / cfg.bucketUs
+    val merged = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy((cfg.keyCols :+ "item").map(col): _*)
+      .agg(sum(col("n")).as("cnt"))
+    val rk = Window.partitionBy(cfg.keyCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("item").asc)
+    merged.withColumn("rank", row_number().over(rk))
+      .where(col("rank") <= k)
+  }
+
+  /** Fold the version tail: candidate counts merge additively per
+    * (key, bucket, item), no re-truncation (information is never
+    * discarded by a fold) — [[IncrementalSwa.compact]]'s crash
+    * posture.
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+        .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("item")): _*)
+        .agg(sum(col("n")).as("n")))
+}
