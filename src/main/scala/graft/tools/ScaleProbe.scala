@@ -1332,6 +1332,72 @@ object ScaleProbe {
         warmedSw = true
       }
     }
+
+    // ---- axis 25: the daily feature table. One serveDaily pass vs N
+    // separate serve() scans for an N-day publication — the
+    // read-amplification claim behind serveDaily. Both are measured on
+    // the SAME compacted state; the loop pays one state scan per day,
+    // the rolling-window pass pays one total.
+    if (axes == "all" || axes == "featday") {
+      import graft.operators.{IncrementalSwa, Spill}
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val evs = ev0.select("user_id", "ts", "value")
+      val maxB = evs.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val root = Spill.newPath(spark) + "/probe_featday"
+      IncrementalSwa.ingest(evs, root, cfg, 0L)
+      var warmedFd = false
+      for (days <- Seq(2) ++ mults.map(_.min(28))) {
+        val (oneSec, oneMb) = time {
+          IncrementalSwa.serveDaily(spark, root, cfg, 7)
+            .where(col("bucket") > maxB - days).count()
+        }
+        val (loopSec, loopMb) = time {
+          (0 until days).map { i =>
+            IncrementalSwa.serve(spark, root, cfg, (maxB - i + 1) * dayUs, 7)
+              .count()
+          }.sum.max(1L)
+        }
+        if (warmedFd)
+          println(f"[scale] days=$days%-3d serveDailyOnePass=$oneSec%6.2fs/" +
+            f"${oneMb}%7.1fMB perDayLoop=$loopSec%6.2fs/${loopMb}%7.1fMB")
+        warmedFd = true
+      }
+    }
+
+    // ---- axis 26: BPE trainer. Merge iterations run over the
+    // DISTINCT-WORD table, so replicating the corpus n× (same
+    // vocabulary) must leave per-iteration cost ~flat — only the one
+    // wordFreq corpus pass grows. Replicas use distinct doc ids but
+    // identical text.
+    if (axes == "all" || axes == "bpe") {
+      import graft.operators.BpeTrainer
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      var warmedBpe = false
+      for (n <- Seq(1) ++ mults) {
+        val corpus = (0 until n).map(i =>
+            docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val (wfSec, wfMb) = time {
+          val wf = graft.operators.Spill.roundTrip(
+            BpeTrainer.wordFreq(corpus, "text"))
+          wf.count()
+        }
+        val wf = graft.operators.Spill.roundTrip(
+          BpeTrainer.wordFreq(corpus, "text"))
+        val words = wf.count()
+        val (trSec, trMb) = time {
+          BpeTrainer.train(wf, numMerges = 3).merges.length.toLong.max(1L)
+        }
+        if (warmedBpe)
+          println(f"[scale] n=$n%-3d distinctWords=$words%-8d " +
+            f"wordFreq=$wfSec%6.2fs/${wfMb}%7.1fMB " +
+            f"train3merges=$trSec%6.2fs/${trMb}%7.1fMB")
+        warmedBpe = true
+      }
+    }
     spark.stop()
   }
 }
