@@ -2528,6 +2528,42 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // The capstone composition: ONE wide training row per key,
+    // assembled from three incremental stores served at the same
+    // boundary — additive partials (sum/count/latest), HLL registers
+    // (distinct props), and histogram bins (p50). This is the feature
+    // VECTOR a model consumes; each store keeps its own mergeable
+    // shape and the assembly is two bounded equi-joins of key-sized
+    // frames.
+    "q_feature_vector" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("props"))
+      val maxB = ev.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val asOf = (maxB + 1) * dayUs
+      val swaCfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val disCfg = IncrementalDistinct.Config(Seq("user_id"), "ts", "props",
+        dayUs, p = 12)
+      val qCfg = IncrementalQuantile.Config(Seq("user_id"), "ts", "value",
+        dayUs, 0.0, 200.0, 256)
+      val (swa, dis, qnt) =
+        (Spill.newPath(s), Spill.newPath(s), Spill.newPath(s))
+      IncrementalSwa.ingest(ev, swa, swaCfg, 0L)
+      IncrementalDistinct.ingest(ev, dis, disCfg, 0L)
+      IncrementalQuantile.ingest(ev, qnt, qCfg, 0L)
+      IncrementalSwa.serve(s, swa, swaCfg, asOf, 7)
+        .select(col("user_id"), round(col("f_sum"), 4).as("f_sum"),
+          col("f_cnt"), col("f_latest"))
+        .join(IncrementalDistinct.serveDistinct(s, dis, disCfg, asOf, 7)
+          .select(col("user_id"), col("n_registers").as("n_distinct_props")),
+          Seq("user_id"), "left_outer")
+        .join(IncrementalQuantile.serveQuantiles(s, qnt, qCfg, asOf, 7,
+            Seq(0.5))
+          .select(col("user_id"), col("bin").as("p50_bin")),
+          Seq("user_id"), "left_outer")
+    }),
+
     // Windowed heavy hitters from incremental state: per-(key, day)
     // candidate truncation (top-8 by count desc, item asc — the
     // SpaceSaving trade, exact within-bucket counts), candidate sums
@@ -5000,6 +5036,52 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // the three stores' oracle bodies, joined on user_id over the
+    // same 7-day window
+    "q_feature_vector" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, props
+        |           FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |w AS (SELECT user_id, us, value, props FROM e, mx
+        |      WHERE us >= t - 7 * 86400000000 AND us < t),
+        |agg AS (
+        |  SELECT user_id,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
+        |    count(value) AS f_cnt
+        |  FROM w GROUP BY user_id),
+        |lat AS (
+        |  SELECT user_id, value AS f_latest FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, value DESC) AS rn FROM w) WHERE rn = 1),
+        |hh AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(('0x' || substr(md5(props), 1, 14)) AS UBIGINT) AS h
+        |  FROM w WHERE props IS NOT NULL),
+        |hbr AS (SELECT user_id, $sqlHllBr FROM hh),
+        |hreg AS (SELECT user_id, bucket FROM hbr GROUP BY user_id, bucket),
+        |hst AS (SELECT user_id, count(*)::BIGINT AS n_distinct_props
+        |        FROM hreg GROUP BY user_id),
+        |qh AS (
+        |  SELECT user_id, CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM w WHERE value IS NOT NULL GROUP BY 1, 2),
+        |qc AS (
+        |  SELECT user_id, bin,
+        |    sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id) AS total
+        |  FROM qh),
+        |q50 AS (
+        |  SELECT user_id, min(bin) AS p50_bin FROM qc
+        |  WHERE cum * 10000 >= 5000 * total GROUP BY user_id)
+        |SELECT agg.user_id, agg.f_sum, agg.f_cnt, lat.f_latest,
+        |  hst.n_distinct_props, q50.p50_bin
+        |FROM agg
+        |JOIN lat USING (user_id)
+        |LEFT JOIN hst USING (user_id)
+        |LEFT JOIN q50 USING (user_id)""".stripMargin,
 
     // the same rule restated: per-(user, day) top-8 cut, candidate
     // sums, final rank with the identical tiebreaks
