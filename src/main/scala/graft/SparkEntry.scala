@@ -2528,6 +2528,48 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // The DSL bridge: WindowAgg anchor features materialized by
+    // O(delta) refresh — features sharing a (defExpr, filter) measure
+    // share one store (5 aggs per delta shuffle); snapshot assembles
+    // the wide row at a boundary. Three day-range deltas; filtered and
+    // multi-window features included.
+    "q_materialize_incremental" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_isum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_icnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)),
+        AnchorFeature("f_imax_14d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "MAX", "14d"), Seq(userKey)),
+        AnchorFeature("f_ilatest_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "LATEST", "7d"), Seq(userKey)),
+        AnchorFeature("f_psum_7d", FeatureType.DOUBLE,
+          Transformation.WindowAgg("value", graft.model.Aggregation.SUM,
+            graft.model.Durations.parse("7d"),
+            filter = Some("event_type = 'purchase'")), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refresh(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.snapshot(s, root, feats, Seq("user_id"), "ts",
+          dayUs, (maxB + 1) * dayUs)
+        .select(col("user_id"), round(col("f_isum_7d"), 4).as("f_isum_7d"),
+          col("f_icnt_7d"), col("f_imax_14d"), col("f_ilatest_7d"),
+          round(col("f_psum_7d"), 4).as("f_psum_7d"))
+    }),
+
     // The capstone composition: ONE wide training row per key,
     // assembled from three incremental stores served at the same
     // boundary — additive partials (sum/count/latest), HLL registers
@@ -5036,6 +5078,38 @@ object SparkEntry {
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
         |GROUP BY user_id""".stripMargin,
+
+    // spine = keys with any row in the widest (14d) window; 7d
+    // features left-join onto it, the filtered sum onto that
+    "q_materialize_incremental" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type
+        |           FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |w14 AS (SELECT user_id, us, value, event_type FROM e, mx
+        |        WHERE us >= t - 14 * 86400000000 AND us < t),
+        |w7 AS (SELECT user_id, us, value, event_type FROM e, mx
+        |       WHERE us >= t - 7 * 86400000000 AND us < t),
+        |m14 AS (SELECT user_id, max(value) AS f_imax_14d FROM w14
+        |        GROUP BY user_id),
+        |a7 AS (SELECT user_id,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |      AS f_isum_7d,
+        |    count(value) AS f_icnt_7d
+        |  FROM w7 GROUP BY user_id),
+        |l7 AS (SELECT user_id, value AS f_ilatest_7d FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, value DESC) AS rn FROM w7) WHERE rn = 1),
+        |p7 AS (SELECT user_id,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |      AS f_psum_7d
+        |  FROM w7 WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT m14.user_id, a7.f_isum_7d, a7.f_icnt_7d, m14.f_imax_14d,
+        |  l7.f_ilatest_7d, p7.f_psum_7d
+        |FROM m14
+        |LEFT JOIN a7 USING (user_id)
+        |LEFT JOIN l7 USING (user_id)
+        |LEFT JOIN p7 USING (user_id)""".stripMargin,
 
     // the three stores' oracle bodies, joined on user_id over the
     // same 7-day window

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.model.{Aggregation, Transformation}
+import graft.project.AnchorFeature
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The DSL bridge onto the incremental stores: WindowAgg anchor
+  * features (SURVEY §2.6) materialized by O(delta) REFRESH instead of
+  * the M1 step-loop's from-raw recompute. Features sharing a
+  * (defExpr, filter) measure share ONE [[IncrementalSwa]] store (its
+  * partials already carry sum/count/min/max/latest of the measure —
+  * five aggregations for one delta shuffle); [[snapshot]] serves every
+  * feature at a bucket boundary and assembles the wide feature row
+  * with one bounded join per distinct (measure, window).
+  *
+  * Scope, refused by name otherwise: aggregations
+  * SUM/COUNT/AVG/MIN/MAX/LATEST; windows that are whole bucket
+  * multiples; `filter` supported (a pre-aggregation row predicate —
+  * applied to the DELTA before partials, which is exactly when it is
+  * cheap); `groupBy`/`limit` are not incrementally maintainable in
+  * this additive shape (a sub-key explodes state by its cardinality, a
+  * record limit is not a semilattice) and route to the batch J3/A9
+  * planner instead.
+  *
+  * SUM/AVG are maintained on the exact integer cent grid
+  * ([[IncrementalSwa]]'s contract): exact for 2-decimal measures,
+  * 0.01-quantized otherwise; MIN/MAX/LATEST are exact raw values.
+  * Store directories key on md5(defExpr|filter), so refreshes are
+  * stable across runs and feature reorderings.
+  */
+object IncrementalMaterializer {
+
+  private case class Measure(defExpr: String, filter: Option[String]) {
+    def id: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$defExpr|${filter.getOrElse("")}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+  }
+
+  private def planOf(f: AnchorFeature, bucketUs: Long): (Measure, Int, Aggregation) =
+    f.transform match {
+      case wa: Transformation.WindowAgg =>
+        require(wa.groupBy.isEmpty && wa.limit.isEmpty,
+          s"feature '${f.name}': group_by/limit window aggregations are not " +
+            "incrementally maintainable (sub-keys explode state, limits are " +
+            "not semilattices) — use the batch windowed-agg join")
+        val winUs = graft.model.Durations.toMicros(wa.window)
+        require(winUs % bucketUs == 0 && winUs > 0,
+          s"feature '${f.name}': window ${wa.window} is not a whole multiple " +
+            s"of the ${bucketUs}µs maintenance bucket")
+        wa.aggFunc match {
+          case Aggregation.SUM | Aggregation.COUNT | Aggregation.AVG |
+               Aggregation.MIN | Aggregation.MAX | Aggregation.LATEST => ()
+          case other => throw new IllegalArgumentException(
+            s"feature '${f.name}': $other is not incrementally maintainable " +
+              "here — use the batch windowed-agg join")
+        }
+        (Measure(wa.defExpr, wa.filter), (winUs / bucketUs).toInt, wa.aggFunc)
+      case other => throw new IllegalArgumentException(
+        s"feature '${f.name}': only window aggregations materialize " +
+          s"incrementally (got $other)")
+    }
+
+  private def storeDir(root: String, m: Measure) = s"$root/m=${m.id}"
+
+  private def cfg(keyCols: Seq[String], tsCol: String, bucketUs: Long) =
+    IncrementalSwa.Config(keyCols, tsCol, "__graft_m", bucketUs)
+
+  /** Fold one delta into every feature's measure store — one delta
+    * shuffle per DISTINCT (defExpr, filter), not per feature. Same
+    * version/replay discipline as [[IncrementalSwa.ingest]].
+    */
+  def refresh(delta: DataFrame, root: String, features: Seq[AnchorFeature],
+      keyCols: Seq[String], tsCol: String, bucketUs: Long,
+      version: Long): Unit = {
+    require(features.nonEmpty, "no features to refresh")
+    val measures = features.map(planOf(_, bucketUs)._1).distinct
+    measures.foreach { m =>
+      val filtered = m.filter.map(delta.where(_)).getOrElse(delta)
+      IncrementalSwa.ingest(
+        filtered.withColumn("__graft_m", expr(m.defExpr))
+          .select((keyCols :+ tsCol :+ "__graft_m").map(col): _*),
+        storeDir(root, m), cfg(keyCols, tsCol, bucketUs), version)
+    }
+  }
+
+  /** The wide feature row per key as of bucket boundary `asOfUs`: one
+    * serve per distinct (measure, window), feature columns renamed to
+    * their DSL names, assembled with bounded key-frame joins. Keys
+    * with no qualifying rows in a feature's window carry null there
+    * (the left-join feature-vector contract).
+    */
+  def snapshot(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, asOfUs: Long): DataFrame = {
+    require(features.nonEmpty, "no features to snapshot")
+    val plans = features.map(f => (f, planOf(f, bucketUs)))
+    val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
+      .map { case ((m, w), fs) =>
+        val base = IncrementalSwa.serve(spark, storeDir(root, m),
+          cfg(keyCols, tsCol, bucketUs), asOfUs, w)
+        val cols = keyCols.map(col) ++ fs.map { case (f, (_, _, agg)) =>
+          (agg match {
+            case Aggregation.SUM => col("f_sum")
+            case Aggregation.COUNT => col("f_cnt")
+            case Aggregation.AVG => col("f_avg")
+            case Aggregation.MIN => col("f_min")
+            case Aggregation.MAX => col("f_max")
+            case _ => col("f_latest")
+          }).as(f.name)
+        }
+        base.select(cols: _*)
+      }.toSeq
+    val spine = served.map(_.select(keyCols.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    served.foldLeft(spine)((acc, df) => acc.join(df, keyCols, "left_outer"))
+  }
+}
