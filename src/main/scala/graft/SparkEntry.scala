@@ -2528,6 +2528,59 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("size_kb", expr("n_chars div 1000")),
         Seq("lang", "source", "size_kb"), 10, Seq("n_chars"))),
 
+    // The full production loop in one gate: events STREAM in
+    // (day-clustered files, one per micro-batch) → DSL features
+    // refresh incrementally per batch → snapshot at the boundary →
+    // publish to the ONLINE store (real RESP wire protocol) → read
+    // back over the wire and compare against the windowed oracle.
+    "q_stream_materialize_online" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_osum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_ocnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val maxB = ev.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val feed = Spill.newPath(s) + "/mat_feed"
+      ev.withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+        .repartitionByRange(3, col("__d")).drop("__d").write.parquet(feed)
+      val root = Spill.newPath(s)
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      StreamingIngest.materializeStream(stream, root, feats,
+        Seq("user_id"), "ts", dayUs)
+      val snap = IncrementalMaterializer.snapshot(s, root, feats,
+          Seq("user_id"), "ts", dayUs, (maxB + 1) * dayUs)
+        .withColumn("f_osum_7d", round(col("f_osum_7d"), 4))
+      val server = new EmbeddedRespServer
+      try {
+        val store = new RespOnlineStore("127.0.0.1", server.port)
+        Materializer.writeAll(snap, Seq("user_id"),
+          Seq(OutputSink.Online("incsnap", store)))
+        val valueCols = snap.columns.filterNot(_ == "user_id").toSeq
+        val backRows = store.getAll("incsnap", store.scanKeys("incsnap")).map {
+          case (key, vOpt) =>
+            val v = vOpt.getOrElse(sys.error(
+              s"q_stream_materialize_online: listed key $key missing on get"))
+            Row.fromSeq(key +: valueCols.map(c => v.getOrElse(c, null)))
+        }
+        val strSchema = StructType(StructField("user_id", StringType) +:
+          valueCols.map(StructField(_, StringType)))
+        snap.schema.fields.foldLeft(
+          s.createDataFrame(new java.util.ArrayList[Row](backRows.asJava),
+            strSchema)) { (df, fld) =>
+          df.withColumn(fld.name, col(fld.name).cast(fld.dataType))
+        }.select(snap.columns.map(col).toSeq: _*)
+      } finally server.stop()
+    }),
+
     // The DSL bridge: WindowAgg anchor features materialized by
     // O(delta) refresh — features sharing a (defExpr, filter) measure
     // share one store (5 aggs per delta shuffle); snapshot assembles
@@ -5077,6 +5130,20 @@ object SparkEntry {
         |  max(value) AS f_max
         |FROM e, mx
         |WHERE e.us >= mx.t - 30 * 86400000000 AND e.us < mx.t
+        |GROUP BY user_id""".stripMargin,
+
+    // the stream/online machinery must be invisible to the served
+    // values: same windowed recompute
+    "q_stream_materialize_online" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e)
+        |SELECT user_id,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |    AS f_osum_7d,
+        |  count(value) AS f_ocnt_7d
+        |FROM e, mx
+        |WHERE us >= t - 7 * 86400000000 AND us < t
         |GROUP BY user_id""".stripMargin,
 
     // spine = keys with any row in the widest (14d) window; 7d

@@ -188,6 +188,30 @@ object StreamingIngest {
     q
   }
 
+  /** T1 × [[graft.operators.IncrementalMaterializer]]: continuous
+    * O(batch) maintenance of DSL-defined window-aggregate features.
+    * Each micro-batch refreshes every measure store at
+    * version = batchId — the same replay-idempotent, split-invariant
+    * contract as [[swaStateStream]], lifted to the feature-definition
+    * surface. Snapshot/publish is the caller's (out-of-band, like
+    * compaction).
+    */
+  def materializeStream(stream: DataFrame, root: String,
+      features: Seq[graft.project.AnchorFeature], keyCols: Seq[String],
+      tsCol: String, bucketUs: Long, timeoutMs: Long = 120000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val q = stream.writeStream.outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IncrementalMaterializer.refresh(
+          batch, root, features, keyCols, tsCol, bucketUs, batchId)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Micro-batches go through [[Materializer.writeBatch]] —
