@@ -1820,6 +1820,29 @@ object SparkEntry {
       IncrementalCuration.snapshot(s, root).select("doc_id", "text")
     }),
 
+    // The right-to-be-forgotten lifecycle, end to end: bootstrap +
+    // refresh as in q_curate_incremental, then FORGET every 20th base
+    // doc (tombstoned out of the snapshot, excluded from future
+    // admission), then a second delta planted with twins of forgotten
+    // docs (must now ADMIT), twins of non-forgotten docs (must still
+    // DROP), and delta-internal second twins (must drop against their
+    // admitted sibling) — then the PHYSICAL purge (index rewrite +
+    // log compaction), which must not change the snapshot. The oracle
+    // restates the whole history in one batch pass with the forget
+    // applied at its version boundary.
+    "q_curate_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val root = Spill.newPath(s) + "/fgtcur"
+      IncrementalCuration.bootstrap(docs, curatePipeline, root)
+      IncrementalCuration.refresh(curateDelta(docs), root, version = 1L)
+      IncrementalCuration.forget(
+        docs.where(col("doc_id") % 20 === 2).select("doc_id"),
+        root, version = 2L)
+      IncrementalCuration.refresh(curateForgetDelta(docs), root, version = 3L)
+      IncrementalCuration.purgeForgotten(s, root)
+      IncrementalCuration.snapshot(s, root).select("doc_id", "text")
+    }),
+
     // Gopher repetition filter: duplicate-2-gram occurrence fraction.
     "q_text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(
@@ -2978,6 +3001,19 @@ object SparkEntry {
             slice(split(Dedup.normText(col("text")), " "), 1, 10)).as("text")))
   }
 
+  /** Delta 2 of the forget lifecycle: twins of forgotten docs (must
+    * ADMIT — the forgotten entrant may no longer suppress anything),
+    * twins of non-forgotten docs (must still DROP), and second twins
+    * of forgotten docs (must drop against their +6000000 sibling —
+    * the delta-internal ordered pair still applies). */
+  private def curateForgetDelta(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 20 === 2)
+      .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 20 === 12)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(col("doc_id") % 20 === 2)
+        .select((col("doc_id") + 8000000L).as("doc_id"), col("text")))
+
   private def curatePipeline = graft.operators.CurationPipeline(
     "text", "doc_id", Seq(
       CurationStage.Quality(50, 100000, 2),
@@ -3064,9 +3100,8 @@ object SparkEntry {
     * tail) and `q_curate_preview` (per-delta-doc disposition tail):
     * one statement of quality + ordered near-dup over base ∪ delta.
     */
-  private lazy val sqlCurateCtes =
-    s"""corpus AS (
-      |  SELECT doc_id, text FROM documents
+  private lazy val sqlCurateBaseArms =
+    s"""  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
@@ -3080,7 +3115,17 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 5000000,
       |    array_to_string(string_split(${sqlNt("text")}, ' ')[1:10], ' ')
-      |  FROM documents WHERE doc_id % 10 = 5
+      |  FROM documents WHERE doc_id % 10 = 5""".stripMargin
+
+  private lazy val sqlCurateCtes = sqlCurateCtesFor(sqlCurateBaseArms, "")
+
+  /** The batch CTE chain parameterized on the corpus arms and an
+    * extra loser-pair predicate — `q_curate_forget` adds its delta-2
+    * plantings and strips pairs whose smaller side was forgotten
+    * before delta 2 landed. */
+  private def sqlCurateCtesFor(corpusArms: String, loserExtra: String) =
+    s"""corpus AS (
+      |$corpusArms
       |), norm AS (
       |  SELECT doc_id,
       |    ${sqlNt("text")} AS nt,
@@ -3098,13 +3143,36 @@ object SparkEntry {
       |  SELECT DISTINCT b.doc_id
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8$loserExtra
       |)""".stripMargin
 
   private lazy val sqlCurateIncremental =
     s"""WITH $sqlCurateCtes
       |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
       |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
+  /** Batch restatement of the forget lifecycle: delta-2 plantings join
+    * the corpus, near-dup pairs anchored on a forgotten base doc are
+    * void for delta-2 ids only (the forget landed between the two
+    * refreshes), and forgotten docs leave the final corpus entirely.
+    */
+  private lazy val sqlCurateForget = {
+    val arms = sqlCurateBaseArms +
+      s"""
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 20 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 20 = 12
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, text FROM documents WHERE doc_id % 20 = 2""".stripMargin
+    val excl = """
+      |    AND NOT (a.doc_id < 2000000 AND a.doc_id % 20 = 2
+      |      AND b.doc_id >= 6000000)""".stripMargin
+    s"""WITH ${sqlCurateCtesFor(arms, excl)}
+      |SELECT c.doc_id, c.text FROM corpus c JOIN kept USING (doc_id)
+      |WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+      |  AND NOT (c.doc_id < 2000000 AND c.doc_id % 20 = 2)""".stripMargin
+  }
 
   /** URL-planted documents CTE + domain-block verdict CTEs — shared by
     * the q_domain_filter / q_curate_audit / q_curate_optimized oracles
@@ -4295,6 +4363,7 @@ object SparkEntry {
     // reproducible). Shared with q_stream_curate: the streamed
     // micro-batch path must land on the identical corpus.
     "q_curate_incremental" -> sqlCurateIncremental,
+    "q_curate_forget" -> sqlCurateForget,
     "q_stream_curate" -> sqlCurateIncremental,
 
     // per-delta-doc first-drop attribution over the same batch CTEs:

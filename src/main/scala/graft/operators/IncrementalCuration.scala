@@ -68,6 +68,7 @@ object IncrementalCuration {
   private def logDir(root: String) = s"$root/log"
   private def indexDir(root: String) = s"$root/neardup"
   private def metaDir(root: String) = s"$root/meta"
+  private def forgetDir(root: String) = s"$root/forget"
   private def configPath(root: String) = s"$root/pipeline.json"
 
   /** One-time batch pass: run the pipeline over the initial corpus,
@@ -145,6 +146,13 @@ object IncrementalCuration {
           s"$recorded, this delta's ${math.max(priorMax, dMax)}); a " +
           "replay must re-present the same data — if this is a new " +
           "stream, resume its checkpoint instead of starting a fresh one"))
+    // a log partition with NO meta row is a compaction fold (e.g. from
+    // purgeForgotten) — a refresh claiming that slot would silently
+    // overwrite the folded base; continue above MergeLog.nextVersion
+    require(metaFor(spark, root, version).isDefined ||
+      !MergeLog.versions(spark, logDir(root)).contains(version),
+      s"log version $version at $root is a compaction fold, not a " +
+        "refresh slot; use MergeLog.nextVersion to continue the lineage")
 
     val entrants = Spill.roundTrip(
       runStages(delta, pre, pipeline, reference))
@@ -152,9 +160,13 @@ object IncrementalCuration {
       case Some(NearDupDrop(threshold, _)) =>
         // one-pass decision + append: the delta's bands are computed
         // once and reused; the decision is materialized inside admit
-        // before anything lands in the store
+        // before anything lands in the store. Entrants forgotten by a
+        // version STRICTLY before this one are excluded from the
+        // decision (strictly: a crash-replay of this version must see
+        // the same exclusion set its first attempt saw).
         val losers = NearDupIndex.admit(spark, indexDir(root), entrants,
-            pipeline.textCol, pipeline.idCol, threshold)
+            pipeline.textCol, pipeline.idCol, threshold,
+            exclude = forgottenBefore(spark, root, version))
           .select(col("id").as(pipeline.idCol))
         entrants.join(losers, Seq(pipeline.idCol), "left_anti")
       case None => entrants
@@ -206,7 +218,8 @@ object IncrementalCuration {
     nd.foreach { n =>
       val losers = Spill.roundTrip(
         NearDupIndex.previewLosers(spark, indexDir(root), cur,
-          pipeline.textCol, id, n.threshold)
+          pipeline.textCol, id, n.threshold,
+          exclude = forgottenBefore(spark, root, Long.MaxValue))
           .select(col("id").as(id))
           .withColumn("disposition", lit(s"${pre.length}:near_dup_drop")))
       parts += losers
@@ -228,6 +241,98 @@ object IncrementalCuration {
     val admitted = cur.select(col(id))
       .withColumn("disposition", lit("admitted"))
     (parts :+ admitted).reduce(_ unionByName _)
+  }
+
+  /** Right-to-be-forgotten, step 1 (logical — takes effect
+    * immediately): record `ids` as forgotten at `version`, append
+    * matching TOMBSTONES to the merge log (the snapshot stops serving
+    * them the moment this returns), and exclude them from every
+    * subsequent refresh's admission decision — a post-forget delta
+    * twin of a forgotten document is ADMITTED, because the forgotten
+    * content may no longer influence any output. Cost is O(|ids|):
+    * no corpus scan, no index touch.
+    *
+    * Deliberately NOT re-adjudicated: documents dropped in the past
+    * because they matched a now-forgotten entrant stay dropped —
+    * admission history is an ordered fact, and re-admitting would
+    * rewrite already-published corpus versions (the same reason
+    * [[MergeLog.snapshotAsOf]] refuses rebased history). The forget
+    * list itself retains only the ids (needed as the erasure
+    * work-list) — never content.
+    *
+    * Step 2, [[purgeForgotten]], physically erases the content from
+    * the index and log in a maintenance window.
+    */
+  def forget(ids: DataFrame, root: String, version: Long): Unit = {
+    val spark = ids.sparkSession
+    val pipeline = readConfig(spark, root)
+    require(version > 0L, "forget versions start at 1 (0 is the bootstrap)")
+    val priorMax = readMetaBefore(spark, root, version)
+    // same version-rewrite tripwire as refresh: a replayed forget
+    // re-records the unchanged high-water; a refresh already holding
+    // this slot recorded a higher one and must not be overwritten
+    metaFor(spark, root, version).foreach(recorded =>
+      require(recorded == priorMax,
+        s"version $version of the curation state at $root was already " +
+          s"written by a refresh (recorded high-water $recorded); a " +
+          "forget needs its own fresh version slot"))
+    require(metaFor(spark, root, version).isDefined ||
+      !MergeLog.versions(spark, logDir(root)).contains(version),
+      s"log version $version at $root is a compaction fold, not a " +
+        "forget slot; use MergeLog.nextVersion to continue the lineage")
+    val fl = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+    fl.coalesce(1).write.mode("overwrite")
+      .parquet(s"${forgetDir(root)}/__v=$version")
+    // tombstones must carry the log's exact schema (MergeLog pins it);
+    // every non-key column rides as a typed null — the tombstone is
+    // pure key + death marker, no content
+    val logSchema = snapshot(spark, root).schema
+    val tombstones = fl.select(
+      logSchema.fields.map(f =>
+        if (f.name == pipeline.idCol) col("id").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq :+
+        lit(true).as("__forget_dead"): _*)
+    MergeLog.append(tombstones, logDir(root), version, Seq(pipeline.idCol),
+      tombstoneCol = Some("__forget_dead"))
+    writeMeta(spark, root, version, priorMax)
+  }
+
+  /** Convenience overload for the bounded GDPR-request shape. */
+  def forget(spark: SparkSession, ids: Seq[Long], root: String,
+      version: Long): Unit = {
+    import spark.implicits._
+    forget(ids.toDF("id"), root, version)
+  }
+
+  /** Right-to-be-forgotten, step 2 (physical): rewrite the near-dup
+    * store without the forgotten entrants' band/shingle rows
+    * ([[NearDupIndex.purge]], crash-safe swap) and compact the merge
+    * log — the fold keeps each forgotten key only as its tombstone
+    * row (typed nulls, no content) and deletes the partitions that
+    * held the original text. One linear pass over index + log,
+    * independent of how many forgets accumulated; run it on the
+    * erasure deadline, not per request.
+    */
+  def purgeForgotten(spark: SparkSession, root: String): Unit = {
+    val pipeline = readConfig(spark, root)
+    forgottenBefore(spark, root, Long.MaxValue).foreach { ids =>
+      NearDupIndex.purge(spark, indexDir(root), ids)
+      MergeLog.compact(spark, logDir(root), Seq(pipeline.idCol))
+    }
+  }
+
+  /** Union of forget-list versions strictly before `version`; None if
+    * nothing was ever forgotten (the common case — admission pays no
+    * read). */
+  private def forgottenBefore(spark: SparkSession, root: String,
+      version: Long): Option[DataFrame] = {
+    val p = new Path(forgetDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.option("basePath", forgetDir(root))
+      .parquet(forgetDir(root))
+      .where(col("__v") < version)
+      .select("id").distinct())
   }
 
   /** The curated corpus as of the latest refresh. */

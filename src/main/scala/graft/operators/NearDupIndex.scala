@@ -169,10 +169,11 @@ object NearDupIndex {
     * would find every delta doc matching itself.
     */
   def admit(spark: SparkSession, path: String, delta: DataFrame,
-      textCol: String, idCol: String, threshold: Double): DataFrame = {
+      textCol: String, idCol: String, threshold: Double,
+      exclude: Option[DataFrame] = None): DataFrame = {
     val (_, _, shingleSize) = readConfig(spark, path)
     val (losers, dBands) =
-      decideAdmission(spark, path, delta, textCol, idCol, threshold)
+      decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude)
     // append AFTER the materialized decision: bands reuse the spill,
     // shingles are the refresh's single full-delta shingle pass
     dBands.write.mode("append").parquet(s"$path/$B")
@@ -189,12 +190,13 @@ object NearDupIndex {
     * drift from the real admission.
     */
   def previewLosers(spark: SparkSession, path: String, delta: DataFrame,
-      textCol: String, idCol: String, threshold: Double): DataFrame =
-    decideAdmission(spark, path, delta, textCol, idCol, threshold)._1
+      textCol: String, idCol: String, threshold: Double,
+      exclude: Option[DataFrame] = None): DataFrame =
+    decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude)._1
 
   private def decideAdmission(spark: SparkSession, path: String,
       delta: DataFrame, textCol: String, idCol: String,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double, exclude: Option[DataFrame]): (DataFrame, DataFrame) = {
     val (numHashes, bands, shingleSize) = readConfig(spark, path)
     val (dBands, dBandBytes) = Spill.roundTripSized(
       bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
@@ -215,11 +217,23 @@ object NearDupIndex {
     // dropped-sibling's appended rows and vanish from the rewritten
     // version (found by review: delta {10, 11} near-dups, first run
     // admits 10, replay matched 10 against stored 11)
-    val (crossCands, crossBytes) = Spill.roundTripSized(
+    // forgotten stored entrants must not influence any post-forget
+    // admission (the right-to-be-forgotten contract): their candidate
+    // rows are anti-joined out BEFORE verification. The filter runs on
+    // the candidate set (already band-bucket-bounded), not the full
+    // stored-band scan, and the exclusion list broadcasts — cost is
+    // O(candidates), independent of both index and corpus size.
+    val (crossCands0, crossBytes) = Spill.roundTripSized(
       rBands.join(maybeBcD(dBands.select(col("band_id"), col("band_hash"),
           col("id").as("id_delta"))), Seq("band_id", "band_hash"))
         .where(col("id") < col("id_delta"))
         .select(col("id_delta"), col("id").as("id_ref")).distinct())
+    val crossCands = exclude match {
+      case Some(ex) => crossCands0.join(
+        broadcast(ex.select(col(ex.columns.head).as("id_ref"))),
+        Seq("id_ref"), "left_anti")
+      case None => crossCands0
+    }
     val (intCands, intBytes) = Spill.roundTripSized(Dedup.candidatePairs(
       Dedup.capBuckets(dBands, Seq("band_id", "band_hash"), "id"),
       Seq("band_id", "band_hash"), "id"))
@@ -259,6 +273,59 @@ object NearDupIndex {
     (losers, dBands)
   }
 
+  /** Physically erase `ids`' band and shingle rows from the store —
+    * the completion of a logical forget ([[admit]]'s `exclude` keeps
+    * forgotten entrants out of decisions immediately; this removes
+    * their DATA, which is what an erasure obligation actually
+    * requires: shingle sets are content-derived and band rows leak
+    * membership). One linear rewrite of the store, run in a
+    * maintenance window, not per delta.
+    *
+    * Crash-safe swap protocol (single writer, like every mutation
+    * here): (1) the purged copies are written COMPLETELY to side dirs,
+    * (2) a `__purge_ready` marker commits the intent, (3) live dirs
+    * are replaced by rename, marker removed. A crash before (2) leaves
+    * the live store untouched (stray side dirs are garbage-collected
+    * by the next purge); a crash after (2) is finished by
+    * [[recover]], which every read path runs first — readers never
+    * see a half-swapped store.
+    */
+  def purge(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    readConfig(spark, path) // validates family AND finishes a prior swap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    Seq(s"$B$PurgeSuffix", s"$S$PurgeSuffix").foreach(d => fs.delete(p(d), true))
+    val ex = broadcast(ids.select(col(ids.columns.head).as("id")).distinct())
+    spark.read.parquet(s"$path/$B").join(ex, Seq("id"), "left_anti")
+      .write.parquet(s"$path/$B$PurgeSuffix")
+    spark.read.parquet(s"$path/$S").join(ex, Seq("id"), "left_anti")
+      .write.parquet(s"$path/$S$PurgeSuffix")
+    fs.create(p(PurgeMarker), false).close()
+    swapPurged(spark, path)
+  }
+
+  /** Finish an interrupted [[purge]] swap: idempotent, called from
+    * every read path via [[readConfig]]. */
+  private def swapPurged(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    if (!fs.exists(p(PurgeMarker))) return
+    Seq(B, S).foreach { d =>
+      val side = p(s"$d$PurgeSuffix")
+      if (fs.exists(side)) { // already-swapped dirs skip idempotently
+        fs.delete(p(d), true)
+        require(fs.rename(side, p(d)),
+          s"purge swap: rename of $side into place failed")
+      }
+    }
+    fs.delete(p(PurgeMarker), false)
+  }
+
+  private val PurgeSuffix = "__purged"
+  private val PurgeMarker = "__purge_ready"
+
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
@@ -286,6 +353,7 @@ object NearDupIndex {
       Dedup.shingleHashSet(col(textCol), shingleSize).as("sh"))
 
   private def readConfig(spark: SparkSession, path: String): (Int, Int, Int) = {
+    swapPurged(spark, path) // finish an interrupted purge before reading
     val df = spark.read.parquet(s"$path/$C")
     val r = df.head()
     // pre-versioning stores (r9 and earlier) carried xxhash64'd

@@ -221,4 +221,94 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(texts.length == 1 && !texts.head.contains("alice@example.com"),
       s"post-stage redaction missing: ${texts.toSeq}")
   }
+
+  test("forget drops the doc from the snapshot and future admission") {
+    val base = corpus(doc(1, "alpha"), doc(2, "beta"), doc(4, "gamma"))
+    val root = Spill.newPath(spark) + "/fstate"
+    assert(ids(IncrementalCuration.bootstrap(base, pipeline, root))
+      == Set(1L, 2L, 4L))
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
+    assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(2L, 4L))
+    val delta = corpus(
+      doc(10, "alpha"), // twin of the FORGOTTEN doc -> must admit
+      doc(11, "beta"),  // twin of a live doc -> must still drop
+      doc(12, "alpha")) // second twin -> drops against admitted 10
+    val snap = IncrementalCuration.refresh(delta, root, version = 2L)
+    assert(ids(snap) == Set(2L, 4L, 10L), s"got ${ids(snap)}")
+  }
+
+  test("forget replay is idempotent") {
+    val root = Spill.newPath(spark) + "/frstate"
+    IncrementalCuration.bootstrap(
+      corpus(doc(1, "alpha"), doc(2, "beta")), pipeline, root)
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
+    assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(2L))
+    // and a forget may not claim a slot a refresh already wrote
+    IncrementalCuration.refresh(corpus(doc(10, "delta"))
+      .toDF("doc_id", "text"), root, version = 2L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.forget(spark, Seq(2L), root, version = 2L)
+    }
+    assert(e.getMessage.contains("already"))
+  }
+
+  test("purgeForgotten erases index and log content, preserving behavior") {
+    val base = corpus(doc(1, "alpha"), doc(2, "beta"), doc(4, "gamma"))
+    val root = Spill.newPath(spark) + "/pgstate"
+    IncrementalCuration.bootstrap(base, pipeline, root)
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
+    val snap2 = IncrementalCuration.refresh(
+      corpus(doc(10, "alpha")), root, version = 2L)
+    assert(ids(snap2) == Set(2L, 4L, 10L))
+
+    IncrementalCuration.purgeForgotten(spark, root)
+    // physical erasure: no band/shingle row for id 1 anywhere on disk,
+    // and the log's only trace of doc 1 is a contentless tombstone
+    assert(spark.read.parquet(s"$root/neardup/bands")
+      .where(col("id") === 1L).isEmpty)
+    assert(spark.read.parquet(s"$root/neardup/shingles")
+      .where(col("id") === 1L).isEmpty)
+    val logRows = spark.read.option("basePath", s"$root/log")
+      .parquet(s"$root/log").where(col("doc_id") === 1L)
+      .select("text", "__dead").collect()
+    assert(logRows.forall(r => r.isNullAt(0) && r.getBoolean(1)),
+      s"forgotten content survived the purge: ${logRows.toSeq}")
+
+    // the snapshot is unchanged and admission still works: the purge
+    // compacted the log, so its fold slot must be refused and the
+    // lineage continues above it
+    assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(2L, 4L, 10L))
+    val fold = MergeLog.versions(spark, s"$root/log").max
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.refresh(corpus(doc(20, "alpha")), root, fold)
+    }
+    assert(e.getMessage.contains("compaction fold"))
+    val snap3 = IncrementalCuration.refresh(
+      corpus(doc(20, "alpha")), root, version = fold + 1)
+    assert(ids(snap3) == Set(2L, 4L, 10L),
+      "post-purge admission must still drop a twin of admitted doc 10")
+  }
+
+  test("an interrupted purge swap is finished by the next reader") {
+    val base = corpus(doc(1, "alpha"), doc(2, "beta"))
+    val root = Spill.newPath(spark) + "/crstate"
+    IncrementalCuration.bootstrap(base, pipeline, root)
+    val idx = s"$root/neardup"
+    // construct the crash state by hand: complete purged side dirs +
+    // the ready marker, live dirs still holding the old rows
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$idx/bands").where(col("id") =!= 1L)
+      .write.parquet(s"$idx/bands__purged")
+    spark.read.parquet(s"$idx/shingles").where(col("id") =!= 1L)
+      .write.parquet(s"$idx/shingles__purged")
+    fs.create(new Path(s"$idx/__purge_ready"), false).close()
+    // any read path (here: a preview) must finish the swap first
+    IncrementalCuration.previewRefresh(corpus(doc(10, "gamma")), root)
+    assert(!fs.exists(new Path(s"$idx/__purge_ready")))
+    assert(!fs.exists(new Path(s"$idx/bands__purged")))
+    assert(spark.read.parquet(s"$idx/bands").where(col("id") === 1L).isEmpty)
+    assert(spark.read.parquet(s"$idx/shingles").where(col("id") === 1L).isEmpty)
+  }
 }
