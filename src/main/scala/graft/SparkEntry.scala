@@ -1431,6 +1431,39 @@ object SparkEntry {
         .select("grp", "pos", "n", "s", "c")
     }),
 
+    // Distributed Lloyd's k-means on the exact integer grid: k=8,
+    // two update iterations from the 8-smallest-id seed, final
+    // centroids (grid longs) + final cluster sizes. The oracle
+    // restates both iterations in DuckDB — every distance, argmin
+    // tiebreak, and centroid rounding is integer-exact, so the hash
+    // must match bit for bit.
+    "q_embed_kmeans" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(
+          t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
+        .select(col("vec_id"), col("embedding_q8"))
+      val r = Clustering.kmeansInt8(q, "vec_id", "embedding_q8",
+        k = 8, iters = 2)
+      import s.implicits._
+      r.centroids.zipWithIndex.flatMap { case (c, j) =>
+        c.zipWithIndex.map { case (v, p) => (j, p, v, r.sizes(j)) }
+      }.toDF("cluster", "pos", "c", "n")
+    }),
+
+    // Per-cluster quantile-threshold pruning over the same run: keep
+    // each cluster's closest-half by distance-to-centroid (boundary
+    // ties all kept — a value-threshold contract with no per-row
+    // tiebreak). The outlier-pruning curation move, without ever rank-
+    // windowing the corpus-sized frame.
+    "q_embed_prune" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(
+          t(s, dir, "embeddings").select("vec_id", "embedding"), "embedding")
+        .select(col("vec_id"), col("embedding_q8"))
+      val r = Clustering.kmeansInt8(q, "vec_id", "embedding_q8",
+        k = 8, iters = 2)
+      Clustering.pruneByCentroidDist(r.assignments, 1, 2)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+    }),
+
     // Text quality statistics (pure projection).
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.stats(t(s, dir, "documents"), "text")
@@ -3100,6 +3133,62 @@ object SparkEntry {
     * tail) and `q_curate_preview` (per-delta-doc disposition tail):
     * one statement of quality + ordered near-dup over base ∪ delta.
     */
+  /** One Lloyd's assignment against centroid CTE `prev` (+ an update
+    * when `update`): every distance/argmin/rounding exactly as the
+    * engine computes it, in integers. Shared by the two k-means
+    * oracles. */
+  private def sqlKmeansStep(i: Int, prev: String, update: Boolean): String = {
+    val assign =
+      s"""d$i AS (
+        |  SELECT nx.vec_id, nx.q8, cc.j,
+        |    100000000 * nx.n2
+        |      - 20000 * list_sum(list_transform(range(1, 65),
+        |          p -> nx.q8[p] * cc.c[p]))
+        |      + cc.cn2 AS dist
+        |  FROM nx CROSS JOIN (
+        |    SELECT j, c, list_sum(list_transform(c, x -> x * x)) AS cn2
+        |    FROM $prev) cc
+        |), a$i AS (
+        |  SELECT vec_id, q8, j, dist FROM (
+        |    SELECT vec_id, q8, j, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        |    FROM d$i) WHERE rn = 1
+        |)""".stripMargin
+    if (!update) assign else assign +
+      s""", s$i AS (
+        |  SELECT j, r.range AS pos, count(*) AS n, sum(q8[r.range]) AS s
+        |  FROM a$i CROSS JOIN range(1, 65) r
+        |  GROUP BY 1, 2
+        |), c$i AS (
+        |  SELECT p.j,
+        |    CASE WHEN count(s.s) = 0 THEN any_value(p.c)
+        |         ELSE list(CAST(floor((2 * 10000 * s.s + s.n) / (2.0 * s.n))
+        |                        AS BIGINT) ORDER BY s.pos)
+        |    END AS c
+        |  FROM $prev p LEFT JOIN s$i s ON p.j = s.j
+        |  GROUP BY p.j
+        |)""".stripMargin
+  }
+
+  /** k=8 / iters=2 Lloyd's chain ending in final centroids `c2` and
+    * final assignments `a3 (vec_id, j, dist)`. */
+  private lazy val sqlKmeansCtes =
+    s"""q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(
+      |    x * (127.0 / greatest(list_max(list_transform(embedding,
+      |      y -> abs(y)))::DOUBLE, 1e-30)) + 0.5) AS BIGINT)) AS q8
+      |  FROM embeddings
+      |), nx AS (
+      |  SELECT vec_id, q8, list_sum(list_transform(q8, x -> x * x)) AS n2
+      |  FROM q
+      |), c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+      |    list_transform(q8, x -> x * 10000) AS c
+      |  FROM (SELECT vec_id, q8 FROM q ORDER BY vec_id LIMIT 8)
+      |), ${sqlKmeansStep(1, "c0", update = true)},
+      |${sqlKmeansStep(2, "c1", update = true)},
+      |${sqlKmeansStep(3, "c2", update = false)}""".stripMargin
+
   private lazy val sqlCurateBaseArms =
     s"""  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -3819,6 +3908,30 @@ object SparkEntry {
         |)
         |SELECT sums.grp, sums.pos, n.n, sums.s, sums.s::DOUBLE / n.n AS c
         |FROM sums JOIN n USING (grp)""".stripMargin,
+
+    "q_embed_kmeans" ->
+      s"""WITH $sqlKmeansCtes, sizes AS (
+        |  SELECT j, count(*) AS n FROM a3 GROUP BY 1
+        |)
+        |SELECT c2.j::INT AS cluster, r.range::INT - 1 AS pos,
+        |  c2.c[r.range] AS c, coalesce(sz.n, 0)::BIGINT AS n
+        |FROM c2 CROSS JOIN range(1, 65) r
+        |LEFT JOIN sizes sz ON c2.j = sz.j""".stripMargin,
+
+    "q_embed_prune" ->
+      s"""WITH $sqlKmeansCtes, hist AS (
+        |  SELECT j, dist, count(*) AS cnt FROM a3 GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT j, dist,
+        |    sum(cnt) OVER (PARTITION BY j ORDER BY dist) AS cum,
+        |    sum(cnt) OVER (PARTITION BY j) AS n
+        |  FROM hist
+        |), cut AS (
+        |  SELECT j, min(dist) AS cut FROM cum WHERE cum * 2 >= n GROUP BY 1
+        |)
+        |SELECT a.vec_id, a.j::INT AS cluster, a.dist::BIGINT AS dist
+        |FROM a3 a JOIN cut ON a.j = cut.j
+        |WHERE a.dist <= cut.cut""".stripMargin,
 
     // doc-frequency vocabulary with (df desc, term asc) cutoff
     "q_text_vocab" ->
