@@ -2018,6 +2018,39 @@ object SparkEntry {
     }),
 
     // REAL image resize: solid-gray PNGs (same seeding as
+    // Perceptual image hashing through the REAL codec path: the
+    // planted block-pattern PNGs round-trip ImageIO decode → integer
+    // 9×8 box-average → 64-bit dHash, and the oracle recomputes every
+    // bit analytically from the pattern generator's md5 parameters —
+    // parity proves the decode/downsample/hash pipeline computes the
+    // mathematically expected signature for every document.
+    "q_multimodal_phash" -> ((s, dir) => {
+      val packed = t(s, dir, "documents").select("doc_id")
+        .withColumn("payload", mkPatternPng(col("doc_id")))
+      Multimodal.dHash64(packed, "payload", batchSize = 32)
+        .select(col("doc_id"), col("phash64"))
+    }),
+
+    // Image near-dup detection over the dHash signatures: the banded
+    // hamming join must recover every planted (x, x+9) perceptual
+    // twin (≤ 2 bits differ by construction — recall is guaranteed,
+    // the q_dedup_simhash contract shape), with the exact hamming
+    // distances the oracle derives from the generator.
+    "q_multimodal_phash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val packed = docs.withColumn("payload", mkPatternPng(col("doc_id")))
+      val hashes = Multimodal.dHash64(packed, "payload", batchSize = 32)
+        .select("doc_id", "phash64")
+      val found = Dedup.hamming64NearDuplicates(hashes, "doc_id", "phash64",
+        maxHamming = 3)
+      val expected = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 9L).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      found.join(expected, Seq("id_a", "id_b"), "inner")
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }),
+
     // q_multimodal_decode_png) → Graphics2D bilinear resize to a fixed
     // 24×18 → re-encode PNG → decode the RESIZED payload back through
     // the ImageIO codec. Bilinear interpolation of a constant image is
@@ -3052,6 +3085,43 @@ object SparkEntry {
       CurationStage.Quality(50, 100000, 2),
       CurationStage.NearDupDrop(0.8, ordered = true)))
 
+  /** 72×64 block-pattern PNG per doc: 8×9 grid of 8-px constant
+    * blocks, block (r,c) intensity = first md5 byte of "gid:r:c" —
+    * real encoded images whose dHash is analytically restatable by
+    * the oracle. Every 10th-plus-9 doc reuses the decade-leader's
+    * pattern (gid = doc_id − 9) with ONE mid-grid block inverted, so
+    * each (x, x+9) pair differs in at most the two dHash bits that
+    * compare against the flipped block — a guaranteed planted
+    * perceptual near-dup.
+    */
+  private lazy val mkPatternPng =
+    org.apache.spark.sql.functions.udf { (id: Long) =>
+      val gid = if (id % 10 == 9) id - 9 else id
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def v(r: Int, c: Int): Int = {
+        val base = md.digest(s"$gid:$r:$c".getBytes("UTF-8"))(0) & 0xFF
+        if (id % 10 == 9 && r == 3 && c == 4) (base + 128) % 256 else base
+      }
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val gfx = img.createGraphics()
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val g = v(r, c)
+          gfx.setColor(new java.awt.Color(g, g, g))
+          gfx.fillRect(c * 8, r * 8, 8, 8)
+          c += 1
+        }
+        r += 1
+      }
+      gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
   /** Shared corpus for the span-dedup queries: every 10th document
     * carries an appended 8-token slogan (a guaranteed cross-doc
     * repeated window at spanTokens = 8).
@@ -3168,6 +3238,37 @@ object SparkEntry {
         |  FROM $prev p LEFT JOIN s$i s ON p.j = s.j
         |  GROUP BY p.j
         |)""".stripMargin
+  }
+
+  /** Analytic restatement of the planted-pattern dHash (see
+    * [[mkPatternPng]]): block intensities from md5, bit `r·8+c` set
+    * iff block (r,c) is darker than (r,c+1), the hash assembled as a
+    * signed 64-bit sum (bit 63 contributes the sign). The engine
+    * computes the SAME value from real decoded PNG pixels. */
+  private lazy val sqlPhashCtes = {
+    val mdv = "CAST(('0x' || substr(md5(gid::VARCHAR || ':' || " +
+      "r.range::VARCHAR || ':' || c.range::VARCHAR), 1, 2)) AS UBIGINT)"
+    s"""g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END AS gid
+      |  FROM documents
+      |), vals AS (
+      |  SELECT doc_id, r.range AS r, c.range AS c,
+      |    CASE WHEN doc_id % 10 = 9 AND r.range = 3 AND c.range = 4
+      |      THEN ($mdv + 128) % 256 ELSE $mdv END AS v
+      |  FROM g CROSS JOIN range(0, 8) r CROSS JOIN range(0, 9) c
+      |), bits AS (
+      |  SELECT a.doc_id, a.r * 8 + a.c AS b,
+      |    CASE WHEN a.v < n.v THEN 1 ELSE 0 END AS bit
+      |  FROM vals a JOIN vals n
+      |    ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+      |), ph AS (
+      |  SELECT doc_id, sum(CASE WHEN bit = 1 THEN
+      |      CASE WHEN b = 63 THEN -9223372036854775808
+      |           ELSE (1::BIGINT << b) END
+      |    ELSE 0 END)::BIGINT AS phash64
+      |  FROM bits GROUP BY 1
+      |)""".stripMargin
   }
 
   /** k=8 / iters=2 Lloyd's chain ending in final centroids `c2` and
@@ -4732,6 +4833,23 @@ object SparkEntry {
         |  3::INT AS channels,
         |  (doc_id % 256)::DOUBLE AS mean_intensity
         |FROM documents""".stripMargin,
+
+    "q_multimodal_phash" ->
+      s"""WITH $sqlPhashCtes
+        |SELECT doc_id, phash64 FROM ph""".stripMargin,
+
+    "q_multimodal_phash_dedup" ->
+      s"""WITH $sqlPhashCtes, pairs AS (
+        |  SELECT a.doc_id AS id_a, a.doc_id + 9 AS id_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 9
+        |  WHERE a.doc_id % 10 = 0
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  bit_count(xor(ha.phash64, hb.phash64))::INT AS hamming
+        |FROM pairs p
+        |JOIN ph ha ON ha.doc_id = p.id_a
+        |JOIN ph hb ON hb.doc_id = p.id_b
+        |WHERE bit_count(xor(ha.phash64, hb.phash64)) <= 3""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,

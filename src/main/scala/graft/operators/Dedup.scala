@@ -742,13 +742,24 @@ object Dedup {
   }
 
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
-    val bitsPerBlock = 64 / blocks
+      maxHamming: Int = 3, blocks: Int = 4): DataFrame =
     // the native codegen'd expression: one pass per row, zero shuffle
     // (simhashSignatures remains as the SQL-combinator formulation)
-    val sig = df.select(col(idCol),
-      graft.functions.SimHash64Expr.simhash64(
-        normText(col(textCol))).as("sig"))
+    hamming64NearDuplicates(
+      df.select(col(idCol),
+        graft.functions.SimHash64Expr.simhash64(
+          normText(col(textCol))).as("sig")),
+      idCol, "sig", maxHamming, blocks)
+
+  /** Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    * dHash/pHash, audio fingerprints): pigeonhole block-join
+    * candidates + exact-hamming verification. The signature's
+    * provenance is the caller's business — this is the generic
+    * "hamming ≤ d over longs" join. */
+  def hamming64NearDuplicates(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    val bitsPerBlock = 64 / blocks
+    val sig = sigs.select(col(idCol), col(sigCol).as("sig"))
     val blocked = capBuckets(
       sig.select(col(idCol), col("sig"), explode(
         transform(sequence(lit(0), lit(blocks - 1)), b =>

@@ -132,6 +132,85 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) over encoded images — the
+    * perceptual near-dup signature for image corpora: decode, box-
+    * average the grayscale onto a 9×8 grid, and set bit `r·8+c` iff
+    * cell (r,c) is darker than its right neighbor. Row-wise gradient
+    * direction survives re-encoding, mild recompression, and global
+    * brightness shifts, which byte-level hashing does not — pair it
+    * with [[Dedup.hamming64NearDuplicates]] for the banded near-dup
+    * join.
+    *
+    * Everything after the codec is INTEGER arithmetic (pixel sums,
+    * floor-divide averages, comparisons), so the hash is a
+    * deterministic function of the decoded pixels — reproducible
+    * across partitionings and restatable by an external oracle from
+    * the image generator's parameters. `mapPartitions` because no
+    * Catalyst expression can host the ImageIO codec (the
+    * [[decodeImages]] rationale); appends `phash64` (null for
+    * undecodable payloads).
+    */
+  def dHash64(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("phash64", org.apache.spark.sql.types.LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val (gw, gh) = (9, 8)
+      def hashOne(bytes: Array[Byte]): Any =
+        if (bytes == null) null
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < gw || img.getHeight < gh) null
+          else {
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            val bands = raster.getNumBands
+            val rowBuf = new Array[Int](w * bands)
+            // integer grayscale sums per grid cell: cell (r,c) covers
+            // pixel rows [r·h/gh, (r+1)·h/gh) × cols [c·w/gw, (c+1)·w/gw)
+            val sums = Array.ofDim[Long](gh, gw)
+            val cnts = Array.ofDim[Long](gh, gw)
+            var y = 0
+            while (y < h) {
+              raster.getPixels(0, y, w, 1, rowBuf)
+              val r = y * gh / h
+              var x = 0
+              while (x < w) {
+                var g = 0L; var b = 0
+                while (b < bands) { g += rowBuf(x * bands + b); b += 1 }
+                val c = x * gw / w
+                sums(r)(c) += g / bands // integer gray: floor mean band
+                cnts(r)(c) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var r = 0
+            while (r < gh) {
+              var c = 0
+              while (c < gw - 1) {
+                val a = sums(r)(c) / cnts(r)(c)
+                val d = sums(r)(c + 1) / cnts(r)(c + 1)
+                if (a < d) hash |= 1L << (r * 8 + c)
+                c += 1
+              }
+              r += 1
+            }
+            hash
+          }
+        }
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ hashOne(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling over a binary "video" payload: every
     * `stride`-th `frameBytes`-sized slice becomes one frame row
     * (explode-shaped, no driver round-trip).

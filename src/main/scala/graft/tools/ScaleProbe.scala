@@ -1398,6 +1398,76 @@ object ScaleProbe {
         warmedBpe = true
       }
     }
+
+    // ---- axis 27: distributed Lloyd's k-means. Replicating the
+    // corpus n× must grow wall LINEARLY (each iteration is one scan)
+    // while shuffle stays ~FLAT (the update moves k·dim longs per
+    // partition via map-side combine; assignment shuffles nothing) —
+    // the two properties that make exact full-corpus Lloyd's viable
+    // at 100 TB where a rank/join-based formulation would shuffle the
+    // corpus per iteration.
+    if (axes == "all" || axes == "kmeans") {
+      import graft.operators.{Clustering, Similarity}
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      var warmedKm = false
+      for (n <- Seq(1) ++ mults) {
+        val corpus = (0 until n).map(i =>
+            emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val q = graft.operators.Spill.roundTrip(
+          Similarity.quantizeInt8(corpus, "embedding")
+            .select(col("vec_id"), col("embedding_q8")))
+        val rows = q.count()
+        val (sec, mb) = time {
+          Clustering.kmeansInt8(q, "vec_id", "embedding_q8",
+            k = 8, iters = 2).assignments.count()
+        }
+        if (warmedKm)
+          println(f"[scale] n=$n%-3d vectors=$rows%-9d " +
+            f"kmeans(k=8,iters=2)=$sec%6.2fs/${mb}%8.1fMB")
+        warmedKm = true
+      }
+    }
+
+    // ---- axis 28: the forget cascade. (a) refresh cost must be FLAT
+    // in the forget-list size (the exclusion is an anti-join on the
+    // band-bounded candidate set, broadcast side = the forget list);
+    // (b) purge is one linear index rewrite, independent of how many
+    // forget versions accumulated.
+    if (axes == "all" || axes == "forget") {
+      import graft.operators.{IncrementalCuration, Spill}
+      import graft.operators.{CurationPipeline, CurationStage}
+      val docsF = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val pipeF = CurationPipeline("text", "doc_id", Seq(
+        CurationStage.Quality(50, 100000, 2),
+        CurationStage.NearDupDrop(0.8, ordered = true)))
+      var warmedFg = false
+      for (n <- Seq(1) ++ mults) {
+        val root = Spill.newPath(spark) + s"/probe_forget_$n"
+        IncrementalCuration.bootstrap(docsF, pipeF, root)
+        // forget n/16ths of the corpus — the list grows with n while
+        // the delta stays fixed
+        val ids = docsF.where(col("doc_id") % 16 < n).select("doc_id")
+        val fRows = ids.count()
+        IncrementalCuration.forget(ids, root, 1L)
+        val delta = docsF.select(
+          (col("doc_id") + 20000000L).as("doc_id"), col("text")).cache()
+        val dRows = delta.count()
+        val (rSec, rMb) = time {
+          IncrementalCuration.refresh(delta, root, 2L); dRows
+        }
+        val (pSec, pMb) = time {
+          IncrementalCuration.purgeForgotten(spark, root); fRows.max(1L)
+        }
+        if (warmedFg)
+          println(f"[scale] n=$n%-3d forgotten=$fRows%-8d delta=$dRows%-8d " +
+            f"refresh=$rSec%6.2fs/${rMb}%8.1fMB purge=$pSec%6.2fs/${pMb}%8.1fMB")
+        warmedFg = true
+        delta.unpersist()
+      }
+    }
     spark.stop()
   }
 }
