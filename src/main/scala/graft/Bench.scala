@@ -94,10 +94,8 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
       (if (results.exists(_._3 > 0)) s""","failed_runs":$failed""" else "") +
       s""","sf":"$sfDir"}"""
-    // the summary is the FIRST (and only) stdout payload, emitted and
-    // flushed before the detail-file write — whatever direction the
-    // driver's capture truncates from, the line is adjacent to the
-    // program's stdout boundary and maximally likely to survive whole
+    // full per-query line first: useful to humans reading the log, and
+    // whole in BENCH_LOCAL-less partial runs
     println(line)
     Console.out.flush()
     // complete artifact, immune to stdout-capture truncation: medians
@@ -117,5 +115,16 @@ object Bench {
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     }
     spark.stop()
+    // the driver's stdout capture keeps only the LAST ~2000 chars, so
+    // the ~4 KB per-query line above survives decapitated (its head —
+    // metric/value — is what the capture drops). The machine-readable
+    // summary therefore goes LAST and SHORT (<200 chars, totals only);
+    // per-query detail lives in BENCH_LOCAL.json.
+    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size}""" +
+      (if (results.exists(_._3 > 0))
+        s""","failed_runs_n":${results.map(_._3).sum}""" else "") +
+      s""","sf":"$sfDir"}"""
+    println(trailer)
+    Console.out.flush()
   }
 }

@@ -71,10 +71,14 @@ object Clustering {
   def kmeansInt8(df: DataFrame, idCol: String, qCol: String,
       k: Int, iters: Int): KmeansResult = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
-    val seed = df.orderBy(col(idCol)).limit(k)
+    // a null vector among the k smallest ids would otherwise surface as
+    // a bare NPE in getSeq below; name the defect and the column instead
+    val seed = df.where(col(qCol).isNotNull)
+      .orderBy(col(idCol)).limit(k)
       .select(col(qCol)).collect()
     require(seed.length == k,
-      s"k-means needs at least k=$k rows, found ${seed.length}")
+      s"k-means needs at least k=$k rows with non-null '$qCol', " +
+        s"found ${seed.length}")
     var cents: IndexedSeq[Array[Long]] = seed.toIndexedSeq
       .map(_.getSeq[Int](0).map(_.toLong * Scale).toArray)
 

@@ -70,6 +70,39 @@ object IncrementalCuration {
   private def metaDir(root: String) = s"$root/meta"
   private def forgetDir(root: String) = s"$root/forget"
   private def configPath(root: String) = s"$root/pipeline.json"
+  private def offsetPath(root: String) = s"$root/version_offset"
+
+  /** Cumulative shift between CALLER version numbers and log slots.
+    * [[purgeForgotten]]'s compaction folds the log into slot vmax+1 —
+    * the very slot a batchId-sequenced caller ([[graft.streaming.StreamingCuration]]
+    * versions each micro-batch as batchId+1) would claim next, which
+    * used to wedge the stream's fold-slot guard permanently with no
+    * checkpoint-compatible recovery. Each purge therefore bumps this
+    * persisted offset by one, and [[refresh]]/[[forget]] resolve
+    * `actual = requested + offset`, so a caller's monotone version
+    * sequence keeps working across purges without renumbering. Zero
+    * (no file) when no purge ever compacted — the common case reads
+    * one FS existence probe.
+    */
+  private[graft] def versionOffset(spark: SparkSession, root: String): Long = {
+    val path = new Path(offsetPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else {
+      val in = fs.open(path)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeVersionOffset(spark: SparkSession, root: String,
+      off: Long): Unit = {
+    val path = new Path(offsetPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(off.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** One-time batch pass: run the pipeline over the initial corpus,
     * persist the curated result as merge-log version 0 plus the
@@ -120,11 +153,15 @@ object IncrementalCuration {
     val pipeline = readConfig(spark, root)
     val (pre, nd, post) = splitStages(pipeline)
     require(version > 0L, s"refresh versions start at 1 (0 is the bootstrap)")
+    // caller versions are resolved through the purge offset so a
+    // batchId-sequenced stream survives a purge's compaction fold
+    // (see [[versionOffset]]); all state below is keyed by `slot`
+    val slot = version + versionOffset(spark, root)
 
     // the high-water mark is read over versions STRICTLY BEFORE this
     // one, so a crash-replay of the same version validates against the
     // same prior state instead of tripping over its own first attempt
-    val priorMax = readMetaBefore(spark, root, version)
+    val priorMax = readMetaBefore(spark, root, slot)
     val bounds = delta.agg(
       min(col(pipeline.idCol).cast("long")),
       max(col(pipeline.idCol).cast("long"))).head()
@@ -139,20 +176,27 @@ object IncrementalCuration {
     // a mismatch means a different delta is claiming an already-written
     // version — the fresh-checkpoint-against-a-used-state-dir mistake —
     // and overwriting history with it must fail loudly
-    metaFor(spark, root, version).foreach(recorded =>
+    metaFor(spark, root, slot).foreach(recorded =>
       require(recorded == math.max(priorMax, dMax),
-        s"version $version of the curation state at $root was already " +
-          s"written with a different delta (recorded high-water " +
-          s"$recorded, this delta's ${math.max(priorMax, dMax)}); a " +
-          "replay must re-present the same data — if this is a new " +
-          "stream, resume its checkpoint instead of starting a fresh one"))
+        s"version $version (slot $slot) of the curation state at $root " +
+          s"was already written with a different delta (recorded " +
+          s"high-water $recorded, this delta's " +
+          s"${math.max(priorMax, dMax)}); a replay must re-present the " +
+          "same data — if this is a new stream, resume its checkpoint " +
+          "instead of starting a fresh one"))
     // a log partition with NO meta row is a compaction fold (e.g. from
     // purgeForgotten) — a refresh claiming that slot would silently
-    // overwrite the folded base; continue above MergeLog.nextVersion
-    require(metaFor(spark, root, version).isDefined ||
-      !MergeLog.versions(spark, logDir(root)).contains(version),
-      s"log version $version at $root is a compaction fold, not a " +
-        "refresh slot; use MergeLog.nextVersion to continue the lineage")
+    // overwrite the folded base. With the purge offset this only
+    // happens when a purge ran BETWEEN a refresh and its checkpoint
+    // commit (the replay then lands on the fold of its own first
+    // attempt) — purge in a maintenance window with the stream stopped
+    // at a committed checkpoint.
+    require(metaFor(spark, root, slot).isDefined ||
+      !MergeLog.versions(spark, logDir(root)).contains(slot),
+      s"log slot $slot at $root is a compaction fold, not a refresh " +
+        s"slot; a purge interleaved with an uncommitted refresh of " +
+        s"version $version — restore the checkpoint to the purge " +
+        "boundary, or continue above MergeLog.nextVersion")
 
     val entrants = Spill.roundTrip(
       runStages(delta, pre, pipeline, reference))
@@ -166,14 +210,14 @@ object IncrementalCuration {
         // the same exclusion set its first attempt saw).
         val losers = NearDupIndex.admit(spark, indexDir(root), entrants,
             pipeline.textCol, pipeline.idCol, threshold,
-            exclude = forgottenBefore(spark, root, version))
+            exclude = forgottenBefore(spark, root, slot))
           .select(col("id").as(pipeline.idCol))
         entrants.join(losers, Seq(pipeline.idCol), "left_anti")
       case None => entrants
     }
     val curated = runStages(admitted, post, pipeline, reference)
-    MergeLog.append(curated, logDir(root), version, Seq(pipeline.idCol))
-    writeMeta(spark, root, version, math.max(priorMax, dMax))
+    MergeLog.append(curated, logDir(root), slot, Seq(pipeline.idCol))
+    writeMeta(spark, root, slot, math.max(priorMax, dMax))
     snapshot(spark, root)
   }
 
@@ -267,22 +311,24 @@ object IncrementalCuration {
     val spark = ids.sparkSession
     val pipeline = readConfig(spark, root)
     require(version > 0L, "forget versions start at 1 (0 is the bootstrap)")
-    val priorMax = readMetaBefore(spark, root, version)
+    // same caller-version → log-slot resolution as refresh
+    val slot = version + versionOffset(spark, root)
+    val priorMax = readMetaBefore(spark, root, slot)
     // same version-rewrite tripwire as refresh: a replayed forget
     // re-records the unchanged high-water; a refresh already holding
     // this slot recorded a higher one and must not be overwritten
-    metaFor(spark, root, version).foreach(recorded =>
+    metaFor(spark, root, slot).foreach(recorded =>
       require(recorded == priorMax,
-        s"version $version of the curation state at $root was already " +
-          s"written by a refresh (recorded high-water $recorded); a " +
-          "forget needs its own fresh version slot"))
-    require(metaFor(spark, root, version).isDefined ||
-      !MergeLog.versions(spark, logDir(root)).contains(version),
-      s"log version $version at $root is a compaction fold, not a " +
-        "forget slot; use MergeLog.nextVersion to continue the lineage")
+        s"version $version (slot $slot) of the curation state at $root " +
+          s"was already written by a refresh (recorded high-water " +
+          s"$recorded); a forget needs its own fresh version slot"))
+    require(metaFor(spark, root, slot).isDefined ||
+      !MergeLog.versions(spark, logDir(root)).contains(slot),
+      s"log slot $slot at $root is a compaction fold, not a forget " +
+        "slot; use MergeLog.nextVersion to continue the lineage")
     val fl = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
     fl.coalesce(1).write.mode("overwrite")
-      .parquet(s"${forgetDir(root)}/__v=$version")
+      .parquet(s"${forgetDir(root)}/__v=$slot")
     // tombstones must carry the log's exact schema (MergeLog pins it);
     // every non-key column rides as a typed null — the tombstone is
     // pure key + death marker, no content
@@ -292,9 +338,9 @@ object IncrementalCuration {
         if (f.name == pipeline.idCol) col("id").cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq :+
         lit(true).as("__forget_dead"): _*)
-    MergeLog.append(tombstones, logDir(root), version, Seq(pipeline.idCol),
+    MergeLog.append(tombstones, logDir(root), slot, Seq(pipeline.idCol),
       tombstoneCol = Some("__forget_dead"))
-    writeMeta(spark, root, version, priorMax)
+    writeMeta(spark, root, slot, priorMax)
   }
 
   /** Convenience overload for the bounded GDPR-request shape. */
@@ -317,6 +363,13 @@ object IncrementalCuration {
     val pipeline = readConfig(spark, root)
     forgottenBefore(spark, root, Long.MaxValue).foreach { ids =>
       NearDupIndex.purge(spark, indexDir(root), ids)
+      // the compact below folds the log into slot vmax+1 — exactly the
+      // slot the caller's NEXT sequential version resolves to. Bump the
+      // lineage offset FIRST (bump-then-compact is the crash-safe
+      // order: a crash here costs one skipped slot, harmless under the
+      // strictly-before meta reads; compact-then-crash would leave the
+      // next refresh pointing at the fold)
+      writeVersionOffset(spark, root, versionOffset(spark, root) + 1)
       MergeLog.compact(spark, logDir(root), Seq(pipeline.idCol))
     }
   }

@@ -54,6 +54,20 @@ object MergeLog {
   def append(delta: DataFrame, dir: String, version: Long,
       keyCols: Seq[String], tombstoneCol: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "append needs key columns")
+    // __v and __dead are the log's own bookkeeping: a delta carrying
+    // __v writes files that collide with partition discovery (failing
+    // at READ time, far from this writer), and an undeclared __dead is
+    // silently overwritten by the tombstone normalization below —
+    // either way the caller meant something the log cannot honor
+    require(!delta.columns.contains(VCol),
+      s"delta for version $version carries reserved column $VCol — the " +
+        "log derives the version from the partition path; rename or " +
+        "drop the column before append")
+    require(tombstoneCol.contains(DeadCol) ||
+        !delta.columns.contains(DeadCol),
+      s"delta for version $version carries reserved column $DeadCol " +
+        s"without declaring it as the tombstone column — pass " +
+        s"tombstoneCol=Some(\"$DeadCol\") or rename the column")
     val dups = delta.groupBy(keyCols.map(col): _*)
       .count().where(col("count") > 1).limit(1).collect()
     require(dups.isEmpty,

@@ -185,7 +185,16 @@ object Sampling {
       // guard must never form the product it is guarding
       require(p <= Long.MaxValue / 10000 / nMax,
         s"threshold arithmetic would overflow for domain '$d'")
-      d -> 10000L * nMax * p / (s * cnts(d))
+      val t = 10000L * nMax * p / (s * cnts(d))
+      // threshold 0 = the domain is over-represented beyond the 1/10000
+      // grid (count_d/n_max > 10⁴·p_d/S) and the filter would delete it
+      // ENTIRELY while the caller asked for a positive share — the same
+      // sub-grid regime resampleByTemperature refuses by name
+      require(t >= 1, s"domain '$d' (${cnts(d)} rows vs achievable " +
+        s"total $nMax) rates below the 1/10000 sampling grid for its " +
+        s"$p/$s target share — rebalance parts or exclude the domain " +
+        "explicitly")
+      d -> t
     }
     val thrCol = thresholds.foldRight(lit(-1L)) { case ((d, t), rest) =>
       when(col(domainCol) === lit(d), lit(t)).otherwise(rest)
@@ -342,7 +351,13 @@ object Sampling {
       s"quantile must be a rational in [0,1]: $qNum/$qDen")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
-    val cuts = df.groupBy(col(groupCol), col(scoreCol))
+    // the histogram must count REAL scores only: nulls sort first under
+    // the cumulative window, so leaving them in inflates __cum/__tot and
+    // lands the cutoff below the stated q-quantile of actual scores (the
+    // final >= cutoff predicate already drops null-score rows; this
+    // keeps them from bending the cutoff too)
+    val cuts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum("__c").over(w))
       .withColumn("__tot", sum("__c").over(Window.partitionBy(col(groupCol))))

@@ -68,6 +68,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 3L, 5L), s"got $kept")
   }
 
+  test("null seed vectors are skipped, and an all-null corpus is refused by name") {
+    // a null vector among the k smallest ids used to surface as a bare
+    // NPE from getSeq; it must be skipped (the next non-null rows seed)
+    val withNull = Seq((0L, Option.empty[Seq[Int]]),
+        (1L, Option(Seq(100, 0))), (2L, Option(Seq(0, 100))),
+        (3L, Option(Seq(90, 10))))
+      .toDF("vec_id", "embedding_q8")
+    val r = Clustering.kmeansInt8(withNull, "vec_id", "embedding_q8", 2, 1)
+    assert(r.centroids.length == 2)
+    // and when nulls leave fewer than k usable rows, the error names
+    // the column instead of NPEing
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansInt8(withNull, "vec_id", "embedding_q8", 4, 1)
+    }
+    assert(e.getMessage.contains("non-null") &&
+      e.getMessage.contains("embedding_q8"), e.getMessage)
+  }
+
   test("k larger than the corpus is refused by name") {
     val e = intercept[IllegalArgumentException] {
       Clustering.kmeansInt8(q8(planted), "vec_id", "embedding_q8", 99, 1)

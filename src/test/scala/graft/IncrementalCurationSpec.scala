@@ -275,19 +275,41 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(logRows.forall(r => r.isNullAt(0) && r.getBoolean(1)),
       s"forgotten content survived the purge: ${logRows.toSeq}")
 
-    // the snapshot is unchanged and admission still works: the purge
-    // compacted the log, so its fold slot must be refused and the
-    // lineage continues above it
+    // the snapshot is unchanged and admission still works — and the
+    // caller's NATURAL next sequential version (3, continuing 1, 2)
+    // keeps working: the purge bumped the lineage's version offset, so
+    // version 3 resolves past the compaction fold instead of wedging
+    // on it (the pre-fix failure mode for a batchId-sequenced stream)
     assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(2L, 4L, 10L))
     val fold = MergeLog.versions(spark, s"$root/log").max
-    val e = intercept[IllegalArgumentException] {
-      IncrementalCuration.refresh(corpus(doc(20, "alpha")), root, fold)
-    }
-    assert(e.getMessage.contains("compaction fold"))
     val snap3 = IncrementalCuration.refresh(
-      corpus(doc(20, "alpha")), root, version = fold + 1)
+      corpus(doc(20, "alpha")), root, version = 3L)
     assert(ids(snap3) == Set(2L, 4L, 10L),
       "post-purge admission must still drop a twin of admitted doc 10")
+    assert(MergeLog.versions(spark, s"$root/log").max > fold,
+      "the continued refresh must land ABOVE the fold, not on it")
+  }
+
+  test("purge does not wedge a batchId-sequenced lineage (offset survives further purges)") {
+    // the StreamingCuration contract: versions are batchId+1, strictly
+    // sequential, with no way to consult MergeLog.nextVersion — a purge
+    // mid-lineage must be transparent to the sequence
+    val root = Spill.newPath(spark) + "/seqstate"
+    IncrementalCuration.bootstrap(corpus(doc(1, "alpha")), pipeline, root)
+    IncrementalCuration.refresh(corpus(doc(10, "beta")), root, version = 1L)
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 2L)
+    IncrementalCuration.purgeForgotten(spark, root)
+    // sequence continues: 3, 4 — and a second purge mid-sequence
+    IncrementalCuration.refresh(corpus(doc(20, "gamma")), root, version = 3L)
+    IncrementalCuration.forget(spark, Seq(10L), root, version = 4L)
+    IncrementalCuration.purgeForgotten(spark, root)
+    val snap = IncrementalCuration.refresh(
+      corpus(doc(30, "delta")), root, version = 5L)
+    assert(ids(snap) == Set(20L, 30L))
+    // replaying the last version (crash recovery) still works post-purge
+    val replay = IncrementalCuration.refresh(
+      corpus(doc(30, "delta")), root, version = 5L)
+    assert(ids(replay) == Set(20L, 30L))
   }
 
   test("an interrupted purge swap is finished by the next reader") {

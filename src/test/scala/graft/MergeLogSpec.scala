@@ -166,6 +166,28 @@ class MergeLogSpec extends SparkTestBase {
     assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == before)
   }
 
+  test("append rejects reserved __v / undeclared __dead delta columns by name") {
+    val dir = Spill.newPath(spark)
+    // __v collides with partition discovery — fails at the WRITER
+    val withV = base.withColumn("__v", lit(7L))
+    val eV = intercept[IllegalArgumentException] {
+      MergeLog.append(withV, dir, 0L, Seq("k"))
+    }
+    assert(eV.getMessage.contains("__v"))
+    // an undeclared __dead would be silently overwritten by the
+    // tombstone normalization — refuse instead
+    val withDead = base.withColumn("__dead", lit(true))
+    val eD = intercept[IllegalArgumentException] {
+      MergeLog.append(withDead, dir, 0L, Seq("k"))
+    }
+    assert(eD.getMessage.contains("__dead") &&
+      eD.getMessage.contains("tombstone"))
+    // DECLARING __dead as the tombstone column is the sanctioned spelling
+    MergeLog.append(withDead.withColumn("__dead", lit(false)), dir, 0L,
+      Seq("k"), tombstoneCol = Some("__dead"))
+    assert(MergeLog.snapshot(spark, dir, Seq("k")).count() == 3)
+  }
+
   test("append rejects a delta whose schema drifted from the log") {
     val dir = Spill.newPath(spark)
     MergeLog.append(base, dir, 0L, Seq("k"))

@@ -107,6 +107,20 @@ class SamplingPiiSpec extends SparkTestBase {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("resampleToMixture refuses a sub-grid domain threshold by name") {
+    // en over-represented beyond the 1/10000 grid for its tiny target
+    // share: threshold floors to 0 and the filter would delete the
+    // domain ENTIRELY while the caller asked for a positive share
+    val df = ((0L until 2000L).map(i => (i, "en")) ++ Seq((9000L, "zh")))
+      .toDF("id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.resampleToMixture(df, "id", "lang",
+        Seq("en" -> 1L, "zh" -> 9999L))
+    }
+    assert(e.getMessage.contains("en") &&
+      e.getMessage.contains("sampling grid"), e.getMessage)
+  }
+
   test("shuffleShards: permutation is total, balanced, salt-independent, invariant") {
     val df = (0L until 4000L).toDF("id")
     val a = Sampling.shuffleShards(df, "id", 8)
@@ -214,6 +228,21 @@ class SamplingPiiSpec extends SparkTestBase {
       Seq(("a", Option.empty[Long], 99L)).toDF("g", "score", "id"))
     assert(!Sampling.dropBelowGroupQuantile(withNull, "g", "score", 1L, 4L)
       .select("id").as[Long].collect().contains(99L))
+  }
+
+  test("dropBelowGroupQuantile: null scores must not bend the cutoff") {
+    // group a: real scores 1..8 plus FOUR null-score rows. The 25%
+    // cutoff of the real scores is 2 (drop score 1). Nulls sort first
+    // under the cumulative window, so counting them into the histogram
+    // inflates __cum/__tot and lands the cutoff at 1 — keeping score-1
+    // rows the stated quantile says to drop.
+    val df = ((1L to 8L).map(i => ("a", Option(i), i)) ++
+      (90L to 93L).map(i => ("a", Option.empty[Long], i)))
+      .toDF("g", "score", "id")
+    val kept = Sampling.dropBelowGroupQuantile(df, "g", "score", 1L, 4L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (2L to 8L).toSet,
+      s"cutoff bent by null scores: kept $kept")
   }
 
   test("shardManifest: order/partition-invariant; detects loss, duplication, corruption") {
