@@ -2712,6 +2712,54 @@ object SparkEntry {
           round(col("f_psum_7d"), 4).as("f_psum_7d"))
     }),
 
+    // Derived features (J5) over the incremental snapshot: the DAG is
+    // registered SCRAMBLED (d_share_pct depends on d_vol_cents, listed
+    // first) and topo-sorted at serve; arithmetic stays on the exact
+    // integer cent grid so both engines agree bit-for-bit. Anchors pay
+    // the O(delta) refresh; derivations are free withColumns at serve.
+    "q_materialize_derived" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_isum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_icnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)),
+        AnchorFeature("f_psum_7d", FeatureType.DOUBLE,
+          Transformation.WindowAgg("value", graft.model.Aggregation.SUM,
+            graft.model.Durations.parse("7d"),
+            filter = Some("event_type = 'purchase'")), Seq(userKey)))
+      val derived = Seq(
+        DerivedFeature("d_share_pct", FeatureType.INT64,
+          "cast(round(coalesce(f_psum_7d, 0d) * 100) as bigint) * 100 " +
+            "div nullif(d_vol_cents, 0)",
+          Seq(InputFeature("d_vol_cents", Seq(userKey)),
+            InputFeature("f_psum_7d", Seq(userKey))), Seq(userKey)),
+        DerivedFeature("d_vol_cents", FeatureType.INT64,
+          "cast(round(f_isum_7d * 100) as bigint) + " +
+            "cast(round(coalesce(f_psum_7d, 0d) * 100) as bigint)",
+          Seq(InputFeature("f_isum_7d", Seq(userKey)),
+            InputFeature("f_psum_7d", Seq(userKey))), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refresh(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.snapshot(s, root, feats, Seq("user_id"), "ts",
+          dayUs, (maxB + 1) * dayUs, derived)
+        .select(col("user_id"), round(col("f_isum_7d"), 4).as("f_isum_7d"),
+          col("f_icnt_7d"), col("d_vol_cents"), col("d_share_pct"))
+    }),
+
     // The capstone composition: ONE wide training row per key,
     // assembled from three incremental stores served at the same
     // boundary — additive partials (sum/count/latest), HLL registers
@@ -5477,6 +5525,30 @@ object SparkEntry {
         |LEFT JOIN a7 USING (user_id)
         |LEFT JOIN l7 USING (user_id)
         |LEFT JOIN p7 USING (user_id)""".stripMargin,
+
+    // derived columns restated on the integer cent grid; spine = keys
+    // with any event in the 7d window (the widest window here)
+    "q_materialize_derived" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type
+        |           FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |w7 AS (SELECT user_id, us, value, event_type FROM e, mx
+        |       WHERE us >= t - 7 * 86400000000 AND us < t),
+        |a7 AS (SELECT user_id,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |      AS f_isum_7d,
+        |    count(value) AS f_icnt_7d,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS isum_c
+        |  FROM w7 GROUP BY user_id),
+        |p7 AS (SELECT user_id,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS psum_c
+        |  FROM w7 WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, f_isum_7d, f_icnt_7d,
+        |  isum_c + coalesce(psum_c, 0) AS d_vol_cents,
+        |  coalesce(psum_c, 0) * 100 // nullif(isum_c + coalesce(psum_c, 0), 0)
+        |    AS d_share_pct
+        |FROM a7 LEFT JOIN p7 USING (user_id)""".stripMargin,
 
     // the three stores' oracle bodies, joined on user_id over the
     // same 7-day window

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.model.{Aggregation, Transformation}
-import graft.project.AnchorFeature
+import graft.model.{Aggregation, Transformation, ValueType}
+import graft.project.{AnchorFeature, DerivedFeature}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -92,10 +92,21 @@ object IncrementalMaterializer {
     * their DSL names, assembled with bounded key-frame joins. Keys
     * with no qualifying rows in a feature's window carry null there
     * (the left-join feature-vector contract).
+    *
+    * `derived` features (J5, the reference's derivation DAG —
+    * feathr-rs/src/feature.rs:319-328) are evaluated AFTER assembly as
+    * `withColumn`s over the wide row in topological order — a derived
+    * feature is a pure per-key function of its inputs, so the O(delta)
+    * path maintains only anchor partials and pays nothing extra at
+    * refresh time. Cross-key derivations (inputs bound under a
+    * different key alias than the store's) are refused by name: the
+    * incremental snapshot holds ONE key frame, so re-binding a feature
+    * under a second key needs the batch join planner's alias joins.
     */
   def snapshot(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long, asOfUs: Long): DataFrame = {
+      bucketUs: Long, asOfUs: Long,
+      derived: Seq[DerivedFeature] = Nil): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
     val plans = features.map(f => (f, planOf(f, bucketUs)))
     val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
@@ -116,6 +127,66 @@ object IncrementalMaterializer {
       }.toSeq
     val spine = served.map(_.select(keyCols.map(col): _*))
       .reduce(_ unionByName _).distinct()
-    served.foldLeft(spine)((acc, df) => acc.join(df, keyCols, "left_outer"))
+    val wide = served.foldLeft(spine)((acc, df) =>
+      acc.join(df, keyCols, "left_outer"))
+    applyDerived(wide, features, derived)
+  }
+
+  /** Validate and evaluate the derived DAG over the assembled wide
+    * row: every input must resolve to a materialized anchor feature or
+    * another derived feature, under the SAME key binding; evaluation
+    * order is topological with the same cycle refusal as
+    * [[graft.project.FeatureProject.topoSortDerived]].
+    */
+  private def applyDerived(wide: DataFrame, features: Seq[AnchorFeature],
+      derived: Seq[DerivedFeature]): DataFrame = {
+    if (derived.isEmpty) return wide
+    val storeBinding = features.map(_.keyAliases).distinct match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"anchor features span multiple key bindings $many — one " +
+          "incremental store holds one key frame")
+    }
+    val anchorNames = features.map(_.name).toSet
+    val byName = derived.map(d => d.name -> d).toMap
+    require(byName.size == derived.size,
+      s"duplicate derived feature names: ${derived.map(_.name).diff(byName.keys.toSeq)}")
+    derived.foreach { d =>
+      d.inputs.foreach { in =>
+        require(anchorNames.contains(in.featureName) ||
+            byName.contains(in.featureName),
+          s"derived '${d.name}': input '${in.featureName}' is not among " +
+            "the materialized anchor features or other derived features " +
+            "of this store")
+        val bound = in.keys.map(_.alias)
+        require(bound.isEmpty || bound == storeBinding,
+          s"derived '${d.name}': input '${in.featureName}' is bound " +
+            s"under key aliases $bound but this store's key frame is " +
+            s"$storeBinding — cross-key derivations re-join a feature " +
+            "under a second key and need the batch join planner " +
+            "(PointInTimeJoin with registerAlias), not the incremental " +
+            "snapshot")
+      }
+    }
+    // topo order, cycle-refused — the FeatureProject.topoSortDerived
+    // contract over this store's local DAG
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(n: String): Unit = byName.get(n).foreach { d =>
+      if (!out.contains(n)) {
+        require(!visiting.contains(n), s"cycle in derived-feature DAG at $n")
+        visiting += n
+        d.inputs.foreach(i => visit(i.featureName))
+        visiting -= n
+        out += n
+      }
+    }
+    derived.foreach(d => visit(d.name))
+    out.toSeq.map(byName).foldLeft(wide) { (df, d) =>
+      val c = graft.functions.FeathrExpr.column(d.transformExpr)
+      df.withColumn(d.name,
+        if (d.featureType.valType == ValueType.UNSPECIFIED) c
+        else c.cast(d.featureType.sparkType))
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{Aggregation, Durations, FeatureType, Transformation, TypedKey, ValueType}
 import graft.operators.{IncrementalMaterializer, Spill}
-import graft.project.AnchorFeature
+import graft.project.{AnchorFeature, DerivedFeature, InputFeature}
 
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,61 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     assert(snap == Seq(
       (1L, 7.0, 3L, Some(4.0), Some(5.0)),
       (2L, 10.0, 1L, Some(10.0), None))) // k=2: no 'a' rows, day-1 max
+  }
+
+  test("derived features evaluate in DAG order over the snapshot row") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(feat("s2", wa("SUM")), feat("c2", wa("COUNT")))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    def dv(name: String, exprStr: String, ins: String*) =
+      DerivedFeature(name, FeatureType.UNSPECIFIED, exprStr,
+        ins.map(InputFeature(_, Seq(key))), Seq(key))
+    // registration order is SCRAMBLED: d_norm (depends on d_tot) first
+    val derived = Seq(
+      dv("d_norm", "d_tot / c2", "d_tot", "c2"),
+      dv("d_tot", "s2 + c2", "s2", "c2"))
+    val snap = IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs, derived)
+      .select("k", "d_tot", "d_norm")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(snap == Seq((1L, 10.0, 10.0 / 3), (2L, 11.0, 11.0)))
+    // declared types are applied to the derived column
+    val typed = IncrementalMaterializer.snapshot(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs,
+      Seq(dv("d_i", "c2 * 2", "c2").copy(featureType = FeatureType.INT64)))
+    assert(typed.schema("d_i").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("derived refusals: cross-key binding, unknown input, cycle") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(feat("s2", wa("SUM")))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    def snapWith(d: DerivedFeature*) =
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs, d)
+    val otherKey = TypedKey("k2", ValueType.INT64)
+    val cross = intercept[IllegalArgumentException] {
+      snapWith(DerivedFeature("d_x", FeatureType.UNSPECIFIED, "s2 * 2",
+        Seq(InputFeature("s2", Seq(otherKey))), Seq(otherKey)))
+    }
+    assert(cross.getMessage.contains("cross-key") &&
+      cross.getMessage.contains("d_x"), cross.getMessage)
+    val unknown = intercept[IllegalArgumentException] {
+      snapWith(DerivedFeature("d_u", FeatureType.UNSPECIFIED, "nope + 1",
+        Seq(InputFeature("nope", Seq(key))), Seq(key)))
+    }
+    assert(unknown.getMessage.contains("nope"), unknown.getMessage)
+    val cycle = intercept[IllegalArgumentException] {
+      snapWith(
+        DerivedFeature("d_a", FeatureType.UNSPECIFIED, "d_b + 1",
+          Seq(InputFeature("d_b", Seq(key))), Seq(key)),
+        DerivedFeature("d_b", FeatureType.UNSPECIFIED, "d_a + 1",
+          Seq(InputFeature("d_a", Seq(key))), Seq(key)))
+    }
+    assert(cycle.getMessage.contains("cycle"), cycle.getMessage)
   }
 
   test("unsupported shapes are refused by name") {
