@@ -2760,6 +2760,77 @@ object SparkEntry {
           col("f_icnt_7d"), col("d_vol_cents"), col("d_share_pct"))
     }),
 
+    // A4 UNION through the incremental stores: distinct props per user
+    // over 7d, maintained as per-(key, day) sets — a SEMILATTICE, so
+    // late deltas and compactions merge like LATEST. Served set
+    // exploded to (user, prop) rows for the oracle.
+    "q_swa_union_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_props_7d", FeatureType.STRING,
+          Transformation.windowAgg("props", "UNION", "7d"), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("props"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refresh(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.snapshot(s, root, feats, Seq("user_id"), "ts",
+          dayUs, (maxB + 1) * dayUs)
+        .select(col("user_id"), explode(col("f_props_7d")).as("prop"))
+    }),
+
+    // A5 ELEMENTWISE through the incremental stores: per-label
+    // embedding sums on the exact integer 1e-4 grid (float vector sums
+    // are partial-order-dependent; long sums are not), raw-double
+    // elementwise min/max, plus a COUNT feature riding the SCALAR
+    // store of the same root — three store kinds, one materializer.
+    "q_swa_elementwise_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_ew_sum", FeatureType.DOUBLE_VECTOR,
+          Transformation.windowAgg("embedding", "ELEMENTWISE_SUM", "7d"),
+          Seq(TypedKey("label", ValueType.INT32))),
+        AnchorFeature("f_ew_min", FeatureType.DOUBLE_VECTOR,
+          Transformation.windowAgg("embedding", "ELEMENTWISE_MIN", "7d"),
+          Seq(TypedKey("label", ValueType.INT32))),
+        AnchorFeature("f_ew_max", FeatureType.DOUBLE_VECTOR,
+          Transformation.windowAgg("embedding", "ELEMENTWISE_MAX", "7d"),
+          Seq(TypedKey("label", ValueType.INT32))),
+        AnchorFeature("f_n_vecs", FeatureType.INT64,
+          Transformation.windowAgg("vec_id", "COUNT", "7d"),
+          Seq(TypedKey("label", ValueType.INT32))))
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + col("vec_id")))
+        .select(col("label"), col("ts"), col("embedding"), col("vec_id"))
+      val maxB = emb.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val root = Spill.newPath(s)
+      // two deltas split by vec_id parity: exercises partial merges
+      IncrementalMaterializer.refresh(emb.where(col("vec_id") % 2 === 0),
+        root, feats, Seq("label"), "ts", dayUs, 0L)
+      IncrementalMaterializer.refresh(emb.where(col("vec_id") % 2 === 1),
+        root, feats, Seq("label"), "ts", dayUs, 1L)
+      IncrementalMaterializer.snapshot(s, root, feats, Seq("label"), "ts",
+          dayUs, (maxB + 1) * dayUs)
+        .select(col("label"), col("f_n_vecs"),
+          posexplode(arrays_zip(col("f_ew_sum"), col("f_ew_min"),
+            col("f_ew_max"))).as(Seq("pos", "z")))
+        .select(col("label"), col("pos"),
+          col("z.f_ew_sum").as("v_sum"), col("z.f_ew_min").as("v_min"),
+          col("z.f_ew_max").as("v_max"), col("f_n_vecs"))
+    }),
+
     // The capstone composition: ONE wide training row per key,
     // assembled from three incremental stores served at the same
     // boundary — additive partials (sum/count/latest), HLL registers
@@ -5549,6 +5620,35 @@ object SparkEntry {
         |  coalesce(psum_c, 0) * 100 // nullif(isum_c + coalesce(psum_c, 0), 0)
         |    AS d_share_pct
         |FROM a7 LEFT JOIN p7 USING (user_id)""".stripMargin,
+
+    // the served union set exploded = the distinct (user, prop) pairs
+    // of the window
+    "q_swa_union_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, props FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e)
+        |SELECT DISTINCT user_id, props AS prop
+        |FROM e, mx
+        |WHERE us >= t - 7 * 86400000000 AND us < t
+        |  AND props IS NOT NULL""".stripMargin,
+
+    // elementwise sums restated on the 1e-4 integer grid; min/max are
+    // order-independent so raw doubles compare exactly
+    "q_swa_elementwise_state" ->
+      """WITH e AS (SELECT label, vec_id, embedding,
+        |    1700000000000000 + vec_id * 1000000 AS us FROM embeddings),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |w AS (SELECT label, vec_id, embedding FROM e, mx
+        |      WHERE us >= t - 7 * 86400000000 AND us < t),
+        |ex AS (SELECT label, vec_id, r.range::INT - 1 AS pos,
+        |         embedding[r.range]::DOUBLE AS v
+        |       FROM w CROSS JOIN range(1, 65) r)
+        |SELECT label, pos,
+        |  sum(round(v * 10000)::BIGINT)::BIGINT / 10000.0 AS v_sum,
+        |  min(v) AS v_min, max(v) AS v_max,
+        |  count(DISTINCT vec_id) AS f_n_vecs
+        |FROM ex GROUP BY 1, 2""".stripMargin,
 
     // the three stores' oracle bodies, joined on user_id over the
     // same 7-day window

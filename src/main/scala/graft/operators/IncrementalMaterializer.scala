@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   * feature at a bucket boundary and assembles the wide feature row
   * with one bounded join per distinct (measure, window).
   *
-  * Scope, refused by name otherwise: aggregations
-  * SUM/COUNT/AVG/MIN/MAX/LATEST; windows that are whole bucket
+  * Scope, refused by name otherwise: scalar aggregations
+  * SUM/COUNT/AVG/MIN/MAX/LATEST ride [[IncrementalSwa]]; UNION (a
+  * semilattice — set union merges like LATEST) rides
+  * [[IncrementalUnion]] with its per-(key, bucket) state cap;
+  * ELEMENTWISE_* (additive O(dim) partials on the exact integer grid)
+  * ride [[IncrementalVector]]. Windows must be whole bucket
   * multiples; `filter` supported (a pre-aggregation row predicate —
   * applied to the DELTA before partials, which is exactly when it is
   * cheap); `groupBy`/`limit` are not incrementally maintainable in
-  * this additive shape (a sub-key explodes state by its cardinality, a
+  * ANY of these shapes (a sub-key explodes state by its cardinality, a
   * record limit is not a semilattice) and route to the batch J3/A9
   * planner instead.
   *
@@ -32,12 +36,34 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalMaterializer {
 
-  private case class Measure(defExpr: String, filter: Option[String]) {
+  /** Which incremental store a feature's aggregation maintains:
+    * the 5-in-1 scalar partials ([[IncrementalSwa]]), the
+    * distinct-set semilattice ([[IncrementalUnion]]), or the O(dim)
+    * vector partials ([[IncrementalVector]]).
+    */
+  private sealed trait Kind { def prefix: String }
+  private case object Scalar extends Kind { val prefix = "m" }
+  private case object SetUnion extends Kind { val prefix = "u" }
+  private case object Vector extends Kind { val prefix = "e" }
+
+  private case class Measure(defExpr: String, filter: Option[String],
+      kind: Kind) {
     def id: String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s"$defExpr|${filter.getOrElse("")}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
     }
+  }
+
+  private def kindOf(f: AnchorFeature, agg: Aggregation): Kind = agg match {
+    case Aggregation.SUM | Aggregation.COUNT | Aggregation.AVG |
+         Aggregation.MIN | Aggregation.MAX | Aggregation.LATEST => Scalar
+    case Aggregation.UNION => SetUnion
+    case Aggregation.ELEMENTWISE_SUM | Aggregation.ELEMENTWISE_AVG |
+         Aggregation.ELEMENTWISE_MIN | Aggregation.ELEMENTWISE_MAX => Vector
+    case other => throw new IllegalArgumentException(
+      s"feature '${f.name}': $other is not incrementally maintainable " +
+        "here — use the batch windowed-agg join")
   }
 
   private def planOf(f: AnchorFeature, bucketUs: Long): (Measure, Int, Aggregation) =
@@ -51,39 +77,47 @@ object IncrementalMaterializer {
         require(winUs % bucketUs == 0 && winUs > 0,
           s"feature '${f.name}': window ${wa.window} is not a whole multiple " +
             s"of the ${bucketUs}µs maintenance bucket")
-        wa.aggFunc match {
-          case Aggregation.SUM | Aggregation.COUNT | Aggregation.AVG |
-               Aggregation.MIN | Aggregation.MAX | Aggregation.LATEST => ()
-          case other => throw new IllegalArgumentException(
-            s"feature '${f.name}': $other is not incrementally maintainable " +
-              "here — use the batch windowed-agg join")
-        }
-        (Measure(wa.defExpr, wa.filter), (winUs / bucketUs).toInt, wa.aggFunc)
+        (Measure(wa.defExpr, wa.filter, kindOf(f, wa.aggFunc)),
+          (winUs / bucketUs).toInt, wa.aggFunc)
       case other => throw new IllegalArgumentException(
         s"feature '${f.name}': only window aggregations materialize " +
           s"incrementally (got $other)")
     }
 
-  private def storeDir(root: String, m: Measure) = s"$root/m=${m.id}"
+  private def storeDir(root: String, m: Measure) =
+    s"$root/${m.kind.prefix}=${m.id}"
 
   private def cfg(keyCols: Seq[String], tsCol: String, bucketUs: Long) =
     IncrementalSwa.Config(keyCols, tsCol, "__graft_m", bucketUs)
 
   /** Fold one delta into every feature's measure store — one delta
-    * shuffle per DISTINCT (defExpr, filter), not per feature. Same
-    * version/replay discipline as [[IncrementalSwa.ingest]].
+    * shuffle per DISTINCT (defExpr, filter, store kind), not per
+    * feature. Same version/replay discipline as
+    * [[IncrementalSwa.ingest]]. `unionCap` bounds UNION set state per
+    * (key, bucket) ([[IncrementalUnion.Config.maxSetPerBucket]] — an
+    * over-cap ingest fails by name, never truncates).
     */
   def refresh(delta: DataFrame, root: String, features: Seq[AnchorFeature],
       keyCols: Seq[String], tsCol: String, bucketUs: Long,
-      version: Long): Unit = {
+      version: Long, unionCap: Int = 10000): Unit = {
     require(features.nonEmpty, "no features to refresh")
     val measures = features.map(planOf(_, bucketUs)._1).distinct
     measures.foreach { m =>
       val filtered = m.filter.map(delta.where(_)).getOrElse(delta)
-      IncrementalSwa.ingest(
-        filtered.withColumn("__graft_m", expr(m.defExpr))
-          .select((keyCols :+ tsCol :+ "__graft_m").map(col): _*),
-        storeDir(root, m), cfg(keyCols, tsCol, bucketUs), version)
+      val measured = filtered.withColumn("__graft_m", expr(m.defExpr))
+        .select((keyCols :+ tsCol :+ "__graft_m").map(col): _*)
+      m.kind match {
+        case Scalar => IncrementalSwa.ingest(measured,
+          storeDir(root, m), cfg(keyCols, tsCol, bucketUs), version)
+        case SetUnion => IncrementalUnion.ingest(measured,
+          storeDir(root, m),
+          IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs,
+            unionCap), version)
+        case Vector => IncrementalVector.ingest(measured,
+          storeDir(root, m),
+          IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs),
+          version)
+      }
     }
   }
 
@@ -111,8 +145,16 @@ object IncrementalMaterializer {
     val plans = features.map(f => (f, planOf(f, bucketUs)))
     val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
       .map { case ((m, w), fs) =>
-        val base = IncrementalSwa.serve(spark, storeDir(root, m),
-          cfg(keyCols, tsCol, bucketUs), asOfUs, w)
+        val base = m.kind match {
+          case Scalar => IncrementalSwa.serve(spark, storeDir(root, m),
+            cfg(keyCols, tsCol, bucketUs), asOfUs, w)
+          case SetUnion => IncrementalUnion.serve(spark, storeDir(root, m),
+            IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs),
+            asOfUs, w)
+          case Vector => IncrementalVector.serve(spark, storeDir(root, m),
+            IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs),
+            asOfUs, w)
+        }
         val cols = keyCols.map(col) ++ fs.map { case (f, (_, _, agg)) =>
           (agg match {
             case Aggregation.SUM => col("f_sum")
@@ -120,7 +162,14 @@ object IncrementalMaterializer {
             case Aggregation.AVG => col("f_avg")
             case Aggregation.MIN => col("f_min")
             case Aggregation.MAX => col("f_max")
-            case _ => col("f_latest")
+            case Aggregation.LATEST => col("f_latest")
+            case Aggregation.UNION => col("f_union")
+            case Aggregation.ELEMENTWISE_SUM => col("f_esum")
+            case Aggregation.ELEMENTWISE_AVG => col("f_eavg")
+            case Aggregation.ELEMENTWISE_MIN => col("f_emin")
+            case Aggregation.ELEMENTWISE_MAX => col("f_emax")
+            case other => throw new IllegalStateException(
+              s"unreachable: $other passed kindOf")
           }).as(f.name)
         }
         base.select(cols: _*)

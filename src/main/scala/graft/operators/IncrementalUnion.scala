@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.hadoop.fs.Path
+
+/** Windowed per-key UNION (collect-set, A4) from incrementally-
+  * maintained state. Set union is a SEMILATTICE (idempotent,
+  * commutative, associative), so it folds across buckets, versions,
+  * and compactions exactly like [[IncrementalSwa]]'s LATEST and
+  * [[IncrementalDistinct]]'s HLL registers: the state holds one
+  * distinct-item set per (key, time-bucket) and a serve merges the
+  * window's sets — late data is one more version, replay overwrites
+  * itself, no retraction path needed.
+  *
+  * The ONE hazard additive scalars don't have: set state per
+  * (key, bucket) grows with the bucket's distinct-item count, so a
+  * high-cardinality item column silently turns the "bounded state"
+  * contract into an event-log copy. `maxSetPerBucket` therefore CAPS
+  * the per-(key, bucket) set and an ingest/compact that exceeds it
+  * FAILS BY NAME (the offending key in the message) rather than
+  * truncating — a truncated union is a wrong feature, not a smaller
+  * one. Size the cap to the feature's semantic cardinality (devices
+  * per user per day, not tokens per document); uncapped-cardinality
+  * unions belong to [[IncrementalDistinct]]'s fixed-size sketches.
+  *
+  * Scale posture mirrors the sibling stores: ingest shuffles only the
+  * delta (map-side-combinable collect_set), state rows are keys ×
+  * live buckets, serve shuffles bounded state (≤ windowBuckets × cap
+  * items per key), partials are bucket-sorted for row-group pruning.
+  */
+object IncrementalUnion {
+  import IncrementalSwa.{BCol, VCol}
+
+  case class Config(keyCols: Seq[String], tsCol: String, itemCol: String,
+      bucketUs: Long, maxSetPerBucket: Int = 10000) {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    require(maxSetPerBucket > 0,
+      s"maxSetPerBucket must be positive: $maxSetPerBucket")
+  }
+
+  private def capCheck(spark: SparkSession, sets: DataFrame, cfg: Config,
+      where: String): Option[String] = {
+    val over = sets.where(size(col("pset")) > cfg.maxSetPerBucket)
+      .select((cfg.keyCols.map(col) :+ col(BCol) :+
+        size(col("pset")).as("__n")): _*)
+      .limit(1).collect()
+    over.headOption.map { r =>
+      val key = cfg.keyCols.zipWithIndex
+        .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
+      s"UNION state cap exceeded at $where: ($key) bucket " +
+        s"${r.get(cfg.keyCols.size)} holds ${r.get(cfg.keyCols.size + 1)} " +
+        s"distinct items > maxSetPerBucket=${cfg.maxSetPerBucket} — raise " +
+        "the cap for a genuinely-bounded feature, or use " +
+        "IncrementalDistinct's fixed-size sketch for unbounded cardinality"
+    }
+  }
+
+  /** Fold `delta` to per-(key, bucket) distinct-item sets and append
+    * as `version`; same replay/fold discipline as
+    * [[IncrementalSwa.ingest]]. An over-cap set deletes its own
+    * partition and fails by name — the store is left as before the
+    * ingest.
+    */
+  def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
+    val spark = delta.sparkSession
+    val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.itemCol)
+      .filterNot(delta.columns.contains)
+    require(missing.isEmpty, s"delta is missing columns $missing")
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(version > folded,
+      s"version $version is at or below the compaction fold ($folded) at " +
+        s"$dir — state cannot replay rebased history")
+    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+    val path = s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version"
+    delta.withColumn(BCol, b)
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(collect_set(col(cfg.itemCol)).as("pset"))
+      .sortWithinPartitions(BCol)
+      .write.mode("overwrite").parquet(path)
+    // cap-check the WRITTEN partition (pruned read, no recompute);
+    // delete-on-violation keeps the state exactly as before the ingest
+    capCheck(spark, spark.read.parquet(path), cfg,
+      s"ingest of version $version into $dir").foreach { msg =>
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(path), true)
+      throw new IllegalStateException(msg)
+    }
+  }
+
+  /** Per-key distinct-item union over [asOf − W, asOf), as a SORTED
+    * array (`f_union`) — collect_set order is partition-dependent, so
+    * determinism requires the sort. Keys with no items in the window
+    * are absent.
+    */
+  def serve(spark: SparkSession, dir: String, cfg: Config, asOfUs: Long,
+      windowBuckets: Int): DataFrame = {
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val hiB = asOfUs / cfg.bucketUs
+    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("pset")))))
+        .as("f_union"))
+  }
+
+  /** Fold the version tail: distinct union per (key, bucket) in a new
+    * [[Publish]] generation. The merged per-bucket set is re-checked
+    * against the cap (versions each under it can union past it) and
+    * the compact fails by name BEFORE publishing — the live
+    * generation stays as it was.
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
+    val fold = spark.read
+      .parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(array_distinct(flatten(collect_list(col("pset")))).as("pset"))
+    capCheck(spark, fold, cfg, s"compaction of $dir")
+      .foreach(msg => throw new IllegalStateException(msg))
+    IncrementalSwa.compactFold(spark, dir, fold)
+  }
+}

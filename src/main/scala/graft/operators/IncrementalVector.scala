@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.{LongVectorSumAggregator, VectorAggregator}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Windowed per-key ELEMENTWISE_* vector aggregation (A5) from
+  * incrementally-maintained state — "embedding centroid per key over
+  * the last W days" without rescanning events. The partial per
+  * (key, time-bucket) is O(dim) regardless of the bucket's row count:
+  *
+  *  - element-wise SUM is maintained on the exact integer 1e-4 grid
+  *    (`round(v·10⁴)` longs, [[LongVectorSumAggregator]]): float
+  *    vector sums are partial-aggregation-ORDER-dependent (the
+  *    documented cross-engine hazard), integer sums are not — so
+  *    sums, and the averages derived from them, are bit-reproducible
+  *    across runs, partitionings, and engines;
+  *  - element-wise MIN/MAX fold on the raw doubles — min/max are
+  *    order-independent, so floats are safe there;
+  *  - row count `pcnt` finishes AVG at serve (sum/count), the
+  *    [[IncrementalSwa]] discipline.
+  *
+  * Same generation/version layout, O(delta) ingest, replay-overwrite
+  * idempotence, and fold-into-a-new-[[Publish]]-generation compaction
+  * as the sibling stores. Mismatched vector lengths fail fast inside
+  * the aggregators rather than truncating.
+  */
+object IncrementalVector {
+  import IncrementalSwa.{BCol, VCol}
+
+  /** Grid unit: one = 1e-4 of the value domain. */
+  val Scale = 10000L
+
+  case class Config(keyCols: Seq[String], tsCol: String, vecCol: String,
+      bucketUs: Long) {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+  }
+
+  private def gridCol(c: Column): Column =
+    transform(c, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Fold `delta` to per-(key, bucket) O(dim) vector partials and
+    * append as `version`.
+    */
+  def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
+    val spark = delta.sparkSession
+    val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.vecCol)
+      .filterNot(delta.columns.contains)
+    require(missing.isEmpty, s"delta is missing columns $missing")
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(version > folded,
+      s"version $version is at or below the compaction fold ($folded) at " +
+        s"$dir — additive state cannot replay rebased history without " +
+        "double-counting")
+    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+    val dvec = col(cfg.vecCol).cast("array<double>")
+    delta.withColumn(BCol, b)
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(
+        LongVectorSumAggregator.longVecSum(gridCol(col(cfg.vecCol)))
+          .as("pesum"),
+        count(col(cfg.vecCol)).as("pcnt"),
+        VectorAggregator("min", dvec).as("pemin"),
+        VectorAggregator("max", dvec).as("pemax"))
+      .sortWithinPartitions(BCol)
+      .write.mode("overwrite")
+      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+  }
+
+  /** Element-wise window aggregates over [asOf − W, asOf): exact grid
+    * sums (`sum_grid` longs plus `f_esum` = grid/10⁴ doubles),
+    * `f_ecnt`, `f_eavg` (= sum/count, derived from the exact grid),
+    * raw-double `f_emin`/`f_emax`. Keys with no vectors in the window
+    * are absent.
+    */
+  def serve(spark: SparkSession, dir: String, cfg: Config, asOfUs: Long,
+      windowBuckets: Int): DataFrame = {
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val hiB = asOfUs / cfg.bucketUs
+    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(
+        LongVectorSumAggregator.longVecSum(col("pesum")).as("sum_grid"),
+        sum(col("pcnt")).as("f_ecnt"),
+        VectorAggregator("min", col("pemin")).as("f_emin"),
+        VectorAggregator("max", col("pemax")).as("f_emax"))
+      .withColumn("f_esum",
+        transform(col("sum_grid"), x => x.cast("double") / Scale))
+      .withColumn("f_eavg",
+        transform(col("sum_grid"),
+          x => x.cast("double") / Scale / col("f_ecnt")))
+  }
+
+  /** Fold the version tail per (key, bucket) in a new [[Publish]]
+    * generation — exact long adds for sums/counts, min/max folds.
+    */
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+        .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+        .agg(
+          LongVectorSumAggregator.longVecSum(col("pesum")).as("pesum"),
+          sum(col("pcnt")).as("pcnt"),
+          VectorAggregator("min", col("pemin")).as("pemin"),
+          VectorAggregator("max", col("pemax")).as("pemax")))
+}

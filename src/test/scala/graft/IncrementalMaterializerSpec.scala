@@ -114,8 +114,59 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     }
     refuse(feat("g", wa("SUM").copy(groupBy = Some("tag"))), "group_by")
     refuse(feat("l", wa("SUM").copy(limit = Some(2))), "limit")
-    refuse(feat("u", wa("UNION")), "not incrementally maintainable")
+    refuse(feat("g2", wa("UNION").copy(groupBy = Some("tag"))), "group_by")
+    refuse(feat("n", wa("NOP")), "not incrementally maintainable")
     refuse(feat("h", wa("SUM", "36h")), "whole multiple")
     refuse(feat("x", Transformation.Expr("v")), "only window aggregations")
+  }
+
+  test("UNION and ELEMENTWISE features ride their incremental stores") {
+    val root = Spill.newPath(spark)
+    // tag sets per key (UNION) + elementwise over a 2-d vector built
+    // from the row: [v, 2v]
+    val feats = Seq(
+      feat("tags_2d", Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d"))),
+      feat("vsum_2d", Transformation.WindowAgg("array(v, v * 2)",
+        Aggregation.ELEMENTWISE_SUM, Durations.parse("2d"))),
+      feat("vavg_2d", Transformation.WindowAgg("array(v, v * 2)",
+        Aggregation.ELEMENTWISE_AVG, Durations.parse("2d"))),
+      feat("s2", wa("SUM")))
+    // two deltas: replay/version discipline shared with the scalar path
+    IncrementalMaterializer.refresh(events.where(col("d") === 0), root,
+      feats, Seq("k"), "ts", DayUs, 0L)
+    IncrementalMaterializer.refresh(events.where(col("d") === 1), root,
+      feats, Seq("k"), "ts", DayUs, 1L)
+    // one store per kind: m= scalar, u= union, e= vector
+    val stores = new java.io.File(root).listFiles.map(_.getName).toSet
+    assert(stores.count(_.startsWith("m=")) == 1 &&
+      stores.count(_.startsWith("u=")) == 1 &&
+      stores.count(_.startsWith("e=")) == 1, stores.toString)
+    val snap = IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select("k", "tags_2d", "vsum_2d", "vavg_2d", "s2")
+      .as[(Long, Seq[String], Seq[Double], Seq[Double], Double)]
+      .collect().sortBy(_._1).toSeq
+    // k=1: rows v=1(a),2(b),4(a) -> tags {a,b}, esum [7,14], eavg [7/3, 14/3]
+    // k=2: row v=10(b) -> tags {b}, esum [10,20]
+    assert(snap == Seq(
+      (1L, Seq("a", "b"), Seq(7.0, 14.0), Seq(7.0 / 3, 14.0 / 3), 7.0),
+      (2L, Seq("b"), Seq(10.0, 20.0), Seq(10.0, 20.0), 10.0)))
+  }
+
+  test("UNION state cap fails the refresh by name, leaving state intact") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(feat("tags", Transformation.WindowAgg("tag",
+      Aggregation.UNION, Durations.parse("2d"))))
+    val e = intercept[IllegalStateException] {
+      IncrementalMaterializer.refresh(events, root, feats,
+        Seq("k"), "ts", DayUs, 0L, unionCap = 1)
+    }
+    assert(e.getMessage.contains("cap") && e.getMessage.contains("k=1"),
+      e.getMessage)
+    // the over-cap ingest deleted its own partition — no state remains
+    val uDir = new java.io.File(root).listFiles
+      .find(_.getName.startsWith("u=")).get.getAbsolutePath
+    assert(graft.operators.IncrementalSwa.versions(spark, uDir).isEmpty)
   }
 }
