@@ -286,7 +286,18 @@ object PointInTimeJoin {
     val bucketSeconds = obs.sparkSession.conf
       .get("spark.graft.asof.bucketSeconds", "off")
     val bucketUs = bucketSeconds match {
-      case "off" | "0" | "auto" => 0L // no window to derive "auto" from
+      case "off" | "0" => 0L
+      case "auto" =>
+        // parity with the SWA "auto" derivation (window/64): the as-of
+        // join declares no window, so the effective window is the
+        // SOURCE's observed time span — one min/max column aggregate
+        // (partial-aggregated, parquet-stat prunable) buys the plan
+        // parameter. A zero span (all rows one instant) has nothing to
+        // split and falls back to union-sort.
+        val r = srcSel
+          .agg(unix_micros(min(col(ts))), unix_micros(max(col(ts))))
+          .head()
+        if (r.isNullAt(0)) 0L else (r.getLong(1) - r.getLong(0)) / 64L
       case s => s.toLong * 1000000L
     }
     if (bucketUs > 0)

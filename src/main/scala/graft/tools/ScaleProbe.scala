@@ -1153,6 +1153,9 @@ object ScaleProbe {
         val u = runAsof(s"probe_asof19_u_$n", zBase)
         spark.conf.set("spark.graft.asof.bucketSeconds", "3600")
         val b = runAsof(s"probe_asof19_b_$n", zBase)
+        // "auto" = source span / 64, the SWA-parity derivation
+        spark.conf.set("spark.graft.asof.bucketSeconds", "auto")
+        val a = runAsof(s"probe_asof19_a_$n", zBase)
         spark.conf.unset("spark.graft.asof.bucketSeconds")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -1160,7 +1163,8 @@ object ScaleProbe {
         if (warmedAsof)
           println(f"[scale] n=$n%-3d ASOF zipf rows=$rows%-9d " +
             f"unionSort=${u._1}%6.2fs/${u._2}%8.1fMB/x${u._3}%5.1f  " +
-            f"bucketed=${b._1}%6.2fs/${b._2}%8.1fMB/x${b._3}%5.1f")
+            f"bucketed=${b._1}%6.2fs/${b._2}%8.1fMB/x${b._3}%5.1f  " +
+            f"auto=${a._1}%6.2fs/${a._2}%8.1fMB/x${a._3}%5.1f")
         warmedAsof = true
       }
     }

@@ -66,11 +66,21 @@ class AsofBucketParitySpec extends SparkTestBase {
 
     val plain = multiset(run())
     // 30-second buckets: every source/obs timestamp lands ON a bucket
-    // boundary; 300-second buckets: ties and carries across buckets
-    for (bs <- Seq("30", "300", "1000000")) {
+    // boundary; 300-second buckets: ties and carries across buckets;
+    // "auto" derives span/64 from the source itself (SWA parity)
+    for (bs <- Seq("30", "300", "1000000", "auto")) {
       val bucketed = withBucket(bs) { multiset(run()) }
       assert(bucketed == plain, s"bucketSeconds=$bs diverged")
     }
     assert(plain.nonEmpty)
+  }
+
+  test("fixture q_asof_join: auto-derived bucket width equals union-sort") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plain = multiset(SparkEntry.queries("q_asof_join")(spark, sf))
+    val auto = withBucket("auto") {
+      multiset(SparkEntry.queries("q_asof_join")(spark, sf))
+    }
+    assert(plain.nonEmpty && auto == plain)
   }
 }
