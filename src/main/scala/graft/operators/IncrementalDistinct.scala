@@ -42,16 +42,18 @@ object IncrementalDistinct {
     val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.itemCol)
       .filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
-    val folded = IncrementalSwa.foldedThrough(spark, dir)
-    require(version > folded,
-      s"version $version is at or below the compaction fold ($folded) at " +
-        s"$dir — state cannot replay rebased history")
-    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
-    Sketches.hllRegisters(delta.withColumn(BCol, b), col(cfg.itemCol),
-        cfg.p, cfg.keyCols :+ BCol)
-      .sortWithinPartitions(BCol)
-      .write.mode("overwrite")
-      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    IncrementalSwa.locked(spark, dir) {
+      val folded = IncrementalSwa.foldedThrough(spark, dir)
+      require(version > folded,
+        s"version $version is at or below the compaction fold ($folded) at " +
+          s"$dir — state cannot replay rebased history")
+      val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+      Sketches.hllRegisters(delta.withColumn(BCol, b), col(cfg.itemCol),
+          cfg.p, cfg.keyCols :+ BCol)
+        .sortWithinPartitions(BCol)
+        .write.mode("overwrite")
+        .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    }
   }
 
   /** Per-key distinct-count statistics over [asOf − W, asOf): one

@@ -41,21 +41,23 @@ object IncrementalQuantile {
     val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.valueCol)
       .filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
-    val folded = IncrementalSwa.foldedThrough(spark, dir)
-    require(version > folded,
-      s"version $version is at or below the compaction fold ($folded) at " +
-        s"$dir — additive state cannot replay rebased history")
-    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
-    val v = col(cfg.valueCol)
-    val bin = least(greatest(
-      floor((v - lit(cfg.lo)) * cfg.nBins / lit(cfg.hi - cfg.lo)), lit(0.0)),
-      lit((cfg.nBins - 1).toDouble)).cast("long")
-    delta.where(v.isNotNull)
-      .groupBy((cfg.keyCols.map(col) :+ b.as(BCol) :+ bin.as("bin")): _*)
-      .agg(count(lit(1)).as("n"))
-      .sortWithinPartitions(BCol)
-      .write.mode("overwrite")
-      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    IncrementalSwa.locked(spark, dir) {
+      val folded = IncrementalSwa.foldedThrough(spark, dir)
+      require(version > folded,
+        s"version $version is at or below the compaction fold ($folded) at " +
+          s"$dir — additive state cannot replay rebased history")
+      val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+      val v = col(cfg.valueCol)
+      val bin = least(greatest(
+        floor((v - lit(cfg.lo)) * cfg.nBins / lit(cfg.hi - cfg.lo)), lit(0.0)),
+        lit((cfg.nBins - 1).toDouble)).cast("long")
+      delta.where(v.isNotNull)
+        .groupBy((cfg.keyCols.map(col) :+ b.as(BCol) :+ bin.as("bin")): _*)
+        .agg(count(lit(1)).as("n"))
+        .sortWithinPartitions(BCol)
+        .write.mode("overwrite")
+        .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    }
   }
 
   /** Per-key quantile cutoffs over the window [asOf − W, asOf): one

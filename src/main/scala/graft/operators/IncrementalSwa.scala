@@ -136,13 +136,21 @@ object IncrementalSwa {
 
   private def bucketCol(cfg: Config): Column = bucketOf(col(cfg.tsCol), cfg.bucketUs)
 
+  /** Cross-process writer-lease wrap shared by every incremental
+    * store's write path (ingest/compact): the single-writer assumption,
+    * enforced ([[WriterLease]]). Owner = the Spark application id, so
+    * the loser's error names which job held the store.
+    */
+  private[operators] def locked[A](spark: SparkSession, dir: String)(f: => A): A =
+    WriterLease.withLease(spark, dir, spark.sparkContext.applicationId)(f)
+
   /** Shared compaction choreography for every incremental store: write
     * `fold` as the single `__v=<vmax>` of a NEW [[Publish]] generation,
     * record the fold horizon marker, and atomically flip the pointer.
     * The caller supplies only the store-specific fold aggregation.
     */
   private[operators] def compactFold(spark: SparkSession, dir: String,
-      fold: DataFrame): Long = {
+      fold: DataFrame): Long = locked(spark, dir) {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
       "least one delta before compacting")
@@ -167,6 +175,12 @@ object IncrementalSwa {
     val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.valueCol)
       .filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
+    locked(spark, dir) { ingestLocked(delta, dir, cfg, version) }
+  }
+
+  private def ingestLocked(delta: DataFrame, dir: String, cfg: Config,
+      version: Long): Unit = {
+    val spark = delta.sparkSession
     val folded = foldedThrough(spark, dir)
     require(version > folded,
       s"version $version is at or below the compaction fold ($folded) at " +

@@ -50,23 +50,25 @@ object IncrementalTopK {
     val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.itemCol)
       .filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
-    val folded = IncrementalSwa.foldedThrough(spark, dir)
-    require(version > folded,
-      s"version $version is at or below the compaction fold ($folded) at " +
-        s"$dir — state cannot replay rebased history")
-    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
-    val counts = delta.where(col(cfg.itemCol).isNotNull)
-      .groupBy((cfg.keyCols.map(col) :+ b.as(BCol) :+
-        col(cfg.itemCol).as("item")): _*)
-      .agg(count(lit(1)).as("n"))
-    val cut = Window
-      .partitionBy((cfg.keyCols :+ BCol).map(col): _*)
-      .orderBy(col("n").desc, col("item").asc)
-    counts.withColumn("__r", row_number().over(cut))
-      .where(col("__r") <= cfg.candidatesPerBucket).drop("__r")
-      .sortWithinPartitions(BCol)
-      .write.mode("overwrite")
-      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    IncrementalSwa.locked(spark, dir) {
+      val folded = IncrementalSwa.foldedThrough(spark, dir)
+      require(version > folded,
+        s"version $version is at or below the compaction fold ($folded) at " +
+          s"$dir — state cannot replay rebased history")
+      val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+      val counts = delta.where(col(cfg.itemCol).isNotNull)
+        .groupBy((cfg.keyCols.map(col) :+ b.as(BCol) :+
+          col(cfg.itemCol).as("item")): _*)
+        .agg(count(lit(1)).as("n"))
+      val cut = Window
+        .partitionBy((cfg.keyCols :+ BCol).map(col): _*)
+        .orderBy(col("n").desc, col("item").asc)
+      counts.withColumn("__r", row_number().over(cut))
+        .where(col("__r") <= cfg.candidatesPerBucket).drop("__r")
+        .sortWithinPartitions(BCol)
+        .write.mode("overwrite")
+        .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    }
   }
 
   /** Top `k` items per key over [asOf − W, asOf): candidate counts

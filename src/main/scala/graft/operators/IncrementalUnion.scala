@@ -69,24 +69,26 @@ object IncrementalUnion {
     val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.itemCol)
       .filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
-    val folded = IncrementalSwa.foldedThrough(spark, dir)
-    require(version > folded,
-      s"version $version is at or below the compaction fold ($folded) at " +
-        s"$dir — state cannot replay rebased history")
-    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
-    val path = s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version"
-    delta.withColumn(BCol, b)
-      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
-      .agg(collect_set(col(cfg.itemCol)).as("pset"))
-      .sortWithinPartitions(BCol)
-      .write.mode("overwrite").parquet(path)
-    // cap-check the WRITTEN partition (pruned read, no recompute);
-    // delete-on-violation keeps the state exactly as before the ingest
-    capCheck(spark, spark.read.parquet(path), cfg,
-      s"ingest of version $version into $dir").foreach { msg =>
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new Path(path), true)
-      throw new IllegalStateException(msg)
+    IncrementalSwa.locked(spark, dir) {
+      val folded = IncrementalSwa.foldedThrough(spark, dir)
+      require(version > folded,
+        s"version $version is at or below the compaction fold ($folded) at " +
+          s"$dir — state cannot replay rebased history")
+      val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+      val path = s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version"
+      delta.withColumn(BCol, b)
+        .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+        .agg(collect_set(col(cfg.itemCol)).as("pset"))
+        .sortWithinPartitions(BCol)
+        .write.mode("overwrite").parquet(path)
+      // cap-check the WRITTEN partition (pruned read, no recompute);
+      // delete-on-violation keeps the state exactly as before the ingest
+      capCheck(spark, spark.read.parquet(path), cfg,
+        s"ingest of version $version into $dir").foreach { msg =>
+        new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new Path(path), true)
+        throw new IllegalStateException(msg)
+      }
     }
   }
 

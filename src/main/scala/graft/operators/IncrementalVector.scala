@@ -49,24 +49,26 @@ object IncrementalVector {
     val missing = (cfg.keyCols :+ cfg.tsCol :+ cfg.vecCol)
       .filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
-    val folded = IncrementalSwa.foldedThrough(spark, dir)
-    require(version > folded,
-      s"version $version is at or below the compaction fold ($folded) at " +
-        s"$dir — additive state cannot replay rebased history without " +
-        "double-counting")
-    val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
-    val dvec = col(cfg.vecCol).cast("array<double>")
-    delta.withColumn(BCol, b)
-      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
-      .agg(
-        LongVectorSumAggregator.longVecSum(gridCol(col(cfg.vecCol)))
-          .as("pesum"),
-        count(col(cfg.vecCol)).as("pcnt"),
-        VectorAggregator("min", dvec).as("pemin"),
-        VectorAggregator("max", dvec).as("pemax"))
-      .sortWithinPartitions(BCol)
-      .write.mode("overwrite")
-      .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    IncrementalSwa.locked(spark, dir) {
+      val folded = IncrementalSwa.foldedThrough(spark, dir)
+      require(version > folded,
+        s"version $version is at or below the compaction fold ($folded) at " +
+          s"$dir — additive state cannot replay rebased history without " +
+          "double-counting")
+      val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
+      val dvec = col(cfg.vecCol).cast("array<double>")
+      delta.withColumn(BCol, b)
+        .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+        .agg(
+          LongVectorSumAggregator.longVecSum(gridCol(col(cfg.vecCol)))
+            .as("pesum"),
+          count(col(cfg.vecCol)).as("pcnt"),
+          VectorAggregator("min", dvec).as("pemin"),
+          VectorAggregator("max", dvec).as("pemax"))
+        .sortWithinPartitions(BCol)
+        .write.mode("overwrite")
+        .parquet(s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version")
+    }
   }
 
   /** Element-wise window aggregates over [asOf − W, asOf): exact grid

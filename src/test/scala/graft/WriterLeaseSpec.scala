@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{IncrementalSwa, Spill, WriterLease}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class WriterLeaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+  private val cfg = IncrementalSwa.Config(Seq("k"), "ts", "v", DayUs)
+
+  private def delta(rows: (Long, Double)*) =
+    rows.toDF("k", "v")
+      .withColumn("ts", timestamp_micros(lit(1000000L)))
+      .select("k", "ts", "v")
+
+  test("two interleaved writers: the loser fails loudly, state stays consistent") {
+    val dir = Spill.newPath(spark)
+    IncrementalSwa.ingest(delta((1L, 1.0)), dir, cfg, 0L)
+    // writer A holds the store (a long-running refresh mid-flight)
+    val a = WriterLease.acquire(spark, dir, "nightly-refresh-A")
+    // writer B's ingest must fail by name, not interleave
+    val e = intercept[IllegalStateException] {
+      IncrementalSwa.ingest(delta((2L, 2.0)), dir, cfg, 1L)
+    }
+    assert(e.getMessage.contains("locked") &&
+      e.getMessage.contains("nightly-refresh-A"), e.getMessage)
+    // state shows no trace of B
+    assert(IncrementalSwa.versions(spark, dir) == Seq(0L))
+    // after A releases, B's retry succeeds and the state is exactly
+    // A-then-B — nothing lost, nothing doubled
+    WriterLease.release(spark, a)
+    IncrementalSwa.ingest(delta((2L, 2.0)), dir, cfg, 1L)
+    val served = IncrementalSwa.serve(spark, dir, cfg, DayUs, 1)
+      .select("k", "f_sum").as[(Long, Double)].collect().toMap
+    assert(served == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("stale lease is taken over; the dead holder's release names the takeover") {
+    val dir = Spill.newPath(spark)
+    spark.conf.set("spark.graft.lease.ttlSeconds", "1")
+    try {
+      val dead = WriterLease.acquire(spark, dir, "crashed-writer")
+      // age the lease past the ttl (a holder that died can't release)
+      val p = new Path(s"$dir/_writer_lease")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(p, System.currentTimeMillis() - 5000L, -1L)
+      // a new writer takes over instead of wedging forever
+      IncrementalSwa.ingest(delta((1L, 1.0)), dir, cfg, 0L)
+      assert(IncrementalSwa.versions(spark, dir) == Seq(0L))
+      // the dead writer's (zombie) release must fail by name if the
+      // lease is still held by someone else — here ingest already
+      // released, so simulate the mid-takeover state explicitly
+      val thief = WriterLease.acquire(spark, dir, "takeover-writer")
+      val z = intercept[IllegalStateException] {
+        WriterLease.release(spark, dead)
+      }
+      assert(z.getMessage.contains("TAKEN OVER") &&
+        z.getMessage.contains("takeover-writer"), z.getMessage)
+      WriterLease.release(spark, thief)
+    } finally spark.conf.unset("spark.graft.lease.ttlSeconds")
+  }
+
+  test("withLease releases on failure paths") {
+    val dir = Spill.newPath(spark)
+    intercept[RuntimeException] {
+      WriterLease.withLease(spark, dir, "w") { sys.error("boom") }
+    }
+    // lease gone: the next acquire succeeds immediately
+    WriterLease.release(spark, WriterLease.acquire(spark, dir, "w2"))
+  }
+}
