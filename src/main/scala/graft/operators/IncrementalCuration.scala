@@ -176,7 +176,8 @@ object IncrementalCuration {
     // a mismatch means a different delta is claiming an already-written
     // version — the fresh-checkpoint-against-a-used-state-dir mistake —
     // and overwriting history with it must fail loudly
-    metaFor(spark, root, slot).foreach(recorded =>
+    val recordedMeta = metaFor(spark, root, slot) // one read, two guards
+    recordedMeta.foreach(recorded =>
       require(recorded == math.max(priorMax, dMax),
         s"version $version (slot $slot) of the curation state at $root " +
           s"was already written with a different delta (recorded " +
@@ -191,7 +192,7 @@ object IncrementalCuration {
     // commit (the replay then lands on the fold of its own first
     // attempt) — purge in a maintenance window with the stream stopped
     // at a committed checkpoint.
-    require(metaFor(spark, root, slot).isDefined ||
+    require(recordedMeta.isDefined ||
       !MergeLog.versions(spark, logDir(root)).contains(slot),
       s"log slot $slot at $root is a compaction fold, not a refresh " +
         s"slot; a purge interleaved with an uncommitted refresh of " +
@@ -317,12 +318,13 @@ object IncrementalCuration {
     // same version-rewrite tripwire as refresh: a replayed forget
     // re-records the unchanged high-water; a refresh already holding
     // this slot recorded a higher one and must not be overwritten
-    metaFor(spark, root, slot).foreach(recorded =>
+    val recordedMeta = metaFor(spark, root, slot) // one read, two guards
+    recordedMeta.foreach(recorded =>
       require(recorded == priorMax,
         s"version $version (slot $slot) of the curation state at $root " +
           s"was already written by a refresh (recorded high-water " +
           s"$recorded); a forget needs its own fresh version slot"))
-    require(metaFor(spark, root, slot).isDefined ||
+    require(recordedMeta.isDefined ||
       !MergeLog.versions(spark, logDir(root)).contains(slot),
       s"log slot $slot at $root is a compaction fold, not a forget " +
         "slot; use MergeLog.nextVersion to continue the lineage")
@@ -331,8 +333,10 @@ object IncrementalCuration {
       .parquet(s"${forgetDir(root)}/__v=$slot")
     // tombstones must carry the log's exact schema (MergeLog pins it);
     // every non-key column rides as a typed null — the tombstone is
-    // pure key + death marker, no content
-    val logSchema = snapshot(spark, root).schema
+    // pure key + death marker, no content. snapshotSchema reads ONE
+    // parquet footer; the full snapshot analysis here cost ~1/3 of the
+    // whole forget call (r12 verdict's q_curate_forget trim)
+    val logSchema = MergeLog.snapshotSchema(spark, logDir(root))
     val tombstones = fl.select(
       logSchema.fields.map(f =>
         if (f.name == pipeline.idCol) col("id").cast(f.dataType).as(f.name)

@@ -202,6 +202,22 @@ object MergeLog {
     fold.write.mode("overwrite").parquet(s"$dir/$VCol=${upTo + 1}")
   }
 
+  /** The [[snapshot]] schema WITHOUT building (or analyzing) the
+    * resolution plan: every version shares one schema ([[append]]
+    * enforces it), so the latest partition's parquet footer minus the
+    * tombstone marker IS the snapshot schema. Callers that only need
+    * the shape (e.g. typed-null tombstone construction) skip the
+    * all-versions footer scan plus window-plan analysis a
+    * `snapshot(...).schema` pays.
+    */
+  def snapshotSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"merge log at $dir is empty or missing")
+    org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$dir/$VCol=${vs.max}").schema
+        .filterNot(_.name == DeadCol))
+  }
+
   /** The next free version slot — continue the lineage after a
     * [[compact]] (which consumes `max+1` for its fold). */
   def nextVersion(spark: SparkSession, dir: String): Long =
