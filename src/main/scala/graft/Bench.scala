@@ -91,7 +91,10 @@ object Bench {
     // the stdout line must fit the driver's capture window whole: no
     // prose note (BENCH_LOCAL.json carries the per-run detail and the
     // host-load caveat), failed_runs only when something failed
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+    // distinct metric name: a consumer scanning for metric=="total"
+    // must match ONLY the short trailer below, never this ~4 KB line
+    // (on a short run both survive the capture window whole)
+    val line = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs""" +
       (if (results.exists(_._3 > 0)) s""","failed_runs":$failed""" else "") +
       s""","sf":"$sfDir"}"""
     // full per-query line first: useful to humans reading the log, and

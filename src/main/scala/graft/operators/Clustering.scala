@@ -71,10 +71,13 @@ object Clustering {
   def kmeansInt8(df: DataFrame, idCol: String, qCol: String,
       k: Int, iters: Int): KmeansResult = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
-    // a null vector among the k smallest ids would otherwise surface as
-    // a bare NPE in getSeq below; name the defect and the column instead
-    val seed = df.where(col(qCol).isNotNull)
-      .orderBy(col(idCol)).limit(k)
+    // null vectors are excluded from the WHOLE run, not just the seed
+    // scan: left in, they NPE the seed collect, count into a cluster's
+    // n while contributing nothing to its sum (diluting the centroid
+    // toward the origin each iteration), and surface in assignments as
+    // cluster-0 rows with a null distance
+    val df0 = df.where(col(qCol).isNotNull)
+    val seed = df0.orderBy(col(idCol)).limit(k)
       .select(col(qCol)).collect()
     require(seed.length == k,
       s"k-means needs at least k=$k rows with non-null '$qCol', " +
@@ -83,7 +86,7 @@ object Clustering {
       .map(_.getSeq[Int](0).map(_.toLong * Scale).toArray)
 
     for (_ <- 0 until iters) {
-      val assigned = df.withColumn("__c", assignExpr(col(qCol), cents)("c"))
+      val assigned = df0.withColumn("__c", assignExpr(col(qCol), cents)("c"))
       val sums = Similarity.int8Centroids(assigned, "__c", qCol)
         .select(col("__c"), col("n"), col("sum_q8"))
         .collect()
@@ -101,7 +104,7 @@ object Clustering {
       }
     }
 
-    val a = df.select(col(idCol), col(qCol))
+    val a = df0.select(col(idCol), col(qCol))
       .withColumn("__a", assignExpr(col(qCol), cents))
       .select(col(idCol), col("__a")("c").as("cluster"),
         col("__a")("dist").as("dist"))

@@ -78,7 +78,7 @@ object IncrementalDistinct {
     * posture.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir,
+    IncrementalSwa.compactFold(spark, dir, () =>
       spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
         .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bucket")): _*)
         .agg(max(col("rho")).as("rho")))

@@ -200,6 +200,11 @@ object IncrementalMaterializer {
     val byName = derived.map(d => d.name -> d).toMap
     require(byName.size == derived.size,
       s"duplicate derived feature names: ${derived.map(_.name).diff(byName.keys.toSeq)}")
+    val shadowing = derived.map(_.name).filter(anchorNames.contains)
+    require(shadowing.isEmpty,
+      s"derived feature(s) $shadowing share a name with a materialized " +
+        "anchor feature — the withColumn evaluation would silently " +
+        "overwrite the served anchor column; rename the derivation")
     derived.foreach { d =>
       d.inputs.foreach { in =>
         require(anchorNames.contains(in.featureName) ||

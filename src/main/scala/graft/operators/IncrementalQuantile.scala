@@ -106,7 +106,7 @@ object IncrementalQuantile {
     * [[IncrementalSwa.compact]].
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir,
+    IncrementalSwa.compactFold(spark, dir, () =>
       spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
         .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bin")): _*)
         .agg(sum(col("n")).as("n")))

@@ -145,12 +145,19 @@ object IncrementalSwa {
     WriterLease.withLease(spark, dir, spark.sparkContext.applicationId)(f)
 
   /** Shared compaction choreography for every incremental store: write
-    * `fold` as the single `__v=<vmax>` of a NEW [[Publish]] generation,
-    * record the fold horizon marker, and atomically flip the pointer.
-    * The caller supplies only the store-specific fold aggregation.
+    * the fold as the single `__v=<vmax>` of a NEW [[Publish]]
+    * generation, record the fold horizon marker, and atomically flip
+    * the pointer. The caller supplies the store-specific fold
+    * aggregation as a THUNK, evaluated under the writer lease: a
+    * `spark.read.parquet` pins its file listing at plan construction,
+    * so a fold built before the lock would silently drop any version a
+    * concurrent leased ingest lands in the gap — the listing, the fold
+    * read, and the vmax it is written as must all resolve inside one
+    * lease scope.
     */
   private[operators] def compactFold(spark: SparkSession, dir: String,
-      fold: DataFrame): Long = locked(spark, dir) {
+      mkFold: () => DataFrame): Long = locked(spark, dir) {
+    val fold = mkFold()
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
       "least one delta before compacting")
@@ -316,7 +323,7 @@ object IncrementalSwa {
     * retention horizon. Returns the new generation number.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    compactFold(spark, dir, readState(spark, dir)
+    compactFold(spark, dir, () => readState(spark, dir)
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
       .agg(
         sum(col("psum_c")).as("psum_c"),

@@ -98,7 +98,7 @@ object IncrementalTopK {
     * posture.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir,
+    IncrementalSwa.compactFold(spark, dir, () =>
       spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
         .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("item")): _*)
         .agg(sum(col("n")).as("n")))

@@ -75,20 +75,28 @@ object IncrementalUnion {
         s"version $version is at or below the compaction fold ($folded) at " +
           s"$dir — state cannot replay rebased history")
       val b = IncrementalSwa.bucketOf(col(cfg.tsCol), cfg.bucketUs)
-      val path = s"${IncrementalSwa.liveGen(spark, dir)}/$VCol=$version"
+      val gen = IncrementalSwa.liveGen(spark, dir)
+      val path = s"$gen/$VCol=$version"
+      // stage to a PENDING path (the `_pending_` prefix is invisible to
+      // versions()'s `__v=` filter), cap-check the staged files, and
+      // only then swap into the version slot: writing straight to the
+      // slot would let a failing REPLAY destroy the committed version
+      // it was overwriting before the check had run
+      val pending = s"$gen/_pending_$version"
+      val fs = new Path(gen)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       delta.withColumn(BCol, b)
         .groupBy((cfg.keyCols :+ BCol).map(col): _*)
         .agg(collect_set(col(cfg.itemCol)).as("pset"))
         .sortWithinPartitions(BCol)
-        .write.mode("overwrite").parquet(path)
-      // cap-check the WRITTEN partition (pruned read, no recompute);
-      // delete-on-violation keeps the state exactly as before the ingest
-      capCheck(spark, spark.read.parquet(path), cfg,
+        .write.mode("overwrite").parquet(pending)
+      capCheck(spark, spark.read.parquet(pending), cfg,
         s"ingest of version $version into $dir").foreach { msg =>
-        new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(new Path(path), true)
+        fs.delete(new Path(pending), true)
         throw new IllegalStateException(msg)
       }
+      fs.delete(new Path(path), true)
+      fs.rename(new Path(pending), new Path(path))
     }
   }
 
@@ -116,13 +124,15 @@ object IncrementalUnion {
     * the compact fails by name BEFORE publishing — the live
     * generation stays as it was.
     */
-  def compact(spark: SparkSession, dir: String, cfg: Config): Long = {
-    val fold = spark.read
-      .parquet(IncrementalSwa.requireLiveGen(spark, dir))
-      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
-      .agg(array_distinct(flatten(collect_list(col("pset")))).as("pset"))
-    capCheck(spark, fold, cfg, s"compaction of $dir")
-      .foreach(msg => throw new IllegalStateException(msg))
-    IncrementalSwa.compactFold(spark, dir, fold)
-  }
+  def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    IncrementalSwa.compactFold(spark, dir, { () =>
+      // built (and cap-checked) INSIDE the lease — see compactFold
+      val fold = spark.read
+        .parquet(IncrementalSwa.requireLiveGen(spark, dir))
+        .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+        .agg(array_distinct(flatten(collect_list(col("pset")))).as("pset"))
+      capCheck(spark, fold, cfg, s"compaction of $dir")
+        .foreach(msg => throw new IllegalStateException(msg))
+      fold
+    })
 }

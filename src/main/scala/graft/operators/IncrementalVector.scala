@@ -102,7 +102,7 @@ object IncrementalVector {
     * generation — exact long adds for sums/counts, min/max folds.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir,
+    IncrementalSwa.compactFold(spark, dir, () =>
       spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
         .groupBy((cfg.keyCols :+ BCol).map(col): _*)
         .agg(

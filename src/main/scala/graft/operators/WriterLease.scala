@@ -18,18 +18,31 @@ import java.nio.charset.StandardCharsets
   * stores), so exactly one contender holds the lease and the loser
   * FAILS BY NAME (who holds it, how old it is) rather than corrupting
   * state. The lease carries a UUID token; [[release]] verifies the
-  * token so a writer that lost its lease to a stale-takeover cannot
-  * delete the new holder's lease on the way out.
+  * token so a writer that lost its lease to a takeover cannot delete
+  * the new holder's lease on the way out.
   *
   * Staleness: a holder that died cannot release, so a lease older
   * than `ttlMs` (file modification time — assigned atomically with
-  * the create, no clock carried in the content) may be TAKEN OVER:
-  * delete + re-create. The delete/create pair is not atomic, but the
-  * re-create is — of two racing takeovers exactly one wins and the
-  * other fails by name. A live long-running writer must therefore
-  * finish within the ttl (default 10 min, `spark.graft.lease.ttlSeconds`)
-  * or its work may be taken over — the takeover error on ITS release
-  * names exactly that.
+  * the create, no clock carried in the content) may be TAKEN OVER.
+  * The takeover RENAMES the observed stale lease aside before
+  * re-creating: rename is atomic and fails for every racer but one,
+  * so a racer can never delete a lease it did not observe as stale
+  * (a bare delete+create pair would let the second racer remove the
+  * first racer's brand-new lease — two holders). A live long-running
+  * writer must finish within the ttl (default 10 min,
+  * `spark.graft.lease.ttlSeconds`) or its lease may be taken over by
+  * a CONTENDING writer — its own release then fails by name.
+  *
+  * Crash-restart latency vs identity: with the default owner (the
+  * Spark application id) a crashed job's successor is a DIFFERENT
+  * owner and must wait out the ttl before takeover — the safe default.
+  * A deployment that wants IMMEDIATE crash-restart reclaim sets
+  * `spark.graft.lease.owner` to a stable writer identity (the Kafka
+  * `transactional.id` pattern): a lease held by the SAME explicit
+  * owner is reclaimed without waiting, under the deployer's contract
+  * that at most one live writer runs per owner name. Reclaim never
+  * applies to the application-id default — two threads of one app
+  * must still exclude each other.
   */
 object WriterLease {
   private val LeaseName = "_writer_lease"
@@ -44,6 +57,17 @@ object WriterLease {
 
   private def ttlMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.lease.ttlSeconds", "600").toLong * 1000L
+
+  /** The writer identity: `spark.graft.lease.owner` when configured
+    * (stable across restarts — enables same-owner reclaim), else the
+    * application id.
+    */
+  private[operators] def ownerOf(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.lease.owner")
+      .getOrElse(spark.sparkContext.applicationId)
+
+  private def explicitOwner(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.lease.owner").isDefined
 
   private def readLease(spark: SparkSession, dir: String): Option[(String, String, Long)] = {
     val f = fs(spark, dir)
@@ -78,9 +102,32 @@ object WriterLease {
     }
   }
 
+  /** Atomically claim the right to replace the CURRENTLY OBSERVED
+    * lease: rename it aside (exactly one racer wins the rename — the
+    * loser's source is gone), then create fresh. Returns None if the
+    * rename or the create lost to a racer.
+    */
+  private def takeOver(spark: SparkSession, dir: String,
+      owner: String): Option[Lease] = {
+    val f = fs(spark, dir)
+    val tomb = new Path(
+      s"$dir/${LeaseName}_taken_${java.util.UUID.randomUUID()}")
+    val won =
+      try f.rename(leasePath(dir), tomb)
+      catch { case _: java.io.IOException => false }
+    if (!won) None
+    else {
+      f.delete(tomb, false)
+      // between our rename and create another acquirer may slip in a
+      // fresh lease; its create and ours are arbitrated atomically
+      tryCreate(spark, dir, owner)
+    }
+  }
+
   /** Acquire the writer lease on `dir` or fail by name. A lease older
-    * than the ttl is presumed abandoned and taken over; of two racing
-    * takeovers exactly one wins (the atomic re-create decides).
+    * than the ttl is presumed abandoned and taken over; a lease held
+    * by the SAME explicitly-configured owner is reclaimed immediately
+    * (crash-restart, the `transactional.id` pattern).
     */
   def acquire(spark: SparkSession, dir: String, owner: String): Lease =
     tryCreate(spark, dir, owner).getOrElse {
@@ -93,30 +140,30 @@ object WriterLease {
                 "acquired it concurrently; retry after it finishes"))
         case Some((holder, _, modMs)) =>
           val ageMs = System.currentTimeMillis() - modMs
-          if (ageMs <= ttlMs(spark))
+          val sameExplicit = holder == owner && explicitOwner(spark)
+          if (ageMs <= ttlMs(spark) && !sameExplicit)
             throw new IllegalStateException(
               s"store at $dir is locked by writer '$holder' " +
                 s"(lease ${ageMs / 1000}s old, ttl ${ttlMs(spark) / 1000}s) — " +
-                "two concurrent writers would interleave version writes; " +
-                "wait for it to finish, or raise " +
-                "spark.graft.lease.ttlSeconds if it legitimately runs long")
-          else {
-            // stale: the holder died without releasing. Take over —
-            // the re-create is the atomic arbiter between racers.
-            fs(spark, dir).delete(leasePath(dir), false)
-            tryCreate(spark, dir, owner).getOrElse(
+                "two concurrent writers would interleave version writes. " +
+                "If the holder is live, wait for it (or raise " +
+                "spark.graft.lease.ttlSeconds if it legitimately runs " +
+                "long); if it crashed, the lease clears itself after the " +
+                "ttl, or set spark.graft.lease.owner to a stable writer " +
+                "identity for immediate crash-restart reclaim")
+          else
+            takeOver(spark, dir, owner).getOrElse(
               throw new IllegalStateException(
-                s"lost the stale-lease takeover race on $dir (previous " +
-                  s"holder '$holder', ${ageMs / 1000}s old) — another " +
-                  "writer took it first; retry after it finishes"))
-          }
+                s"lost the lease takeover race on $dir (previous holder " +
+                  s"'$holder', ${ageMs / 1000}s old) — another writer " +
+                  "took it first; retry after it finishes"))
       }
     }
 
-  /** Release a held lease. Fails by name if the lease was taken over
-    * (token mismatch) — the caller's writes after the takeover point
-    * may have interleaved with the new holder's and need manual
-    * review; its own lease file is left untouched for the new holder.
+  /** Release a held lease. Fails by name if the lease was taken over —
+    * whether the new holder still holds it (token mismatch) or already
+    * finished and released (file gone): either way this writer's later
+    * writes ran WITHOUT the lease and may have interleaved.
     */
   def release(spark: SparkSession, lease: Lease): Unit =
     readLease(spark, lease.dir) match {
@@ -126,14 +173,30 @@ object WriterLease {
         throw new IllegalStateException(
           s"writer lease on ${lease.dir} held by '${lease.owner}' was " +
             s"TAKEN OVER by '$holder' (this writer exceeded the lease " +
-            "ttl); writes after the takeover may have interleaved — " +
-            "verify the store's version log before trusting this run")
-      case None => () // already gone (e.g. released via takeover + release)
+            "ttl, or shares an explicit owner name with a live writer); " +
+            "writes after the takeover may have interleaved — verify the " +
+            "store's version log before trusting this run")
+      case None =>
+        throw new IllegalStateException(
+          s"writer lease on ${lease.dir} held by '${lease.owner}' is " +
+            "GONE at release — it was taken over (and the new holder " +
+            "already finished); writes after the takeover may have " +
+            "interleaved — verify the store's version log before " +
+            "trusting this run")
     }
 
-  /** Run `f` under the lease, releasing on every path. */
+  /** Run `f` under the lease, releasing on every path. A takeover
+    * detected at release time surfaces even when `f` itself succeeded
+    * — unless `f` threw first (its failure is the primary error).
+    */
   def withLease[A](spark: SparkSession, dir: String, owner: String)(f: => A): A = {
     val lease = acquire(spark, dir, owner)
-    try f finally release(spark, lease)
+    var primary: Throwable = null
+    try f
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      try release(spark, lease)
+      catch { case r: Throwable => if (primary == null) throw r }
+    }
   }
 }

@@ -13,16 +13,38 @@ import scala.jdk.CollectionConverters._
 object RegistryPersistence {
   private val mapper = new ObjectMapper()
 
+  /** The ONE entity-JSON shape (typeName/name/qualifiedName/version/
+    * attributes), shared by the file persistence (guid added by the
+    * caller) and [[SqlRegistryStore]]'s `entity_content` column (guid
+    * is the row key) — a field added to the entity model is serialized
+    * in one place, not two.
+    */
+  private[registry] def entityInto(
+      n: com.fasterxml.jackson.databind.node.ObjectNode,
+      e: RegistryEntity): Unit = {
+    n.put("typeName", e.typeName)
+    n.put("name", e.name); n.put("qualifiedName", e.qualifiedName)
+    n.put("version", e.version)
+    val attrs = n.putObject("attributes")
+    e.attributes.foreach { case (k, v) => attrs.put(k, v) }
+  }
+
+  /** Inverse of [[entityInto]]; `guid` rides outside the node. */
+  private[registry] def entityFrom(guid: String,
+      n: com.fasterxml.jackson.databind.JsonNode): RegistryEntity =
+    RegistryEntity(
+      guid, n.get("typeName").asText, n.get("name").asText,
+      n.get("qualifiedName").asText, n.get("version").asInt,
+      Option(n.get("attributes")).map(_.properties.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))
+
   def save(reg: InMemoryRegistry, rbac: InMemoryRbac, path: String): Unit = {
     val root = mapper.createObjectNode()
     val ents = root.putArray("entities")
     reg.allEntities.foreach { e =>
       val n = ents.addObject()
-      n.put("guid", e.guid); n.put("typeName", e.typeName)
-      n.put("name", e.name); n.put("qualifiedName", e.qualifiedName)
-      n.put("version", e.version)
-      val attrs = n.putObject("attributes")
-      e.attributes.foreach { case (k, v) => attrs.put(k, v) }
+      n.put("guid", e.guid)
+      entityInto(n, e)
     }
     val edges = root.putArray("edges")
     reg.allEdges.foreach { e =>
@@ -55,11 +77,7 @@ object RegistryPersistence {
     Option(root.get("entities")).toSeq.flatMap(_.elements.asScala).foreach { n =>
       // loadEntity preserves the persisted version (create() would
       // re-version same-qualifiedName rows as it replays them)
-      reg.loadEntity(RegistryEntity(
-        n.get("guid").asText, n.get("typeName").asText, n.get("name").asText,
-        n.get("qualifiedName").asText, n.get("version").asInt,
-        Option(n.get("attributes")).map(_.properties.asScala
-          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)))
+      reg.loadEntity(entityFrom(n.get("guid").asText, n))
     }
     Option(root.get("edges")).toSeq.flatMap(_.elements.asScala).foreach { n =>
       reg.link(n.get("from").asText, n.get("to").asText, n.get("edgeType").asText)

@@ -3,7 +3,6 @@ package graft.registry
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import java.sql.{Connection, DriverManager}
-import scala.jdk.CollectionConverters._
 
 /** R5-lite: registry persistence to the reference's SQL relations —
   * `entities(entity_id, entity_content)`, `edges(from_id, to_id,
@@ -89,10 +88,7 @@ object SqlRegistryStore {
         "insert into entities (entity_id, entity_content) values (?, ?)")
       try reg.allEntities.foreach { e =>
         val n = mapper.createObjectNode()
-        n.put("typeName", e.typeName); n.put("name", e.name)
-        n.put("qualifiedName", e.qualifiedName); n.put("version", e.version)
-        val attrs = n.putObject("attributes")
-        e.attributes.foreach { case (k, v) => attrs.put(k, v) }
+        RegistryPersistence.entityInto(n, e) // the ONE entity-JSON shape
         entIns.setString(1, e.guid)
         entIns.setString(2, mapper.writeValueAsString(n))
         entIns.executeUpdate()
@@ -140,16 +136,9 @@ object SqlRegistryStore {
       try {
         val ents = st.executeQuery(
           "select entity_id, entity_content from entities")
-        while (ents.next()) {
-          val guid = ents.getString(1)
-          val n = mapper.readTree(ents.getString(2))
-          reg.loadEntity(RegistryEntity(
-            guid, n.get("typeName").asText, n.get("name").asText,
-            n.get("qualifiedName").asText, n.get("version").asInt,
-            Option(n.get("attributes")).map(_.properties.asScala
-              .map(e => e.getKey -> e.getValue.asText).toMap)
-              .getOrElse(Map.empty)))
-        }
+        while (ents.next())
+          reg.loadEntity(RegistryPersistence.entityFrom(
+            ents.getString(1), mapper.readTree(ents.getString(2))))
         ents.close()
         val edges = st.executeQuery(
           "select from_id, to_id, edge_type from edges")

@@ -173,6 +173,16 @@ object StreamingIngest {
     * maintenance action (single writer per store: do not compact while
     * the stream runs — a replayed batch at or below the fold is
     * refused loudly).
+    *
+    * Crash-restart latency: each ingest runs under the store's
+    * [[graft.operators.WriterLease]]. A restarted stream is a NEW
+    * Spark application, so under the default (application-id) lease
+    * owner a batch that died mid-ingest leaves a lease the successor
+    * must wait out (`spark.graft.lease.ttlSeconds`). A streaming
+    * deployment that wants immediate replay after a crash sets
+    * `spark.graft.lease.owner` to a stable writer identity (e.g. the
+    * checkpoint path) — same-owner leases reclaim without waiting,
+    * under the one-live-writer-per-owner contract.
     */
   def swaStateStream(stream: DataFrame, dir: String,
       cfg: graft.operators.IncrementalSwa.Config, timeoutMs: Long = 120000L,

@@ -77,6 +77,10 @@ class ClusteringSpec extends SparkTestBase {
       .toDF("vec_id", "embedding_q8")
     val r = Clustering.kmeansInt8(withNull, "vec_id", "embedding_q8", 2, 1)
     assert(r.centroids.length == 2)
+    // the null row is excluded from the run entirely: it must not
+    // appear in assignments nor count into any cluster's size
+    assert(r.assignments.count() == 3 && r.sizes.sum == 3,
+      s"null row leaked into the run: sizes=${r.sizes}")
     // and when nulls leave fewer than k usable rows, the error names
     // the column instead of NPEing
     val e = intercept[IllegalArgumentException] {
