@@ -31,7 +31,8 @@ object ScaleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
-    //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|all selects the axis
+    //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|swainc|
+    //   featday|bpe|unionvec|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1334,6 +1335,65 @@ object ScaleProbe {
             f"ingestFixedDelta=$iSec%6.2fs/${iMb}%7.1fMB " +
             f"serve=$sSec%6.2fs serveCompacted=$cSec%6.2fs")
         warmedSw = true
+      }
+    }
+
+    // ---- axis 27: the UNION and ELEMENTWISE incremental stores (r13).
+    // Same shape as axis 24: grow state to n versions, then (a) ingest
+    // one more fixture-sized delta — flat wall/shuffle is the O(delta)
+    // claim — and (b) serve the 7-day window pre- and post-compaction
+    // (pre scans n+1 version partitions, post scans the fold). The
+    // union store's per-(key, bucket) sets and the vector store's
+    // O(dim) partials must both keep ingest independent of history.
+    if (axes == "all" || axes == "unionvec") {
+      import graft.operators.{IncrementalSwa, IncrementalUnion, IncrementalVector, Publish, Spill}
+      val dayUs = 86400000000L
+      val uCfg = IncrementalUnion.Config(Seq("user_id"), "ts", "props", dayUs)
+      val vCfg = IncrementalVector.Config(Seq("user_id"), "ts", "vec", dayUs)
+      val uEvs = ev0.select("user_id", "ts", "props")
+      // a fixture-sized vector delta: dim-8 arrays derived per event
+      val vEvs = ev0.select(col("user_id"), col("ts"),
+        array((0 until 8).map(i => col("value") * (i + 1)): _*).as("vec"))
+      val maxB = uEvs.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val asOf = (maxB + 1) * dayUs
+      var warmedUv = false
+      for (n <- Seq(1) ++ mults) {
+        val uRoot = Spill.newPath(spark) + s"/probe_uv_u_$n"
+        val vRoot = Spill.newPath(spark) + s"/probe_uv_v_$n"
+        (0 until n).foreach { i =>
+          IncrementalUnion.ingest(uEvs, uRoot, uCfg, i.toLong)
+          IncrementalVector.ingest(vEvs, vRoot, vCfg, i.toLong)
+        }
+        val (uiSec, uiMb) = time {
+          IncrementalUnion.ingest(uEvs, uRoot, uCfg, n.toLong); 1L
+        }
+        val (viSec, viMb) = time {
+          IncrementalVector.ingest(vEvs, vRoot, vCfg, n.toLong); 1L
+        }
+        val (usSec, _) = time {
+          IncrementalUnion.serve(spark, uRoot, uCfg, asOf, 7).count()
+        }
+        val (vsSec, _) = time {
+          IncrementalVector.serve(spark, vRoot, vCfg, asOf, 7).count()
+        }
+        IncrementalUnion.compact(spark, uRoot, uCfg)
+        IncrementalVector.compact(spark, vRoot, vCfg)
+        Publish.gc(spark, uRoot, keep = 1)
+        Publish.gc(spark, vRoot, keep = 1)
+        val (ucSec, _) = time {
+          IncrementalUnion.serve(spark, uRoot, uCfg, asOf, 7).count()
+        }
+        val (vcSec, _) = time {
+          IncrementalVector.serve(spark, vRoot, vCfg, asOf, 7).count()
+        }
+        if (warmedUv)
+          println(f"[scale] n=$n%-3d stateVersions=${n + 1}%-4d " +
+            f"unionIngest=$uiSec%6.2fs/${uiMb}%7.1fMB " +
+            f"unionServe=$usSec%5.2fs/compacted=$ucSec%5.2fs " +
+            f"vecIngest=$viSec%6.2fs/${viMb}%7.1fMB " +
+            f"vecServe=$vsSec%5.2fs/compacted=$vcSec%5.2fs")
+        warmedUv = true
       }
     }
 
