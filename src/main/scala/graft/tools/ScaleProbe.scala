@@ -1350,7 +1350,9 @@ object ScaleProbe {
       val dayUs = 86400000000L
       val uCfg = IncrementalUnion.Config(Seq("user_id"), "ts", "props", dayUs)
       val vCfg = IncrementalVector.Config(Seq("user_id"), "ts", "vec", dayUs)
-      val uEvs = ev0.select("user_id", "ts", "props")
+      val uEvs = spark.read.parquet(s"$dir/events.parquet")
+        .normalizeEventTime
+        .select("user_id", "ts", "props")
       // a fixture-sized vector delta: dim-8 arrays derived per event
       val vEvs = ev0.select(col("user_id"), col("ts"),
         array((0 until 8).map(i => col("value") * (i + 1)): _*).as("vec"))
