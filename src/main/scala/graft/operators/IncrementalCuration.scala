@@ -72,17 +72,23 @@ object IncrementalCuration {
   private def configPath(root: String) = s"$root/pipeline.json"
   private def offsetPath(root: String) = s"$root/version_offset"
 
-  /** Cumulative shift between CALLER version numbers and log slots.
-    * [[purgeForgotten]]'s compaction folds the log into slot vmax+1 —
-    * the very slot a batchId-sequenced caller ([[graft.streaming.StreamingCuration]]
-    * versions each micro-batch as batchId+1) would claim next, which
-    * used to wedge the stream's fold-slot guard permanently with no
-    * checkpoint-compatible recovery. Each purge therefore bumps this
-    * persisted offset by one, and [[refresh]]/[[forget]] resolve
-    * `actual = requested + offset`, so a caller's monotone version
-    * sequence keeps working across purges without renumbering. Zero
-    * (no file) when no purge ever compacted — the common case reads
-    * one FS existence probe.
+  /** Cumulative shift between CALLER refresh-version numbers and log
+    * slots. Two out-of-band operations consume log slots the caller's
+    * sequence doesn't know about — [[purgeForgotten]]'s compaction
+    * folds into slot vmax+1, and [[forget]] allocates its own slot
+    * above everything used — and either one used to wedge a
+    * batchId-sequenced caller ([[graft.streaming.StreamingCuration]]
+    * versions each micro-batch as batchId+1) permanently on the slot
+    * guards, with no checkpoint-compatible recovery. Each such
+    * operation therefore bumps this persisted offset by one, and
+    * [[refresh]] resolves `slot = version + offset`, so a caller's
+    * monotone version sequence keeps working across forgets and
+    * purges without renumbering. Zero (no file) when neither ever ran
+    * — the common case reads one FS existence probe. Bumps happen
+    * only in maintenance windows at committed checkpoints (documented
+    * on [[purgeForgotten]]/[[forget]]): a bump while a refresh sits
+    * UNCOMMITTED in a streaming checkpoint would shift that batch's
+    * replay onto the wrong slot.
     */
   private[graft] def versionOffset(spark: SparkSession, root: String): Long = {
     val path = new Path(offsetPath(root))
@@ -312,22 +318,42 @@ object IncrementalCuration {
     val spark = ids.sparkSession
     val pipeline = readConfig(spark, root)
     require(version > 0L, "forget versions start at 1 (0 is the bootstrap)")
-    // same caller-version → log-slot resolution as refresh
-    val slot = version + versionOffset(spark, root)
+    // Forgets live in their OWN version sequence (`version` is the
+    // forget's replay identity, e.g. a GDPR-request counter), not the
+    // caller's refresh sequence: a forget consuming refresh-slot N
+    // would collide with the next micro-batch of a batchId-sequenced
+    // stream (the same wedge class as purge's compaction fold). The
+    // slot is allocated ABOVE everything used, pinned by a marker for
+    // replay idempotence, and the refresh offset is bumped so future
+    // caller versions skip over it. Order is marker → bump → data:
+    // a crash anywhere leaves a replayable state (the replay reuses
+    // the marker's slot and rewrites idempotently); run forgets in a
+    // maintenance window at a committed checkpoint, and re-run after
+    // a crash (erasure needs verification anyway).
+    val markerP = new Path(s"${forgetDir(root)}/_slot_of_$version")
+    val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slot = if (fs.exists(markerP)) {
+      val in = fs.open(markerP)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else {
+      val s = (MergeLog.versions(spark, logDir(root)) ++
+        metaVersions(spark, root)).max + 1
+      val out = fs.create(markerP, true)
+      try out.write(s.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      writeVersionOffset(spark, root, versionOffset(spark, root) + 1)
+      s
+    }
     val priorMax = readMetaBefore(spark, root, slot)
-    // same version-rewrite tripwire as refresh: a replayed forget
-    // re-records the unchanged high-water; a refresh already holding
-    // this slot recorded a higher one and must not be overwritten
-    val recordedMeta = metaFor(spark, root, slot) // one read, two guards
-    recordedMeta.foreach(recorded =>
+    // rewrite tripwire: a replayed forget re-records the unchanged
+    // high-water; anything else claiming the marker's slot is a
+    // single-writer violation and must not be overwritten
+    metaFor(spark, root, slot).foreach(recorded =>
       require(recorded == priorMax,
-        s"version $version (slot $slot) of the curation state at $root " +
-          s"was already written by a refresh (recorded high-water " +
-          s"$recorded); a forget needs its own fresh version slot"))
-    require(recordedMeta.isDefined ||
-      !MergeLog.versions(spark, logDir(root)).contains(slot),
-      s"log slot $slot at $root is a compaction fold, not a forget " +
-        "slot; use MergeLog.nextVersion to continue the lineage")
+        s"forget $version's slot $slot at $root was already written " +
+          s"with a different high-water ($recorded vs $priorMax) — a " +
+          "concurrent writer claimed the slot; verify the lineage"))
     val fl = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
     fl.coalesce(1).write.mode("overwrite")
       .parquet(s"${forgetDir(root)}/__v=$slot")
@@ -470,6 +496,18 @@ object IncrementalCuration {
     import spark.implicits._
     Seq(maxId).toDF("max_ingested_id").coalesce(1)
       .write.mode("overwrite").parquet(s"${metaDir(root)}/__v=$version")
+  }
+
+  /** Slots holding a meta row — with the log versions, the "everything
+    * used" set [[forget]]'s slot allocation must clear.
+    */
+  private def metaVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(metaDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__v="))
+      .map(_.getPath.getName.stripPrefix("__v=").toLong)
   }
 
   private def metaFor(spark: SparkSession, root: String,

@@ -244,13 +244,16 @@ class IncrementalCurationSpec extends SparkTestBase {
     IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
     IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
     assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(2L))
-    // and a forget may not claim a slot a refresh already wrote
+    // the replay reused its marker-pinned slot: exactly ONE forget
+    // slot exists, and the replay did not bump the refresh offset twice
+    assert(IncrementalCuration.versionOffset(spark, root) == 1L)
+    // forgets live in their own sequence: a forget version NUMERICALLY
+    // equal to an already-written refresh version is fine — it
+    // allocates its own slot above everything used
     IncrementalCuration.refresh(corpus(doc(10, "delta"))
       .toDF("doc_id", "text"), root, version = 2L)
-    val e = intercept[IllegalArgumentException] {
-      IncrementalCuration.forget(spark, Seq(2L), root, version = 2L)
-    }
-    assert(e.getMessage.contains("already"))
+    IncrementalCuration.forget(spark, Seq(2L), root, version = 2L)
+    assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(10L))
   }
 
   test("purgeForgotten erases index and log content, preserving behavior") {

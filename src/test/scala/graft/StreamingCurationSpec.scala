@@ -60,6 +60,48 @@ class StreamingCurationSpec extends SparkTestBase {
       == Set(1L, 11L))
   }
 
+  test("a purge between checkpointed runs does not wedge the resumed stream") {
+    // the literal r12 failure scenario: the stream's versions derive
+    // from batchIds, the purge's compaction consumes the next
+    // sequential log slot, and before the version offset the resumed
+    // stream tripped the fold-slot guard forever
+    val root = Spill.newPath(spark) + "/ckstate"
+    IncrementalCuration.bootstrap(corpus(doc(1, "alpha")), pipeline, root)
+    val deltaDir = new java.io.File(Spill.newPath(spark) + "/ckdelta")
+    deltaDir.mkdirs()
+    def writeBatch(name: String, mtime: Long, rows: (Long, String)*): Unit = {
+      val tmp = Spill.newPath(spark)
+      corpus(rows: _*).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(deltaDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val ckpt = Spill.newPath(spark) + "/ckpt"
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema(corpus(doc(0, "x")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(deltaDir.getAbsolutePath)
+      StreamingCuration.run(stream, root, checkpointLocation = Some(ckpt))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatch("b0.parquet", t0, doc(10, "beta"))
+    runStream() // batch 0 -> version 1
+
+    // maintenance window at a committed checkpoint: forget + purge
+    // (the forget takes the NEXT sequential slot after the stream's)
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 2L)
+    IncrementalCuration.purgeForgotten(spark, root)
+
+    // resume the SAME checkpoint with a new batch: twin of forgotten
+    // doc 1 must now admit; twin of admitted doc 10 must still drop
+    writeBatch("b1.parquet", t0 + 10000, doc(20, "alpha"), doc(21, "beta"))
+    runStream() // batch 1 -> version 2, resolved past the fold
+    assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(10L, 20L))
+  }
+
   test("single-batch streamed curation equals the direct refresh") {
     val base = corpus(doc(1, "alpha"), doc(2, "beta"))
     val delta = corpus(doc(10, "alpha"), doc(11, "gamma"))
