@@ -2520,6 +2520,45 @@ object SparkEntry {
             .as("f_avg_c"), col("f_min"), col("f_max"))
     }),
 
+    // GDPR erasure + retention over the feature state, composed:
+    // forgetKeys removes every user_id % 7 == 3 key's whole history in
+    // one atomic fold (served as ABSENT, not zero), then a retention
+    // compaction trims state to exactly the 7-day serving horizon —
+    // state bounded forever — and the horizon-aligned serve must still
+    // equal the full-history window. The in-gate assertion pins the
+    // refusal contract: a wider window (reaching erased buckets) fails
+    // by name instead of silently under-aggregating.
+    "q_swa_forget_state" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val mid = (minB + maxB) / 2
+      IncrementalSwa.ingest(
+        ev.where(col("__d") <= mid).drop("__d"), state, cfg, 0L)
+      IncrementalSwa.ingest(
+        ev.where(col("__d") > mid).drop("__d"), state, cfg, 1L)
+      IncrementalSwa.forgetKeys(s, state, cfg,
+        ev.select(col("user_id")).distinct()
+          .where(col("user_id") % 7 === 3))
+      IncrementalSwa.compactRetaining(s, state, cfg, (maxB + 1) - 7)
+      val horizonErr = try {
+        IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 8).count()
+        "NO-ERROR"
+      } catch { case e: IllegalArgumentException => e.getMessage }
+      require(horizonErr.contains("retention-compacted"),
+        s"a window below the retention horizon must be refused: $horizonErr")
+      IncrementalSwa.serve(s, state, cfg, (maxB + 1) * dayUs, 7)
+        .select(col("user_id"), round(col("f_sum"), 4).as("f_sum"),
+          col("f_cnt"), col("f_min"), col("f_max"))
+    }),
+
     // Late data + compaction on the same state: the middle day-range
     // delta is delivered LAST (additive partials need no correction
     // path — one more version and every serve is exact), then the
@@ -5511,6 +5550,22 @@ object SparkEntry {
         |  count(value) AS f_cnt,
         |  round(sum(round(value * 100)::BIGINT)::BIGINT
         |        / count(value))::BIGINT AS f_avg_c,
+        |  min(value) AS f_min,
+        |  max(value) AS f_max
+        |FROM e, mx
+        |WHERE e.us >= mx.t - 7 * 86400000000 AND e.us < mx.t
+        |GROUP BY user_id""".stripMargin,
+
+    // erased keys are ABSENT rows; the retained-horizon serve equals
+    // the plain 7d window over the surviving keys
+    "q_swa_forget_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |           WHERE user_id % 7 <> 3),
+        |mx AS (SELECT ((max(epoch_us(ts)) // 86400000000) + 1)
+        |         * 86400000000 AS t FROM events)
+        |SELECT user_id,
+        |  round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4) AS f_sum,
+        |  count(value) AS f_cnt,
         |  min(value) AS f_min,
         |  max(value) AS f_max
         |FROM e, mx

@@ -66,6 +66,7 @@ object IncrementalDistinct {
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
     val regs = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy((cfg.keyCols :+ "bucket").map(col): _*)
@@ -78,8 +79,26 @@ object IncrementalDistinct {
     * posture.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir, () =>
-      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
-        .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bucket")): _*)
-        .agg(max(col("rho")).as("rho")))
+    IncrementalSwa.compactFold(spark, dir, () => foldState(spark, dir, cfg))
+
+  private def foldState(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame =
+    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** Retention compaction — [[IncrementalSwa.compactRetaining]]'s
+    * contract for register state.
+    */
+  def compactRetaining(spark: SparkSession, dir: String, cfg: Config,
+      minBucket: Long): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).where(col(BCol) >= minBucket),
+      newRetainedFrom = Some(minBucket))
+
+  /** GDPR erasure — [[IncrementalSwa.forgetKeys]]'s contract. */
+  def forgetKeys(spark: SparkSession, dir: String, cfg: Config,
+      keys: DataFrame): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).join(keys, cfg.keyCols, "left_anti"))
 }

@@ -73,6 +73,7 @@ object IncrementalQuantile {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
     val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
     val merged = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy((cfg.keyCols :+ "bin").map(col): _*)
@@ -106,8 +107,26 @@ object IncrementalQuantile {
     * [[IncrementalSwa.compact]].
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir, () =>
-      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
-        .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bin")): _*)
-        .agg(sum(col("n")).as("n")))
+    IncrementalSwa.compactFold(spark, dir, () => foldState(spark, dir, cfg))
+
+  private def foldState(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame =
+    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .groupBy((cfg.keyCols.map(col) :+ col(BCol) :+ col("bin")): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Retention compaction — [[IncrementalSwa.compactRetaining]]'s
+    * contract for histogram state.
+    */
+  def compactRetaining(spark: SparkSession, dir: String, cfg: Config,
+      minBucket: Long): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).where(col(BCol) >= minBucket),
+      newRetainedFrom = Some(minBucket))
+
+  /** GDPR erasure — [[IncrementalSwa.forgetKeys]]'s contract. */
+  def forgetKeys(spark: SparkSession, dir: String, cfg: Config,
+      keys: DataFrame): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).join(keys, cfg.keyCols, "left_anti"))
 }

@@ -54,6 +54,7 @@ object IncrementalSwa {
   val VCol = "__v"
   val BCol = "__b"
   private[operators] val FoldPrefix = "_folded_through_"
+  private[operators] val RetainPrefix = "_retained_from_"
 
   /** `bucketUs` is the maintenance grain (day/hour) in epoch-micros;
     * sums are maintained on the exact integer grid `round(value·100)`
@@ -156,21 +157,57 @@ object IncrementalSwa {
     * lease scope.
     */
   private[operators] def compactFold(spark: SparkSession, dir: String,
-      mkFold: () => DataFrame): Long = locked(spark, dir) {
+      mkFold: () => DataFrame,
+      newRetainedFrom: Option[Long] = None): Long = locked(spark, dir) {
     val fold = mkFold()
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
       "least one delta before compacting")
     val vmax = vs.max
+    // the retention horizon SURVIVES later compactions: without the
+    // carry, a plain compact after a retaining one would drop the
+    // marker and a serve reaching below the horizon would silently
+    // under-aggregate instead of failing by name
+    val carried = retainedFrom(spark, dir)
+    val horizon = (carried.toSeq ++ newRetainedFrom.toSeq).maxOption
     Publish.publish(spark, dir) { gen =>
       fold.sortWithinPartitions(BCol)
         .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
-      val marker = new Path(s"$gen/$FoldPrefix$vmax")
-      val out = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(marker, false)
-      out.close()
+      val f = new Path(gen).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.create(new Path(s"$gen/$FoldPrefix$vmax"), false).close()
+      horizon.foreach(h =>
+        f.create(new Path(s"$gen/$RetainPrefix$h"), false).close())
     }
   }
+
+  /** The oldest bucket the live generation still fully covers, if a
+    * retention compaction ever trimmed history (None = everything ever
+    * ingested is present).
+    */
+  def retainedFrom(spark: SparkSession, dir: String): Option[Long] =
+    liveGenOpt(spark, dir).flatMap { g =>
+      val gen = new Path(g)
+      val f = fs(spark, dir)
+      if (!f.exists(gen)) None
+      else f.listStatus(gen).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith(RetainPrefix))
+        .map(_.drop(RetainPrefix.length).toLong)
+        .maxOption
+    }
+
+  /** Named refusal shared by every store's serve path: a window
+    * reaching below the retention horizon would silently
+    * under-aggregate (the buckets are GONE, not empty).
+    */
+  private[operators] def requireWithinRetention(spark: SparkSession,
+      dir: String, loB: Long): Unit =
+    retainedFrom(spark, dir).foreach(h =>
+      require(loB >= h,
+        s"window reaches bucket $loB but the state at $dir was " +
+          s"retention-compacted from bucket $h — buckets below the " +
+          "horizon are erased, not empty; serve a window within the " +
+          "retained range or re-ingest history"))
 
   /** Fold `delta` to per-(key, bucket) partials and append them as
     * `version`. Only the delta is shuffled; a replay of a live version
@@ -249,6 +286,7 @@ object IncrementalSwa {
         "times belong to the windowed join (J3)")
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val hiB = asOfUs / cfg.bucketUs
+    requireWithinRetention(spark, dir, hiB - windowBuckets)
     finishAgg(readState(spark, dir), cfg, hiB - windowBuckets, hiB)
   }
 
@@ -261,7 +299,10 @@ object IncrementalSwa {
     * per-key rolling RANGE-frame window over the bucket GRID (rows =
     * keys × buckets — the size of the output itself, not of the event
     * history). Buckets whose window holds no events are omitted, same
-    * as [[serve]]'s absent keys.
+    * as [[serve]]'s absent keys. After a [[compactRetaining]], rows
+    * whose window would reach below the retention horizon aggregate
+    * only the retained buckets — the same left-edge semantics as the
+    * first `windowBuckets` days of any history.
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
       windowBuckets: Int): DataFrame = {
@@ -311,6 +352,7 @@ object IncrementalSwa {
     require(asOfUs % cfg.bucketUs == 0,
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
     val hiB = asOfUs / cfg.bucketUs
+    requireWithinRetention(spark, dir, hiB - windowBuckets)
     finishAgg(readState(spark, dir).where(col(VCol) <= asOfVersion), cfg,
       hiB - windowBuckets, hiB)
   }
@@ -323,12 +365,43 @@ object IncrementalSwa {
     * retention horizon. Returns the new generation number.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    compactFold(spark, dir, () => readState(spark, dir)
+    compactFold(spark, dir, () => foldState(spark, dir, cfg))
+
+  private def foldState(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame =
+    readState(spark, dir)
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
       .agg(
         sum(col("psum_c")).as("psum_c"),
         sum(col("pcnt")).as("pcnt"),
         min(col("pmin")).as("pmin"),
         max(col("pmax")).as("pmax"),
-        max(col("plast")).as("plast")))
+        max(col("plast")).as("plast"))
+
+  /** Retention compaction: [[compact]] dropping buckets below
+    * `minBucket` — the knob that keeps state bounded by the serving
+    * horizon FOREVER (keys × retained buckets), instead of growing
+    * with corpus age. The horizon is recorded in the new generation
+    * (and carried through later compactions); a serve whose window
+    * reaches below it fails by name rather than silently
+    * under-aggregating over erased buckets.
+    */
+  def compactRetaining(spark: SparkSession, dir: String, cfg: Config,
+      minBucket: Long): Long =
+    compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).where(col(BCol) >= minBucket),
+      newRetainedFrom = Some(minBucket))
+
+  /** GDPR erasure for feature state: fold the live generation WITHOUT
+    * `keys`' rows into a new generation — one linear pass, atomic
+    * flip, nothing of the keys' history remains (additive partials
+    * cannot retract selectively; erasing the key's rows entirely is
+    * exactly what an erasure obligation wants). Serves return the
+    * keys as absent thereafter; a later ingest may legally re-admit
+    * them with fresh data.
+    */
+  def forgetKeys(spark: SparkSession, dir: String, cfg: Config,
+      keys: DataFrame): Long =
+    compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).join(keys, cfg.keyCols, "left_anti"))
 }

@@ -111,6 +111,7 @@ object IncrementalUnion {
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
     spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy(cfg.keyCols.map(col): _*)
@@ -125,14 +126,35 @@ object IncrementalUnion {
     * generation stays as it was.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir, { () =>
-      // built (and cap-checked) INSIDE the lease — see compactFold
-      val fold = spark.read
-        .parquet(IncrementalSwa.requireLiveGen(spark, dir))
-        .groupBy((cfg.keyCols :+ BCol).map(col): _*)
-        .agg(array_distinct(flatten(collect_list(col("pset")))).as("pset"))
-      capCheck(spark, fold, cfg, s"compaction of $dir")
-        .foreach(msg => throw new IllegalStateException(msg))
-      fold
-    })
+    IncrementalSwa.compactFold(spark, dir, () => foldState(spark, dir, cfg))
+
+  private def foldState(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame = {
+    // built (and cap-checked) INSIDE the lease — see compactFold
+    val fold = spark.read
+      .parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(array_distinct(flatten(collect_list(col("pset")))).as("pset"))
+    capCheck(spark, fold, cfg, s"compaction of $dir")
+      .foreach(msg => throw new IllegalStateException(msg))
+    fold
+  }
+
+  /** Retention compaction — [[IncrementalSwa.compactRetaining]]'s
+    * contract for set state: buckets below `minBucket` are erased and
+    * serves below the recorded horizon fail by name.
+    */
+  def compactRetaining(spark: SparkSession, dir: String, cfg: Config,
+      minBucket: Long): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).where(col(BCol) >= minBucket),
+      newRetainedFrom = Some(minBucket))
+
+  /** GDPR erasure — [[IncrementalSwa.forgetKeys]]'s contract: the
+    * keys' item sets are removed entirely in one atomic fold.
+    */
+  def forgetKeys(spark: SparkSession, dir: String, cfg: Config,
+      keys: DataFrame): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).join(keys, cfg.keyCols, "left_anti"))
 }

@@ -83,6 +83,7 @@ object IncrementalVector {
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
     spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy(cfg.keyCols.map(col): _*)
@@ -102,12 +103,30 @@ object IncrementalVector {
     * generation — exact long adds for sums/counts, min/max folds.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir, () =>
-      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
-        .groupBy((cfg.keyCols :+ BCol).map(col): _*)
-        .agg(
-          LongVectorSumAggregator.longVecSum(col("pesum")).as("pesum"),
-          sum(col("pcnt")).as("pcnt"),
-          VectorAggregator("min", col("pemin")).as("pemin"),
-          VectorAggregator("max", col("pemax")).as("pemax")))
+    IncrementalSwa.compactFold(spark, dir, () => foldState(spark, dir, cfg))
+
+  private def foldState(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame =
+    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .groupBy((cfg.keyCols :+ BCol).map(col): _*)
+      .agg(
+        LongVectorSumAggregator.longVecSum(col("pesum")).as("pesum"),
+        sum(col("pcnt")).as("pcnt"),
+        VectorAggregator("min", col("pemin")).as("pemin"),
+        VectorAggregator("max", col("pemax")).as("pemax"))
+
+  /** Retention compaction — [[IncrementalSwa.compactRetaining]]'s
+    * contract for vector state.
+    */
+  def compactRetaining(spark: SparkSession, dir: String, cfg: Config,
+      minBucket: Long): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).where(col(BCol) >= minBucket),
+      newRetainedFrom = Some(minBucket))
+
+  /** GDPR erasure — [[IncrementalSwa.forgetKeys]]'s contract. */
+  def forgetKeys(spark: SparkSession, dir: String, cfg: Config,
+      keys: DataFrame): Long =
+    IncrementalSwa.compactFold(spark, dir,
+      () => foldState(spark, dir, cfg).join(keys, cfg.keyCols, "left_anti"))
 }
