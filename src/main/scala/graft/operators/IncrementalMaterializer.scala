@@ -181,6 +181,65 @@ object IncrementalMaterializer {
     applyDerived(wide, features, derived)
   }
 
+  /** One (measure, kind) maintenance dispatch — the shared loop under
+    * [[compact]]/[[compactRetaining]]/[[forgetKeys]]: the same
+    * measure-dedup as [[refresh]], one store-level call per distinct
+    * (defExpr, filter, kind).
+    */
+  private def eachStore(root: String, features: Seq[AnchorFeature],
+      keyCols: Seq[String], tsCol: String, bucketUs: Long)(
+      onScalar: (String, IncrementalSwa.Config) => Unit,
+      onUnion: (String, IncrementalUnion.Config) => Unit,
+      onVector: (String, IncrementalVector.Config) => Unit): Unit = {
+    require(features.nonEmpty, "no features to maintain")
+    features.map(planOf(_, bucketUs)._1).distinct.foreach { m =>
+      val dir = storeDir(root, m)
+      m.kind match {
+        case Scalar => onScalar(dir, cfg(keyCols, tsCol, bucketUs))
+        case SetUnion => onUnion(dir,
+          IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs))
+        case Vector => onVector(dir,
+          IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs))
+      }
+    }
+  }
+
+  /** Compact every measure store of the feature set — the nightly
+    * maintenance action, one atomic generation fold per store.
+    */
+  def compact(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long): Unit =
+    eachStore(root, features, keyCols, tsCol, bucketUs)(
+      IncrementalSwa.compact(spark, _, _),
+      IncrementalUnion.compact(spark, _, _),
+      IncrementalVector.compact(spark, _, _))
+
+  /** Retention across every measure store: state bounded by the
+    * serving horizon for the WHOLE feature set
+    * ([[IncrementalSwa.compactRetaining]]'s contract per store —
+    * serves below the horizon fail by name).
+    */
+  def compactRetaining(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, minBucket: Long): Unit =
+    eachStore(root, features, keyCols, tsCol, bucketUs)(
+      IncrementalSwa.compactRetaining(spark, _, _, minBucket),
+      IncrementalUnion.compactRetaining(spark, _, _, minBucket),
+      IncrementalVector.compactRetaining(spark, _, _, minBucket))
+
+  /** GDPR erasure across every measure store: "delete these keys from
+    * every feature" in one call — each store folds the keys' whole
+    * history away atomically ([[IncrementalSwa.forgetKeys]]).
+    */
+  def forgetKeys(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, keys: DataFrame): Unit =
+    eachStore(root, features, keyCols, tsCol, bucketUs)(
+      IncrementalSwa.forgetKeys(spark, _, _, keys),
+      IncrementalUnion.forgetKeys(spark, _, _, keys),
+      IncrementalVector.forgetKeys(spark, _, _, keys))
+
   /** Validate and evaluate the derived DAG over the assembled wide
     * row: every input must resolve to a materialized anchor feature or
     * another derived feature, under the SAME key binding; evaluation

@@ -154,6 +154,35 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       (2L, Seq("b"), Seq(10.0, 20.0), Seq(10.0, 20.0), 10.0)))
   }
 
+  test("forgetKeys/compactRetaining maintain every store kind in one call") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(
+      feat("s2", wa("SUM")),
+      feat("tags_2d", Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d"))),
+      feat("vsum_2d", Transformation.WindowAgg("array(v)",
+        Aggregation.ELEMENTWISE_SUM, Durations.parse("2d"))))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    IncrementalMaterializer.forgetKeys(spark, root, feats,
+      Seq("k"), "ts", DayUs, Seq(1L).toDF("k"))
+    val snap = IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select("k", "s2", "tags_2d", "vsum_2d")
+      .as[(Long, Double, Seq[String], Seq[Double])].collect().toSeq
+    assert(snap == Seq((2L, 10.0, Seq("b"), Seq(10.0))),
+      s"key 1 must be erased from EVERY store: $snap")
+    // retention across the set: day-0 buckets erased everywhere, and
+    // a snapshot window reaching below the horizon fails by name
+    IncrementalMaterializer.compactRetaining(spark, root, feats,
+      Seq("k"), "ts", DayUs, minBucket = 1L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs).collect()
+    }
+    assert(e.getMessage.contains("retention-compacted"), e.getMessage)
+  }
+
   test("UNION state cap fails the refresh by name, leaving state intact") {
     val root = Spill.newPath(spark)
     val feats = Seq(feat("tags", Transformation.WindowAgg("tag",
