@@ -39,6 +39,13 @@ trait OnlineStore extends Serializable {
     */
   def putAll(table: String, rows: Iterator[(String, Map[String, String])]): Unit =
     rows.foreach { case (k, v) => put(table, k, v) }
+  /** Bulk erasure — the GDPR path ([[Materializer.deleteKeys]]). The
+    * default rides [[putAll]]'s replace-on-write: an EMPTY value map
+    * deletes the key (the RESP impl issues only the DEL); impls whose
+    * empty-write is not a delete must override.
+    */
+  def deleteAll(table: String, keys: Iterator[String]): Unit =
+    putAll(table, keys.map(_ -> Map.empty[String, String]))
 }
 
 /** File-backed store for tests: one csv-ish line per key. Field names
@@ -66,6 +73,12 @@ class FileOnlineStore(dir: String) extends OnlineStore {
       .split("\n").iterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); dec(k) -> dec(v) }.toMap)
   }
+
+  /** An empty-map write leaves an empty FILE here (key present, no
+    * fields) — not a delete — so erasure removes the file itself.
+    */
+  override def deleteAll(table: String, keys: Iterator[String]): Unit =
+    keys.foreach(k => fileOf(table, k).delete())
 }
 
 /** Backfill step resolution (reference `DateTimeResolution`,
@@ -252,6 +265,38 @@ object Materializer {
           .save(path)
       case s: OutputSink.Online => write(df, keyColumns, s)
     } finally if (sinks.size > 1) df.unpersist()
+  }
+
+  /** GDPR erasure on the ONLINE serving side: delete `keys`' rows from
+    * every online sink, with the SAME key encoding the write path uses
+    * (keyCols joined by '#') — the last leg of the forget cascade
+    * (curation state → feature state → served features). Distributed:
+    * one bulk [[OnlineStore.deleteAll]] per partition, the write
+    * path's pipelining discipline. File/generic sinks are REFUSED by
+    * name — offline erasure is a rewrite, owned by the merge-log /
+    * store compaction paths, not a per-key mutation.
+    */
+  def deleteKeys(keys: DataFrame, keyColumns: Seq[String],
+      sinks: Seq[OutputSink]): Unit = {
+    sinks.foreach {
+      case OutputSink.Generic(format, path, _, _, _) =>
+        throw new IllegalArgumentException(
+          s"deleteKeys cannot erase from the $format file sink at $path — " +
+            "file sinks are immutable snapshots; rewrite them from the " +
+            "erased upstream state (MergeLog compaction / store " +
+            "forgetKeys) instead")
+      case _: OutputSink.Online => ()
+    }
+    val kc = keyColumns
+    sinks.foreach { case OutputSink.Online(table, store) =>
+      keys.select(keyColumns.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          store.deleteAll(table, rows.map(r =>
+            kc.map(c => String.valueOf(r.getAs[Any](c))).mkString("#")))
+        }
+      case _ => ()
+    }
   }
 
   def write(df: DataFrame, keyColumns: Seq[String], sink: OutputSink): Unit = sink match {

@@ -117,4 +117,37 @@ class RespOnlineStoreSpec extends SparkTestBase {
       assert(store.get("feat", "200").isEmpty)
     }
   }
+
+  test("deleteKeys erases the online rows for exactly the given keys") {
+    withServer { (_, store) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 60).map(i => Row(i.toLong, s"name$i")), 4),
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("f_name", StringType))))
+      Materializer.write(df, Seq("user_id"), OutputSink.Online("gdpr", store))
+      val gone = df.where(org.apache.spark.sql.functions.col("user_id") % 3 === 0)
+      Materializer.deleteKeys(gone, Seq("user_id"),
+        Seq(OutputSink.Online("gdpr", store)))
+      (0 until 60).foreach { i =>
+        val got = store.get("gdpr", i.toString)
+        if (i % 3 == 0) assert(got.isEmpty, s"key $i must be erased")
+        else assert(got.contains(Map("f_name" -> s"name$i")), s"key $i lost")
+      }
+      // file sinks are refused by name — offline erasure is a rewrite
+      val e = intercept[IllegalArgumentException] {
+        Materializer.deleteKeys(gone, Seq("user_id"),
+          Seq(OutputSink.Generic("parquet", "/tmp/x", "overwrite", Map(), None)))
+      }
+      assert(e.getMessage.contains("file sink"), e.getMessage)
+      // and the FileOnlineStore override deletes the file, not writes
+      // an empty one
+      val fdir = java.nio.file.Files.createTempDirectory("fos").toString
+      val fos = new FileOnlineStore(fdir)
+      fos.put("t", "a", Map("x" -> "1")); fos.put("t", "b", Map("x" -> "2"))
+      fos.deleteAll("t", Iterator("a"))
+      assert(fos.get("t", "a").isEmpty && fos.get("t", "b").nonEmpty)
+    }
+  }
 }
