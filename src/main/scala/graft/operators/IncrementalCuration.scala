@@ -115,8 +115,26 @@ object IncrementalCuration {
     * near-dup index over every stage entrant. Returns the curated
     * snapshot.
     */
+  /** Writer-lease wrap for every lineage MUTATION
+    * (bootstrap/refresh/forget/purge): the curation state's documented
+    * single-writer assumption, enforced cross-process the same way as
+    * the incremental feature stores ([[WriterLease]]). Reads
+    * (snapshot/preview) hold no lock.
+    */
+  private def locked[A](spark: SparkSession, root: String)(f: => A): A =
+    WriterLease.withLease(spark, root,
+      spark.conf.getOption("spark.graft.lease.owner")
+        .getOrElse(spark.sparkContext.applicationId))(f)
+
   def bootstrap(corpus: DataFrame, pipeline: CurationPipeline, root: String,
-      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+      reference: Option[(DataFrame, String, String)] = None): DataFrame =
+    locked(corpus.sparkSession, root) {
+      bootstrapLocked(corpus, pipeline, root, reference)
+    }
+
+  private def bootstrapLocked(corpus: DataFrame, pipeline: CurationPipeline,
+      root: String,
+      reference: Option[(DataFrame, String, String)]): DataFrame = {
     val spark = corpus.sparkSession
     val (pre, nd, post) = splitStages(pipeline)
     val maxRow = corpus.agg(max(col(pipeline.idCol).cast("long"))).head()
@@ -154,7 +172,13 @@ object IncrementalCuration {
     * partition.
     */
   def refresh(delta: DataFrame, root: String, version: Long,
-      reference: Option[(DataFrame, String, String)] = None): DataFrame = {
+      reference: Option[(DataFrame, String, String)] = None): DataFrame =
+    locked(delta.sparkSession, root) {
+      refreshLocked(delta, root, version, reference)
+    }
+
+  private def refreshLocked(delta: DataFrame, root: String, version: Long,
+      reference: Option[(DataFrame, String, String)]): DataFrame = {
     val spark = delta.sparkSession
     val pipeline = readConfig(spark, root)
     val (pre, nd, post) = splitStages(pipeline)
@@ -314,7 +338,11 @@ object IncrementalCuration {
     * Step 2, [[purgeForgotten]], physically erases the content from
     * the index and log in a maintenance window.
     */
-  def forget(ids: DataFrame, root: String, version: Long): Unit = {
+  def forget(ids: DataFrame, root: String, version: Long): Unit =
+    locked(ids.sparkSession, root) { forgetLocked(ids, root, version) }
+
+  private def forgetLocked(ids: DataFrame, root: String,
+      version: Long): Unit = {
     val spark = ids.sparkSession
     val pipeline = readConfig(spark, root)
     require(version > 0L, "forget versions start at 1 (0 is the bootstrap)")
@@ -389,7 +417,8 @@ object IncrementalCuration {
     * independent of how many forgets accumulated; run it on the
     * erasure deadline, not per request.
     */
-  def purgeForgotten(spark: SparkSession, root: String): Unit = {
+  def purgeForgotten(spark: SparkSession, root: String): Unit =
+    locked(spark, root) {
     val pipeline = readConfig(spark, root)
     forgottenBefore(spark, root, Long.MaxValue).foreach { ids =>
       NearDupIndex.purge(spark, indexDir(root), ids)
