@@ -122,9 +122,7 @@ object IncrementalCuration {
     * (snapshot/preview) hold no lock.
     */
   private def locked[A](spark: SparkSession, root: String)(f: => A): A =
-    WriterLease.withLease(spark, root,
-      spark.conf.getOption("spark.graft.lease.owner")
-        .getOrElse(spark.sparkContext.applicationId))(f)
+    WriterLease.withLease(spark, root, WriterLease.ownerOf(spark))(f)
 
   def bootstrap(corpus: DataFrame, pipeline: CurationPipeline, root: String,
       reference: Option[(DataFrame, String, String)] = None): DataFrame =
@@ -351,13 +349,20 @@ object IncrementalCuration {
     // caller's refresh sequence: a forget consuming refresh-slot N
     // would collide with the next micro-batch of a batchId-sequenced
     // stream (the same wedge class as purge's compaction fold). The
-    // slot is allocated ABOVE everything used, pinned by a marker for
-    // replay idempotence, and the refresh offset is bumped so future
-    // caller versions skip over it. Order is marker → bump → data:
-    // a crash anywhere leaves a replayable state (the replay reuses
-    // the marker's slot and rewrites idempotently); run forgets in a
-    // maintenance window at a committed checkpoint, and re-run after
-    // a crash (erasure needs verification anyway).
+    // slot is allocated ABOVE everything used — log versions, meta
+    // slots, AND other forgets' marker-claimed slots (a crashed
+    // forget's slot must never be handed to a different forget: its
+    // replay would overwrite the other's work-list and tombstones,
+    // silently losing an erasure) — pinned by a marker for replay
+    // idempotence, with the refresh offset bumped so future caller
+    // versions skip over it. Order is bump → marker → data (the
+    // purge's bump-first discipline): a crash between bump and marker
+    // costs one harmless skipped slot; a bump-last order would lose
+    // the bump forever on a crash (the replay takes the marker-exists
+    // branch, which never bumps) and wedge the stream's next refresh
+    // on this slot's meta tripwire. Run forgets in a maintenance
+    // window at a committed checkpoint, and re-run after a crash
+    // (erasure needs verification anyway).
     val markerP = new Path(s"${forgetDir(root)}/_slot_of_$version")
     val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val slot = if (fs.exists(markerP)) {
@@ -366,11 +371,11 @@ object IncrementalCuration {
       finally in.close()
     } else {
       val s = (MergeLog.versions(spark, logDir(root)) ++
-        metaVersions(spark, root)).max + 1
+        metaVersions(spark, root) ++ forgetMarkerSlots(spark, root)).max + 1
+      writeVersionOffset(spark, root, versionOffset(spark, root) + 1)
       val out = fs.create(markerP, true)
       try out.write(s.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      writeVersionOffset(spark, root, versionOffset(spark, root) + 1)
       s
     }
     val priorMax = readMetaBefore(spark, root, slot)
@@ -440,7 +445,14 @@ object IncrementalCuration {
       version: Long): Option[DataFrame] = {
     val p = new Path(forgetDir(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    // a forget that crashed between its slot marker and its data write
+    // leaves the dir existing with only underscore-hidden marker files
+    // — no `__v=` partitions — and a bare parquet read of it fails
+    // schema inference far from the cause; such a dir holds nothing
+    // forgotten yet
+    if (!fs.exists(p) || !fs.listStatus(p)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("__v=")))
+      None
     else Some(spark.read.option("basePath", forgetDir(root))
       .parquet(forgetDir(root))
       .where(col("__v") < version)
@@ -525,6 +537,24 @@ object IncrementalCuration {
     import spark.implicits._
     Seq(maxId).toDF("max_ingested_id").coalesce(1)
       .write.mode("overwrite").parquet(s"${metaDir(root)}/__v=$version")
+  }
+
+  /** Slots claimed by forget markers — including those of CRASHED
+    * forgets that never wrote data (they appear in no log/meta
+    * listing, but their replay will write to the claimed slot).
+    */
+  private def forgetMarkerSlots(spark: SparkSession,
+      root: String): Seq[Long] = {
+    val p = new Path(forgetDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_slot_of_"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
   }
 
   /** Slots holding a meta row — with the log versions, the "everything

@@ -187,7 +187,7 @@ object IncrementalMaterializer {
     * (defExpr, filter, kind).
     */
   private def eachStore(root: String, features: Seq[AnchorFeature],
-      keyCols: Seq[String], tsCol: String, bucketUs: Long)(
+      keyCols: Seq[String], tsCol: String, bucketUs: Long, unionCap: Int)(
       onScalar: (String, IncrementalSwa.Config) => Unit,
       onUnion: (String, IncrementalUnion.Config) => Unit,
       onVector: (String, IncrementalVector.Config) => Unit): Unit = {
@@ -197,7 +197,8 @@ object IncrementalMaterializer {
       m.kind match {
         case Scalar => onScalar(dir, cfg(keyCols, tsCol, bucketUs))
         case SetUnion => onUnion(dir,
-          IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs))
+          IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs,
+            unionCap))
         case Vector => onVector(dir,
           IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs))
       }
@@ -205,12 +206,14 @@ object IncrementalMaterializer {
   }
 
   /** Compact every measure store of the feature set — the nightly
-    * maintenance action, one atomic generation fold per store.
+    * maintenance action, one atomic generation fold per store. Pass
+    * the SAME `unionCap` the set was refreshed with, or the UNION
+    * folds are cap-checked against the wrong bound.
     */
   def compact(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long): Unit =
-    eachStore(root, features, keyCols, tsCol, bucketUs)(
+      bucketUs: Long, unionCap: Int = 10000): Unit =
+    eachStore(root, features, keyCols, tsCol, bucketUs, unionCap)(
       IncrementalSwa.compact(spark, _, _),
       IncrementalUnion.compact(spark, _, _),
       IncrementalVector.compact(spark, _, _))
@@ -218,24 +221,27 @@ object IncrementalMaterializer {
   /** Retention across every measure store: state bounded by the
     * serving horizon for the WHOLE feature set
     * ([[IncrementalSwa.compactRetaining]]'s contract per store —
-    * serves below the horizon fail by name).
+    * serves below the horizon fail by name). Same `unionCap`
+    * discipline as [[compact]].
     */
   def compactRetaining(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long, minBucket: Long): Unit =
-    eachStore(root, features, keyCols, tsCol, bucketUs)(
+      bucketUs: Long, minBucket: Long, unionCap: Int = 10000): Unit =
+    eachStore(root, features, keyCols, tsCol, bucketUs, unionCap)(
       IncrementalSwa.compactRetaining(spark, _, _, minBucket),
       IncrementalUnion.compactRetaining(spark, _, _, minBucket),
       IncrementalVector.compactRetaining(spark, _, _, minBucket))
 
   /** GDPR erasure across every measure store: "delete these keys from
     * every feature" in one call — each store folds the keys' whole
-    * history away atomically ([[IncrementalSwa.forgetKeys]]).
+    * history away atomically ([[IncrementalSwa.forgetKeys]]; the
+    * UNION store skips its cap check here by design, so erasure is
+    * never blocked by over-cap state).
     */
   def forgetKeys(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
       bucketUs: Long, keys: DataFrame): Unit =
-    eachStore(root, features, keyCols, tsCol, bucketUs)(
+    eachStore(root, features, keyCols, tsCol, bucketUs, unionCap = Int.MaxValue)(
       IncrementalSwa.forgetKeys(spark, _, _, keys),
       IncrementalUnion.forgetKeys(spark, _, _, keys),
       IncrementalVector.forgetKeys(spark, _, _, keys))

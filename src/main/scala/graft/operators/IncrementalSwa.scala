@@ -139,11 +139,13 @@ object IncrementalSwa {
 
   /** Cross-process writer-lease wrap shared by every incremental
     * store's write path (ingest/compact): the single-writer assumption,
-    * enforced ([[WriterLease]]). Owner = the Spark application id, so
-    * the loser's error names which job held the store.
+    * enforced ([[WriterLease]]). Owner = `spark.graft.lease.owner`
+    * when configured (same-owner crash-restart reclaim) else the
+    * application id — [[WriterLease.ownerOf]], ONE resolution for
+    * every leased writer in the engine.
     */
   private[operators] def locked[A](spark: SparkSession, dir: String)(f: => A): A =
-    WriterLease.withLease(spark, dir, spark.sparkContext.applicationId)(f)
+    WriterLease.withLease(spark, dir, WriterLease.ownerOf(spark))(f)
 
   /** Shared compaction choreography for every incremental store: write
     * the fold as the single `__v=<vmax>` of a NEW [[Publish]]
@@ -164,12 +166,17 @@ object IncrementalSwa {
     require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
       "least one delta before compacting")
     val vmax = vs.max
-    // the retention horizon SURVIVES later compactions: without the
-    // carry, a plain compact after a retaining one would drop the
+    // the retention horizon SURVIVES later plain compactions: without
+    // the carry, a plain compact after a retaining one would drop the
     // marker and a serve reaching below the horizon would silently
-    // under-aggregate instead of failing by name
+    // under-aggregate instead of failing by name. An EXPLICIT horizon
+    // REPLACES the carried one (not max): compactRetaining is the
+    // operator's assertion "state is complete from minBucket", which
+    // is exactly how a re-ingested history becomes servable again —
+    // lowering it without re-ingesting is the operator's own claim to
+    // make, loudly, through the same call.
     val carried = retainedFrom(spark, dir)
-    val horizon = (carried.toSeq ++ newRetainedFrom.toSeq).maxOption
+    val horizon = newRetainedFrom.orElse(carried)
     Publish.publish(spark, dir) { gen =>
       fold.sortWithinPartitions(BCol)
         .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
@@ -207,7 +214,9 @@ object IncrementalSwa {
         s"window reaches bucket $loB but the state at $dir was " +
           s"retention-compacted from bucket $h — buckets below the " +
           "horizon are erased, not empty; serve a window within the " +
-          "retained range or re-ingest history"))
+          "retained range, or re-ingest the history and re-run " +
+          "compactRetaining with the lower horizon (an explicit " +
+          "horizon replaces the recorded one)"))
 
   /** Fold `delta` to per-(key, bucket) partials and append them as
     * `version`. Only the delta is shuffled; a replay of a live version

@@ -126,35 +126,51 @@ object IncrementalUnion {
     * generation stays as it was.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
-    IncrementalSwa.compactFold(spark, dir, () => foldState(spark, dir, cfg))
+    IncrementalSwa.compactFold(spark, dir,
+      () => capChecked(spark, foldStateRaw(spark, dir, cfg), cfg,
+        s"compaction of $dir"))
 
-  private def foldState(spark: SparkSession, dir: String,
-      cfg: Config): DataFrame = {
-    // built (and cap-checked) INSIDE the lease — see compactFold
-    val fold = spark.read
+  /** The merged fold WITHOUT the cap check — callers apply the check
+    * AFTER their own filters, so retention/erasure are never refused
+    * because of the very rows they are about to delete (cross-version
+    * folds can exceed the cap even when every ingest passed it).
+    */
+  private def foldStateRaw(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame =
+    spark.read
       .parquet(IncrementalSwa.requireLiveGen(spark, dir))
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
       .agg(array_distinct(flatten(collect_list(col("pset")))).as("pset"))
-    capCheck(spark, fold, cfg, s"compaction of $dir")
+
+  private def capChecked(spark: SparkSession, fold: DataFrame,
+      cfg: Config, where: String): DataFrame = {
+    capCheck(spark, fold, cfg, where)
       .foreach(msg => throw new IllegalStateException(msg))
     fold
   }
 
   /** Retention compaction — [[IncrementalSwa.compactRetaining]]'s
     * contract for set state: buckets below `minBucket` are erased and
-    * serves below the recorded horizon fail by name.
+    * serves below the recorded horizon fail by name. The cap applies
+    * to what is KEPT, not what is dropped.
     */
   def compactRetaining(spark: SparkSession, dir: String, cfg: Config,
       minBucket: Long): Long =
     IncrementalSwa.compactFold(spark, dir,
-      () => foldState(spark, dir, cfg).where(col(BCol) >= minBucket),
+      () => capChecked(spark,
+        foldStateRaw(spark, dir, cfg).where(col(BCol) >= minBucket), cfg,
+        s"retention compaction of $dir"),
       newRetainedFrom = Some(minBucket))
 
   /** GDPR erasure — [[IncrementalSwa.forgetKeys]]'s contract: the
-    * keys' item sets are removed entirely in one atomic fold.
+    * keys' item sets are removed entirely in one atomic fold. NO cap
+    * check here — erasure must never be blocked by unrelated over-cap
+    * state (erasing the offender may be the remedy); the next
+    * [[compact]] surfaces any violation among the survivors.
     */
   def forgetKeys(spark: SparkSession, dir: String, cfg: Config,
       keys: DataFrame): Long =
     IncrementalSwa.compactFold(spark, dir,
-      () => foldState(spark, dir, cfg).join(keys, cfg.keyCols, "left_anti"))
+      () => foldStateRaw(spark, dir, cfg)
+        .join(keys, cfg.keyCols, "left_anti"))
 }

@@ -256,6 +256,40 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(ids(IncrementalCuration.snapshot(spark, root)) == Set(10L))
   }
 
+  test("a crashed forget (marker only) neither wedges refreshes nor leaks its slot") {
+    val root = Spill.newPath(spark) + "/cfstate"
+    IncrementalCuration.bootstrap(corpus(doc(1, "alpha")), pipeline, root)
+    // simulate a forget that died between its slot marker and its data
+    // write (the bump -> marker -> data order): offset bumped, marker
+    // file exists claiming slot 1, forget dir holds NO __v= partitions
+    import org.apache.hadoop.fs.Path
+    val fdir = s"$root/forget"
+    val fs = new Path(fdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(fdir))
+    val off = fs.create(new Path(s"$root/version_offset"), true)
+    off.write("1".getBytes("UTF-8")); off.close()
+    val out = fs.create(new Path(s"$fdir/_slot_of_1"), true)
+    out.write("1".getBytes("UTF-8")); out.close()
+    // refreshes must keep working (forgottenBefore tolerates the
+    // data-less dir instead of failing parquet schema inference)...
+    val snap = IncrementalCuration.refresh(
+      corpus(doc(10, "beta")), root, version = 1L)
+    assert(ids(snap) == Set(1L, 10L))
+    // ...and a DIFFERENT forget must not be handed the crashed one's
+    // marker-claimed slot (its replay would overwrite that work-list)
+    IncrementalCuration.forget(spark, Seq(10L), root, version = 2L)
+    val slotOf = { v: Long =>
+      val in = fs.open(new Path(s"$fdir/_slot_of_$v"))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+    assert(slotOf(2L) != slotOf(1L),
+      s"forget 2 reused crashed forget 1's claimed slot ${slotOf(1L)}")
+    // the crashed forget replays to completion on its own slot
+    IncrementalCuration.forget(spark, Seq(1L), root, version = 1L)
+    assert(ids(IncrementalCuration.snapshot(spark, root)).isEmpty)
+  }
+
   test("purgeForgotten erases index and log content, preserving behavior") {
     val base = corpus(doc(1, "alpha"), doc(2, "beta"), doc(4, "gamma"))
     val root = Spill.newPath(spark) + "/pgstate"

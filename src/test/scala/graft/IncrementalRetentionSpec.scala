@@ -50,6 +50,13 @@ class IncrementalRetentionSpec extends SparkTestBase {
     IncrementalSwa.compactRetaining(spark, dir, cfg, minBucket = 6L)
     assert(IncrementalSwa.retainedFrom(spark, dir).contains(6L))
     assert(sums(dir, 8, 2) == Map(1L -> 14.0, 2L -> 5.0))
+    // re-ingesting erased history + an EXPLICIT lower horizon makes it
+    // servable again (the explicit horizon REPLACES the recorded one —
+    // otherwise the re-ingest remedy the error names could never work)
+    IncrementalSwa.ingest(ev((1L, 5, 2.0)), dir, cfg, 3L)
+    IncrementalSwa.compactRetaining(spark, dir, cfg, minBucket = 5L)
+    assert(IncrementalSwa.retainedFrom(spark, dir).contains(5L))
+    assert(sums(dir, 8, 3) == Map(1L -> 16.0, 2L -> 5.0))
   }
 
   test("forgetKeys erases a key's whole history atomically; re-ingest re-admits") {
