@@ -2799,6 +2799,34 @@ object SparkEntry {
           col("f_icnt_7d"), col("d_vol_cents"), col("d_share_pct"))
     }),
 
+    // Feature-set-level GDPR erasure (the DSL maintenance surface):
+    // one forgetKeys call erases every user_id % 5 == 1 key from BOTH
+    // the scalar and the UNION measure store, then the snapshot serves
+    // the survivors — "delete this user from every feature" end to
+    // end, restated by the oracle as the filtered windowed aggregates.
+    "q_materialize_forget" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_sum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_props_7d", FeatureType.STRING,
+          Transformation.windowAgg("props", "UNION", "7d"), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("props"))
+      val maxB = ev.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val root = Spill.newPath(s)
+      IncrementalMaterializer.refresh(ev, root, feats,
+        Seq("user_id"), "ts", dayUs, 0L)
+      IncrementalMaterializer.forgetKeys(s, root, feats,
+        Seq("user_id"), "ts", dayUs,
+        ev.select(col("user_id")).distinct().where(col("user_id") % 5 === 1))
+      IncrementalMaterializer.snapshot(s, root, feats, Seq("user_id"), "ts",
+          dayUs, (maxB + 1) * dayUs)
+        .select(col("user_id"), round(col("f_sum_7d"), 4).as("f_sum_7d"),
+          explode(col("f_props_7d")).as("prop"))
+    }),
+
     // A4 UNION through the incremental stores: distinct props per user
     // over 7d, maintained as per-(key, day) sets — a SEMILATTICE, so
     // late deltas and compactions merge like LATEST. Served set
@@ -5675,6 +5703,24 @@ object SparkEntry {
         |  coalesce(psum_c, 0) * 100 // nullif(isum_c + coalesce(psum_c, 0), 0)
         |    AS d_share_pct
         |FROM a7 LEFT JOIN p7 USING (user_id)""".stripMargin,
+
+    // survivors' windowed sum cross the survivors' distinct props
+    // (explode drops prop-less users — inner-join semantics)
+    "q_materialize_forget" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, props
+        |           FROM events WHERE user_id % 5 <> 1),
+        |mx AS (SELECT ((max(epoch_us(ts)) // 86400000000) + 1)
+        |         * 86400000000 AS t FROM events),
+        |w AS (SELECT user_id, value, props FROM e, mx
+        |      WHERE us >= t - 7 * 86400000000 AND us < t),
+        |s AS (SELECT user_id,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |      AS f_sum_7d
+        |  FROM w GROUP BY user_id),
+        |p AS (SELECT DISTINCT user_id, props AS prop FROM w
+        |      WHERE props IS NOT NULL)
+        |SELECT s.user_id, s.f_sum_7d, p.prop
+        |FROM s JOIN p USING (user_id)""".stripMargin,
 
     // the served union set exploded = the distinct (user, prop) pairs
     // of the window
