@@ -2531,7 +2531,10 @@ object SparkEntry {
     "q_swa_forget_state" -> ((s, dir) => {
       val dayUs = 86400000000L
       val cfg = IncrementalSwa.Config(Seq("user_id"), "ts", "value", dayUs)
+      // NULL keys excluded at ingest — the q_materialize_forget parity
+      // rationale (the oracle's modulo filter drops them implicitly)
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), col("value"))
         .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
       val (minB, maxB) = {
@@ -2811,16 +2814,25 @@ object SparkEntry {
           Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
         AnchorFeature("f_props_7d", FeatureType.STRING,
           Transformation.windowAgg("props", "UNION", "7d"), Seq(userKey)))
+      // NULL keys are excluded at ingest: the oracle's `% 5 <> 1`
+      // filter drops NULL users implicitly, while Spark's anti-join
+      // would RETAIN NULL-key state (NULL % 5 === 1 is NULL) — filter
+      // both sides by construction so fixture drift can't diverge them
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull)
         .select(col("user_id"), col("ts"), col("value"), col("props"))
       val maxB = ev.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
         .head().getLong(0)
       val root = Spill.newPath(s)
       IncrementalMaterializer.refresh(ev, root, feats,
         Seq("user_id"), "ts", dayUs, 0L)
+      // spill the (tiny) erased-key set once — forgetKeys folds one
+      // store per measure, and an unspilled frame would re-scan events
+      // for every store's anti-join
       IncrementalMaterializer.forgetKeys(s, root, feats,
         Seq("user_id"), "ts", dayUs,
-        ev.select(col("user_id")).distinct().where(col("user_id") % 5 === 1))
+        Spill.roundTrip(ev.select(col("user_id")).distinct()
+          .where(col("user_id") % 5 === 1)))
       IncrementalMaterializer.snapshot(s, root, feats, Seq("user_id"), "ts",
           dayUs, (maxB + 1) * dayUs)
         .select(col("user_id"), round(col("f_sum_7d"), 4).as("f_sum_7d"),
