@@ -357,7 +357,9 @@ object IncrementalCuration {
     // idempotence, with the refresh offset bumped so future caller
     // versions skip over it. Order is bump → marker → data (the
     // purge's bump-first discipline): a crash between bump and marker
-    // costs one harmless skipped slot; a bump-last order would lose
+    // costs a harmless skipped slot or two (the replay re-allocates
+    // above the already-bumped offset, skipping the crashed slot AND
+    // the one the bump reserved); a bump-last order would lose
     // the bump forever on a crash (the replay takes the marker-exists
     // branch, which never bumps) and wedge the stream's next refresh
     // on this slot's meta tripwire. Run forgets in a maintenance

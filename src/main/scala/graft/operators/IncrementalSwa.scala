@@ -308,13 +308,19 @@ object IncrementalSwa {
     * per-key rolling RANGE-frame window over the bucket GRID (rows =
     * keys × buckets — the size of the output itself, not of the event
     * history). Buckets whose window holds no events are omitted, same
-    * as [[serve]]'s absent keys. After a [[compactRetaining]], rows
-    * whose window would reach below the retention horizon aggregate
-    * only the retained buckets — the same left-edge semantics as the
-    * first `windowBuckets` days of any history.
+    * as [[serve]]'s absent keys.
+    *
+    * Retention: after a [[compactRetaining]], buckets below the horizon
+    * are ERASED, not empty — a row whose window reaches below it would
+    * under-aggregate. Consistent with [[serve]]'s named refusal, such
+    * rows are EXCLUDED by default (every emitted row is exact); pass
+    * `includeHorizonPartialRows = true` to emit them anyway with
+    * genuine-left-edge semantics (aggregating only retained buckets,
+    * like the first `windowBuckets` days of any history) — training
+    * over such a table must know its first days are partial.
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
-      windowBuckets: Int): DataFrame = {
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val merged = readState(spark, dir)
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
@@ -333,13 +339,18 @@ object IncrementalSwa {
       .partitionBy(cfg.keyCols.map(col): _*)
       .orderBy(col(BCol))
       .rangeBetween(-(windowBuckets - 1L), 0L)
+    // horizon rows are dropped AFTER the window: the range frame at the
+    // first complete bucket still needs the retained buckets before it
+    val completeFrom =
+      if (includeHorizonPartialRows) loB
+      else retainedFrom(spark, dir).map(_ + windowBuckets - 1L).getOrElse(loB)
     spine.join(merged, cfg.keyCols :+ BCol, "left_outer")
       .withColumn("sum_c", sum(col("psum_c")).over(w))
       .withColumn("f_cnt", sum(col("pcnt")).over(w))
       .withColumn("f_min", min(col("pmin")).over(w))
       .withColumn("f_max", max(col("pmax")).over(w))
       .withColumn("pl", max(col("plast")).over(w))
-      .where(col("f_cnt").isNotNull)
+      .where(col("f_cnt").isNotNull && col(BCol) >= completeFrom)
       .withColumn("f_sum", col("sum_c") / 100.0)
       .withColumn("f_avg", col("f_sum") / col("f_cnt"))
       .select(cfg.keyCols.map(col) ++ Seq(col(BCol).as("bucket"),

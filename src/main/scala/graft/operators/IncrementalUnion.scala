@@ -63,6 +63,15 @@ object IncrementalUnion {
     * [[IncrementalSwa.ingest]]. An over-cap set deletes its own
     * partition and fails by name — the store is left as before the
     * ingest.
+    *
+    * Crash recovery: a crashed (or cap-failed-then-killed) ingest
+    * leaves a `_pending_<v>` staging dir — invisible to reads, but
+    * garbage — which the next leased ingest sweeps. The final
+    * delete→rename swap of a REPLAY has a window where the committed
+    * version partition is absent; recovery from a crash inside it is
+    * the replay itself (the foreachBatch/idempotent-version contract:
+    * whoever re-runs the version completes the swap), the same
+    * assumption every replay-overwrites-itself store makes.
     */
   def ingest(delta: DataFrame, dir: String, cfg: Config, version: Long): Unit = {
     val spark = delta.sparkSession
@@ -85,6 +94,11 @@ object IncrementalUnion {
       val pending = s"$gen/_pending_$version"
       val fs = new Path(gen)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // sweep staging dirs stranded by crashed ingests (safe under the
+      // lease: no other writer can have one in flight)
+      fs.listStatus(new Path(gen)).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_pending_"))
+        .foreach(s => fs.delete(s.getPath, true))
       delta.withColumn(BCol, b)
         .groupBy((cfg.keyCols :+ BCol).map(col): _*)
         .agg(collect_set(col(cfg.itemCol)).as("pset"))

@@ -24,11 +24,13 @@ import java.nio.charset.StandardCharsets
   * Staleness: a holder that died cannot release, so a lease older
   * than `ttlMs` (file modification time — assigned atomically with
   * the create, no clock carried in the content) may be TAKEN OVER.
-  * The takeover RENAMES the observed stale lease aside before
-  * re-creating: rename is atomic and fails for every racer but one,
-  * so a racer can never delete a lease it did not observe as stale
-  * (a bare delete+create pair would let the second racer remove the
-  * first racer's brand-new lease — two holders). A live long-running
+  * The takeover RENAMES the lease aside (atomic — fails for every
+  * racer but one) and then VERIFIES the renamed-aside file is the
+  * exact lease observed as stale, restoring it when it is not: a
+  * racer never retires a lease it did not observe as stale. (A bare
+  * delete+create pair would let the second racer remove the first
+  * racer's brand-new lease — two holders; rename WITHOUT the verify
+  * has the same ABA hole one step later.) A live long-running
   * writer must finish within the ttl (default 10 min,
   * `spark.graft.lease.ttlSeconds`) or its lease may be taken over by
   * a CONTENDING writer — its own release then fails by name.
@@ -69,9 +71,8 @@ object WriterLease {
   private def explicitOwner(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.lease.owner").isDefined
 
-  private def readLease(spark: SparkSession, dir: String): Option[(String, String, Long)] = {
-    val f = fs(spark, dir)
-    val p = leasePath(dir)
+  private def readLeaseAt(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[(String, String, Long)] = {
     if (!f.exists(p)) None
     else {
       val st = f.getFileStatus(p)
@@ -86,6 +87,9 @@ object WriterLease {
       Some((owner, token, st.getModificationTime))
     }
   }
+
+  private[graft] def readLease(spark: SparkSession, dir: String): Option[(String, String, Long)] =
+    readLeaseAt(fs(spark, dir), leasePath(dir))
 
   private def tryCreate(spark: SparkSession, dir: String,
       owner: String): Option[Lease] = {
@@ -102,13 +106,28 @@ object WriterLease {
     }
   }
 
-  /** Atomically claim the right to replace the CURRENTLY OBSERVED
-    * lease: rename it aside (exactly one racer wins the rename — the
-    * loser's source is gone), then create fresh. Returns None if the
-    * rename or the create lost to a racer.
+  /** Atomically claim the right to replace the OBSERVED stale lease:
+    * rename the lease path aside (exactly one racer wins the rename —
+    * the loser's source is gone), VERIFY the renamed-aside file is the
+    * lease that was observed as stale, then create fresh. Returns None
+    * if the rename lost, the create lost, or the verification failed.
+    *
+    * The verification closes an ABA race: rename arbitrates "a file at
+    * the lease path", not "the lease we judged stale". If two racers
+    * both observe the same stale lease, racer 1 may rename-aside and
+    * create a FRESH lease before racer 2's rename runs — racer 2's
+    * rename then evicts racer 1's live lease. Comparing the tomb's
+    * owner/token/mtime against the observation detects this; the tomb
+    * is renamed back so the live holder stays protected. (rename is a
+    * namespace op — it preserves the file's modification time, so the
+    * mtime comparison is stable across the rename.) If a THIRD racer
+    * slips a fresh lease into the brief vacancy before the rename-back,
+    * the restore fails and the evicted holder is left unprotected —
+    * but it then fails BY NAME at its own release (lease file gone),
+    * so the degradation is loud detection, never a silent second writer.
     */
-  private def takeOver(spark: SparkSession, dir: String,
-      owner: String): Option[Lease] = {
+  private[graft] def takeOver(spark: SparkSession, dir: String, owner: String,
+      observed: (String, String, Long)): Option[Lease] = {
     val f = fs(spark, dir)
     val tomb = new Path(
       s"$dir/${LeaseName}_taken_${java.util.UUID.randomUUID()}")
@@ -117,10 +136,17 @@ object WriterLease {
       catch { case _: java.io.IOException => false }
     if (!won) None
     else {
-      f.delete(tomb, false)
-      // between our rename and create another acquirer may slip in a
-      // fresh lease; its create and ours are arbitrated atomically
-      tryCreate(spark, dir, owner)
+      val isObserved = readLeaseAt(f, tomb).contains(observed)
+      if (isObserved) {
+        f.delete(tomb, false)
+        // between our rename and create another acquirer may slip in a
+        // fresh lease; its create and ours are arbitrated atomically
+        tryCreate(spark, dir, owner)
+      } else {
+        try f.rename(tomb, leasePath(dir))
+        catch { case _: java.io.IOException => () }
+        None
+      }
     }
   }
 
@@ -138,7 +164,7 @@ object WriterLease {
             throw new IllegalStateException(
               s"writer lease on $dir is contended — another writer " +
                 "acquired it concurrently; retry after it finishes"))
-        case Some((holder, _, modMs)) =>
+        case Some(observed @ (holder, _, modMs)) =>
           val ageMs = System.currentTimeMillis() - modMs
           val sameExplicit = holder == owner && explicitOwner(spark)
           if (ageMs <= ttlMs(spark) && !sameExplicit)
@@ -152,7 +178,7 @@ object WriterLease {
                 "ttl, or set spark.graft.lease.owner to a stable writer " +
                 "identity for immediate crash-restart reclaim")
           else
-            takeOver(spark, dir, owner).getOrElse(
+            takeOver(spark, dir, owner, observed).getOrElse(
               throw new IllegalStateException(
                 s"lost the lease takeover race on $dir (previous holder " +
                   s"'$holder', ${ageMs / 1000}s old) — another writer " +
@@ -164,26 +190,44 @@ object WriterLease {
     * whether the new holder still holds it (token mismatch) or already
     * finished and released (file gone): either way this writer's later
     * writes ran WITHOUT the lease and may have interleaved.
+    *
+    * Token verification rides the same atomic rename arbitration as
+    * [[takeOver]]: a read-token-then-delete pair would race a takeover
+    * happening between the two steps (possible once this holder is past
+    * the ttl) and delete the NEW holder's fresh lease. Renaming FIRST
+    * means whatever file we verify is exactly the file we removed from
+    * the lease path; a mismatched tomb (we evicted a taker-over's fresh
+    * lease) is renamed back before failing.
     */
-  def release(spark: SparkSession, lease: Lease): Unit =
-    readLease(spark, lease.dir) match {
-      case Some((_, token, _)) if token == lease.token =>
-        fs(spark, lease.dir).delete(leasePath(lease.dir), false)
-      case Some((holder, _, _)) =>
-        throw new IllegalStateException(
-          s"writer lease on ${lease.dir} held by '${lease.owner}' was " +
-            s"TAKEN OVER by '$holder' (this writer exceeded the lease " +
-            "ttl, or shares an explicit owner name with a live writer); " +
-            "writes after the takeover may have interleaved — verify the " +
-            "store's version log before trusting this run")
-      case None =>
-        throw new IllegalStateException(
-          s"writer lease on ${lease.dir} held by '${lease.owner}' is " +
-            "GONE at release — it was taken over (and the new holder " +
-            "already finished); writes after the takeover may have " +
-            "interleaved — verify the store's version log before " +
-            "trusting this run")
+  def release(spark: SparkSession, lease: Lease): Unit = {
+    val f = fs(spark, lease.dir)
+    val tomb = new Path(
+      s"${lease.dir}/${LeaseName}_released_${java.util.UUID.randomUUID()}")
+    val won =
+      try f.rename(leasePath(lease.dir), tomb)
+      catch { case _: java.io.IOException => false }
+    if (!won)
+      throw new IllegalStateException(
+        s"writer lease on ${lease.dir} held by '${lease.owner}' is " +
+          "GONE at release — it was taken over (and the new holder " +
+          "already finished); writes after the takeover may have " +
+          "interleaved — verify the store's version log before " +
+          "trusting this run")
+    val tombLease = readLeaseAt(f, tomb)
+    if (tombLease.exists(_._2 == lease.token)) {
+      f.delete(tomb, false)
+    } else {
+      val holder = tombLease.map(_._1).getOrElse("<unreadable>")
+      try f.rename(tomb, leasePath(lease.dir))
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"writer lease on ${lease.dir} held by '${lease.owner}' was " +
+          s"TAKEN OVER by '$holder' (this writer exceeded the lease " +
+          "ttl, or shares an explicit owner name with a live writer); " +
+          "writes after the takeover may have interleaved — verify the " +
+          "store's version log before trusting this run")
     }
+  }
 
   /** Run `f` under the lease, releasing on every path. A takeover
     * detected at release time surfaces even when `f` itself succeeded

@@ -59,6 +59,22 @@ class IncrementalRetentionSpec extends SparkTestBase {
     assert(sums(dir, 8, 3) == Map(1L -> 16.0, 2L -> 5.0))
   }
 
+  test("serveDaily excludes horizon-partial rows by default; opt-in restores left-edge") {
+    val dir = Spill.newPath(spark)
+    IncrementalSwa.ingest(
+      ev((1L, 0, 1.0), (1L, 1, 2.0), (1L, 2, 3.0), (1L, 3, 4.0)), dir, cfg, 0L)
+    IncrementalSwa.compactRetaining(spark, dir, cfg, minBucket = 1L) // day 0 erased
+    def daily(includePartial: Boolean): Map[Long, Double] =
+      IncrementalSwa.serveDaily(spark, dir, cfg, 2, includePartial)
+        .select("bucket", "f_sum").as[(Long, Double)].collect().toMap
+    // bucket 1's window reaches the erased bucket 0 — excluded by
+    // default (erased ≠ empty, the same posture as serve's refusal);
+    // every emitted row is exact
+    assert(daily(includePartial = false) == Map(2L -> 5.0, 3L -> 7.0))
+    // explicit opt-in emits it with left-edge (retained-only) semantics
+    assert(daily(includePartial = true) == Map(1L -> 2.0, 2L -> 5.0, 3L -> 7.0))
+  }
+
   test("forgetKeys erases a key's whole history atomically; re-ingest re-admits") {
     val dir = Spill.newPath(spark)
     IncrementalSwa.ingest(ev((1L, 0, 1.0), (2L, 0, 2.0), (3L, 1, 3.0)),

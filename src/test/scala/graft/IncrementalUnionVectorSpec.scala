@@ -65,6 +65,21 @@ class IncrementalUnionVectorSpec extends SparkTestBase {
     assert(c.getMessage.contains("compaction"), c.getMessage)
   }
 
+  test("union: a crashed ingest's stranded _pending_ dir is swept by the next ingest") {
+    val dir = Spill.newPath(spark)
+    IncrementalUnion.ingest(ev((1L, 0, "a")), dir, uCfg, 0L)
+    // simulate a killed ingest: staging dir left behind, never swapped
+    val gen = new org.apache.hadoop.fs.Path(
+      graft.operators.Publish.genPath(dir,
+        graft.operators.Publish.current(spark, dir).get))
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stranded = new org.apache.hadoop.fs.Path(s"$gen/_pending_99")
+    fs.mkdirs(stranded)
+    IncrementalUnion.ingest(ev((1L, 1, "b")), dir, uCfg, 1L)
+    assert(!fs.exists(stranded), "stale staging dirs must not accumulate")
+    assert(IncrementalSwa.versions(spark, dir) == Seq(0L, 1L))
+  }
+
   private def vec(rows: (Long, Int, Seq[Double])*) =
     rows.toDF("k", "d", "v")
       .withColumn("ts", timestamp_micros(col("d") * DayUs + 1000000L))

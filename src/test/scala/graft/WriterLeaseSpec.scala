@@ -63,6 +63,46 @@ class WriterLeaseSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.lease.ttlSeconds")
   }
 
+  test("takeover verifies the observed lease — a racer cannot evict a fresh lease (ABA)") {
+    val dir = Spill.newPath(spark)
+    spark.conf.set("spark.graft.lease.ttlSeconds", "1")
+    try {
+      // both racers observe the same stale lease...
+      WriterLease.acquire(spark, dir, "old-writer")
+      val p = new Path(s"$dir/_writer_lease")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(p, System.currentTimeMillis() - 5000L, -1L)
+      val observed = WriterLease.readLease(spark, dir).get
+      // ...racer 1 takes it over first and now holds a FRESH lease
+      val racer1 = WriterLease.acquire(spark, dir, "racer-1")
+      // racer 2 still acts on the stale observation: its takeover must
+      // detect the tomb is NOT the observed lease, restore it, and lose
+      assert(WriterLease.takeOver(spark, dir, "racer-2", observed).isEmpty)
+      assert(WriterLease.readLease(spark, dir).exists(_._1 == "racer-1"))
+      // racer 1 was never evicted: its release succeeds cleanly
+      WriterLease.release(spark, racer1)
+    } finally spark.conf.unset("spark.graft.lease.ttlSeconds")
+  }
+
+  test("release of a ttl-expired lease cannot delete a taker-over's fresh lease") {
+    val dir = Spill.newPath(spark)
+    spark.conf.set("spark.graft.lease.ttlSeconds", "1")
+    try {
+      val zombie = WriterLease.acquire(spark, dir, "zombie")
+      val p = new Path(s"$dir/_writer_lease")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(p, System.currentTimeMillis() - 5000L, -1L)
+      val taker = WriterLease.acquire(spark, dir, "taker")
+      // the zombie's release verifies via rename — it must fail by name
+      // AND leave the taker's lease in place (a read-then-delete pair
+      // would remove it, unlocking the store under the taker)
+      val z = intercept[IllegalStateException] { WriterLease.release(spark, zombie) }
+      assert(z.getMessage.contains("TAKEN OVER"), z.getMessage)
+      assert(WriterLease.readLease(spark, dir).exists(_._1 == "taker"))
+      WriterLease.release(spark, taker)
+    } finally spark.conf.unset("spark.graft.lease.ttlSeconds")
+  }
+
   test("withLease releases on failure paths") {
     val dir = Spill.newPath(spark)
     intercept[RuntimeException] {
