@@ -141,23 +141,29 @@ object IncrementalCuration {
         "mark to anchor incremental admission on")
     val maxId = maxRow.getLong(0)
     writeConfig(spark, root, pipeline)
-    val entrants = Spill.roundTrip(
-      runStages(corpus, pre, pipeline, reference))
-    val admitted = nd match {
-      case Some(NearDupDrop(threshold, _)) =>
-        NearDupIndex.build(entrants, indexDir(root),
-          pipeline.textCol, pipeline.idCol)
-        // ordered drop FROM the just-built store — the build's
-        // signature/shingle passes serve the drop decision too
-        // (equality with Dedup.dropNearDuplicatesOrdered is spec-pinned)
-        val losers = NearDupIndex.orderedLosers(spark, indexDir(root),
-          threshold).select(col("id").as(pipeline.idCol))
-        entrants.join(losers, Seq(pipeline.idCol), "left_anti")
-      case None => entrants
-    }
-    val curated = runStages(admitted, post, pipeline, reference)
-    MergeLog.append(curated, logDir(root), 0L, Seq(pipeline.idCol))
-    writeMeta(spark, root, 0L, maxId)
+    // persisted, not spilled: the entrants feed the index build (two
+    // concurrent scans), the loser anti-join, and the log append — a
+    // spill would pay a dedicated full-text write job up front, while
+    // the cache materializes inside the first consumer's action and
+    // the rest read memory/disk blocks (the r14 barrier-count lever)
+    val entrants = runStages(corpus, pre, pipeline, reference).persist()
+    try {
+      val admitted = nd match {
+        case Some(NearDupDrop(threshold, _)) =>
+          NearDupIndex.build(entrants, indexDir(root),
+            pipeline.textCol, pipeline.idCol)
+          // ordered drop FROM the just-built store — the build's
+          // signature/shingle passes serve the drop decision too
+          // (equality with Dedup.dropNearDuplicatesOrdered is spec-pinned)
+          val losers = NearDupIndex.orderedLosers(spark, indexDir(root),
+            threshold).select(col("id").as(pipeline.idCol))
+          entrants.join(losers, Seq(pipeline.idCol), "left_anti")
+        case None => entrants
+      }
+      val curated = runStages(admitted, post, pipeline, reference)
+      MergeLog.append(curated, logDir(root), 0L, Seq(pipeline.idCol))
+      writeMeta(spark, root, 0L, maxId)
+    } finally entrants.unpersist()
     snapshot(spark, root)
   }
 
@@ -190,11 +196,15 @@ object IncrementalCuration {
     // one, so a crash-replay of the same version validates against the
     // same prior state instead of tripping over its own first attempt
     val priorMax = readMetaBefore(spark, root, slot)
+    // min/max drive the monotone-id checks; the count rides the same
+    // job and spares the admission decision its own sizing action
     val bounds = delta.agg(
       min(col(pipeline.idCol).cast("long")),
-      max(col(pipeline.idCol).cast("long"))).head()
+      max(col(pipeline.idCol).cast("long")),
+      count(lit(1))).head()
     require(!bounds.isNullAt(0), s"refresh called with an empty delta")
-    val (dMin, dMax) = (bounds.getLong(0), bounds.getLong(1))
+    val (dMin, dMax, dRows) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     require(dMin > priorMax,
       s"delta id $dMin <= already-ingested max id $priorMax: incremental " +
         "admission is id-ordered (batch equivalence needs monotone ids); " +
@@ -227,26 +237,39 @@ object IncrementalCuration {
         s"version $version — restore the checkpoint to the purge " +
         "boundary, or continue above MergeLog.nextVersion")
 
-    val entrants = Spill.roundTrip(
-      runStages(delta, pre, pipeline, reference))
-    val admitted = nd match {
-      case Some(NearDupDrop(threshold, _)) =>
-        // one-pass decision + append: the delta's bands are computed
-        // once and reused; the decision is materialized inside admit
-        // before anything lands in the store. Entrants forgotten by a
-        // version STRICTLY before this one are excluded from the
-        // decision (strictly: a crash-replay of this version must see
-        // the same exclusion set its first attempt saw).
-        val losers = NearDupIndex.admit(spark, indexDir(root), entrants,
-            pipeline.textCol, pipeline.idCol, threshold,
-            exclude = forgottenBefore(spark, root, slot))
-          .select(col("id").as(pipeline.idCol))
-        entrants.join(losers, Seq(pipeline.idCol), "left_anti")
-      case None => entrants
-    }
-    val curated = runStages(admitted, post, pipeline, reference)
-    MergeLog.append(curated, logDir(root), slot, Seq(pipeline.idCol))
-    writeMeta(spark, root, slot, math.max(priorMax, dMax))
+    // persisted, not spilled (the bootstrap's rationale): consumed by
+    // the admission decision, the shingle append, and the log append
+    val entrants = runStages(delta, pre, pipeline, reference).persist()
+    try {
+      nd match {
+        case Some(NearDupDrop(threshold, _)) =>
+          // one-pass decision, then OVERLAPPED appends: the decision is
+          // materialized first (a lazy plan evaluated after the append
+          // would find every delta doc matching itself), after which
+          // the band/shingle appends and the merge-log version write
+          // touch independent dirs and run concurrently — three
+          // sequential write barriers become one. Entrants forgotten by
+          // a version STRICTLY before this one are excluded from the
+          // decision (strictly: a crash-replay of this version must see
+          // the same exclusion set its first attempt saw).
+          val (losers0, dBands) = NearDupIndex.admitDecide(spark,
+            indexDir(root), entrants, pipeline.textCol, pipeline.idCol,
+            threshold, exclude = forgottenBefore(spark, root, slot),
+            deltaRowsHint = Some(dRows))
+          val losers = losers0.select(col("id").as(pipeline.idCol))
+          val admitted = entrants.join(losers, Seq(pipeline.idCol), "left_anti")
+          val curated = runStages(admitted, post, pipeline, reference)
+          Par.run(
+            () => NearDupIndex.admitAppend(spark, indexDir(root), entrants,
+              dBands, pipeline.textCol, pipeline.idCol),
+            () => MergeLog.append(curated, logDir(root), slot,
+              Seq(pipeline.idCol)))
+        case None =>
+          val curated = runStages(entrants, post, pipeline, reference)
+          MergeLog.append(curated, logDir(root), slot, Seq(pipeline.idCol))
+      }
+      writeMeta(spark, root, slot, math.max(priorMax, dMax))
+    } finally entrants.unpersist()
     snapshot(spark, root)
   }
 
@@ -269,7 +292,7 @@ object IncrementalCuration {
     val pipeline = readConfig(spark, root)
     val (pre, nd, post) = splitStages(pipeline)
     val priorMax = readMetaBefore(spark, root, Long.MaxValue)
-    val b = delta.agg(min(col(pipeline.idCol).cast("long"))).head()
+    val b = delta.agg(min(col(pipeline.idCol).cast("long")), count(lit(1))).head()
     require(!b.isNullAt(0), "previewRefresh called with an empty delta")
     require(b.getLong(0) > priorMax,
       s"delta id ${b.getLong(0)} <= already-ingested max id $priorMax: " +
@@ -277,6 +300,12 @@ object IncrementalCuration {
         "the high-water mark")
     val id = pipeline.idCol
     val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // two spills carry the whole preview: the delta (cuts the caller's
+    // lineage — every later frame scans flat parquet) and the audit
+    // (consumed by three downstream legs). The kept-semi-join /
+    // loser-anti-join stages stay LAZY — they re-scan those two spills
+    // inside the final union's single action instead of paying a
+    // materialization job each (the r13 job-count finding).
     var cur = Spill.roundTrip(delta.select(col(id), col(pipeline.textCol)))
     if (pre.nonEmpty) {
       // pre is a PREFIX of the pipeline, so the audit's stage indices
@@ -284,20 +313,21 @@ object IncrementalCuration {
       val aud = Spill.roundTrip(
         CurationPipeline(pipeline.textCol, id, pre).audit(cur, reference))
       parts += aud.where(col("disposition") =!= "kept")
-      cur = Spill.roundTrip(
-        cur.join(aud.where(col("disposition") === "kept").select(id),
-          Seq(id), "left_semi"))
+      cur = cur.join(aud.where(col("disposition") === "kept").select(id),
+        Seq(id), "left_semi")
     }
     nd.foreach { n =>
-      val losers = Spill.roundTrip(
+      // previewLosers returns an already-spilled frame; the disposition
+      // tag rides on top lazily
+      val losers =
         NearDupIndex.previewLosers(spark, indexDir(root), cur,
           pipeline.textCol, id, n.threshold,
-          exclude = forgottenBefore(spark, root, Long.MaxValue))
+          exclude = forgottenBefore(spark, root, Long.MaxValue),
+          deltaRowsHint = Some(b.getLong(1)))
           .select(col("id").as(id))
-          .withColumn("disposition", lit(s"${pre.length}:near_dup_drop")))
+          .withColumn("disposition", lit(s"${pre.length}:near_dup_drop"))
       parts += losers
-      cur = Spill.roundTrip(
-        cur.join(losers.select(id), Seq(id), "left_anti"))
+      cur = cur.join(losers.select(id), Seq(id), "left_anti")
     }
     if (post.nonEmpty) {
       val aud = Spill.roundTrip(
@@ -428,15 +458,20 @@ object IncrementalCuration {
     locked(spark, root) {
     val pipeline = readConfig(spark, root)
     forgottenBefore(spark, root, Long.MaxValue).foreach { ids =>
-      NearDupIndex.purge(spark, indexDir(root), ids)
-      // the compact below folds the log into slot vmax+1 — exactly the
-      // slot the caller's NEXT sequential version resolves to. Bump the
-      // lineage offset FIRST (bump-then-compact is the crash-safe
-      // order: a crash here costs one skipped slot, harmless under the
+      // the index purge and the log compaction touch independent state
+      // (band/shingle dirs vs log partitions) — overlapped. Within the
+      // log leg the lineage offset is bumped FIRST: the compact folds
+      // into slot vmax+1, exactly the slot the caller's NEXT sequential
+      // version resolves to (bump-then-compact is the crash-safe order:
+      // a crash in the gap costs one skipped slot, harmless under the
       // strictly-before meta reads; compact-then-crash would leave the
       // next refresh pointing at the fold)
-      writeVersionOffset(spark, root, versionOffset(spark, root) + 1)
-      MergeLog.compact(spark, logDir(root), Seq(pipeline.idCol))
+      Par.run(
+        () => NearDupIndex.purge(spark, indexDir(root), ids),
+        () => {
+          writeVersionOffset(spark, root, versionOffset(spark, root) + 1)
+          MergeLog.compact(spark, logDir(root), Seq(pipeline.idCol))
+        })
     }
   }
 
@@ -532,13 +567,23 @@ object IncrementalCuration {
   }
 
   /** High-water mark of ingested ids — the monotonicity witness. One
-    * row per version (partition overwrite = replay-idempotent, the
-    * [[MergeLog.append]] discipline). */
+    * LONG per version, written as a plain text file on the DRIVER
+    * (create-overwrite = replay-idempotent, the [[MergeLog.append]]
+    * discipline): the lifecycle reads meta 2-3 times per phase, and a
+    * one-row-per-version bookkeeping table has no business costing a
+    * Spark job per read — at tiny per-job fixed overhead × a
+    * bootstrap+refresh+forget+purge chain, the meta jobs alone were a
+    * measurable slice of the refresh wall (r13 verdict's job-count
+    * finding). Listing cost is O(versions), driver-side, trivial
+    * against nightly-refresh version counts.
+    */
   private def writeMeta(spark: SparkSession, root: String, version: Long,
       maxId: Long): Unit = {
-    import spark.implicits._
-    Seq(maxId).toDF("max_ingested_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"${metaDir(root)}/__v=$version")
+    val p = new Path(s"${metaDir(root)}/v_$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(maxId.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Slots claimed by forget markers — including those of CRASHED
@@ -562,32 +607,35 @@ object IncrementalCuration {
   /** Slots holding a meta row — with the log versions, the "everything
     * used" set [[forget]]'s slot allocation must clear.
     */
-  private def metaVersions(spark: SparkSession, root: String): Seq[Long] = {
+  /** All meta rows as (version, maxId) — one driver-side listing, no
+    * Spark jobs. */
+  private def readAllMeta(spark: SparkSession, root: String): Seq[(Long, Long)] = {
     val p = new Path(metaDir(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__v="))
-      .map(_.getPath.getName.stripPrefix("__v=").toLong)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("v_"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val v = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        (s.getPath.getName.stripPrefix("v_").toLong, v)
+      }
   }
 
+  private def metaVersions(spark: SparkSession, root: String): Seq[Long] =
+    readAllMeta(spark, root).map(_._1)
+
   private def metaFor(spark: SparkSession, root: String,
-      version: Long): Option[Long] = {
-    val p = new Path(s"${metaDir(root)}/__v=$version")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).head().getLong(0))
-  }
+      version: Long): Option[Long] =
+    readAllMeta(spark, root).collectFirst { case (`version`, m) => m }
 
   private def readMetaBefore(spark: SparkSession, root: String,
       version: Long): Long = {
-    val r = spark.read.option("basePath", metaDir(root))
-      .parquet(metaDir(root))
-      .where(col("__v") < version)
-      .agg(max(col("max_ingested_id"))).head()
-    require(!r.isNullAt(0),
+    val prior = readAllMeta(spark, root).collect { case (v, m) if v < version => m }
+    require(prior.nonEmpty,
       s"no curation state before version $version at $root — bootstrap " +
         "first (version 0), then refresh in increasing version order")
-    r.getLong(0)
+    prior.max
   }
 }

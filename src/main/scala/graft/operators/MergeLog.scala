@@ -68,10 +68,6 @@ object MergeLog {
       s"delta for version $version carries reserved column $DeadCol " +
         s"without declaring it as the tombstone column — pass " +
         s"tombstoneCol=Some(\"$DeadCol\") or rename the column")
-    val dups = delta.groupBy(keyCols.map(col): _*)
-      .count().where(col("count") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"delta for version $version has duplicate keys (e.g. ${dups.headOption})")
     val dead = tombstoneCol.map(c => coalesce(col(c), lit(false)))
       .getOrElse(lit(false))
     // a caller's tombstone column may itself be named __dead — the
@@ -94,9 +90,36 @@ object MergeLog {
           s"$dir (version $v has $logSig); latest-wins over mismatched " +
           "columns would fail or coerce at read time, far from this writer")
     }
+    // The delta is STAGED to a hidden dir, the duplicate-key check runs
+    // over the staged FILES, and only then does the partition swap in.
+    // Two things at once: the delta's (possibly expensive) plan is
+    // computed exactly ONCE — a pre-write dup-check action would pay
+    // the full pipeline a second time — and a dup-keyed REPLAY cannot
+    // destroy the committed version it would have overwritten (the
+    // IncrementalUnion pending-path discipline).
+    val spark = delta.sparkSession
+    val staged = s"$dir/_staged_v$version"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep staging dirs stranded by crashed appends (single writer —
+    // nothing else can have one in flight)
+    if (fs.exists(new Path(dir)))
+      fs.listStatus(new Path(dir)).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staged_v"))
+        .foreach(s => fs.delete(s.getPath, true))
+    rows.write.mode("overwrite").parquet(staged)
+    val dups = spark.read.schema(rows.schema).parquet(staged)
+      .groupBy(keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    if (dups.nonEmpty) {
+      fs.delete(new Path(staged), true)
+      throw new IllegalArgumentException(
+        s"delta for version $version has duplicate keys (e.g. ${dups.headOption})")
+    }
     // the path carries the version (partition discovery reads it back
     // as the `__v` column) — the files must NOT also contain it
-    rows.write.mode("overwrite").parquet(s"$dir/$VCol=$version")
+    fs.delete(new Path(s"$dir/$VCol=$version"), true)
+    require(fs.rename(new Path(staged), new Path(s"$dir/$VCol=$version")),
+      s"merge log append: rename of staged version $version failed at $dir")
   }
 
   /** Latest-wins view of the log: for each key, the row of the highest

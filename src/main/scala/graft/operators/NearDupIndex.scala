@@ -55,13 +55,18 @@ object NearDupIndex {
     Seq((numHashes, bands, shingleSize, HashFamily))
       .toDF("num_hashes", "bands", "shingle_size", "hash_family")
       .write.mode("overwrite").parquet(s"$path/$C")
-    Dedup.capBuckets(
-      bandsOf(reference, textCol, idCol, numHashes, bands, shingleSize),
-      Seq("band_id", "band_hash"), idCol)
-      .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
-      .write.mode("overwrite").parquet(s"$path/$B")
-    shingleStore(reference, textCol, idCol, shingleSize)
-      .write.mode("overwrite").parquet(s"$path/$S")
+    // a same-path rebuild may change the id type — drop cached schemas
+    schemaCache.remove(s"$path/$B")
+    schemaCache.remove(s"$path/$S")
+    // independent dirs, independent plans: concurrent (wall = max)
+    Par.run(
+      () => Dedup.capBuckets(
+        bandsOf(reference, textCol, idCol, numHashes, bands, shingleSize),
+        Seq("band_id", "band_hash"), idCol)
+        .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+        .write.mode("overwrite").parquet(s"$path/$B"),
+      () => shingleStore(reference, textCol, idCol, shingleSize)
+        .write.mode("overwrite").parquet(s"$path/$S"))
   }
 
   /** Index additional (already-admitted) documents. Appended band rows
@@ -94,7 +99,7 @@ object NearDupIndex {
       .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
     def maybeBc(small: DataFrame): DataFrame =
       if (dBandBytes <= bcLimit) broadcast(small) else small
-    val rBands = spark.read.parquet(s"$path/$B")
+    val rBands = readStore(spark, s"$path/$B")
     // ids are unique by contract, so an id-EQUAL collision means the
     // same document re-presented (an at-least-once replay after its
     // rows were appended) — matching it against itself would drop
@@ -112,7 +117,7 @@ object NearDupIndex {
       delta.join(bcCand(cands.select(col("id_delta").as(idCol)).distinct()),
         Seq(idCol), "left_semi"), textCol, idCol, shingleSize)
       .select(col("id").as("id_delta"), col("sh").as("sh_d"))
-    val rSh = spark.read.parquet(s"$path/$S")
+    val rSh = readStore(spark, s"$path/$S")
       .join(bcCand(cands.select(col("id_ref").as("id")).distinct()),
         Seq("id"), "left_semi")
       .select(col("id").as("id_ref"), col("sh").as("sh_r"))
@@ -137,22 +142,23 @@ object NearDupIndex {
   def orderedLosers(spark: SparkSession, path: String,
       threshold: Double): DataFrame = {
     readConfig(spark, path) // validates the hash family
-    val (cands, candBytes) = Spill.roundTripSized(Dedup.candidatePairs(
-      spark.read.parquet(s"$path/$B"), Seq("band_id", "band_hash"), "id"))
-    def maybeBc(small: DataFrame): DataFrame =
-      if (candBytes <= bcLimit(spark)) broadcast(small) else small
+    // one Spark action ([[decideAdmission]]'s budget discipline): the
+    // candidate pairs and verification sets are persisted — computed
+    // once inside the loser materialization, shared across the legs —
+    // with join strategies left to AQE's runtime shuffle statistics
+    val cands = Dedup.candidatePairs(
+      readStore(spark, s"$path/$B"), Seq("band_id", "band_hash"), "id")
+      .persist()
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
-    val (sh, shBytes) = Spill.roundTripSized(
-      spark.read.parquet(s"$path/$S")
-        .join(maybeBc(candIds), Seq("id"), "left_semi"))
-    def bcSh(p: DataFrame): DataFrame =
-      if (shBytes <= shBcLimit(spark)) broadcast(p) else p
-    maybeBc(cands)
-      .join(bcSh(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(bcSh(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
+    val sh = readStore(spark, s"$path/$S")
+      .join(candIds, Seq("id"), "left_semi").persist()
+    try Spill.roundTrip(cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_b").as("id")).distinct()
+      .select(col("id_b").as("id")).distinct())
+    finally Seq(cands, sh).foreach(_.unpersist())
   }
 
   /** The full one-pass admission step for a delta: compute the delta's
@@ -171,15 +177,42 @@ object NearDupIndex {
   def admit(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String, idCol: String, threshold: Double,
       exclude: Option[DataFrame] = None): DataFrame = {
-    val (_, _, shingleSize) = readConfig(spark, path)
     val (losers, dBands) =
-      decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude)
-    // append AFTER the materialized decision: bands reuse the spill,
-    // shingles are the refresh's single full-delta shingle pass
-    dBands.write.mode("append").parquet(s"$path/$B")
-    shingleStore(delta, textCol, idCol, shingleSize)
-      .write.mode("append").parquet(s"$path/$S")
+      decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude,
+        deltaRowsHint = None)
+    admitAppend(spark, path, delta, dBands, textCol, idCol)
     losers
+  }
+
+  /** [[admit]] split for callers that overlap the index appends with
+    * their own independent writes ([[IncrementalCuration]] runs the
+    * merge-log version write concurrently): the DECISION — materialized
+    * before anything is appended. `deltaRowsHint` is an upper bound on
+    * the delta's row count a caller already knows (the refresh's
+    * monotone-id bounds aggregate counts for free) — it saves the
+    * decision's own count action. */
+  private[operators] def admitDecide(spark: SparkSession, path: String,
+      delta: DataFrame, textCol: String, idCol: String, threshold: Double,
+      exclude: Option[DataFrame] = None,
+      deltaRowsHint: Option[Long] = None): (DataFrame, DataFrame) =
+    decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude,
+      deltaRowsHint)
+
+  /** [[admit]]'s append leg: band rows reuse the decision's spill,
+    * shingles are the refresh's single full-delta shingle pass; the two
+    * dirs are independent, so the writes run concurrently. MUST be
+    * called only after [[admitDecide]] returned (the decision is
+    * already materialized — a lazy plan evaluated after the append
+    * would find every delta doc matching itself). */
+  private[operators] def admitAppend(spark: SparkSession, path: String,
+      delta: DataFrame, dBands: DataFrame, textCol: String,
+      idCol: String): Unit = {
+    val (_, _, shingleSize) = readConfig(spark, path)
+    try Par.run(
+      () => dBands.write.mode("append").parquet(s"$path/$B"),
+      () => shingleStore(delta, textCol, idCol, shingleSize)
+        .write.mode("append").parquet(s"$path/$S"))
+    finally dBands.unpersist()
   }
 
   /** The [[admit]] DECISION without the append — the dry-run surface
@@ -191,23 +224,55 @@ object NearDupIndex {
     */
   def previewLosers(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String, idCol: String, threshold: Double,
-      exclude: Option[DataFrame] = None): DataFrame =
-    decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude)._1
+      exclude: Option[DataFrame] = None,
+      deltaRowsHint: Option[Long] = None): DataFrame = {
+    val (losers, dBands) =
+      decideAdmission(spark, path, delta, textCol, idCol, threshold, exclude,
+        deltaRowsHint)
+    dBands.unpersist() // dry run: nothing appends, release the cache
+    losers
+  }
 
+  /** Decision-plan action budget: the lifecycle wall at small scale is
+    * JOB COUNT × fixed scheduling overhead, not kernels (r13 verdict),
+    * so this runs exactly TWO Spark actions — a delta COUNT (cheap on
+    * the caller's persisted entrants; band rows are exactly
+    * bands-per-doc, so it sizes the one broadcast whose mis-guess
+    * would reshuffle the BIG stored band table) and the final loser
+    * materialization. The band, candidate, and delta-shingle
+    * intermediates that previously each paid a spill round-trip for
+    * broadcast sizing are instead `persist()`ed (computed once inside
+    * the loser job, shared across the verification legs and
+    * [[admitAppend]]) with the remaining join strategies left to AQE,
+    * which reads ACTUAL shuffle sizes at runtime — the same
+    * information the spill measurement bought, without the extra job
+    * per frame.
+    */
   private def decideAdmission(spark: SparkSession, path: String,
       delta: DataFrame, textCol: String, idCol: String,
-      threshold: Double, exclude: Option[DataFrame]): (DataFrame, DataFrame) = {
+      threshold: Double, exclude: Option[DataFrame],
+      deltaRowsHint: Option[Long]): (DataFrame, DataFrame) = {
     val (numHashes, bands, shingleSize) = readConfig(spark, path)
-    val (dBands, dBandBytes) = Spill.roundTripSized(
+    // the delta row count sizes the broadcast gate (band rows are
+    // exactly bands-per-doc, so bytes ≈ nDelta × bands × row width — a
+    // conservative over-estimate vs the compressed spill size the gate
+    // used to measure): free when the caller already counted, one cheap
+    // count otherwise; the band rows themselves stay LAZY + persisted,
+    // computed once inside the loser materialization and reused by the
+    // append — the signature pass never round-trips through parquet
+    val nDelta = deltaRowsHint.getOrElse(delta.count())
+    val dBandBytes = nDelta * bands * 48L
+    val dBands =
       bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
-        .select(col("band_id"), col("band_hash"), col(idCol).as("id")))
+        .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+        .persist()
     def maybeBcD(small: DataFrame): DataFrame =
       if (dBandBytes <= bcLimit(spark)) broadcast(small) else small
 
     // cross candidates: delta bands against the stored reference bands
     // (the big side streams); internal candidates: capped self-pairs
     // within the delta's own bands
-    val rBands = spark.read.parquet(s"$path/$B")
+    val rBands = readStore(spark, s"$path/$B")
     // STRICTLY-ORDERED cross match: a delta doc is dropped only for a
     // stored entrant with a SMALLER id. Under the monotone-id
     // invariant every genuine prior entrant IS smaller, so this
@@ -223,53 +288,47 @@ object NearDupIndex {
     // the candidate set (already band-bucket-bounded), not the full
     // stored-band scan, and the exclusion list broadcasts — cost is
     // O(candidates), independent of both index and corpus size.
-    val (crossCands0, crossBytes) = Spill.roundTripSized(
+    val crossCands0 =
       rBands.join(maybeBcD(dBands.select(col("band_id"), col("band_hash"),
           col("id").as("id_delta"))), Seq("band_id", "band_hash"))
         .where(col("id") < col("id_delta"))
-        .select(col("id_delta"), col("id").as("id_ref")).distinct())
-    val crossCands = exclude match {
+        .select(col("id_delta"), col("id").as("id_ref")).distinct()
+    val crossCands = (exclude match {
       case Some(ex) => crossCands0.join(
         broadcast(ex.select(col(ex.columns.head).as("id_ref"))),
         Seq("id_ref"), "left_anti")
       case None => crossCands0
-    }
-    val (intCands, intBytes) = Spill.roundTripSized(Dedup.candidatePairs(
+    }).persist()
+    val intCands = Dedup.candidatePairs(
       Dedup.capBuckets(dBands, Seq("band_id", "band_hash"), "id"),
-      Seq("band_id", "band_hash"), "id"))
-    def bcCand(small: DataFrame, bytes: Long): DataFrame =
-      if (bytes <= bcLimit(spark)) broadcast(small) else small
+      Seq("band_id", "band_hash"), "id").persist()
 
     // one candidate-bounded shingle pass over the delta; reference
     // sets come from the store
     val needIds = crossCands.select(col("id_delta").as("id"))
       .unionByName(intCands.select(col("id_a").as("id")))
       .unionByName(intCands.select(col("id_b").as("id"))).distinct()
-    val (dSh, dShBytes) = Spill.roundTripSized(
-      shingleStore(delta.join(
-          bcCand(needIds.select(col("id").as(idCol)), crossBytes + intBytes),
-          Seq(idCol), "left_semi"), textCol, idCol, shingleSize))
-    val rSh = spark.read.parquet(s"$path/$S")
-      .join(bcCand(crossCands.select(col("id_ref").as("id")).distinct(),
-        crossBytes), Seq("id"), "left_semi")
-    def bcSh(p: DataFrame, bytes: Long): DataFrame =
-      if (bytes <= shBcLimit(spark)) broadcast(p) else p
+    val dSh = shingleStore(
+      delta.join(needIds.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+      textCol, idCol, shingleSize).persist()
+    val rSh = readStore(spark, s"$path/$S")
+      .join(crossCands.select(col("id_ref").as("id")).distinct(),
+        Seq("id"), "left_semi")
 
-    val crossMatched = bcCand(crossCands, crossBytes)
-      .join(bcSh(dSh.select(col("id").as("id_delta"), col("sh").as("sh_d")),
-        dShBytes), "id_delta")
+    val crossMatched = crossCands
+      .join(dSh.select(col("id").as("id_delta"), col("sh").as("sh_d")),
+        "id_delta")
       .join(rSh.select(col("id").as("id_ref"), col("sh").as("sh_r")), "id_ref")
       .where(jaccard(col("sh_d"), col("sh_r")) >= threshold)
       .select(col("id_delta").as("id"))
-    val intMatched = bcCand(intCands, intBytes)
-      .join(bcSh(dSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        dShBytes), "id_a")
-      .join(bcSh(dSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        dShBytes), "id_b")
+    val intMatched = intCands
+      .join(dSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(dSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_b").as("id"))
-    val losers = Spill.roundTrip(
-      crossMatched.unionByName(intMatched).distinct())
+    val losers =
+      try Spill.roundTrip(crossMatched.unionByName(intMatched).distinct())
+      finally Seq(crossCands, intCands, dSh).foreach(_.unpersist())
     (losers, dBands)
   }
 
@@ -297,10 +356,11 @@ object NearDupIndex {
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     Seq(s"$B$PurgeSuffix", s"$S$PurgeSuffix").foreach(d => fs.delete(p(d), true))
     val ex = broadcast(ids.select(col(ids.columns.head).as("id")).distinct())
-    spark.read.parquet(s"$path/$B").join(ex, Seq("id"), "left_anti")
-      .write.parquet(s"$path/$B$PurgeSuffix")
-    spark.read.parquet(s"$path/$S").join(ex, Seq("id"), "left_anti")
-      .write.parquet(s"$path/$S$PurgeSuffix")
+    Par.run(
+      () => spark.read.parquet(s"$path/$B").join(ex, Seq("id"), "left_anti")
+        .write.parquet(s"$path/$B$PurgeSuffix"),
+      () => spark.read.parquet(s"$path/$S").join(ex, Seq("id"), "left_anti")
+        .write.parquet(s"$path/$S$PurgeSuffix"))
     fs.create(p(PurgeMarker), false).close()
     swapPurged(spark, path)
   }
@@ -326,14 +386,26 @@ object NearDupIndex {
   private val PurgeSuffix = "__purged"
   private val PurgeMarker = "__purge_ready"
 
+  /** Store reads with a per-dir schema cache: a band/shingle dir's
+    * schema is fixed at [[build]] (appends and purges preserve it), so
+    * re-inferring it — a footer-read job plus a driver listing on
+    * every read — is pure overhead in a lifecycle that reads each
+    * store 2-3 times per phase.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  private def readStore(spark: SparkSession, dir: String): DataFrame = {
+    val s = schemaCache.computeIfAbsent(dir,
+      _ => spark.read.parquet(dir).schema)
+    spark.read.schema(s).parquet(dir)
+  }
+
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   private def bcLimit(spark: SparkSession): Long = spark.conf
     .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString).toLong
-
-  private def shBcLimit(spark: SparkSession): Long = spark.conf
-    .get("spark.graft.dedup.broadcastShinglesBytes", (32L << 20).toString).toLong
 
   /** Band rows via the codegen'd signature expression — signatures
     * computed inside the scan projection, zero shuffle (the
@@ -352,19 +424,37 @@ object NearDupIndex {
     df.select(col(idCol).as("id"),
       Dedup.shingleHashSet(col(textCol), shingleSize).as("sh"))
 
+  /** Config reads, cached per (path, config-dir mtime): the lifecycle
+    * calls [[readConfig]] 2-4 times per phase (query, admit, preview,
+    * purge each validate the family), and a one-row config parquet has
+    * no business costing a Spark job per call. The mtime key makes a
+    * same-path rebuild (which rewrites `config/`) a cache miss, so a
+    * stale config can never band a delta; [[swapPurged]] still runs on
+    * every call — it is crash recovery, not configuration.
+    */
+  private val configCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Int, Int, Int)]
+
   private def readConfig(spark: SparkSession, path: String): (Int, Int, Int) = {
     swapPurged(spark, path) // finish an interrupted purge before reading
-    val df = spark.read.parquet(s"$path/$C")
-    val r = df.head()
-    // pre-versioning stores (r9 and earlier) carried xxhash64'd
-    // shingle strings and no family column
-    val family =
-      if (df.columns.contains("hash_family")) r.getAs[String]("hash_family")
-      else "xxhash64_str_v0"
-    require(family == HashFamily,
-      s"near-dup index at $path was written under hash family '$family', " +
-        s"this engine uses '$HashFamily' — stored shingle sets would " +
-        "silently match nothing; rebuild the index with NearDupIndex.build")
-    (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_size"))
+    val cPath = new org.apache.hadoop.fs.Path(s"$path/$C")
+    val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a missing store falls through to the parquet read's named error
+    val mtime =
+      if (fs.exists(cPath)) fs.getFileStatus(cPath).getModificationTime else -1L
+    configCache.computeIfAbsent((path, mtime), _ => {
+      val df = spark.read.parquet(s"$path/$C")
+      val r = df.head()
+      // pre-versioning stores (r9 and earlier) carried xxhash64'd
+      // shingle strings and no family column
+      val family =
+        if (df.columns.contains("hash_family")) r.getAs[String]("hash_family")
+        else "xxhash64_str_v0"
+      require(family == HashFamily,
+        s"near-dup index at $path was written under hash family '$family', " +
+          s"this engine uses '$HashFamily' — stored shingle sets would " +
+          "silently match nothing; rebuild the index with NearDupIndex.build")
+      (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_size"))
+    })
   }
 }
