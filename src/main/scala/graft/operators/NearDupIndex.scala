@@ -293,42 +293,59 @@ object NearDupIndex {
           col("id").as("id_delta"))), Seq("band_id", "band_hash"))
         .where(col("id") < col("id_delta"))
         .select(col("id_delta"), col("id").as("id_ref")).distinct()
-    val crossCands = (exclude match {
+    val crossCands = exclude match {
       case Some(ex) => crossCands0.join(
         broadcast(ex.select(col(ex.columns.head).as("id_ref"))),
         Seq("id_ref"), "left_anti")
       case None => crossCands0
-    }).persist()
+    }
     val intCands = Dedup.candidatePairs(
       Dedup.capBuckets(dBands, Seq("band_id", "band_hash"), "id"),
-      Seq("band_id", "band_hash"), "id").persist()
+      Seq("band_id", "band_hash"), "id")
+    // ONE fused candidate spill (cross + internal, tagged): it measures
+    // the exact bytes the verification-leg broadcast gates need, and it
+    // truncates the plan at its natural midpoint — AQE re-optimizes the
+    // running plan at every finished shuffle stage, so one giant
+    // candidates-plus-verification tree pays superlinear driver time
+    // where two modest trees don't. The loser is the pair's LARGER id
+    // on both legs (stored entrants are smaller by the monotone-id
+    // invariant; internal pairs come ordered id_a < id_b).
+    val (cands, candBytes) = Spill.roundTripSized(
+      crossCands.select(col("id_delta"), col("id_ref"),
+        lit(true).as("__cross"))
+        .unionByName(intCands.select(col("id_b").as("id_delta"),
+          col("id_a").as("id_ref"), lit(false).as("__cross"))))
+    def bcCand(small: DataFrame): DataFrame =
+      if (candBytes <= bcLimit(spark)) broadcast(small) else small
+    val cCross = cands.where(col("__cross"))
+    val cInt = cands.where(!col("__cross"))
 
     // one candidate-bounded shingle pass over the delta; reference
-    // sets come from the store
-    val needIds = crossCands.select(col("id_delta").as("id"))
-      .unionByName(intCands.select(col("id_a").as("id")))
-      .unionByName(intCands.select(col("id_b").as("id"))).distinct()
+    // sets come from the store (semi joins dedup their right side —
+    // no distinct needed)
+    val needIds = cands.select(col("id_delta").as("id"))
+      .unionByName(cInt.select(col("id_ref").as("id")))
     val dSh = shingleStore(
       delta.join(needIds.select(col("id").as(idCol)), Seq(idCol), "left_semi"),
       textCol, idCol, shingleSize).persist()
     val rSh = readStore(spark, s"$path/$S")
-      .join(crossCands.select(col("id_ref").as("id")).distinct(),
-        Seq("id"), "left_semi")
+      .join(cCross.select(col("id_ref").as("id")), Seq("id"), "left_semi")
 
-    val crossMatched = crossCands
+    val crossMatched = bcCand(cCross)
       .join(dSh.select(col("id").as("id_delta"), col("sh").as("sh_d")),
         "id_delta")
       .join(rSh.select(col("id").as("id_ref"), col("sh").as("sh_r")), "id_ref")
       .where(jaccard(col("sh_d"), col("sh_r")) >= threshold)
       .select(col("id_delta").as("id"))
-    val intMatched = intCands
-      .join(dSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(dSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .where(jaccard(col("sh_a"), col("sh_b")) >= threshold)
-      .select(col("id_b").as("id"))
+    val intMatched = bcCand(cInt)
+      .join(dSh.select(col("id").as("id_delta"), col("sh").as("sh_d")),
+        "id_delta")
+      .join(dSh.select(col("id").as("id_ref"), col("sh").as("sh_r")), "id_ref")
+      .where(jaccard(col("sh_d"), col("sh_r")) >= threshold)
+      .select(col("id_delta").as("id"))
     val losers =
       try Spill.roundTrip(crossMatched.unionByName(intMatched).distinct())
-      finally Seq(crossCands, intCands, dSh).foreach(_.unpersist())
+      finally dSh.unpersist()
     (losers, dBands)
   }
 
