@@ -2754,6 +2754,58 @@ object SparkEntry {
           round(col("f_psum_7d"), 4).as("f_psum_7d"))
     }),
 
+    // J4 on the O(delta) path: ONE feature set spanning TWO key
+    // bindings (user-keyed and event-type-keyed WindowAggs, the
+    // type key under a DSL alias) rides one router root —
+    // refreshMulti folds each of the 3 deltas once per binding into
+    // that binding's own store, snapshotMulti assembles one frame per
+    // binding with alias-named keys. Output stacks both frames under
+    // an entity-kind tag (keys cast to string) so the single oracle
+    // restates each binding's windowed aggregates; a feature column
+    // the other binding doesn't have rides as a typed null.
+    "q_materialize_multikey" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val typeKey = TypedKey("event_type", ValueType.STRING, Some("etype"))
+      val feats = Seq(
+        AnchorFeature("f_mk_usum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_mk_ucnt_14d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "14d"), Seq(userKey)),
+        AnchorFeature("f_mk_tsum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(typeKey)),
+        AnchorFeature("f_mk_tmax_14d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "MAX", "14d"), Seq(typeKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refreshMulti(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, "ts", dayUs, i)
+      }
+      val frames = IncrementalMaterializer.snapshotMulti(s, root, feats,
+        "ts", dayUs, (maxB + 1) * dayUs)
+      frames(Seq("user_id"))
+        .select(lit("user").as("entity_kind"),
+          col("user_id").cast("string").as("entity_id"),
+          round(col("f_mk_usum_7d"), 4).as("f_sum_7d"),
+          col("f_mk_ucnt_14d").as("f_cnt_14d"),
+          lit(null).cast("double").as("f_max_14d"))
+        .unionByName(frames(Seq("etype"))
+          .select(lit("etype").as("entity_kind"),
+            col("etype").as("entity_id"),
+            round(col("f_mk_tsum_7d"), 4).as("f_sum_7d"),
+            lit(null).cast("long").as("f_cnt_14d"),
+            col("f_mk_tmax_14d").as("f_max_14d")))
+    }),
+
     // Derived features (J5) over the incremental snapshot: the DAG is
     // registered SCRAMBLED (d_share_pct depends on d_vol_cents, listed
     // first) and topo-sorted at serve; arithmetic stays on the exact
@@ -5691,6 +5743,37 @@ object SparkEntry {
         |LEFT JOIN a7 USING (user_id)
         |LEFT JOIN l7 USING (user_id)
         |LEFT JOIN p7 USING (user_id)""".stripMargin,
+
+    // both bindings restated independently and stacked: per binding the
+    // spine is the widest (14d) window's key set, the 7d sum left-joins
+    // onto it; the other binding's feature columns are typed nulls
+    "q_materialize_multikey" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, value
+        |           FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |u7 AS (SELECT user_id,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |      AS f_sum_7d
+        |  FROM e, mx WHERE us >= t - 7 * 86400000000 AND us < t
+        |  GROUP BY user_id),
+        |u14 AS (SELECT user_id, count(value) AS f_cnt_14d FROM e, mx
+        |  WHERE us >= t - 14 * 86400000000 AND us < t GROUP BY user_id),
+        |t7 AS (SELECT event_type,
+        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |      AS f_sum_7d
+        |  FROM e, mx WHERE us >= t - 7 * 86400000000 AND us < t
+        |  GROUP BY event_type),
+        |t14 AS (SELECT event_type, max(value) AS f_max_14d FROM e, mx
+        |  WHERE us >= t - 14 * 86400000000 AND us < t GROUP BY event_type)
+        |SELECT 'user' AS entity_kind, CAST(u14.user_id AS VARCHAR)
+        |    AS entity_id,
+        |  u7.f_sum_7d, u14.f_cnt_14d, NULL::DOUBLE AS f_max_14d
+        |FROM u14 LEFT JOIN u7 USING (user_id)
+        |UNION ALL
+        |SELECT 'etype', t14.event_type, t7.f_sum_7d, NULL::BIGINT,
+        |  t14.f_max_14d
+        |FROM t14 LEFT JOIN t7 USING (event_type)""".stripMargin,
 
     // derived columns restated on the integer cent grid; spine = keys
     // with any event in the 7d window (the widest window here)

@@ -246,6 +246,130 @@ object IncrementalMaterializer {
       IncrementalUnion.forgetKeys(spark, _, _, keys),
       IncrementalVector.forgetKeys(spark, _, _, keys))
 
+  // ------------------------------------------------------------------
+  // Multi-binding feature sets (J4 on the O(delta) path): a project
+  // mixing user-keyed and item-keyed WindowAgg features routes each
+  // key binding to its own store root under `$root/k=<binding-id>` —
+  // one incremental store still holds one key frame, the ROUTER holds
+  // many. The reference's join contract is explicitly multi-query over
+  // different keys (feathr-rs/src/project.rs:259-263,
+  // feature_query.rs:5-10); the snapshot side assembles one wide frame
+  // per binding, key columns exposed under their DSL aliases so a
+  // FeatureQuery's key frame joins by name.
+  // ------------------------------------------------------------------
+
+  /** Binding identity: (alias, physical key column) pairs — two
+    * features share a store root only when they agree on BOTH (same
+    * alias over a different source column is a different frame).
+    */
+  private def bindingOf(f: AnchorFeature): Seq[(String, String)] =
+    f.keys.map(k => (k.alias, k.keyColumn))
+
+  private def bindingRoot(root: String, b: Seq[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val id = md.digest(b.map { case (a, c) => s"$a=$c" }.mkString("|")
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$root/k=$id"
+  }
+
+  /** [[refresh]] for a feature set spanning MULTIPLE key bindings: the
+    * delta is folded once per binding group (each group pays its own
+    * key shuffle — unavoidable, the groups aggregate over different
+    * keys), with each feature's physical key columns taken from its
+    * declared `TypedKey`s.
+    */
+  def refreshMulti(delta: DataFrame, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      version: Long, unionCap: Int = 10000): Unit = {
+    require(features.nonEmpty, "no features to refresh")
+    features.groupBy(bindingOf).foreach { case (b, fs) =>
+      refresh(delta, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, version, unionCap)
+    }
+  }
+
+  /** One wide feature frame PER binding, key columns renamed to their
+    * DSL aliases (the FeatureQuery key-frame contract), derived
+    * features routed to the binding whose anchors (transitively) feed
+    * them. A derived whose inputs span bindings is refused by name —
+    * combining frames of different key spaces is the batch join
+    * planner's job. Returns alias-schema → frame.
+    */
+  def snapshotMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      asOfUs: Long,
+      derived: Seq[DerivedFeature] = Nil): Map[Seq[String], DataFrame] = {
+    require(features.nonEmpty, "no features to snapshot")
+    val groups = features.groupBy(bindingOf)
+    // claim derived features per binding by transitive closure over
+    // (group anchors ∪ already-claimed derived)
+    val claims = groups.map { case (b, fs) =>
+      val names = scala.collection.mutable.Set(fs.map(_.name): _*)
+      val claimed = scala.collection.mutable.ListBuffer.empty[DerivedFeature]
+      var grew = true
+      while (grew) {
+        grew = false
+        derived.filterNot(d => names.contains(d.name)).foreach { d =>
+          if (d.inputs.forall(i => names.contains(i.featureName))) {
+            names += d.name; claimed += d; grew = true
+          }
+        }
+      }
+      b -> claimed.toSeq
+    }
+    val unclaimed = derived.map(_.name)
+      .diff(claims.values.flatten.map(_.name).toSeq)
+    require(unclaimed.isEmpty,
+      s"derived feature(s) $unclaimed draw inputs from more than one key " +
+        "binding (or from features outside this set) — cross-binding " +
+        "derivations combine different key spaces and need the batch " +
+        "join planner (PointInTimeJoin with registerAlias)")
+    groups.map { case (b, fs) =>
+      val frame = snapshot(spark, bindingRoot(root, b), fs, b.map(_._2),
+        tsCol, bucketUs, asOfUs, claims(b))
+      val aliased = b.foldLeft(frame) { case (acc, (alias, phys)) =>
+        if (alias != phys) acc.withColumnRenamed(phys, alias) else acc
+      }
+      b.map(_._1) -> aliased
+    }
+  }
+
+  /** [[compact]] across every binding's stores. */
+  def compactMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      unionCap: Int = 10000): Unit =
+    features.groupBy(bindingOf).foreach { case (b, fs) =>
+      compact(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, unionCap)
+    }
+
+  /** [[compactRetaining]] across every binding's stores. */
+  def compactRetainingMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      minBucket: Long, unionCap: Int = 10000): Unit =
+    features.groupBy(bindingOf).foreach { case (b, fs) =>
+      compactRetaining(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, minBucket, unionCap)
+    }
+
+  /** [[forgetKeys]] scoped to ONE binding (erasing a user means the
+    * user-keyed stores; an item-keyed store has no row for that user).
+    * `binding` is the alias schema; the keys frame's columns must be
+    * the binding's physical key columns.
+    */
+  def forgetKeysMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      binding: Seq[String], keys: DataFrame): Unit = {
+    val groups = features.groupBy(bindingOf)
+    val matching = groups.filter { case (b, _) => b.map(_._1) == binding }
+    require(matching.nonEmpty,
+      s"no binding $binding among ${groups.keys.map(_.map(_._1)).toSeq}")
+    matching.foreach { case (b, fs) =>
+      forgetKeys(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, keys)
+    }
+  }
+
   /** Validate and evaluate the derived DAG over the assembled wide
     * row: every input must resolve to a materialized anchor feature or
     * another derived feature, under the SAME key binding; evaluation

@@ -47,6 +47,52 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       (2L, 10.0, 1L, Some(10.0), None))) // k=2: no 'a' rows, day-1 max
   }
 
+  test("multi-binding routing: one store root per key binding, aliased key frames") {
+    val root = Spill.newPath(spark)
+    val tagKey = TypedKey("tag", ValueType.STRING, Some("t_alias"))
+    val feats = Seq(
+      feat("ks", wa("SUM")), // k-keyed
+      AnchorFeature("ts_sum", FeatureType.DOUBLE, wa("SUM"), Seq(tagKey)),
+      AnchorFeature("ts_cnt", FeatureType.INT64, wa("COUNT"), Seq(tagKey)))
+    IncrementalMaterializer.refreshMulti(events, root, feats, "ts", DayUs, 0L)
+    // two bindings -> two k= roots
+    assert(new java.io.File(root).listFiles.count(_.getName.startsWith("k=")) == 2)
+    val frames = IncrementalMaterializer.snapshotMulti(spark, root, feats,
+      "ts", DayUs, 2 * DayUs)
+    assert(frames.keySet == Set(Seq("k"), Seq("t_alias")))
+    assert(frames(Seq("k")).select("k", "ks").as[(Long, Double)]
+      .collect().toMap == Map(1L -> 7.0, 2L -> 10.0))
+    // the tag binding's key column is exposed under its DSL alias
+    assert(frames(Seq("t_alias")).select("t_alias", "ts_sum", "ts_cnt")
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s, c) => k -> ((s, c)) }.toMap
+      == Map("a" -> ((5.0, 2L)), "b" -> ((12.0, 2L))))
+    // derived features route to the binding that feeds them; a
+    // cross-binding derivation is refused by name
+    def dv(name: String, exprStr: String, ins: String*) =
+      DerivedFeature(name, FeatureType.UNSPECIFIED, exprStr,
+        ins.map(InputFeature(_, Nil)), Nil)
+    val ok = IncrementalMaterializer.snapshotMulti(spark, root, feats,
+      "ts", DayUs, 2 * DayUs,
+      derived = Seq(dv("t_avg", "ts_sum / ts_cnt", "ts_sum", "ts_cnt")))
+    assert(ok(Seq("t_alias")).select("t_alias", "t_avg")
+      .as[(String, Double)].collect().toMap == Map("a" -> 2.5, "b" -> 6.0))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshotMulti(spark, root, feats, "ts",
+        DayUs, 2 * DayUs,
+        derived = Seq(dv("x", "ks + ts_sum", "ks", "ts_sum")))
+    }
+    assert(e.getMessage.contains("cross-binding") ||
+      e.getMessage.contains("more than one key binding"), e.getMessage)
+    // binding-scoped erasure: forgetting k=1 leaves the tag binding alone
+    IncrementalMaterializer.forgetKeysMulti(spark, root, feats, "ts", DayUs,
+      Seq("k"), Seq(1L).toDF("k"))
+    val after = IncrementalMaterializer.snapshotMulti(spark, root, feats,
+      "ts", DayUs, 2 * DayUs)
+    assert(after(Seq("k")).select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(after(Seq("t_alias")).count() == 2)
+  }
+
   test("derived features evaluate in DAG order over the snapshot row") {
     val root = Spill.newPath(spark)
     val feats = Seq(feat("s2", wa("SUM")), feat("c2", wa("COUNT")))
