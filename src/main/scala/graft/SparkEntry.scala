@@ -2962,6 +2962,66 @@ object SparkEntry {
           col("z.f_ew_max").as("v_max"), col("f_n_vecs"))
     }),
 
+    // The daily SET-feature table (A4 feature-table parity with the
+    // scalar store's q_swa_feature_table): per (user, day), the
+    // distinct event types over the 7-day window ending at that day,
+    // in ONE pass over the union state — no RANGE-frame shortcut
+    // exists for sets (union has no inverse), so each stored item
+    // feeds its window's output buckets by explode+sequence and one
+    // groupBy re-distincts. Exploded to rows for the oracle.
+    "q_swa_union_daily" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalUnion.Config(Seq("user_id"), "ts", "event_type",
+        dayUs)
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val state = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalUnion.ingest(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          state, cfg, i)
+      }
+      IncrementalUnion.serveDaily(s, state, cfg, 7)
+        .select(col("user_id"), col("bucket"),
+          explode(col("f_union")).as("etype"))
+    }),
+
+    // The daily VECTOR-feature table (A5 parity): per (label, day),
+    // the element-wise window aggregates over 7 days — grid sums,
+    // counts, raw min/max — in one RANGE-frame window pass over the
+    // O(dim) partials (the four aggregates share the window spec).
+    // Buckets are pinned to vec_id % 20 so the table's day count is
+    // scale-free; exploded per dimension for the oracle.
+    "q_swa_elementwise_daily" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cfg = IncrementalVector.Config(Seq("label"), "ts", "embedding",
+        dayUs)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("ts",
+          timestamp_micros((col("vec_id") % 20) * dayUs + 1000000L))
+        .select(col("label"), col("ts"), col("embedding"), col("vec_id"))
+      val state = Spill.newPath(s)
+      IncrementalVector.ingest(emb.where(col("vec_id") % 2 === 0),
+        state, cfg, 0L)
+      IncrementalVector.ingest(emb.where(col("vec_id") % 2 === 1),
+        state, cfg, 1L)
+      IncrementalVector.serveDaily(s, state, cfg, 7)
+        .select(col("label"), col("bucket"), col("f_ecnt"),
+          posexplode(arrays_zip(col("f_esum"), col("f_emin"),
+            col("f_emax"))).as(Seq("pos", "z")))
+        .select(col("label"), col("bucket"), col("pos"),
+          col("z.f_esum").as("v_sum"), col("z.f_emin").as("v_min"),
+          col("z.f_emax").as("v_max"), col("f_ecnt"))
+    }),
+
     // The capstone composition: ONE wide training row per key,
     // assembled from three incremental stores served at the same
     // boundary — additive partials (sum/count/latest), HLL registers
@@ -2981,11 +3041,13 @@ object SparkEntry {
         dayUs, p = 12)
       val qCfg = IncrementalQuantile.Config(Seq("user_id"), "ts", "value",
         dayUs, 0.0, 200.0, 256)
-      val (swa, dis, qnt) =
-        (Spill.newPath(s), Spill.newPath(s), Spill.newPath(s))
+      val uCfg = IncrementalUnion.Config(Seq("user_id"), "ts", "props", dayUs)
+      val (swa, dis, qnt, uni) =
+        (Spill.newPath(s), Spill.newPath(s), Spill.newPath(s), Spill.newPath(s))
       IncrementalSwa.ingest(ev, swa, swaCfg, 0L)
       IncrementalDistinct.ingest(ev, dis, disCfg, 0L)
       IncrementalQuantile.ingest(ev, qnt, qCfg, 0L)
+      IncrementalUnion.ingest(ev.where(col("props").isNotNull), uni, uCfg, 0L)
       IncrementalSwa.serve(s, swa, swaCfg, asOf, 7)
         .select(col("user_id"), round(col("f_sum"), 4).as("f_sum"),
           col("f_cnt"), col("f_latest"))
@@ -2995,6 +3057,13 @@ object SparkEntry {
         .join(IncrementalQuantile.serveQuantiles(s, qnt, qCfg, asOf, 7,
             Seq(0.5))
           .select(col("user_id"), col("bin").as("p50_bin")),
+          Seq("user_id"), "left_outer")
+        // the set-valued feature column, served at the SAME boundary:
+        // the sorted distinct-prop set joined to one canonical string
+        // (hash-comparable cross-engine; the raw array rides f_union)
+        .join(IncrementalUnion.serve(s, uni, uCfg, asOf, 7)
+          .select(col("user_id"),
+            concat_ws(",", col("f_union")).as("f_props_set")),
           Seq("user_id"), "left_outer")
     }),
 
@@ -5846,6 +5915,35 @@ object SparkEntry {
         |  count(DISTINCT vec_id) AS f_n_vecs
         |FROM ex GROUP BY 1, 2""".stripMargin,
 
+    // each stored item feeds the 7 daily windows its day belongs to;
+    // DISTINCT re-merges across days and versions
+    "q_swa_union_daily" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    event_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        |b AS (SELECT max(d) AS hi FROM e)
+        |SELECT DISTINCT user_id,
+        |  unnest(range(d, least(d + 7, hi + 1))) AS bucket,
+        |  event_type AS etype
+        |FROM e, b""".stripMargin,
+
+    // per (label, day-bucket = vec_id % 20, dim): the 7-day window's
+    // grid sum, raw min/max, and vector count
+    "q_swa_elementwise_daily" ->
+      """WITH e AS (SELECT label, vec_id, vec_id % 20 AS d, embedding
+        |           FROM embeddings),
+        |ex AS (SELECT label, vec_id, d, r.range::INT - 1 AS pos,
+        |         embedding[r.range]::DOUBLE AS v
+        |       FROM e CROSS JOIN range(1, 65) r),
+        |w AS (SELECT label, vec_id,
+        |    unnest(range(d, least(d + 7, 20))) AS bucket, pos, v
+        |  FROM ex)
+        |SELECT label, bucket, pos,
+        |  sum(round(v * 10000)::BIGINT)::BIGINT / 10000.0 AS v_sum,
+        |  min(v) AS v_min, max(v) AS v_max,
+        |  count(*)::BIGINT AS f_ecnt
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
     // the three stores' oracle bodies, joined on user_id over the
     // same 7-day window
     "q_feature_vector" ->
@@ -5884,13 +5982,20 @@ object SparkEntry {
         |  FROM qh),
         |q50 AS (
         |  SELECT user_id, min(bin) AS p50_bin FROM qc
-        |  WHERE cum * 10000 >= 5000 * total GROUP BY user_id)
+        |  WHERE cum * 10000 >= 5000 * total GROUP BY user_id),
+        |pset AS (
+        |  SELECT user_id, string_agg(props, ',' ORDER BY props)
+        |      AS f_props_set
+        |  FROM (SELECT DISTINCT user_id, props FROM w
+        |        WHERE props IS NOT NULL)
+        |  GROUP BY user_id)
         |SELECT agg.user_id, agg.f_sum, agg.f_cnt, lat.f_latest,
-        |  hst.n_distinct_props, q50.p50_bin
+        |  hst.n_distinct_props, q50.p50_bin, pset.f_props_set
         |FROM agg
         |JOIN lat USING (user_id)
         |LEFT JOIN hst USING (user_id)
-        |LEFT JOIN q50 USING (user_id)""".stripMargin,
+        |LEFT JOIN q50 USING (user_id)
+        |LEFT JOIN pset USING (user_id)""".stripMargin,
 
     // the same rule restated: per-(user, day) top-8 cut, candidate
     // sums, final rank with the identical tiebreaks

@@ -133,6 +133,67 @@ object IncrementalUnion {
         .as("f_union"))
   }
 
+  /** The daily feature TABLE for set state: for every key × bucket,
+    * the distinct-item union over the `windowBuckets` buckets ending
+    * AT that bucket. NO RANGE-frame shortcut exists for sets — union
+    * has no inverse, so a rolling frame cannot subtract the bucket
+    * leaving the window; instead each stored item contributes itself
+    * to the `windowBuckets` output buckets its bucket feeds
+    * (explode + sequence) and one groupBy re-distincts. Honest cost:
+    * O(state items × windowBuckets) intermediate rows — state items
+    * are bounded by keys × buckets × cap, and this is still far below
+    * the N serve() scans (each a full state read) a per-day loop pays.
+    * Rows whose window holds no items are omitted; horizon rows are
+    * excluded by default with the scalar store's opt-in
+    * (`includeHorizonPartialRows`) for left-edge semantics.
+    */
+  def serveDaily(spark: SparkSession, dir: String, cfg: Config,
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+    val Array(loB, hiB) = {
+      val r = st.agg(min(col(BCol)), max(col(BCol))).head()
+      require(!r.isNullAt(0), s"state at $dir holds no partials")
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val completeFrom =
+      if (includeHorizonPartialRows) loB
+      else IncrementalSwa.retainedFrom(spark, dir)
+        .map(_ + windowBuckets - 1L).getOrElse(loB)
+    st.select(cfg.keyCols.map(col) :+ col(BCol) :+
+        explode(col("pset")).as("__item"): _*)
+      .select(cfg.keyCols.map(col) :+
+        explode(sequence(col(BCol),
+          least(col(BCol) + (windowBuckets - 1L), lit(hiB)))).as("bucket") :+
+        col("__item"): _*)
+      .where(col("bucket") >= completeFrom)
+      .groupBy((cfg.keyCols :+ "bucket").map(col): _*)
+      .agg(array_sort(collect_set(col("__item"))).as("f_union"))
+  }
+
+  /** [[serve]] as the state stood at `asOfVersion` — time travel with
+    * [[IncrementalSwa.serveAsOf]]'s rebased-history refusal.
+    */
+  def serveAsOf(spark: SparkSession, dir: String, cfg: Config, asOfUs: Long,
+      windowBuckets: Int, asOfVersion: Long): DataFrame = {
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(folded < 0 || asOfVersion >= folded,
+      s"version $asOfVersion predates the compaction fold ($folded) at " +
+        s"$dir — that history was rebased; serving the fold instead would " +
+        "be a reproducibility lie")
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
+    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .where(col(VCol) <= asOfVersion)
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy(cfg.keyCols.map(col): _*)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("pset")))))
+        .as("f_union"))
+  }
+
   /** Fold the version tail: distinct union per (key, bucket) in a new
     * [[Publish]] generation. The merged per-bucket set is re-checked
     * against the cap (versions each under it can union past it) and

@@ -84,8 +84,15 @@ object IncrementalVector {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val hiB = asOfUs / cfg.bucketUs
     IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
-    spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
-      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+    finishServe(
+      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir)),
+      cfg, hiB - windowBuckets, hiB)
+  }
+
+  private def finishServe(state: DataFrame, cfg: Config, loB: Long,
+      hiB: Long): DataFrame =
+    state
+      .where(col(BCol) >= loB && col(BCol) < hiB)
       .groupBy(cfg.keyCols.map(col): _*)
       .agg(
         LongVectorSumAggregator.longVecSum(col("pesum")).as("sum_grid"),
@@ -97,6 +104,73 @@ object IncrementalVector {
       .withColumn("f_eavg",
         transform(col("sum_grid"),
           x => x.cast("double") / Scale / col("f_ecnt")))
+
+  /** The daily feature TABLE ([[IncrementalSwa.serveDaily]]'s contract
+    * for vector state): for every key × bucket, the element-wise window
+    * aggregates over the `windowBuckets` buckets ending AT that bucket.
+    * The grid sums, counts, and min/max partials all ride ONE per-key
+    * RANGE-frame window pass (the four aggregates share a window spec,
+    * so Spark evaluates them in a single WindowExec; the typed
+    * aggregators skip the spine's null rows) — rows = keys × buckets,
+    * never event count. Horizon rows are excluded by default
+    * (erased ≠ empty); `includeHorizonPartialRows` opts into left-edge
+    * semantics, both exactly as the scalar store.
+    */
+  def serveDaily(spark: SparkSession, dir: String, cfg: Config,
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val merged = foldState(spark, dir, cfg)
+    val Array(loB, hiB) = {
+      val r = merged.agg(min(col(BCol)), max(col(BCol))).head()
+      require(!r.isNullAt(0), s"state at $dir holds no partials")
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val spine = merged.select(cfg.keyCols.map(col): _*).distinct()
+      .withColumn(BCol, explode(sequence(lit(loB), lit(hiB))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cfg.keyCols.map(col): _*)
+      .orderBy(col(BCol))
+      .rangeBetween(-(windowBuckets - 1L), 0L)
+    val completeFrom =
+      if (includeHorizonPartialRows) loB
+      else IncrementalSwa.retainedFrom(spark, dir)
+        .map(_ + windowBuckets - 1L).getOrElse(loB)
+    spine.join(merged, cfg.keyCols :+ BCol, "left_outer")
+      .withColumn("sum_grid",
+        LongVectorSumAggregator.longVecSum(col("pesum")).over(w))
+      .withColumn("f_ecnt", sum(col("pcnt")).over(w))
+      .withColumn("f_emin", VectorAggregator("min", col("pemin")).over(w))
+      .withColumn("f_emax", VectorAggregator("max", col("pemax")).over(w))
+      .where(col("f_ecnt").isNotNull && col(BCol) >= completeFrom)
+      .withColumn("f_esum",
+        transform(col("sum_grid"), x => x.cast("double") / Scale))
+      .withColumn("f_eavg",
+        transform(col("sum_grid"),
+          x => x.cast("double") / Scale / col("f_ecnt")))
+      .select(cfg.keyCols.map(col) ++ Seq(col(BCol).as("bucket"),
+        col("sum_grid"), col("f_esum"), col("f_ecnt"), col("f_eavg"),
+        col("f_emin"), col("f_emax")): _*)
+  }
+
+  /** [[serve]] as the state stood at `asOfVersion` — the time-travel
+    * primitive, [[IncrementalSwa.serveAsOf]]'s contract: versions the
+    * live generation's fold rebased away are refused by name.
+    */
+  def serveAsOf(spark: SparkSession, dir: String, cfg: Config, asOfUs: Long,
+      windowBuckets: Int, asOfVersion: Long): DataFrame = {
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(folded < 0 || asOfVersion >= folded,
+      s"version $asOfVersion predates the compaction fold ($folded) at " +
+        s"$dir — that history was rebased; serving the fold instead would " +
+        "be a reproducibility lie")
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
+    finishServe(
+      spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+        .where(col(VCol) <= asOfVersion), cfg, hiB - windowBuckets, hiB)
   }
 
   /** Fold the version tail per (key, bucket) in a new [[Publish]]

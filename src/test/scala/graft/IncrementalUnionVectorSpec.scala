@@ -65,6 +65,71 @@ class IncrementalUnionVectorSpec extends SparkTestBase {
     assert(c.getMessage.contains("compaction"), c.getMessage)
   }
 
+  test("union: serveDaily = per-bucket distinct merge; serveAsOf = version truncation") {
+    val dir = Spill.newPath(spark)
+    IncrementalUnion.ingest(
+      ev((1L, 0, "a"), (1L, 1, "b"), (2L, 0, "x")), dir, uCfg, 0L)
+    IncrementalUnion.ingest(ev((1L, 3, "c")), dir, uCfg, 1L)
+    val daily = IncrementalUnion.serveDaily(spark, dir, uCfg, 2)
+      .select("k", "bucket", "f_union")
+      .as[(Long, Long, Seq[String])].collect()
+      .map { case (k, b, u) => (k, b) -> u }.toMap
+    assert(daily == Map(
+      (1L, 0L) -> Seq("a"), (1L, 1L) -> Seq("a", "b"), (1L, 2L) -> Seq("b"),
+      (1L, 3L) -> Seq("c"),
+      (2L, 0L) -> Seq("x"), (2L, 1L) -> Seq("x")))
+    // matches a serve() at each boundary by construction
+    val s2 = IncrementalUnion.serve(spark, dir, uCfg, 2 * DayUs, 2)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(s2 == Map(1L -> daily((1L, 1L)), 2L -> daily((2L, 1L))))
+    // time travel: before version 1, day 3 holds nothing
+    assert(IncrementalUnion.serveAsOf(spark, dir, uCfg, 4 * DayUs, 1, 0L)
+      .collect().isEmpty)
+    assert(IncrementalUnion.serveAsOf(spark, dir, uCfg, 4 * DayUs, 1, 1L)
+      .as[(Long, Seq[String])].collect().toMap == Map(1L -> Seq("c")))
+    // horizon: retention trims day 0; the partial-window bucket 1 is
+    // excluded by default, restored by the explicit opt-in
+    IncrementalUnion.compactRetaining(spark, dir, uCfg, minBucket = 1L)
+    val trimmed = IncrementalUnion.serveDaily(spark, dir, uCfg, 2)
+      .select("bucket").as[Long].collect().toSet
+    assert(trimmed == Set(2L, 3L))
+    val optIn = IncrementalUnion.serveDaily(spark, dir, uCfg, 2,
+      includeHorizonPartialRows = true)
+      .select("bucket").as[Long].collect().toSet
+    assert(optIn == Set(1L, 2L, 3L))
+  }
+
+  test("vector: serveDaily window table; serveAsOf version truncation") {
+    val dir = Spill.newPath(spark)
+    IncrementalVector.ingest(
+      vec((1L, 0, Seq(1.0, 2.0)), (1L, 1, Seq(3.0, 4.0))), dir, vCfg, 0L)
+    IncrementalVector.ingest(vec((1L, 3, Seq(5.0, 6.0))), dir, vCfg, 1L)
+    val daily = IncrementalVector.serveDaily(spark, dir, vCfg, 2)
+      .select("k", "bucket", "f_esum", "f_ecnt", "f_eavg", "f_emin", "f_emax")
+      .as[(Long, Long, Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(daily((1L, 0L)) ==
+      ((Seq(1.0, 2.0), 1L, Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(1.0, 2.0))))
+    assert(daily((1L, 1L)) ==
+      ((Seq(4.0, 6.0), 2L, Seq(2.0, 3.0), Seq(1.0, 2.0), Seq(3.0, 4.0))))
+    assert(daily((1L, 2L)) ==
+      ((Seq(3.0, 4.0), 1L, Seq(3.0, 4.0), Seq(3.0, 4.0), Seq(3.0, 4.0))))
+    assert(daily((1L, 3L)) ==
+      ((Seq(5.0, 6.0), 1L, Seq(5.0, 6.0), Seq(5.0, 6.0), Seq(5.0, 6.0))))
+    // each row equals the boundary serve (the spec of the table)
+    val s1 = IncrementalVector.serve(spark, dir, vCfg, 2 * DayUs, 2)
+      .select("f_esum", "f_ecnt").as[(Seq[Double], Long)].collect().head
+    assert(s1 == ((daily((1L, 1L))._1, daily((1L, 1L))._2)))
+    // time travel: version 0 has no day-3 vector
+    assert(IncrementalVector.serveAsOf(spark, dir, vCfg, 4 * DayUs, 1, 0L)
+      .collect().isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalVector.compact(spark, dir, vCfg)
+      IncrementalVector.serveAsOf(spark, dir, vCfg, 4 * DayUs, 1, 0L).collect()
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+  }
+
   test("union: a crashed ingest's stranded _pending_ dir is swept by the next ingest") {
     val dir = Spill.newPath(spark)
     IncrementalUnion.ingest(ev((1L, 0, "a")), dir, uCfg, 0L)
