@@ -43,6 +43,18 @@ object MergeLog {
   private val VCol = "__v"
   private val DeadCol = "__dead"
 
+  /** Cross-process writer lease around both mutation paths
+    * ([[append]], [[compact]]) — the enforcement of the single-writer
+    * assumption this log documents, same discipline as the incremental
+    * feature stores ([[IncrementalSwa.locked]]): a concurrent append
+    * during a compact would collide with the fold's `max+1` slot, and
+    * two appends to one version would interleave part files. Callers
+    * holding a lease on a PARENT dir (the curation lineage leases its
+    * root) nest fine — the log dir is its own lock scope.
+    */
+  private def locked[A](spark: SparkSession, dir: String)(f: => A): A =
+    WriterLease.withLease(spark, dir, WriterLease.ownerOf(spark))(f)
+
   /** Append one delta as `version`. Keys must be unique WITHIN the
     * delta (checked, delta-sized) — cross-version conflicts are what
     * the log resolves; intra-version conflicts would make the winner
@@ -52,7 +64,13 @@ object MergeLog {
     * at read time, far from the writer that caused it.
     */
   def append(delta: DataFrame, dir: String, version: Long,
-      keyCols: Seq[String], tombstoneCol: Option[String] = None): Unit = {
+      keyCols: Seq[String], tombstoneCol: Option[String] = None): Unit =
+    locked(delta.sparkSession, dir) {
+      appendLocked(delta, dir, version, keyCols, tombstoneCol)
+    }
+
+  private def appendLocked(delta: DataFrame, dir: String, version: Long,
+      keyCols: Seq[String], tombstoneCol: Option[String]): Unit = {
     require(keyCols.nonEmpty, "append needs key columns")
     // __v and __dead are the log's own bookkeeping: a delta carrying
     // __v writes files that collide with partition discovery (failing
@@ -200,15 +218,16 @@ object MergeLog {
     * version `max+1`, then the superseded partitions deleted. Read
     * amplification back to 1; history below the fold is rebased.
     */
-  def compact(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"compact: merge log at $dir is empty or missing")
-    val vmax = vs.max
-    writeFold(spark, dir, keyCols, vmax)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vs.foreach(v => fs.delete(new Path(s"$dir/$VCol=$v"), true))
-  }
+  def compact(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit =
+    locked(spark, dir) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"compact: merge log at $dir is empty or missing")
+      val vmax = vs.max
+      writeFold(spark, dir, keyCols, vmax)
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      vs.foreach(v => fs.delete(new Path(s"$dir/$VCol=$v"), true))
+    }
 
   /** Phase 1 of [[compact]], package-visible so the crash-window spec
     * can stop between the fold write and the deletes: fold versions

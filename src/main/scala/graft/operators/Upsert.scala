@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * base in [[BucketedLayout]] bucketed by the merge key and the
   * anti-join plans with no Exchange on the base side, making the
   * nightly merge's shuffle O(delta), not O(table).
+  *
+  * Concurrency: [[merge]] is a PURE frame transformation — it mutates
+  * no directory, so there is nothing here to lease. The single-writer
+  * obligation attaches to whoever WRITES the merged result; a caller
+  * that persists merges to a shared path should take a
+  * [[WriterLease]] on that path around the write (the [[MergeLog]]
+  * shape does exactly this and is the right tool when merges are
+  * frequent enough to contend).
   */
 object Upsert {
 

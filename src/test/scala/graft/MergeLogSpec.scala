@@ -27,6 +27,31 @@ class MergeLogSpec extends SparkTestBase {
     assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == multiset(want))
   }
 
+  test("contending writers: the loser fails by name, log versions intact") {
+    import graft.operators.WriterLease
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    // writer A holds the log (a long-running compact mid-flight)
+    val a = WriterLease.acquire(spark, dir, "nightly-compactor-A")
+    val e = intercept[IllegalStateException] {
+      MergeLog.append(Seq((4L, "d", 40.0)).toDF("k", "name", "v"),
+        dir, 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("locked") &&
+      e.getMessage.contains("nightly-compactor-A"), e.getMessage)
+    assert(MergeLog.versions(spark, dir) == Seq(0L),
+      "the refused append must leave the log untouched")
+    val c = intercept[IllegalStateException] {
+      MergeLog.compact(spark, dir, Seq("k"))
+    }
+    assert(c.getMessage.contains("locked"), c.getMessage)
+    // after A releases, the retry lands normally
+    WriterLease.release(spark, a)
+    MergeLog.append(Seq((4L, "d", 40.0)).toDF("k", "name", "v"),
+      dir, 1L, Seq("k"))
+    assert(MergeLog.versions(spark, dir).sorted == Seq(0L, 1L))
+  }
+
   test("snapshot equals the equivalent eager Upsert.merge chain") {
     val dir = Spill.newPath(spark)
     val d1 = Seq((2L, "b1", 21.0, false), (4L, "d", 40.0, false))
