@@ -3067,6 +3067,52 @@ object SparkEntry {
           Seq("user_id"), "left_outer")
     }),
 
+    // GraftAggregation extension features (beyond the reference enum):
+    // quantile (p50 + p90 SHARING one histogram store — q is
+    // serve-time), HLL distinct-count, and top-k features declared
+    // against the same (defExpr, window) surface as the reference
+    // aggregations and maintained through the same O(delta)
+    // refresh/snapshot lifecycle over 3 deltas. The oracle restates
+    // each store's exact decision rule (integer permyriad cutoff,
+    // integer HLL statistics, per-day candidate cut).
+    "q_materialize_graft_aggs" -> ((s, dir) => {
+      import graft.model.GraftAggregation
+      import IncrementalMaterializer.GraftFeature
+      val dayUs = 86400000000L
+      val d7 = graft.model.Durations.parse("7d")
+      val d30 = graft.model.Durations.parse("30d")
+      val feats = Seq(
+        GraftFeature("f_g_p50_7d", "value",
+          GraftAggregation.Quantile(0.5, 0.0, 200.0, 256), d7),
+        GraftFeature("f_g_p90_7d", "value",
+          GraftAggregation.Quantile(0.9, 0.0, 200.0, 256), d7),
+        GraftFeature("f_g_ndp_30d", "props",
+          GraftAggregation.DistinctCount(12), d30),
+        GraftFeature("f_g_top3_30d", "props",
+          GraftAggregation.TopK(3, 8), d30))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("props"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refreshGraft(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.snapshotGraft(s, root, feats, Seq("user_id"),
+          "ts", dayUs, (maxB + 1) * dayUs)
+        .select(col("user_id"), col("f_g_p50_7d"), col("f_g_p90_7d"),
+          round(col("f_g_ndp_30d"), 4).as("f_g_ndp_30d"),
+          when(col("f_g_top3_30d").isNotNull,
+            concat_ws(",", col("f_g_top3_30d"))).as("f_g_top3_30d"))
+    }),
+
     // Windowed heavy hitters from incremental state: per-(key, day)
     // candidate truncation (top-8 by count desc, item asc — the
     // SpaceSaving trade, exact within-bucket counts), candidate sums
@@ -5996,6 +6042,76 @@ object SparkEntry {
         |LEFT JOIN hst USING (user_id)
         |LEFT JOIN q50 USING (user_id)
         |LEFT JOIN pset USING (user_id)""".stripMargin,
+
+    // each extension store's exact rule restated: integer permyriad
+    // quantile cutoffs on the 256-bin grid, integer HLL sufficient
+    // statistics (est_raw single-division), per-day top-8 candidate
+    // cut; spine = any user with a value row in 7d or a props row in
+    // 30d (the serves' union contract)
+    "q_materialize_graft_aggs" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, props
+        |           FROM events),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |w7 AS (SELECT user_id, value FROM e, mx
+        |       WHERE us >= t - 7 * 86400000000 AND us < t),
+        |w30 AS (SELECT user_id, us, props FROM e, mx
+        |        WHERE us >= t - 30 * 86400000000 AND us < t),
+        |qh AS (
+        |  SELECT user_id, CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM w7 WHERE value IS NOT NULL GROUP BY 1, 2),
+        |qc AS (
+        |  SELECT user_id, bin,
+        |    sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id) AS total
+        |  FROM qh),
+        |q50 AS (
+        |  SELECT user_id, 0.0 + min(bin) * 200.0 / 256.0 AS f_g_p50_7d
+        |  FROM qc WHERE cum * 10000 >= 5000 * total GROUP BY user_id),
+        |q90 AS (
+        |  SELECT user_id, 0.0 + min(bin) * 200.0 / 256.0 AS f_g_p90_7d
+        |  FROM qc WHERE cum * 10000 >= 9000 * total GROUP BY user_id),
+        |hh AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(('0x' || substr(md5(props), 1, 14)) AS UBIGINT) AS h
+        |  FROM w30 WHERE props IS NOT NULL),
+        |hbr AS (SELECT user_id, $sqlHllBr FROM hh),
+        |hreg AS (SELECT user_id, bucket FROM hbr GROUP BY user_id, bucket),
+        |hst AS (SELECT user_id, count(*)::BIGINT AS n_registers,
+        |    sum((1::BIGINT << (45 - max_rho)))::BIGINT AS s_hit
+        |  FROM (SELECT user_id, bucket, max(rho) AS max_rho FROM hbr
+        |        GROUP BY user_id, bucket)
+        |  GROUP BY user_id),
+        |nd AS (
+        |  SELECT user_id,
+        |    round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
+        |      / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
+        |      AS f_g_ndp_30d
+        |  FROM hst),
+        |pb AS (SELECT user_id, us // 86400000000 AS d, props, count(*) AS n
+        |       FROM w30 WHERE props IS NOT NULL GROUP BY 1, 2, 3),
+        |cand AS (SELECT user_id, d, props, n, row_number() OVER (
+        |    PARTITION BY user_id, d ORDER BY n DESC, props ASC) AS r
+        |  FROM pb),
+        |merged AS (SELECT user_id, props AS item, sum(n)::BIGINT AS cnt
+        |  FROM cand WHERE r <= 8 GROUP BY 1, 2),
+        |topk AS (SELECT user_id, item, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY cnt DESC, item ASC) AS rank
+        |  FROM merged),
+        |t3 AS (SELECT user_id, string_agg(item, ',' ORDER BY rank)
+        |    AS f_g_top3_30d
+        |  FROM topk WHERE rank <= 3 GROUP BY user_id),
+        |spine AS (SELECT DISTINCT user_id FROM qh
+        |          UNION SELECT DISTINCT user_id FROM hh)
+        |SELECT spine.user_id, q50.f_g_p50_7d, q90.f_g_p90_7d,
+        |  nd.f_g_ndp_30d, t3.f_g_top3_30d
+        |FROM spine
+        |LEFT JOIN q50 USING (user_id)
+        |LEFT JOIN q90 USING (user_id)
+        |LEFT JOIN nd USING (user_id)
+        |LEFT JOIN t3 USING (user_id)""".stripMargin,
 
     // the same rule restated: per-(user, day) top-8 cut, candidate
     // sums, final rank with the identical tiebreaks

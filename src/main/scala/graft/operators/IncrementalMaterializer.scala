@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.model.{Aggregation, Transformation, ValueType}
+import graft.model.{Aggregation, Durations, GraftAggregation, Transformation, ValueType}
 import graft.project.{AnchorFeature, DerivedFeature}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -245,6 +245,182 @@ object IncrementalMaterializer {
       IncrementalSwa.forgetKeys(spark, _, _, keys),
       IncrementalUnion.forgetKeys(spark, _, _, keys),
       IncrementalVector.forgetKeys(spark, _, _, keys))
+
+  // ------------------------------------------------------------------
+  // GraftAggregation extension features (beyond the reference enum):
+  // distinct-count / quantile / top-k features declared against the
+  // same (defExpr, filter, window) surface, maintained by the
+  // sketch/histogram/candidate stores through the same lifecycle.
+  // ------------------------------------------------------------------
+
+  /** A declared extension feature ([[graft.model.GraftAggregation]]):
+    * the engine's own windowed-aggregation kinds, riding the same
+    * measure surface (`defExpr` + optional pre-agg `filter`) and
+    * whole-bucket window rule as the reference aggregations.
+    */
+  case class GraftFeature(name: String, defExpr: String,
+      agg: GraftAggregation, window: java.time.Duration,
+      filter: Option[String] = None)
+
+  /** Store identity for an extension feature: (defExpr, filter, STATE
+    * config). Serve-time parameters are excluded — quantile features
+    * differing only in `q` and top-k features differing only in `k`
+    * share one store.
+    */
+  private def graftStoreKey(f: GraftFeature): String = f.agg match {
+    case GraftAggregation.DistinctCount(p) => s"dc|$p"
+    case GraftAggregation.Quantile(_, lo, hi, bins) => s"qt|$lo|$hi|$bins"
+    case GraftAggregation.TopK(_, cand) => s"tk|$cand"
+  }
+
+  private def graftDir(root: String, f: GraftFeature): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val id = md.digest(
+      s"${f.defExpr}|${f.filter.getOrElse("")}|${graftStoreKey(f)}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"$root/g=$id"
+  }
+
+  private def graftWindow(f: GraftFeature, bucketUs: Long): Int = {
+    val winUs = Durations.toMicros(f.window)
+    require(winUs % bucketUs == 0 && winUs > 0,
+      s"feature '${f.name}': window ${f.window} is not a whole multiple " +
+        s"of the ${bucketUs}µs maintenance bucket")
+    (winUs / bucketUs).toInt
+  }
+
+  /** [[refresh]] for extension features: one delta fold per distinct
+    * (defExpr, filter, state-config) store, routed by aggregation kind.
+    */
+  def refreshGraft(delta: DataFrame, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, version: Long): Unit = {
+    require(features.nonEmpty, "no features to refresh")
+    features.foreach(graftWindow(_, bucketUs)) // validate up front
+    features.groupBy(graftDir(root, _)).foreach { case (dir, fs) =>
+      val f = fs.head
+      val filtered = f.filter.map(delta.where(_)).getOrElse(delta)
+      val measured = filtered.withColumn("__graft_m", expr(f.defExpr))
+        .select((keyCols :+ tsCol :+ "__graft_m").map(col): _*)
+      f.agg match {
+        case GraftAggregation.DistinctCount(p) =>
+          IncrementalDistinct.ingest(measured, dir,
+            IncrementalDistinct.Config(keyCols, tsCol, "__graft_m",
+              bucketUs, p), version)
+        case GraftAggregation.Quantile(_, lo, hi, bins) =>
+          IncrementalQuantile.ingest(measured, dir,
+            IncrementalQuantile.Config(keyCols, tsCol, "__graft_m",
+              bucketUs, lo, hi, bins), version)
+        case GraftAggregation.TopK(_, cand) =>
+          IncrementalTopK.ingest(measured, dir,
+            IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
+              bucketUs, cand), version)
+      }
+    }
+  }
+
+  /** The wide extension-feature row per key as of `asOfUs` — one serve
+    * per (store, window) group (quantile features sharing a store and
+    * window ride ONE `serveQuantiles` call with all their `q`s; top-k
+    * features one `serveTopK` at the largest `k`), assembled with the
+    * same spine/left-join contract as [[snapshot]]. Feature columns:
+    * DistinctCount → the raw HLL estimate (`est_raw`); Quantile → the
+    * bin left edge in value space; TopK → the rank-ordered item array.
+    */
+  def snapshotGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, asOfUs: Long): DataFrame = {
+    require(features.nonEmpty, "no features to snapshot")
+    val served = features
+      .groupBy(f => (graftDir(root, f), graftWindow(f, bucketUs)))
+      .flatMap { case ((dir, w), fs) =>
+        fs.head.agg match {
+          case GraftAggregation.DistinctCount(p) =>
+            val base = IncrementalDistinct.serveDistinct(spark, dir,
+              IncrementalDistinct.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, p), asOfUs, w)
+            Seq(base.select(keyCols.map(col) ++
+              fs.map(f => col("est_raw").as(f.name)): _*))
+          case GraftAggregation.Quantile(_, lo, hi, bins) =>
+            val qs = fs.map(_.agg.asInstanceOf[GraftAggregation.Quantile].q)
+              .distinct
+            val base = IncrementalQuantile.serveQuantiles(spark, dir,
+              IncrementalQuantile.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, lo, hi, bins), asOfUs, w, qs)
+            fs.map { f =>
+              val q = f.agg.asInstanceOf[GraftAggregation.Quantile].q
+              val q10k = math.rint(q * 10000).toLong / 10000.0
+              base.where(col("q") === q10k)
+                .select(keyCols.map(col) :+ col("cutoff").as(f.name): _*)
+            }
+          case GraftAggregation.TopK(_, cand) =>
+            val kMax = fs.map(_.agg.asInstanceOf[GraftAggregation.TopK].k).max
+            val base = IncrementalTopK.serveTopK(spark, dir,
+              IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, cand), asOfUs, w, kMax)
+            fs.map { f =>
+              val k = f.agg.asInstanceOf[GraftAggregation.TopK].k
+              base.where(col("rank") <= k)
+                .groupBy(keyCols.map(col): _*)
+                .agg(transform(
+                  array_sort(collect_list(struct(col("rank"), col("item")))),
+                  _.getField("item")).as(f.name))
+            }
+        }
+      }.toSeq
+    val spine = served.map(_.select(keyCols.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    served.foldLeft(spine)((acc, df) => acc.join(df, keyCols, "left_outer"))
+  }
+
+  /** The shared maintenance dispatch over every extension store. */
+  private def eachGraftStore(root: String, features: Seq[GraftFeature],
+      keyCols: Seq[String], tsCol: String, bucketUs: Long)(
+      onDistinct: (String, IncrementalDistinct.Config) => Unit,
+      onQuantile: (String, IncrementalQuantile.Config) => Unit,
+      onTopK: (String, IncrementalTopK.Config) => Unit): Unit = {
+    require(features.nonEmpty, "no features to maintain")
+    features.groupBy(graftDir(root, _)).foreach { case (dir, fs) =>
+      fs.head.agg match {
+        case GraftAggregation.DistinctCount(p) =>
+          onDistinct(dir, IncrementalDistinct.Config(keyCols, tsCol,
+            "__graft_m", bucketUs, p))
+        case GraftAggregation.Quantile(_, lo, hi, bins) =>
+          onQuantile(dir, IncrementalQuantile.Config(keyCols, tsCol,
+            "__graft_m", bucketUs, lo, hi, bins))
+        case GraftAggregation.TopK(_, cand) =>
+          onTopK(dir, IncrementalTopK.Config(keyCols, tsCol,
+            "__graft_m", bucketUs, cand))
+      }
+    }
+  }
+
+  /** [[compact]] across every extension store. */
+  def compactGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long): Unit =
+    eachGraftStore(root, features, keyCols, tsCol, bucketUs)(
+      IncrementalDistinct.compact(spark, _, _),
+      IncrementalQuantile.compact(spark, _, _),
+      IncrementalTopK.compact(spark, _, _))
+
+  /** [[compactRetaining]] across every extension store. */
+  def compactRetainingGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, minBucket: Long): Unit =
+    eachGraftStore(root, features, keyCols, tsCol, bucketUs)(
+      IncrementalDistinct.compactRetaining(spark, _, _, minBucket),
+      IncrementalQuantile.compactRetaining(spark, _, _, minBucket),
+      IncrementalTopK.compactRetaining(spark, _, _, minBucket))
+
+  /** [[forgetKeys]] across every extension store. */
+  def forgetKeysGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, keys: DataFrame): Unit =
+    eachGraftStore(root, features, keyCols, tsCol, bucketUs)(
+      IncrementalDistinct.forgetKeys(spark, _, _, keys),
+      IncrementalQuantile.forgetKeys(spark, _, _, keys),
+      IncrementalTopK.forgetKeys(spark, _, _, keys))
 
   // ------------------------------------------------------------------
   // Multi-binding feature sets (J4 on the O(delta) path): a project

@@ -47,6 +47,44 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       (2L, 10.0, 1L, Some(10.0), None))) // k=2: no 'a' rows, day-1 max
   }
 
+  test("GraftAggregation routing: distinct/quantile/topk through the full lifecycle") {
+    import graft.model.GraftAggregation._
+    import IncrementalMaterializer.GraftFeature
+    val root = Spill.newPath(spark)
+    val d2 = graft.model.Durations.parse("2d")
+    val feats = Seq(
+      GraftFeature("g_p50", "v", Quantile(0.5, 0.0, 16.0, 16), d2),
+      GraftFeature("g_p100", "v", Quantile(1.0, 0.0, 16.0, 16), d2),
+      GraftFeature("g_nd", "tag", DistinctCount(12), d2),
+      GraftFeature("g_top1", "tag", TopK(1, 4), d2))
+    IncrementalMaterializer.refreshGraft(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    // p50/p100 share one histogram store; 3 stores total
+    assert(new java.io.File(root).listFiles.count(_.getName.startsWith("g=")) == 3)
+    // k=1 events: v in {1,2,4} tags {a,b,a}; k=2: v=10 tag b
+    val snap = IncrementalMaterializer.snapshotGraft(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs)
+    val rows = snap
+      .select(col("k"), col("g_p50"), col("g_p100"), col("g_top1"))
+      .as[(Long, Double, Double, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // bins are [0,1),[1,2),...: p50 of {1,2,4} -> bin 2 edge 2.0;
+    // p100 -> bin 4 edge 4.0; top1 of {a,a,b} -> a
+    assert(rows(1L) == ((2.0, 4.0, Seq("a"))))
+    assert(rows(2L) == ((10.0, 10.0, Seq("b"))))
+    // distinct estimate positive and monotone-consistent: 2 tags vs 1
+    val nd = snap.select(col("k"), col("g_nd")).as[(Long, Double)]
+      .collect().toMap
+    assert(nd(1L) > nd(2L) && nd(2L) > 0)
+    // compact + forget ride the same dispatch
+    IncrementalMaterializer.compactGraft(spark, root, feats, Seq("k"), "ts", DayUs)
+    IncrementalMaterializer.forgetKeysGraft(spark, root, feats,
+      Seq("k"), "ts", DayUs, Seq(1L).toDF("k"))
+    val after = IncrementalMaterializer.snapshotGraft(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs)
+    assert(after.select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("multi-binding routing: one store root per key binding, aliased key frames") {
     val root = Spill.newPath(spark)
     val tagKey = TypedKey("tag", ValueType.STRING, Some("t_alias"))
