@@ -2775,7 +2775,11 @@ object SparkEntry {
           Transformation.windowAgg("value", "SUM", "7d"), Seq(typeKey)),
         AnchorFeature("f_mk_tmax_14d", FeatureType.DOUBLE,
           Transformation.windowAgg("value", "MAX", "14d"), Seq(typeKey)))
+      // NULL keys excluded at ingest by construction (the r13 oracle-
+      // parity lesson: the oracle's GROUP BY keeps a NULL key group,
+      // the snapshot spine's equi-join drops it)
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("event_type").isNotNull)
         .select(col("user_id"), col("event_type"), col("ts"), col("value"))
         .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
       val (minB, maxB) = {
@@ -5864,7 +5868,7 @@ object SparkEntry {
     // onto it; the other binding's feature columns are typed nulls
     "q_materialize_multikey" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, value
-        |           FROM events),
+        |           FROM events WHERE event_type IS NOT NULL),
         |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
         |       FROM e),
         |u7 AS (SELECT user_id,
@@ -6078,7 +6082,6 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(props), 1, 14)) AS UBIGINT) AS h
         |  FROM w30 WHERE props IS NOT NULL),
         |hbr AS (SELECT user_id, $sqlHllBr FROM hh),
-        |hreg AS (SELECT user_id, bucket FROM hbr GROUP BY user_id, bucket),
         |hst AS (SELECT user_id, count(*)::BIGINT AS n_registers,
         |    sum((1::BIGINT << (45 - max_rho)))::BIGINT AS s_hit
         |  FROM (SELECT user_id, bucket, max(rho) AS max_rho FROM hbr

@@ -604,25 +604,34 @@ object IncrementalCuration {
       }
   }
 
-  /** Slots holding a meta row — with the log versions, the "everything
-    * used" set [[forget]]'s slot allocation must clear.
-    */
   /** All meta rows as (version, maxId) — one driver-side listing, no
-    * Spark jobs. */
+    * Spark jobs for the current text format. Lineages written before
+    * r14 carried meta as one-row `__v=<version>` parquet partitions;
+    * those are still read (a one-row parquet head per legacy version,
+    * paid only when such dirs exist) so an existing state dir keeps
+    * working across the format change.
+    */
   private def readAllMeta(spark: SparkSession, root: String): Seq[(Long, Long)] = {
     val p = new Path(metaDir(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("v_"))
-      .map { s =>
+    else fs.listStatus(p).toSeq.flatMap { s =>
+      val name = s.getPath.getName
+      if (s.isFile && name.startsWith("v_")) {
         val in = fs.open(s.getPath)
         val v = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
           finally in.close()
-        (s.getPath.getName.stripPrefix("v_").toLong, v)
-      }
+        Some((name.stripPrefix("v_").toLong, v))
+      } else if (s.isDirectory && name.startsWith("__v=")) {
+        Some((name.stripPrefix("__v=").toLong,
+          spark.read.parquet(s.getPath.toString).head().getLong(0)))
+      } else None
+    }
   }
 
+  /** Slots holding a meta row — with the log versions, the "everything
+    * used" set [[forget]]'s slot allocation must clear.
+    */
   private def metaVersions(spark: SparkSession, root: String): Seq[Long] =
     readAllMeta(spark, root).map(_._1)
 

@@ -441,6 +441,24 @@ object IncrementalMaterializer {
   private def bindingOf(f: AnchorFeature): Seq[(String, String)] =
     f.keys.map(k => (k.alias, k.keyColumn))
 
+  /** Alias schemas must be UNIQUE across a set's bindings: the
+    * snapshot map and [[forgetKeysMulti]] address key frames BY alias
+    * (the FeatureQuery contract), so two bindings sharing an alias
+    * schema over different physical columns would silently collapse to
+    * one frame — refused by name instead.
+    */
+  private def requireDistinctAliases(features: Seq[AnchorFeature]): Unit = {
+    val collisions = features.map(bindingOf).distinct
+      .groupBy(_.map(_._1)).filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      collisions.map { case (alias, bs) =>
+        s"key-alias schema $alias is bound to different physical " +
+          s"columns ${bs.map(_.map(_._2))}"
+      }.mkString("; ") +
+        " — a feature set's alias schemas must be unambiguous (frames " +
+        "are addressed by alias); re-alias one binding")
+  }
+
   private def bindingRoot(root: String, b: Seq[(String, String)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val id = md.digest(b.map { case (a, c) => s"$a=$c" }.mkString("|")
@@ -458,6 +476,7 @@ object IncrementalMaterializer {
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
       version: Long, unionCap: Int = 10000): Unit = {
     require(features.nonEmpty, "no features to refresh")
+    requireDistinctAliases(features)
     features.groupBy(bindingOf).foreach { case (b, fs) =>
       refresh(delta, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, version, unionCap)
@@ -476,6 +495,7 @@ object IncrementalMaterializer {
       asOfUs: Long,
       derived: Seq[DerivedFeature] = Nil): Map[Seq[String], DataFrame] = {
     require(features.nonEmpty, "no features to snapshot")
+    requireDistinctAliases(features)
     val groups = features.groupBy(bindingOf)
     // claim derived features per binding by transitive closure over
     // (group anchors ∪ already-claimed derived)
@@ -536,6 +556,7 @@ object IncrementalMaterializer {
   def forgetKeysMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
       binding: Seq[String], keys: DataFrame): Unit = {
+    requireDistinctAliases(features)
     val groups = features.groupBy(bindingOf)
     val matching = groups.filter { case (b, _) => b.map(_._1) == binding }
     require(matching.nonEmpty,

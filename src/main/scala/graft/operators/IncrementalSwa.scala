@@ -261,6 +261,24 @@ object IncrementalSwa {
       .parquet(s"${liveGen(spark, dir)}/$VCol=$version")
   }
 
+  /** Left join `right` onto `left` with NULL-SAFE key equality — the
+    * daily-table spine join. serve()'s groupBy treats a NULL key as a
+    * group and returns its row; an EqualTo spine join would silently
+    * drop exactly that row from the daily table, breaking the "each
+    * row equals the boundary serve" contract for NULL-key state.
+    */
+  private[operators] def nullSafeLeftJoin(left: DataFrame, right: DataFrame,
+      joinCols: Seq[String]): DataFrame = {
+    val l = left.alias("__l")
+    val r = right.alias("__r")
+    val cond = joinCols.map(k => col(s"__l.$k") <=> col(s"__r.$k"))
+      .reduce(_ && _)
+    val rightCols = right.columns.filterNot(joinCols.contains)
+    l.join(r, cond, "left_outer")
+      .select(joinCols.map(k => col(s"__l.$k").as(k)) ++
+        rightCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   private def readState(spark: SparkSession, dir: String): DataFrame =
     // partition discovery reads __v back as a column
     spark.read.parquet(requireLiveGen(spark, dir))
@@ -344,7 +362,7 @@ object IncrementalSwa {
     val completeFrom =
       if (includeHorizonPartialRows) loB
       else retainedFrom(spark, dir).map(_ + windowBuckets - 1L).getOrElse(loB)
-    spine.join(merged, cfg.keyCols :+ BCol, "left_outer")
+    nullSafeLeftJoin(spine, merged, cfg.keyCols :+ BCol)
       .withColumn("sum_c", sum(col("psum_c")).over(w))
       .withColumn("f_cnt", sum(col("pcnt")).over(w))
       .withColumn("f_min", min(col("pmin")).over(w))

@@ -135,7 +135,7 @@ object IncrementalVector {
       if (includeHorizonPartialRows) loB
       else IncrementalSwa.retainedFrom(spark, dir)
         .map(_ + windowBuckets - 1L).getOrElse(loB)
-    spine.join(merged, cfg.keyCols :+ BCol, "left_outer")
+    IncrementalSwa.nullSafeLeftJoin(spine, merged, cfg.keyCols :+ BCol)
       .withColumn("sum_grid",
         LongVectorSumAggregator.longVecSum(col("pesum")).over(w))
       .withColumn("f_ecnt", sum(col("pcnt")).over(w))

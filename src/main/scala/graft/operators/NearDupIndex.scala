@@ -266,6 +266,11 @@ object NearDupIndex {
       bandsOf(delta, textCol, idCol, numHashes, bands, shingleSize)
         .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
         .persist()
+    // ownership of the persisted dBands passes to admitAppend /
+    // previewLosers on SUCCESS; on any failure below it is released
+    // here (a long-lived session retrying failing refreshes must not
+    // accumulate orphaned cached frames)
+    try {
     def maybeBcD(small: DataFrame): DataFrame =
       if (dBandBytes <= bcLimit(spark)) broadcast(small) else small
 
@@ -347,6 +352,7 @@ object NearDupIndex {
       try Spill.roundTrip(crossMatched.unionByName(intMatched).distinct())
       finally dSh.unpersist()
     (losers, dBands)
+    } catch { case t: Throwable => dBands.unpersist(); throw t }
   }
 
   /** Physically erase `ids`' band and shingle rows from the store —

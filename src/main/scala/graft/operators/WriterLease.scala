@@ -218,14 +218,24 @@ object WriterLease {
       f.delete(tomb, false)
     } else {
       val holder = tombLease.map(_._1).getOrElse("<unreadable>")
-      try f.rename(tomb, leasePath(lease.dir))
-      catch { case _: java.io.IOException => () }
+      // restore the live holder's lease we just renamed aside. The
+      // restore can lose to a third acquirer slipping into the brief
+      // vacancy — then the evicted holder is unprotected until its own
+      // release detects the loss; SAY SO rather than failing silently.
+      val restored =
+        try f.rename(tomb, leasePath(lease.dir))
+        catch { case _: java.io.IOException => false }
       throw new IllegalStateException(
         s"writer lease on ${lease.dir} held by '${lease.owner}' was " +
           s"TAKEN OVER by '$holder' (this writer exceeded the lease " +
           "ttl, or shares an explicit owner name with a live writer); " +
           "writes after the takeover may have interleaved — verify the " +
-          "store's version log before trusting this run")
+          "store's version log before trusting this run" +
+          (if (restored) ""
+           else s" — AND the holder's lease could not be restored " +
+             s"(another acquirer claimed the dir; its lease file " +
+             s"remains aside at $tomb): '$holder' now runs unprotected " +
+             "until its own release detects the loss"))
     }
   }
 

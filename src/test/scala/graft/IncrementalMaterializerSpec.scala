@@ -129,6 +129,16 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       "ts", DayUs, 2 * DayUs)
     assert(after(Seq("k")).select("k").as[Long].collect().toSeq == Seq(2L))
     assert(after(Seq("t_alias")).count() == 2)
+    // two bindings sharing an alias schema over DIFFERENT physical
+    // columns cannot be addressed by alias — refused by name
+    val clash = Seq(feat("a1", wa("SUM")),
+      AnchorFeature("a2", FeatureType.DOUBLE, wa("SUM"),
+        Seq(TypedKey("tag", ValueType.STRING, Some("k")))))
+    val er = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.refreshMulti(events, Spill.newPath(spark),
+        clash, "ts", DayUs, 0L)
+    }
+    assert(er.getMessage.contains("alias"), er.getMessage)
   }
 
   test("derived features evaluate in DAG order over the snapshot row") {

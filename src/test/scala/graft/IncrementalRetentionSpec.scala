@@ -75,6 +75,25 @@ class IncrementalRetentionSpec extends SparkTestBase {
     assert(daily(includePartial = true) == Map(1L -> 2.0, 2L -> 5.0, 3L -> 7.0))
   }
 
+  test("serveDaily keeps NULL-key state (serve()'s groupBy contract)") {
+    val dir = Spill.newPath(spark)
+    val rows = Seq((Some(1L), 0, 1.0), (None, 0, 5.0), (None, 1, 7.0))
+      .toDF("k", "d", "v")
+      .withColumn("ts", timestamp_micros(col("d") * DayUs + 3600000000L))
+      .select("k", "ts", "v")
+    IncrementalSwa.ingest(rows, dir, cfg, 0L)
+    // serve() groups NULL keys into a row; the daily spine join must
+    // match it null-safely instead of silently dropping it
+    val daily = IncrementalSwa.serveDaily(spark, dir, cfg, 2)
+      .select("k", "bucket", "f_sum").as[(Option[Long], Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(daily((None, 1L)) == 12.0)
+    assert(daily((Some(1L), 0L)) == 1.0)
+    val served = IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2)
+      .select("k", "f_sum").as[(Option[Long], Double)].collect().toMap
+    assert(served(None) == 12.0, "daily row must equal the boundary serve")
+  }
+
   test("forgetKeys erases a key's whole history atomically; re-ingest re-admits") {
     val dir = Spill.newPath(spark)
     IncrementalSwa.ingest(ev((1L, 0, 1.0), (2L, 0, 2.0), (3L, 1, 3.0)),
