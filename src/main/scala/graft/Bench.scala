@@ -43,7 +43,7 @@ object Bench {
       // leak into the next query's timing. r5 measured ~2x spread
       // between shared-session and fresh-JVM numbers on tail queries.
       val sess = spark.newSession()
-      val runs = (1 to runsPerQuery).map { i =>
+      def timeOnce(i: Int): (Double, Boolean) = {
         val t0 = System.nanoTime()
         // time FULL materialization (every output column), not a bare
         // count(): the optimizer eliminates row-preserving left-outer
@@ -70,6 +70,19 @@ object Bench {
           System.err.println(f"[bench] $name%-24s run$i $sec%8.2fs  rows=$n")
         (sec, n >= 0)
       }
+      val first = timeOnce(1)
+      val rest = (2 to runsPerQuery).map(timeOnce)
+      // sub-second queries' medians were dominated by JVM/codegen
+      // warm-up of THIS query's plan shape (r13 watch item: q_asof_join
+      // one-offing 0.85 -> 1.8 when every run shared a cold window):
+      // for cheap queries the cold first run is excluded and replaced
+      // by one extra timed run — the median still covers runsPerQuery
+      // samples, all steady-state. Expensive queries (first run >= 2s)
+      // keep all runs: their warm-up share is negligible and the extra
+      // run would cost real wall.
+      val runs =
+        if (first._2 && first._1 < 2.0) rest :+ timeOnce(runsPerQuery + 1)
+        else first +: rest
       val ok = runs.filter(_._2).map(_._1).sorted
       // a failed run must surface as a failure, not contribute its
       // time-to-failure as a plausible median sample
