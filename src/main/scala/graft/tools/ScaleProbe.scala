@@ -32,7 +32,7 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
     //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|swainc|
-    //   featday|bpe|unionvec|all selects the axis
+    //   featday|bpe|unionvec|uvdaily|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1396,6 +1396,63 @@ object ScaleProbe {
             f"vecIngest=$viSec%6.2fs/${viMb}%7.1fMB " +
             f"vecServe=$vsSec%5.2fs/compacted=$vcSec%5.2fs")
         warmedUv = true
+      }
+    }
+
+    // ---- axis 28: daily feature tables for the UNION and VECTOR
+    // stores (r14 serveDaily parity). Same read-amplification claim as
+    // axis 25, measured separately because the two stores pay
+    // differently: vector rides the scalar store's one-pass RANGE
+    // frame (flat in days), while union has NO rolling shortcut (set
+    // union has no inverse) — its one pass is explode+sequence over
+    // state items × window, so its one-pass cost grows with the output
+    // grid but still beats N full state scans. Both measured on the
+    // same compacted single-generation state.
+    if (axes == "all" || axes == "uvdaily") {
+      import graft.operators.{IncrementalSwa, IncrementalUnion, IncrementalVector, Spill}
+      val dayUs = 86400000000L
+      val uCfg = IncrementalUnion.Config(Seq("user_id"), "ts", "props", dayUs)
+      val vCfg = IncrementalVector.Config(Seq("user_id"), "ts", "vec", dayUs)
+      val uEvs = spark.read.parquet(s"$dir/events.parquet")
+        .normalizeEventTime
+        .select("user_id", "ts", "props")
+      val vEvs = ev0.select(col("user_id"), col("ts"),
+        array((0 until 8).map(i => col("value") * (i + 1)): _*).as("vec"))
+      val maxB = uEvs.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))
+        .head().getLong(0)
+      val uRoot = Spill.newPath(spark) + "/probe_uvd_u"
+      val vRoot = Spill.newPath(spark) + "/probe_uvd_v"
+      IncrementalUnion.ingest(uEvs, uRoot, uCfg, 0L)
+      IncrementalVector.ingest(vEvs, vRoot, vCfg, 0L)
+      var warmedUd = false
+      for (days <- Seq(2) ++ mults.map(_.min(28))) {
+        val (uOneSec, uOneMb) = time {
+          IncrementalUnion.serveDaily(spark, uRoot, uCfg, 7)
+            .where(col("bucket") > maxB - days).count()
+        }
+        val (uLoopSec, uLoopMb) = time {
+          (0 until days).map { i =>
+            IncrementalUnion.serve(spark, uRoot, uCfg,
+              (maxB - i + 1) * dayUs, 7).count()
+          }.sum.max(1L)
+        }
+        val (vOneSec, vOneMb) = time {
+          IncrementalVector.serveDaily(spark, vRoot, vCfg, 7)
+            .where(col("bucket") > maxB - days).count()
+        }
+        val (vLoopSec, vLoopMb) = time {
+          (0 until days).map { i =>
+            IncrementalVector.serve(spark, vRoot, vCfg,
+              (maxB - i + 1) * dayUs, 7).count()
+          }.sum.max(1L)
+        }
+        if (warmedUd)
+          println(f"[scale] days=$days%-3d " +
+            f"unionDaily=$uOneSec%6.2fs/${uOneMb}%6.1fMB " +
+            f"unionLoop=$uLoopSec%6.2fs/${uLoopMb}%6.1fMB " +
+            f"vecDaily=$vOneSec%6.2fs/${vOneMb}%6.1fMB " +
+            f"vecLoop=$vLoopSec%6.2fs/${vLoopMb}%6.1fMB")
+        warmedUd = true
       }
     }
 
