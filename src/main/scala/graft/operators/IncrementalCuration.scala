@@ -196,9 +196,16 @@ object IncrementalCuration {
     // one, so a crash-replay of the same version validates against the
     // same prior state instead of tripping over its own first attempt
     val priorMax = readMetaBefore(spark, root, slot)
+    // the caller's delta plan is arbitrary (and often expensive —
+    // unions, normalization expressions); without a cache it would be
+    // fully evaluated twice, once by the bounds aggregate and again
+    // materializing the entrants. Deltas are O(delta)-bounded by the
+    // incremental contract, so caching one is always safe
+    val deltaC = delta.persist()
+    try {
     // min/max drive the monotone-id checks; the count rides the same
     // job and spares the admission decision its own sizing action
-    val bounds = delta.agg(
+    val bounds = deltaC.agg(
       min(col(pipeline.idCol).cast("long")),
       max(col(pipeline.idCol).cast("long")),
       count(lit(1))).head()
@@ -239,7 +246,7 @@ object IncrementalCuration {
 
     // persisted, not spilled (the bootstrap's rationale): consumed by
     // the admission decision, the shingle append, and the log append
-    val entrants = runStages(delta, pre, pipeline, reference).persist()
+    val entrants = runStages(deltaC, pre, pipeline, reference).persist()
     try {
       nd match {
         case Some(NearDupDrop(threshold, _)) =>
@@ -270,6 +277,7 @@ object IncrementalCuration {
       }
       writeMeta(spark, root, slot, math.max(priorMax, dMax))
     } finally entrants.unpersist()
+    } finally deltaC.unpersist()
     snapshot(spark, root)
   }
 
