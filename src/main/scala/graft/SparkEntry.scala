@@ -2895,6 +2895,94 @@ object SparkEntry {
           explode(col("f_props_7d")).as("prop"))
     }),
 
+    // The feature-set-level daily table (r14): every feature's window
+    // aggregate per (key, bucket) for the WHOLE bucket range, scalar +
+    // UNION stores assembled on (key, bucket) and the derived DAG
+    // evaluated per row — one serveDaily state pass per store instead
+    // of a per-day snapshot loop (axes 25/28). Events are filtered
+    // non-null by construction so the two stores' (key, day) domains
+    // coincide and the oracle can restate the table as one windowed
+    // expansion.
+    "q_materialize_daily" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_sum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_cnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)),
+        AnchorFeature("f_et_7d", FeatureType.STRING,
+          Transformation.windowAgg("event_type", "UNION", "7d"),
+          Seq(userKey)))
+      val derived = Seq(
+        DerivedFeature("d_avg_cents", FeatureType.INT64,
+          "cast(round(f_sum_7d * 100) as bigint) div nullif(f_cnt_7d, 0)",
+          Seq(InputFeature("f_sum_7d", Seq(userKey)),
+            InputFeature("f_cnt_7d", Seq(userKey))), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 2 + 1
+      (0L until 2L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refresh(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.compact(s, root, feats,
+        Seq("user_id"), "ts", dayUs)
+      IncrementalMaterializer.snapshotDaily(s, root, feats,
+          Seq("user_id"), "ts", dayUs, derived)
+        .select(col("user_id"), col("bucket"),
+          round(col("f_sum_7d"), 4).as("f_sum_7d"), col("f_cnt_7d"),
+          col("d_avg_cents"),
+          concat_ws(",", col("f_et_7d")).as("f_et_set"))
+    }),
+
+    // The leak-free training table at the feature-set level (r14): the
+    // store-level q_training_set_state contract lifted through
+    // IncrementalMaterializer.trainingSet — click observations joined
+    // against the PRECEDING day's assembled feature row (scalar +
+    // set-valued + derived), events never rescanned per observation.
+    // Cold-start observations keep null features (left join).
+    "q_materialize_training" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_sum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_cnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)),
+        AnchorFeature("f_et_7d", FeatureType.STRING,
+          Transformation.windowAgg("event_type", "UNION", "7d"),
+          Seq(userKey)))
+      val derived = Seq(
+        DerivedFeature("d_avg_cents", FeatureType.INT64,
+          "cast(round(f_sum_7d * 100) as bigint) div nullif(f_cnt_7d, 0)",
+          Seq(InputFeature("f_sum_7d", Seq(userKey)),
+            InputFeature("f_cnt_7d", Seq(userKey))), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+      val root = Spill.newPath(s)
+      IncrementalMaterializer.refresh(ev, root, feats,
+        Seq("user_id"), "ts", dayUs, 0L)
+      IncrementalMaterializer.trainingSet(s, root, feats,
+          Seq("user_id"), "ts", dayUs, fixTs(clicks(s, dir)), "ts", derived)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("f_sum_7d"), 4).as("f_sum_7d"), col("f_cnt_7d"),
+          col("d_avg_cents"),
+          when(col("f_et_7d").isNotNull,
+            concat_ws(",", col("f_et_7d"))).as("f_et_set"))
+    }),
+
     // A4 UNION through the incremental stores: distinct props per user
     // over 7d, maintained as per-(key, day) sets — a SEMILATTICE, so
     // late deltas and compactions merge like LATEST. Served set
@@ -5935,6 +6023,64 @@ object SparkEntry {
         |      WHERE props IS NOT NULL)
         |SELECT s.user_id, s.f_sum_7d, p.prop
         |FROM s JOIN p USING (user_id)""".stripMargin,
+
+    // the keys×days table restated as one windowed expansion: each
+    // event's day feeds the 7 buckets it belongs to; scalar aggregates
+    // and the distinct-set string group on (user, bucket); the derived
+    // column is the integer-cent division on the exact grid
+    "q_materialize_daily" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    value, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |b AS (SELECT max(d) AS hi FROM e),
+        |ex AS (SELECT user_id, value, event_type,
+        |         unnest(range(d, least(d + 7, hi + 1))) AS bucket
+        |       FROM e, b),
+        |sc AS (SELECT user_id, bucket,
+        |         round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |           AS f_sum_7d,
+        |         count(value) AS f_cnt_7d,
+        |         sum(round(value * 100)::BIGINT)::BIGINT AS sum_c
+        |       FROM ex GROUP BY 1, 2),
+        |un AS (SELECT user_id, bucket,
+        |         string_agg(event_type, ',' ORDER BY event_type) AS f_et_set
+        |       FROM (SELECT DISTINCT user_id, bucket, event_type FROM ex)
+        |       GROUP BY 1, 2)
+        |SELECT sc.user_id, sc.bucket, sc.f_sum_7d, sc.f_cnt_7d,
+        |  sum_c // nullif(f_cnt_7d, 0) AS d_avg_cents, un.f_et_set
+        |FROM sc JOIN un USING (user_id, bucket)""".stripMargin,
+
+    // per click observation: the previous 7 FULL days' aggregates
+    // (e.d in [o.d − 7, o.d − 1] — strictly before the observation's
+    // own day), left-joined so cold-start clicks keep nulls
+    "q_materialize_training" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    value, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        epoch_us(ts) // 86400000000 AS d
+        |      FROM events WHERE event_type = 'click'),
+        |f AS (SELECT o.event_id,
+        |        round(sum(round(e.value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |          AS f_sum_7d,
+        |        count(e.value) AS f_cnt_7d,
+        |        sum(round(e.value * 100)::BIGINT)::BIGINT
+        |          // nullif(count(e.value), 0) AS d_avg_cents
+        |      FROM o JOIN e ON e.user_id = o.user_id
+        |        AND e.d BETWEEN o.d - 7 AND o.d - 1
+        |      GROUP BY o.event_id),
+        |pp AS (SELECT DISTINCT o2.event_id, e.event_type AS et
+        |       FROM o o2 JOIN e ON e.user_id = o2.user_id
+        |         AND e.d BETWEEN o2.d - 7 AND o2.d - 1),
+        |p AS (SELECT event_id, string_agg(et, ',' ORDER BY et) AS f_et_set
+        |      FROM pp GROUP BY event_id)
+        |SELECT o.event_id, o.user_id, o.us AS ts_us, f.f_sum_7d,
+        |  f.f_cnt_7d, f.d_avg_cents, p.f_et_set
+        |FROM o LEFT JOIN f USING (event_id) LEFT JOIN p USING (event_id)""".stripMargin,
 
     // the served union set exploded = the distinct (user, prop) pairs
     // of the window

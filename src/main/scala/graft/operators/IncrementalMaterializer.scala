@@ -156,21 +156,7 @@ object IncrementalMaterializer {
             asOfUs, w)
         }
         val cols = keyCols.map(col) ++ fs.map { case (f, (_, _, agg)) =>
-          (agg match {
-            case Aggregation.SUM => col("f_sum")
-            case Aggregation.COUNT => col("f_cnt")
-            case Aggregation.AVG => col("f_avg")
-            case Aggregation.MIN => col("f_min")
-            case Aggregation.MAX => col("f_max")
-            case Aggregation.LATEST => col("f_latest")
-            case Aggregation.UNION => col("f_union")
-            case Aggregation.ELEMENTWISE_SUM => col("f_esum")
-            case Aggregation.ELEMENTWISE_AVG => col("f_eavg")
-            case Aggregation.ELEMENTWISE_MIN => col("f_emin")
-            case Aggregation.ELEMENTWISE_MAX => col("f_emax")
-            case other => throw new IllegalStateException(
-              s"unreachable: $other passed kindOf")
-          }).as(f.name)
+          col(aggCol(agg)).as(f.name)
         }
         base.select(cols: _*)
       }.toSeq
@@ -179,6 +165,101 @@ object IncrementalMaterializer {
     val wide = served.foldLeft(spine)((acc, df) =>
       acc.join(df, keyCols, "left_outer"))
     applyDerived(wide, features, derived)
+  }
+
+  /** The feature TABLE over time for the whole feature set: one row
+    * per key × bucket, every feature's window aggregate as served at
+    * that bucket's boundary, derived features evaluated per row — the
+    * keys×days table a training pipeline actually consumes, assembled
+    * from ONE `serveDaily` state pass per distinct (measure, window)
+    * instead of N×features [[snapshot]] calls (axes 25/28: the per-day
+    * serve loop is linear in days; the daily passes are flat). Keys
+    * with no qualifying rows in a feature's window at a bucket carry
+    * null there (the [[snapshot]] left-join contract, now per bucket).
+    *
+    * Buckets outside a feature's state range simply have no rows from
+    * that store — the spine is the UNION of the stores' (key, bucket)
+    * domains, so a feature set mixing windows stays assemblable.
+    * Retention: each store excludes its horizon-incomplete rows by
+    * default ([[IncrementalSwa.serveDaily]]'s erased ≠ empty posture);
+    * `includeHorizonPartialRows` opts every store into left-edge
+    * semantics at once.
+    */
+  def snapshotDaily(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, derived: Seq[DerivedFeature] = Nil,
+      includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(features.nonEmpty, "no features to snapshot")
+    val plans = features.map(f => (f, planOf(f, bucketUs)))
+    val joinCols = keyCols :+ "bucket"
+    val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
+      .map { case ((m, w), fs) =>
+        val base = m.kind match {
+          case Scalar => IncrementalSwa.serveDaily(spark, storeDir(root, m),
+            cfg(keyCols, tsCol, bucketUs), w, includeHorizonPartialRows)
+          case SetUnion => IncrementalUnion.serveDaily(spark,
+            storeDir(root, m),
+            IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs),
+            w, includeHorizonPartialRows)
+          case Vector => IncrementalVector.serveDaily(spark,
+            storeDir(root, m),
+            IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs),
+            w, includeHorizonPartialRows)
+        }
+        base.select(joinCols.map(col) ++ fs.map { case (f, (_, _, agg)) =>
+          col(aggCol(agg)).as(f.name)
+        }: _*)
+      }.toSeq
+    val spine = served.map(_.select(joinCols.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    val wide = served.foldLeft(spine)((acc, df) =>
+      acc.join(df, joinCols, "left_outer"))
+    applyDerived(wide, features, derived)
+  }
+
+  /** The leak-free training table for the feature set: every
+    * observation joined against the feature row of the PRECEDING
+    * bucket — an observation at time t in bucket b sees aggregates
+    * over events strictly before b's start (≤ t by construction), so
+    * no feature ever contains the observation's own bucket. One
+    * [[snapshotDaily]] pass serves every observation date; the
+    * events/state are never rescanned per observation
+    * (the store-level `q_training_set_state` contract, lifted to the
+    * whole feature set). Observations whose preceding bucket has no
+    * feature row keep nulls (left join — cold-start rows are the
+    * trainer's decision, not silently dropped).
+    */
+  def trainingSet(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, observations: DataFrame, obsTsCol: String,
+      derived: Seq[DerivedFeature] = Nil): DataFrame = {
+    val daily = snapshotDaily(spark, root, features, keyCols, tsCol,
+      bucketUs, derived)
+      .withColumnRenamed("bucket", "__feature_bucket")
+    val obs = observations.withColumn("__feature_bucket",
+      IncrementalSwa.bucketOf(col(obsTsCol), bucketUs) - 1L)
+    obs.join(daily, keyCols :+ "__feature_bucket", "left_outer")
+      .drop("__feature_bucket")
+  }
+
+  /** The served column a reference aggregation reads from its store's
+    * serve/serveDaily output — shared by [[snapshot]] and
+    * [[snapshotDaily]] so the two assemblies cannot drift.
+    */
+  private def aggCol(agg: Aggregation): String = agg match {
+    case Aggregation.SUM => "f_sum"
+    case Aggregation.COUNT => "f_cnt"
+    case Aggregation.AVG => "f_avg"
+    case Aggregation.MIN => "f_min"
+    case Aggregation.MAX => "f_max"
+    case Aggregation.LATEST => "f_latest"
+    case Aggregation.UNION => "f_union"
+    case Aggregation.ELEMENTWISE_SUM => "f_esum"
+    case Aggregation.ELEMENTWISE_AVG => "f_eavg"
+    case Aggregation.ELEMENTWISE_MIN => "f_emin"
+    case Aggregation.ELEMENTWISE_MAX => "f_emax"
+    case other => throw new IllegalStateException(
+      s"unreachable: $other passed kindOf")
   }
 
   /** One (measure, kind) maintenance dispatch — the shared loop under

@@ -292,4 +292,47 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       .find(_.getName.startsWith("u=")).get.getAbsolutePath
     assert(graft.operators.IncrementalSwa.versions(spark, uDir).isEmpty)
   }
+
+  test("snapshotDaily + trainingSet: keys×days assembly and leak-free join") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(
+      feat("s2", wa("SUM")), feat("c2", wa("COUNT")),
+      AnchorFeature("u2", FeatureType.STRING, Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d")), Seq(key)))
+    val derived = Seq(
+      DerivedFeature("d_cents", FeatureType.INT64,
+        "cast(round(s2 * 100) as bigint) div c2",
+        Seq(InputFeature("s2", Seq(key)), InputFeature("c2", Seq(key))),
+        Seq(key)))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    val daily = IncrementalMaterializer.snapshotDaily(spark, root, feats,
+        Seq("k"), "ts", DayUs, derived)
+      .select(col("k"), col("bucket"), col("s2"), col("c2"),
+        concat_ws(",", col("u2")).as("u2"), col("d_cents"))
+      .as[(Long, Long, Double, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // k=2 has no events feeding bucket 0 -> that row is ABSENT, not null
+    assert(daily == Map(
+      (1L, 0L) -> ((3.0, 2L, "a,b", 150L)),
+      (1L, 1L) -> ((7.0, 3L, "a,b", 233L)),
+      (2L, 1L) -> ((10.0, 1L, "b", 1000L))))
+    // observations on days 1/2 read the PREVIOUS day's feature row;
+    // a cold-start key (9) and a cold bucket (k=2 at day 1) keep nulls
+    val obs = Seq((1L, 1L, "o1"), (1L, 2L, "o2"), (2L, 1L, "o3"),
+        (9L, 2L, "o4"))
+      .toDF("k", "d", "oid")
+      .withColumn("ots", timestamp_micros(col("d") * DayUs + 1L))
+      .select("oid", "k", "ots")
+    val ts = IncrementalMaterializer.trainingSet(spark, root, feats,
+        Seq("k"), "ts", DayUs, obs, "ots", derived)
+      .select(col("oid"), col("s2"), col("c2"), col("d_cents"))
+      .as[(String, Option[Double], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(ts == Map(
+      "o1" -> ((Some(3.0), Some(2L), Some(150L))),
+      "o2" -> ((Some(7.0), Some(3L), Some(233L))),
+      "o3" -> ((None, None, None)),
+      "o4" -> ((None, None, None))))
+  }
 }
