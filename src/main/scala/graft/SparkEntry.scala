@@ -3205,6 +3205,52 @@ object SparkEntry {
             concat_ws(",", col("f_g_top3_30d"))).as("f_g_top3_30d"))
     }),
 
+    // The extension features' daily table (r14): quantile / HLL
+    // distinct-count / top-k per (key, bucket) for the whole bucket
+    // range, each store's serveDaily explode-expansion assembled on
+    // (key, bucket) — every store kind in the engine now serves the
+    // keys×days shape. The oracle restates each store's exact decision
+    // rule at per-bucket granularity (integer permyriad cutoffs,
+    // integer HLL statistics, per-day candidate cut then per-bucket
+    // rank).
+    "q_materialize_graft_daily" -> ((s, dir) => {
+      import graft.model.GraftAggregation
+      import IncrementalMaterializer.GraftFeature
+      val dayUs = 86400000000L
+      val d7 = graft.model.Durations.parse("7d")
+      val feats = Seq(
+        GraftFeature("f_g_p50_7d", "value",
+          GraftAggregation.Quantile(0.5, 0.0, 200.0, 256), d7),
+        GraftFeature("f_g_nd_7d", "props",
+          GraftAggregation.DistinctCount(12), d7),
+        GraftFeature("f_g_top3_7d", "props",
+          GraftAggregation.TopK(3, 8), d7))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("value"), col("props"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 2 + 1
+      (0L until 2L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refreshGraft(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.compactGraft(s, root, feats,
+        Seq("user_id"), "ts", dayUs)
+      IncrementalMaterializer.snapshotDailyGraft(s, root, feats,
+          Seq("user_id"), "ts", dayUs)
+        .select(col("user_id"), col("bucket"), col("f_g_p50_7d"),
+          round(col("f_g_nd_7d"), 4).as("f_g_nd_7d"),
+          when(col("f_g_top3_7d").isNotNull,
+            concat_ws(",", col("f_g_top3_7d"))).as("f_g_top3_7d"))
+    }),
+
     // Windowed heavy hitters from incremental state: per-(key, day)
     // candidate truncation (top-8 by count desc, item asc — the
     // SpaceSaving trade, exact within-bucket counts), candidate sums
@@ -6261,6 +6307,72 @@ object SparkEntry {
         |LEFT JOIN q90 USING (user_id)
         |LEFT JOIN nd USING (user_id)
         |LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    // each store's rule at per-bucket granularity: every per-day
+    // partial (bin counts, distinct hashes, top-8 candidates) feeds
+    // the 7 output buckets its day belongs to, then the boundary
+    // serve's exact decision rule runs per (user, bucket)
+    "q_materialize_graft_daily" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    value, props
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT max(d) AS hi FROM e),
+        |qh0 AS (SELECT user_id, d, CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM e WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        |qh AS (SELECT user_id, unnest(range(d, least(d + 7, hi + 1)))
+        |    AS bucket, bin, n FROM qh0, b),
+        |qm AS (SELECT user_id, bucket, bin, sum(n) AS n
+        |       FROM qh GROUP BY 1, 2, 3),
+        |qc AS (SELECT user_id, bucket, bin,
+        |    sum(n) OVER (PARTITION BY user_id, bucket ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id, bucket) AS total
+        |  FROM qm),
+        |q50 AS (SELECT user_id, bucket,
+        |    0.0 + min(bin) * 200.0 / 256.0 AS f_g_p50_7d
+        |  FROM qc WHERE cum * 10000 >= 5000 * total GROUP BY 1, 2),
+        |hh AS (SELECT DISTINCT user_id, d,
+        |    CAST(('0x' || substr(md5(props), 1, 14)) AS UBIGINT) AS h
+        |  FROM e WHERE props IS NOT NULL),
+        |hbr AS (SELECT user_id, d, $sqlHllBr FROM hh),
+        |hx AS (SELECT user_id, unnest(range(d, least(d + 7, hi + 1)))
+        |    AS obucket, bucket, rho FROM hbr, b),
+        |hreg AS (SELECT user_id, obucket, bucket, max(rho) AS max_rho
+        |         FROM hx GROUP BY 1, 2, 3),
+        |hst AS (SELECT user_id, obucket, count(*)::BIGINT AS n_registers,
+        |    sum((1::BIGINT << (45 - max_rho)))::BIGINT AS s_hit
+        |  FROM hreg GROUP BY 1, 2),
+        |nd AS (SELECT user_id, obucket AS bucket,
+        |    round(0.7213/(1.0 + 1.079/4096.0)*4096*4096 * 35184372088832.0
+        |      / (s_hit + (4096 - n_registers) * 35184372088832)::DOUBLE, 4)
+        |      AS f_g_nd_7d
+        |  FROM hst),
+        |pb AS (SELECT user_id, d, props, count(*) AS n
+        |       FROM e WHERE props IS NOT NULL GROUP BY 1, 2, 3),
+        |cand AS (SELECT user_id, d, props, n, row_number() OVER (
+        |    PARTITION BY user_id, d ORDER BY n DESC, props ASC) AS r
+        |  FROM pb),
+        |cx AS (SELECT user_id, unnest(range(d, least(d + 7, hi + 1)))
+        |    AS bucket, props, n FROM cand, b WHERE r <= 8),
+        |merged AS (SELECT user_id, bucket, props AS item,
+        |    sum(n)::BIGINT AS cnt FROM cx GROUP BY 1, 2, 3),
+        |topk AS (SELECT user_id, bucket, item, row_number() OVER (
+        |    PARTITION BY user_id, bucket ORDER BY cnt DESC, item ASC)
+        |    AS rank
+        |  FROM merged),
+        |t3 AS (SELECT user_id, bucket,
+        |    string_agg(item, ',' ORDER BY rank) AS f_g_top3_7d
+        |  FROM topk WHERE rank <= 3 GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT user_id, bucket FROM qm
+        |          UNION SELECT DISTINCT user_id, bucket FROM merged)
+        |SELECT spine.user_id, spine.bucket, q50.f_g_p50_7d, nd.f_g_nd_7d,
+        |  t3.f_g_top3_7d
+        |FROM spine
+        |LEFT JOIN q50 USING (user_id, bucket)
+        |LEFT JOIN nd ON nd.user_id = spine.user_id
+        |  AND nd.bucket = spine.bucket
+        |LEFT JOIN t3 USING (user_id, bucket)""".stripMargin,
 
     // the same rule restated: per-(user, day) top-8 cut, candidate
     // sums, final rank with the identical tiebreaks

@@ -74,6 +74,61 @@ object IncrementalDistinct {
     Sketches.hllStats(regs, cfg.p, cfg.keyCols)
   }
 
+  /** The daily distinct-count table in ONE state pass: per (key,
+    * bucket b), [[serveDistinct]]'s statistics over the `windowBuckets`
+    * buckets ending AT b. Register max has no inverse (a rolling frame
+    * cannot subtract the leaving bucket's registers), so each register
+    * row feeds its window's output buckets by explode + sequence and
+    * one groupBy re-maxes — honest O(state rows × W) intermediate, but
+    * still one state read vs N per-day [[serveDistinct]] scans (axis
+    * 28's read-amplification claim). Horizon-incomplete rows are
+    * excluded by default ([[IncrementalSwa.serveDaily]]'s erased ≠
+    * empty posture); `includeHorizonPartialRows` opts into left-edge
+    * semantics.
+    */
+  def serveDaily(spark: SparkSession, dir: String, cfg: Config,
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+    val hiB = {
+      val r = st.agg(max(col(BCol))).head()
+      require(!r.isNullAt(0), s"state at $dir holds no registers")
+      r.getLong(0)
+    }
+    val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
+      windowBuckets, includeHorizonPartialRows)
+    val regs = IncrementalSwa.expandToWindows(st, windowBuckets, hiB)
+      .where(col("__day") >= completeFrom)
+      .groupBy((cfg.keyCols :+ "__day" :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+    Sketches.hllStats(regs, cfg.p, cfg.keyCols :+ "__day")
+      .withColumnRenamed("__day", "bucket")
+  }
+
+  /** [[serveDistinct]] as the state stood at `asOfVersion` — time
+    * travel with [[IncrementalSwa.serveAsOf]]'s rebased-history
+    * refusal.
+    */
+  def serveAsOf(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int, asOfVersion: Long): DataFrame = {
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(folded < 0 || asOfVersion >= folded,
+      s"version $asOfVersion predates the compaction fold ($folded) at " +
+        s"$dir — that history was rebased; serving the fold instead would " +
+        "be a reproducibility lie")
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
+    val regs = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .where(col(VCol) <= asOfVersion)
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy((cfg.keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+    Sketches.hllStats(regs, cfg.p, cfg.keyCols)
+  }
+
   /** Fold the version tail: max(rho) per (key, bucket, register) in a
     * new [[Publish]] generation — [[IncrementalSwa.compact]]'s crash
     * posture.

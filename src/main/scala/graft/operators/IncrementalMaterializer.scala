@@ -454,6 +454,59 @@ object IncrementalMaterializer {
     served.foldLeft(spine)((acc, df) => acc.join(df, keyCols, "left_outer"))
   }
 
+  /** [[snapshotDaily]] for extension features: the keys×days table of
+    * every distinct-count / quantile / top-k feature, one store-level
+    * `serveDaily` pass per (store, window) group (the stores' honest
+    * explode-expansion — axis 28), assembled on (key, bucket) with the
+    * same spine/left-join contract as [[snapshotGraft]].
+    */
+  def snapshotDailyGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(features.nonEmpty, "no features to snapshot")
+    val joinCols = keyCols :+ "bucket"
+    val served = features
+      .groupBy(f => (graftDir(root, f), graftWindow(f, bucketUs)))
+      .flatMap { case ((dir, w), fs) =>
+        fs.head.agg match {
+          case GraftAggregation.DistinctCount(p) =>
+            val base = IncrementalDistinct.serveDaily(spark, dir,
+              IncrementalDistinct.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, p), w, includeHorizonPartialRows)
+            Seq(base.select(joinCols.map(col) ++
+              fs.map(f => col("est_raw").as(f.name)): _*))
+          case GraftAggregation.Quantile(_, lo, hi, bins) =>
+            val qs = fs.map(_.agg.asInstanceOf[GraftAggregation.Quantile].q)
+              .distinct
+            val base = IncrementalQuantile.serveDaily(spark, dir,
+              IncrementalQuantile.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, lo, hi, bins), w, qs, includeHorizonPartialRows)
+            fs.map { f =>
+              val q = f.agg.asInstanceOf[GraftAggregation.Quantile].q
+              val q10k = math.rint(q * 10000).toLong / 10000.0
+              base.where(col("q") === q10k)
+                .select(joinCols.map(col) :+ col("cutoff").as(f.name): _*)
+            }
+          case GraftAggregation.TopK(_, cand) =>
+            val kMax = fs.map(_.agg.asInstanceOf[GraftAggregation.TopK].k).max
+            val base = IncrementalTopK.serveDaily(spark, dir,
+              IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, cand), w, kMax, includeHorizonPartialRows)
+            fs.map { f =>
+              val k = f.agg.asInstanceOf[GraftAggregation.TopK].k
+              base.where(col("rank") <= k)
+                .groupBy(joinCols.map(col): _*)
+                .agg(transform(
+                  array_sort(collect_list(struct(col("rank"), col("item")))),
+                  _.getField("item")).as(f.name))
+            }
+        }
+      }.toSeq
+    val spine = served.map(_.select(joinCols.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    served.foldLeft(spine)((acc, df) => acc.join(df, joinCols, "left_outer"))
+  }
+
   /** The shared maintenance dispatch over every extension store. */
   private def eachGraftStore(root: String, features: Seq[GraftFeature],
       keyCols: Seq[String], tsCol: String, bucketUs: Long)(

@@ -67,14 +67,85 @@ object IncrementalQuantile {
     * cutoff (bin left edge mapped back to value space), n_total.
     */
   def serveQuantiles(spark: SparkSession, dir: String, cfg: Config,
-      asOfUs: Long, windowBuckets: Int, qs: Seq[Double]): DataFrame = {
+      asOfUs: Long, windowBuckets: Int, qs: Seq[Double]): DataFrame =
+    serveFiltered(spark, dir, cfg, asOfUs, windowBuckets, qs, None)
+
+  /** The daily quantile table in ONE state pass: per (key, bucket b),
+    * [[serveQuantiles]]'s cutoffs over the `windowBuckets` buckets
+    * ending AT b. Bin counts ARE additive, but the partials are sparse
+    * per (key, day, bin) — a rolling RANGE frame would need a dense
+    * keys × bins × days spine, so the explode + sequence expansion
+    * (O(state rows × W), one state read — axis 28) wins whenever the
+    * histograms are sparse, which bounded-cardinality value columns
+    * always are. Same integer cross-multiply decision rule as the
+    * boundary serve; horizon-incomplete rows excluded by default.
+    */
+  def serveDaily(spark: SparkSession, dir: String, cfg: Config,
+      windowBuckets: Int, qs: Seq[Double],
+      includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+    val hiB = {
+      val r = st.agg(max(col(BCol))).head()
+      require(!r.isNullAt(0), s"state at $dir holds no partials")
+      r.getLong(0)
+    }
+    val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
+      windowBuckets, includeHorizonPartialRows)
+    val dayKeys = cfg.keyCols :+ "__day"
+    val merged = IncrementalSwa.expandToWindows(st, windowBuckets, hiB)
+      .where(col("__day") >= completeFrom)
+      .groupBy((dayKeys :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(dayKeys.map(col): _*).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(dayKeys.map(col): _*)))
+    val qdf = spark.createDataFrame(
+      qs.map(q => (math.rint(q * 10000).toLong / 10000.0,
+        math.rint(q * 10000).toLong))).toDF("q", "__q10k")
+    cum.crossJoin(broadcast(qdf))
+      .where(col("cum") * 10000 >= col("__q10k") * col("total"))
+      .groupBy((dayKeys :+ "q").map(col): _*)
+      .agg(min(col("bin")).as("bin"), min(col("total")).as("n_total"))
+      .withColumn("cutoff",
+        lit(cfg.lo) + col("bin") * lit(cfg.hi - cfg.lo) / lit(cfg.nBins.toDouble))
+      .select((cfg.keyCols.map(col) ++
+        Seq(col("__day").as("bucket"), col("q"), col("bin"), col("cutoff"),
+          col("n_total"))): _*)
+  }
+
+  /** [[serveQuantiles]] as the state stood at `asOfVersion` — time
+    * travel with [[IncrementalSwa.serveAsOf]]'s rebased-history
+    * refusal.
+    */
+  def serveAsOf(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int, qs: Seq[Double],
+      asOfVersion: Long): DataFrame = {
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(folded < 0 || asOfVersion >= folded,
+      s"version $asOfVersion predates the compaction fold ($folded) at " +
+        s"$dir — that history was rebased; serving the fold instead would " +
+        "be a reproducibility lie")
+    serveFiltered(spark, dir, cfg, asOfUs, windowBuckets, qs,
+      Some(asOfVersion))
+  }
+
+  private def serveFiltered(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int, qs: Seq[Double],
+      asOfVersion: Option[Long]): DataFrame = {
     require(asOfUs % cfg.bucketUs == 0,
       s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
     val hiB = asOfUs / cfg.bucketUs
     IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
-    val merged = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+    val base = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+    val merged = asOfVersion.map(v => base.where(col(VCol) <= v))
+      .getOrElse(base)
       .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
       .groupBy((cfg.keyCols :+ "bin").map(col): _*)
       .agg(sum(col("n")).as("n"))

@@ -279,6 +279,31 @@ object IncrementalSwa {
         rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** Each state row re-addressed to every output bucket its time
+    * bucket feeds (`__day` ∈ [bucket, min(bucket + W − 1, hiB)]) — the
+    * daily-table expansion shared by the stores whose window aggregate
+    * has NO inverse (set union, register max, candidate counts): a
+    * rolling frame cannot subtract the leaving bucket, so the one-pass
+    * daily table pays O(state rows × W) intermediate rows instead —
+    * still ONE state read vs the per-day serve loop's N (axis 28).
+    */
+  private[operators] def expandToWindows(st: DataFrame, windowBuckets: Int,
+      hiB: Long): DataFrame =
+    st.withColumn("__day", explode(sequence(col(BCol),
+      least(col(BCol) + (windowBuckets - 1L), lit(hiB)))))
+
+  /** The first output bucket whose window is COMPLETE over retained
+    * state — the daily tables' default emission floor (erased ≠
+    * empty; [[serveDaily]]'s horizon posture, shared by every store's
+    * daily variant). `Long.MinValue` when no horizon applies or the
+    * caller opted into left-edge semantics.
+    */
+  private[operators] def dailyCompleteFrom(spark: SparkSession, dir: String,
+      windowBuckets: Int, includeHorizonPartialRows: Boolean): Long =
+    if (includeHorizonPartialRows) Long.MinValue
+    else retainedFrom(spark, dir).map(_ + windowBuckets - 1L)
+      .getOrElse(Long.MinValue)
+
   private def readState(spark: SparkSession, dir: String): DataFrame =
     // partition discovery reads __v back as a column
     spark.read.parquet(requireLiveGen(spark, dir))

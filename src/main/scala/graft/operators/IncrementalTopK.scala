@@ -93,6 +93,70 @@ object IncrementalTopK {
       .where(col("rank") <= k)
   }
 
+  /** The daily top-k table in ONE state pass: per (key, bucket b),
+    * [[serveTopK]]'s ranking over the `windowBuckets` buckets ending
+    * AT b. Candidate counts are additive but sparse per (key, day,
+    * item) — like the quantile histograms, a rolling frame would need
+    * a dense keys × items × days spine, so each candidate row feeds
+    * its window's output buckets by explode + sequence
+    * (O(state rows × W), one state read — axis 28) and one groupBy
+    * re-sums. Same deterministic rank rule (count desc, item asc) and
+    * the same lower-bound caveat as the boundary serve;
+    * horizon-incomplete rows excluded by default.
+    */
+  def serveDaily(spark: SparkSession, dir: String, cfg: Config,
+      windowBuckets: Int, k: Int,
+      includeHorizonPartialRows: Boolean = false): DataFrame = {
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    require(k > 0, s"k must be positive: $k")
+    val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+    val hiB = {
+      val r = st.agg(max(col(BCol))).head()
+      require(!r.isNullAt(0), s"state at $dir holds no candidates")
+      r.getLong(0)
+    }
+    val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
+      windowBuckets, includeHorizonPartialRows)
+    val dayKeys = cfg.keyCols :+ "__day"
+    val merged = IncrementalSwa.expandToWindows(st, windowBuckets, hiB)
+      .where(col("__day") >= completeFrom)
+      .groupBy((dayKeys :+ "item").map(col): _*)
+      .agg(sum(col("n")).as("cnt"))
+    val rk = Window.partitionBy(dayKeys.map(col): _*)
+      .orderBy(col("cnt").desc, col("item").asc)
+    merged.withColumn("rank", row_number().over(rk))
+      .where(col("rank") <= k)
+      .withColumnRenamed("__day", "bucket")
+  }
+
+  /** [[serveTopK]] as the state stood at `asOfVersion` — time travel
+    * with [[IncrementalSwa.serveAsOf]]'s rebased-history refusal.
+    */
+  def serveAsOf(spark: SparkSession, dir: String, cfg: Config,
+      asOfUs: Long, windowBuckets: Int, k: Int,
+      asOfVersion: Long): DataFrame = {
+    val folded = IncrementalSwa.foldedThrough(spark, dir)
+    require(folded < 0 || asOfVersion >= folded,
+      s"version $asOfVersion predates the compaction fold ($folded) at " +
+        s"$dir — that history was rebased; serving the fold instead would " +
+        "be a reproducibility lie")
+    require(asOfUs % cfg.bucketUs == 0,
+      s"asOf $asOfUs is not aligned to the ${cfg.bucketUs}µs bucket grid")
+    require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
+    require(k > 0, s"k must be positive: $k")
+    val hiB = asOfUs / cfg.bucketUs
+    IncrementalSwa.requireWithinRetention(spark, dir, hiB - windowBuckets)
+    val merged = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
+      .where(col(VCol) <= asOfVersion)
+      .where(col(BCol) >= hiB - windowBuckets && col(BCol) < hiB)
+      .groupBy((cfg.keyCols :+ "item").map(col): _*)
+      .agg(sum(col("n")).as("cnt"))
+    val rk = Window.partitionBy(cfg.keyCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("item").asc)
+    merged.withColumn("rank", row_number().over(rk))
+      .where(col("rank") <= k)
+  }
+
   /** Fold the version tail: candidate counts merge additively per
     * (key, bucket, item), no re-truncation (information is never
     * discarded by a fold) — [[IncrementalSwa.compact]]'s crash

@@ -49,6 +49,30 @@ class IncrementalDistinctSpec extends SparkTestBase {
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("serveDaily rows equal the per-boundary serves; serveAsOf truncates versions") {
+    val dir = Spill.newPath(spark)
+    Seq(d0, d1, d2).zipWithIndex.foreach { case (d, i) =>
+      IncrementalDistinct.ingest(d, dir, cfg, i.toLong)
+    }
+    // each (bucket b) daily row = the boundary serve at (b + 1)·day
+    val daily = IncrementalDistinct.serveDaily(spark, dir, cfg, 2)
+    for (b <- 0L to 2L) {
+      assert(multiset(daily.where(col("bucket") === b).drop("bucket")) ==
+        multiset(IncrementalDistinct.serveDistinct(
+          spark, dir, cfg, (b + 1) * DayUs, 2)), s"bucket $b")
+    }
+    // as-of v1: day 2's items invisible — k=1 back to {a,b,c} over W=3,
+    // and the stats equal a direct recompute without d2
+    assert(multiset(IncrementalDistinct.serveAsOf(
+      spark, dir, cfg, 3 * DayUs, 3, 1L)) ==
+      multiset(direct(d0.unionByName(d1), 3 * DayUs, 3)))
+    IncrementalDistinct.compact(spark, dir, cfg)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDistinct.serveAsOf(spark, dir, cfg, 3 * DayUs, 3, 0L)
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+  }
+
   test("compact max-merges registers; serves unchanged and refuses replays") {
     val dir = Spill.newPath(spark)
     Seq(d0, d1, d2).zipWithIndex.foreach { case (d, i) =>

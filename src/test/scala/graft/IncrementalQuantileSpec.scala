@@ -71,6 +71,31 @@ class IncrementalQuantileSpec extends SparkTestBase {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("serveDaily rows equal the per-boundary serves; serveAsOf truncates versions") {
+    val dir = Spill.newPath(spark)
+    IncrementalQuantile.ingest(
+      ev((1 to 8).map(i => (1L, 0, i.toDouble)): _*), dir, cfg, 0L)
+    IncrementalQuantile.ingest(ev((1L, 1, 9.0), (1L, 1, 9.5)), dir, cfg, 1L)
+    val daily = IncrementalQuantile.serveDaily(spark, dir, cfg, 2, Seq(0.5))
+      .select("k", "bucket", "q", "bin", "cutoff", "n_total")
+      .as[(Long, Long, Double, Long, Double, Long)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    // bucket 0: median of 1..8 -> bin 4; bucket 1: of 10 values -> bin 5
+    assert(daily == Map(0L -> ((4L, 4.0, 8L)), 1L -> ((5L, 5.0, 10L))))
+    assert(Map(1L -> daily(1L)).values.toSeq ==
+      q(IncrementalQuantile.serveQuantiles(spark, dir, cfg,
+        2 * DayUs, 2, Seq(0.5))).values.map(v => v).toSeq)
+    // as-of v0: day 1's histogram rows invisible
+    assert(q(IncrementalQuantile.serveAsOf(spark, dir, cfg,
+      2 * DayUs, 2, Seq(0.5), 0L))((1L, 0.5)) == ((4L, 4.0, 8L)))
+    IncrementalQuantile.compact(spark, dir, cfg)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalQuantile.serveAsOf(spark, dir, cfg, 2 * DayUs, 2,
+        Seq(0.5), 0L)
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+  }
+
   test("compact folds to one version and serves identically") {
     val dir = Spill.newPath(spark)
     IncrementalQuantile.ingest(

@@ -61,4 +61,33 @@ class IncrementalTopKSpec extends SparkTestBase {
     assert(top(IncrementalTopK.serveTopK(spark, dir, cfg, 2 * DayUs, 2, 2))
       == before)
   }
+
+  test("serveDaily = per-bucket ranking; serveAsOf = version truncation + rebased refusal") {
+    val cfg = Config(Seq("k"), "ts", "item", DayUs, candidatesPerBucket = 8)
+    val dir = Spill.newPath(spark)
+    // v0 = day 0: a x2, b x1 ; v1 = day 1: b x2
+    IncrementalTopK.ingest(ev(
+      (1L, 0, "a"), (1L, 0, "a"), (1L, 0, "b")), dir, cfg, 0L)
+    IncrementalTopK.ingest(ev((1L, 1, "b"), (1L, 1, "b")), dir, cfg, 1L)
+    // daily, W=2: bucket 0 ranks day 0 alone; bucket 1 ranks both days
+    val daily = IncrementalTopK.serveDaily(spark, dir, cfg,
+        windowBuckets = 2, k = 2)
+      .select(col("k"), col("bucket"), col("item"), col("cnt"), col("rank"))
+      .as[(Long, Long, String, Long, Int)].collect()
+      .sortBy(r => (r._2, r._5)).toSeq
+    assert(daily == Seq(
+      (1L, 0L, "a", 2L, 1), (1L, 0L, "b", 1L, 2),
+      (1L, 1L, "b", 3L, 1), (1L, 1L, "a", 2L, 2)))
+    // each daily row equals the boundary serve at (bucket + 1)
+    assert(daily.filter(_._2 == 1L).map(r => (r._1, r._3, r._4, r._5)) ==
+      top(IncrementalTopK.serveTopK(spark, dir, cfg, 2 * DayUs, 2, 2)))
+    // as-of v0: day 1's candidates invisible
+    assert(top(IncrementalTopK.serveAsOf(spark, dir, cfg, 2 * DayUs, 2, 2, 0L))
+      == Seq((1L, "a", 2L, 1), (1L, "b", 1L, 2)))
+    IncrementalTopK.compact(spark, dir, cfg)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalTopK.serveAsOf(spark, dir, cfg, 2 * DayUs, 2, 2, 0L)
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+  }
 }
