@@ -2966,6 +2966,9 @@ object SparkEntry {
           "cast(round(f_sum_7d * 100) as bigint) div nullif(f_cnt_7d, 0)",
           Seq(InputFeature("f_sum_7d", Seq(userKey)),
             InputFeature("f_cnt_7d", Seq(userKey))), Seq(userKey)))
+      val gfeats = Seq(IncrementalMaterializer.GraftFeature("f_g_p50_7d",
+        "value", graft.model.GraftAggregation.Quantile(0.5, 0.0, 200.0, 256),
+        graft.model.Durations.parse("7d")))
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
         .where(col("user_id").isNotNull && col("value").isNotNull &&
           col("event_type").isNotNull)
@@ -2973,12 +2976,15 @@ object SparkEntry {
       val root = Spill.newPath(s)
       IncrementalMaterializer.refresh(ev, root, feats,
         Seq("user_id"), "ts", dayUs, 0L)
+      IncrementalMaterializer.refreshGraft(ev, root, gfeats,
+        Seq("user_id"), "ts", dayUs, 0L)
       IncrementalMaterializer.trainingSet(s, root, feats,
-          Seq("user_id"), "ts", dayUs, fixTs(clicks(s, dir)), "ts", derived)
+          Seq("user_id"), "ts", dayUs, fixTs(clicks(s, dir)), "ts", derived,
+          graftFeatures = gfeats)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           round(col("f_sum_7d"), 4).as("f_sum_7d"), col("f_cnt_7d"),
-          col("d_avg_cents"),
+          col("d_avg_cents"), col("f_g_p50_7d"),
           when(col("f_et_7d").isNotNull,
             concat_ws(",", col("f_et_7d"))).as("f_et_set"))
     }),
@@ -6123,10 +6129,24 @@ object SparkEntry {
         |       FROM o o2 JOIN e ON e.user_id = o2.user_id
         |         AND e.d BETWEEN o2.d - 7 AND o2.d - 1),
         |p AS (SELECT event_id, string_agg(et, ',' ORDER BY et) AS f_et_set
-        |      FROM pp GROUP BY event_id)
+        |      FROM pp GROUP BY event_id),
+        |qh AS (SELECT o.event_id, CAST(least(greatest(
+        |      floor((e.value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT)
+        |      AS bin, count(*) AS n
+        |  FROM o JOIN e ON e.user_id = o.user_id
+        |    AND e.d BETWEEN o.d - 7 AND o.d - 1
+        |  GROUP BY 1, 2),
+        |qc AS (SELECT event_id, bin,
+        |    sum(n) OVER (PARTITION BY event_id ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY event_id) AS total
+        |  FROM qh),
+        |q50 AS (SELECT event_id,
+        |    0.0 + min(bin) * 200.0 / 256.0 AS f_g_p50_7d
+        |  FROM qc WHERE cum * 10000 >= 5000 * total GROUP BY event_id)
         |SELECT o.event_id, o.user_id, o.us AS ts_us, f.f_sum_7d,
-        |  f.f_cnt_7d, f.d_avg_cents, p.f_et_set
-        |FROM o LEFT JOIN f USING (event_id) LEFT JOIN p USING (event_id)""".stripMargin,
+        |  f.f_cnt_7d, f.d_avg_cents, q50.f_g_p50_7d, p.f_et_set
+        |FROM o LEFT JOIN f USING (event_id) LEFT JOIN p USING (event_id)
+        |LEFT JOIN q50 USING (event_id)""".stripMargin,
 
     // the served union set exploded = the distinct (user, prop) pairs
     // of the window

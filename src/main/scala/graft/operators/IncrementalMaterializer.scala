@@ -232,10 +232,33 @@ object IncrementalMaterializer {
   def trainingSet(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
       bucketUs: Long, observations: DataFrame, obsTsCol: String,
-      derived: Seq[DerivedFeature] = Nil): DataFrame = {
-    val daily = snapshotDaily(spark, root, features, keyCols, tsCol,
-      bucketUs, derived)
-      .withColumnRenamed("bucket", "__feature_bucket")
+      derived: Seq[DerivedFeature] = Nil,
+      graftFeatures: Seq[GraftFeature] = Nil): DataFrame = {
+    require(features.nonEmpty || graftFeatures.nonEmpty,
+      "no features to assemble")
+    // reference-enum and extension features each assemble their own
+    // daily table; the training spine is the union of the two (key,
+    // bucket) domains, so an observation keeps its graft columns even
+    // at buckets where no anchor feature has rows (and vice versa).
+    // Derived features stay anchor-only — the extension columns are a
+    // separate namespace by design.
+    val parts = Seq(
+      if (features.nonEmpty)
+        Some(snapshotDaily(spark, root, features, keyCols, tsCol,
+          bucketUs, derived))
+      else None,
+      if (graftFeatures.nonEmpty)
+        Some(snapshotDailyGraft(spark, root, graftFeatures, keyCols, tsCol,
+          bucketUs))
+      else None).flatten
+    val joinCols = keyCols :+ "bucket"
+    val daily = (if (parts.sizeIs == 1) parts.head
+      else {
+        val spine = parts.map(_.select(joinCols.map(col): _*))
+          .reduce(_ unionByName _).distinct()
+        parts.foldLeft(spine)((acc, df) =>
+          acc.join(df, joinCols, "left_outer"))
+      }).withColumnRenamed("bucket", "__feature_bucket")
     val obs = observations.withColumn("__feature_bucket",
       IncrementalSwa.bucketOf(col(obsTsCol), bucketUs) - 1L)
     obs.join(daily, keyCols :+ "__feature_bucket", "left_outer")

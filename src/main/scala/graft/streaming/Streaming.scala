@@ -209,12 +209,24 @@ object StreamingIngest {
   def materializeStream(stream: DataFrame, root: String,
       features: Seq[graft.project.AnchorFeature], keyCols: Seq[String],
       tsCol: String, bucketUs: Long, timeoutMs: Long = 120000L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      graftFeatures: Seq[graft.operators.IncrementalMaterializer.GraftFeature] =
+        Nil): StreamingQuery = {
+    require(features.nonEmpty || graftFeatures.nonEmpty,
+      "no features to maintain")
     val q = stream.writeStream.outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.IncrementalMaterializer.refresh(
-          batch, root, features, keyCols, tsCol, bucketUs, batchId)
+        // both surfaces version at batchId: a replayed micro-batch
+        // re-presents the same delta to every store (reference-enum
+        // and extension alike), so the stores' version-rewrite
+        // tripwires see an idempotent write, not a conflict
+        if (features.nonEmpty)
+          graft.operators.IncrementalMaterializer.refresh(
+            batch, root, features, keyCols, tsCol, bucketUs, batchId)
+        if (graftFeatures.nonEmpty)
+          graft.operators.IncrementalMaterializer.refreshGraft(
+            batch, root, graftFeatures, keyCols, tsCol, bucketUs, batchId)
       }
       .start()
     q.awaitTermination(timeoutMs)

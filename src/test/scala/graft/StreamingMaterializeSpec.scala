@@ -77,4 +77,39 @@ class StreamingMaterializeSpec extends SparkTestBase {
       .as[(Long, Double, Seq[String], Seq[Double], Double, Double)].head()
     assert(r1 == ((1L, 3.5, Seq("a", "b"), Seq(3.5, 7.0), 7.0, 3.5)), r1)
   }
+
+  test("streamed extension features equal direct graft refreshes") {
+    import graft.model.GraftAggregation
+    import IncrementalMaterializer.GraftFeature
+    val gfeats = Seq(
+      GraftFeature("g_p50", "v", GraftAggregation.Quantile(0.5, 0.0, 16.0, 16),
+        Durations.parse("2d")),
+      GraftFeature("g_top1", "tag", GraftAggregation.TopK(1, 4),
+        Durations.parse("2d")))
+    val all = ev((1L, 0, 1.0, "a"), (1L, 1, 2.0, "a"), (1L, 1, 4.0, "b"),
+      (2L, 1, 10.0, "b"))
+    val feed = Spill.newPath(spark) + "/gfeed"
+    ev((1L, 0, 1.0, "a"), (1L, 1, 2.0, "a")).coalesce(1)
+      .write.mode("append").parquet(feed)
+    ev((1L, 1, 4.0, "b"), (2L, 1, 10.0, "b")).coalesce(1)
+      .write.mode("append").parquet(feed)
+
+    val streamed = Spill.newPath(spark)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    StreamingIngest.materializeStream(stream, streamed, Nil,
+      Seq("k"), "ts", DayUs, graftFeatures = gfeats)
+
+    val direct = Spill.newPath(spark)
+    IncrementalMaterializer.refreshGraft(all, direct, gfeats,
+      Seq("k"), "ts", DayUs, 0L)
+    def snap(root: String) =
+      IncrementalMaterializer.snapshotGraft(spark, root, gfeats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+        .select(col("k"), col("g_p50"), concat_ws(",", col("g_top1")))
+    assert(multiset(snap(streamed)) == multiset(snap(direct)))
+    // k=1: values {1,2,4} -> p50 bin 2 edge 2.0; tags {a:2, b:1} -> a
+    assert(snap(streamed).where(col("k") === 1)
+      .as[(Long, Double, String)].head() == ((1L, 2.0, "a")))
+  }
 }
