@@ -2895,6 +2895,35 @@ object SparkEntry {
           explode(col("f_props_7d")).as("prop"))
     }),
 
+    // The MULTI-KEY training table (r14): one row per click
+    // observation carrying a user-keyed AND an event-type-keyed
+    // feature at once — each binding's daily table joined by its alias
+    // at the observation's preceding bucket (J4's training analog on
+    // the O(delta) path). Leak-free per binding by construction.
+    "q_materialize_training_multi" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val typeKey = TypedKey("event_type", ValueType.STRING, Some("etype"))
+      val feats = Seq(
+        AnchorFeature("f_u_sum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_t_cnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(typeKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      val root = Spill.newPath(s)
+      IncrementalMaterializer.refreshMulti(ev, root, feats, "ts", dayUs, 0L)
+      val obs = fixTs(t(s, dir, "events"))
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("event_type").as("etype"), col("ts"))
+      IncrementalMaterializer.trainingSetMulti(s, root, feats, "ts", dayUs,
+          obs, "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("f_u_sum_7d"), 4).as("f_u_sum_7d"), col("f_t_cnt_7d"))
+    }),
+
     // The feature-set-level daily table (r14): every feature's window
     // aggregate per (key, bucket) for the WHOLE bucket range, scalar +
     // UNION stores assembled on (key, bucket) and the derived DAG
@@ -6075,6 +6104,32 @@ object SparkEntry {
         |      WHERE props IS NOT NULL)
         |SELECT s.user_id, s.f_sum_7d, p.prop
         |FROM s JOIN p USING (user_id)""".stripMargin,
+
+    // per click observation: the user binding's windowed sum AND the
+    // etype binding's windowed count (etype = 'click' for every click
+    // observation), both over the previous 7 FULL days
+    "q_materialize_training_multi" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS d, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        epoch_us(ts) // 86400000000 AS d
+        |      FROM events WHERE event_type = 'click'),
+        |fu AS (SELECT o.event_id,
+        |        round(sum(round(e.value * 100)::BIGINT)::BIGINT / 100.0, 4)
+        |          AS f_u_sum_7d
+        |      FROM o JOIN e ON e.user_id = o.user_id
+        |        AND e.d BETWEEN o.d - 7 AND o.d - 1
+        |      GROUP BY o.event_id),
+        |ft AS (SELECT o.event_id, count(e.value) AS f_t_cnt_7d
+        |      FROM o JOIN e ON e.event_type = 'click'
+        |        AND e.d BETWEEN o.d - 7 AND o.d - 1
+        |      GROUP BY o.event_id)
+        |SELECT o.event_id, o.user_id, o.us AS ts_us, fu.f_u_sum_7d,
+        |  ft.f_t_cnt_7d
+        |FROM o LEFT JOIN fu USING (event_id)
+        |LEFT JOIN ft USING (event_id)""".stripMargin,
 
     // the keys×days table restated as one windowed expansion: each
     // event's day feeds the 7 buckets it belongs to; scalar aggregates

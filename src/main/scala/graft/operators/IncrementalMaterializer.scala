@@ -654,8 +654,23 @@ object IncrementalMaterializer {
     require(features.nonEmpty, "no features to snapshot")
     requireDistinctAliases(features)
     val groups = features.groupBy(bindingOf)
-    // claim derived features per binding by transitive closure over
-    // (group anchors ∪ already-claimed derived)
+    val claims = claimDerived(groups, derived)
+    groups.map { case (b, fs) =>
+      val frame = snapshot(spark, bindingRoot(root, b), fs, b.map(_._2),
+        tsCol, bucketUs, asOfUs, claims(b))
+      b.map(_._1) -> aliasKeys(frame, b)
+    }
+  }
+
+  /** Claim derived features per binding by transitive closure over
+    * (group anchors ∪ already-claimed derived); a derived whose inputs
+    * span bindings (or reference features outside the set) is refused
+    * by name.
+    */
+  private def claimDerived(
+      groups: Map[Seq[(String, String)], Seq[AnchorFeature]],
+      derived: Seq[DerivedFeature])
+      : Map[Seq[(String, String)], Seq[DerivedFeature]] = {
     val claims = groups.map { case (b, fs) =>
       val names = scala.collection.mutable.Set(fs.map(_.name): _*)
       val claimed = scala.collection.mutable.ListBuffer.empty[DerivedFeature]
@@ -677,14 +692,62 @@ object IncrementalMaterializer {
         "binding (or from features outside this set) — cross-binding " +
         "derivations combine different key spaces and need the batch " +
         "join planner (PointInTimeJoin with registerAlias)")
-    groups.map { case (b, fs) =>
-      val frame = snapshot(spark, bindingRoot(root, b), fs, b.map(_._2),
-        tsCol, bucketUs, asOfUs, claims(b))
-      val aliased = b.foldLeft(frame) { case (acc, (alias, phys)) =>
-        if (alias != phys) acc.withColumnRenamed(phys, alias) else acc
-      }
-      b.map(_._1) -> aliased
+    claims
+  }
+
+  private def aliasKeys(frame: DataFrame,
+      b: Seq[(String, String)]): DataFrame =
+    b.foldLeft(frame) { case (acc, (alias, phys)) =>
+      if (alias != phys) acc.withColumnRenamed(phys, alias) else acc
     }
+
+  /** [[snapshotDaily]] per binding: alias-schema → keys×days frame,
+    * derived features claimed exactly as [[snapshotMulti]].
+    */
+  def snapshotDailyMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      derived: Seq[DerivedFeature] = Nil,
+      includeHorizonPartialRows: Boolean = false): Map[Seq[String], DataFrame] = {
+    require(features.nonEmpty, "no features to snapshot")
+    requireDistinctAliases(features)
+    val groups = features.groupBy(bindingOf)
+    val claims = claimDerived(groups, derived)
+    groups.map { case (b, fs) =>
+      val frame = snapshotDaily(spark, bindingRoot(root, b), fs, b.map(_._2),
+        tsCol, bucketUs, claims(b), includeHorizonPartialRows)
+      b.map(_._1) -> aliasKeys(frame, b)
+    }
+  }
+
+  /** The multi-key training table: every observation joined against
+    * the PRECEDING bucket's feature row of EVERY binding — one row per
+    * observation carrying user-keyed AND item-keyed features at once,
+    * each binding's daily table joined by its alias columns (which the
+    * observation frame must carry — the FeatureQuery key contract).
+    * The leak-free guarantee is per binding: every feature aggregates
+    * events strictly before the observation's day.
+    */
+  def trainingSetMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      observations: DataFrame, obsTsCol: String,
+      derived: Seq[DerivedFeature] = Nil): DataFrame = {
+    require(features.nonEmpty, "no features to assemble")
+    requireDistinctAliases(features)
+    val groups = features.groupBy(bindingOf)
+    val claims = claimDerived(groups, derived)
+    groups.keys.flatMap(_.map(_._1)).foreach { alias =>
+      require(observations.columns.contains(alias),
+        s"observations are missing key-alias column '$alias' — the " +
+          "multi-key training join addresses each binding by its alias")
+    }
+    val obs = observations.withColumn("__feature_bucket",
+      IncrementalSwa.bucketOf(col(obsTsCol), bucketUs) - 1L)
+    groups.foldLeft(obs) { case (acc, (b, fs)) =>
+      val daily = aliasKeys(snapshotDaily(spark, bindingRoot(root, b), fs,
+        b.map(_._2), tsCol, bucketUs, claims(b)), b)
+        .withColumnRenamed("bucket", "__feature_bucket")
+      acc.join(daily, b.map(_._1) :+ "__feature_bucket", "left_outer")
+    }.drop("__feature_bucket")
   }
 
   /** [[compact]] across every binding's stores. */

@@ -335,4 +335,45 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       "o3" -> ((None, None, None)),
       "o4" -> ((None, None, None))))
   }
+
+  test("snapshotDailyMulti + trainingSetMulti: per-binding daily frames, multi-key rows") {
+    val root = Spill.newPath(spark)
+    val tagKey = TypedKey("tag", ValueType.STRING, Some("t_alias"))
+    val feats = Seq(
+      feat("ks2", wa("SUM")),
+      AnchorFeature("tsum2", FeatureType.DOUBLE, wa("SUM"), Seq(tagKey)))
+    IncrementalMaterializer.refreshMulti(events, root, feats, "ts", DayUs, 0L)
+    val dailies = IncrementalMaterializer.snapshotDailyMulti(spark, root,
+      feats, "ts", DayUs)
+    assert(dailies.keySet == Set(Seq("k"), Seq("t_alias")))
+    // tag 'a': day 0 has 1+2=3... no — tag a rows: (1,0,1.0,a),(1,1,4.0,a)
+    // -> bucket 0: 1.0; bucket 1: 5.0 over the 2d window
+    assert(dailies(Seq("t_alias")).select("t_alias", "bucket", "tsum2")
+      .as[(String, Long, Double)].collect().toSet ==
+      Set(("a", 0L, 1.0), ("a", 1L, 5.0), ("b", 0L, 2.0), ("b", 1L, 12.0)))
+    // observations carry BOTH alias columns; each binding joins at the
+    // preceding bucket independently
+    val obs = Seq((1L, "a", 1L, "o1"), (2L, "b", 1L, "o2"),
+        (1L, "z", 1L, "o3"))
+      .toDF("k", "t_alias", "d", "oid")
+      .withColumn("ots", timestamp_micros(col("d") * DayUs + 1L))
+      .select("oid", "k", "t_alias", "ots")
+    val ts = IncrementalMaterializer.trainingSetMulti(spark, root, feats,
+        "ts", DayUs, obs, "ots")
+      .select(col("oid"), col("ks2"), col("tsum2"))
+      .as[(String, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // o1: k=1 bucket0 sum 3.0; tag a bucket0 1.0. o2: k=2 has no
+    // bucket-0 row; tag b bucket0 2.0. o3: unknown tag -> null there
+    assert(ts == Map(
+      "o1" -> ((Some(3.0), Some(1.0))),
+      "o2" -> ((None, Some(2.0))),
+      "o3" -> ((Some(3.0), None))))
+    // observations missing an alias column are refused by name
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.trainingSetMulti(spark, root, feats,
+        "ts", DayUs, obs.drop("t_alias"), "ots")
+    }
+    assert(e.getMessage.contains("t_alias"), e.getMessage)
+  }
 }
