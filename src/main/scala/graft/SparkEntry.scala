@@ -3260,8 +3260,14 @@ object SparkEntry {
           GraftAggregation.DistinctCount(12), d7),
         GraftFeature("f_g_top3_7d", "props",
           GraftAggregation.TopK(3, 8), d7))
+      // value AND props pinned non-null by construction so the three
+      // stores share one (user, day) domain — each store caps its
+      // daily range at its OWN max measure-day, and a fixture whose
+      // last day held only null measures for one store would otherwise
+      // silently shift that store's cap off the oracle's global hi
       val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
-        .where(col("user_id").isNotNull)
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("props").isNotNull)
         .select(col("user_id"), col("ts"), col("value"), col("props"))
         .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
       val (minB, maxB) = {
@@ -6390,7 +6396,9 @@ object SparkEntry {
     "q_materialize_graft_daily" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
         |    value, props
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND props IS NOT NULL),
         |b AS (SELECT max(d) AS hi FROM e),
         |qh0 AS (SELECT user_id, d, CAST(least(greatest(
         |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,

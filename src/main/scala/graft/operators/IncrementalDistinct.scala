@@ -87,7 +87,8 @@ object IncrementalDistinct {
     * semantics.
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
-      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
     val hiB = {
@@ -95,9 +96,10 @@ object IncrementalDistinct {
       require(!r.isNullAt(0), s"state at $dir holds no registers")
       r.getLong(0)
     }
+    val capB = IncrementalSwa.dailyCap(hiB, windowBuckets, throughBucket)
     val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
       windowBuckets, includeHorizonPartialRows)
-    val regs = IncrementalSwa.expandToWindows(st, windowBuckets, hiB)
+    val regs = IncrementalSwa.expandToWindows(st, windowBuckets, capB)
       .where(col("__day") >= completeFrom)
       .groupBy((cfg.keyCols :+ "__day" :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("rho"))

@@ -188,7 +188,8 @@ object IncrementalMaterializer {
   def snapshotDaily(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
       bucketUs: Long, derived: Seq[DerivedFeature] = Nil,
-      includeHorizonPartialRows: Boolean = false): DataFrame = {
+      includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
     val plans = features.map(f => (f, planOf(f, bucketUs)))
     val joinCols = keyCols :+ "bucket"
@@ -196,15 +197,16 @@ object IncrementalMaterializer {
       .map { case ((m, w), fs) =>
         val base = m.kind match {
           case Scalar => IncrementalSwa.serveDaily(spark, storeDir(root, m),
-            cfg(keyCols, tsCol, bucketUs), w, includeHorizonPartialRows)
+            cfg(keyCols, tsCol, bucketUs), w, includeHorizonPartialRows,
+            throughBucket)
           case SetUnion => IncrementalUnion.serveDaily(spark,
             storeDir(root, m),
             IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs),
-            w, includeHorizonPartialRows)
+            w, includeHorizonPartialRows, throughBucket)
           case Vector => IncrementalVector.serveDaily(spark,
             storeDir(root, m),
             IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs),
-            w, includeHorizonPartialRows)
+            w, includeHorizonPartialRows, throughBucket)
         }
         base.select(joinCols.map(col) ++ fs.map { case (f, (_, _, agg)) =>
           col(aggCol(agg)).as(f.name)
@@ -236,6 +238,21 @@ object IncrementalMaterializer {
       graftFeatures: Seq[GraftFeature] = Nil): DataFrame = {
     require(features.nonEmpty || graftFeatures.nonEmpty,
       "no features to assemble")
+    require(features.nonEmpty || derived.isEmpty,
+      s"derived feature(s) ${derived.map(_.name)} need anchor features " +
+        "to evaluate over — the extension columns are a separate " +
+        "namespace; declare at least one anchor feature or drop the " +
+        "derivations")
+    // the daily tables end at the state's last event bucket by
+    // default, but observations may arrive AFTER it (quiet days, late
+    // observation feeds) while their windows still reach real state —
+    // extend every store's emitted range to the latest observation's
+    // preceding bucket so those rows get their genuine aggregates, not
+    // silent cold-start nulls (one tiny driver read of the obs frame)
+    val obsHi = observations
+      .agg(max(IncrementalSwa.bucketOf(col(obsTsCol), bucketUs))).head()
+    val through =
+      if (obsHi.isNullAt(0)) None else Some(obsHi.getLong(0) - 1L)
     // reference-enum and extension features each assemble their own
     // daily table; the training spine is the union of the two (key,
     // bucket) domains, so an observation keeps its graft columns even
@@ -245,11 +262,11 @@ object IncrementalMaterializer {
     val parts = Seq(
       if (features.nonEmpty)
         Some(snapshotDaily(spark, root, features, keyCols, tsCol,
-          bucketUs, derived))
+          bucketUs, derived, throughBucket = through))
       else None,
       if (graftFeatures.nonEmpty)
         Some(snapshotDailyGraft(spark, root, graftFeatures, keyCols, tsCol,
-          bucketUs))
+          bucketUs, throughBucket = through))
       else None).flatten
     val joinCols = keyCols :+ "bucket"
     val daily = (if (parts.sizeIs == 1) parts.head
@@ -485,7 +502,8 @@ object IncrementalMaterializer {
     */
   def snapshotDailyGraft(spark: SparkSession, root: String,
       features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long, includeHorizonPartialRows: Boolean = false): DataFrame = {
+      bucketUs: Long, includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
     val joinCols = keyCols :+ "bucket"
     val served = features
@@ -495,7 +513,7 @@ object IncrementalMaterializer {
           case GraftAggregation.DistinctCount(p) =>
             val base = IncrementalDistinct.serveDaily(spark, dir,
               IncrementalDistinct.Config(keyCols, tsCol, "__graft_m",
-                bucketUs, p), w, includeHorizonPartialRows)
+                bucketUs, p), w, includeHorizonPartialRows, throughBucket)
             Seq(base.select(joinCols.map(col) ++
               fs.map(f => col("est_raw").as(f.name)): _*))
           case GraftAggregation.Quantile(_, lo, hi, bins) =>
@@ -503,7 +521,8 @@ object IncrementalMaterializer {
               .distinct
             val base = IncrementalQuantile.serveDaily(spark, dir,
               IncrementalQuantile.Config(keyCols, tsCol, "__graft_m",
-                bucketUs, lo, hi, bins), w, qs, includeHorizonPartialRows)
+                bucketUs, lo, hi, bins), w, qs, includeHorizonPartialRows,
+              throughBucket)
             fs.map { f =>
               val q = f.agg.asInstanceOf[GraftAggregation.Quantile].q
               val q10k = math.rint(q * 10000).toLong / 10000.0
@@ -514,7 +533,8 @@ object IncrementalMaterializer {
             val kMax = fs.map(_.agg.asInstanceOf[GraftAggregation.TopK].k).max
             val base = IncrementalTopK.serveDaily(spark, dir,
               IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
-                bucketUs, cand), w, kMax, includeHorizonPartialRows)
+                bucketUs, cand), w, kMax, includeHorizonPartialRows,
+              throughBucket)
             fs.map { f =>
               val k = f.agg.asInstanceOf[GraftAggregation.TopK].k
               base.where(col("rank") <= k)
@@ -707,14 +727,15 @@ object IncrementalMaterializer {
   def snapshotDailyMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
       derived: Seq[DerivedFeature] = Nil,
-      includeHorizonPartialRows: Boolean = false): Map[Seq[String], DataFrame] = {
+      includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): Map[Seq[String], DataFrame] = {
     require(features.nonEmpty, "no features to snapshot")
     requireDistinctAliases(features)
     val groups = features.groupBy(bindingOf)
     val claims = claimDerived(groups, derived)
     groups.map { case (b, fs) =>
       val frame = snapshotDaily(spark, bindingRoot(root, b), fs, b.map(_._2),
-        tsCol, bucketUs, claims(b), includeHorizonPartialRows)
+        tsCol, bucketUs, claims(b), includeHorizonPartialRows, throughBucket)
       b.map(_._1) -> aliasKeys(frame, b)
     }
   }
@@ -740,11 +761,17 @@ object IncrementalMaterializer {
         s"observations are missing key-alias column '$alias' — the " +
           "multi-key training join addresses each binding by its alias")
     }
+    // extend every binding's daily range to the latest observation's
+    // preceding bucket ([[trainingSet]]'s rationale)
+    val obsHi = observations
+      .agg(max(IncrementalSwa.bucketOf(col(obsTsCol), bucketUs))).head()
+    val through =
+      if (obsHi.isNullAt(0)) None else Some(obsHi.getLong(0) - 1L)
     val obs = observations.withColumn("__feature_bucket",
       IncrementalSwa.bucketOf(col(obsTsCol), bucketUs) - 1L)
     groups.foldLeft(obs) { case (acc, (b, fs)) =>
       val daily = aliasKeys(snapshotDaily(spark, bindingRoot(root, b), fs,
-        b.map(_._2), tsCol, bucketUs, claims(b)), b)
+        b.map(_._2), tsCol, bucketUs, claims(b), throughBucket = through), b)
         .withColumnRenamed("bucket", "__feature_bucket")
       acc.join(daily, b.map(_._1) :+ "__feature_bucket", "left_outer")
     }.drop("__feature_bucket")

@@ -82,7 +82,8 @@ object IncrementalQuantile {
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
       windowBuckets: Int, qs: Seq[Double],
-      includeHorizonPartialRows: Boolean = false): DataFrame = {
+      includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
     val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
@@ -91,10 +92,11 @@ object IncrementalQuantile {
       require(!r.isNullAt(0), s"state at $dir holds no partials")
       r.getLong(0)
     }
+    val capB = IncrementalSwa.dailyCap(hiB, windowBuckets, throughBucket)
     val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
       windowBuckets, includeHorizonPartialRows)
     val dayKeys = cfg.keyCols :+ "__day"
-    val merged = IncrementalSwa.expandToWindows(st, windowBuckets, hiB)
+    val merged = IncrementalSwa.expandToWindows(st, windowBuckets, capB)
       .where(col("__day") >= completeFrom)
       .groupBy((dayKeys :+ "bin").map(col): _*)
       .agg(sum(col("n")).as("n"))

@@ -292,6 +292,16 @@ object IncrementalSwa {
     st.withColumn("__day", explode(sequence(col(BCol),
       least(col(BCol) + (windowBuckets - 1L), lit(hiB)))))
 
+  /** The last output bucket a daily table emits: the state's last
+    * event bucket by default (the publication shape), extendable by
+    * the training-set join to min(throughBucket, hiB + W − 1) — past
+    * that every window is empty, so emitting further is pure spine.
+    */
+  private[operators] def dailyCap(hiB: Long, windowBuckets: Int,
+      throughBucket: Option[Long]): Long =
+    throughBucket.map(t => math.min(math.max(t, hiB), hiB + windowBuckets - 1L))
+      .getOrElse(hiB)
+
   /** The first output bucket whose window is COMPLETE over retained
     * state — the daily tables' default emission floor (erased ≠
     * empty; [[serveDaily]]'s horizon posture, shared by every store's
@@ -361,9 +371,17 @@ object IncrementalSwa {
     * genuine-left-edge semantics (aggregating only retained buckets,
     * like the first `windowBuckets` days of any history) — training
     * over such a table must know its first days are partial.
+    *
+    * `throughBucket` extends the emitted range past the state's last
+    * event bucket (to min(throughBucket, hiB + W − 1) — beyond that
+    * every window is empty): the training-set join needs feature rows
+    * at observation dates AFTER the last ingested event day, where the
+    * window still reaches real state. Default keeps the publication
+    * shape (rows end at the last day with data).
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
-      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val merged = readState(spark, dir)
       .groupBy((cfg.keyCols :+ BCol).map(col): _*)
@@ -376,17 +394,17 @@ object IncrementalSwa {
       require(!r.isNullAt(0), s"state at $dir holds no partials")
       Array(r.getLong(0), r.getLong(1))
     }
+    val capB = dailyCap(hiB, windowBuckets, throughBucket)
     val spine = merged.select(cfg.keyCols.map(col): _*).distinct()
-      .withColumn(BCol, explode(sequence(lit(loB), lit(hiB))))
+      .withColumn(BCol, explode(sequence(lit(loB), lit(capB))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(cfg.keyCols.map(col): _*)
       .orderBy(col(BCol))
       .rangeBetween(-(windowBuckets - 1L), 0L)
     // horizon rows are dropped AFTER the window: the range frame at the
     // first complete bucket still needs the retained buckets before it
-    val completeFrom =
-      if (includeHorizonPartialRows) loB
-      else retainedFrom(spark, dir).map(_ + windowBuckets - 1L).getOrElse(loB)
+    val completeFrom = dailyCompleteFrom(spark, dir, windowBuckets,
+      includeHorizonPartialRows)
     nullSafeLeftJoin(spine, merged, cfg.keyCols :+ BCol)
       .withColumn("sum_c", sum(col("psum_c")).over(w))
       .withColumn("f_cnt", sum(col("pcnt")).over(w))

@@ -106,7 +106,8 @@ object IncrementalTopK {
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
       windowBuckets: Int, k: Int,
-      includeHorizonPartialRows: Boolean = false): DataFrame = {
+      includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     require(k > 0, s"k must be positive: $k")
     val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
@@ -115,10 +116,11 @@ object IncrementalTopK {
       require(!r.isNullAt(0), s"state at $dir holds no candidates")
       r.getLong(0)
     }
+    val capB = IncrementalSwa.dailyCap(hiB, windowBuckets, throughBucket)
     val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
       windowBuckets, includeHorizonPartialRows)
     val dayKeys = cfg.keyCols :+ "__day"
-    val merged = IncrementalSwa.expandToWindows(st, windowBuckets, hiB)
+    val merged = IncrementalSwa.expandToWindows(st, windowBuckets, capB)
       .where(col("__day") >= completeFrom)
       .groupBy((dayKeys :+ "item").map(col): _*)
       .agg(sum(col("n")).as("cnt"))

@@ -148,23 +148,23 @@ object IncrementalUnion {
     * (`includeHorizonPartialRows`) for left-edge semantics.
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
-      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val st = spark.read.parquet(IncrementalSwa.requireLiveGen(spark, dir))
-    val Array(loB, hiB) = {
-      val r = st.agg(min(col(BCol)), max(col(BCol))).head()
+    val hiB = {
+      val r = st.agg(max(col(BCol))).head()
       require(!r.isNullAt(0), s"state at $dir holds no partials")
-      Array(r.getLong(0), r.getLong(1))
+      r.getLong(0)
     }
-    val completeFrom =
-      if (includeHorizonPartialRows) loB
-      else IncrementalSwa.retainedFrom(spark, dir)
-        .map(_ + windowBuckets - 1L).getOrElse(loB)
+    val capB = IncrementalSwa.dailyCap(hiB, windowBuckets, throughBucket)
+    val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
+      windowBuckets, includeHorizonPartialRows)
     st.select(cfg.keyCols.map(col) :+ col(BCol) :+
         explode(col("pset")).as("__item"): _*)
       .select(cfg.keyCols.map(col) :+
         explode(sequence(col(BCol),
-          least(col(BCol) + (windowBuckets - 1L), lit(hiB)))).as("bucket") :+
+          least(col(BCol) + (windowBuckets - 1L), lit(capB)))).as("bucket") :+
         col("__item"): _*)
       .where(col("bucket") >= completeFrom)
       .groupBy((cfg.keyCols :+ "bucket").map(col): _*)

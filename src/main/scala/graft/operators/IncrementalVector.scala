@@ -117,7 +117,8 @@ object IncrementalVector {
     * semantics, both exactly as the scalar store.
     */
   def serveDaily(spark: SparkSession, dir: String, cfg: Config,
-      windowBuckets: Int, includeHorizonPartialRows: Boolean = false): DataFrame = {
+      windowBuckets: Int, includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): DataFrame = {
     require(windowBuckets > 0, s"windowBuckets must be positive: $windowBuckets")
     val merged = foldState(spark, dir, cfg)
     val Array(loB, hiB) = {
@@ -125,16 +126,15 @@ object IncrementalVector {
       require(!r.isNullAt(0), s"state at $dir holds no partials")
       Array(r.getLong(0), r.getLong(1))
     }
+    val capB = IncrementalSwa.dailyCap(hiB, windowBuckets, throughBucket)
     val spine = merged.select(cfg.keyCols.map(col): _*).distinct()
-      .withColumn(BCol, explode(sequence(lit(loB), lit(hiB))))
+      .withColumn(BCol, explode(sequence(lit(loB), lit(capB))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(cfg.keyCols.map(col): _*)
       .orderBy(col(BCol))
       .rangeBetween(-(windowBuckets - 1L), 0L)
-    val completeFrom =
-      if (includeHorizonPartialRows) loB
-      else IncrementalSwa.retainedFrom(spark, dir)
-        .map(_ + windowBuckets - 1L).getOrElse(loB)
+    val completeFrom = IncrementalSwa.dailyCompleteFrom(spark, dir,
+      windowBuckets, includeHorizonPartialRows)
     IncrementalSwa.nullSafeLeftJoin(spine, merged, cfg.keyCols :+ BCol)
       .withColumn("sum_grid",
         LongVectorSumAggregator.longVecSum(col("pesum")).over(w))

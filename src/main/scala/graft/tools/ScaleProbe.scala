@@ -82,7 +82,7 @@ object ScaleProbe {
 
     val ev0 = spark.read.parquet(s"$dir/events.parquet")
       .normalizeEventTime
-      .select("event_id", "user_id", "ts", "event_type", "value")
+      .select("event_id", "user_id", "ts", "event_type", "value", "props")
 
     def densified(n: Int): DataFrame =
       (0 until n).map(i => ev0
@@ -1413,9 +1413,7 @@ object ScaleProbe {
       val dayUs = 86400000000L
       val uCfg = IncrementalUnion.Config(Seq("user_id"), "ts", "props", dayUs)
       val vCfg = IncrementalVector.Config(Seq("user_id"), "ts", "vec", dayUs)
-      val uEvs = spark.read.parquet(s"$dir/events.parquet")
-        .normalizeEventTime
-        .select("user_id", "ts", "props")
+      val uEvs = ev0.select("user_id", "ts", "props")
       val vEvs = ev0.select(col("user_id"), col("ts"),
         array((0 until 8).map(i => col("value") * (i + 1)): _*).as("vec"))
       val maxB = uEvs.agg(max(IncrementalSwa.bucketOf(col("ts"), dayUs)))

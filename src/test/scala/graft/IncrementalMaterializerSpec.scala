@@ -318,9 +318,14 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       (1L, 1L) -> ((7.0, 3L, "a,b", 233L)),
       (2L, 1L) -> ((10.0, 1L, "b", 1000L))))
     // observations on days 1/2 read the PREVIOUS day's feature row;
-    // a cold-start key (9) and a cold bucket (k=2 at day 1) keep nulls
+    // a cold-start key (9) and a cold bucket (k=2 at day 1) keep nulls.
+    // o5 arrives AFTER the last event day (day 3 -> bucket 2 > hiB=1)
+    // but its window {1,2} still reaches day-1 events — the daily
+    // range extends to the latest observation's preceding bucket, so
+    // it gets genuine aggregates, not silent cold-start nulls; o6's
+    // window (buckets {3,4}) holds nothing -> nulls.
     val obs = Seq((1L, 1L, "o1"), (1L, 2L, "o2"), (2L, 1L, "o3"),
-        (9L, 2L, "o4"))
+        (9L, 2L, "o4"), (1L, 3L, "o5"), (1L, 5L, "o6"))
       .toDF("k", "d", "oid")
       .withColumn("ots", timestamp_micros(col("d") * DayUs + 1L))
       .select("oid", "k", "ots")
@@ -333,7 +338,20 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       "o1" -> ((Some(3.0), Some(2L), Some(150L))),
       "o2" -> ((Some(7.0), Some(3L), Some(233L))),
       "o3" -> ((None, None, None)),
-      "o4" -> ((None, None, None))))
+      "o4" -> ((None, None, None)),
+      "o5" -> ((Some(4.0), Some(1L), Some(400L))),
+      "o6" -> ((None, None, None))))
+    // derived features need anchors to evaluate over — a graft-only
+    // call carrying derivations is refused by name, not silently
+    // stripped
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.trainingSet(spark, root, Nil,
+        Seq("k"), "ts", DayUs, obs, "ots", derived,
+        graftFeatures = Seq(IncrementalMaterializer.GraftFeature(
+          "g_nd", "tag", graft.model.GraftAggregation.DistinctCount(12),
+          Durations.parse("2d"))))
+    }
+    assert(e.getMessage.contains("anchor features"), e.getMessage)
   }
 
   test("snapshotDailyMulti + trainingSetMulti: per-binding daily frames, multi-key rows") {
