@@ -1563,6 +1563,27 @@ object SparkEntry {
       Retrieval.bm25TopK(docs, queries, k = 10)
     }),
 
+    // The incrementally-maintained BM25 index (r14): the corpus enters
+    // as two O(delta) ingests (postings + null-term length sentinels,
+    // version-partitioned), the tail is compacted into one generation,
+    // and the serve runs the batch operator's EXACT scoring tail
+    // (shared code path) over query-pruned state — so the oracle is
+    // q_bm25_topk's full-corpus restatement, verbatim. A corpus-sized
+    // tokenization pass per query load becomes a one-time ingest cost.
+    "q_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/bm25inc"
+      val cfg = IncrementalBm25.Config()
+      IncrementalBm25.ingest(docs.where(col("doc_id") <= mid), root, cfg, 0L)
+      IncrementalBm25.ingest(docs.where(col("doc_id") > mid), root, cfg, 1L)
+      IncrementalBm25.compact(s, root, cfg)
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      IncrementalBm25.serve(s, root, cfg, queries, k = 10)
+    }),
+
     // Hybrid retrieval: BM25 (120-char-prefix queries) ⊕ exact dense
     // cosine, fused by reciprocal-rank fusion over the corpus of
     // documents that carry BOTH text and an embedding (doc_id =
@@ -4725,6 +4746,44 @@ object SparkEntry {
     // identical IEEE results per contribution; Σ order + ln's last ulp
     // absorbed by ranking on the 1e-5-rounded score, doc_id tiebreak)
     "q_bm25_topk" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
+        |    t -> t <> '') AS w
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY doc_id, dl, term
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
+        |      t -> t <> '')) AS term
+        |    FROM documents WHERE doc_id % 50 = 0)
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY term
+        |), scored AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
+        |    ), 5) AS score
+        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
+        |  GROUP BY q.q_id, tf.doc_id
+        |), ranked AS (
+        |  SELECT q_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // deltas append; the merged index IS the corpus — the oracle is
+    // q_bm25_topk's full-corpus restatement, verbatim
+    "q_bm25_incremental" ->
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
         |    t -> t <> '') AS w

@@ -61,8 +61,7 @@ object Retrieval {
       .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
       .toLong
 
-    def toks(text: org.apache.spark.sql.Column) =
-      filter(TextAnalysis.words(text), t => t =!= lit(""))
+    def toks(text: org.apache.spark.sql.Column) = bm25Toks(text)
 
     // one row: corpus size + total token count (avgdl = sumdl/N, both
     // integers, so the double division is identical cross-engine)
@@ -95,6 +94,29 @@ object Retrieval {
       .join(qTermsH, Seq("__term"))
       .groupBy(col("__id"), col("__term"), col("__dl"))
       .agg(count(lit(1)).as("__tf")))
+    rankPostings(tfQ, stats, qtH, k, k1, b, maxDfFrac, bcLimit)
+  }
+
+  /** Query tokenization shared with [[IncrementalBm25]] — the engine's
+    * one normalization ([[TextAnalysis.words]]), empties dropped.
+    */
+  private[operators] def bm25Toks(text: org.apache.spark.sql.Column) =
+    filter(TextAnalysis.words(text), t => t =!= lit(""))
+
+  /** The BM25 scoring + ranking tail over QUERY-PRUNED postings —
+    * shared verbatim by [[bm25TopK]] (postings from the corpus scan)
+    * and [[IncrementalBm25.serve]] (postings from maintained state),
+    * so the two paths cannot drift an ulp apart: the per-(q, d, t)
+    * contribution tree, the 1e-5 score round, and the doc-id tiebreak
+    * are one code path.
+    *
+    * `tfQ`: (__id, __term, __dl, __tf), already pruned to query terms;
+    * `stats`: one row (__n, __sumdl); `qtH`: (__qid, __term) distinct,
+    * broadcast-wrapped by the caller.
+    */
+  private[operators] def rankPostings(tfQ: DataFrame, stats: DataFrame,
+      qtH: DataFrame, k: Int, k1: Double, b: Double, maxDfFrac: Double,
+      bcLimit: Long): DataFrame = {
     val (dfT, dfBytes) = Spill.roundTripSized(
       tfQ.groupBy(col("__term")).agg(count(lit(1)).as("__df")))
     val dfH = if (dfBytes <= bcLimit) broadcast(dfT) else dfT

@@ -32,7 +32,7 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
     //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|swainc|
-    //   featday|bpe|unionvec|uvdaily|all selects the axis
+    //   featday|bpe|unionvec|uvdaily|bm25inc|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1451,6 +1451,53 @@ object ScaleProbe {
             f"vecDaily=$vOneSec%6.2fs/${vOneMb}%6.1fMB " +
             f"vecLoop=$vLoopSec%6.2fs/${vLoopMb}%6.1fMB")
         warmedUd = true
+      }
+    }
+
+    // ---- axis 29: the incremental BM25 index. (a) Ingesting a
+    // fixture-sized doc delta into a 1- vs n-version index must stay
+    // flat (the existing index is never rescanned — O(delta tokens));
+    // (b) serving a fixed query load over an n×-grown index pays the
+    // query-pruned postings (Σ df(query terms) grows with corpus term
+    // frequency, NOT with a corpus-sized tokenization pass — compare
+    // the batch operator, which re-tokenizes everything per call).
+    if (axes == "all" || axes == "bm25inc") {
+      import graft.operators.{IncrementalBm25, Retrieval, Spill}
+      val cfg = IncrementalBm25.Config()
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val queries = docs0.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      var warmedBm = false
+      for (n <- Seq(1) ++ mults) {
+        val root = Spill.newPath(spark) + s"/probe_bm_$n"
+        (0 until n).foreach { i =>
+          IncrementalBm25.ingest(
+            docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)),
+            root, cfg, i.toLong)
+        }
+        val (iSec, iMb) = time {
+          IncrementalBm25.ingest(
+            docs0.withColumn("doc_id", col("doc_id") + lit(n.toLong * 10000000L)),
+            root, cfg, n.toLong); 1L
+        }
+        val (sSec, sMb) = time {
+          IncrementalBm25.serve(spark, root, cfg, queries, k = 10).count()
+        }
+        val (bSec, bMb) = time {
+          Retrieval.bm25TopK(
+            (0 to n).map(i => docs0.withColumn("doc_id",
+                col("doc_id") + lit(i.toLong * 10000000L)))
+              .reduce(_ unionByName _),
+            queries, k = 10).count()
+        }
+        if (warmedBm)
+          println(f"[scale] n=$n%-3d indexVersions=${n + 1}%-4d " +
+            f"ingestFixedDelta=$iSec%6.2fs/${iMb}%6.1fMB " +
+            f"serveFixedLoad=$sSec%6.2fs/${sMb}%6.1fMB " +
+            f"batchRecompute=$bSec%6.2fs/${bMb}%6.1fMB")
+        warmedBm = true
       }
     }
 

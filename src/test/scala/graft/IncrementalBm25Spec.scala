@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{IncrementalBm25, IncrementalSwa, Retrieval, Spill}
+import graft.operators.IncrementalBm25.Config
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalBm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = Config()
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Set[(Long, Long, Int, Double)] =
+    df.select("q_id", "doc_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  private val corpus = docs(
+    (1L, "spark engine for data"), (2L, "data data pipelines"),
+    (3L, "feature engine"), (4L, "unrelated text entirely"),
+    (5L, ""))
+  private val queries = Seq((10L, "data engine"), (11L, "feature"))
+    .toDF("q_id", "q_text")
+
+  test("incremental serve equals the batch operator over the same corpus") {
+    val root = Spill.newPath(spark) + "/bm"
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    IncrementalBm25.ingest(corpus.where(col("doc_id") > 3), root, cfg, 1L)
+    val inc = rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+    val batch = rows(Retrieval.bm25TopK(corpus, queries, k = 3))
+    assert(inc == batch && inc.nonEmpty)
+    // the zero-token doc (5) raised N without postings — both paths
+    // agree because the sentinel rows carry it into the stats
+    IncrementalBm25.compact(spark, root, cfg)
+    assert(IncrementalSwa.versions(spark, s"$root/idx") == Seq(1L))
+    assert(rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+      == batch)
+  }
+
+  test("serveAsOf replays the pre-delta index; compaction refuses rebased reads") {
+    val root = Spill.newPath(spark) + "/bm"
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    IncrementalBm25.ingest(corpus.where(col("doc_id") > 3), root, cfg, 1L)
+    val v0 = rows(IncrementalBm25.serveAsOf(spark, root, cfg, queries, 0L,
+      k = 3))
+    assert(v0 == rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") <= 3), queries, k = 3)))
+    IncrementalBm25.compact(spark, root, cfg)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalBm25.serveAsOf(spark, root, cfg, queries, 0L, k = 3)
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+  }
+
+  test("append-only monotone ids: replay is idempotent, a different delta is refused") {
+    val root = Spill.newPath(spark) + "/bm"
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    val before = rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+    // genuine replay of version 0: same delta, same result
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    assert(rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+      == before)
+    // a non-monotone delta is refused by name
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalBm25.ingest(docs((2L, "stale")), root, cfg, 1L)
+    }
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    // a DIFFERENT delta claiming the written version is refused
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalBm25.ingest(docs((99L, "imposter")), root, cfg, 0L)
+    }
+    assert(e2.getMessage.contains("already written"), e2.getMessage)
+  }
+
+  test("forgetDocs erases postings AND length from the statistics") {
+    val root = Spill.newPath(spark) + "/bm"
+    IncrementalBm25.ingest(corpus, root, cfg, 0L)
+    IncrementalBm25.forgetDocs(spark, root, cfg, Seq(2L).toDF("doc_id"))
+    val after = rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+    // doc 2 is gone from results AND from N/avgdl/df — scores equal a
+    // batch run over the corpus without it
+    assert(!after.exists(_._2 == 2L))
+    assert(after == rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") =!= 2), queries, k = 3)))
+  }
+}
