@@ -1385,6 +1385,42 @@ object SparkEntry {
         .select(col("q_id"), lit(true).as("recall_ok"))
     }),
 
+    // The incrementally-maintained IVF-PQ index (r14): quantizers
+    // trained once over the FIRST half of the corpus (the FAISS add()
+    // contract — frozen after build), the second half ingested as an
+    // O(delta) version against the frozen centroids/codebooks, a
+    // GDPR slice erased, the tail compacted — then the STATIC index's
+    // one query path must still partition-prune and hit the recall
+    // bar against exact brute force over the surviving corpus.
+    "q_sim_ivfpq_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val k = 10
+      val mid = emb.agg(avg(col("vec_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/ivfpqinc"
+      IncrementalIvfPq.build(emb.where(col("vec_id") <= mid), root,
+        nCells = 16, m = 8, kCodes = 16)
+      IncrementalIvfPq.ingest(emb.where(col("vec_id") > mid), root,
+        version = 1L)
+      IncrementalIvfPq.forgetVectors(s, root,
+        emb.where(col("vec_id") % 100 === 50).select("vec_id"))
+      IncrementalIvfPq.compact(s, root)
+      val approx = IncrementalIvfPq.query(s, root, queries, k,
+        nProbe = 12, rescoreFactor = 20)
+      val plan = approx.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell_id") && !l.contains("PartitionFilters: []")),
+        "incremental IVF-PQ vectors scan is not partition-pruned")
+      val exact = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") % 100 =!= 50), queries, k)
+      approx.select("q_id", "vec_id")
+        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
+        .select(col("q_id"), lit(true).as("recall_ok"))
+    }),
+
     // Embedding int8 quantization (storage compression): per-vector
     // scale + quantized array, both reproduced exactly by the oracle
     // (the floor(x·scale+½) construction is pure IEEE arithmetic on
@@ -5425,6 +5461,12 @@ object SparkEntry {
 
     // Same recall-gate contract through the persisted index.
     "q_sim_ivf_index" ->
+      """SELECT vec_id AS q_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Same recall-gate contract through the incrementally-maintained
+    // index (build half + ingest half + forget + compact).
+    "q_sim_ivfpq_incremental" ->
       """SELECT vec_id AS q_id, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 

@@ -88,13 +88,33 @@ object IvfPqIndex {
     cb.map(_.toArray)
   }
 
-  /** Top-k: probe → partition-pruned ADC scan over codes → bounded
-    * candidates → exact rescore reading only candidate rows' vectors.
+  /** The residual-encode pass shared by [[build]] and
+    * [[IncrementalIvfPq.ingest]]: assign cells against the FROZEN
+    * centroids, form normalized residuals, PQ-encode against the
+    * FROZEN codebooks. Deterministic given its inputs, so an
+    * incremental ingest encodes exactly as the build pass would have.
+    * Returns (id, vector, cell_id, codes).
     */
-  def query(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int, nProbe: Int, rescoreFactor: Int = 20,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+  private[operators] def encodeAssign(corpus: DataFrame,
+      centroids: DataFrame, cb: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String): DataFrame = {
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    val vhat = transform(col(vecCol),
+      x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
+    val res = assigned.join(broadcast(centroids), Seq("cell_id"))
+      .select(col(idCol), col(vecCol), col("cell_id"),
+        zip_with(vhat, col("centroid"),
+          (a, b) => (a - b).cast("float")).as("__res"))
+    res.select(col(idCol), col(vecCol), col("cell_id"))
+      .join(ProductQuant.encode(res, cb, idCol, "__res",
+        normalizeInput = false), Seq(idCol))
+  }
+
+  /** Validate the persisted encoding marker — shared by every reader
+    * of a `$path/{centroids,codebooks,meta}` quantizer layout.
+    */
+  private[operators] def requireEncoding(spark: SparkSession,
+      path: String): Unit = {
     // a MISSING meta marks a pre-residual (v0) index and must say so;
     // any other read failure (wrong path, FS trouble) must surface
     // as itself, not masquerade as an encoding mismatch
@@ -107,6 +127,31 @@ object IvfPqIndex {
       s"IVF-PQ index at $path was written under encoding '$enc', this " +
         s"engine scores '$Encoding' — ADC over mismatched codes is " +
         "silently wrong; rebuild the index with IvfPqIndex.build")
+  }
+
+  /** Top-k: probe → partition-pruned ADC scan over codes → bounded
+    * candidates → exact rescore reading only candidate rows' vectors.
+    */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int, rescoreFactor: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
+    queryVectors(spark, path, spark.read.parquet(s"$path/vectors"),
+      queries, k, nProbe, rescoreFactor, idCol, vecCol, qIdCol, qVecCol)
+
+  /** [[query]] over a caller-supplied vectors frame (id, vector,
+    * cell_id, codes) — the quantizer layout (centroids / codebooks /
+    * meta) still reads from `path`. [[IncrementalIvfPq]] passes its
+    * version-partitioned live generation here, so the probe, the
+    * partition-pruned ADC scan, and the bounded rescore are ONE code
+    * path for the static and the maintained index.
+    */
+  private[operators] def queryVectors(spark: SparkSession, path: String,
+      vectors: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, rescoreFactor: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    requireEncoding(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val cb = loadCodebooks(spark, path)
     val kCodes = cb.head.length
@@ -115,7 +160,7 @@ object IvfPqIndex {
     // bounded driver materialization (≤ nCells ints) for a literal
     // partition filter — the IvfIndex.query discipline
     val cells = probed.select("cell_id").distinct().collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(s"$path/vectors")
+    val pruned = vectors
       .where(col("cell_id").isin(cells.map(c => c: Any): _*))
 
     // ADC over (probed cells ∩ each query's OWN cells): join on cell_id

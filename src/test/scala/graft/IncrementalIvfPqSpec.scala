@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{IncrementalIvfPq, IncrementalSwa, Similarity, Spill}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalIvfPqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // four well-separated 8-dim clusters, 32 vectors each; ids encode
+  // the cluster so brute-force neighbors are in-cluster by construction
+  private def vecs(ids: Range): DataFrame =
+    ids.map { i =>
+      val c = i % 4
+      val base = Array.tabulate(8)(d => if (d == c * 2) 10f else 0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + ((i * 31 + d * 7) % 13) * 0.05f }.toSeq)
+    }.toDF("vec_id", "embedding")
+
+  private val initial = vecs(0 until 128)
+  private val delta = vecs(128 until 192)
+  private val queries = vecs(0 until 192).where(col("vec_id") % 16 === 1)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  private def hits(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+
+  private def recallOk(approx: DataFrame, exact: DataFrame,
+      k: Int, bar: Double): Boolean = {
+    val a = hits(approx).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val e = hits(exact).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    e.forall { case (q, ex) =>
+      a.getOrElse(q, Set.empty).intersect(ex).size >= math.ceil(bar * k) }
+  }
+
+  test("ingest extends the index; asOf replays the pre-delta state exactly") {
+    val root = Spill.newPath(spark) + "/ivf"
+    IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
+    val before = hits(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2))
+    IncrementalIvfPq.ingest(delta, root, version = 1L)
+    val after = IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2)
+    // the grown index meets the recall bar against brute force over
+    // the grown corpus — new vectors are served, not just stored
+    assert(recallOk(after,
+      Similarity.bruteForceTopK(initial.unionByName(delta), queries, 5),
+      k = 5, bar = 0.6))
+    assert(hits(after).exists(_._2 >= 128L), "no delta vector ever served")
+    // time travel: the same frozen quantizers make the as-of read
+    // EXACTLY the pre-ingest result
+    assert(hits(IncrementalIvfPq.queryAsOf(spark, root, queries, 0L,
+      k = 5, nProbe = 2)) == before)
+    IncrementalIvfPq.compact(spark, root)
+    assert(IncrementalSwa.versions(spark, s"$root/vectors") == Seq(1L))
+    assert(hits(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2)) == hits(after))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.queryAsOf(spark, root, queries, 0L, k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+  }
+
+  test("monotone append-only ids; forgetVectors erases from every later read") {
+    val root = Spill.newPath(spark) + "/ivf"
+    IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.ingest(vecs(100 until 130), root, version = 1L)
+    }
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    IncrementalIvfPq.ingest(delta, root, version = 1L)
+    // replay of version 1 is idempotent; an imposter delta is refused
+    IncrementalIvfPq.ingest(delta, root, version = 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.ingest(vecs(500 until 510), root, version = 1L)
+    }
+    assert(e2.getMessage.contains("already written"), e2.getMessage)
+    val victims = Seq(1L, 129L).toDF("vec_id")
+    IncrementalIvfPq.forgetVectors(spark, root, victims)
+    val served = hits(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 4))
+    assert(!served.exists(h => h._2 == 1L || h._2 == 129L))
+  }
+}
