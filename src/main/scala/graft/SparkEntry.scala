@@ -3998,6 +3998,46 @@ object SparkEntry {
     * and the est_raw operation order cannot drift between the batch
     * and streaming gates.
     */
+  /** The full-corpus BM25 top-k restatement — ONE copy shared by
+    * q_bm25_topk and q_bm25_incremental (the incremental index over
+    * the whole corpus IS the batch computation, so the two gates
+    * must share their oracle structurally, not by copy). */
+  private lazy val sqlBm25TopK =
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
+        |    t -> t <> '') AS w
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY doc_id, dl, term
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
+        |      t -> t <> '')) AS term
+        |    FROM documents WHERE doc_id % 50 = 0)
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY term
+        |), scored AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
+        |    ), 5) AS score
+        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
+        |  GROUP BY q.q_id, tf.doc_id
+        |), ranked AS (
+        |  SELECT q_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin
+
   private val sqlHllBr =
     """(h >> 44)::BIGINT AS bucket,
       |    CASE WHEN (h & ((1::UBIGINT << 44) - 1)) = 0 THEN 45
@@ -4781,79 +4821,11 @@ object SparkEntry {
     // BM25 mirrored operation-for-operation (same expression tree →
     // identical IEEE results per contribution; Σ order + ln's last ulp
     // absorbed by ranking on the 1e-5-rounded score, doc_id tiebreak)
-    "q_bm25_topk" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
-        |    t -> t <> '') AS w
-        |  FROM documents
-        |), stats AS (
-        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
-        |), tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
-        |  GROUP BY doc_id, dl, term
-        |), q AS (
-        |  SELECT DISTINCT doc_id AS q_id, term FROM (
-        |    SELECT doc_id, unnest(list_filter(
-        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
-        |      t -> t <> '')) AS term
-        |    FROM documents WHERE doc_id % 50 = 0)
-        |), dfq AS (
-        |  SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT term FROM q) GROUP BY term
-        |), scored AS (
-        |  SELECT q.q_id, tf.doc_id,
-        |    round(sum(
-        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
-        |    ), 5) AS score
-        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
-        |  GROUP BY q.q_id, tf.doc_id
-        |), ranked AS (
-        |  SELECT q_id, doc_id, score, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_bm25_topk" -> sqlBm25TopK,
 
     // deltas append; the merged index IS the corpus — the oracle is
     // q_bm25_topk's full-corpus restatement, verbatim
-    "q_bm25_incremental" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
-        |    t -> t <> '') AS w
-        |  FROM documents
-        |), stats AS (
-        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
-        |), tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
-        |  GROUP BY doc_id, dl, term
-        |), q AS (
-        |  SELECT DISTINCT doc_id AS q_id, term FROM (
-        |    SELECT doc_id, unnest(list_filter(
-        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
-        |      t -> t <> '')) AS term
-        |    FROM documents WHERE doc_id % 50 = 0)
-        |), dfq AS (
-        |  SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT term FROM q) GROUP BY term
-        |), scored AS (
-        |  SELECT q.q_id, tf.doc_id,
-        |    round(sum(
-        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
-        |    ), 5) AS score
-        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
-        |  GROUP BY q.q_id, tf.doc_id
-        |), ranked AS (
-        |  SELECT q_id, doc_id, score, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT q_id, doc_id, rank, score FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_bm25_incremental" -> sqlBm25TopK,
 
     // Hybrid RRF: the lexical CTEs are the q_bm25_topk formulation over
     // the documents∩embeddings corpus (%100 queries, k=20); the dense

@@ -1,10 +1,7 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import java.nio.charset.StandardCharsets
 
 /** An incrementally-maintained BM25 index — [[Retrieval.bm25TopK]]'s
   * retrieval semantics without re-tokenizing the corpus per query
@@ -52,35 +49,12 @@ object IncrementalBm25 {
   private def idxDir(root: String) = s"$root/idx"
   private def metaDir(root: String) = s"$root/meta"
 
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def readAllMeta(spark: SparkSession, root: String): Seq[(Long, Long)] = {
-    val p = new Path(metaDir(root))
-    val f = fs(spark, metaDir(root))
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.collect {
-      case s if s.isFile && s.getPath.getName.startsWith("v_") =>
-        val in = f.open(s.getPath)
-        val m = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          .trim.toLong
-        finally in.close()
-        (s.getPath.getName.stripPrefix("v_").toLong, m)
-    }
-  }
-
-  private def writeMeta(spark: SparkSession, root: String, version: Long,
-      maxId: Long): Unit = {
-    val p = new Path(s"${metaDir(root)}/v_$version")
-    val out = fs(spark, metaDir(root)).create(p, true)
-    try out.write(maxId.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
   /** Tokenize and fold one document delta into the index as
     * `version`: per-(doc, term) tf posting rows plus one null-term
     * sentinel per document. O(delta tokens), the existing index never
-    * rescanned.
+    * rescanned. Validation is [[AppendOnlyMeta]]'s shared guard:
+    * monotone append-only ids, null-id refusal, strictly-increasing
+    * versions, and fingerprinted replay idempotence.
     */
   def ingest(delta: DataFrame, dir: String, cfg: Config,
       version: Long): Unit = {
@@ -95,27 +69,16 @@ object IncrementalBm25 {
       require(version > folded,
         s"version $version is at or below the compaction fold ($folded) at " +
           s"$dir — the index cannot replay rebased history")
-      val meta = readAllMeta(spark, dir)
-      val priorMax = meta.collect { case (v, m) if v < version => m }
-        .foldLeft(Long.MinValue)(math.max)
-      val b = delta.agg(
-        min(col(cfg.idCol).cast("long")),
-        max(col(cfg.idCol).cast("long"))).head()
-      require(!b.isNullAt(0), "ingest called with an empty delta")
-      val (dMin, dMax) = (b.getLong(0), b.getLong(1))
-      require(dMin > priorMax,
-        s"delta id $dMin <= already-indexed max id $priorMax: the index " +
-          "is append-only over monotone ids (df/N are additive only when " +
-          "a document enters once); assign fresh ids above the high-water " +
-          "mark")
-      meta.collectFirst { case (`version`, m) => m }.foreach(recorded =>
-        require(recorded == dMax,
-          s"version $version of the index at $dir was already written " +
-            s"with a different delta (recorded high-water $recorded, this " +
-            s"delta's $dMax); a replay must re-present the same documents"))
-      val base = delta.select(col(cfg.idCol).cast("long").as("__id"),
-        Retrieval.bm25Toks(col(cfg.textCol)).as("__w"))
-        .select(col("__id"), size(col("__w")).as("__dl"), col("__w"))
+      val bounds = AppendOnlyMeta.boundsOf(delta, cfg.idCol,
+        Seq(cfg.idCol, cfg.textCol))
+      AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "document")
+      // spilled ONCE: the postings leg and the sentinel leg of the
+      // union would otherwise each re-run the delta scan + tokenization
+      // — the cost this store exists to pay once
+      val base = Spill.roundTrip(
+        delta.select(col(cfg.idCol).cast("long").as("__id"),
+            Retrieval.bm25Toks(col(cfg.textCol)).as("__w"))
+          .select(col("__id"), size(col("__w")).as("__dl"), col("__w")))
       val postings = base
         .select(col("__id"), col("__dl"), explode(col("__w")).as("__term"))
         .groupBy(col("__id"), col("__dl"), col("__term"))
@@ -126,7 +89,7 @@ object IncrementalBm25 {
         .sortWithinPartitions("__term")
         .write.mode("overwrite")
         .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
-      writeMeta(spark, dir, version, dMax)
+      AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
     }
   }
 
@@ -190,9 +153,13 @@ object IncrementalBm25 {
     * plain rewrite behind the atomic [[Publish]] pointer flip.
     */
   def compact(spark: SparkSession, dir: String, cfg: Config): Long =
+    // drop the partition-discovered __v column: the fold is rewritten
+    // as one new version, and carrying the old one as a data column
+    // would collide with partition discovery on read
     IncrementalSwa.compactFold(spark, idxDir(dir),
       () => spark.read.parquet(
-        IncrementalSwa.requireLiveGen(spark, idxDir(dir))),
+          IncrementalSwa.requireLiveGen(spark, idxDir(dir)))
+        .drop(VCol),
       sortCol = "__term")
 
   /** GDPR erasure: remove `ids`' postings and sentinels in one
@@ -208,6 +175,7 @@ object IncrementalBm25 {
     IncrementalSwa.compactFold(spark, idxDir(dir),
       () => spark.read.parquet(
           IncrementalSwa.requireLiveGen(spark, idxDir(dir)))
+        .drop(VCol)
         .join(keys, Seq("__id"), "left_anti"),
       sortCol = "__term")
   }

@@ -4,8 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.charset.StandardCharsets
-
 /** An incrementally-maintained IVF-PQ index — [[IvfPqIndex]]'s serving
   * shape over a vector corpus that GROWS (nightly embedding runs) and
   * FORGETS (GDPR) without rebuilding. The FAISS `add()` contract: the
@@ -32,69 +30,74 @@ import java.nio.charset.StandardCharsets
   * rebased-fold refusal, [[forgetVectors]] as one anti-join fold.
   */
 object IncrementalIvfPq {
-  import IncrementalSwa.{VCol, FoldPrefix}
+  import IncrementalSwa.VCol
 
-  private def vecDir(root: String) = s"$root/vectors"
+  // the versioned store lives BESIDE the static build's flat vectors/
+  // dir, never at it: the writer lease is a file INSIDE the store dir,
+  // and the static build's overwrite-mode vectors write (or the
+  // rebuild reset) would otherwise delete the very lease the rebuild
+  // holds
+  private def vecDir(root: String) = s"$root/vstore"
   private def metaDir(root: String) = s"$root/hwm"
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readAllMeta(spark: SparkSession, root: String): Seq[(Long, Long)] = {
-    val p = new Path(metaDir(root))
-    val f = fs(spark, metaDir(root))
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.collect {
-      case s if s.isFile && s.getPath.getName.startsWith("v_") =>
-        val in = f.open(s.getPath)
-        val m = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          .trim.toLong
-        finally in.close()
-        (s.getPath.getName.stripPrefix("v_").toLong, m)
-    }
-  }
-
-  private def writeMeta(spark: SparkSession, root: String, version: Long,
-      maxId: Long): Unit = {
-    val p = new Path(s"${metaDir(root)}/v_$version")
-    val out = fs(spark, metaDir(root)).create(p, true)
-    try out.write(maxId.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
   /** Train the quantizers over `initial` (the [[IvfPqIndex.build]]
     * training pass, writing `centroids/`, `codebooks/`, `meta/` under
-    * `root`) and ingest it as version 0.
+    * `root`) and install it as version 0. Re-building over an
+    * EXISTING root is the documented drift remedy and is supported:
+    * the whole reset — quantizer rewrite, versioned-store replacement,
+    * stale high-water meta removal — runs inside the writer lease, so
+    * a concurrent leased ingest either completes before the rebuild
+    * or fails its own acquisition loudly; the initial vectors are
+    * installed through [[Publish.publish]] (data fully written, THEN
+    * the generation marker), so a crash mid-build leaves no committed
+    * empty index for later ingests to silently extend.
     */
   def build(initial: DataFrame, root: String, nCells: Int, m: Int = 8,
       kCodes: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", kmeansIters: Int = 3, pqIters: Int = 5,
       trainSampleCap: Int = 1 << 16): Unit = {
-    // the static build already trains the quantizers and encodes the
-    // initial corpus; its flat vectors/ dir becomes the versioned
-    // store's version 0 by RENAME (parquet files are self-contained —
-    // re-encoding the initial corpus a second time would double the
-    // build's dominant cost)
     val spark = initial.sparkSession
-    IvfPqIndex.build(initial, root, nCells, m, kCodes, idCol, vecCol,
-      kmeansIters, pqIters, trainSampleCap)
-    val f = fs(spark, root)
-    val tmp = new Path(s"$root/_built_vectors")
-    require(f.rename(new Path(vecDir(root)), tmp),
-      s"could not stage the built vectors at $root")
     IncrementalSwa.locked(spark, vecDir(root)) {
-      val gen = IncrementalSwa.liveGen(spark, vecDir(root))
-      require(f.rename(tmp, new Path(s"$gen/$VCol=0")),
-        s"could not install the built vectors as version 0 at $root")
-      val maxId = initial.agg(max(col(idCol).cast("long"))).head().getLong(0)
-      writeMeta(spark, root, 0L, maxId)
+      val f = fs(spark, root)
+      // the re-build reset: a previous lifetime's generations and
+      // high-water rows are stale against the new quantizers. The
+      // store dir itself survives (the held lease is a file inside
+      // it) — only its non-lease children go
+      val storeP = new Path(vecDir(root))
+      if (f.exists(storeP))
+        f.listStatus(storeP).foreach { s =>
+          if (s.getPath.getName != "_writer_lease")
+            f.delete(s.getPath, true)
+        }
+      AppendOnlyMeta.clear(spark, metaDir(root))
+      val bounds = AppendOnlyMeta.boundsOf(initial, idCol,
+        Seq(idCol, vecCol))
+      // the static build trains the quantizers and encodes the initial
+      // corpus at $root/vectors; that flat dir becomes the versioned
+      // store's version 0 by RENAME inside the publish callback
+      // (parquet files are self-contained — re-encoding the corpus a
+      // second time would double the build's dominant cost)
+      IvfPqIndex.build(initial, root, nCells, m, kCodes, idCol, vecCol,
+        kmeansIters, pqIters, trainSampleCap)
+      Publish.publish(spark, vecDir(root)) { gen =>
+        f.mkdirs(new Path(gen))
+        require(f.rename(new Path(s"$root/vectors"),
+            new Path(s"$gen/$VCol=0")),
+          s"could not install the built vectors as version 0 at $root")
+      }
+      AppendOnlyMeta.record(spark, metaDir(root), 0L, bounds)
     }
   }
 
   /** Encode one vector delta against the frozen quantizers and append
     * it as `version` — O(delta) (the existing index is never
     * rescanned), `cell_id`-partitioned inside the version so query
-    * pruning holds.
+    * pruning holds. Validation is [[AppendOnlyMeta]]'s shared guard:
+    * monotone append-only ids, null-id refusal, strictly-increasing
+    * versions, fingerprinted replay idempotence.
     */
   def ingest(delta: DataFrame, root: String, idCol: String = "vec_id",
       vecCol: String = "embedding", version: Long): Unit = {
@@ -107,28 +110,14 @@ object IncrementalIvfPq {
       require(version > folded,
         s"version $version is at or below the compaction fold ($folded) at " +
           s"$root — the index cannot replay rebased history")
-      val meta = readAllMeta(spark, root)
-      val priorMax = meta.collect { case (v, m) if v < version => m }
-        .foldLeft(Long.MinValue)(math.max)
-      val b = delta.agg(
-        min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-      require(!b.isNullAt(0), "ingest called with an empty delta")
-      val (dMin, dMax) = (b.getLong(0), b.getLong(1))
-      require(dMin > priorMax,
-        s"delta id $dMin <= already-indexed max id $priorMax: the index " +
-          "is append-only over monotone ids; assign fresh ids above the " +
-          "high-water mark")
-      meta.collectFirst { case (`version`, m) => m }.foreach(recorded =>
-        require(recorded == dMax,
-          s"version $version of the index at $root was already written " +
-            s"with a different delta (recorded high-water $recorded, this " +
-            s"delta's $dMax); a replay must re-present the same vectors"))
+      val bounds = AppendOnlyMeta.boundsOf(delta, idCol, Seq(idCol, vecCol))
+      AppendOnlyMeta.guard(spark, metaDir(root), version, bounds, "vector")
       val centroids = spark.read.parquet(s"$root/centroids")
       val cb = IvfPqIndex.loadCodebooks(spark, root)
       IvfPqIndex.encodeAssign(delta, centroids, cb, idCol, vecCol)
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"${IncrementalSwa.liveGen(spark, vecDir(root))}/$VCol=$version")
-      writeMeta(spark, root, version, dMax)
+      AppendOnlyMeta.record(spark, metaDir(root), version, bounds)
     }
   }
 
@@ -164,12 +153,19 @@ object IncrementalIvfPq {
   }
 
   /** Fold the version tail into one `cell_id`-partitioned partition —
-    * [[IncrementalSwa.compactFold]]'s choreography with the extra
-    * partitioning column (codes stay valid: the quantizers are frozen,
-    * a fold moves rows, it never re-encodes).
+    * [[IncrementalSwa.compactFold]]'s shared choreography (codes stay
+    * valid: the quantizers are frozen, a fold moves rows, it never
+    * re-encodes).
     */
   def compact(spark: SparkSession, root: String): Long =
-    foldVectors(spark, root, identity)
+    // drop the partition-discovered __v column: the fold is REWRITTEN
+    // as a single new version, and carrying the old one as a data
+    // column would collide with partition discovery on read
+    IncrementalSwa.compactFold(spark, vecDir(root),
+      () => spark.read.parquet(
+          IncrementalSwa.requireLiveGen(spark, vecDir(root)))
+        .drop(VCol),
+      sortCol = "cell_id", partitionCols = Seq("cell_id"))
 
   /** GDPR erasure: one anti-join fold removes the vectors — absent
     * from every later query; their ids stay burned for re-ingest.
@@ -177,24 +173,11 @@ object IncrementalIvfPq {
   def forgetVectors(spark: SparkSession, root: String, ids: DataFrame,
       idCol: String = "vec_id"): Long = {
     val keys = ids.select(col(ids.columns.head).cast("long").as(idCol))
-    foldVectors(spark, root,
-      _.join(keys, Seq(idCol), "left_anti"))
+    IncrementalSwa.compactFold(spark, vecDir(root),
+      () => spark.read.parquet(
+          IncrementalSwa.requireLiveGen(spark, vecDir(root)))
+        .drop(VCol)
+        .join(keys, Seq(idCol), "left_anti"),
+      sortCol = "cell_id", partitionCols = Seq("cell_id"))
   }
-
-  private def foldVectors(spark: SparkSession, root: String,
-      f: DataFrame => DataFrame): Long =
-    IncrementalSwa.locked(spark, vecDir(root)) {
-      val dir = vecDir(root)
-      val fold = f(spark.read.parquet(
-        IncrementalSwa.requireLiveGen(spark, dir)))
-      val vs = IncrementalSwa.versions(spark, dir)
-      require(vs.nonEmpty, s"index at $root is empty or missing")
-      val vmax = vs.max
-      Publish.publish(spark, dir) { gen =>
-        fold.write.mode("overwrite").partitionBy("cell_id")
-          .parquet(s"$gen/$VCol=$vmax")
-        fs(spark, gen).create(new Path(s"$gen/$FoldPrefix$vmax"), false)
-          .close()
-      }
-    }
 }

@@ -161,7 +161,8 @@ object IncrementalSwa {
   private[operators] def compactFold(spark: SparkSession, dir: String,
       mkFold: () => DataFrame,
       newRetainedFrom: Option[Long] = None,
-      sortCol: String = BCol): Long = locked(spark, dir) {
+      sortCol: String = BCol,
+      partitionCols: Seq[String] = Nil): Long = locked(spark, dir) {
     val fold = mkFold()
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
@@ -179,8 +180,10 @@ object IncrementalSwa {
     val carried = retainedFrom(spark, dir)
     val horizon = newRetainedFrom.orElse(carried)
     Publish.publish(spark, dir) { gen =>
-      fold.sortWithinPartitions(sortCol)
-        .write.mode("overwrite").parquet(s"$gen/$VCol=$vmax")
+      val w = fold.sortWithinPartitions(sortCol)
+        .write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$gen/$VCol=$vmax")
       val f = new Path(gen).getFileSystem(spark.sparkContext.hadoopConfiguration)
       f.create(new Path(s"$gen/$FoldPrefix$vmax"), false).close()
       horizon.foreach(h =>

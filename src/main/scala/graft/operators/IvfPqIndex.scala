@@ -101,10 +101,15 @@ object IvfPqIndex {
     val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
     val vhat = transform(col(vecCol),
       x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
-    val res = assigned.join(broadcast(centroids), Seq("cell_id"))
-      .select(col(idCol), col(vecCol), col("cell_id"),
-        zip_with(vhat, col("centroid"),
-          (a, b) => (a - b).cast("float")).as("__res"))
+    // spilled ONCE (the build pass's measured lesson): the encode join
+    // consumes the residual frame on both sides, and an unspilled plan
+    // re-runs the assignment cross-scoring and residual arithmetic —
+    // the ingest's dominant work — per side
+    val res = Spill.roundTrip(
+      assigned.join(broadcast(centroids), Seq("cell_id"))
+        .select(col(idCol), col(vecCol), col("cell_id"),
+          zip_with(vhat, col("centroid"),
+            (a, b) => (a - b).cast("float")).as("__res")))
     res.select(col(idCol), col(vecCol), col("cell_id"))
       .join(ProductQuant.encode(res, cb, idCol, "__res",
         normalizeInput = false), Seq(idCol))

@@ -73,6 +73,31 @@ class IncrementalBm25Spec extends SparkTestBase {
       IncrementalBm25.ingest(docs((99L, "imposter")), root, cfg, 0L)
     }
     assert(e2.getMessage.contains("already written"), e2.getMessage)
+    // same ids, same count, DIFFERENT content: the fingerprint catches
+    // the content imposter the id bounds alone would miss
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalBm25.ingest(
+        corpus.where(col("doc_id") <= 3)
+          .withColumn("text", concat(col("text"), lit(" mutated"))),
+        root, cfg, 0L)
+    }
+    assert(e3.getMessage.contains("fingerprint"), e3.getMessage)
+    // a version backfilled BENEATH the recorded max would double-enter
+    // docs against high-water reads that only look below it
+    IncrementalBm25.ingest(docs((50L, "later docs")), root, cfg, 5L)
+    val e4 = intercept[IllegalArgumentException] {
+      IncrementalBm25.ingest(docs((40L, "backfill")), root, cfg, 2L)
+    }
+    assert(e4.getMessage.contains("not above the latest"), e4.getMessage)
+    // null ids are refused by name (they would be unerasable)
+    val e5 = intercept[IllegalArgumentException] {
+      IncrementalBm25.ingest(
+        docs((60L, "ok")).unionByName(
+          Seq(("x")).toDF("text").withColumn("doc_id",
+            lit(null).cast("long")).select("doc_id", "text")),
+        root, cfg, 6L)
+    }
+    assert(e5.getMessage.contains("NULL ids"), e5.getMessage)
   }
 
   test("forgetDocs erases postings AND length from the statistics") {

@@ -53,7 +53,7 @@ class IncrementalIvfPqSpec extends SparkTestBase {
     assert(hits(IncrementalIvfPq.queryAsOf(spark, root, queries, 0L,
       k = 5, nProbe = 2)) == before)
     IncrementalIvfPq.compact(spark, root)
-    assert(IncrementalSwa.versions(spark, s"$root/vectors") == Seq(1L))
+    assert(IncrementalSwa.versions(spark, s"$root/vstore") == Seq(1L))
     assert(hits(IncrementalIvfPq.query(spark, root, queries,
       k = 5, nProbe = 2)) == hits(after))
     val e = intercept[IllegalArgumentException] {
