@@ -2108,6 +2108,34 @@ object SparkEntry {
           col("hamming").cast("int").as("hamming"))
     }),
 
+    // Incrementally-maintained perceptual-hash admission index
+    // (IncrementalHamming — the 4th index family): real-codec dHash
+    // signatures over the planted pattern PNGs, two ordered admission
+    // deltas, a GDPR forget of a slice of dominating ids, then the
+    // admitted set. Pigeonhole blocking (4 blocks, hamming ≤ 3) is
+    // EXACT, so the oracle restates the strictly-ordered rule over the
+    // analytically-derived signatures: a doc survives iff no live
+    // smaller-id entrant lies within hamming 3 — including the twins
+    // re-admitted because their dominating x%40 entrant was erased.
+    "q_phash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val packed = docs.withColumn("payload", mkPatternPng(col("doc_id")))
+      val hashes = Multimodal.dHash64(packed, "payload", batchSize = 32)
+        .select("doc_id", "phash64")
+      val cfg = IncrementalHamming.Config(idCol = "doc_id",
+        sigCol = "phash64")
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/phinc"
+      IncrementalHamming.admit(hashes.where(col("doc_id") <= mid),
+        root, cfg, maxHamming = 3, version = 0L)
+      IncrementalHamming.admit(hashes.where(col("doc_id") > mid),
+        root, cfg, maxHamming = 3, version = 1L)
+      IncrementalHamming.forgetIds(s, root, cfg,
+        docs.where(col("doc_id") % 40 === 0).select("doc_id"))
+      IncrementalHamming.admittedIds(s, root, cfg, maxHamming = 3)
+        .select(col("doc_id"), col("phash64"))
+    }),
+
     // q_multimodal_decode_png) → Graphics2D bilinear resize to a fixed
     // 24×18 → re-encode PNG → decode the RESIZED payload back through
     // the ImageIO codec. Bilinear interpolation of a constant image is
@@ -5467,6 +5495,20 @@ object SparkEntry {
         |JOIN ph ha ON ha.doc_id = p.id_a
         |JOIN ph hb ON hb.doc_id = p.id_b
         |WHERE bit_count(xor(ha.phash64, hb.phash64)) <= 3""".stripMargin,
+
+    // the strictly-ordered admission rule over the analytic signatures,
+    // after erasing the doc_id % 40 slice: survive iff no LIVE
+    // smaller-id entrant within hamming 3 (entrants-indexed — dropped
+    // docs still dominate; erased docs do not)
+    "q_phash_incremental" ->
+      s"""WITH $sqlPhashCtes, live AS (
+        |  SELECT doc_id, phash64 FROM ph WHERE doc_id % 40 <> 0
+        |)
+        |SELECT l.doc_id, l.phash64 FROM live l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM live e
+        |  WHERE e.doc_id < l.doc_id
+        |    AND bit_count(xor(e.phash64, l.phash64)) <= 3)""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id,

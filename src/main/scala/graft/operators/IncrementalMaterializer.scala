@@ -102,7 +102,10 @@ object IncrementalMaterializer {
       version: Long, unionCap: Int = 10000): Unit = {
     require(features.nonEmpty, "no features to refresh")
     val measures = features.map(planOf(_, bucketUs)._1).distinct
-    measures.foreach { m =>
+    // plans built sequentially, the independent per-store writes run
+    // concurrently (separate dirs, separate leases) — wall ≈ the
+    // slowest store instead of the sum (the Par lever, r14 verdict)
+    Par.run(measures.map { m => () =>
       val filtered = m.filter.map(delta.where(_)).getOrElse(delta)
       val measured = filtered.withColumn("__graft_m", expr(m.defExpr))
         .select((keyCols :+ tsCol :+ "__graft_m").map(col): _*)
@@ -118,7 +121,7 @@ object IncrementalMaterializer {
           IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs),
           version)
       }
-    }
+    }: _*)
   }
 
   /** The wide feature row per key as of bucket boundary `asOfUs`: one
@@ -313,7 +316,9 @@ object IncrementalMaterializer {
       onUnion: (String, IncrementalUnion.Config) => Unit,
       onVector: (String, IncrementalVector.Config) => Unit): Unit = {
     require(features.nonEmpty, "no features to maintain")
-    features.map(planOf(_, bucketUs)._1).distinct.foreach { m =>
+    // independent stores → concurrent maintenance actions (compact /
+    // retain / forget each fold one dir under its own lease)
+    Par.run(features.map(planOf(_, bucketUs)._1).distinct.map { m => () =>
       val dir = storeDir(root, m)
       m.kind match {
         case Scalar => onScalar(dir, cfg(keyCols, tsCol, bucketUs))
@@ -323,7 +328,7 @@ object IncrementalMaterializer {
         case Vector => onVector(dir,
           IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs))
       }
-    }
+    }: _*)
   }
 
   /** Compact every measure store of the feature set — the nightly
@@ -418,7 +423,7 @@ object IncrementalMaterializer {
       bucketUs: Long, version: Long): Unit = {
     require(features.nonEmpty, "no features to refresh")
     features.foreach(graftWindow(_, bucketUs)) // validate up front
-    features.groupBy(graftDir(root, _)).foreach { case (dir, fs) =>
+    Par.run(features.groupBy(graftDir(root, _)).toSeq.map { case (dir, fs) => () =>
       val f = fs.head
       val filtered = f.filter.map(delta.where(_)).getOrElse(delta)
       val measured = filtered.withColumn("__graft_m", expr(f.defExpr))
@@ -437,7 +442,7 @@ object IncrementalMaterializer {
             IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
               bucketUs, cand), version)
       }
-    }
+    }: _*)
   }
 
   /** The wide extension-feature row per key as of `asOfUs` — one serve
@@ -557,7 +562,7 @@ object IncrementalMaterializer {
       onQuantile: (String, IncrementalQuantile.Config) => Unit,
       onTopK: (String, IncrementalTopK.Config) => Unit): Unit = {
     require(features.nonEmpty, "no features to maintain")
-    features.groupBy(graftDir(root, _)).foreach { case (dir, fs) =>
+    Par.run(features.groupBy(graftDir(root, _)).toSeq.map { case (dir, fs) => () =>
       fs.head.agg match {
         case GraftAggregation.DistinctCount(p) =>
           onDistinct(dir, IncrementalDistinct.Config(keyCols, tsCol,
@@ -569,7 +574,7 @@ object IncrementalMaterializer {
           onTopK(dir, IncrementalTopK.Config(keyCols, tsCol,
             "__graft_m", bucketUs, cand))
       }
-    }
+    }: _*)
   }
 
   /** [[compact]] across every extension store. */
@@ -654,10 +659,10 @@ object IncrementalMaterializer {
       version: Long, unionCap: Int = 10000): Unit = {
     require(features.nonEmpty, "no features to refresh")
     requireDistinctAliases(features)
-    features.groupBy(bindingOf).foreach { case (b, fs) =>
+    Par.run(features.groupBy(bindingOf).toSeq.map { case (b, fs) => () =>
       refresh(delta, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, version, unionCap)
-    }
+    }: _*)
   }
 
   /** One wide feature frame PER binding, key columns renamed to their
@@ -781,19 +786,19 @@ object IncrementalMaterializer {
   def compactMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
       unionCap: Int = 10000): Unit =
-    features.groupBy(bindingOf).foreach { case (b, fs) =>
+    Par.run(features.groupBy(bindingOf).toSeq.map { case (b, fs) => () =>
       compact(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, unionCap)
-    }
+    }: _*)
 
   /** [[compactRetaining]] across every binding's stores. */
   def compactRetainingMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
       minBucket: Long, unionCap: Int = 10000): Unit =
-    features.groupBy(bindingOf).foreach { case (b, fs) =>
+    Par.run(features.groupBy(bindingOf).toSeq.map { case (b, fs) => () =>
       compactRetaining(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, minBucket, unionCap)
-    }
+    }: _*)
 
   /** [[forgetKeys]] scoped to ONE binding (erasing a user means the
     * user-keyed stores; an item-keyed store has no row for that user).
