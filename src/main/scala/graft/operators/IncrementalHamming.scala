@@ -112,38 +112,56 @@ object IncrementalHamming {
   def ingest(delta: DataFrame, dir: String, cfg: Config,
       version: Long): Unit = {
     val spark = delta.sparkSession
-    val d = normalized(delta, cfg)
-    IncrementalSwa.locked(spark, idxDir(dir)) {
+    val d = normalized(delta, cfg).persist()
+    try IncrementalSwa.locked(spark, idxDir(dir)) {
       appendLocked(spark, d, dir, version)
-    }
+    } finally d.unpersist()
   }
 
   /** The one-pass admission step: decide ordered losers for the delta
     * (against stored history AND the delta's own smaller ids), append
     * ALL entrants as `version`, return the loser ids (one `<idCol>`
     * column). The decision is MATERIALIZED before anything is appended.
+    *
+    * Action budget (the [[NearDupIndex.decideAdmission]] discipline):
+    * THREE Spark actions — the meta bounds aggregate (which also
+    * materializes the persisted delta, signature computation included:
+    * a dHash delta pays its codec once), the loser spill, and the
+    * entrant write. The bounds' row count sizes the delta-blocks
+    * broadcast for free (block rows are exactly `blocks` per doc).
     */
   def admit(delta: DataFrame, dir: String, cfg: Config, maxHamming: Int,
       version: Long): DataFrame = {
     val spark = delta.sparkSession
     requireExact(cfg, maxHamming)
-    IncrementalSwa.locked(spark, idxDir(dir)) {
-      val d = Spill.roundTrip(normalized(delta, cfg))
+    val d = normalized(delta, cfg).persist()
+    try IncrementalSwa.locked(spark, idxDir(dir)) {
+      val bounds = guardLocked(spark, d, dir, version)
       val losers = Spill.roundTrip(
-        losersAgainst(spark, stored(spark, dir, None), d, cfg, maxHamming))
-      appendLocked(spark, d, dir, version)
+        losersAgainst(spark, stored(spark, dir, None), d, cfg, maxHamming,
+          deltaRowsHint = Some(bounds.rows)))
+      writeLocked(spark, d, dir, version, bounds)
       losers.select(col("__id").as(cfg.idCol))
-    }
+    } finally d.unpersist()
   }
 
   private def appendLocked(spark: SparkSession, d: DataFrame, dir: String,
-      version: Long): Unit = {
+      version: Long): Unit =
+    writeLocked(spark, d, dir, version, guardLocked(spark, d, dir, version))
+
+  private def guardLocked(spark: SparkSession, d: DataFrame, dir: String,
+      version: Long): AppendOnlyMeta.Bounds = {
     val folded = IncrementalSwa.foldedThrough(spark, idxDir(dir))
     require(version > folded,
       s"version $version is at or below the compaction fold ($folded) at " +
         s"$dir — the index cannot replay rebased history")
     val bounds = AppendOnlyMeta.boundsOf(d, "__id", Seq("__id", "__sig"))
     AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "signature")
+    bounds
+  }
+
+  private def writeLocked(spark: SparkSession, d: DataFrame, dir: String,
+      version: Long, bounds: AppendOnlyMeta.Bounds): Unit = {
     d.sortWithinPartitions("__id")
       .write.mode("overwrite")
       .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
@@ -152,17 +170,27 @@ object IncrementalHamming {
 
   /** Delta ids with a strictly-smaller-id entrant (in `refs` ∪ the
     * delta itself) within `maxHamming`. The delta's block rows are
-    * byte-gated for broadcast; the refs side streams.
+    * byte-gated for broadcast — sized from `deltaRowsHint` when the
+    * caller already counted (block rows are exactly `blocks` per doc),
+    * by one spill round-trip otherwise; the refs side streams.
     */
   private def losersAgainst(spark: SparkSession, refs: DataFrame,
-      d: DataFrame, cfg: Config, maxHamming: Int): DataFrame = {
+      d: DataFrame, cfg: Config, maxHamming: Int,
+      deltaRowsHint: Option[Long]): DataFrame = {
     val bcLimit = spark.conf
       .get("spark.graft.dedup.broadcastCandidatesBytes", (16L << 20).toString)
       .toLong
-    val (dBlocks, dBytes) = Spill.roundTripSized(
-      blockRows(d, cfg).withColumnsRenamed(
-        Map("__id" -> "__id_d", "__sig" -> "__sig_d")))
-    val dSide = if (dBytes <= bcLimit) broadcast(dBlocks) else dBlocks
+    // ~24 bytes per (block_id, block_val, id, sig) row, division form
+    // so a state-sized hint cannot overflow the product
+    val perRow = cfg.blocks * 24L
+    val dBlocks = blockRows(d, cfg).withColumnsRenamed(
+      Map("__id" -> "__id_d", "__sig" -> "__sig_d"))
+    val dSide = deltaRowsHint match {
+      case Some(n) => if (n <= bcLimit / perRow) broadcast(dBlocks) else dBlocks
+      case None =>
+        val (db, bytes) = Spill.roundTripSized(dBlocks)
+        if (bytes <= bcLimit) broadcast(db) else db
+    }
     blockRows(refs.unionByName(d), cfg)
       .join(dSide, Seq("block_id", "block_val"))
       .where(col("__id") < col("__id_d") &&
@@ -215,10 +243,14 @@ object IncrementalHamming {
           "that history was rebased; serving the fold instead would be " +
           "a reproducibility lie")
     }
-    val st = Spill.roundTrip(stored(spark, dir, asOfVersion))
-    // the state is its own "delta" for the self-decision; the refs
-    // argument contributes nothing extra
-    val losers = losersAgainst(spark, st.limit(0), st, cfg, maxHamming)
+    val st = stored(spark, dir, asOfVersion)
+    // the state is its own "delta" for the self-decision (the refs
+    // argument contributes nothing extra); both join sides are
+    // state-sized, so the hint forces the shuffle plan — no broadcast,
+    // no spill: the state parquet is rescanned per leg, which at scale
+    // is strictly cheaper than one full state rewrite
+    val losers = losersAgainst(spark, st.limit(0), st, cfg, maxHamming,
+      deltaRowsHint = Some(Long.MaxValue))
     st.join(losers, Seq("__id"), "left_anti")
       .select(col("__id").as(cfg.idCol), col("__sig").as(cfg.sigCol))
   }
