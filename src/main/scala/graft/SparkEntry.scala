@@ -1620,6 +1620,30 @@ object SparkEntry {
       IncrementalBm25.serve(s, root, cfg, queries, k = 10)
     }),
 
+    // The BM25 index maintained BY A STREAM: bootstrap ingest of the
+    // lower half at version 0, the upper half arriving as a file
+    // micro-batch through bm25IndexStream at versionBase 1 (the
+    // batchId sequence offset past the bootstrap), then the same serve
+    // as q_bm25_incremental — one oracle (the full-corpus batch BM25)
+    // gates both maintenance paths.
+    "q_stream_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/bm25str"
+      val cfg = IncrementalBm25.Config()
+      IncrementalBm25.ingest(docs.where(col("doc_id") <= mid), root, cfg, 0L)
+      val deltaPath = Spill.newPath(s) + "/bm25str_delta"
+      docs.where(col("doc_id") > mid).coalesce(1).write.parquet(deltaPath)
+      val stream = s.readStream
+        .schema(s.read.parquet(deltaPath).schema).parquet(deltaPath)
+      graft.streaming.StreamingIngest.bm25IndexStream(stream, root, cfg,
+        versionBase = 1L)
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      IncrementalBm25.serve(s, root, cfg, queries, k = 10)
+    }),
+
     // Hybrid retrieval: BM25 (120-char-prefix queries) ⊕ exact dense
     // cosine, fused by reciprocal-rank fusion over the corpus of
     // documents that carry BOTH text and an embedding (doc_id =
@@ -4854,6 +4878,7 @@ object SparkEntry {
     // deltas append; the merged index IS the corpus — the oracle is
     // q_bm25_topk's full-corpus restatement, verbatim
     "q_bm25_incremental" -> sqlBm25TopK,
+    "q_stream_bm25" -> sqlBm25TopK,
 
     // Hybrid RRF: the lexical CTEs are the q_bm25_topk formulation over
     // the documents∩embeddings corpus (%100 queries, k=20); the dense

@@ -234,6 +234,64 @@ object StreamingIngest {
     q
   }
 
+  /** T1 × [[graft.operators.IncrementalBm25]]: continuous maintenance
+    * of the retrieval index. Each micro-batch's documents land at
+    * version = `versionBase` + batchId — [[AppendOnlyMeta]]'s
+    * fingerprint makes an at-least-once replay idempotent and an
+    * imposter batch loud, and `versionBase` keeps a bootstrap ingest's
+    * versions out of the stream's batchId sequence (the
+    * [[graft.operators.IncrementalCuration]] offset discipline). The
+    * stream's doc ids must be assigned monotonically (e.g. from source
+    * offsets) — the index's append-only contract. EMPTY micro-batches
+    * are skipped (the meta guard refuses empty deltas by design; the
+    * skipped batchId just leaves a version hole, which the store
+    * allows).
+    */
+  def bm25IndexStream(stream: DataFrame, dir: String,
+      cfg: graft.operators.IncrementalBm25.Config, versionBase: Long = 0L,
+      timeoutMs: Long = 120000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val q = stream.writeStream.outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.IncrementalBm25.ingest(batch, dir, cfg,
+            versionBase + batchId)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+
+  /** T1 × [[graft.operators.IncrementalHamming]]: continuous
+    * maintenance of a 64-bit signature index. Each micro-batch's
+    * signatures are INDEXED whole at version = `versionBase` + batchId
+    * — the hamming store keeps every entrant by contract, so streaming
+    * maintenance needs no per-batch decision; the strictly-ordered
+    * admission verdicts are reconstructed exactly, at any time and any
+    * version boundary, by [[graft.operators.IncrementalHamming
+    * .admittedIds]] (a foreachBatch sink would discard the per-batch
+    * loser frames anyway). Same monotone-id / replay / empty-batch
+    * contract as [[bm25IndexStream]].
+    */
+  def hammingIndexStream(stream: DataFrame, dir: String,
+      cfg: graft.operators.IncrementalHamming.Config,
+      versionBase: Long = 0L, timeoutMs: Long = 120000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val q = stream.writeStream.outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.IncrementalHamming.ingest(batch, dir, cfg,
+            versionBase + batchId)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Micro-batches go through [[Materializer.writeBatch]] —

@@ -111,4 +111,18 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(after == rows(Retrieval.bm25TopK(
       corpus.where(col("doc_id") =!= 2), queries, k = 3)))
   }
+
+  test("bm25IndexStream: streamed maintenance equals the batch operator") {
+    val root = Spill.newPath(spark) + "/bms"
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    val deltaDir = Spill.newPath(spark) + "/bms_delta"
+    corpus.where(col("doc_id") > 3).coalesce(1).write.parquet(deltaDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema).parquet(deltaDir)
+    graft.streaming.StreamingIngest.bm25IndexStream(stream, root, cfg,
+      versionBase = 1L)
+    assert(IncrementalSwa.versions(spark, s"$root/idx") == Seq(0L, 1L))
+    assert(rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+      == rows(Retrieval.bm25TopK(corpus, queries, k = 3)))
+  }
 }

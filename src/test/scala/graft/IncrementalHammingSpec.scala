@@ -131,6 +131,23 @@ class IncrementalHammingSpec extends SparkTestBase {
     assert(e.getMessage.contains("rebased"))
   }
 
+  test("hammingIndexStream: streamed state equals direct ingest; " +
+      "versionBase keeps the bootstrap's slot") {
+    val root = Spill.newPath(spark) + "/hs"
+    IncrementalHamming.admit(sigs((1L, 0L), (2L, far)), root, cfg, 3, 0L)
+    val deltaDir = Spill.newPath(spark) + "/hs_delta"
+    sigs((10L, 1L), (11L, 0x0F0FL)).coalesce(1).write.parquet(deltaDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema).parquet(deltaDir)
+    graft.streaming.StreamingIngest.hammingIndexStream(stream, root, cfg,
+      versionBase = 1L)
+    assert(IncrementalSwa.versions(spark, s"$root/sigs") == Seq(0L, 1L))
+    // 10 (1 bit from stored 1) is a loser by the reconstructed
+    // decision even though the stream never computed it
+    assert(ids(IncrementalHamming.admittedIds(spark, root, cfg, 3))
+      == Set(1L, 2L, 11L))
+  }
+
   test("parity: admitted set equals the in-memory ordered rule on random sigs") {
     val rnd = new scala.util.Random(7)
     val data = (0L until 120L).map { i =>
