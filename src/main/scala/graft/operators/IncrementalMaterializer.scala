@@ -87,6 +87,36 @@ object IncrementalMaterializer {
   private def storeDir(root: String, m: Measure) =
     s"$root/${m.kind.prefix}=${m.id}"
 
+  /** Assemble per-store served frames into the wide feature row in ONE
+    * shuffle: each frame is null-padded to the full feature-column set
+    * (typed from its owning frame's schema), unioned, and collapsed
+    * with `first(_, ignoreNulls)` per feature — at most one frame
+    * carries a non-null value per (spine, feature), so `first` is
+    * deterministic. The previous spine + foldLeft of left joins paid
+    * one shuffle PER STORE and needed a null-safe join to keep NULL-key
+    * rows; groupBy treats a NULL key as a group natively (serve()'s own
+    * semantics), and keys absent from a store's window simply keep that
+    * store's nulls — the left-join feature-vector contract, at
+    * store-count-invariant cost.
+    */
+  private def assembleWide(served: Seq[DataFrame],
+      joinCols: Seq[String]): DataFrame = {
+    if (served.sizeIs == 1) return served.head
+    val featCols = served.flatMap(df =>
+      df.schema.fields.filterNot(f => joinCols.contains(f.name))
+        .map(f => (f.name, f.dataType)))
+    val padded = served.map { df =>
+      val have = df.columns.toSet
+      df.select(joinCols.map(col) ++ featCols.map { case (n, t) =>
+        if (have(n)) col(n) else lit(null).cast(t).as(n) }: _*)
+    }
+    val firsts = featCols.map { case (n, _) =>
+      first(col(n), ignoreNulls = true).as(n) }
+    padded.reduce(_ unionByName _)
+      .groupBy(joinCols.map(col): _*)
+      .agg(firsts.head, firsts.tail: _*)
+  }
+
   private def cfg(keyCols: Seq[String], tsCol: String, bucketUs: Long) =
     IncrementalSwa.Config(keyCols, tsCol, "__graft_m", bucketUs)
 
@@ -163,11 +193,7 @@ object IncrementalMaterializer {
         }
         base.select(cols: _*)
       }.toSeq
-    val spine = served.map(_.select(keyCols.map(col): _*))
-      .reduce(_ unionByName _).distinct()
-    val wide = served.foldLeft(spine)((acc, df) =>
-      acc.join(df, keyCols, "left_outer"))
-    applyDerived(wide, features, derived)
+    applyDerived(assembleWide(served, keyCols), features, derived)
   }
 
   /** The feature TABLE over time for the whole feature set: one row
@@ -215,11 +241,7 @@ object IncrementalMaterializer {
           col(aggCol(agg)).as(f.name)
         }: _*)
       }.toSeq
-    val spine = served.map(_.select(joinCols.map(col): _*))
-      .reduce(_ unionByName _).distinct()
-    val wide = served.foldLeft(spine)((acc, df) =>
-      acc.join(df, joinCols, "left_outer"))
-    applyDerived(wide, features, derived)
+    applyDerived(assembleWide(served, joinCols), features, derived)
   }
 
   /** The leak-free training table for the feature set: every
@@ -272,13 +294,8 @@ object IncrementalMaterializer {
           bucketUs, throughBucket = through))
       else None).flatten
     val joinCols = keyCols :+ "bucket"
-    val daily = (if (parts.sizeIs == 1) parts.head
-      else {
-        val spine = parts.map(_.select(joinCols.map(col): _*))
-          .reduce(_ unionByName _).distinct()
-        parts.foldLeft(spine)((acc, df) =>
-          acc.join(df, joinCols, "left_outer"))
-      }).withColumnRenamed("bucket", "__feature_bucket")
+    val daily = assembleWide(parts, joinCols)
+      .withColumnRenamed("bucket", "__feature_bucket")
     val obs = observations.withColumn("__feature_bucket",
       IncrementalSwa.bucketOf(col(obsTsCol), bucketUs) - 1L)
     obs.join(daily, keyCols :+ "__feature_bucket", "left_outer")
@@ -494,9 +511,7 @@ object IncrementalMaterializer {
             }
         }
       }.toSeq
-    val spine = served.map(_.select(keyCols.map(col): _*))
-      .reduce(_ unionByName _).distinct()
-    served.foldLeft(spine)((acc, df) => acc.join(df, keyCols, "left_outer"))
+    assembleWide(served, keyCols)
   }
 
   /** [[snapshotDaily]] for extension features: the keys×days table of
@@ -550,9 +565,7 @@ object IncrementalMaterializer {
             }
         }
       }.toSeq
-    val spine = served.map(_.select(joinCols.map(col): _*))
-      .reduce(_ unionByName _).distinct()
-    served.foldLeft(spine)((acc, df) => acc.join(df, joinCols, "left_outer"))
+    assembleWide(served, joinCols)
   }
 
   /** The shared maintenance dispatch over every extension store. */
