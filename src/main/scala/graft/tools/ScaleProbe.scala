@@ -32,7 +32,7 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
     //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|swainc|
-    //   featday|bpe|unionvec|uvdaily|bm25inc|all selects the axis
+    //   featday|bpe|unionvec|uvdaily|bm25inc|haminc|all selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1498,6 +1498,51 @@ object ScaleProbe {
             f"serveFixedLoad=$sSec%6.2fs/${sMb}%6.1fMB " +
             f"batchRecompute=$bSec%6.2fs/${bMb}%6.1fMB")
         warmedBm = true
+      }
+    }
+
+    // ---- axis 30: the incremental hamming admission index. A FIXED
+    // simhash delta admitted against state grown n× (the nightly-batch
+    // shape): the delta's block rows broadcast, the stored side
+    // streams, so admit's shuffle volume must stay flat while the
+    // batch recompute re-blocks the whole corpus every run. The served
+    // admitted-set self-join is the one state-sized pass.
+    if (axes == "all" || axes == "haminc") {
+      import graft.operators.{Dedup, IncrementalHamming, Spill}
+      val cfg = IncrementalHamming.Config(idCol = "doc_id", sigCol = "sig64")
+      // signatures via the AGGREGATION formulation — the HOF column
+      // expr (simhash64) evaluates interpreted (axis 17) and would
+      // dominate the axis with signature compute, not index mechanics
+      val sigs0 = Spill.roundTrip(Dedup.simhashSignatures(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"), "text", "doc_id")
+        .select(col("doc_id"), col("sig").as("sig64")))
+      def shifted(i: Int) = sigs0
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      var warmedHam = false
+      for (n <- Seq(1) ++ mults) {
+        val root = Spill.newPath(spark) + s"/probe_ham_$n"
+        (0 until n).foreach(i =>
+          IncrementalHamming.ingest(shifted(i), root, cfg, i.toLong))
+        val (aSec, aMb) = time {
+          IncrementalHamming.admit(shifted(n), root, cfg, maxHamming = 3,
+            version = n.toLong).count()
+        }
+        val (sSec, sMb) = time {
+          IncrementalHamming.admittedIds(spark, root, cfg, maxHamming = 3)
+            .count()
+        }
+        val (bSec, bMb) = time {
+          Dedup.hamming64NearDuplicates(
+            (0 to n).map(shifted).reduce(_ unionByName _),
+            "doc_id", "sig64", maxHamming = 3).count()
+        }
+        if (warmedHam)
+          println(f"[scale] n=$n%-3d stateVersions=${n + 1}%-4d " +
+            f"admitFixedDelta=$aSec%6.2fs/${aMb}%6.1fMB " +
+            f"serveAdmitted=$sSec%6.2fs/${sMb}%6.1fMB " +
+            f"batchRecompute=$bSec%6.2fs/${bMb}%6.1fMB")
+        warmedHam = true
       }
     }
 
