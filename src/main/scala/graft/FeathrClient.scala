@@ -48,4 +48,20 @@ object FeathrClient {
       resolution: DateTimeResolution,
       sinks: Seq[OutputSink]): DataFrame =
     Materializer.backfill(spark, project, features, keyColumns, start, end, resolution, sinks)
+
+  /** Serving-side online read — the natural complement of the
+    * reference's online SINK (it configures the Redis write path,
+    * feathr-rs/src/job_client/mod.rs:494, and leaves reads to the
+    * serving client): point-read the requested features for a batch of
+    * keys from an online sink, i.e. read back what
+    * [[materializeFeatures]] published. Values are the store's wire
+    * strings; absent keys carry null features
+    * ([[Materializer.readOnline]]).
+    */
+  def getOnlineFeatures(
+      keys: DataFrame,
+      keyColumns: Seq[String],
+      sink: OutputSink.Online,
+      features: Seq[String]): DataFrame =
+    Materializer.readOnline(keys, keyColumns, sink, features)
 }

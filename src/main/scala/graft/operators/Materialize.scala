@@ -46,6 +46,13 @@ trait OnlineStore extends Serializable {
     */
   def deleteAll(table: String, keys: Iterator[String]): Unit =
     putAll(table, keys.map(_ -> Map.empty[String, String]))
+  /** Bulk point-lookup — the serving path's batch form
+    * ([[Materializer.readOnline]]); default falls back to per-key
+    * [[get]] (the RESP impl pipelines HGETALL over one connection).
+    */
+  def getAll(table: String,
+      keys: Seq[String]): Seq[(String, Option[Map[String, String]])] =
+    keys.map(k => k -> get(table, k))
 }
 
 /** File-backed store for tests: one csv-ish line per key. Field names
@@ -265,6 +272,47 @@ object Materializer {
           .save(path)
       case s: OutputSink.Online => write(df, keyColumns, s)
     } finally if (sinks.size > 1) df.unpersist()
+  }
+
+  /** Online serving READ-BACK — the `get_online_features` client path:
+    * fetch the feature rows for `keys` from an online sink as a
+    * DataFrame, with the SAME key encoding the write path uses
+    * (keyCols joined by '#'). Distributed: one pipelined
+    * [[OnlineStore.getAll]] per partition (the write path's
+    * discipline). Values come back as STRINGS — the online stores'
+    * wire representation; the serving caller casts. An absent key
+    * keeps its key columns and carries null features (the cold-start
+    * contract: the trainer/server decides, nothing is silently
+    * dropped).
+    */
+  def readOnline(keys: DataFrame, keyColumns: Seq[String],
+      sink: OutputSink.Online, features: Seq[String]): DataFrame = {
+    require(keyColumns.nonEmpty, "readOnline needs key columns")
+    require(features.nonEmpty, "readOnline needs feature names")
+    val spark = keys.sparkSession
+    val kc = keyColumns
+    val fs = features
+    val table = sink.tableName
+    val store = sink.store
+    val schema = org.apache.spark.sql.types.StructType(
+      kc.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)) ++
+      fs.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val rdd = keys.select(kc.map(col): _*).distinct().rdd
+      .mapPartitions { it =>
+        val rows = it.map(r =>
+          kc.map(c => String.valueOf(r.getAs[Any](c)))).toVector
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val got = store.getAll(table, rows.map(_.mkString("#")))
+          rows.iterator.zip(got.iterator).map { case (kv, (_, m)) =>
+            org.apache.spark.sql.Row.fromSeq(
+              kv ++ fs.map(f => m.flatMap(_.get(f)).orNull))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** GDPR erasure on the ONLINE serving side: delete `keys`' rows from

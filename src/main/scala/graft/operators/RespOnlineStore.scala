@@ -85,7 +85,7 @@ class RespOnlineStore(host: String, port: Int,
     * key SET should pay connection setup once.
     * Returns (key, None) for absent keys, preserving input order.
     */
-  def getAll(table: String,
+  override def getAll(table: String,
       keys: Seq[String]): Seq[(String, Option[Map[String, String]])] = {
     val sock = new Socket()
     sock.connect(new InetSocketAddress(host, port))

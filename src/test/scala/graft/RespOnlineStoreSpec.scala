@@ -150,4 +150,34 @@ class RespOnlineStoreSpec extends SparkTestBase {
       assert(fos.get("t", "a").isEmpty && fos.get("t", "b").nonEmpty)
     }
   }
+
+  test("readOnline round-trips the write path; absent keys carry nulls") {
+    withServer { (_, store) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 40).map(i => Row(i.toLong, s"r$i", s"name$i", i * 1.5)), 4),
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("region", StringType),
+          StructField("f_name", StringType),
+          StructField("f_score", DoubleType))))
+      val sink = OutputSink.Online("serve", store)
+      Materializer.write(df, Seq("user_id", "region"), sink)
+      // 40 written keys + 2 absent ones, composite '#' key encoding
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ((0 until 40) ++ Seq(98, 99)).map(i => Row(i.toLong, s"r$i")), 3),
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("region", StringType))))
+      val got = FeathrClient.getOnlineFeatures(keys,
+          Seq("user_id", "region"), sink, Seq("f_name", "f_score"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3)))).toSet
+      val expected = (0 until 40).map(i => (i.toString, s"r$i",
+        Some(s"name$i"), Some((i * 1.5).toString))).toSet ++
+        Seq(98, 99).map(i => (i.toString, s"r$i", None, None))
+      assert(got == expected)
+    }
+  }
 }
