@@ -428,8 +428,6 @@ object IncrementalCuration {
           s"with a different high-water ($recorded vs $priorMax) — a " +
           "concurrent writer claimed the slot; verify the lineage"))
     val fl = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
-    fl.coalesce(1).write.mode("overwrite")
-      .parquet(s"${forgetDir(root)}/__v=$slot")
     // tombstones must carry the log's exact schema (MergeLog pins it);
     // every non-key column rides as a typed null — the tombstone is
     // pure key + death marker, no content. snapshotSchema reads ONE
@@ -441,8 +439,14 @@ object IncrementalCuration {
         if (f.name == pipeline.idCol) col("id").cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq :+
         lit(true).as("__forget_dead"): _*)
-    MergeLog.append(tombstones, logDir(root), slot, Seq(pipeline.idCol),
-      tombstoneCol = Some("__forget_dead"))
+    // the work-list write and the tombstone append touch independent
+    // dirs (forget/ vs log/) and both derive from the tiny distinct-id
+    // frame — overlapped, the refresh path's barrier discipline
+    Par.run(
+      () => fl.coalesce(1).write.mode("overwrite")
+        .parquet(s"${forgetDir(root)}/__v=$slot"),
+      () => MergeLog.append(tombstones, logDir(root), slot,
+        Seq(pipeline.idCol), tombstoneCol = Some("__forget_dead")))
     writeMeta(spark, root, slot, priorMax)
   }
 
