@@ -34,11 +34,18 @@ private[operators] object AppendOnlyMeta {
 
   case class Bounds(minId: Long, maxId: Long, rows: Long, fp: Long)
 
-  /** One job over the delta: id bounds, row count, null-id count, and
-    * the content fingerprint over `fpCols` (the id first, then
-    * whatever columns define the row's identity for replay purposes —
-    * by NAME, interpolated into the SQL fingerprint). Refuses null ids
-    * and empty deltas by name.
+  /** One job over the delta: id bounds, row count, null-id count,
+    * distinct-id count, and the content fingerprint over `fpCols` (the
+    * id first, then whatever columns define the row's identity for
+    * replay purposes — by NAME, interpolated into the SQL
+    * fingerprint). Refuses empty deltas, null ids, and INTRA-delta
+    * duplicate ids by name: the stores' statistics are additive per
+    * document (df/N/avgdl, signature decisions, code rows), so an id
+    * entering twice in one delta double-counts exactly like an id
+    * re-presented across deltas — which the monotone check already
+    * refuses; this closes the within-delta half (a join fan-out
+    * upstream, or within-batch duplication from an at-least-once
+    * source).
     */
   def boundsOf(delta: DataFrame, idCol: String,
       fpCols: Seq[String]): Bounds = {
@@ -47,12 +54,18 @@ private[operators] object AppendOnlyMeta {
       min(id.cast("long")), max(id.cast("long")), count(lit(1)),
       count(when(id.isNull, 1)),
       coalesce(expr(s"bit_xor(xxhash64(${fpCols.mkString(", ")}))"),
-        lit(0L))).head()
+        lit(0L)),
+      countDistinct(id)).head()
     require(r.getLong(2) > 0, "ingest called with an empty delta")
     require(r.getLong(3) == 0,
       s"delta holds ${r.getLong(3)} NULL ids — null ids bypass the " +
         "monotone append-only check and can never be erased by an " +
         "anti-join fold; assign real ids")
+    require(r.getLong(5) == r.getLong(2),
+      s"delta holds ${r.getLong(2) - r.getLong(5)} duplicate ids " +
+        s"(${r.getLong(2)} rows over ${r.getLong(5)} distinct) — " +
+        "per-document state is additive, so a doc entering twice in " +
+        "one delta double-counts; dedup the delta upstream")
     Bounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
   }
 

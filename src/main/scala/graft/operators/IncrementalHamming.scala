@@ -90,12 +90,19 @@ object IncrementalHamming {
       col(cfg.sigCol).cast("long").as("__sig"))
 
   /** Stored `(__id, __sig)` rows, optionally truncated to
-    * `asOfVersion`; a typed empty frame for a store with no versions
-    * yet (the bootstrap [[admit]]).
+    * `asOfVersion`. `allowEmpty` (the bootstrap [[admit]]/[[ingest]]
+    * write path only) returns a typed empty frame for a store with no
+    * versions yet; READ paths must not pass it — a mistyped or
+    * not-yet-ingested path serving an empty index would silently admit
+    * everything downstream, so reads fail by name instead
+    * ([[IncrementalSwa.requireLiveGen]]'s posture).
     */
   private def stored(spark: SparkSession, dir: String,
-      asOfVersion: Option[Long]): DataFrame =
+      asOfVersion: Option[Long], allowEmpty: Boolean = false): DataFrame =
     if (IncrementalSwa.versions(spark, idxDir(dir)).isEmpty) {
+      require(allowEmpty, s"no hamming index state at ${idxDir(dir)} — " +
+        "ingest or admit at least one delta first (reads never create " +
+        "stores, and an empty index would silently match nothing)")
       spark.range(0).select(col("id").as("__id"), col("id").as("__sig"))
     } else {
       val st = spark.read.parquet(
@@ -138,7 +145,8 @@ object IncrementalHamming {
     try IncrementalSwa.locked(spark, idxDir(dir)) {
       val bounds = guardLocked(spark, d, dir, version)
       val losers = Spill.roundTrip(
-        losersAgainst(spark, stored(spark, dir, None), d, cfg, maxHamming,
+        losersAgainst(spark,
+          stored(spark, dir, None, allowEmpty = true), d, cfg, maxHamming,
           deltaRowsHint = Some(bounds.rows)))
       writeLocked(spark, d, dir, version, bounds)
       losers.select(col("__id").as(cfg.idCol))
@@ -214,13 +222,16 @@ object IncrementalHamming {
       blockRows(normalized(probe, cfg), cfg).withColumnsRenamed(
         Map("__id" -> "__id_p", "__sig" -> "__sig_p")))
     val pSide = if (pBytes <= bcLimit) broadcast(pBlocks) else pBlocks
+    // hamming filter BEFORE the distinct: a hot block value produces
+    // candidate rows up to hamming 48, and deduping matches is a
+    // match-sized shuffle where deduping candidates is candidate-sized
     blockRows(stored(spark, dir, None), cfg)
       .join(pSide, Seq("block_id", "block_val"))
       .where(col("__id") =!= col("__id_p"))
       .select(col("__id_p"), col("__id"),
         Dedup.hamming64(col("__sig"), col("__sig_p")).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .select(col("__id_p").as(s"${cfg.idCol}_probe"),
         col("__id").as(cfg.idCol), col("hamming").cast("int").as("hamming"))
   }

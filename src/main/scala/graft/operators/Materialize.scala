@@ -299,18 +299,19 @@ object Materializer {
         org.apache.spark.sql.types.StringType, nullable = true)) ++
       fs.map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType, nullable = true)))
+    // bounded chunks, not a whole-partition materialization: keys AND
+    // their feature maps live only a chunk at a time (the write path's
+    // streaming discipline; putAll/deleteAll take Iterators)
     val rdd = keys.select(kc.map(col): _*).distinct().rdd
       .mapPartitions { it =>
-        val rows = it.map(r =>
-          kc.map(c => String.valueOf(r.getAs[Any](c)))).toVector
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val got = store.getAll(table, rows.map(_.mkString("#")))
-          rows.iterator.zip(got.iterator).map { case (kv, (_, m)) =>
-            org.apache.spark.sql.Row.fromSeq(
-              kv ++ fs.map(f => m.flatMap(_.get(f)).orNull))
+        it.map(r => kc.map(c => String.valueOf(r.getAs[Any](c))))
+          .grouped(4096).flatMap { chunk =>
+            val got = store.getAll(table, chunk.map(_.mkString("#")))
+            chunk.iterator.zip(got.iterator).map { case (kv, (_, m)) =>
+              org.apache.spark.sql.Row.fromSeq(
+                kv ++ fs.map(f => m.flatMap(_.get(f)).orNull))
+            }
           }
-        }
       }
     spark.createDataFrame(rdd, schema)
   }

@@ -75,6 +75,22 @@ class IncrementalHammingSpec extends SparkTestBase {
     assert(n.getMessage.toLowerCase.contains("null ids"))
   }
 
+  test("reads on a missing store and intra-delta duplicate ids are refused") {
+    val root = Spill.newPath(spark) + "/h10"
+    val e = intercept[IllegalArgumentException] {
+      IncrementalHamming.admittedIds(spark, root, cfg, 3)
+    }
+    assert(e.getMessage.contains("no hamming index state"))
+    val p = intercept[IllegalArgumentException] {
+      IncrementalHamming.pairs(spark, root, cfg, sigs((1L, 0L)), 3)
+    }
+    assert(p.getMessage.contains("no hamming index state"))
+    val d = intercept[IllegalArgumentException] {
+      IncrementalHamming.admit(sigs((1L, 0L), (1L, far)), root, cfg, 3, 0L)
+    }
+    assert(d.getMessage.contains("duplicate ids"))
+  }
+
   test("maxHamming >= blocks is refused (pigeonhole exactness)") {
     val root = Spill.newPath(spark) + "/h5"
     val e = intercept[IllegalArgumentException] {
