@@ -76,11 +76,17 @@ object IncrementalHamming {
     */
   private def blockRows(sigs: DataFrame, cfg: Config): DataFrame = {
     val bits = 64 / cfg.blocks
-    sigs.select(col("__id"), col("__sig"), explode(
-        transform(sequence(lit(0), lit(cfg.blocks - 1)), b =>
-          struct(b.as("block_id"),
-            call_function("shiftright", col("__sig"), b * bits)
-              .bitwiseAND((1L << bits) - 1).as("block_val")))).as("__b"))
+    // a STATIC array of per-block structs, not transform(sequence(...)):
+    // the block count is a plan-time constant, and Catalyst HOF lambdas
+    // evaluate interpreted per row (the axis-17 lesson) where the plain
+    // array of shift/mask expressions stays inside whole-stage codegen
+    val blocks = (0 until cfg.blocks).map { b =>
+      struct(lit(b).as("block_id"),
+        call_function("shiftright", col("__sig"), lit(b * bits))
+          .bitwiseAND((1L << bits) - 1).as("block_val"))
+    }
+    sigs.select(col("__id"), col("__sig"),
+        explode(array(blocks: _*)).as("__b"))
       .select(col("__b.block_id"), col("__b.block_val"),
         col("__id"), col("__sig"))
   }
