@@ -292,6 +292,33 @@ object StreamingIngest {
     q
   }
 
+  /** T1 × [[graft.operators.IncrementalIvfPq]]: continuous vector
+    * ingest into the frozen-quantizer index (the FAISS add() contract —
+    * the stream ASSIGNS and ENCODES against the build-time codebooks;
+    * it never re-trains, so drift under distribution shift is answered
+    * by a periodic out-of-band re-build, loudly, not by a stream
+    * silently mutating the quantizers). Same versionBase / replay /
+    * empty-batch contract as [[bm25IndexStream]]; the store must
+    * already be [[graft.operators.IncrementalIvfPq.build]]-ed — a
+    * stream cannot bootstrap an index that needs trained quantizers.
+    */
+  def ivfPqIndexStream(stream: DataFrame, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      versionBase: Long = 0L, timeoutMs: Long = 120000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val q = stream.writeStream.outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.IncrementalIvfPq.ingest(batch, root, idCol,
+            vecCol, versionBase + batchId)
+      }
+      .start()
+    q.awaitTermination(timeoutMs)
+    if (q.isActive) q.stop()
+    q
+  }
+
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is
     * first). Micro-batches go through [[Materializer.writeBatch]] —

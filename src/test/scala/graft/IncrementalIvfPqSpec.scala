@@ -62,6 +62,27 @@ class IncrementalIvfPqSpec extends SparkTestBase {
     assert(e.getMessage.contains("rebased"), e.getMessage)
   }
 
+  test("ivfPqIndexStream: streamed ingest equals direct ingest") {
+    val root = Spill.newPath(spark) + "/ivfs"
+    IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
+    val deltaDir = Spill.newPath(spark) + "/ivfs_delta"
+    delta.coalesce(1).write.parquet(deltaDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema).parquet(deltaDir)
+    graft.streaming.StreamingIngest.ivfPqIndexStream(stream, root,
+      versionBase = 1L)
+    assert(IncrementalSwa.versions(spark, s"$root/vstore") == Seq(0L, 1L))
+    val direct = Spill.newPath(spark) + "/ivfd"
+    IncrementalIvfPq.build(initial, direct, nCells = 4, m = 4, kCodes = 8)
+    IncrementalIvfPq.ingest(delta, direct, version = 1L)
+    // same build seed + same frozen quantizers + same delta → the
+    // streamed index serves exactly what the direct ingest serves
+    assert(hits(IncrementalIvfPq.query(spark, root, queries,
+        k = 5, nProbe = 2)) ==
+      hits(IncrementalIvfPq.query(spark, direct, queries,
+        k = 5, nProbe = 2)))
+  }
+
   test("monotone append-only ids; forgetVectors erases from every later read") {
     val root = Spill.newPath(spark) + "/ivf"
     IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
