@@ -133,4 +133,33 @@ class IncrementalRetentionSpec extends SparkTestBase {
     assert(IncrementalDistinct.serveDistinct(spark, dDir, dCfg, 2 * DayUs, 2)
       .select("k").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("forgetKeys + Publish.gc removes the erased key from DISK, " +
+      "not just from reads") {
+    import graft.operators.Publish
+    val dir = Spill.newPath(spark)
+    IncrementalSwa.ingest(ev((1L, 0, 1.0), (2L, 0, 2.0)), dir, cfg, 0L)
+    IncrementalSwa.ingest(ev((1L, 1, 3.0), (2L, 1, 4.0)), dir, cfg, 1L)
+    IncrementalSwa.forgetKeys(spark, dir, cfg, Seq(1L).toDF("k"))
+    // the fold flipped the pointer, but the PREVIOUS generation still
+    // physically holds key 1's partials — erasure is not complete
+    // until the generation GC runs (the reader-lease window)
+    def allParquet(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir.stripPrefix("file:")))
+        .map(_.getPath).filter(_.endsWith(".parquet"))
+    }
+    def keysOnDisk(): Set[Long] =
+      spark.read.parquet(allParquet(): _*)
+        .select("k").distinct().as[Long].collect().toSet
+    assert(keysOnDisk() == Set(1L, 2L),
+      "pre-gc, the old generation must still hold the erased key " +
+        "(that's what gc exists to reclaim)")
+    Publish.gc(spark, dir, keep = 1)
+    assert(keysOnDisk() == Set(2L),
+      "post-gc, no file on disk may contain the erased key")
+    // and reads still serve the surviving state
+    assert(sums(dir, 2, 2) == Map(2L -> 6.0))
+  }
 }
