@@ -129,6 +129,18 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+      // belt-and-braces artifact for stdout-capture consumers: the
+      // totals-only summary as a FILE, immune to sbt's [info] framing
+      // and tail truncation (r13 verdict: the driver's "parse the last
+      // stdout line" fails on sbt's [success] suffix regardless of
+      // anything printed here)
+      val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries_n":${results.size},"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
     }
     spark.stop()
     // the driver's stdout capture keeps only the LAST ~2000 chars, so
