@@ -348,6 +348,23 @@ object IncrementalMaterializer {
     }: _*)
   }
 
+  /** Operational snapshot of every measure store in the feature set —
+    * [[IncrementalSwa.describe]] per store, keyed by the features that
+    * share it (the "is tonight's compaction needed / who holds the
+    * lease / how much history is the horizon carrying" dashboard read;
+    * all driver-side metadata, no Spark job).
+    */
+  def describe(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long): Seq[(Seq[String], IncrementalSwa.StoreInfo)] = {
+    require(features.nonEmpty, "no features to describe")
+    features.map(f => (f, planOf(f, bucketUs)._1))
+      .groupBy(_._2).toSeq
+      .map { case (m, fs) =>
+        (fs.map(_._1.name), IncrementalSwa.describe(spark, storeDir(root, m)))
+      }
+  }
+
   /** Compact every measure store of the feature set — the nightly
     * maintenance action, one atomic generation fold per store. Pass
     * the SAME `unionCap` the set was refreshed with, or the UNION

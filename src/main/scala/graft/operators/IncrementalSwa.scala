@@ -69,6 +69,39 @@ object IncrementalSwa {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Operational snapshot of one incremental store — the dashboard /
+    * runbook read (all driver-side metadata, NO Spark job): committed
+    * [[Publish]] generations (old ones awaiting [[Publish.gc]]), the
+    * live generation's version partitions, the compaction fold and
+    * retention horizons, physical file count/bytes of the LIVE
+    * generation, and the writer lease as it stands on disk (`owner` of
+    * whatever lease FILE exists — possibly stale; `ageMs` against the
+    * file's mtime is what [[WriterLease]]'s ttl reasoning reads).
+    */
+  case class StoreInfo(dir: String, committedGenerations: Seq[Long],
+      liveGeneration: Option[Long], versions: Seq[Long],
+      foldedThrough: Long, retainedFrom: Option[Long],
+      liveFiles: Long, liveBytes: Long,
+      leaseOwner: Option[String], leaseAgeMs: Option[Long])
+
+  def describe(spark: SparkSession, dir: String): StoreInfo = {
+    val (files, bytes) = liveGenOpt(spark, dir).map { g =>
+      val f = fs(spark, dir)
+      val p = new Path(g)
+      if (f.exists(p)) {
+        val cs = f.getContentSummary(p)
+        (cs.getFileCount, cs.getLength)
+      } else (0L, 0L)
+    }.getOrElse((0L, 0L))
+    val lease = WriterLease.readLease(spark, dir)
+    val now = System.currentTimeMillis()
+    StoreInfo(dir, Publish.committed(spark, dir),
+      Publish.current(spark, dir), versions(spark, dir),
+      foldedThrough(spark, dir), retainedFrom(spark, dir),
+      files, bytes,
+      lease.map(_._1), lease.map(l => math.max(0L, now - l._3)))
+  }
+
   /** Live generation dir if the store exists. Read paths go through
     * this (or [[requireLiveGen]]) so that a read of a mistyped or
     * missing path FAILS by name instead of committing an empty

@@ -178,4 +178,30 @@ class IncrementalSwaSpec extends SparkTestBase {
     assert(multiset(IncrementalSwa.serve(spark, dir, cfg, 2 * DayUs, 2)) ==
       multiset(batch(d0.unionByName(d1), 2 * DayUs, 2)))
   }
+
+  test("describe reports generations, versions, horizons, bytes, lease") {
+    val dir = Spill.newPath(spark)
+    val empty = IncrementalSwa.describe(spark, dir)
+    assert(empty.committedGenerations.isEmpty && empty.versions.isEmpty &&
+      empty.foldedThrough == -1L && empty.liveBytes == 0L &&
+      empty.leaseOwner.isEmpty, s"missing store must describe as empty: $empty")
+    IncrementalSwa.ingest(ev((1L, 0, 1, 1.0)), dir, cfg, 0L)
+    IncrementalSwa.ingest(ev((1L, 1, 1, 2.0)), dir, cfg, 1L)
+    val two = IncrementalSwa.describe(spark, dir)
+    assert(two.versions == Seq(0L, 1L) && two.liveGeneration.contains(0L) &&
+      two.foldedThrough == -1L && two.retainedFrom.isEmpty &&
+      two.liveFiles > 0 && two.liveBytes > 0)
+    // no writer is live, but the released lease file is gone — owner
+    // empty (a present-but-stale lease would report its holder)
+    assert(two.leaseOwner.isEmpty && two.leaseAgeMs.isEmpty)
+    IncrementalSwa.compactRetaining(spark, dir, cfg, minBucket = 1L)
+    val folded = IncrementalSwa.describe(spark, dir)
+    assert(folded.versions == Seq(1L) && folded.foldedThrough == 1L &&
+      folded.retainedFrom.contains(1L) &&
+      folded.committedGenerations == Seq(0L, 1L) &&
+      folded.liveGeneration.contains(1L))
+    Publish.gc(spark, dir, keep = 1)
+    assert(IncrementalSwa.describe(spark, dir)
+      .committedGenerations == Seq(1L))
+  }
 }
