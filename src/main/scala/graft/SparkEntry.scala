@@ -3349,6 +3349,56 @@ object SparkEntry {
             concat_ws(",", col("f_g_top3_30d"))).as("f_g_top3_30d"))
     }),
 
+    // Extension features across TWO key bindings (r14): a user-keyed
+    // median and an event-type-keyed p90 of the same measure, routed
+    // to separate binding roots by refreshGraftMulti and assembled per
+    // binding by snapshotGraftMulti (key columns under their DSL
+    // aliases). The oracle restates the store's integer permyriad
+    // cutoff rule once per binding.
+    "q_materialize_graft_multikey" -> ((s, dir) => {
+      import graft.model.GraftAggregation
+      import IncrementalMaterializer.GraftFeature
+      val dayUs = 86400000000L
+      val d7 = graft.model.Durations.parse("7d")
+      val typeKey = TypedKey("event_type", ValueType.STRING, Some("etype"))
+      val feats = Seq(
+        GraftFeature("f_gm_up50_7d", "value",
+          GraftAggregation.Quantile(0.5, 0.0, 200.0, 256), d7,
+          keys = Seq(userKey)),
+        GraftFeature("f_gm_tp90_7d", "value",
+          GraftAggregation.Quantile(0.9, 0.0, 200.0, 256), d7,
+          keys = Seq(typeKey)))
+      // keys AND the measure pinned non-null up front so both bindings
+      // share one time domain (the r14 daily-cap lesson)
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 2 + 1
+      (0L until 2L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refreshGraftMulti(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, "ts", dayUs, i)
+      }
+      val frames = IncrementalMaterializer.snapshotGraftMulti(s, root,
+        feats, "ts", dayUs, (maxB + 1) * dayUs)
+      frames(Seq("user_id"))
+        .select(lit("user").as("entity_kind"),
+          col("user_id").cast("string").as("entity_id"),
+          col("f_gm_up50_7d").as("q_cut"))
+        .unionByName(frames(Seq("etype"))
+          .select(lit("etype").as("entity_kind"),
+            col("etype").as("entity_id"),
+            col("f_gm_tp90_7d").as("q_cut")))
+    }),
+
     // The extension features' daily table (r14): quantile / HLL
     // distinct-count / top-k per (key, bucket) for the whole bucket
     // range, each store's serveDaily explode-expansion assembled on
@@ -6528,6 +6578,44 @@ object SparkEntry {
         |LEFT JOIN q90 USING (user_id)
         |LEFT JOIN nd USING (user_id)
         |LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    // the quantile store's integer permyriad cutoff rule, once per key
+    // binding (user median, event-type p90) over the shared non-null
+    // domain
+    "q_materialize_graft_multikey" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, value
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |             AND value IS NOT NULL),
+        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+        |       FROM e),
+        |w7 AS (SELECT user_id, event_type, value FROM e, mx
+        |       WHERE us >= t - 7 * 86400000000 AND us < t),
+        |ub AS (SELECT user_id, CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM w7 GROUP BY 1, 2),
+        |uc AS (SELECT user_id, bin,
+        |    sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY user_id) AS total
+        |  FROM ub),
+        |u50 AS (SELECT user_id, 0.0 + min(bin) * 200.0 / 256.0 AS q_cut
+        |  FROM uc WHERE cum * 10000 >= 5000 * total GROUP BY user_id),
+        |tb AS (SELECT event_type, CAST(least(greatest(
+        |      floor((value - 0.0) * 256 / 200.0), 0), 255) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM w7 GROUP BY 1, 2),
+        |tc AS (SELECT event_type, bin,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM tb),
+        |t90 AS (SELECT event_type, 0.0 + min(bin) * 200.0 / 256.0 AS q_cut
+        |  FROM tc WHERE cum * 10000 >= 9000 * total GROUP BY event_type)
+        |SELECT 'user' AS entity_kind, user_id::VARCHAR AS entity_id, q_cut
+        |FROM u50
+        |UNION ALL
+        |SELECT 'etype' AS entity_kind, event_type AS entity_id, q_cut
+        |FROM t90""".stripMargin,
 
     // each store's rule at per-bucket granularity: every per-day
     // partial (bin counts, distinct hashes, top-8 candidates) feeds

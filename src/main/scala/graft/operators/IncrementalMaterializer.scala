@@ -416,11 +416,15 @@ object IncrementalMaterializer {
   /** A declared extension feature ([[graft.model.GraftAggregation]]):
     * the engine's own windowed-aggregation kinds, riding the same
     * measure surface (`defExpr` + optional pre-agg `filter`) and
-    * whole-bucket window rule as the reference aggregations.
+    * whole-bucket window rule as the reference aggregations. `keys`
+    * (the reference's `TypedKey` bindings) are consulted only by the
+    * Multi surface — the single-binding calls take explicit `keyCols`
+    * and a Multi call refuses a feature that declares no binding.
     */
   case class GraftFeature(name: String, defExpr: String,
       agg: GraftAggregation, window: java.time.Duration,
-      filter: Option[String] = None)
+      filter: Option[String] = None,
+      keys: Seq[graft.model.TypedKey] = Nil)
 
   /** Store identity for an extension feature: (defExpr, filter, STATE
     * config). Serve-time parameters are excluded — quantile features
@@ -845,6 +849,91 @@ object IncrementalMaterializer {
       s"no binding $binding among ${groups.keys.map(_.map(_._1)).toSeq}")
     matching.foreach { case (b, fs) =>
       forgetKeys(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, keys)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Extension features across MULTIPLE key bindings: the same k=<id>
+  // binding-root routing as the reference-enum Multi surface, so a
+  // project mixing user-keyed and item-keyed quantile/distinct/top-k
+  // features rides the O(delta) refresh too.
+  // ------------------------------------------------------------------
+
+  private def graftBindingOf(f: GraftFeature): Seq[(String, String)] = {
+    require(f.keys.nonEmpty,
+      s"extension feature '${f.name}' declares no key binding — the " +
+        "Multi surface routes stores by TypedKey binding; either set " +
+        "GraftFeature.keys or use the single-binding calls with " +
+        "explicit keyCols")
+    f.keys.map(k => (k.alias, k.keyColumn))
+  }
+
+  private def requireDistinctGraftAliases(features: Seq[GraftFeature]): Unit = {
+    val collisions = features.map(graftBindingOf).distinct
+      .groupBy(_.map(_._1)).filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      collisions.map { case (alias, bs) =>
+        s"key-alias schema $alias is bound to different physical " +
+          s"columns ${bs.map(_.map(_._2))}"
+      }.mkString("; ") +
+        " — a feature set's alias schemas must be unambiguous (frames " +
+        "are addressed by alias); re-alias one binding")
+  }
+
+  /** [[refreshGraft]] per key binding — one delta fold per binding's
+    * store group, bindings maintained concurrently.
+    */
+  def refreshGraftMulti(delta: DataFrame, root: String,
+      features: Seq[GraftFeature], tsCol: String, bucketUs: Long,
+      version: Long): Unit = {
+    require(features.nonEmpty, "no features to refresh")
+    requireDistinctGraftAliases(features)
+    Par.run(features.groupBy(graftBindingOf).toSeq.map { case (b, fs) => () =>
+      refreshGraft(delta, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, version)
+    }: _*)
+  }
+
+  /** [[snapshotGraft]] per binding: alias-schema → wide frame, key
+    * columns renamed to their DSL aliases (the FeatureQuery key-frame
+    * contract, exactly [[snapshotMulti]]).
+    */
+  def snapshotGraftMulti(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], tsCol: String, bucketUs: Long,
+      asOfUs: Long): Map[Seq[String], DataFrame] = {
+    require(features.nonEmpty, "no features to snapshot")
+    requireDistinctGraftAliases(features)
+    features.groupBy(graftBindingOf).map { case (b, fs) =>
+      val frame = snapshotGraft(spark, bindingRoot(root, b), fs,
+        b.map(_._2), tsCol, bucketUs, asOfUs)
+      b.map(_._1) -> aliasKeys(frame, b)
+    }
+  }
+
+  /** [[compactGraft]] across every binding's stores. */
+  def compactGraftMulti(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], tsCol: String,
+      bucketUs: Long): Unit =
+    Par.run(features.groupBy(graftBindingOf).toSeq.map { case (b, fs) => () =>
+      compactGraft(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs)
+    }: _*)
+
+  /** [[forgetKeysGraft]] scoped to ONE binding (the
+    * [[forgetKeysMulti]] contract: erasing a user touches the
+    * user-keyed stores; an item-keyed store has no row for that user).
+    */
+  def forgetKeysGraftMulti(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], tsCol: String, bucketUs: Long,
+      binding: Seq[String], keys: DataFrame): Unit = {
+    requireDistinctGraftAliases(features)
+    val groups = features.groupBy(graftBindingOf)
+    val matching = groups.filter { case (b, _) => b.map(_._1) == binding }
+    require(matching.nonEmpty,
+      s"no binding $binding among ${groups.keys.map(_.map(_._1)).toSeq}")
+    matching.foreach { case (b, fs) =>
+      forgetKeysGraft(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, keys)
     }
   }

@@ -394,4 +394,53 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("t_alias"), e.getMessage)
   }
+
+  test("graft Multi: per-binding store routing, refusals by name") {
+    import graft.model.GraftAggregation
+    import IncrementalMaterializer.GraftFeature
+    val root = Spill.newPath(spark)
+    val tagKey = TypedKey("tag", ValueType.STRING, Some("t_alias"))
+    val q = GraftAggregation.Quantile(0.5, 0.0, 16.0, 16)
+    val feats = Seq(
+      GraftFeature("kq", "v", q, Durations.parse("2d"),
+        keys = Seq(TypedKey("k", ValueType.INT64))),
+      GraftFeature("tq", "v", q, Durations.parse("2d"),
+        keys = Seq(tagKey)))
+    IncrementalMaterializer.refreshGraftMulti(events, root, feats,
+      "ts", DayUs, 0L)
+    val frames = IncrementalMaterializer.snapshotGraftMulti(spark, root,
+      feats, "ts", DayUs, 2 * DayUs)
+    assert(frames.keySet == Set(Seq("k"), Seq("t_alias")))
+    // k=1 window rows {1,2,4}: median cutoff = left edge of bin(2) = 2.0
+    assert(frames(Seq("k")).select("k", "kq")
+      .as[(Long, Double)].collect().toMap == Map(1L -> 2.0, 2L -> 10.0))
+    // tag a rows {1,4} -> bin(1)=1.0; tag b rows {2,10} -> bin(2)=2.0
+    assert(frames(Seq("t_alias")).select("t_alias", "tq")
+      .as[(String, Double)].collect().toMap ==
+      Map("a" -> 1.0, "b" -> 2.0))
+    // erasure is binding-scoped
+    IncrementalMaterializer.forgetKeysGraftMulti(spark, root, feats,
+      "ts", DayUs, Seq("k"), Seq(1L).toDF("k"))
+    val after = IncrementalMaterializer.snapshotGraftMulti(spark, root,
+      feats, "ts", DayUs, 2 * DayUs)
+    assert(after(Seq("k")).select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(after(Seq("t_alias")).count() == 2L, "other binding untouched")
+    // a feature without a binding is refused by the Multi surface
+    val nb = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.refreshGraftMulti(events, root,
+        Seq(GraftFeature("nokeys", "v", q, Durations.parse("2d"))),
+        "ts", DayUs, 1L)
+    }
+    assert(nb.getMessage.contains("no key binding"))
+    // one alias schema over two physical columns is ambiguous
+    val amb = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshotGraftMulti(spark, root, Seq(
+        GraftFeature("a1", "v", q, Durations.parse("2d"),
+          keys = Seq(TypedKey("k", ValueType.INT64, Some("x")))),
+        GraftFeature("a2", "v", q, Durations.parse("2d"),
+          keys = Seq(TypedKey("tag", ValueType.STRING, Some("x"))))),
+        "ts", DayUs, 2 * DayUs)
+    }
+    assert(amb.getMessage.contains("unambiguous"))
+  }
 }
