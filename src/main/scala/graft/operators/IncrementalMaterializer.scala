@@ -790,12 +790,16 @@ object IncrementalMaterializer {
   def trainingSetMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
       observations: DataFrame, obsTsCol: String,
-      derived: Seq[DerivedFeature] = Nil): DataFrame = {
-    require(features.nonEmpty, "no features to assemble")
+      derived: Seq[DerivedFeature] = Nil,
+      graftFeatures: Seq[GraftFeature] = Nil): DataFrame = {
+    require(features.nonEmpty || graftFeatures.nonEmpty,
+      "no features to assemble")
     requireDistinctAliases(features)
+    if (graftFeatures.nonEmpty) requireDistinctGraftAliases(graftFeatures)
     val groups = features.groupBy(bindingOf)
     val claims = claimDerived(groups, derived)
-    groups.keys.flatMap(_.map(_._1)).foreach { alias =>
+    val graftGroups = graftFeatures.groupBy(graftBindingOf)
+    (groups.keys ++ graftGroups.keys).flatMap(_.map(_._1)).foreach { alias =>
       require(observations.columns.contains(alias),
         s"observations are missing key-alias column '$alias' — the " +
           "multi-key training join addresses each binding by its alias")
@@ -808,12 +812,39 @@ object IncrementalMaterializer {
       if (obsHi.isNullAt(0)) None else Some(obsHi.getLong(0) - 1L)
     val obs = observations.withColumn("__feature_bucket",
       IncrementalSwa.bucketOf(col(obsTsCol), bucketUs) - 1L)
-    groups.foldLeft(obs) { case (acc, (b, fs)) =>
-      val daily = aliasKeys(snapshotDaily(spark, bindingRoot(root, b), fs,
-        b.map(_._2), tsCol, bucketUs, claims(b), throughBucket = through), b)
-        .withColumnRenamed("bucket", "__feature_bucket")
-      acc.join(daily, b.map(_._1) :+ "__feature_bucket", "left_outer")
+    // one daily frame per (binding, surface): reference-enum bindings
+    // first, extension bindings after — the same alias-addressed
+    // preceding-bucket join either way (a binding appearing on BOTH
+    // surfaces joins twice, on disjoint feature columns)
+    val dailies =
+      groups.toSeq.map { case (b, fs) =>
+        b -> aliasKeys(snapshotDaily(spark, bindingRoot(root, b), fs,
+          b.map(_._2), tsCol, bucketUs, claims(b), throughBucket = through), b)
+      } ++ graftGroups.toSeq.map { case (b, fs) =>
+        b -> aliasKeys(snapshotDailyGraft(spark, bindingRoot(root, b), fs,
+          b.map(_._2), tsCol, bucketUs, throughBucket = through), b)
+      }
+    dailies.foldLeft(obs) { case (acc, (b, daily)) =>
+      acc.join(daily.withColumnRenamed("bucket", "__feature_bucket"),
+        b.map(_._1) :+ "__feature_bucket", "left_outer")
     }.drop("__feature_bucket")
+  }
+
+  /** [[snapshotDailyGraft]] per binding: alias-schema → keys×days
+    * frame (the [[snapshotDailyMulti]] shape for extension features).
+    */
+  def snapshotDailyGraftMulti(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], tsCol: String, bucketUs: Long,
+      includeHorizonPartialRows: Boolean = false,
+      throughBucket: Option[Long] = None): Map[Seq[String], DataFrame] = {
+    require(features.nonEmpty, "no features to snapshot")
+    requireDistinctGraftAliases(features)
+    features.groupBy(graftBindingOf).map { case (b, fs) =>
+      val frame = snapshotDailyGraft(spark, bindingRoot(root, b), fs,
+        b.map(_._2), tsCol, bucketUs, includeHorizonPartialRows,
+        throughBucket)
+      b.map(_._1) -> aliasKeys(frame, b)
+    }
   }
 
   /** [[compact]] across every binding's stores. */

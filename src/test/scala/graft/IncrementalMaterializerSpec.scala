@@ -425,6 +425,27 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       feats, "ts", DayUs, 2 * DayUs)
     assert(after(Seq("k")).select("k").as[Long].collect().toSeq == Seq(2L))
     assert(after(Seq("t_alias")).count() == 2L, "other binding untouched")
+    // daily frames + training rows per binding, alias-addressed
+    val dailies = IncrementalMaterializer.snapshotDailyGraftMulti(spark,
+      root, feats, "ts", DayUs)
+    assert(dailies.keySet == Set(Seq("k"), Seq("t_alias")))
+    // post-forget: k=1 erased; tag frames intact. tag 'b' day1 window
+    // {2,10} -> median-of-two p50 cutoff = bin(2) left edge = 2.0
+    assert(dailies(Seq("t_alias")).where(col("t_alias") === "b")
+      .select("bucket", "tq").as[(Long, Double)].collect().toMap ==
+      Map(0L -> 2.0, 1L -> 2.0))
+    val obs2 = Seq((2L, "a", 1L, "g1")).toDF("k", "t_alias", "d", "oid")
+      .withColumn("ots", timestamp_micros(col("d") * DayUs + 1L))
+      .select("oid", "k", "t_alias", "ots")
+    val ts2 = IncrementalMaterializer.trainingSetMulti(spark, root, Nil,
+      "ts", DayUs, obs2, "ots", graftFeatures = feats)
+    val row = ts2.select("oid", "kq", "tq")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap.apply("g1")
+    // k=2 has only a day-1 event, so its bucket-0 daily row does not
+    // exist -> kq null (cold start); tag 'a' bucket0 {1} -> tq 1.0
+    assert(row == ((None, Some(1.0))))
+
     // a feature without a binding is refused by the Multi surface
     val nb = intercept[IllegalArgumentException] {
       IncrementalMaterializer.refreshGraftMulti(events, root,
