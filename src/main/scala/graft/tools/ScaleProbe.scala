@@ -1546,6 +1546,46 @@ object ScaleProbe {
       }
     }
 
+    // ---- NOT a scale axis: phase-level timing of the forget-lifecycle
+    // gate (q_curate_forget is the bench's top line; this names which
+    // phase carries the wall — combine with SPARK_GRAFT_PROBE_JOBS=1
+    // for the per-job breakdown inside a phase).
+    if (axes == "forgetgate") {
+      import graft.operators.{IncrementalCuration, Spill}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      def run(tag: String): Unit = {
+        val root = Spill.newPath(spark) + s"/probe_fgt_$tag"
+        def phase(name: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"[scale] forgetgate($tag) $name%-9s " +
+            f"${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        }
+        phase("bootstrap") {
+          IncrementalCuration.bootstrap(docs, graft.SparkEntry.curatePipeline,
+            root)
+        }
+        phase("refresh1") {
+          IncrementalCuration.refresh(graft.SparkEntry.curateDelta(docs),
+            root, 1L)
+        }
+        phase("forget") {
+          IncrementalCuration.forget(
+            docs.where(col("doc_id") % 20 === 2).select("doc_id"), root, 2L)
+        }
+        phase("refresh2") {
+          IncrementalCuration.refresh(
+            graft.SparkEntry.curateForgetDelta(docs), root, 3L)
+        }
+        phase("purge") { IncrementalCuration.purgeForgotten(spark, root) }
+        phase("snapshot") {
+          IncrementalCuration.snapshot(spark, root).select("doc_id").count()
+            : Unit
+        }
+      }
+      run("cold"); run("warm")
+    }
+
     // ---- axis 25: the daily feature table. One serveDaily pass vs N
     // separate serve() scans for an N-day publication — the
     // read-amplification claim behind serveDaily. Both are measured on
