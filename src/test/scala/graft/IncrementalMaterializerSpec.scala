@@ -395,6 +395,44 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     assert(e.getMessage.contains("t_alias"), e.getMessage)
   }
 
+  test("feature-set evolution: a feature added later backfills its own " +
+      "store without touching the others") {
+    val root = Spill.newPath(spark)
+    val fSum = feat("e_sum", wa("SUM"))
+    // day-0 delta reaches only the original feature
+    val d0 = events.where(unix_micros(col("ts")) < DayUs)
+    IncrementalMaterializer.refresh(d0, root, Seq(fSum), Seq("k"), "ts",
+      DayUs, 0L)
+    // later, MAX is added to the set: its measure shares f_sum's store
+    // (the 5-in-1 scalar partials), so it is ALREADY materialized for
+    // ingested history — evolution within the scalar family is free
+    val fMax = feat("e_max", wa("MAX"))
+    val both = IncrementalMaterializer.snapshot(spark, root,
+        Seq(fSum, fMax), Seq("k"), "ts", DayUs, DayUs)
+      .select("k", "e_sum", "e_max")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(both == Map(1L -> ((3.0, 2.0))))
+    // a feature with a NEW measure (different defExpr) gets its own
+    // store, bootstrapped by re-presenting history under the same
+    // version numbers — the other stores never see those writes
+    val fDouble = AnchorFeature("e_2v", FeatureType.DOUBLE,
+      Transformation.WindowAgg("v * 2", Aggregation.SUM,
+        Durations.parse("2d")), Seq(key))
+    IncrementalMaterializer.refresh(d0, root, Seq(fDouble), Seq("k"), "ts",
+      DayUs, 0L)
+    // now the whole evolved set refreshes together going forward
+    val d1 = events.where(unix_micros(col("ts")) >= DayUs)
+    IncrementalMaterializer.refresh(d1, root, Seq(fSum, fMax, fDouble),
+      Seq("k"), "ts", DayUs, 1L)
+    val wide = IncrementalMaterializer.snapshot(spark, root,
+        Seq(fSum, fMax, fDouble), Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select("k", "e_sum", "e_max", "e_2v")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(wide == Map(1L -> ((7.0, 4.0, 14.0)), 2L -> ((10.0, 10.0, 20.0))))
+  }
+
   test("graft Multi: per-binding store routing, refusals by name") {
     import graft.model.GraftAggregation
     import IncrementalMaterializer.GraftFeature
