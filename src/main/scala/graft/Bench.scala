@@ -114,6 +114,15 @@ object Bench {
     // whole in BENCH_LOCAL-less partial runs
     println(line)
     Console.out.flush()
+    // ONE totals-only summary string, printed as the final stdout
+    // trailer AND written as BENCH_SUMMARY.json — built once so the
+    // two consumers can never see different fields (the file variant
+    // originally dropped failed_runs_n, silently laundering a partial
+    // total into a clean-looking full-suite result)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size}""" +
+      (if (results.exists(_._3 > 0))
+        s""","failed_runs_n":${results.map(_._3).sum}""" else "") +
+      s""","sf":"$sfDir"}"""
     // complete artifact, immune to stdout-capture truncation: medians
     // plus all raw run times, overwritten on every full run (skipped
     // for SPARK_GRAFT_BENCH_ONLY partial runs so a targeted iteration
@@ -130,12 +139,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
       // belt-and-braces artifact for stdout-capture consumers: the
-      // totals-only summary as a FILE, immune to sbt's [info] framing
-      // and tail truncation (r13 verdict: the driver's "parse the last
-      // stdout line" fails on sbt's [success] suffix regardless of
-      // anything printed here)
-      val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""queries_n":${results.size},"sf":"$sfDir"}"""
+      // SAME totals-only summary as a FILE, immune to sbt's [info]
+      // framing and tail truncation (r13 verdict: the driver's "parse
+      // the last stdout line" fails on sbt's [success] suffix
+      // regardless of anything printed here)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_SUMMARY.json"),
         (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -148,11 +155,7 @@ object Bench {
     // metric/value — is what the capture drops). The machine-readable
     // summary therefore goes LAST and SHORT (<200 chars, totals only);
     // per-query detail lives in BENCH_LOCAL.json.
-    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size}""" +
-      (if (results.exists(_._3 > 0))
-        s""","failed_runs_n":${results.map(_._3).sum}""" else "") +
-      s""","sf":"$sfDir"}"""
-    println(trailer)
+    println(summary)
     Console.out.flush()
   }
 }

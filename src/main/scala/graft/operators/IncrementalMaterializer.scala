@@ -355,7 +355,7 @@ object IncrementalMaterializer {
     * all driver-side metadata, no Spark job).
     */
   def describe(spark: SparkSession, root: String,
-      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      features: Seq[AnchorFeature],
       bucketUs: Long): Seq[(Seq[String], IncrementalSwa.StoreInfo)] = {
     require(features.nonEmpty, "no features to describe")
     features.map(f => (f, planOf(f, bucketUs)._1))
@@ -663,8 +663,19 @@ object IncrementalMaterializer {
     * schema over different physical columns would silently collapse to
     * one frame — refused by name instead.
     */
-  private def requireDistinctAliases(features: Seq[AnchorFeature]): Unit = {
-    val collisions = features.map(bindingOf).distinct
+  private def requireDistinctAliases(features: Seq[AnchorFeature]): Unit =
+    requireDistinctBindings(features.map(bindingOf))
+
+  /** Alias schemas must resolve to ONE physical binding each — frames
+    * (and the training join's observation columns) are addressed by
+    * alias, so one alias over two physical columns would silently
+    * join the wrong key space. Shared by both feature surfaces and by
+    * their COMBINATION ([[trainingSetMulti]] — the one place
+    * reference-enum and extension bindings meet).
+    */
+  private def requireDistinctBindings(
+      bindings: Seq[Seq[(String, String)]]): Unit = {
+    val collisions = bindings.distinct
       .groupBy(_.map(_._1)).filter(_._2.size > 1)
     require(collisions.isEmpty,
       collisions.map { case (alias, bs) =>
@@ -794,8 +805,20 @@ object IncrementalMaterializer {
       graftFeatures: Seq[GraftFeature] = Nil): DataFrame = {
     require(features.nonEmpty || graftFeatures.nonEmpty,
       "no features to assemble")
-    requireDistinctAliases(features)
-    if (graftFeatures.nonEmpty) requireDistinctGraftAliases(graftFeatures)
+    // alias schemas must be unambiguous ACROSS the two surfaces too —
+    // this is the one assembly where they meet on one observation frame
+    requireDistinctBindings(
+      features.map(bindingOf) ++ graftFeatures.map(graftBindingOf))
+    // and so must feature names: a using-columns join dedups only
+    // keys, so a name shared across surfaces would emit two columns
+    // and fail far downstream (AMBIGUOUS_REFERENCE / parquet write)
+    val names = features.map(_.name) ++ derived.map(_.name) ++
+      graftFeatures.map(_.name)
+    val dupNames = names.groupBy(identity).filter(_._2.size > 1).keys
+    require(dupNames.isEmpty,
+      s"feature names ${dupNames.mkString(", ")} are declared on both " +
+        "the reference-enum and extension surfaces — the training frame " +
+        "would carry duplicate columns; rename one side")
     val groups = features.groupBy(bindingOf)
     val claims = claimDerived(groups, derived)
     val graftGroups = graftFeatures.groupBy(graftBindingOf)
@@ -900,17 +923,8 @@ object IncrementalMaterializer {
     f.keys.map(k => (k.alias, k.keyColumn))
   }
 
-  private def requireDistinctGraftAliases(features: Seq[GraftFeature]): Unit = {
-    val collisions = features.map(graftBindingOf).distinct
-      .groupBy(_.map(_._1)).filter(_._2.size > 1)
-    require(collisions.isEmpty,
-      collisions.map { case (alias, bs) =>
-        s"key-alias schema $alias is bound to different physical " +
-          s"columns ${bs.map(_.map(_._2))}"
-      }.mkString("; ") +
-        " — a feature set's alias schemas must be unambiguous (frames " +
-        "are addressed by alias); re-alias one binding")
-  }
+  private def requireDistinctGraftAliases(features: Seq[GraftFeature]): Unit =
+    requireDistinctBindings(features.map(graftBindingOf))
 
   /** [[refreshGraft]] per key binding — one delta fold per binding's
     * store group, bindings maintained concurrently.

@@ -85,20 +85,33 @@ object IncrementalSwa {
       leaseOwner: Option[String], leaseAgeMs: Option[Long])
 
   def describe(spark: SparkSession, dir: String): StoreInfo = {
-    val (files, bytes) = liveGenOpt(spark, dir).map { g =>
-      val f = fs(spark, dir)
-      val p = new Path(g)
-      if (f.exists(p)) {
-        val cs = f.getContentSummary(p)
-        (cs.getFileCount, cs.getLength)
-      } else (0L, 0L)
-    }.getOrElse((0L, 0L))
+    val f = fs(spark, dir)
+    // one root listing (Publish markers) + ONE live-generation listing
+    // shared by the version/fold/retention fields — versions(),
+    // foldedThrough() and retainedFrom() each re-list the same dir,
+    // which an object-store FS turns into per-call round trips
+    val gens = Publish.committed(spark, dir)
+    val live = gens.lastOption
+    val (vs, folded, retained, files, bytes) = live.map { g =>
+      val gp = new Path(Publish.genPath(dir, g))
+      if (!f.exists(gp)) (Seq.empty[Long], -1L, None, 0L, 0L)
+      else {
+        val entries = f.listStatus(gp).toSeq
+        val names = entries.map(_.getPath.getName)
+        val vs = entries
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$VCol="))
+          .map(_.getPath.getName.stripPrefix(s"$VCol=").toLong).sorted
+        val folded = names.filter(_.startsWith(FoldPrefix))
+          .map(_.drop(FoldPrefix.length).toLong).foldLeft(-1L)(math.max)
+        val retained = names.filter(_.startsWith(RetainPrefix))
+          .map(_.drop(RetainPrefix.length).toLong).maxOption
+        val cs = f.getContentSummary(gp)
+        (vs, folded, retained, cs.getFileCount, cs.getLength)
+      }
+    }.getOrElse((Seq.empty[Long], -1L, None, 0L, 0L))
     val lease = WriterLease.readLease(spark, dir)
     val now = System.currentTimeMillis()
-    StoreInfo(dir, Publish.committed(spark, dir),
-      Publish.current(spark, dir), versions(spark, dir),
-      foldedThrough(spark, dir), retainedFrom(spark, dir),
-      files, bytes,
+    StoreInfo(dir, gens, live, vs, folded, retained, files, bytes,
       lease.map(_._1), lease.map(l => math.max(0L, now - l._3)))
   }
 

@@ -250,13 +250,24 @@ object StreamingIngest {
   def bm25IndexStream(stream: DataFrame, dir: String,
       cfg: graft.operators.IncrementalBm25.Config, versionBase: Long = 0L,
       timeoutMs: Long = 120000L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    indexStream(stream, versionBase, timeoutMs, trigger)(
+      graft.operators.IncrementalBm25.ingest(_, dir, cfg, _))
+
+  /** The shared index-stream choreography: foreachBatch at
+    * version = versionBase + batchId, EMPTY micro-batches skipped (the
+    * meta guard refuses empty deltas by design; a skipped batchId is a
+    * version hole, which the stores allow), run-for-timeout-then-stop.
+    * One copy so the timeout/stop and empty-batch contracts cannot
+    * drift between the index families.
+    */
+  private def indexStream(stream: DataFrame, versionBase: Long,
+      timeoutMs: Long, trigger: Trigger)(
+      ingest: (DataFrame, Long) => Unit): StreamingQuery = {
     val q = stream.writeStream.outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.IncrementalBm25.ingest(batch, dir, cfg,
-            versionBase + batchId)
+        if (!batch.isEmpty) ingest(batch, versionBase + batchId)
       }
       .start()
     q.awaitTermination(timeoutMs)
@@ -278,19 +289,9 @@ object StreamingIngest {
   def hammingIndexStream(stream: DataFrame, dir: String,
       cfg: graft.operators.IncrementalHamming.Config,
       versionBase: Long = 0L, timeoutMs: Long = 120000L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val q = stream.writeStream.outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.IncrementalHamming.ingest(batch, dir, cfg,
-            versionBase + batchId)
-      }
-      .start()
-    q.awaitTermination(timeoutMs)
-    if (q.isActive) q.stop()
-    q
-  }
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    indexStream(stream, versionBase, timeoutMs, trigger)(
+      graft.operators.IncrementalHamming.ingest(_, dir, cfg, _))
 
   /** T1 × [[graft.operators.IncrementalIvfPq]]: continuous vector
     * ingest into the frozen-quantizer index (the FAISS add() contract —
@@ -305,19 +306,9 @@ object StreamingIngest {
   def ivfPqIndexStream(stream: DataFrame, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       versionBase: Long = 0L, timeoutMs: Long = 120000L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val q = stream.writeStream.outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.IncrementalIvfPq.ingest(batch, root, idCol,
-            vecCol, versionBase + batchId)
-      }
-      .start()
-    q.awaitTermination(timeoutMs)
-    if (q.isActive) q.stop()
-    q
-  }
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    indexStream(stream, versionBase, timeoutMs, trigger)(
+      graft.operators.IncrementalIvfPq.ingest(_, root, idCol, vecCol, _))
 
   /** K4/T3: run a streaming query into a sink via `foreachBatch`, stop
     * after `timeoutMs` (or when the source is exhausted, whichever is

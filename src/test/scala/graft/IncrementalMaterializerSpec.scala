@@ -484,6 +484,30 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     // exist -> kq null (cold start); tag 'a' bucket0 {1} -> tq 1.0
     assert(row == ((None, Some(1.0))))
 
+    // CROSS-surface refusals (trainingSetMulti is where the two
+    // surfaces meet): one alias over two physical columns, and one
+    // feature name on both surfaces
+    val crossAlias = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.trainingSetMulti(spark, root,
+        Seq(AnchorFeature("ax", FeatureType.DOUBLE, wa("SUM"),
+          Seq(TypedKey("k", ValueType.INT64, Some("id"))))),
+        "ts", DayUs, obs2.withColumnRenamed("k", "id"), "ots",
+        graftFeatures = Seq(GraftFeature("gx", "v", q,
+          Durations.parse("2d"),
+          keys = Seq(TypedKey("tag", ValueType.STRING, Some("id"))))))
+    }
+    assert(crossAlias.getMessage.contains("unambiguous"))
+    val crossName = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.trainingSetMulti(spark, root,
+        Seq(AnchorFeature("f7", FeatureType.DOUBLE, wa("SUM"),
+          Seq(TypedKey("k", ValueType.INT64)))),
+        "ts", DayUs, obs2, "ots",
+        graftFeatures = Seq(GraftFeature("f7", "v", q,
+          Durations.parse("2d"),
+          keys = Seq(TypedKey("tag", ValueType.STRING, Some("t_alias"))))))
+    }
+    assert(crossName.getMessage.contains("duplicate columns"))
+
     // a feature without a binding is refused by the Multi surface
     val nb = intercept[IllegalArgumentException] {
       IncrementalMaterializer.refreshGraftMulti(events, root,
