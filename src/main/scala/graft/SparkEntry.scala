@@ -1668,6 +1668,33 @@ object SparkEntry {
       Retrieval.rrfFuse(lex, dense, k = 10)
     }),
 
+    // Hybrid retrieval FROM the maintained index: the lexical leg is
+    // IncrementalBm25.serve over a two-delta index (the batch scorer's
+    // shared tail — spec-pinned ulp-equal to bm25TopK, so the fused
+    // ranking matches the q_hybrid_topk oracle verbatim); the dense
+    // leg stays the exact kernel. No corpus re-tokenization at query
+    // load time — the production retrieval shape.
+    "q_hybrid_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"),
+          "left_semi")
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/hybinc"
+      val cfg = IncrementalBm25.Config()
+      IncrementalBm25.ingest(docs.where(col("doc_id") <= mid), root, cfg, 0L)
+      IncrementalBm25.ingest(docs.where(col("doc_id") > mid), root, cfg, 1L)
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      val qVecs = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val lex = IncrementalBm25.serve(s, root, cfg, queries, k = 20)
+      val dense = Similarity.bruteForceTopK(emb, qVecs, k = 20)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, k = 10)
+    }),
+
     // Language ID by stopword hits + approximate token count.
     "q_text_lang_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2158,6 +2185,25 @@ object SparkEntry {
         docs.where(col("doc_id") % 40 === 0).select("doc_id"))
       IncrementalHamming.admittedIds(s, root, cfg, maxHamming = 3)
         .select(col("doc_id"), col("phash64"))
+    }),
+
+    // The hamming index's probe-lookup surface: every 7th doc's
+    // signature probed against the full indexed corpus, exact hamming
+    // pairs back (pigeonhole-complete for ≤ 3), id-equal rows excluded
+    // as the same document re-presented. The oracle restates the pair
+    // join over the analytic signatures.
+    "q_phash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val packed = docs.withColumn("payload", mkPatternPng(col("doc_id")))
+      val hashes = Multimodal.dHash64(packed, "payload", batchSize = 32)
+        .select("doc_id", "phash64")
+      val cfg = IncrementalHamming.Config(idCol = "doc_id",
+        sigCol = "phash64")
+      val root = Spill.newPath(s) + "/phpairs"
+      IncrementalHamming.ingest(hashes, root, cfg, 0L)
+      IncrementalHamming.pairs(s, root, cfg,
+          hashes.where(col("doc_id") % 7 === 0), maxHamming = 3)
+        .select(col("doc_id_probe"), col("doc_id"), col("hamming"))
     }),
 
     // q_multimodal_decode_png) → Graphics2D bilinear resize to a fixed
@@ -3948,6 +3994,73 @@ object SparkEntry {
     * iff block (r,c) is darker than (r,c+1), the hash assembled as a
     * signed 64-bit sum (bit 63 contributes the sign). The engine
     * computes the SAME value from real decoded PNG pixels. */
+  /** q_hybrid_topk's full fused-ranking restatement — shared verbatim
+    * by q_hybrid_incremental (one canonical copy, zero drift). */
+  private lazy val sqlHybridTopK =
+      s"""WITH corpus AS (
+        |  SELECT d.doc_id, d.text
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
+        |    t -> t <> '') AS w
+        |  FROM corpus
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+        |  GROUP BY doc_id, dl, term
+        |), q AS (
+        |  SELECT DISTINCT doc_id AS q_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
+        |      t -> t <> '')) AS term
+        |    FROM corpus WHERE doc_id % 100 = 0)
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY term
+        |), lex_scored AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
+        |    ), 5) AS score
+        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
+        |  GROUP BY q.q_id, tf.doc_id
+        |), lex AS (
+        |  SELECT q_id, doc_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM lex_scored
+        |), qv AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        |  WHERE vec_id % 100 = 0
+        |), den_scored AS (
+        |  SELECT qv.q_id, e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * qv.q_vec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(qv.q_vec, x -> x::DOUBLE * x::DOUBLE)))) AS score
+        |  FROM embeddings e CROSS JOIN qv
+        |), den AS (
+        |  SELECT q_id, doc_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM den_scored
+        |), fused AS (
+        |  SELECT q_id, doc_id,
+        |    coalesce(1.0 / (60 + l.rank), 0.0) +
+        |    coalesce(1.0 / (60 + d.rank), 0.0) AS rrf
+        |  FROM (SELECT * FROM lex WHERE rank <= 20) l
+        |  FULL OUTER JOIN (SELECT * FROM den WHERE rank <= 20) d
+        |    USING (q_id, doc_id)
+        |), fr AS (
+        |  SELECT q_id, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rank
+        |  FROM fused
+        |)
+        |SELECT q_id, doc_id, rank, floor(rrf * 1e9)::BIGINT AS rrf_i
+        |FROM fr WHERE rank <= 10""".stripMargin
+
   private lazy val sqlPhashCtes = {
     val mdv = "CAST(('0x' || substr(md5(gid::VARCHAR || ':' || " +
       "r.range::VARCHAR || ':' || c.range::VARCHAR), 1, 2)) AS UBIGINT)"
@@ -4935,70 +5048,11 @@ object SparkEntry {
     // CTEs are the q_sim_topk formulation (k=20); fusion is the fixed
     // two-term sum floor-scaled to an integer (no decimal round of a
     // quotient — floor of bit-identical doubles).
-    "q_hybrid_topk" ->
-      s"""WITH corpus AS (
-        |  SELECT d.doc_id, d.text
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |), toks AS (
-        |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
-        |    t -> t <> '') AS w
-        |  FROM corpus
-        |), stats AS (
-        |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
-        |), tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
-        |  GROUP BY doc_id, dl, term
-        |), q AS (
-        |  SELECT DISTINCT doc_id AS q_id, term FROM (
-        |    SELECT doc_id, unnest(list_filter(
-        |      string_split(${sqlNt("substr(text, 1, 120)")}, ' '),
-        |      t -> t <> '')) AS term
-        |    FROM corpus WHERE doc_id % 100 = 0)
-        |), dfq AS (
-        |  SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT term FROM q) GROUP BY term
-        |), lex_scored AS (
-        |  SELECT q.q_id, tf.doc_id,
-        |    round(sum(
-        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (s.sumdl::DOUBLE / s.n)))
-        |    ), 5) AS score
-        |  FROM tf JOIN dfq d USING (term) JOIN q USING (term) CROSS JOIN stats s
-        |  GROUP BY q.q_id, tf.doc_id
-        |), lex AS (
-        |  SELECT q_id, doc_id, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM lex_scored
-        |), qv AS (
-        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-        |  WHERE vec_id % 100 = 0
-        |), den_scored AS (
-        |  SELECT qv.q_id, e.vec_id AS doc_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> e.embedding[i]::DOUBLE * qv.q_vec[i]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(qv.q_vec, x -> x::DOUBLE * x::DOUBLE)))) AS score
-        |  FROM embeddings e CROSS JOIN qv
-        |), den AS (
-        |  SELECT q_id, doc_id, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM den_scored
-        |), fused AS (
-        |  SELECT q_id, doc_id,
-        |    coalesce(1.0 / (60 + l.rank), 0.0) +
-        |    coalesce(1.0 / (60 + d.rank), 0.0) AS rrf
-        |  FROM (SELECT * FROM lex WHERE rank <= 20) l
-        |  FULL OUTER JOIN (SELECT * FROM den WHERE rank <= 20) d
-        |    USING (q_id, doc_id)
-        |), fr AS (
-        |  SELECT q_id, doc_id, rrf, row_number() OVER (
-        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rank
-        |  FROM fused
-        |)
-        |SELECT q_id, doc_id, rank, floor(rrf * 1e9)::BIGINT AS rrf_i
-        |FROM fr WHERE rank <= 10""".stripMargin,
+    "q_hybrid_topk" -> sqlHybridTopK,
+    // the incremental-BM25 hybrid serves the SAME fused ranking:
+    // the index serve is the batch scorer's shared tail (spec-pinned
+    // ulp-equal), the dense side is the exact kernel either way
+    "q_hybrid_incremental" -> sqlHybridTopK,
 
     "q_text_stats" ->
       s"""WITH norm AS (
@@ -5575,6 +5629,16 @@ object SparkEntry {
     // after erasing the doc_id % 40 slice: survive iff no LIVE
     // smaller-id entrant within hamming 3 (entrants-indexed — dropped
     // docs still dominate; erased docs do not)
+    // exact pair lookup: probe slice × full corpus within hamming 3,
+    // self excluded
+    "q_phash_pairs" ->
+      s"""WITH $sqlPhashCtes
+        |SELECT p.doc_id AS doc_id_probe, s.doc_id,
+        |  bit_count(xor(p.phash64, s.phash64))::INT AS hamming
+        |FROM ph p JOIN ph s
+        |  ON p.doc_id % 7 = 0 AND s.doc_id <> p.doc_id
+        |  AND bit_count(xor(p.phash64, s.phash64)) <= 3""".stripMargin,
+
     "q_phash_incremental" ->
       s"""WITH $sqlPhashCtes, live AS (
         |  SELECT doc_id, phash64 FROM ph WHERE doc_id % 40 <> 0
