@@ -179,6 +179,20 @@ class IncrementalSwaSpec extends SparkTestBase {
       multiset(batch(d0.unionByName(d1), 2 * DayUs, 2)))
   }
 
+  test("serve pushes the bucket-range filter into the parquet scan") {
+    val dir = Spill.newPath(spark)
+    IncrementalSwa.ingest(ev((1L, 0, 1, 1.0), (1L, 5, 1, 2.0)), dir, cfg, 0L)
+    val plan = IncrementalSwa.serve(spark, dir, cfg, 6 * DayUs, 2)
+      .queryExecution.executedPlan.toString
+    // partials are written sortWithinPartitions(bucket) precisely so
+    // this pushed range prunes row groups — a regression here silently
+    // turns every serve into a full-state scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("GreaterThanOrEqual(__b") && l.contains("LessThan(__b") &&
+        l.contains("PushedFilters")),
+      s"bucket range filter not pushed into the scan:\n$plan")
+  }
+
   test("describe reports generations, versions, horizons, bytes, lease") {
     val dir = Spill.newPath(spark)
     val empty = IncrementalSwa.describe(spark, dir)
