@@ -1620,6 +1620,25 @@ object SparkEntry {
       IncrementalBm25.serve(s, root, cfg, queries, k = 10)
     }),
 
+    // Time travel on the retrieval index: after the upper-half delta
+    // lands, serveAsOf(0) must score EXACTLY as the index stood — df,
+    // N, and avgdl all at the version-0 boundary (statistics travel
+    // with the state, not just the postings). Oracle = batch BM25 over
+    // the lower half alone.
+    "q_bm25_timetravel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/bm25tt"
+      val cfg = IncrementalBm25.Config()
+      IncrementalBm25.ingest(docs.where(col("doc_id") <= mid), root, cfg, 0L)
+      IncrementalBm25.ingest(docs.where(col("doc_id") > mid), root, cfg, 1L)
+      val queries = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 120).as("q_text"))
+      IncrementalBm25.serveAsOf(s, root, cfg, queries, asOfVersion = 0L,
+        k = 10)
+    }),
+
     // The BM25 index maintained BY A STREAM: bootstrap ingest of the
     // lower half at version 0, the upper half arriving as a file
     // micro-batch through bm25IndexStream at versionBase 1 (the
@@ -4217,11 +4236,19 @@ object SparkEntry {
     * q_bm25_topk and q_bm25_incremental (the incremental index over
     * the whole corpus IS the batch computation, so the two gates
     * must share their oracle structurally, not by copy). */
-  private lazy val sqlBm25TopK =
+  private lazy val sqlBm25TopK = sqlBm25TopKOver("")
+
+  /** The BM25 oracle over a corpus slice — `corpusWhere` restricts the
+    * INDEXED documents (df/N/avgdl all follow); the query set stays the
+    * full %50 slice (a query whose terms match nothing in the corpus
+    * returns no rows on both sides). Shared by the full-corpus gates
+    * and the time-travel gate's pre-delta half.
+    */
+  private def sqlBm25TopKOver(corpusWhere: String) =
       s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(${sqlNt("text")}, ' '),
         |    t -> t <> '') AS w
-        |  FROM documents
+        |  FROM documents $corpusWhere
         |), stats AS (
         |  SELECT count(*) AS n, sum(len(w)) AS sumdl FROM toks
         |), tf AS (
@@ -5042,6 +5069,11 @@ object SparkEntry {
     // q_bm25_topk's full-corpus restatement, verbatim
     "q_bm25_incremental" -> sqlBm25TopK,
     "q_stream_bm25" -> sqlBm25TopK,
+    // the pre-delta index state: BM25 over the lower half only —
+    // df/N/avgdl at the version-0 boundary, nothing from the delta
+    "q_bm25_timetravel" -> sqlBm25TopKOver(
+      "WHERE doc_id <= (SELECT CAST(floor(avg(doc_id)) AS BIGINT) " +
+        "FROM documents)"),
 
     // Hybrid RRF: the lexical CTEs are the q_bm25_topk formulation over
     // the documents∩embeddings corpus (%100 queries, k=20); the dense
