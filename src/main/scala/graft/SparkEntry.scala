@@ -2206,6 +2206,27 @@ object SparkEntry {
         .select(col("doc_id"), col("phash64"))
     }),
 
+    // Time travel on the hamming index: admittedIds(asOf = 0) after a
+    // second delta replays the version-0 admission decisions exactly —
+    // the strictly-ordered rule over the lower half alone.
+    "q_phash_timetravel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val packed = docs.withColumn("payload", mkPatternPng(col("doc_id")))
+      val hashes = Multimodal.dHash64(packed, "payload", batchSize = 32)
+        .select("doc_id", "phash64")
+      val cfg = IncrementalHamming.Config(idCol = "doc_id",
+        sigCol = "phash64")
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val root = Spill.newPath(s) + "/phtt"
+      IncrementalHamming.admit(hashes.where(col("doc_id") <= mid),
+        root, cfg, maxHamming = 3, version = 0L)
+      IncrementalHamming.admit(hashes.where(col("doc_id") > mid),
+        root, cfg, maxHamming = 3, version = 1L)
+      IncrementalHamming.admittedIds(s, root, cfg, maxHamming = 3,
+          asOfVersion = Some(0L))
+        .select(col("doc_id"), col("phash64"))
+    }),
+
     // The hamming index's probe-lookup surface: every 7th doc's
     // signature probed against the full indexed corpus, exact hamming
     // pairs back (pigeonhole-complete for ≤ 3), id-equal rows excluded
@@ -5661,6 +5682,19 @@ object SparkEntry {
     // after erasing the doc_id % 40 slice: survive iff no LIVE
     // smaller-id entrant within hamming 3 (entrants-indexed — dropped
     // docs still dominate; erased docs do not)
+    // the ordered rule over the pre-delta half alone
+    "q_phash_timetravel" ->
+      s"""WITH $sqlPhashCtes, live AS (
+        |  SELECT doc_id, phash64 FROM ph
+        |  WHERE doc_id <= (SELECT CAST(floor(avg(doc_id)) AS BIGINT)
+        |                   FROM documents)
+        |)
+        |SELECT l.doc_id, l.phash64 FROM live l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM live e
+        |  WHERE e.doc_id < l.doc_id
+        |    AND bit_count(xor(e.phash64, l.phash64)) <= 3)""".stripMargin,
+
     // exact pair lookup: probe slice × full corpus within hamming 3,
     // self excluded
     "q_phash_pairs" ->
