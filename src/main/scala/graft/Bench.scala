@@ -133,7 +133,13 @@ object Bench {
           rs.map(ms).mkString(",") + "]" +
           (if (f > 0) s""","failed_runs":$f""" else "") + "}"
       }.mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"queries":$detail}"""
+      // median_protocol: sub-2s queries drop the cold first run and
+      // substitute an extra warm run (see timeOnce's caller above), so
+      // cheap-query medians are STEADY-STATE-ONLY — recorded here so a
+      // consumer comparing against a cold-inclusive baseline knows the
+      // protocols differ ("raw runs" per query still carry every sample,
+      // cold run included for expensive queries)
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"runs_per_query":$runsPerQuery,"median_protocol":"steady_state_sub2s","queries":$detail}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>

@@ -37,8 +37,10 @@ private[operators] object AppendOnlyMeta {
   /** One job over the delta: id bounds, row count, null-id count,
     * distinct-id count, and the content fingerprint over `fpCols` (the
     * id first, then whatever columns define the row's identity for
-    * replay purposes — by NAME, interpolated into the SQL
-    * fingerprint). Refuses empty deltas, null ids, and INTRA-delta
+    * replay purposes — resolved through the Column API, so names that
+    * need quoting — dots, spaces, hyphens — fingerprint exactly like
+    * the rest of the store handles them). Refuses empty deltas, null
+    * ids, and INTRA-delta
     * duplicate ids by name: the stores' statistics are additive per
     * document (df/N/avgdl, signature decisions, code rows), so an id
     * entering twice in one delta double-counts exactly like an id
@@ -53,8 +55,7 @@ private[operators] object AppendOnlyMeta {
     val r = delta.agg(
       min(id.cast("long")), max(id.cast("long")), count(lit(1)),
       count(when(id.isNull, 1)),
-      coalesce(expr(s"bit_xor(xxhash64(${fpCols.mkString(", ")}))"),
-        lit(0L)),
+      coalesce(bit_xor(xxhash64(fpCols.map(col): _*)), lit(0L)),
       countDistinct(id)).head()
     require(r.getLong(2) > 0, "ingest called with an empty delta")
     require(r.getLong(3) == 0,

@@ -72,6 +72,13 @@ object IncrementalBm25 {
       val bounds = AppendOnlyMeta.boundsOf(delta, cfg.idCol,
         Seq(cfg.idCol, cfg.textCol))
       AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "document")
+      // meta BEFORE data: a crash between the two then leaves a benign
+      // hole (the version's ids are reserved in the high-water meta but
+      // its partition is absent — a replay overwrites it idempotently),
+      // whereas data-first leaves SERVED postings whose ids the meta
+      // never recorded, so a later delta re-presenting them would pass
+      // the monotone guard and silently double-count df/N
+      AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
       // spilled ONCE: the postings leg and the sentinel leg of the
       // union would otherwise each re-run the delta scan + tokenization
       // — the cost this store exists to pay once
@@ -89,7 +96,6 @@ object IncrementalBm25 {
         .sortWithinPartitions("__term")
         .write.mode("overwrite")
         .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
-      AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
     }
   }
 

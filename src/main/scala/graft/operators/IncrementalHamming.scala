@@ -176,10 +176,14 @@ object IncrementalHamming {
 
   private def writeLocked(spark: SparkSession, d: DataFrame, dir: String,
       version: Long, bounds: AppendOnlyMeta.Bounds): Unit = {
+    // meta BEFORE data (the IncrementalBm25 ordering): a crash after
+    // the record leaves a benign hole a replay fills idempotently; a
+    // data-first write would serve signatures whose ids the high-water
+    // meta never saw, letting a later delta re-present them
+    AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
     d.sortWithinPartitions("__id")
       .write.mode("overwrite")
       .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
-    AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
   }
 
   /** Delta ids with a strictly-smaller-id entrant (in `refs` ∪ the

@@ -75,6 +75,12 @@ object IncrementalIvfPq {
       AppendOnlyMeta.clear(spark, metaDir(root))
       val bounds = AppendOnlyMeta.boundsOf(initial, idCol,
         Seq(idCol, vecCol))
+      // meta BEFORE the data install (the ingest ordering): a crash
+      // after the record leaves a store with reserved ids and no
+      // committed generation — loud (reads fail by name) and repaired
+      // by re-running build (which clears the meta first); the reverse
+      // order would serve v0 vectors the high-water meta never saw
+      AppendOnlyMeta.record(spark, metaDir(root), 0L, bounds)
       // the static build trains the quantizers and encodes the initial
       // corpus at $root/vectors; that flat dir becomes the versioned
       // store's version 0 by RENAME inside the publish callback
@@ -88,7 +94,6 @@ object IncrementalIvfPq {
             new Path(s"$gen/$VCol=0")),
           s"could not install the built vectors as version 0 at $root")
       }
-      AppendOnlyMeta.record(spark, metaDir(root), 0L, bounds)
     }
   }
 
@@ -112,12 +117,16 @@ object IncrementalIvfPq {
           s"$root — the index cannot replay rebased history")
       val bounds = AppendOnlyMeta.boundsOf(delta, idCol, Seq(idCol, vecCol))
       AppendOnlyMeta.guard(spark, metaDir(root), version, bounds, "vector")
+      // meta BEFORE data (the IncrementalBm25 ordering): a crash after
+      // the record leaves a benign hole a replay fills idempotently; a
+      // crash after a data-first write would serve vectors whose ids the
+      // high-water meta never saw, letting a later delta re-present them
+      AppendOnlyMeta.record(spark, metaDir(root), version, bounds)
       val centroids = spark.read.parquet(s"$root/centroids")
       val cb = IvfPqIndex.loadCodebooks(spark, root)
       IvfPqIndex.encodeAssign(delta, centroids, cb, idCol, vecCol)
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"${IncrementalSwa.liveGen(spark, vecDir(root))}/$VCol=$version")
-      AppendOnlyMeta.record(spark, metaDir(root), version, bounds)
     }
   }
 

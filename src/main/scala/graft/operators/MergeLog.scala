@@ -42,6 +42,7 @@ object MergeLog {
 
   private val VCol = "__v"
   private val DeadCol = "__dead"
+  private val AsidePrefix = "_aside_v"
 
   /** Cross-process writer lease around both mutation paths
     * ([[append]], [[compact]]) — the enforcement of the single-writer
@@ -72,6 +73,13 @@ object MergeLog {
   private def appendLocked(delta: DataFrame, dir: String, version: Long,
       keyCols: Seq[String], tombstoneCol: Option[String]): Unit = {
     require(keyCols.nonEmpty, "append needs key columns")
+    // recover any swap a previous append crashed inside BEFORE anything
+    // reads the version listing (the schema check below does)
+    locally {
+      val fs = new Path(dir).getFileSystem(
+        delta.sparkSession.sparkContext.hadoopConfiguration)
+      recoverAsides(fs, dir)
+    }
     // __v and __dead are the log's own bookkeeping: a delta carrying
     // __v writes files that collide with partition discovery (failing
     // at READ time, far from this writer), and an undeclared __dead is
@@ -134,10 +142,47 @@ object MergeLog {
         s"delta for version $version has duplicate keys (e.g. ${dups.headOption})")
     }
     // the path carries the version (partition discovery reads it back
-    // as the `__v` column) — the files must NOT also contain it
-    fs.delete(new Path(s"$dir/$VCol=$version"), true)
-    require(fs.rename(new Path(staged), new Path(s"$dir/$VCol=$version")),
+    // as the `__v` column) — the files must NOT also contain it.
+    // A replay overwriting its committed partition swaps via RENAME-
+    // ASIDE, never delete-then-rename: a crash between a delete and the
+    // rename-in would leave the log serving latest-wins WITHOUT a
+    // previously committed version — silently, since version holes are
+    // legal — and the next append's staging sweep would then remove the
+    // only surviving copy. With the aside, every crash point either
+    // keeps the committed partition in place or leaves an aside that
+    // [[recoverAsides]] renames back (and reads refuse by name until a
+    // write recovers it).
+    val committed = new Path(s"$dir/$VCol=$version")
+    val aside = new Path(s"$dir/$AsidePrefix$version")
+    if (fs.exists(committed))
+      require(fs.rename(committed, aside),
+        s"merge log append: rename-aside of committed version $version " +
+          s"failed at $dir")
+    require(fs.rename(new Path(staged), committed),
       s"merge log append: rename of staged version $version failed at $dir")
+    fs.delete(aside, true)
+  }
+
+  /** Repair swaps interrupted by a crash: an `_aside_v<V>` dir whose
+    * committed partition is MISSING is the committed data a crashed
+    * replay renamed aside — rename it back; one whose partition exists
+    * is a completed swap's leftover — delete it. Runs at the head of
+    * every write path (append, compact), under the writer lease.
+    */
+  private def recoverAsides(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val p = new Path(dir)
+    if (fs.exists(p))
+      fs.listStatus(p).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(AsidePrefix))
+        .foreach { s =>
+          val v = s.getPath.getName.stripPrefix(AsidePrefix)
+          val committed = new Path(s"$dir/$VCol=$v")
+          if (fs.exists(committed)) fs.delete(s.getPath, true)
+          else require(fs.rename(s.getPath, committed),
+            s"merge log recovery: could not restore version $v at $dir " +
+              s"from ${s.getPath}")
+        }
   }
 
   /** Latest-wins view of the log: for each key, the row of the highest
@@ -220,6 +265,8 @@ object MergeLog {
     */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String]): Unit =
     locked(spark, dir) {
+      recoverAsides(new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), dir)
       val vs = versions(spark, dir)
       require(vs.nonEmpty, s"compact: merge log at $dir is empty or missing")
       val vmax = vs.max
@@ -272,9 +319,27 @@ object MergeLog {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$VCol="))
-      .map(_.getPath.getName.stripPrefix(s"$VCol=").toLong)
+    else {
+      val names = fs.listStatus(p).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+      val present = names.filter(_.startsWith(s"$VCol="))
+        .map(_.stripPrefix(s"$VCol=").toLong)
+      // an aside whose committed partition is missing is a swap a
+      // crashed replay left half-done: the log would resolve WITHOUT a
+      // previously committed version — refuse by name rather than serve
+      // it silently. (A reader racing a LIVE replay's swap can hit this
+      // transiently — retry; any append or compact repairs a crashed one.)
+      val orphaned = names.filter(_.startsWith(AsidePrefix))
+        .map(_.stripPrefix(AsidePrefix).toLong)
+        .filterNot(present.contains)
+      require(orphaned.isEmpty,
+        s"merge log at $dir has interrupted append swaps for versions " +
+          s"${orphaned.sorted.mkString(", ")} — a crashed replay renamed " +
+          "the committed partition aside without completing; any append " +
+          "or compact on this log recovers it first (a reader racing a " +
+          "live append may see this transiently — retry)")
+      present
+    }
   }
 
   private def resolve(log: DataFrame, keyCols: Seq[String]): DataFrame = {

@@ -22,8 +22,17 @@ import java.nio.charset.StandardCharsets
   * the new holder's lease on the way out.
   *
   * Staleness: a holder that died cannot release, so a lease older
-  * than `ttlMs` (file modification time — assigned atomically with
-  * the create, no clock carried in the content) may be TAKEN OVER.
+  * than `ttlMs` may be TAKEN OVER. The lease's age comes from a
+  * creation timestamp CARRIED IN THE FILE CONTENT (third line),
+  * written atomically with the create — not from the file's
+  * modification time, because the takeover protocol renames the
+  * lease aside and on object-store filesystems where rename is
+  * copy+delete (S3A, the GCS connector) the copy gets a NEW mtime:
+  * an mtime-based identity check would fail on every takeover there
+  * and a dead holder's lease could never be reclaimed. (A partial
+  * lease write that lost its timestamp line falls back to mtime —
+  * such a lease was never renamed, so mtime is still the create
+  * time.)
   * The takeover RENAMES the lease aside (atomic — fails for every
   * racer but one) and then VERIFIES the renamed-aside file is the
   * exact lease observed as stale, restoring it when it is not: a
@@ -71,6 +80,11 @@ object WriterLease {
   private def explicitOwner(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.lease.owner").isDefined
 
+  /** (owner, token, createdMs). The creation time is the content's
+    * third line when present (survives copy+delete renames); a partial
+    * write falls back to the file's modification time — the file was
+    * never renamed, so mtime still IS the create time.
+    */
   private def readLeaseAt(f: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[(String, String, Long)] = {
     if (!f.exists(p)) None
@@ -80,11 +94,14 @@ object WriterLease {
       val content =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      val (owner, token) = content.split("\n", 2) match {
-        case Array(o, t) => (o, t.trim)
-        case _ => (content.trim, "") // partial write: held, unknown token
+      content.split("\n", 3) match {
+        case Array(o, t, c) if c.trim.forall(_.isDigit) && c.trim.nonEmpty =>
+          Some((o, t.trim, c.trim.toLong))
+        case Array(o, t, _) => Some((o, t.trim, st.getModificationTime))
+        case Array(o, t) => Some((o, t.trim, st.getModificationTime))
+        case _ => // partial write: held, unknown token
+          Some((content.trim, "", st.getModificationTime))
       }
-      Some((owner, token, st.getModificationTime))
     }
   }
 
@@ -98,7 +115,8 @@ object WriterLease {
     val token = java.util.UUID.randomUUID().toString
     try {
       val out = f.create(leasePath(dir), /* overwrite = */ false)
-      try out.write(s"$owner\n$token".getBytes(StandardCharsets.UTF_8))
+      try out.write(s"$owner\n$token\n${System.currentTimeMillis()}"
+        .getBytes(StandardCharsets.UTF_8))
       finally out.close()
       Some(Lease(dir, owner, token))
     } catch {
@@ -117,10 +135,11 @@ object WriterLease {
     * both observe the same stale lease, racer 1 may rename-aside and
     * create a FRESH lease before racer 2's rename runs — racer 2's
     * rename then evicts racer 1's live lease. Comparing the tomb's
-    * owner/token/mtime against the observation detects this; the tomb
-    * is renamed back so the live holder stays protected. (rename is a
-    * namespace op — it preserves the file's modification time, so the
-    * mtime comparison is stable across the rename.) If a THIRD racer
+    * owner/token/creation-time against the observation detects this;
+    * the tomb is renamed back so the live holder stays protected.
+    * (The creation time is carried IN the lease content, so the
+    * comparison is stable across the rename even on object stores
+    * whose rename is copy+delete and rewrites mtime.) If a THIRD racer
     * slips a fresh lease into the brief vacancy before the rename-back,
     * the restore fails and the evicted holder is left unprotected —
     * but it then fails BY NAME at its own release (lease file gone),
@@ -164,8 +183,8 @@ object WriterLease {
             throw new IllegalStateException(
               s"writer lease on $dir is contended — another writer " +
                 "acquired it concurrently; retry after it finishes"))
-        case Some(observed @ (holder, _, modMs)) =>
-          val ageMs = System.currentTimeMillis() - modMs
+        case Some(observed @ (holder, _, createdMs)) =>
+          val ageMs = System.currentTimeMillis() - createdMs
           val sameExplicit = holder == owner && explicitOwner(spark)
           if (ageMs <= ttlMs(spark) && !sameExplicit)
             throw new IllegalStateException(

@@ -100,6 +100,32 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(e5.getMessage.contains("NULL ids"), e5.getMessage)
   }
 
+  test("crash between meta record and data write: benign hole, replay fills it") {
+    // ingest records the high-water meta BEFORE the version partition —
+    // a crash between the two leaves ids reserved with no served data
+    // (never the reverse, which would let a later delta double-count).
+    // Simulate the crash by deleting the data partition after a full
+    // ingest: the meta row survives, the replay passes the guard and
+    // overwrites the partition idempotently.
+    val root = Spill.newPath(spark) + "/bm"
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    IncrementalBm25.ingest(corpus.where(col("doc_id") > 3), root, cfg, 1L)
+    val gen = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$root/idx"))
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(s"$root/idx/gen=0/__v=1")
+    assert(fs.exists(part), "layout drifted — fix the test's crash simulation")
+    fs.delete(part, true)
+    // the hole serves as if version 1 never happened — consistently
+    val holed = rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+    assert(holed == rows(Retrieval.bm25TopK(
+      corpus.where(col("doc_id") <= 3), queries, k = 3)))
+    // the replay re-presents the same delta and fills the hole
+    IncrementalBm25.ingest(corpus.where(col("doc_id") > 3), root, cfg, 1L)
+    assert(rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+      == rows(Retrieval.bm25TopK(corpus, queries, k = 3)))
+  }
+
   test("forgetDocs erases postings AND length from the statistics") {
     val root = Spill.newPath(spark) + "/bm"
     IncrementalBm25.ingest(corpus, root, cfg, 0L)

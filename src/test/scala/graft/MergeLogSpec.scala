@@ -269,4 +269,56 @@ class MergeLogSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("duplicate keys"))
   }
+
+  test("crash inside a replay's partition swap: reads refuse by name, any write recovers") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    MergeLog.append(Seq((2L, "b1", 21.0)).toDF("k", "name", "v"),
+      dir, 1L, Seq("k"))
+    val before = multiset(MergeLog.snapshot(spark, dir, Seq("k")))
+
+    // the crash window a replay of version 1 can die inside: committed
+    // partition renamed aside, staged not yet renamed in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/__v=1"),
+      new org.apache.hadoop.fs.Path(s"$dir/_aside_v1")))
+
+    // reads must refuse rather than silently resolve WITHOUT version 1
+    val e = intercept[IllegalArgumentException] {
+      MergeLog.snapshot(spark, dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("interrupted append swaps") &&
+      e.getMessage.contains("1"), e.getMessage)
+
+    // any append recovers the aside first — here an unrelated version
+    MergeLog.append(Seq((7L, "g", 70.0)).toDF("k", "name", "v"),
+      dir, 2L, Seq("k"))
+    val after = multiset(MergeLog.snapshot(spark, dir, Seq("k")))
+    assert(after == before + ("[7,g,70.0]" -> 1), s"got $after")
+
+    // compact recovers too: re-create the crash state, compact, and the
+    // restored version 1 row must survive into the fold
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/__v=1"),
+      new org.apache.hadoop.fs.Path(s"$dir/_aside_v1")))
+    MergeLog.compact(spark, dir, Seq("k"))
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) == after)
+  }
+
+  test("a completed swap's leftover aside is swept, not restored") {
+    val dir = Spill.newPath(spark)
+    MergeLog.append(base, dir, 0L, Seq("k"))
+    // crash AFTER the staged rename but before the aside delete: both
+    // the committed partition and the aside exist — reads stay fine and
+    // the next write deletes the stale aside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_aside_v0"))
+    assert(multiset(MergeLog.snapshot(spark, dir, Seq("k"))) ==
+      multiset(base))
+    MergeLog.append(Seq((4L, "d", 40.0)).toDF("k", "name", "v"),
+      dir, 1L, Seq("k"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_aside_v0")))
+    assert(MergeLog.snapshot(spark, dir, Seq("k")).count() == 4)
+  }
 }

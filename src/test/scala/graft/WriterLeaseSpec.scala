@@ -38,15 +38,32 @@ class WriterLeaseSpec extends SparkTestBase {
     assert(served == Map(1L -> 1.0, 2L -> 2.0))
   }
 
+  // age a held lease past the ttl by rewinding the content-carried
+  // creation timestamp (staleness is judged from the content, not file
+  // mtime — see "staleness comes from the content-carried creation
+  // time" below); owner and token survive so the dead holder's handle
+  // still matches the file
+  private def ageLease(dir: String, byMs: Long): Unit = {
+    val p = new Path(s"$dir/_writer_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
+      finally in.close()
+    val created = if (lines.length >= 3) lines(2).trim.toLong
+      else fs.getFileStatus(p).getModificationTime
+    fs.delete(p, false)
+    val out = fs.create(p, false)
+    out.write(s"${lines(0)}\n${lines(1)}\n${created - byMs}".getBytes("UTF-8"))
+    out.close()
+  }
+
   test("stale lease is taken over; the dead holder's release names the takeover") {
     val dir = Spill.newPath(spark)
     spark.conf.set("spark.graft.lease.ttlSeconds", "1")
     try {
       val dead = WriterLease.acquire(spark, dir, "crashed-writer")
       // age the lease past the ttl (a holder that died can't release)
-      val p = new Path(s"$dir/_writer_lease")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.setTimes(p, System.currentTimeMillis() - 5000L, -1L)
+      ageLease(dir, 5000L)
       // a new writer takes over instead of wedging forever
       IncrementalSwa.ingest(delta((1L, 1.0)), dir, cfg, 0L)
       assert(IncrementalSwa.versions(spark, dir) == Seq(0L))
@@ -69,9 +86,7 @@ class WriterLeaseSpec extends SparkTestBase {
     try {
       // both racers observe the same stale lease...
       WriterLease.acquire(spark, dir, "old-writer")
-      val p = new Path(s"$dir/_writer_lease")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.setTimes(p, System.currentTimeMillis() - 5000L, -1L)
+      ageLease(dir, 5000L)
       val observed = WriterLease.readLease(spark, dir).get
       // ...racer 1 takes it over first and now holds a FRESH lease
       val racer1 = WriterLease.acquire(spark, dir, "racer-1")
@@ -89,9 +104,7 @@ class WriterLeaseSpec extends SparkTestBase {
     spark.conf.set("spark.graft.lease.ttlSeconds", "1")
     try {
       val zombie = WriterLease.acquire(spark, dir, "zombie")
-      val p = new Path(s"$dir/_writer_lease")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.setTimes(p, System.currentTimeMillis() - 5000L, -1L)
+      ageLease(dir, 5000L)
       val taker = WriterLease.acquire(spark, dir, "taker")
       // the zombie's release verifies via rename — it must fail by name
       // AND leave the taker's lease in place (a read-then-delete pair
@@ -110,5 +123,44 @@ class WriterLeaseSpec extends SparkTestBase {
     }
     // lease gone: the next acquire succeeds immediately
     WriterLease.release(spark, WriterLease.acquire(spark, dir, "w2"))
+  }
+
+  test("staleness comes from the content-carried creation time, not file mtime") {
+    // on object stores rename is copy+delete and rewrites mtime, so the
+    // takeover identity check must survive an mtime change — the lease
+    // carries its creation time IN the content
+    val dir = Spill.newPath(spark)
+    val p = new Path(s"$dir/_writer_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val staleMs = System.currentTimeMillis() - 3600 * 1000L
+    val out = fs.create(p, false)
+    out.write(s"dead-writer\nsome-token\n$staleMs".getBytes("UTF-8"))
+    out.close()
+    // the FILE is brand new (fresh mtime) — only the content says stale
+    spark.conf.set("spark.graft.lease.ttlSeconds", "600")
+    try {
+      val read = WriterLease.readLease(spark, dir)
+      assert(read.exists(_._3 == staleMs), s"created-at must come from content: $read")
+      val taker = WriterLease.acquire(spark, dir, "taker")
+      assert(WriterLease.readLease(spark, dir).exists(_._1 == "taker"))
+      WriterLease.release(spark, taker)
+    } finally spark.conf.unset("spark.graft.lease.ttlSeconds")
+  }
+
+  test("a legacy two-line lease falls back to mtime and still excludes") {
+    val dir = Spill.newPath(spark)
+    val p = new Path(s"$dir/_writer_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(p, false)
+    out.write("live-writer\nits-token".getBytes("UTF-8"))
+    out.close()
+    // fresh mtime, no content timestamp: treated as live — excluded
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(spark, dir, "contender")
+    }
+    assert(e.getMessage.contains("live-writer"), e.getMessage)
+    fs.delete(p, false)
   }
 }
