@@ -120,6 +120,104 @@ object IncrementalMaterializer {
   private def cfg(keyCols: Seq[String], tsCol: String, bucketUs: Long) =
     IncrementalSwa.Config(keyCols, tsCol, "__graft_m", bucketUs)
 
+  // ------------------------------------------------------------------
+  // Feature-set-level refresh commit marker. A refresh fans ONE delta
+  // out to N independent stores (Par.run, each under its own lease) —
+  // per-store ingests are version-idempotent, but nothing at the SET
+  // level says "all N landed": a crash after store A ingested version
+  // V but before store B did leaves mixed-version state that snapshot /
+  // snapshotDaily / trainingSet would assemble into one wide row no
+  // single-version state ever produced — silently. The reference's
+  // materialization is one job per step (feathr-rs/src/materialization.rs:200-231),
+  // atomic by construction; the O(delta) refactoring must not be weaker.
+  //
+  // Protocol: before fan-out the refresh writes `_refresh_pending_<V>`
+  // at the set root, its CONTENT the root-relative store dirs the fan
+  // covers; after every store lands, markers <= V are removed. Serves
+  // intersect the pending dirs with the stores they are about to read
+  // and refuse BY NAME any that lag the marker's version — a store at
+  // or above V completed its ingest (data lands only after the
+  // ingest's own meta/validation), so a crash between the last ingest
+  // and the marker sweep self-heals at the next serve rather than
+  // refusing forever. Repair is the refresh's own replay (idempotent
+  // per store); markers are swept on completion.
+  // ------------------------------------------------------------------
+
+  private val PendingPrefix = "_refresh_pending_"
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Record intent: refresh `version` is about to fan out to
+    * `storeDirs` (root-relative). Overwrites its own marker — a
+    * replayed refresh re-declares the same intent.
+    */
+  private def markPending(spark: SparkSession, root: String, version: Long,
+      storeDirs: Seq[String]): Unit = {
+    val f = fsOf(spark, root)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/$PendingPrefix$version"), true)
+    try out.write(storeDirs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** All stores landed: sweep this refresh's marker AND any older
+    * stragglers (a completed refresh at V proves every covered store is
+    * at >= V, which satisfies any lower pending version over the same
+    * set — leaving them would refuse serves forever after the state
+    * already healed).
+    */
+  private def clearPending(spark: SparkSession, root: String,
+      version: Long): Unit = {
+    val f = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (f.exists(p))
+      f.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.startsWith(PendingPrefix))
+        .filter(_.getPath.getName.stripPrefix(PendingPrefix).toLong <= version)
+        .foreach(s => f.delete(s.getPath, false))
+  }
+
+  /** Pending refreshes at `root`: (version, root-relative store dirs). */
+  private def pending(spark: SparkSession,
+      root: String): Seq[(Long, Seq[String])] = {
+    val f = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(PendingPrefix))
+      .map { s =>
+        val in = f.open(s.getPath)
+        val dirs = try new String(in.readAllBytes(), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+        (s.getPath.getName.stripPrefix(PendingPrefix).toLong, dirs)
+      }
+  }
+
+  /** The serve-side tear check: every store this serve reads that an
+    * unfinished refresh covers must be AT OR ABOVE the refresh's
+    * version, else the wide row would mix versions — refused by name.
+    * `servedDirs` are ABSOLUTE store paths under `root`.
+    */
+  private def requireRefreshComplete(spark: SparkSession, root: String,
+      servedDirs: Seq[String]): Unit =
+    pending(spark, root).foreach { case (v, rel) =>
+      val covered = rel.map(r => s"$root/$r").toSet
+      val lagging = servedDirs.filter(covered)
+        .filterNot(d =>
+          IncrementalSwa.versions(spark, d).lastOption.exists(_ >= v))
+      require(lagging.isEmpty,
+        s"refresh version $v of the feature set at $root started but " +
+          s"did not complete: store(s) ${lagging.mkString(", ")} have " +
+          "not ingested it — serving now would assemble a wide row " +
+          "mixing feature versions. Replay the refresh at version " +
+          s"$v (per-store ingest is idempotent) or wait for the " +
+          "in-flight refresh to finish")
+    }
+
   /** Fold one delta into every feature's measure store — one delta
     * shuffle per DISTINCT (defExpr, filter, store kind), not per
     * feature. Same version/replay discipline as
@@ -132,6 +230,11 @@ object IncrementalMaterializer {
       version: Long, unionCap: Int = 10000): Unit = {
     require(features.nonEmpty, "no features to refresh")
     val measures = features.map(planOf(_, bucketUs)._1).distinct
+    // set-level commit intent BEFORE the fan-out (see the marker
+    // protocol above): a crash mid-fan leaves the marker, and serves
+    // refuse the torn subset by name until the refresh is replayed
+    markPending(spark = delta.sparkSession, root = root, version = version,
+      storeDirs = measures.map(m => s"${m.kind.prefix}=${m.id}"))
     // plans built sequentially, the independent per-store writes run
     // concurrently (separate dirs, separate leases) — wall ≈ the
     // slowest store instead of the sum (the Par lever, r14 verdict)
@@ -152,6 +255,7 @@ object IncrementalMaterializer {
           version)
       }
     }: _*)
+    clearPending(delta.sparkSession, root, version)
   }
 
   /** The wide feature row per key as of bucket boundary `asOfUs`: one
@@ -176,6 +280,8 @@ object IncrementalMaterializer {
       derived: Seq[DerivedFeature] = Nil): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
     val plans = features.map(f => (f, planOf(f, bucketUs)))
+    requireRefreshComplete(spark, root,
+      plans.map { case (_, (m, _, _)) => storeDir(root, m) }.distinct)
     val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
       .map { case ((m, w), fs) =>
         val base = m.kind match {
@@ -221,6 +327,8 @@ object IncrementalMaterializer {
       throughBucket: Option[Long] = None): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
     val plans = features.map(f => (f, planOf(f, bucketUs)))
+    requireRefreshComplete(spark, root,
+      plans.map { case (_, (m, _, _)) => storeDir(root, m) }.distinct)
     val joinCols = keyCols :+ "bucket"
     val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
       .map { case ((m, w), fs) =>
@@ -461,6 +569,11 @@ object IncrementalMaterializer {
       bucketUs: Long, version: Long): Unit = {
     require(features.nonEmpty, "no features to refresh")
     features.foreach(graftWindow(_, bucketUs)) // validate up front
+    // the same set-level commit marker as [[refresh]] — one fan-out,
+    // one torn-refresh refusal surface
+    markPending(delta.sparkSession, root, version,
+      features.map(graftDir(root, _)).distinct
+        .map(_.stripPrefix(s"$root/")))
     Par.run(features.groupBy(graftDir(root, _)).toSeq.map { case (dir, fs) => () =>
       val f = fs.head
       val filtered = f.filter.map(delta.where(_)).getOrElse(delta)
@@ -481,6 +594,7 @@ object IncrementalMaterializer {
               bucketUs, cand), version)
       }
     }: _*)
+    clearPending(delta.sparkSession, root, version)
   }
 
   /** The wide extension-feature row per key as of `asOfUs` — one serve
@@ -495,6 +609,8 @@ object IncrementalMaterializer {
       features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
       bucketUs: Long, asOfUs: Long): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
+    requireRefreshComplete(spark, root,
+      features.map(graftDir(root, _)).distinct)
     val served = features
       .groupBy(f => (graftDir(root, f), graftWindow(f, bucketUs)))
       .flatMap { case ((dir, w), fs) =>
@@ -546,6 +662,8 @@ object IncrementalMaterializer {
       bucketUs: Long, includeHorizonPartialRows: Boolean = false,
       throughBucket: Option[Long] = None): DataFrame = {
     require(features.nonEmpty, "no features to snapshot")
+    requireRefreshComplete(spark, root,
+      features.map(graftDir(root, _)).distinct)
     val joinCols = keyCols :+ "bucket"
     val served = features
       .groupBy(f => (graftDir(root, f), graftWindow(f, bucketUs)))
@@ -704,10 +822,22 @@ object IncrementalMaterializer {
       version: Long, unionCap: Int = 10000): Unit = {
     require(features.nonEmpty, "no features to refresh")
     requireDistinctAliases(features)
-    Par.run(features.groupBy(bindingOf).toSeq.map { case (b, fs) => () =>
+    val groups = features.groupBy(bindingOf)
+    // a TOP-level marker covers tears ACROSS bindings (binding A's
+    // nested refresh completed and cleared ITS marker, binding B's
+    // never started) — the nested per-binding markers cover tears
+    // within one binding's fan-out
+    markPending(delta.sparkSession, root, version,
+      groups.toSeq.flatMap { case (b, fs) =>
+        val bRel = bindingRoot(root, b).stripPrefix(s"$root/")
+        fs.map(planOf(_, bucketUs)._1).distinct
+          .map(m => s"$bRel/${m.kind.prefix}=${m.id}")
+      })
+    Par.run(groups.toSeq.map { case (b, fs) => () =>
       refresh(delta, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, version, unionCap)
     }: _*)
+    clearPending(delta.sparkSession, root, version)
   }
 
   /** One wide feature frame PER binding, key columns renamed to their
@@ -724,6 +854,7 @@ object IncrementalMaterializer {
     require(features.nonEmpty, "no features to snapshot")
     requireDistinctAliases(features)
     val groups = features.groupBy(bindingOf)
+    requireRefreshComplete(spark, root, multiAnchorDirs(root, groups, bucketUs))
     val claims = claimDerived(groups, derived)
     groups.map { case (b, fs) =>
       val frame = snapshot(spark, bindingRoot(root, b), fs, b.map(_._2),
@@ -765,6 +896,23 @@ object IncrementalMaterializer {
     claims
   }
 
+  /** Absolute store dirs a Multi serve reads — the top-root tear
+    * check's coverage ([[requireRefreshComplete]] against the marker
+    * [[refreshMulti]] wrote across bindings).
+    */
+  private def multiAnchorDirs(root: String,
+      groups: Map[Seq[(String, String)], Seq[AnchorFeature]],
+      bucketUs: Long): Seq[String] =
+    groups.toSeq.flatMap { case (b, fs) =>
+      fs.map(f => storeDir(bindingRoot(root, b), planOf(f, bucketUs)._1))
+    }.distinct
+
+  private def multiGraftDirs(root: String,
+      groups: Map[Seq[(String, String)], Seq[GraftFeature]]): Seq[String] =
+    groups.toSeq.flatMap { case (b, fs) =>
+      fs.map(graftDir(bindingRoot(root, b), _))
+    }.distinct
+
   private def aliasKeys(frame: DataFrame,
       b: Seq[(String, String)]): DataFrame =
     b.foldLeft(frame) { case (acc, (alias, phys)) =>
@@ -782,6 +930,7 @@ object IncrementalMaterializer {
     require(features.nonEmpty, "no features to snapshot")
     requireDistinctAliases(features)
     val groups = features.groupBy(bindingOf)
+    requireRefreshComplete(spark, root, multiAnchorDirs(root, groups, bucketUs))
     val claims = claimDerived(groups, derived)
     groups.map { case (b, fs) =>
       val frame = snapshotDaily(spark, bindingRoot(root, b), fs, b.map(_._2),
@@ -822,6 +971,9 @@ object IncrementalMaterializer {
     val groups = features.groupBy(bindingOf)
     val claims = claimDerived(groups, derived)
     val graftGroups = graftFeatures.groupBy(graftBindingOf)
+    requireRefreshComplete(spark, root,
+      multiAnchorDirs(root, groups, bucketUs) ++
+        multiGraftDirs(root, graftGroups))
     (groups.keys ++ graftGroups.keys).flatMap(_.map(_._1)).foreach { alias =>
       require(observations.columns.contains(alias),
         s"observations are missing key-alias column '$alias' — the " +
@@ -862,7 +1014,9 @@ object IncrementalMaterializer {
       throughBucket: Option[Long] = None): Map[Seq[String], DataFrame] = {
     require(features.nonEmpty, "no features to snapshot")
     requireDistinctGraftAliases(features)
-    features.groupBy(graftBindingOf).map { case (b, fs) =>
+    val groups = features.groupBy(graftBindingOf)
+    requireRefreshComplete(spark, root, multiGraftDirs(root, groups))
+    groups.map { case (b, fs) =>
       val frame = snapshotDailyGraft(spark, bindingRoot(root, b), fs,
         b.map(_._2), tsCol, bucketUs, includeHorizonPartialRows,
         throughBucket)
@@ -934,10 +1088,19 @@ object IncrementalMaterializer {
       version: Long): Unit = {
     require(features.nonEmpty, "no features to refresh")
     requireDistinctGraftAliases(features)
-    Par.run(features.groupBy(graftBindingOf).toSeq.map { case (b, fs) => () =>
+    val groups = features.groupBy(graftBindingOf)
+    // top-level marker across bindings — the [[refreshMulti]] rationale
+    markPending(delta.sparkSession, root, version,
+      groups.toSeq.flatMap { case (b, fs) =>
+        val bRoot = bindingRoot(root, b)
+        fs.map(graftDir(bRoot, _)).distinct
+          .map(_.stripPrefix(s"$root/"))
+      })
+    Par.run(groups.toSeq.map { case (b, fs) => () =>
       refreshGraft(delta, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, version)
     }: _*)
+    clearPending(delta.sparkSession, root, version)
   }
 
   /** [[snapshotGraft]] per binding: alias-schema → wide frame, key
@@ -949,7 +1112,9 @@ object IncrementalMaterializer {
       asOfUs: Long): Map[Seq[String], DataFrame] = {
     require(features.nonEmpty, "no features to snapshot")
     requireDistinctGraftAliases(features)
-    features.groupBy(graftBindingOf).map { case (b, fs) =>
+    val groups = features.groupBy(graftBindingOf)
+    requireRefreshComplete(spark, root, multiGraftDirs(root, groups))
+    groups.map { case (b, fs) =>
       val frame = snapshotGraft(spark, bindingRoot(root, b), fs,
         b.map(_._2), tsCol, bucketUs, asOfUs)
       b.map(_._1) -> aliasKeys(frame, b)

@@ -293,6 +293,94 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     assert(graft.operators.IncrementalSwa.versions(spark, uDir).isEmpty)
   }
 
+  test("torn multi-store refresh: serves refuse by name, replay repairs") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(
+      feat("s2", wa("SUM")),
+      AnchorFeature("tags", FeatureType.STRING, Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d")), Seq(key)))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    // version 1 fans to both stores but the union ingest dies over-cap
+    // — the scalar store may or may not have landed version 1: a TORN
+    // refresh either way
+    intercept[IllegalStateException] {
+      IncrementalMaterializer.refresh(events, root, feats,
+        Seq("k"), "ts", DayUs, 1L, unionCap = 1)
+    }
+    // every feature-set serve refuses by name rather than assemble a
+    // wide row mixing versions
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+    }
+    assert(e.getMessage.contains("did not complete") &&
+      e.getMessage.contains("version 1"), e.getMessage)
+    val eT = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.trainingSet(spark, root, feats,
+        Seq("k"), "ts", DayUs,
+        Seq((1L, 2)).toDF("k", "d")
+          .withColumn("ots", timestamp_micros(col("d") * DayUs)),
+        "ots")
+    }
+    assert(eT.getMessage.contains("did not complete"), eT.getMessage)
+    // the replay (idempotent per store) lands both and clears the marker
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 1L)
+    val snap = IncrementalMaterializer.snapshot(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select("k", "s2").as[(Long, Double)].collect().toMap
+    // events ingested at versions 0 AND 1 -> sums doubled
+    assert(snap == Map(1L -> 14.0, 2L -> 20.0), snap.toString)
+  }
+
+  test("tear check is scoped: untouched stores serve, completed markers self-heal") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(
+      feat("s2", wa("SUM")),
+      AnchorFeature("tags", FeatureType.STRING, Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d")), Seq(key)))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    val stores = new java.io.File(root).listFiles
+      .map(_.getName).filter(n => n.startsWith("m=") || n.startsWith("u="))
+    val uStore = stores.find(_.startsWith("u=")).get
+    // a pending marker claiming version 99 covers ONLY the union store
+    def writeMarker(content: String): Unit = {
+      val w = new java.io.PrintWriter(s"$root/_refresh_pending_99")
+      try w.print(content) finally w.close()
+    }
+    writeMarker(uStore)
+    // a serve touching only the SCALAR store is unaffected by the tear
+    assert(IncrementalMaterializer.snapshot(spark, root,
+      Seq(feat("s2", wa("SUM"))), Seq("k"), "ts", DayUs, 2 * DayUs)
+      .count() == 2)
+    // ...while the full set refuses
+    intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+    }
+    // crash AFTER the last ingest but before the marker sweep: every
+    // covered store is at or above the marker version — serve self-heals
+    writeMarker(stores.mkString("\n"))
+    new java.io.File(s"$root/_refresh_pending_99").delete()
+    writeMarker(stores.mkString("\n"))
+    // stores are at version 0 and the marker says 99 -> still torn
+    intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+    }
+    new java.io.File(s"$root/_refresh_pending_99").delete()
+    val w = new java.io.PrintWriter(s"$root/_refresh_pending_0")
+    try w.print(stores.mkString("\n")) finally w.close()
+    assert(IncrementalMaterializer.snapshot(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs).count() == 2)
+    // a completed later refresh sweeps stale markers
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 1L)
+    assert(!new java.io.File(s"$root/_refresh_pending_0").exists())
+  }
+
   test("snapshotDaily + trainingSet: keys×days assembly and leak-free join") {
     val root = Spill.newPath(spark)
     val feats = Seq(
