@@ -1392,6 +1392,12 @@ object SparkEntry {
     // GDPR slice erased, the tail compacted — then the STATIC index's
     // one query path must still partition-prune and hit the recall
     // bar against exact brute force over the surviving corpus.
+    // r15 extends the lifecycle with the drift remedy: REBUILD
+    // (retrain + re-encode over the survivors, quantizers swapped
+    // atomically inside the new generation) — the recall bar must
+    // hold under the retrained quantizers, pre-rebuild history must
+    // refuse as rebased, and the version lineage must continue (a
+    // fresh-id delta ingested against the NEW quantizers serves).
     "q_sim_ivfpq_incremental" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 100 === 0)
@@ -1414,11 +1420,46 @@ object SparkEntry {
         "incremental IVF-PQ vectors scan is not partition-pruned")
       val exact = Similarity.bruteForceTopK(
         emb.where(col("vec_id") % 100 =!= 50), queries, k)
-      approx.select("q_id", "vec_id")
-        .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
-        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-        .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
-        .select(col("q_id"), lit(true).as("recall_ok"))
+      val recallGate = (served: org.apache.spark.sql.DataFrame,
+          truth: org.apache.spark.sql.DataFrame) =>
+        served.select("q_id", "vec_id")
+          .join(truth.select("q_id", "vec_id"),
+            Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+          .where(col("n_hits") >= math.ceil(0.7 * k).toInt)
+          .select(col("q_id"), lit(true).as("recall_ok"))
+      val nQueries = queries.count()
+      require(recallGate(approx, exact).count() == nQueries,
+        "pre-rebuild recall below the bar")
+      // ---- rebuild: the FAISS train()+add() retrain cycle ----
+      IncrementalIvfPq.rebuild(s, root)
+      val vstore = s"$root/vstore"
+      val gen = graft.operators.Publish.current(s, vstore).get
+      require(new java.io.File(s"$vstore/gen=$gen/_quantizers/centroids")
+        .exists, "rebuild did not install quantizers inside its generation")
+      val refused = try {
+        IncrementalIvfPq.queryAsOf(s, root, queries, 1L, k, nProbe = 12)
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("rebased") }
+      require(refused, "pre-rebuild history must refuse as rebased")
+      // lineage continues under the NEW quantizers: fresh ids above
+      // the burned range, encoded by the rebuilt codebooks
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val freshDelta = emb.where(col("vec_id") % 100 === 3)
+        .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"))
+      IncrementalIvfPq.ingest(freshDelta, root, version =
+        graft.operators.IncrementalSwa.foldedThrough(s, vstore) + 1)
+      val post = IncrementalIvfPq.query(s, root, queries, k,
+        nProbe = 12, rescoreFactor = 20)
+      val postPlan = post.queryExecution.executedPlan.toString
+      require(postPlan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell_id") && !l.contains("PartitionFilters: []")),
+        "rebuilt IVF-PQ vectors scan is not partition-pruned")
+      val postExact = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") % 100 =!= 50)
+          .select("vec_id", "embedding").unionByName(freshDelta), queries, k)
+      recallGate(post, postExact)
     }),
 
     // Embedding int8 quantization (storage compression): per-vector

@@ -43,6 +43,40 @@ object IncrementalIvfPq {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The quantizer layout the LIVE generation was encoded under: a
+    * [[rebuild]] installs retrained quantizers INSIDE its generation
+    * dir (`gen=<g>/_quantizers/`), so the atomic pointer flip swaps
+    * codes and quantizers together — a reader can never pair one
+    * generation's codes with another's codebooks, which would score
+    * garbage silently. A store never rebuilt falls back to the static
+    * [[IvfPqIndex.build]] flat layout at `root`. Plain [[compact]] /
+    * [[forgetVectors]] CARRY the quantizers into their new generation
+    * (codes stay valid — folds move rows, they never re-encode).
+    */
+  private def quantPath(spark: SparkSession, root: String): String =
+    IncrementalSwa.liveGenOpt(spark, vecDir(root))
+      .map(g => s"$g/_quantizers")
+      .filter(p => fs(spark, p).exists(new Path(p)))
+      .getOrElse(root)
+
+  /** The [[IncrementalSwa.compactFold]] install hook that carries the
+    * live generation's quantizers into the fold's new generation —
+    * resolved INSIDE the publish callback (the pointer still names the
+    * OLD generation there, and the whole fold runs under the writer
+    * lease, so the copy source is stable).
+    */
+  private def carryQuantizers(spark: SparkSession, root: String)(
+      gen: String): Unit =
+    IncrementalSwa.liveGenOpt(spark, vecDir(root)).foreach { live =>
+      val f = fs(spark, root)
+      val src = new Path(s"$live/_quantizers")
+      if (f.exists(src))
+        require(org.apache.hadoop.fs.FileUtil.copy(f, src, f,
+            new Path(s"$gen/_quantizers"), /* deleteSource = */ false,
+            spark.sparkContext.hadoopConfiguration),
+          s"could not carry quantizers from $src into $gen")
+    }
+
   /** Train the quantizers over `initial` (the [[IvfPqIndex.build]]
     * training pass, writing `centroids/`, `codebooks/`, `meta/` under
     * `root`) and install it as version 0. Re-building over an
@@ -109,8 +143,12 @@ object IncrementalIvfPq {
     val spark = delta.sparkSession
     val missing = Seq(idCol, vecCol).filterNot(delta.columns.contains)
     require(missing.isEmpty, s"delta is missing columns $missing")
-    IvfPqIndex.requireEncoding(spark, root)
     IncrementalSwa.locked(spark, vecDir(root)) {
+      // quantizers resolved INSIDE the lock: a concurrent rebuild could
+      // flip the generation (and with it the quantizer epoch) between
+      // an unlocked read and the encode
+      val qp = quantPath(spark, root)
+      IvfPqIndex.requireEncoding(spark, qp)
       val folded = IncrementalSwa.foldedThrough(spark, vecDir(root))
       require(version > folded,
         s"version $version is at or below the compaction fold ($folded) at " +
@@ -122,8 +160,8 @@ object IncrementalIvfPq {
       // crash after a data-first write would serve vectors whose ids the
       // high-water meta never saw, letting a later delta re-present them
       AppendOnlyMeta.record(spark, metaDir(root), version, bounds)
-      val centroids = spark.read.parquet(s"$root/centroids")
-      val cb = IvfPqIndex.loadCodebooks(spark, root)
+      val centroids = spark.read.parquet(s"$qp/centroids")
+      val cb = IvfPqIndex.loadCodebooks(spark, qp)
       IvfPqIndex.encodeAssign(delta, centroids, cb, idCol, vecCol)
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"${IncrementalSwa.liveGen(spark, vecDir(root))}/$VCol=$version")
@@ -137,7 +175,7 @@ object IncrementalIvfPq {
       k: Int, nProbe: Int, rescoreFactor: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
-    IvfPqIndex.queryVectors(spark, root,
+    IvfPqIndex.queryVectors(spark, quantPath(spark, root),
       spark.read.parquet(
         IncrementalSwa.requireLiveGen(spark, vecDir(root))),
       queries, k, nProbe, rescoreFactor, idCol, vecCol, qIdCol, qVecCol)
@@ -154,7 +192,7 @@ object IncrementalIvfPq {
       s"version $asOfVersion predates the compaction fold ($folded) at " +
         s"$root — that history was rebased; serving the fold instead " +
         "would be a reproducibility lie")
-    IvfPqIndex.queryVectors(spark, root,
+    IvfPqIndex.queryVectors(spark, quantPath(spark, root),
       spark.read.parquet(
           IncrementalSwa.requireLiveGen(spark, vecDir(root)))
         .where(col(VCol) <= asOfVersion),
@@ -174,7 +212,8 @@ object IncrementalIvfPq {
       () => spark.read.parquet(
           IncrementalSwa.requireLiveGen(spark, vecDir(root)))
         .drop(VCol),
-      sortCol = "cell_id", partitionCols = Seq("cell_id"))
+      sortCol = "cell_id", partitionCols = Seq("cell_id"),
+      install = carryQuantizers(spark, root))
 
   /** GDPR erasure: one anti-join fold removes the vectors — absent
     * from every later query; their ids stay burned for re-ingest.
@@ -187,6 +226,64 @@ object IncrementalIvfPq {
           IncrementalSwa.requireLiveGen(spark, vecDir(root)))
         .drop(VCol)
         .join(keys, Seq(idCol), "left_anti"),
-      sortCol = "cell_id", partitionCols = Seq("cell_id"))
+      sortCol = "cell_id", partitionCols = Seq("cell_id"),
+      install = carryQuantizers(spark, root))
+  }
+
+  /** The drift remedy as an API — the FAISS `train()`+`add()` retrain
+    * cycle: re-train the quantizers over the CURRENT surviving corpus
+    * (raw vectors ride in the store for exact rescore, so nothing is
+    * lost to PQ), re-encode every survivor, and swap codes AND
+    * quantizers atomically under one new [[Publish]] generation. The
+    * frozen-quantizer recall decay this store documents is thereby
+    * repaired on the operator's schedule — never silently.
+    *
+    * Shape (`nCells`/`m`/`kCodes`) defaults to the live quantizers' own
+    * (the retrain-in-place posture); override to resize. History below
+    * the rebuild is REBASED: the fold marker makes [[queryAsOf]] refuse
+    * pre-rebuild versions with the shared rebased-history error
+    * (pre-rebuild answers came from the OLD quantizers — replaying them
+    * from re-encoded state would be a reproducibility lie). The
+    * high-water id meta is UNTOUCHED: forgotten ids stay burned, and
+    * the next [[ingest]] continues the version lineage above the fold.
+    * Returns the new generation number.
+    */
+  def rebuild(spark: SparkSession, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Option[Int] = None, m: Option[Int] = None,
+      kCodes: Option[Int] = None, kmeansIters: Int = 3, pqIters: Int = 5,
+      trainSampleCap: Int = 1 << 16): Long = {
+    val staging = s"$root/_rebuild_q"
+    val f = fs(spark, root)
+    // training runs INSIDE the fold thunk (under the writer lease —
+    // the survivors listing, the retrain, and the re-encode must all
+    // pin one state); the staged quantizers are renamed into the new
+    // generation by the install hook, so a crash anywhere leaves the
+    // old generation (old codes + old quantizers) fully live
+    IncrementalSwa.compactFold(spark, vecDir(root),
+      () => {
+        val qpOld = quantPath(spark, root)
+        val oldCb = IvfPqIndex.loadCodebooks(spark, qpOld)
+        val survivors = Spill.roundTrip(
+          spark.read.parquet(
+              IncrementalSwa.requireLiveGen(spark, vecDir(root)))
+            .select(col(idCol), col(vecCol)))
+        f.delete(new Path(staging), true)
+        val q = IvfPqIndex.trainQuantizersTo(survivors, staging,
+          nCells.getOrElse(
+            spark.read.parquet(s"$qpOld/centroids").count().toInt),
+          m.getOrElse(oldCb.length), kCodes.getOrElse(oldCb.head.length),
+          idCol, vecCol, kmeansIters, pqIters, trainSampleCap)
+        IvfPqIndex.encodeResiduals(q.residuals, q.cb, idCol, vecCol)
+      },
+      sortCol = "cell_id", partitionCols = Seq("cell_id"),
+      install = gen => require(
+        f.rename(new Path(staging), new Path(s"$gen/_quantizers")),
+        s"could not install rebuilt quantizers into $gen"),
+      // the re-encode changes what EVERY prior version's scores would
+      // be (new quantizers) — fold into a fresh slot so queryAsOf
+      // refuses all of them as rebased instead of silently answering
+      // under quantizers those versions never had
+      bumpVersion = true)
   }
 }

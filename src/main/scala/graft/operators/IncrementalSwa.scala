@@ -208,12 +208,20 @@ object IncrementalSwa {
       mkFold: () => DataFrame,
       newRetainedFrom: Option[Long] = None,
       sortCol: String = BCol,
-      partitionCols: Seq[String] = Nil): Long = locked(spark, dir) {
+      partitionCols: Seq[String] = Nil,
+      install: String => Unit = _ => (),
+      bumpVersion: Boolean = false): Long = locked(spark, dir) {
     val fold = mkFold()
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"state at $dir is empty or missing — ingest at " +
       "least one delta before compacting")
-    val vmax = vs.max
+    // a plain compact folds AS the max version (as-of that version is
+    // still answerable — the fold holds exactly its state); a fold that
+    // CHANGES how existing versions would be answered (the IvfPq
+    // rebuild: same corpus, new quantizers) bumps to a fresh slot so
+    // every prior version is refused as rebased, not silently answered
+    // under semantics it never had
+    val vmax = if (bumpVersion) vs.max + 1 else vs.max
     // the retention horizon SURVIVES later plain compactions: without
     // the carry, a plain compact after a retaining one would drop the
     // marker and a serve reaching below the horizon would silently
@@ -234,6 +242,10 @@ object IncrementalSwa {
       f.create(new Path(s"$gen/$FoldPrefix$vmax"), false).close()
       horizon.foreach(h =>
         f.create(new Path(s"$gen/$RetainPrefix$h"), false).close())
+      // store-specific sidecar install (e.g. IncrementalIvfPq's
+      // per-generation quantizers) — INSIDE the publish callback, so
+      // the sidecar flips atomically with the fold under one marker
+      install(gen)
     }
   }
 

@@ -76,6 +76,62 @@ object IvfPqIndex {
       .parquet(s"$path/vectors")
   }
 
+  /** Freshly trained quantizers plus the spilled residual frame they
+    * were trained over — so a caller re-encoding the SAME corpus (the
+    * [[IncrementalIvfPq.rebuild]] retrain cycle) reuses the residuals
+    * instead of paying the assignment cross-scoring a second time.
+    */
+  private[operators] case class TrainedQuantizers(centroids: DataFrame,
+      cb: Array[Array[Array[Float]]], residuals: DataFrame)
+
+  /** [[build]]'s training passes only, written to `qPath` (centroids /
+    * codebooks / meta — no vectors): the quantizer-retrain half of the
+    * FAISS `train()`+`add()` cycle, used by [[IncrementalIvfPq.rebuild]]
+    * to stage NEW quantizers beside the live index before the atomic
+    * generation swap. Same deterministic driver-side training as
+    * [[build]].
+    */
+  private[operators] def trainQuantizersTo(corpus: DataFrame, qPath: String,
+      nCells: Int, m: Int, kCodes: Int,
+      idCol: String, vecCol: String,
+      kmeansIters: Int, pqIters: Int,
+      trainSampleCap: Int): TrainedQuantizers = {
+    val spark = corpus.sparkSession
+    val centroids = Similarity.trainCentroids(corpus, nCells, idCol, vecCol,
+      kmeansIters, 1e-6, trainSampleCap)
+    centroids.write.mode("overwrite").parquet(s"$qPath/centroids")
+    import spark.implicits._
+    Seq(Encoding).toDF("encoding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$qPath/meta")
+    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+    val vhat = transform(col(vecCol),
+      x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
+    val res = Spill.roundTrip(
+      assigned.join(broadcast(centroids), Seq("cell_id"))
+        .select(col(idCol), col(vecCol), col("cell_id"),
+          zip_with(vhat, col("centroid"),
+            (a, b) => (a - b).cast("float")).as("__res")))
+    val cb = ProductQuant.trainCodebooks(res, m, kCodes, idCol, "__res",
+      pqIters, trainSampleCap, normalizeInput = false)
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$qPath/codebooks")
+    TrainedQuantizers(centroids, cb, res)
+  }
+
+  /** Encode a residual frame (the [[TrainedQuantizers.residuals]]
+    * shape) against codebooks — [[build]]'s final step, shared with
+    * the rebuild so the two cannot drift. Returns
+    * (id, vector, cell_id, codes).
+    */
+  private[operators] def encodeResiduals(res: DataFrame,
+      cb: Array[Array[Array[Float]]], idCol: String,
+      vecCol: String): DataFrame =
+    res.select(col(idCol), col(vecCol), col("cell_id"))
+      .join(ProductQuant.encode(res, cb, idCol, "__res",
+        normalizeInput = false), Seq(idCol))
+
   private[operators] def loadCodebooks(spark: SparkSession,
       path: String): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(s"$path/codebooks")

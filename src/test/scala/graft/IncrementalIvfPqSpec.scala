@@ -103,4 +103,64 @@ class IncrementalIvfPqSpec extends SparkTestBase {
       k = 5, nProbe = 4))
     assert(!served.exists(h => h._2 == 1L || h._2 == 129L))
   }
+
+  test("rebuild: retrained quantizers swap atomically, recall holds, lineage continues") {
+    val root = Spill.newPath(spark) + "/ivf"
+    IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
+    IncrementalIvfPq.ingest(delta, root, version = 1L)
+    val forgotten = Seq(1L, 129L).toDF("vec_id")
+    IncrementalIvfPq.forgetVectors(spark, root, forgotten)
+    val survivors = initial.unionByName(delta)
+      .where(!col("vec_id").isin(1L, 129L))
+    val exact = Similarity.bruteForceTopK(survivors, queries, 5)
+    val preRecall = recallOk(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2), exact, k = 5, bar = 0.6)
+    assert(preRecall)
+
+    // the retrain cycle: quantizers re-fit to the SURVIVING corpus,
+    // installed with the re-encoded codes under one generation flip
+    IncrementalIvfPq.rebuild(spark, root)
+    val post = IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2)
+    assert(recallOk(post, exact, k = 5, bar = 0.6),
+      "recall regressed across the rebuild")
+    // forgotten vectors stay gone; the corpus is intact otherwise
+    assert(!hits(post).exists(h => h._2 == 1L || h._2 == 129L))
+
+    // the new generation carries its own quantizers; pre-rebuild
+    // history is rebased — queryAsOf refuses by name
+    val gen = graft.operators.Publish.current(spark, s"$root/vstore").get
+    assert(new java.io.File(s"$root/vstore/gen=$gen/_quantizers/centroids")
+      .exists(), "quantizers not installed inside the new generation")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.queryAsOf(spark, root, queries, 1L, k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("rebased"), e.getMessage)
+
+    // lineage continues: burned ids refused, fresh ids encode against
+    // the NEW quantizers and serve
+    val eBurn = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.ingest(vecs(100 until 130), root,
+        version = IncrementalSwa.foldedThrough(spark, s"$root/vstore") + 1)
+    }
+    assert(eBurn.getMessage.contains("append-only"), eBurn.getMessage)
+    val v2 = IncrementalSwa.foldedThrough(spark, s"$root/vstore") + 1
+    IncrementalIvfPq.ingest(vecs(192 until 224), root, version = v2)
+    val grown = IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2)
+    assert(recallOk(grown,
+      Similarity.bruteForceTopK(
+        survivors.unionByName(vecs(192 until 224)), queries, 5),
+      k = 5, bar = 0.6))
+    assert(hits(grown).exists(_._2 >= 192L), "post-rebuild delta never served")
+
+    // a plain compact after the rebuild CARRIES the quantizers — the
+    // fold must keep scoring under the generation's own codebooks
+    IncrementalIvfPq.compact(spark, root)
+    val gen2 = graft.operators.Publish.current(spark, s"$root/vstore").get
+    assert(new java.io.File(s"$root/vstore/gen=$gen2/_quantizers/centroids")
+      .exists(), "compact dropped the rebuilt quantizers")
+    assert(hits(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2)) == hits(grown))
+  }
 }
