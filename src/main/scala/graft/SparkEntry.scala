@@ -2990,6 +2990,64 @@ object SparkEntry {
           round(col("f_psum_7d"), 4).as("f_psum_7d"))
     }),
 
+    // The maintenance policy runner (r15): the q_materialize_incremental
+    // feature set refreshed in 3 deltas, then ONE maintain() call folds
+    // every store's version tail (threshold 1), collects superseded
+    // generations (keep 1), and is asserted idempotent (a second run
+    // under the same policy acts on nothing) — while the snapshot must
+    // serve EXACTLY the refresh-only oracle: maintenance moves bytes,
+    // never answers.
+    "q_materialize_maintain" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_isum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_icnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)),
+        AnchorFeature("f_imax_14d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "MAX", "14d"), Seq(userKey)),
+        AnchorFeature("f_ilatest_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "LATEST", "7d"), Seq(userKey)),
+        AnchorFeature("f_psum_7d", FeatureType.DOUBLE,
+          Transformation.WindowAgg("value", graft.model.Aggregation.SUM,
+            graft.model.Durations.parse("7d"),
+            filter = Some("event_type = 'purchase'")), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refresh(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      val policy = IncrementalMaterializer.MaintenancePolicy(
+        compactWhenVersionsExceed = 1, gcKeepGenerations = 1)
+      val acted = IncrementalMaterializer.maintain(s, root, feats,
+        Seq("user_id"), "ts", dayUs, policy)
+      require(acted.nonEmpty && acted.forall(_.compacted),
+        s"maintain folded nothing: $acted")
+      val infos = IncrementalMaterializer.describe(s, root, feats, dayUs)
+      require(infos.forall { case (_, i) =>
+        i.versions.size == 1 && i.committedGenerations.size == 1 },
+        s"maintain left unfolded tails or uncollected generations: $infos")
+      val again = IncrementalMaterializer.maintain(s, root, feats,
+        Seq("user_id"), "ts", dayUs, policy)
+      require(again.forall(a => !a.compacted && a.generationsCollected == 0),
+        s"maintain is not idempotent: $again")
+      IncrementalMaterializer.snapshot(s, root, feats, Seq("user_id"), "ts",
+          dayUs, (maxB + 1) * dayUs)
+        .select(col("user_id"), round(col("f_isum_7d"), 4).as("f_isum_7d"),
+          col("f_icnt_7d"), col("f_imax_14d"), col("f_ilatest_7d"),
+          round(col("f_psum_7d"), 4).as("f_psum_7d"))
+    }),
+
     // J4 on the O(delta) path: ONE feature set spanning TWO key
     // bindings (user-keyed and event-type-keyed WindowAggs, the
     // type key under a DSL alias) rides one router root —
@@ -4298,6 +4356,39 @@ object SparkEntry {
     * q_bm25_topk and q_bm25_incremental (the incremental index over
     * the whole corpus IS the batch computation, so the two gates
     * must share their oracle structurally, not by copy). */
+  // one oracle for the materializer's incremental feature set, shared
+  // by the refresh gate and the maintenance gate (maintenance must not
+  // change what is served)
+  private lazy val sqlMaterializeIncremental =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type
+      |           FROM events),
+      |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
+      |       FROM e),
+      |w14 AS (SELECT user_id, us, value, event_type FROM e, mx
+      |        WHERE us >= t - 14 * 86400000000 AND us < t),
+      |w7 AS (SELECT user_id, us, value, event_type FROM e, mx
+      |       WHERE us >= t - 7 * 86400000000 AND us < t),
+      |m14 AS (SELECT user_id, max(value) AS f_imax_14d FROM w14
+      |        GROUP BY user_id),
+      |a7 AS (SELECT user_id,
+      |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+      |      AS f_isum_7d,
+      |    count(value) AS f_icnt_7d
+      |  FROM w7 GROUP BY user_id),
+      |l7 AS (SELECT user_id, value AS f_ilatest_7d FROM (
+      |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, value DESC) AS rn FROM w7) WHERE rn = 1),
+      |p7 AS (SELECT user_id,
+      |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
+      |      AS f_psum_7d
+      |  FROM w7 WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT m14.user_id, a7.f_isum_7d, a7.f_icnt_7d, m14.f_imax_14d,
+      |  l7.f_ilatest_7d, p7.f_psum_7d
+      |FROM m14
+      |LEFT JOIN a7 USING (user_id)
+      |LEFT JOIN l7 USING (user_id)
+      |LEFT JOIN p7 USING (user_id)""".stripMargin
+
   private lazy val sqlBm25TopK = sqlBm25TopKOver("")
 
   /** The BM25 oracle over a corpus slice — `corpusWhere` restricts the
@@ -6369,35 +6460,11 @@ object SparkEntry {
 
     // spine = keys with any row in the widest (14d) window; 7d
     // features left-join onto it, the filtered sum onto that
-    "q_materialize_incremental" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type
-        |           FROM events),
-        |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
-        |       FROM e),
-        |w14 AS (SELECT user_id, us, value, event_type FROM e, mx
-        |        WHERE us >= t - 14 * 86400000000 AND us < t),
-        |w7 AS (SELECT user_id, us, value, event_type FROM e, mx
-        |       WHERE us >= t - 7 * 86400000000 AND us < t),
-        |m14 AS (SELECT user_id, max(value) AS f_imax_14d FROM w14
-        |        GROUP BY user_id),
-        |a7 AS (SELECT user_id,
-        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
-        |      AS f_isum_7d,
-        |    count(value) AS f_icnt_7d
-        |  FROM w7 GROUP BY user_id),
-        |l7 AS (SELECT user_id, value AS f_ilatest_7d FROM (
-        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY us DESC, value DESC) AS rn FROM w7) WHERE rn = 1),
-        |p7 AS (SELECT user_id,
-        |    round(sum(round(value * 100)::BIGINT)::BIGINT / 100.0, 4)
-        |      AS f_psum_7d
-        |  FROM w7 WHERE event_type = 'purchase' GROUP BY user_id)
-        |SELECT m14.user_id, a7.f_isum_7d, a7.f_icnt_7d, m14.f_imax_14d,
-        |  l7.f_ilatest_7d, p7.f_psum_7d
-        |FROM m14
-        |LEFT JOIN a7 USING (user_id)
-        |LEFT JOIN l7 USING (user_id)
-        |LEFT JOIN p7 USING (user_id)""".stripMargin,
+    "q_materialize_incremental" -> sqlMaterializeIncremental,
+
+    // maintenance must not change what is served: the maintain gate
+    // folds + gc's the same feature set and snapshots the SAME answer
+    "q_materialize_maintain" -> sqlMaterializeIncremental,
 
     // both bindings restated independently and stacked: per binding the
     // spine is the widest (14d) window's key set, the 7d sum left-joins

@@ -514,6 +514,152 @@ object IncrementalMaterializer {
       IncrementalUnion.forgetKeys(spark, _, _, keys),
       IncrementalVector.forgetKeys(spark, _, _, keys))
 
+  /** The nightly-maintenance decision rules [[maintain]] applies to
+    * every store of a feature set — the runbook as one idempotent
+    * call instead of N manual compact/gc/retention invocations:
+    *
+    *   - fold the version tail when the live generation holds MORE
+    *     than `compactWhenVersionsExceed` version partitions (read
+    *     amplification bound);
+    *   - [[Publish.gc]] all but the newest `gcKeepGenerations`
+    *     committed generations (the reader-lease window —
+    *     Delta/Iceberg's vacuum contract);
+    *   - when `retainFromBucket` is set and differs from the store's
+    *     recorded horizon, run a retention compaction at it (an
+    *     explicit horizon REPLACES the recorded one — the
+    *     [[IncrementalSwa.compactRetaining]] contract).
+    *
+    * Idempotent by construction: a second run under the same policy
+    * finds ≤ 1 version partition, the horizon already recorded, and
+    * nothing to collect — no new generation is created.
+    */
+  case class MaintenancePolicy(compactWhenVersionsExceed: Int = 8,
+      gcKeepGenerations: Int = 2, retainFromBucket: Option[Long] = None) {
+    require(compactWhenVersionsExceed >= 1,
+      s"compactWhenVersionsExceed must be >= 1: $compactWhenVersionsExceed")
+    require(gcKeepGenerations >= 1,
+      s"gcKeepGenerations must keep the live generation: $gcKeepGenerations")
+  }
+
+  /** What [[maintain]] did to one store — the runbook's audit line. */
+  case class MaintenanceAction(dir: String, features: Seq[String],
+      compacted: Boolean, horizonSet: Option[Long],
+      generationsCollected: Int)
+
+  /** The shared per-store policy step: describe (driver-side), decide,
+    * act under the store's own lease, gc. A retention need subsumes the
+    * version-count fold (compactRetaining IS a compaction).
+    */
+  private def maintainOne(spark: SparkSession, dir: String,
+      featNames: Seq[String], policy: MaintenancePolicy,
+      compactStore: () => Unit, retainStore: Long => Unit): MaintenanceAction = {
+    val info = IncrementalSwa.describe(spark, dir)
+    val hasState = info.versions.nonEmpty
+    val needRetain = policy.retainFromBucket
+      .filter(mb => hasState && !info.retainedFrom.contains(mb))
+    val needCompact = info.versions.size > policy.compactWhenVersionsExceed
+    needRetain match {
+      case Some(mb) => retainStore(mb)
+      case None => if (needCompact) compactStore()
+    }
+    val before = Publish.committed(spark, dir).size
+    Publish.gc(spark, dir, policy.gcKeepGenerations)
+    MaintenanceAction(dir, featNames,
+      compacted = needRetain.isDefined || needCompact,
+      horizonSet = needRetain,
+      generationsCollected = before - Publish.committed(spark, dir).size)
+  }
+
+  private def runCollect(
+      steps: Seq[() => MaintenanceAction]): Seq[MaintenanceAction] = {
+    val out = new Array[MaintenanceAction](steps.size)
+    Par.run(steps.zipWithIndex.map { case (f, i) =>
+      () => { out(i) = f() }: Unit }: _*)
+    out.toSeq
+  }
+
+  /** Apply `policy` to every measure store of the feature set — ONE
+    * idempotent call per set per night ([[MaintenancePolicy]]),
+    * stores maintained concurrently under their own leases. Returns
+    * the per-store audit.
+    */
+  def maintain(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, policy: MaintenancePolicy,
+      unionCap: Int = 10000): Seq[MaintenanceAction] = {
+    require(features.nonEmpty, "no features to maintain")
+    val uCfg = IncrementalUnion.Config(keyCols, tsCol, "__graft_m",
+      bucketUs, unionCap)
+    val vCfg = IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs)
+    runCollect(features.map(f => (planOf(f, bucketUs)._1, f.name))
+      .groupBy(_._1).toSeq.map { case (m, fs) => () =>
+        val dir = storeDir(root, m)
+        maintainOne(spark, dir, fs.map(_._2), policy,
+          compactStore = () => m.kind match {
+            case Scalar =>
+              IncrementalSwa.compact(spark, dir, cfg(keyCols, tsCol, bucketUs))
+            case SetUnion => IncrementalUnion.compact(spark, dir, uCfg)
+            case Vector => IncrementalVector.compact(spark, dir, vCfg)
+          },
+          retainStore = mb => m.kind match {
+            case Scalar => IncrementalSwa.compactRetaining(spark, dir,
+              cfg(keyCols, tsCol, bucketUs), mb)
+            case SetUnion =>
+              IncrementalUnion.compactRetaining(spark, dir, uCfg, mb)
+            case Vector =>
+              IncrementalVector.compactRetaining(spark, dir, vCfg, mb)
+          })
+      })
+  }
+
+  /** [[maintain]] across every extension-feature store. */
+  def maintainGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, policy: MaintenancePolicy): Seq[MaintenanceAction] = {
+    require(features.nonEmpty, "no features to maintain")
+    runCollect(features.groupBy(graftDir(root, _)).toSeq.map {
+      case (dir, fs) => () =>
+        def cfgD(p: Int) = IncrementalDistinct.Config(keyCols, tsCol,
+          "__graft_m", bucketUs, p)
+        def cfgQ(lo: Double, hi: Double, bins: Int) =
+          IncrementalQuantile.Config(keyCols, tsCol, "__graft_m",
+            bucketUs, lo, hi, bins)
+        def cfgT(cand: Int) = IncrementalTopK.Config(keyCols, tsCol,
+          "__graft_m", bucketUs, cand)
+        maintainOne(spark, dir, fs.map(_.name), policy,
+          compactStore = () => fs.head.agg match {
+            case GraftAggregation.DistinctCount(p) =>
+              IncrementalDistinct.compact(spark, dir, cfgD(p))
+            case GraftAggregation.Quantile(_, lo, hi, bins) =>
+              IncrementalQuantile.compact(spark, dir, cfgQ(lo, hi, bins))
+            case GraftAggregation.TopK(_, cand) =>
+              IncrementalTopK.compact(spark, dir, cfgT(cand))
+          },
+          retainStore = mb => fs.head.agg match {
+            case GraftAggregation.DistinctCount(p) =>
+              IncrementalDistinct.compactRetaining(spark, dir, cfgD(p), mb)
+            case GraftAggregation.Quantile(_, lo, hi, bins) =>
+              IncrementalQuantile.compactRetaining(spark, dir,
+                cfgQ(lo, hi, bins), mb)
+            case GraftAggregation.TopK(_, cand) =>
+              IncrementalTopK.compactRetaining(spark, dir, cfgT(cand), mb)
+          })
+      })
+  }
+
+  /** [[maintain]] across every binding of a multi-key feature set. */
+  def maintainMulti(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
+      policy: MaintenancePolicy,
+      unionCap: Int = 10000): Seq[MaintenanceAction] = {
+    require(features.nonEmpty, "no features to maintain")
+    requireDistinctAliases(features)
+    features.groupBy(bindingOf).toSeq.flatMap { case (b, fs) =>
+      maintain(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
+        bucketUs, policy, unionCap)
+    }
+  }
+
   // ------------------------------------------------------------------
   // GraftAggregation extension features (beyond the reference enum):
   // distinct-count / quantile / top-k features declared against the
@@ -727,6 +873,17 @@ object IncrementalMaterializer {
             "__graft_m", bucketUs, cand))
       }
     }: _*)
+  }
+
+  /** [[describe]] across every extension store — the same dashboard
+    * read keyed by the features sharing each store.
+    */
+  def describeGraft(spark: SparkSession, root: String,
+      features: Seq[GraftFeature]): Seq[(Seq[String], IncrementalSwa.StoreInfo)] = {
+    require(features.nonEmpty, "no features to describe")
+    features.groupBy(graftDir(root, _)).toSeq.map { case (dir, fs) =>
+      (fs.map(_.name), IncrementalSwa.describe(spark, dir))
+    }
   }
 
   /** [[compact]] across every extension store. */

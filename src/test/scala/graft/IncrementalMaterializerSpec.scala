@@ -293,6 +293,88 @@ class IncrementalMaterializerSpec extends SparkTestBase {
     assert(graft.operators.IncrementalSwa.versions(spark, uDir).isEmpty)
   }
 
+  test("maintain: policy folds version tails, collects generations, carries horizons — idempotently") {
+    import IncrementalMaterializer.{MaintenanceAction, MaintenancePolicy}
+    val root = Spill.newPath(spark)
+    val feats = Seq(
+      feat("s2", wa("SUM")),
+      AnchorFeature("tags", FeatureType.STRING, Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d")), Seq(key)))
+    // five refreshes -> five version partitions per store
+    (0L to 4L).foreach(v =>
+      IncrementalMaterializer.refresh(events, root, feats,
+        Seq("k"), "ts", DayUs, v))
+    def infos() = IncrementalMaterializer.describe(spark, root, feats, DayUs)
+      .map(_._2)
+    assert(infos().forall(_.versions.size == 5))
+
+    // below threshold: nothing folds, nothing collected
+    val noop = IncrementalMaterializer.maintain(spark, root, feats,
+      Seq("k"), "ts", DayUs, MaintenancePolicy(compactWhenVersionsExceed = 8))
+    assert(noop.forall(a => !a.compacted && a.generationsCollected == 0))
+    assert(infos().forall(_.versions.size == 5))
+
+    // above threshold: both stores fold, superseded generations gc'd
+    val acted = IncrementalMaterializer.maintain(spark, root, feats,
+      Seq("k"), "ts", DayUs,
+      MaintenancePolicy(compactWhenVersionsExceed = 2, gcKeepGenerations = 1))
+    assert(acted.size == 2 && acted.forall(_.compacted), acted.toString)
+    assert(infos().forall(i =>
+      i.versions.size == 1 && i.committedGenerations.size == 1))
+    // served values unchanged by maintenance
+    val snap = IncrementalMaterializer.snapshot(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select("k", "s2").as[(Long, Double)].collect().toMap
+    assert(snap == Map(1L -> 35.0, 2L -> 50.0), snap.toString) // 5 ingests
+
+    // retention sweep: explicit horizon recorded once, then idempotent
+    val retained = IncrementalMaterializer.maintain(spark, root, feats,
+      Seq("k"), "ts", DayUs,
+      MaintenancePolicy(gcKeepGenerations = 1, retainFromBucket = Some(1L)))
+    assert(retained.forall(_.horizonSet.contains(1L)))
+    assert(infos().forall(_.retainedFrom.contains(1L)))
+    val again = IncrementalMaterializer.maintain(spark, root, feats,
+      Seq("k"), "ts", DayUs,
+      MaintenancePolicy(gcKeepGenerations = 1, retainFromBucket = Some(1L)))
+    assert(again.forall(a => !a.compacted && a.horizonSet.isEmpty &&
+      a.generationsCollected <= 1), again.toString)
+
+    // a later version-count fold CARRIES the horizon
+    (5L to 8L).foreach(v =>
+      IncrementalMaterializer.refresh(events, root, feats,
+        Seq("k"), "ts", DayUs, v))
+    val folded = IncrementalMaterializer.maintain(spark, root, feats,
+      Seq("k"), "ts", DayUs,
+      MaintenancePolicy(compactWhenVersionsExceed = 2, gcKeepGenerations = 1))
+    assert(folded.forall(a => a.compacted && a.horizonSet.isEmpty))
+    assert(infos().forall(_.retainedFrom.contains(1L)),
+      "plain policy fold dropped the retention horizon")
+  }
+
+  test("maintainGraft: the same policy over extension stores") {
+    import graft.model.GraftAggregation._
+    import IncrementalMaterializer.{GraftFeature, MaintenancePolicy}
+    val root = Spill.newPath(spark)
+    val d2 = graft.model.Durations.parse("2d")
+    val feats = Seq(
+      GraftFeature("g_p50", "v", Quantile(0.5, 0.0, 16.0, 16), d2),
+      GraftFeature("g_top1", "tag", TopK(1, 4), d2))
+    (0L to 3L).foreach(v =>
+      IncrementalMaterializer.refreshGraft(events, root, feats,
+        Seq("k"), "ts", DayUs, v))
+    val before = IncrementalMaterializer.snapshotGraft(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs).collect().map(_.toString).sorted
+    val acted = IncrementalMaterializer.maintainGraft(spark, root, feats,
+      Seq("k"), "ts", DayUs,
+      MaintenancePolicy(compactWhenVersionsExceed = 2, gcKeepGenerations = 1))
+    assert(acted.size == 2 && acted.forall(_.compacted))
+    val infos = IncrementalMaterializer.describeGraft(spark, root, feats)
+    assert(infos.forall(_._2.versions.size == 1))
+    assert(IncrementalMaterializer.snapshotGraft(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs).collect().map(_.toString).sorted
+      .sameElements(before))
+  }
+
   test("torn multi-store refresh: serves refuse by name, replay repairs") {
     val root = Spill.newPath(spark)
     val feats = Seq(
