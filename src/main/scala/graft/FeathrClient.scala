@@ -64,4 +64,15 @@ object FeathrClient {
       sink: OutputSink.Online,
       features: Seq[String]): DataFrame =
     Materializer.readOnline(keys, keyColumns, sink, features)
+
+  /** Multi-binding online read — ONE request frame (user and item key
+    * columns of a ranking request) assembled against user-keyed AND
+    * item-keyed online sinks in one call: the serving-side counterpart
+    * of the multi-key training join (J4), see
+    * [[Materializer.readOnlineMulti]].
+    */
+  def getOnlineFeaturesMulti(
+      requests: DataFrame,
+      bindings: Seq[Materializer.OnlineBinding]): DataFrame =
+    Materializer.readOnlineMulti(requests, bindings)
 }

@@ -316,6 +316,59 @@ object Materializer {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** One online read-back binding: which sink serves which features
+    * under which request key columns ([[readOnlineMulti]]).
+    */
+  final case class OnlineBinding(keyColumns: Seq[String],
+      sink: OutputSink.Online, features: Seq[String])
+
+  /** Multi-binding online read-back — J4's serving-side counterpart
+    * (the [[IncrementalMaterializer.trainingSetMulti]] shape at request
+    * time): ONE request frame carrying several key columns (user and
+    * item of a ranking request) assembled against user-keyed AND
+    * item-keyed online sinks in one call. Per binding, the distinct
+    * request keys are point-read through [[readOnline]] (chunked
+    * pipelined getAll) and left-joined back by the binding's key
+    * columns — absent keys keep null features, request rows and
+    * columns all survive. Feature names must be unique across bindings
+    * and distinct from the request's own columns (refused by name —
+    * a silent duplicate would emit ambiguous columns downstream).
+    */
+  def readOnlineMulti(requests: DataFrame,
+      bindings: Seq[OnlineBinding]): DataFrame = {
+    require(bindings.nonEmpty, "readOnlineMulti needs at least one binding")
+    val allFeats = bindings.flatMap(_.features)
+    val dups = allFeats.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"feature name(s) ${dups.mkString(", ")} served by more than one " +
+        "binding — the assembled request row would carry duplicate " +
+        "columns; rename on one sink")
+    val clash = allFeats.filter(requests.columns.contains)
+    require(clash.isEmpty,
+      s"feature name(s) ${clash.mkString(", ")} collide with request " +
+        "columns — rename the request column or the served feature")
+    bindings.foreach { b =>
+      val missing = b.keyColumns.filterNot(requests.columns.contains)
+      require(missing.isEmpty,
+        s"requests are missing key column(s) ${missing.mkString(", ")} " +
+          s"for the binding on table '${b.sink.tableName}'")
+    }
+    bindings.foldLeft(requests) { (acc, b) =>
+      // readOnline returns keys as the wire's STRING encoding — join on
+      // the string-cast request keys so typed request columns (longs)
+      // match; the served frame's key copies are dropped after the join
+      val served = readOnline(
+        requests.select(b.keyColumns.map(col): _*), b.keyColumns,
+        b.sink, b.features)
+      val renamed = b.keyColumns.foldLeft(served)((d, c) =>
+        d.withColumnRenamed(c, s"__ro_$c"))
+      val cond = b.keyColumns.map(c =>
+        acc(c).cast("string") <=> renamed(s"__ro_$c")).reduce(_ && _)
+      acc.join(renamed, cond, "left_outer")
+        .drop(b.keyColumns.map(c => s"__ro_$c"): _*)
+    }
+  }
+
   /** GDPR erasure on the ONLINE serving side: delete `keys`' rows from
     * every online sink, with the SAME key encoding the write path uses
     * (keyCols joined by '#') — the last leg of the forget cascade

@@ -180,4 +180,57 @@ class RespOnlineStoreSpec extends SparkTestBase {
       assert(got == expected)
     }
   }
+
+  test("getOnlineFeaturesMulti: one request row assembles user- and item-keyed features") {
+    withServer { (_, store) =>
+      // two sinks, two key spaces — the ranking-request serving shape
+      val users = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 10).map(i => Row(i.toLong, s"uname$i")), 2),
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("f_user_name", StringType))))
+      val items = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (100 until 110).map(i => Row(i.toLong, i * 2.0)), 2),
+        StructType(Seq(StructField("item_id", LongType),
+          StructField("f_item_score", DoubleType))))
+      val uSink = OutputSink.Online("users", store)
+      val iSink = OutputSink.Online("items", store)
+      Materializer.write(users, Seq("user_id"), uSink)
+      Materializer.write(items, Seq("item_id"), iSink)
+
+      // requests: (user 3, item 105), (user 7, absent item), (absent
+      // user, item 101) — every row survives, absences carry nulls
+      val requests = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(3L, 105L, "a"), Row(7L, 999L, "b"), Row(55L, 101L, "c")), 2),
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("item_id", LongType),
+          StructField("req_tag", StringType))))
+      val bindings = Seq(
+        Materializer.OnlineBinding(Seq("user_id"), uSink, Seq("f_user_name")),
+        Materializer.OnlineBinding(Seq("item_id"), iSink, Seq("f_item_score")))
+      val got = FeathrClient.getOnlineFeaturesMulti(requests, bindings)
+        .select("req_tag", "f_user_name", "f_item_score")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)),
+          Option(r.getString(2)))).toSet
+      assert(got == Set(
+        ("a", Some("uname3"), Some("210.0")),
+        ("b", Some("uname7"), None),
+        ("c", None, Some("202.0"))), got.toString)
+
+      // refusals by name: duplicate feature across bindings; request
+      // missing a binding's key column
+      val dup = intercept[IllegalArgumentException] {
+        Materializer.readOnlineMulti(requests, Seq(
+          Materializer.OnlineBinding(Seq("user_id"), uSink, Seq("f_x")),
+          Materializer.OnlineBinding(Seq("item_id"), iSink, Seq("f_x"))))
+      }
+      assert(dup.getMessage.contains("f_x"), dup.getMessage)
+      val missing = intercept[IllegalArgumentException] {
+        Materializer.readOnlineMulti(requests.drop("item_id"), bindings)
+      }
+      assert(missing.getMessage.contains("item_id"), missing.getMessage)
+    }
+  }
 }
