@@ -1774,12 +1774,18 @@ object SparkEntry {
     "q_stream_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val cfg = IncrementalBm25.Config()
-      // the stream targets the SHARED two-version bootstrap: its
-      // micro-batch re-presents version 1 every run, so each run
-      // exercises the at-least-once REPLAY contract live (fingerprint-
-      // verified idempotent overwrite) — the state it serves is
-      // byte-stable across runs by that very contract
-      val root = bm25DocsBootstrap(s, dir)
+      // the stream gets a PRIVATE copy of the shared bootstrap (one
+      // copy per JVM): its micro-batch re-presents version 1 every
+      // run, exercising the at-least-once REPLAY contract live
+      // (fingerprint-verified idempotent overwrite). The replay's
+      // partition rewrite is not atomic, so a killed run could leave a
+      // partial version 1 — on a private store that poisons only this
+      // gate's later runs (loud at the oracle), never the read-only
+      // gates sharing the pristine bootstrap
+      val root = {
+        val boot = bm25DocsBootstrap(s, dir)
+        cachedRoot(s, s"$dir|bm25stream-private")(copyStore(s, boot, _))
+      }
       val deltaPath = bm25UpperDelta(s, dir)
       val stream = s.readStream
         .schema(s.read.parquet(deltaPath).schema).parquet(deltaPath)

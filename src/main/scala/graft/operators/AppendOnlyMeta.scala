@@ -87,11 +87,16 @@ private[operators] object AppendOnlyMeta {
   }
 
   /** The guard — run INSIDE the writer lease, before the version
-    * write. Returns unit; the caller writes data then calls
-    * [[record]].
+    * write. Returns whether `version` was ALREADY recorded (a replay):
+    * callers record meta before the data write, and on a NON-crash
+    * data-write failure a FRESH record must be compensated away
+    * ([[unrecord]]) or the version and its id range stay burned
+    * against a corrected delta (the fingerprint would refuse it as an
+    * imposter) — while a REPLAY's pre-existing record belongs to an
+    * earlier successful ingest and must survive the failed overwrite.
     */
   def guard(spark: SparkSession, dir: String, version: Long,
-      b: Bounds, what: String): Unit = {
+      b: Bounds, what: String): Boolean = {
     val meta = readAll(spark, dir)
     val recorded = meta.collectFirst { case (`version`, m) => m }
     if (recorded.isEmpty) {
@@ -117,6 +122,17 @@ private[operators] object AppendOnlyMeta {
           s"${b.maxId}] × ${b.rows}, fingerprint ${b.fp}) — a replay " +
           "must re-present the same data; an imposter delta would " +
           "silently rewrite committed history"))
+    recorded.isDefined
+  }
+
+  /** Compensation for a FAILED (non-crash) data write after a fresh
+    * [[record]]: remove the version's meta row so a corrected delta
+    * can claim the slot — run inside the same lease as the record.
+    */
+  def unrecord(spark: SparkSession, dir: String, version: Long): Unit = {
+    val p = new Path(s"$dir/v_$version")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, false)
   }
 
   def record(spark: SparkSession, dir: String, version: Long,

@@ -71,31 +71,40 @@ object IncrementalBm25 {
           s"$dir — the index cannot replay rebased history")
       val bounds = AppendOnlyMeta.boundsOf(delta, cfg.idCol,
         Seq(cfg.idCol, cfg.textCol))
-      AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "document")
+      val isReplay =
+        AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "document")
       // meta BEFORE data: a crash between the two then leaves a benign
       // hole (the version's ids are reserved in the high-water meta but
       // its partition is absent — a replay overwrites it idempotently),
       // whereas data-first leaves SERVED postings whose ids the meta
       // never recorded, so a later delta re-presenting them would pass
-      // the monotone guard and silently double-count df/N
+      // the monotone guard and silently double-count df/N. A non-crash
+      // write FAILURE compensates a FRESH record away so a corrected
+      // delta can still claim the slot (a replay's record survives —
+      // it belongs to the earlier successful ingest).
       AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
-      // spilled ONCE: the postings leg and the sentinel leg of the
-      // union would otherwise each re-run the delta scan + tokenization
-      // — the cost this store exists to pay once
-      val base = Spill.roundTrip(
-        delta.select(col(cfg.idCol).cast("long").as("__id"),
-            Retrieval.bm25Toks(col(cfg.textCol)).as("__w"))
-          .select(col("__id"), size(col("__w")).as("__dl"), col("__w")))
-      val postings = base
-        .select(col("__id"), col("__dl"), explode(col("__w")).as("__term"))
-        .groupBy(col("__id"), col("__dl"), col("__term"))
-        .agg(count(lit(1)).as("__tf"))
-      val sentinels = base.select(col("__id"), col("__dl"),
-        lit(null).cast("string").as("__term"), lit(0L).as("__tf"))
-      postings.unionByName(sentinels)
-        .sortWithinPartitions("__term")
-        .write.mode("overwrite")
-        .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
+      try {
+        // spilled ONCE: the postings leg and the sentinel leg of the
+        // union would otherwise each re-run the delta scan +
+        // tokenization — the cost this store exists to pay once
+        val base = Spill.roundTrip(
+          delta.select(col(cfg.idCol).cast("long").as("__id"),
+              Retrieval.bm25Toks(col(cfg.textCol)).as("__w"))
+            .select(col("__id"), size(col("__w")).as("__dl"), col("__w")))
+        val postings = base
+          .select(col("__id"), col("__dl"), explode(col("__w")).as("__term"))
+          .groupBy(col("__id"), col("__dl"), col("__term"))
+          .agg(count(lit(1)).as("__tf"))
+        val sentinels = base.select(col("__id"), col("__dl"),
+          lit(null).cast("string").as("__term"), lit(0L).as("__tf"))
+        postings.unionByName(sentinels)
+          .sortWithinPartitions("__term")
+          .write.mode("overwrite")
+          .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
+      } catch { case t: Throwable =>
+        if (!isReplay) AppendOnlyMeta.unrecord(spark, metaDir(dir), version)
+        throw t
+      }
     }
   }
 

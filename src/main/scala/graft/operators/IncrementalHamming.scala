@@ -149,41 +149,51 @@ object IncrementalHamming {
     requireExact(cfg, maxHamming)
     val d = normalized(delta, cfg).persist()
     try IncrementalSwa.locked(spark, idxDir(dir)) {
-      val bounds = guardLocked(spark, d, dir, version)
+      val (bounds, isReplay) = guardLocked(spark, d, dir, version)
       val losers = Spill.roundTrip(
         losersAgainst(spark,
           stored(spark, dir, None, allowEmpty = true), d, cfg, maxHamming,
           deltaRowsHint = Some(bounds.rows)))
-      writeLocked(spark, d, dir, version, bounds)
+      writeLocked(spark, d, dir, version, bounds, isReplay)
       losers.select(col("__id").as(cfg.idCol))
     } finally d.unpersist()
   }
 
   private def appendLocked(spark: SparkSession, d: DataFrame, dir: String,
-      version: Long): Unit =
-    writeLocked(spark, d, dir, version, guardLocked(spark, d, dir, version))
+      version: Long): Unit = {
+    val (bounds, isReplay) = guardLocked(spark, d, dir, version)
+    writeLocked(spark, d, dir, version, bounds, isReplay)
+  }
 
   private def guardLocked(spark: SparkSession, d: DataFrame, dir: String,
-      version: Long): AppendOnlyMeta.Bounds = {
+      version: Long): (AppendOnlyMeta.Bounds, Boolean) = {
     val folded = IncrementalSwa.foldedThrough(spark, idxDir(dir))
     require(version > folded,
       s"version $version is at or below the compaction fold ($folded) at " +
         s"$dir — the index cannot replay rebased history")
     val bounds = AppendOnlyMeta.boundsOf(d, "__id", Seq("__id", "__sig"))
-    AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "signature")
-    bounds
+    val isReplay =
+      AppendOnlyMeta.guard(spark, metaDir(dir), version, bounds, "signature")
+    (bounds, isReplay)
   }
 
   private def writeLocked(spark: SparkSession, d: DataFrame, dir: String,
-      version: Long, bounds: AppendOnlyMeta.Bounds): Unit = {
+      version: Long, bounds: AppendOnlyMeta.Bounds,
+      isReplay: Boolean): Unit = {
     // meta BEFORE data (the IncrementalBm25 ordering): a crash after
     // the record leaves a benign hole a replay fills idempotently; a
     // data-first write would serve signatures whose ids the high-water
-    // meta never saw, letting a later delta re-present them
+    // meta never saw, letting a later delta re-present them. A
+    // non-crash write failure compensates a FRESH record away so a
+    // corrected delta can still claim the slot.
     AppendOnlyMeta.record(spark, metaDir(dir), version, bounds)
-    d.sortWithinPartitions("__id")
+    try d.sortWithinPartitions("__id")
       .write.mode("overwrite")
       .parquet(s"${IncrementalSwa.liveGen(spark, idxDir(dir))}/$VCol=$version")
+    catch { case t: Throwable =>
+      if (!isReplay) AppendOnlyMeta.unrecord(spark, metaDir(dir), version)
+      throw t
+    }
   }
 
   /** Delta ids with a strictly-smaller-id entrant (in `refs` ∪ the

@@ -53,10 +53,23 @@ object IncrementalIvfPq {
     * [[forgetVectors]] CARRY the quantizers into their new generation
     * (codes stay valid — folds move rows, they never re-encode).
     */
+  private def quantPathIn(spark: SparkSession, root: String,
+      gen: String): String = {
+    val p = s"$gen/_quantizers"
+    if (fs(spark, p).exists(new Path(p))) p else root
+  }
+
+  /** Resolve the quantizer path for the CURRENT live generation. Only
+    * safe where the generation cannot flip underneath the caller (under
+    * the writer lease); lock-free readers must resolve the generation
+    * ONCE and derive both the codes path and the quantizer path from
+    * it ([[quantPathIn]]) — resolving the pointer twice lets a rebuild
+    * commit in between and pairs one generation's codes with
+    * another's codebooks.
+    */
   private def quantPath(spark: SparkSession, root: String): String =
     IncrementalSwa.liveGenOpt(spark, vecDir(root))
-      .map(g => s"$g/_quantizers")
-      .filter(p => fs(spark, p).exists(new Path(p)))
+      .map(quantPathIn(spark, root, _))
       .getOrElse(root)
 
   /** The [[IncrementalSwa.compactFold]] install hook that carries the
@@ -113,20 +126,27 @@ object IncrementalIvfPq {
       // after the record leaves a store with reserved ids and no
       // committed generation — loud (reads fail by name) and repaired
       // by re-running build (which clears the meta first); the reverse
-      // order would serve v0 vectors the high-water meta never saw
+      // order would serve v0 vectors the high-water meta never saw.
+      // A non-crash build failure compensates the record away so a
+      // corrected corpus can rebuild without a hand-cleaned meta dir.
       AppendOnlyMeta.record(spark, metaDir(root), 0L, bounds)
-      // the static build trains the quantizers and encodes the initial
-      // corpus at $root/vectors; that flat dir becomes the versioned
-      // store's version 0 by RENAME inside the publish callback
-      // (parquet files are self-contained — re-encoding the corpus a
-      // second time would double the build's dominant cost)
-      IvfPqIndex.build(initial, root, nCells, m, kCodes, idCol, vecCol,
-        kmeansIters, pqIters, trainSampleCap)
-      Publish.publish(spark, vecDir(root)) { gen =>
-        f.mkdirs(new Path(gen))
-        require(f.rename(new Path(s"$root/vectors"),
-            new Path(s"$gen/$VCol=0")),
-          s"could not install the built vectors as version 0 at $root")
+      try {
+        // the static build trains the quantizers and encodes the
+        // initial corpus at $root/vectors; that flat dir becomes the
+        // versioned store's version 0 by RENAME inside the publish
+        // callback (parquet files are self-contained — re-encoding the
+        // corpus a second time would double the build's dominant cost)
+        IvfPqIndex.build(initial, root, nCells, m, kCodes, idCol, vecCol,
+          kmeansIters, pqIters, trainSampleCap)
+        Publish.publish(spark, vecDir(root)) { gen =>
+          f.mkdirs(new Path(gen))
+          require(f.rename(new Path(s"$root/vectors"),
+              new Path(s"$gen/$VCol=0")),
+            s"could not install the built vectors as version 0 at $root")
+        }
+      } catch { case t: Throwable =>
+        AppendOnlyMeta.unrecord(spark, metaDir(root), 0L)
+        throw t
       }
     }
   }
@@ -154,17 +174,25 @@ object IncrementalIvfPq {
         s"version $version is at or below the compaction fold ($folded) at " +
           s"$root — the index cannot replay rebased history")
       val bounds = AppendOnlyMeta.boundsOf(delta, idCol, Seq(idCol, vecCol))
-      AppendOnlyMeta.guard(spark, metaDir(root), version, bounds, "vector")
+      val isReplay =
+        AppendOnlyMeta.guard(spark, metaDir(root), version, bounds, "vector")
       // meta BEFORE data (the IncrementalBm25 ordering): a crash after
       // the record leaves a benign hole a replay fills idempotently; a
       // crash after a data-first write would serve vectors whose ids the
-      // high-water meta never saw, letting a later delta re-present them
+      // high-water meta never saw, letting a later delta re-present
+      // them. A non-crash write failure compensates a FRESH record away
+      // so a corrected delta can still claim the slot.
       AppendOnlyMeta.record(spark, metaDir(root), version, bounds)
-      val centroids = spark.read.parquet(s"$qp/centroids")
-      val cb = IvfPqIndex.loadCodebooks(spark, qp)
-      IvfPqIndex.encodeAssign(delta, centroids, cb, idCol, vecCol)
-        .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(s"${IncrementalSwa.liveGen(spark, vecDir(root))}/$VCol=$version")
+      try {
+        val centroids = spark.read.parquet(s"$qp/centroids")
+        val cb = IvfPqIndex.loadCodebooks(spark, qp)
+        IvfPqIndex.encodeAssign(delta, centroids, cb, idCol, vecCol)
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"${IncrementalSwa.liveGen(spark, vecDir(root))}/$VCol=$version")
+      } catch { case t: Throwable =>
+        if (!isReplay) AppendOnlyMeta.unrecord(spark, metaDir(root), version)
+        throw t
+      }
     }
   }
 
@@ -174,11 +202,15 @@ object IncrementalIvfPq {
   def query(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nProbe: Int, rescoreFactor: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame =
-    IvfPqIndex.queryVectors(spark, quantPath(spark, root),
-      spark.read.parquet(
-        IncrementalSwa.requireLiveGen(spark, vecDir(root))),
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    // the generation pointer is resolved ONCE: codes and quantizers
+    // both derive from it, so a rebuild committing mid-query can never
+    // pair this generation's codes with another's codebooks
+    val gen = IncrementalSwa.requireLiveGen(spark, vecDir(root))
+    IvfPqIndex.queryVectors(spark, quantPathIn(spark, root, gen),
+      spark.read.parquet(gen),
       queries, k, nProbe, rescoreFactor, idCol, vecCol, qIdCol, qVecCol)
+  }
 
   /** [[query]] as the index stood at `asOfVersion` — time travel with
     * the shared rebased-history refusal.
@@ -187,14 +219,19 @@ object IncrementalIvfPq {
       asOfVersion: Long, k: Int, nProbe: Int, rescoreFactor: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val folded = IncrementalSwa.foldedThrough(spark, vecDir(root))
+    // ONE pointer resolution for the fold check, the codes, and the
+    // quantizers (see [[query]]): a rebuild committing between two
+    // resolutions could pass the OLD fold check and then silently
+    // filter the NEW generation down to nothing (or score its codes
+    // under the wrong codebooks)
+    val gen = IncrementalSwa.requireLiveGen(spark, vecDir(root))
+    val folded = IncrementalSwa.foldedThroughIn(spark, gen)
     require(folded < 0 || asOfVersion >= folded,
       s"version $asOfVersion predates the compaction fold ($folded) at " +
         s"$root — that history was rebased; serving the fold instead " +
         "would be a reproducibility lie")
-    IvfPqIndex.queryVectors(spark, quantPath(spark, root),
-      spark.read.parquet(
-          IncrementalSwa.requireLiveGen(spark, vecDir(root)))
+    IvfPqIndex.queryVectors(spark, quantPathIn(spark, root, gen),
+      spark.read.parquet(gen)
         .where(col(VCol) <= asOfVersion),
       queries, k, nProbe, rescoreFactor, idCol, vecCol, qIdCol, qVecCol)
   }

@@ -163,21 +163,33 @@ object IncrementalMaterializer {
     finally out.close()
   }
 
-  /** All stores landed: sweep this refresh's marker AND any older
-    * stragglers (a completed refresh at V proves every covered store is
-    * at >= V, which satisfies any lower pending version over the same
-    * set — leaving them would refuse serves forever after the state
-    * already healed).
+  /** Store `d` verifiably holds refresh version `v`: the version
+    * partition is present, or a compaction fold at or above it folded
+    * it in. NOTE a store whose max version merely EXCEEDS `v` does NOT
+    * hold it — version holes are legal, so a later refresh landing v+1
+    * on a store that missed v is still missing v's delta; treating
+    * "max >= v" as healed would silently launder the tear away.
+    */
+  private def holdsVersion(spark: SparkSession, d: String,
+      v: Long): Boolean =
+    IncrementalSwa.versions(spark, d).contains(v) ||
+      IncrementalSwa.foldedThrough(spark, d) >= v
+
+  /** Sweep pending markers at or below `version` — but ONLY those
+    * whose every covered store verifiably holds their version (the
+    * refresh that just completed proves its own; an OLDER torn marker
+    * must survive the sweep, or a later refresh would silently launder
+    * the missing delta away).
     */
   private def clearPending(spark: SparkSession, root: String,
       version: Long): Unit = {
     val f = fsOf(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (f.exists(p))
-      f.listStatus(p).iterator
-        .filter(s => s.isFile && s.getPath.getName.startsWith(PendingPrefix))
-        .filter(_.getPath.getName.stripPrefix(PendingPrefix).toLong <= version)
-        .foreach(s => f.delete(s.getPath, false))
+    pending(spark, root).foreach { case (v, rel) =>
+      if (v <= version &&
+          rel.forall(r => holdsVersion(spark, s"$root/$r", v)))
+        f.delete(new org.apache.hadoop.fs.Path(s"$root/$PendingPrefix$v"),
+          false)
+    }
   }
 
   /** Pending refreshes at `root`: (version, root-relative store dirs). */
@@ -207,8 +219,7 @@ object IncrementalMaterializer {
     pending(spark, root).foreach { case (v, rel) =>
       val covered = rel.map(r => s"$root/$r").toSet
       val lagging = servedDirs.filter(covered)
-        .filterNot(d =>
-          IncrementalSwa.versions(spark, d).lastOption.exists(_ >= v))
+        .filterNot(holdsVersion(spark, _, v))
       require(lagging.isEmpty,
         s"refresh version $v of the feature set at $root started but " +
           s"did not complete: store(s) ${lagging.mkString(", ")} have " +
@@ -216,6 +227,27 @@ object IncrementalMaterializer {
           "mixing feature versions. Replay the refresh at version " +
           s"$v (per-store ingest is idempotent) or wait for the " +
           "in-flight refresh to finish")
+    }
+
+  /** Maintenance guard: folding a store covered by a TORN refresh
+    * rebases the very version the repair replay must re-ingest (the
+    * fold raises foldedThrough past it, so the replay's ingest is then
+    * refused as rebased history) — the tear would become permanent.
+    * Refused by name; healed-but-unswept markers don't block.
+    */
+  private def requireNoTornForMaintenance(spark: SparkSession, root: String,
+      dirs: Seq[String]): Unit =
+    pending(spark, root).foreach { case (v, rel) =>
+      val covered = rel.map(r => s"$root/$r").toSet
+      val torn = rel.map(r => s"$root/$r")
+        .exists(d => !holdsVersion(spark, d, v))
+      val hit = dirs.filter(covered)
+      require(!torn || hit.isEmpty,
+        s"refresh version $v of the feature set at $root is torn " +
+          s"(pending marker present, not every covered store holds it); " +
+          s"compacting ${hit.mkString(", ")} would rebase version $v and " +
+          "make the replay repair impossible — replay the refresh at " +
+          s"version $v first")
     }
 
   /** Fold one delta into every feature's measure store — one delta
@@ -480,11 +512,14 @@ object IncrementalMaterializer {
     */
   def compact(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long, unionCap: Int = 10000): Unit =
+      bucketUs: Long, unionCap: Int = 10000): Unit = {
+    requireNoTornForMaintenance(spark, root,
+      features.map(f => storeDir(root, planOf(f, bucketUs)._1)).distinct)
     eachStore(root, features, keyCols, tsCol, bucketUs, unionCap)(
       IncrementalSwa.compact(spark, _, _),
       IncrementalUnion.compact(spark, _, _),
       IncrementalVector.compact(spark, _, _))
+  }
 
   /** Retention across every measure store: state bounded by the
     * serving horizon for the WHOLE feature set
@@ -494,11 +529,14 @@ object IncrementalMaterializer {
     */
   def compactRetaining(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long, minBucket: Long, unionCap: Int = 10000): Unit =
+      bucketUs: Long, minBucket: Long, unionCap: Int = 10000): Unit = {
+    requireNoTornForMaintenance(spark, root,
+      features.map(f => storeDir(root, planOf(f, bucketUs)._1)).distinct)
     eachStore(root, features, keyCols, tsCol, bucketUs, unionCap)(
       IncrementalSwa.compactRetaining(spark, _, _, minBucket),
       IncrementalUnion.compactRetaining(spark, _, _, minBucket),
       IncrementalVector.compactRetaining(spark, _, _, minBucket))
+  }
 
   /** GDPR erasure across every measure store: "delete these keys from
     * every feature" in one call — each store folds the keys' whole
@@ -541,10 +579,29 @@ object IncrementalMaterializer {
       s"gcKeepGenerations must keep the live generation: $gcKeepGenerations")
   }
 
-  /** What [[maintain]] did to one store — the runbook's audit line. */
+  /** What [[maintain]] did to one store — the runbook's audit line.
+    * `blockedByTornRefresh` names the pending refresh version whose
+    * tear made folding this store unsafe (folding would rebase the
+    * torn version and make the replay repair impossible) — the policy
+    * SKIPS the fold there, gc still runs, and the nightly cron keeps
+    * going for the rest of the set.
+    */
   case class MaintenanceAction(dir: String, features: Seq[String],
       compacted: Boolean, horizonSet: Option[Long],
-      generationsCollected: Int)
+      generationsCollected: Int,
+      blockedByTornRefresh: Option[Long] = None)
+
+  /** Stores covered by a TORN pending refresh → the torn version: the
+    * set [[maintainOne]] must not fold ([[requireNoTornForMaintenance]]'s
+    * rationale, as a skip-list for the policy runner).
+    */
+  private def tornCoveredDirs(spark: SparkSession,
+      root: String): Map[String, Long] =
+    pending(spark, root).flatMap { case (v, rel) =>
+      val dirs = rel.map(r => s"$root/$r")
+      if (dirs.exists(d => !holdsVersion(spark, d, v))) dirs.map(_ -> v)
+      else Nil
+    }.toMap
 
   /** The shared per-store policy step: describe (driver-side), decide,
     * act under the store's own lease, gc. A retention need subsumes the
@@ -552,22 +609,29 @@ object IncrementalMaterializer {
     */
   private def maintainOne(spark: SparkSession, dir: String,
       featNames: Seq[String], policy: MaintenancePolicy,
+      torn: Option[Long],
       compactStore: () => Unit, retainStore: Long => Unit): MaintenanceAction = {
     val info = IncrementalSwa.describe(spark, dir)
     val hasState = info.versions.nonEmpty
     val needRetain = policy.retainFromBucket
       .filter(mb => hasState && !info.retainedFrom.contains(mb))
-    val needCompact = info.versions.size > policy.compactWhenVersionsExceed
+      .filter(_ => torn.isEmpty)
+    val needCompact = torn.isEmpty &&
+      info.versions.size > policy.compactWhenVersionsExceed
     needRetain match {
       case Some(mb) => retainStore(mb)
       case None => if (needCompact) compactStore()
     }
+    // gc is fold-free (it drops SUPERSEDED generations; the live one —
+    // where any torn version lives — is never collected), so it runs
+    // even for skipped stores
     val before = Publish.committed(spark, dir).size
     Publish.gc(spark, dir, policy.gcKeepGenerations)
     MaintenanceAction(dir, featNames,
       compacted = needRetain.isDefined || needCompact,
       horizonSet = needRetain,
-      generationsCollected = before - Publish.committed(spark, dir).size)
+      generationsCollected = before - Publish.committed(spark, dir).size,
+      blockedByTornRefresh = torn)
   }
 
   private def runCollect(
@@ -591,10 +655,11 @@ object IncrementalMaterializer {
     val uCfg = IncrementalUnion.Config(keyCols, tsCol, "__graft_m",
       bucketUs, unionCap)
     val vCfg = IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs)
+    val torn = tornCoveredDirs(spark, root)
     runCollect(features.map(f => (planOf(f, bucketUs)._1, f.name))
       .groupBy(_._1).toSeq.map { case (m, fs) => () =>
         val dir = storeDir(root, m)
-        maintainOne(spark, dir, fs.map(_._2), policy,
+        maintainOne(spark, dir, fs.map(_._2), policy, torn.get(dir),
           compactStore = () => m.kind match {
             case Scalar =>
               IncrementalSwa.compact(spark, dir, cfg(keyCols, tsCol, bucketUs))
@@ -617,6 +682,7 @@ object IncrementalMaterializer {
       features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
       bucketUs: Long, policy: MaintenancePolicy): Seq[MaintenanceAction] = {
     require(features.nonEmpty, "no features to maintain")
+    val torn = tornCoveredDirs(spark, root)
     runCollect(features.groupBy(graftDir(root, _)).toSeq.map {
       case (dir, fs) => () =>
         def cfgD(p: Int) = IncrementalDistinct.Config(keyCols, tsCol,
@@ -626,7 +692,7 @@ object IncrementalMaterializer {
             bucketUs, lo, hi, bins)
         def cfgT(cand: Int) = IncrementalTopK.Config(keyCols, tsCol,
           "__graft_m", bucketUs, cand)
-        maintainOne(spark, dir, fs.map(_.name), policy,
+        maintainOne(spark, dir, fs.map(_.name), policy, torn.get(dir),
           compactStore = () => fs.head.agg match {
             case GraftAggregation.DistinctCount(p) =>
               IncrementalDistinct.compact(spark, dir, cfgD(p))
@@ -889,22 +955,36 @@ object IncrementalMaterializer {
   /** [[compact]] across every extension store. */
   def compactGraft(spark: SparkSession, root: String,
       features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long): Unit =
+      bucketUs: Long): Unit = {
+    requireNoTornForMaintenance(spark, root,
+      features.map(graftDir(root, _)).distinct)
     eachGraftStore(root, features, keyCols, tsCol, bucketUs)(
       IncrementalDistinct.compact(spark, _, _),
       IncrementalQuantile.compact(spark, _, _),
       IncrementalTopK.compact(spark, _, _))
+  }
 
   /** [[compactRetaining]] across every extension store. */
   def compactRetainingGraft(spark: SparkSession, root: String,
       features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
-      bucketUs: Long, minBucket: Long): Unit =
+      bucketUs: Long, minBucket: Long): Unit = {
+    requireNoTornForMaintenance(spark, root,
+      features.map(graftDir(root, _)).distinct)
     eachGraftStore(root, features, keyCols, tsCol, bucketUs)(
       IncrementalDistinct.compactRetaining(spark, _, _, minBucket),
       IncrementalQuantile.compactRetaining(spark, _, _, minBucket),
       IncrementalTopK.compactRetaining(spark, _, _, minBucket))
+  }
 
-  /** [[forgetKeys]] across every extension store. */
+  /** [[forgetKeys]] across every extension store. Erasure is NOT
+    * blocked by a torn refresh — GDPR wins. Consequence, accepted and
+    * explicit: the erasure fold raises foldedThrough past the torn
+    * version, so the stores then COUNT as holding it (the tear is
+    * absorbed into the fold and the replay repair is no longer
+    * possible) — an operator-initiated destructive action, not a
+    * silent landing; re-ingest the missing delta under a fresh
+    * version if it still matters.
+    */
   def forgetKeysGraft(spark: SparkSession, root: String,
       features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
       bucketUs: Long, keys: DataFrame): Unit =
@@ -1184,20 +1264,28 @@ object IncrementalMaterializer {
   /** [[compact]] across every binding's stores. */
   def compactMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
-      unionCap: Int = 10000): Unit =
-    Par.run(features.groupBy(bindingOf).toSeq.map { case (b, fs) => () =>
+      unionCap: Int = 10000): Unit = {
+    val groups = features.groupBy(bindingOf)
+    requireNoTornForMaintenance(spark, root,
+      multiAnchorDirs(root, groups, bucketUs))
+    Par.run(groups.toSeq.map { case (b, fs) => () =>
       compact(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, unionCap)
     }: _*)
+  }
 
   /** [[compactRetaining]] across every binding's stores. */
   def compactRetainingMulti(spark: SparkSession, root: String,
       features: Seq[AnchorFeature], tsCol: String, bucketUs: Long,
-      minBucket: Long, unionCap: Int = 10000): Unit =
-    Par.run(features.groupBy(bindingOf).toSeq.map { case (b, fs) => () =>
+      minBucket: Long, unionCap: Int = 10000): Unit = {
+    val groups = features.groupBy(bindingOf)
+    requireNoTornForMaintenance(spark, root,
+      multiAnchorDirs(root, groups, bucketUs))
+    Par.run(groups.toSeq.map { case (b, fs) => () =>
       compactRetaining(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs, minBucket, unionCap)
     }: _*)
+  }
 
   /** [[forgetKeys]] scoped to ONE binding (erasing a user means the
     * user-keyed stores; an item-keyed store has no row for that user).
@@ -1281,11 +1369,14 @@ object IncrementalMaterializer {
   /** [[compactGraft]] across every binding's stores. */
   def compactGraftMulti(spark: SparkSession, root: String,
       features: Seq[GraftFeature], tsCol: String,
-      bucketUs: Long): Unit =
-    Par.run(features.groupBy(graftBindingOf).toSeq.map { case (b, fs) => () =>
+      bucketUs: Long): Unit = {
+    val groups = features.groupBy(graftBindingOf)
+    requireNoTornForMaintenance(spark, root, multiGraftDirs(root, groups))
+    Par.run(groups.toSeq.map { case (b, fs) => () =>
       compactGraft(spark, bindingRoot(root, b), fs, b.map(_._2), tsCol,
         bucketUs)
     }: _*)
+  }
 
   /** [[forgetKeysGraft]] scoped to ONE binding (the
     * [[forgetKeysMulti]] contract: erasing a user touches the

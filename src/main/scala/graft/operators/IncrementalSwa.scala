@@ -110,9 +110,8 @@ object IncrementalSwa {
       }
     }.getOrElse((Seq.empty[Long], -1L, None, 0L, 0L))
     val lease = WriterLease.readLease(spark, dir)
-    val now = System.currentTimeMillis()
     StoreInfo(dir, gens, live, vs, folded, retained, files, bytes,
-      lease.map(_._1), lease.map(l => math.max(0L, now - l._3)))
+      lease.map(_._1), WriterLease.leaseAgeMs(spark, dir))
   }
 
   /** Live generation dir if the store exists. Read paths go through
@@ -160,16 +159,24 @@ object IncrementalSwa {
     * live generation; -1 when never compacted (or no store yet).
     */
   def foldedThrough(spark: SparkSession, dir: String): Long =
-    liveGenOpt(spark, dir).map { g =>
-      val gen = new Path(g)
-      val f = fs(spark, dir)
-      if (!f.exists(gen)) -1L
-      else f.listStatus(gen).iterator
-        .map(_.getPath.getName)
-        .filter(_.startsWith(FoldPrefix))
-        .map(_.drop(FoldPrefix.length).toLong)
-        .foldLeft(-1L)(math.max)
-    }.getOrElse(-1L)
+    liveGenOpt(spark, dir).map(foldedThroughIn(spark, _)).getOrElse(-1L)
+
+  /** [[foldedThrough]] read from an ALREADY-RESOLVED generation dir —
+    * for lock-free readers that must resolve the generation pointer
+    * exactly once and derive every read from it (a second resolution
+    * can land on a generation published in between).
+    */
+  private[operators] def foldedThroughIn(spark: SparkSession,
+      genDir: String): Long = {
+    val gen = new Path(genDir)
+    val f = fs(spark, genDir)
+    if (!f.exists(gen)) -1L
+    else f.listStatus(gen).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(FoldPrefix))
+      .map(_.drop(FoldPrefix.length).toLong)
+      .foldLeft(-1L)(math.max)
+  }
 
   /** Epoch-micros timestamp → bucket index under `bucketUs`. ONE
     * definition shared by every incremental store and gate — the

@@ -42,36 +42,14 @@ object IvfPqIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       kmeansIters: Int = 3, pqIters: Int = 5,
       trainSampleCap: Int = 1 << 16): Unit = {
-    val spark = corpus.sparkSession
-    val centroids = Similarity.trainCentroids(corpus, nCells, idCol, vecCol,
-      kmeansIters, 1e-6, trainSampleCap)
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    import spark.implicits._
-    Seq(Encoding).toDF("encoding").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
-
-    // residual frame, spilled ONCE: codebook training samples it and
-    // the encode pass scans it — both must see bit-identical residuals
-    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
-    val vhat = transform(col(vecCol),
-      x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
-    val res = Spill.roundTrip(
-      assigned.join(broadcast(centroids), Seq("cell_id"))
-        .select(col(idCol), col(vecCol), col("cell_id"),
-          zip_with(vhat, col("centroid"),
-            (a, b) => (a - b).cast("float")).as("__res")))
-
-    val cb = ProductQuant.trainCodebooks(res, m, kCodes, idCol, "__res",
-      pqIters, trainSampleCap, normalizeInput = false)
-    cb.zipWithIndex.flatMap { case (codes, s) =>
-      codes.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-
-    val coded = ProductQuant.encode(res, cb, idCol, "__res",
-      normalizeInput = false)
-    res.select(col(idCol), col(vecCol), col("cell_id"))
-      .join(coded, Seq(idCol))
+    // training and encoding are the SAME code paths the incremental
+    // store's rebuild runs ([[trainQuantizersTo]] / [[encodeResiduals]])
+    // — one copy, so built and rebuilt indexes cannot drift an ulp
+    // apart; the residual frame is spilled once inside the trainer and
+    // reused by the encode
+    val q = trainQuantizersTo(corpus, path, nCells, m, kCodes,
+      idCol, vecCol, kmeansIters, pqIters, trainSampleCap)
+    encodeResiduals(q.residuals, q.cb, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$path/vectors")
   }

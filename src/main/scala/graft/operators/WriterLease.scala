@@ -22,17 +22,21 @@ import java.nio.charset.StandardCharsets
   * the new holder's lease on the way out.
   *
   * Staleness: a holder that died cannot release, so a lease older
-  * than `ttlMs` may be TAKEN OVER. The lease's age comes from a
-  * creation timestamp CARRIED IN THE FILE CONTENT (third line),
-  * written atomically with the create — not from the file's
-  * modification time, because the takeover protocol renames the
-  * lease aside and on object-store filesystems where rename is
-  * copy+delete (S3A, the GCS connector) the copy gets a NEW mtime:
-  * an mtime-based identity check would fail on every takeover there
-  * and a dead holder's lease could never be reclaimed. (A partial
-  * lease write that lost its timestamp line falls back to mtime —
-  * such a lease was never renamed, so mtime is still the create
-  * time.)
+  * than `ttlMs` may be TAKEN OVER. Two timestamps with two distinct
+  * jobs: the lease's AGE is judged from the live lease file's mtime
+  * (the file at the lease path is never renamed in place, so its
+  * mtime is its create time ON THE STORE'S CLOCK — a writer-carried
+  * wall clock would let cross-machine skew larger than the ttl evict
+  * a live holder); the lease's IDENTITY for the takeover/release
+  * verification is the content triple (owner, token, creation time
+  * written as the third line) — identity must survive the
+  * rename-aside, and on object-store filesystems where rename is
+  * copy+delete (S3A, the GCS connector) the copy gets a NEW mtime,
+  * so an mtime-based identity check would fail on every takeover
+  * there and a dead holder's lease could never be reclaimed. (A
+  * partial lease write that lost its timestamp line falls back to
+  * mtime for identity — such a lease was never renamed, so mtime is
+  * still the create time.)
   * The takeover RENAMES the lease aside (atomic — fails for every
   * racer but one) and then VERIFIES the renamed-aside file is the
   * exact lease observed as stale, restoring it when it is not: a
@@ -107,6 +111,21 @@ object WriterLease {
 
   private[graft] def readLease(spark: SparkSession, dir: String): Option[(String, String, Long)] =
     readLeaseAt(fs(spark, dir), leasePath(dir))
+
+  /** Age of the lease ON THE STORE'S CLOCK (live-lease file mtime) —
+    * the same authority [[acquire]]'s ttl reasoning uses; None when no
+    * lease file exists (or it vanished mid-read).
+    */
+  private[operators] def leaseAgeMs(spark: SparkSession,
+      dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = leasePath(dir)
+    try {
+      if (!f.exists(p)) None
+      else Some(math.max(0L,
+        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
+    } catch { case _: java.io.IOException => None }
+  }
 
   private def tryCreate(spark: SparkSession, dir: String,
       owner: String): Option[Lease] = {
@@ -183,8 +202,17 @@ object WriterLease {
             throw new IllegalStateException(
               s"writer lease on $dir is contended — another writer " +
                 "acquired it concurrently; retry after it finishes"))
-        case Some(observed @ (holder, _, createdMs)) =>
-          val ageMs = System.currentTimeMillis() - createdMs
+        case Some(observed @ (holder, _, _)) =>
+          // age from the LIVE lease file's mtime — the store's clock,
+          // not the (possibly skewed) writer's content-carried clock;
+          // the file vanishing between read and stat means the holder
+          // released: age 0 routes to the contended-retry error below
+          val mtime =
+            try fs(spark, dir).getFileStatus(leasePath(dir))
+              .getModificationTime
+            catch { case _: java.io.IOException =>
+              System.currentTimeMillis() }
+          val ageMs = System.currentTimeMillis() - mtime
           val sameExplicit = holder == owner && explicitOwner(spark)
           if (ageMs <= ttlMs(spark) && !sameExplicit)
             throw new IllegalStateException(

@@ -406,14 +406,43 @@ class IncrementalMaterializerSpec extends SparkTestBase {
         "ots")
     }
     assert(eT.getMessage.contains("did not complete"), eT.getMessage)
-    // the replay (idempotent per store) lands both and clears the marker
+
+    // a LATER completed refresh must not launder the tear away:
+    // version holes are legal, so the union store landing v2 is still
+    // missing v1's delta — the v1 marker survives and serves keep
+    // refusing until v1 itself is replayed
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 2L)
+    val eL = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+    }
+    assert(eL.getMessage.contains("version 1"), eL.getMessage)
+
+    // folding torn state would rebase v1 and make the replay repair
+    // impossible — maintenance refuses (compact) or skips (maintain)
+    val eC = intercept[IllegalArgumentException] {
+      IncrementalMaterializer.compact(spark, root, feats,
+        Seq("k"), "ts", DayUs)
+    }
+    assert(eC.getMessage.contains("torn"), eC.getMessage)
+    val skipped = IncrementalMaterializer.maintain(spark, root, feats,
+      Seq("k"), "ts", DayUs,
+      IncrementalMaterializer.MaintenancePolicy(compactWhenVersionsExceed = 1))
+    assert(skipped.forall(a =>
+      !a.compacted && a.blockedByTornRefresh.contains(1L)), skipped.toString)
+
+    // the replay (idempotent per store) lands v1 and clears the marker
     IncrementalMaterializer.refresh(events, root, feats,
       Seq("k"), "ts", DayUs, 1L)
     val snap = IncrementalMaterializer.snapshot(spark, root, feats,
       Seq("k"), "ts", DayUs, 2 * DayUs)
       .select("k", "s2").as[(Long, Double)].collect().toMap
-    // events ingested at versions 0 AND 1 -> sums doubled
-    assert(snap == Map(1L -> 14.0, 2L -> 20.0), snap.toString)
+    // events ingested at versions 0, 2 AND the replayed 1 -> sums tripled
+    assert(snap == Map(1L -> 21.0, 2L -> 30.0), snap.toString)
+    // and maintenance is unblocked again
+    IncrementalMaterializer.compact(spark, root, feats,
+      Seq("k"), "ts", DayUs)
   }
 
   test("tear check is scoped: untouched stores serve, completed markers self-heal") {

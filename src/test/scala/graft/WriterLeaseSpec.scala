@@ -38,23 +38,15 @@ class WriterLeaseSpec extends SparkTestBase {
     assert(served == Map(1L -> 1.0, 2L -> 2.0))
   }
 
-  // age a held lease past the ttl by rewinding the content-carried
-  // creation timestamp (staleness is judged from the content, not file
-  // mtime — see "staleness comes from the content-carried creation
-  // time" below); owner and token survive so the dead holder's handle
-  // still matches the file
+  // age a held lease past the ttl: staleness is judged from the live
+  // lease FILE's mtime (the store's clock), so rewind that — and keep
+  // the content-carried creation timestamp (the rename-stable IDENTITY
+  // field) in sync so the takeover's tomb verification still matches
+  // what a contender observed
   private def ageLease(dir: String, byMs: Long): Unit = {
     val p = new Path(s"$dir/_writer_lease")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
-      finally in.close()
-    val created = if (lines.length >= 3) lines(2).trim.toLong
-      else fs.getFileStatus(p).getModificationTime
-    fs.delete(p, false)
-    val out = fs.create(p, false)
-    out.write(s"${lines(0)}\n${lines(1)}\n${created - byMs}".getBytes("UTF-8"))
-    out.close()
+    fs.setTimes(p, System.currentTimeMillis() - byMs, -1L)
   }
 
   test("stale lease is taken over; the dead holder's release names the takeover") {
@@ -125,23 +117,35 @@ class WriterLeaseSpec extends SparkTestBase {
     WriterLease.release(spark, WriterLease.acquire(spark, dir, "w2"))
   }
 
-  test("staleness comes from the content-carried creation time, not file mtime") {
+  test("lease identity is content-carried (rename-stable); age is the store-clock mtime") {
     // on object stores rename is copy+delete and rewrites mtime, so the
-    // takeover identity check must survive an mtime change — the lease
-    // carries its creation time IN the content
+    // takeover IDENTITY check reads the creation time from the lease
+    // CONTENT — while staleness stays on the store's clock (the live
+    // lease file's mtime), so a writer's skewed wall clock can never
+    // make a live lease look expired
     val dir = Spill.newPath(spark)
     val p = new Path(s"$dir/_writer_lease")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir))
-    val staleMs = System.currentTimeMillis() - 3600 * 1000L
+    val skewedMs = System.currentTimeMillis() - 3600 * 1000L
     val out = fs.create(p, false)
-    out.write(s"dead-writer\nsome-token\n$staleMs".getBytes("UTF-8"))
+    out.write(s"skewed-writer\nits-token\n$skewedMs".getBytes("UTF-8"))
     out.close()
-    // the FILE is brand new (fresh mtime) — only the content says stale
     spark.conf.set("spark.graft.lease.ttlSeconds", "600")
     try {
+      // identity reads the CONTENT timestamp (survives copy+delete)...
       val read = WriterLease.readLease(spark, dir)
-      assert(read.exists(_._3 == staleMs), s"created-at must come from content: $read")
+      assert(read.exists(_._3 == skewedMs),
+        s"identity created-at must come from content: $read")
+      // ...but the fresh FILE means the holder is LIVE: a contender is
+      // excluded even though the holder's own clock ran an hour behind
+      val e = intercept[IllegalStateException] {
+        WriterLease.acquire(spark, dir, "contender")
+      }
+      assert(e.getMessage.contains("skewed-writer"), e.getMessage)
+      // once the STORE-clock age passes the ttl, takeover proceeds and
+      // the tomb verification matches on the content identity
+      ageLease(dir, 601 * 1000L)
       val taker = WriterLease.acquire(spark, dir, "taker")
       assert(WriterLease.readLease(spark, dir).exists(_._1 == "taker"))
       WriterLease.release(spark, taker)
