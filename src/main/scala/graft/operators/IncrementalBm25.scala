@@ -177,6 +177,22 @@ object IncrementalBm25 {
         .drop(VCol),
       sortCol = "__term")
 
+  /** The dashboard read for the postings store —
+    * [[IncrementalSwa.describe]] at this index's state dir. */
+  def describe(spark: SparkSession, dir: String): IncrementalSwa.StoreInfo =
+    IncrementalSwa.describe(spark, idxDir(dir))
+
+  /** One-call nightly maintenance ([[IncrementalSwa.maintainStore]]):
+    * fold when live versions exceed the threshold, gc superseded
+    * generations. Returns whether a fold ran.
+    */
+  def maintain(spark: SparkSession, dir: String, cfg: Config,
+      compactWhenVersionsExceed: Int = 8,
+      gcKeepGenerations: Int = 2): Boolean =
+    IncrementalSwa.maintainStore(spark, idxDir(dir),
+      compactWhenVersionsExceed, gcKeepGenerations)(
+      () => { compact(spark, dir, cfg); () })
+
   /** GDPR erasure: remove `ids`' postings and sentinels in one
     * anti-join fold — the documents' content stops influencing scores
     * and their lengths stop influencing avgdl. Forgotten ids remain

@@ -296,6 +296,22 @@ object IncrementalHamming {
         .drop(VCol),
       sortCol = "__id")
 
+  /** The dashboard read for the signature store —
+    * [[IncrementalSwa.describe]] at this index's state dir. */
+  def describe(spark: SparkSession, dir: String): IncrementalSwa.StoreInfo =
+    IncrementalSwa.describe(spark, idxDir(dir))
+
+  /** One-call nightly maintenance ([[IncrementalSwa.maintainStore]]):
+    * fold when live versions exceed the threshold, gc superseded
+    * generations. Returns whether a fold ran.
+    */
+  def maintain(spark: SparkSession, dir: String, cfg: Config,
+      compactWhenVersionsExceed: Int = 8,
+      gcKeepGenerations: Int = 2): Boolean =
+    IncrementalSwa.maintainStore(spark, idxDir(dir),
+      compactWhenVersionsExceed, gcKeepGenerations)(
+      () => { compact(spark, dir, cfg); () })
+
   /** GDPR erasure: one anti-join fold removes the ids' signatures —
     * they stop influencing every later admission decision. Forgotten
     * ids stay BURNED for re-ingest (the high-water meta is untouched):

@@ -267,6 +267,24 @@ object IncrementalIvfPq {
       install = carryQuantizers(spark, root))
   }
 
+  /** The dashboard read for the vector store —
+    * [[IncrementalSwa.describe]] at this index's state dir. */
+  def describe(spark: SparkSession, root: String): IncrementalSwa.StoreInfo =
+    IncrementalSwa.describe(spark, vecDir(root))
+
+  /** One-call nightly maintenance ([[IncrementalSwa.maintainStore]]):
+    * fold when live versions exceed the threshold, gc superseded
+    * generations. Quantizer drift is NOT a maintenance decision — a
+    * [[rebuild]] re-scores history and is the operator's own call.
+    * Returns whether a fold ran.
+    */
+  def maintain(spark: SparkSession, root: String,
+      compactWhenVersionsExceed: Int = 8,
+      gcKeepGenerations: Int = 2): Boolean =
+    IncrementalSwa.maintainStore(spark, vecDir(root),
+      compactWhenVersionsExceed, gcKeepGenerations)(
+      () => { compact(spark, root); () })
+
   /** The drift remedy as an API — the FAISS `train()`+`add()` retrain
     * cycle: re-train the quantizers over the CURRENT surviving corpus
     * (raw vectors ride in the store for exact rescore, so nothing is

@@ -114,6 +114,27 @@ object IncrementalSwa {
       lease.map(_._1), WriterLease.leaseAgeMs(spark, dir))
   }
 
+  /** The one-call store-level maintenance policy step shared by the
+    * index stores ([[IncrementalBm25]]/[[IncrementalHamming]]/
+    * [[IncrementalIvfPq]].maintain — the
+    * [[IncrementalMaterializer.maintain]] decision rules at single-store
+    * granularity): fold the version tail when the live generation holds
+    * more than `compactWhenVersionsExceed` partitions, then gc all but
+    * the newest `gcKeepGenerations` committed generations. Idempotent —
+    * a second run finds one version and nothing to collect. Returns
+    * whether a fold ran.
+    */
+  private[operators] def maintainStore(spark: SparkSession, dir: String,
+      compactWhenVersionsExceed: Int, gcKeepGenerations: Int)(
+      compactStore: () => Unit): Boolean = {
+    require(compactWhenVersionsExceed >= 1,
+      s"compactWhenVersionsExceed must be >= 1: $compactWhenVersionsExceed")
+    val folded = versions(spark, dir).size > compactWhenVersionsExceed
+    if (folded) compactStore()
+    Publish.gc(spark, dir, gcKeepGenerations)
+    folded
+  }
+
   /** Live generation dir if the store exists. Read paths go through
     * this (or [[requireLiveGen]]) so that a read of a mistyped or
     * missing path FAILS by name instead of committing an empty

@@ -32,7 +32,8 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=swa|minhash|text|curate|ivf|int8|incdedup|
     //   sessionize|ivfindex|skew|bm25|topfrac|spans|winnow|bucket|
     //   layout|pq|bloom|asof|inccur|audit|optorder|rangejoin|swainc|
-    //   featday|bpe|unionvec|uvdaily|bm25inc|haminc|all selects the axis
+    //   featday|bpe|unionvec|uvdaily|bm25inc|haminc|ivfrebuild|all
+    //   selects the axis
     val axes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
     val mults = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
     val spark = SparkSession.builder().master("local[32]")
@@ -1543,6 +1544,45 @@ object ScaleProbe {
             f"serveAdmitted=$sSec%6.2fs/${sMb}%6.1fMB " +
             f"batchRecompute=$bSec%6.2fs/${bMb}%6.1fMB")
         warmedHam = true
+      }
+    }
+
+    // ---- axis 31: the IVF-PQ rebuild (drift remedy) vs ingest. The
+    // FAISS tradeoff made explicit: ingest of a fixed delta stays FLAT
+    // as the index grows (frozen quantizers, O(delta) encode), while
+    // rebuild retrains + re-encodes the WHOLE surviving corpus —
+    // honestly linear, which is exactly why it is a scheduled remedy
+    // and never a silent per-ingest re-train. Query cost after the
+    // rebuild must stay flat (same probe-pruned serving shape).
+    if (axes == "all" || axes == "ivfrebuild") {
+      import graft.operators.{IncrementalIvfPq, Spill}
+      val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val queries = emb0.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      def shifted(i: Int) = emb0
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+      var warmedIr = false
+      for (n <- Seq(1) ++ mults) {
+        val root = Spill.newPath(spark) + s"/probe_ivfr_$n"
+        IncrementalIvfPq.build(shifted(0), root, nCells = 16, m = 8,
+          kCodes = 16)
+        (1 until n).foreach(i =>
+          IncrementalIvfPq.ingest(shifted(i), root, version = i.toLong))
+        val (iSec, iMb) = time {
+          IncrementalIvfPq.ingest(shifted(n), root, version = n.toLong); 1L
+        }
+        val (rSec, rMb) = time { IncrementalIvfPq.rebuild(spark, root); 1L }
+        val (qSec, qMb) = time {
+          IncrementalIvfPq.query(spark, root, queries, k = 10, nProbe = 4)
+            .count()
+        }
+        if (warmedIr)
+          println(f"[scale] n=$n%-3d corpus=${n + 1}x " +
+            f"ingestFixedDelta=$iSec%6.2fs/${iMb}%6.1fMB " +
+            f"rebuildSurvivors=$rSec%6.2fs/${rMb}%6.1fMB " +
+            f"queryFixedLoad=$qSec%6.2fs/${qMb}%6.1fMB")
+        warmedIr = true
       }
     }
 

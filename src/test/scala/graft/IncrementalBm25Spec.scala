@@ -100,6 +100,25 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(e5.getMessage.contains("NULL ids"), e5.getMessage)
   }
 
+  test("maintain folds past the threshold and gc's generations, idempotently") {
+    val root = Spill.newPath(spark) + "/bm"
+    IncrementalBm25.ingest(corpus.where(col("doc_id") <= 3), root, cfg, 0L)
+    IncrementalBm25.ingest(corpus.where(col("doc_id") > 3), root, cfg, 1L)
+    val before = IncrementalBm25.describe(spark, root)
+    assert(before.versions == Seq(0L, 1L))
+    assert(IncrementalBm25.maintain(spark, root, cfg,
+      compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+    val after = IncrementalBm25.describe(spark, root)
+    assert(after.versions == Seq(1L) && after.committedGenerations.size == 1,
+      after.toString)
+    // maintenance moves bytes, never answers
+    assert(rows(IncrementalBm25.serve(spark, root, cfg, queries, k = 3))
+      == rows(Retrieval.bm25TopK(corpus, queries, k = 3)))
+    // second run under the same policy: nothing to do
+    assert(!IncrementalBm25.maintain(spark, root, cfg,
+      compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+  }
+
   test("crash between meta record and data write: benign hole, replay fills it") {
     // ingest records the high-water meta BEFORE the version partition —
     // a crash between the two leaves ids reserved with no served data
