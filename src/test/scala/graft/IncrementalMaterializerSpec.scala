@@ -592,6 +592,22 @@ class IncrementalMaterializerSpec extends SparkTestBase {
         "ts", DayUs, obs.drop("t_alias"), "ots")
     }
     assert(e.getMessage.contains("t_alias"), e.getMessage)
+
+    // maintainMulti applies the policy across BOTH bindings' stores
+    // and leaves every frame's answers unchanged
+    (1L to 2L).foreach(v =>
+      IncrementalMaterializer.refreshMulti(events, root, feats,
+        "ts", DayUs, v))
+    val acted = IncrementalMaterializer.maintainMulti(spark, root, feats,
+      "ts", DayUs, IncrementalMaterializer.MaintenancePolicy(
+        compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+    assert(acted.size == 2 && acted.forall(_.compacted), acted.toString)
+    // 3 ingests of the same events -> tag sums tripled
+    assert(IncrementalMaterializer.snapshotDailyMulti(spark, root,
+        feats, "ts", DayUs)(Seq("t_alias"))
+      .select("t_alias", "bucket", "tsum2")
+      .as[(String, Long, Double)].collect().toSet ==
+      Set(("a", 0L, 3.0), ("a", 1L, 15.0), ("b", 0L, 6.0), ("b", 1L, 36.0)))
   }
 
   test("feature-set evolution: a feature added later backfills its own " +
