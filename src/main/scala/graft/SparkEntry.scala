@@ -1517,6 +1517,13 @@ object SparkEntry {
           .select(col("q_id"), lit(true).as("recall_ok"))
       val exact = () => Similarity.bruteForceTopK(
         emb.where(col("vec_id") % 100 =!= 50), queries, k)
+      // ONE fresh-delta definition shared by the cached lifecycle and
+      // the per-run truth corpus — drift between the two would compare
+      // the index against a corpus its store no longer matches,
+      // invisibly at the bench sf where no oracle runs
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val freshDelta = emb.where(col("vec_id") % 100 === 3)
+        .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"))
       // the lifecycle (build → ingest → forget → compact → REBUILD →
       // fresh-id ingest) is deterministic per sf dir and cached once
       // per JVM (the r15 family-bootstrap share): the gate TIMES the
@@ -1560,13 +1567,8 @@ object SparkEntry {
         require(refused, "pre-rebuild history must refuse as rebased")
         // lineage continues under the NEW quantizers: fresh ids above
         // the burned range, encoded by the rebuilt codebooks
-        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-        IncrementalIvfPq.ingest(
-          emb.where(col("vec_id") % 100 === 3)
-            .select((col("vec_id") + maxId + 1L).as("vec_id"),
-              col("embedding")),
-          root, version =
-            graft.operators.IncrementalSwa.foldedThrough(s, vstore) + 1)
+        IncrementalIvfPq.ingest(freshDelta, root, version =
+          graft.operators.IncrementalSwa.foldedThrough(s, vstore) + 1)
       }
       val post = IncrementalIvfPq.query(s, root, queries, k,
         nProbe = 12, rescoreFactor = 20)
@@ -1574,13 +1576,10 @@ object SparkEntry {
       require(postPlan.linesIterator.exists(l => l.contains("PartitionFilters") &&
         l.contains("cell_id") && !l.contains("PartitionFilters: []")),
         "rebuilt IVF-PQ vectors scan is not partition-pruned")
-      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
       val postExact = Similarity.bruteForceTopK(
         emb.where(col("vec_id") % 100 =!= 50)
           .select("vec_id", "embedding")
-          .unionByName(emb.where(col("vec_id") % 100 === 3)
-            .select((col("vec_id") + maxId + 1L).as("vec_id"),
-              col("embedding"))), queries, k)
+          .unionByName(freshDelta), queries, k)
       recallGate(post, postExact)
     }),
 

@@ -129,6 +129,10 @@ object IncrementalSwa {
       compactStore: () => Unit): Boolean = {
     require(compactWhenVersionsExceed >= 1,
       s"compactWhenVersionsExceed must be >= 1: $compactWhenVersionsExceed")
+    // BOTH params validated before any action: a bad gc bound failing
+    // only after the compaction fold would leave a half-applied call
+    require(gcKeepGenerations >= 1,
+      s"gcKeepGenerations must keep the live generation: $gcKeepGenerations")
     val folded = versions(spark, dir).size > compactWhenVersionsExceed
     if (folded) compactStore()
     Publish.gc(spark, dir, gcKeepGenerations)

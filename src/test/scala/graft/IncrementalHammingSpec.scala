@@ -111,6 +111,25 @@ class IncrementalHammingSpec extends SparkTestBase {
     assert(p == Set((9L, 1L, 2)))
   }
 
+  test("maintain folds past the threshold and gc's, serving unchanged") {
+    val dir = Spill.newPath(spark) + "/hm"
+    def batch(r: Range) = sigs(r.map(i => (i.toLong, i * 1024L + 5L)): _*)
+    IncrementalHamming.ingest(batch(0 until 8), dir, cfg, 0L)
+    IncrementalHamming.ingest(batch(8 until 16), dir, cfg, 1L)
+    val before = IncrementalHamming.admittedIds(spark, dir, cfg,
+      maxHamming = 3).collect().map(_.toString).sorted
+    assert(IncrementalHamming.describe(spark, dir).versions == Seq(0L, 1L))
+    assert(IncrementalHamming.maintain(spark, dir, cfg,
+      compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+    val info = IncrementalHamming.describe(spark, dir)
+    assert(info.versions == Seq(1L) && info.committedGenerations.size == 1,
+      info.toString)
+    assert(IncrementalHamming.admittedIds(spark, dir, cfg, maxHamming = 3)
+      .collect().map(_.toString).sorted.sameElements(before))
+    assert(!IncrementalHamming.maintain(spark, dir, cfg,
+      compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+  }
+
   test("forget erases a dominating entrant: former losers re-admitted") {
     val root = Spill.newPath(spark) + "/h7"
     IncrementalHamming.admit(sigs((1L, 0L), (2L, 1L), (3L, far)),

@@ -104,6 +104,30 @@ class IncrementalIvfPqSpec extends SparkTestBase {
     assert(!served.exists(h => h._2 == 1L || h._2 == 129L))
   }
 
+  test("maintain folds past the threshold and gc's, serving unchanged") {
+    val root = Spill.newPath(spark) + "/ivfm"
+    IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
+    IncrementalIvfPq.ingest(delta, root, version = 1L)
+    val before = hits(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2))
+    assert(IncrementalIvfPq.describe(spark, root).versions == Seq(0L, 1L))
+    assert(IncrementalIvfPq.maintain(spark, root,
+      compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+    val info = IncrementalIvfPq.describe(spark, root)
+    assert(info.versions == Seq(1L) && info.committedGenerations.size == 1,
+      info.toString)
+    assert(hits(IncrementalIvfPq.query(spark, root, queries,
+      k = 5, nProbe = 2)) == before)
+    assert(!IncrementalIvfPq.maintain(spark, root,
+      compactWhenVersionsExceed = 1, gcKeepGenerations = 1))
+    // half-applied guard: a bad gc bound is refused BEFORE any fold
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.maintain(spark, root,
+        compactWhenVersionsExceed = 1, gcKeepGenerations = 0)
+    }
+    assert(e.getMessage.contains("gcKeepGenerations"), e.getMessage)
+  }
+
   test("rebuild: retrained quantizers swap atomically, recall holds, lineage continues") {
     val root = Spill.newPath(spark) + "/ivf"
     IncrementalIvfPq.build(initial, root, nCells = 4, m = 4, kCodes = 8)
