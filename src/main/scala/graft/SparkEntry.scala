@@ -3183,6 +3183,51 @@ object SparkEntry {
           round(col("f_psum_7d"), 4).as("f_psum_7d"))
     }),
 
+    // STATE time travel for the feature set (r15): after all three
+    // deltas land, snapshotAsOf(version 1) must serve the wide feature
+    // row EXACTLY as the second refresh left it — every store's
+    // partials truncated at the version boundary, same serve boundary
+    // as the live snapshot. The oracle recomputes the windowed
+    // aggregates over ONLY the first two deltas' events (the day-range
+    // split restated in SQL) — "what did the features say after last
+    // Tuesday's refresh", answered from retained state.
+    "q_materialize_asof" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val feats = Seq(
+        AnchorFeature("f_isum_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "SUM", "7d"), Seq(userKey)),
+        AnchorFeature("f_icnt_7d", FeatureType.INT64,
+          Transformation.windowAgg("value", "COUNT", "7d"), Seq(userKey)),
+        AnchorFeature("f_imax_14d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "MAX", "14d"), Seq(userKey)),
+        AnchorFeature("f_ilatest_7d", FeatureType.DOUBLE,
+          Transformation.windowAgg("value", "LATEST", "7d"), Seq(userKey)),
+        AnchorFeature("f_psum_7d", FeatureType.DOUBLE,
+          Transformation.WindowAgg("value", graft.model.Aggregation.SUM,
+            graft.model.Durations.parse("7d"),
+            filter = Some("event_type = 'purchase'")), Seq(userKey)))
+      val ev = fixTs(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+        .withColumn("__d", IncrementalSwa.bucketOf(col("ts"), dayUs))
+      val (minB, maxB) = {
+        val r = ev.agg(min(col("__d")), max(col("__d"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val root = Spill.newPath(s)
+      val step = (maxB - minB) / 3 + 1
+      (0L until 3L).foreach { i =>
+        val lo = minB + i * step
+        IncrementalMaterializer.refresh(
+          ev.where(col("__d") >= lo && col("__d") < lo + step).drop("__d"),
+          root, feats, Seq("user_id"), "ts", dayUs, i)
+      }
+      IncrementalMaterializer.snapshotAsOf(s, root, feats, Seq("user_id"),
+          "ts", dayUs, (maxB + 1) * dayUs, asOfVersion = 1L)
+        .select(col("user_id"), round(col("f_isum_7d"), 4).as("f_isum_7d"),
+          col("f_icnt_7d"), col("f_imax_14d"), col("f_ilatest_7d"),
+          round(col("f_psum_7d"), 4).as("f_psum_7d"))
+    }),
+
     // J4 on the O(delta) path: ONE feature set spanning TWO key
     // bindings (user-keyed and event-type-keyed WindowAggs, the
     // type key under a DSL alias) rides one router root —
@@ -4492,13 +4537,19 @@ object SparkEntry {
     * the whole corpus IS the batch computation, so the two gates
     * must share their oracle structurally, not by copy). */
   // one oracle for the materializer's incremental feature set, shared
-  // by the refresh gate and the maintenance gate (maintenance must not
-  // change what is served)
-  private lazy val sqlMaterializeIncremental =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type
-      |           FROM events),
-      |mx AS (SELECT ((max(us) // 86400000000) + 1) * 86400000000 AS t
-      |       FROM e),
+  // by the refresh gate, the maintenance gate (maintenance must not
+  // change what is served), and — with the event subset of the first
+  // two deltas — the state-time-travel gate (`eventSubset` restates
+  // which refresh versions' events the as-of boundary retains; the
+  // serve boundary always stays the FULL corpus's max day)
+  private def sqlMaterializeIncrementalOver(eventSubset: String) =
+    s"""WITH all_e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type
+      |               FROM events),
+      |b AS (SELECT min(us // 86400000000) AS minb,
+      |             max(us // 86400000000) AS maxb FROM all_e),
+      |e AS (SELECT all_e.user_id, all_e.us, all_e.value, all_e.event_type
+      |      FROM all_e, b $eventSubset),
+      |mx AS (SELECT (maxb + 1) * 86400000000 AS t FROM b),
       |w14 AS (SELECT user_id, us, value, event_type FROM e, mx
       |        WHERE us >= t - 14 * 86400000000 AND us < t),
       |w7 AS (SELECT user_id, us, value, event_type FROM e, mx
@@ -4523,6 +4574,14 @@ object SparkEntry {
       |LEFT JOIN a7 USING (user_id)
       |LEFT JOIN l7 USING (user_id)
       |LEFT JOIN p7 USING (user_id)""".stripMargin
+
+  private lazy val sqlMaterializeIncremental = sqlMaterializeIncrementalOver("")
+
+  // the first TWO of the gates' three equal-day-range deltas — the
+  // event subset refresh versions {0, 1} hold (the gate's step rule
+  // restated: step = (maxb - minb) // 3 + 1)
+  private lazy val sqlMaterializeAsOfV1 = sqlMaterializeIncrementalOver(
+    "WHERE all_e.us // 86400000000 < b.minb + 2 * ((b.maxb - b.minb) // 3 + 1)")
 
   private lazy val sqlBm25TopK = sqlBm25TopKOver("")
 
@@ -6600,6 +6659,10 @@ object SparkEntry {
     // maintenance must not change what is served: the maintain gate
     // folds + gc's the same feature set and snapshots the SAME answer
     "q_materialize_maintain" -> sqlMaterializeIncremental,
+
+    // state time travel: the as-of-version-1 feature row equals the
+    // windowed aggregates over the first two deltas' events alone
+    "q_materialize_asof" -> sqlMaterializeAsOfV1,
 
     // both bindings restated independently and stacked: per binding the
     // spine is the widest (14d) window's key set, the 7d sum left-joins

@@ -216,10 +216,19 @@ object IncrementalMaterializer {
     */
   private def requireRefreshComplete(spark: SparkSession, root: String,
       servedDirs: Seq[String]): Unit =
+    requireRefreshCompleteUpTo(spark, root, servedDirs, Long.MaxValue)
+
+  /** The tear check bounded by a version boundary: an AS-OF read at
+    * version V is untouched by a torn refresh ABOVE V (the mixed
+    * versions are all excluded by the truncation), so only markers at
+    * or below the boundary can refuse it.
+    */
+  private def requireRefreshCompleteUpTo(spark: SparkSession, root: String,
+      servedDirs: Seq[String], upTo: Long): Unit =
     pending(spark, root).foreach { case (v, rel) =>
       val covered = rel.map(r => s"$root/$r").toSet
-      val lagging = servedDirs.filter(covered)
-        .filterNot(holdsVersion(spark, _, v))
+      val lagging = if (v > upTo) Nil
+        else servedDirs.filter(covered).filterNot(holdsVersion(spark, _, v))
       require(lagging.isEmpty,
         s"refresh version $v of the feature set at $root started but " +
           s"did not complete: store(s) ${lagging.mkString(", ")} have " +
@@ -330,6 +339,48 @@ object IncrementalMaterializer {
           col(aggCol(agg)).as(f.name)
         }
         base.select(cols: _*)
+      }.toSeq
+    applyDerived(assembleWide(served, keyCols), features, derived)
+  }
+
+  /** STATE time travel for the whole feature set: the wide feature row
+    * exactly as refresh version `asOfVersion` served it at bucket
+    * boundary `asOfUs` — every store truncated to partials of versions
+    * <= `asOfVersion` ([[IncrementalSwa.serveAsOf]]'s contract per
+    * kind, compaction-rebased versions refused by name). The
+    * reproducibility surface a backfill audit reaches for: "what did
+    * the features say after last Tuesday's refresh", answered from
+    * retained state, never recomputed from raw events. Derived
+    * features evaluate per row as in [[snapshot]]; the torn-refresh
+    * check applies only to markers AT OR BELOW the version boundary
+    * (a tear above it is excluded by the truncation itself).
+    */
+  def snapshotAsOf(spark: SparkSession, root: String,
+      features: Seq[AnchorFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, asOfUs: Long, asOfVersion: Long,
+      derived: Seq[DerivedFeature] = Nil): DataFrame = {
+    require(features.nonEmpty, "no features to snapshot")
+    val plans = features.map(f => (f, planOf(f, bucketUs)))
+    requireRefreshCompleteUpTo(spark, root,
+      plans.map { case (_, (m, _, _)) => storeDir(root, m) }.distinct,
+      asOfVersion)
+    val served = plans.groupBy { case (_, (m, w, _)) => (m, w) }
+      .map { case ((m, w), fs) =>
+        val base = m.kind match {
+          case Scalar => IncrementalSwa.serveAsOf(spark, storeDir(root, m),
+            cfg(keyCols, tsCol, bucketUs), asOfUs, w, asOfVersion)
+          case SetUnion => IncrementalUnion.serveAsOf(spark,
+            storeDir(root, m),
+            IncrementalUnion.Config(keyCols, tsCol, "__graft_m", bucketUs),
+            asOfUs, w, asOfVersion)
+          case Vector => IncrementalVector.serveAsOf(spark,
+            storeDir(root, m),
+            IncrementalVector.Config(keyCols, tsCol, "__graft_m", bucketUs),
+            asOfUs, w, asOfVersion)
+        }
+        base.select(keyCols.map(col) ++ fs.map { case (f, (_, _, agg)) =>
+          col(aggCol(agg)).as(f.name)
+        }: _*)
       }.toSeq
     applyDerived(assembleWide(served, keyCols), features, derived)
   }
@@ -850,6 +901,58 @@ object IncrementalMaterializer {
             val base = IncrementalTopK.serveTopK(spark, dir,
               IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
                 bucketUs, cand), asOfUs, w, kMax)
+            fs.map { f =>
+              val k = f.agg.asInstanceOf[GraftAggregation.TopK].k
+              base.where(col("rank") <= k)
+                .groupBy(keyCols.map(col): _*)
+                .agg(transform(
+                  array_sort(collect_list(struct(col("rank"), col("item")))),
+                  _.getField("item")).as(f.name))
+            }
+        }
+      }.toSeq
+    assembleWide(served, keyCols)
+  }
+
+  /** [[snapshotAsOf]] for extension features: the wide
+    * distinct/quantile/top-k row exactly as refresh version
+    * `asOfVersion` served it — the same store/window grouping and
+    * serve-parameter sharing as [[snapshotGraft]], truncated by each
+    * sketch store's own serveAsOf.
+    */
+  def snapshotGraftAsOf(spark: SparkSession, root: String,
+      features: Seq[GraftFeature], keyCols: Seq[String], tsCol: String,
+      bucketUs: Long, asOfUs: Long, asOfVersion: Long): DataFrame = {
+    require(features.nonEmpty, "no features to snapshot")
+    requireRefreshCompleteUpTo(spark, root,
+      features.map(graftDir(root, _)).distinct, asOfVersion)
+    val served = features
+      .groupBy(f => (graftDir(root, f), graftWindow(f, bucketUs)))
+      .flatMap { case ((dir, w), fs) =>
+        fs.head.agg match {
+          case GraftAggregation.DistinctCount(p) =>
+            val base = IncrementalDistinct.serveAsOf(spark, dir,
+              IncrementalDistinct.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, p), asOfUs, w, asOfVersion)
+            Seq(base.select(keyCols.map(col) ++
+              fs.map(f => col("est_raw").as(f.name)): _*))
+          case GraftAggregation.Quantile(_, lo, hi, bins) =>
+            val qs = fs.map(_.agg.asInstanceOf[GraftAggregation.Quantile].q)
+              .distinct
+            val base = IncrementalQuantile.serveAsOf(spark, dir,
+              IncrementalQuantile.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, lo, hi, bins), asOfUs, w, qs, asOfVersion)
+            fs.map { f =>
+              val q = f.agg.asInstanceOf[GraftAggregation.Quantile].q
+              val q10k = math.rint(q * 10000).toLong / 10000.0
+              base.where(col("q") === q10k)
+                .select(keyCols.map(col) :+ col("cutoff").as(f.name): _*)
+            }
+          case GraftAggregation.TopK(_, cand) =>
+            val kMax = fs.map(_.agg.asInstanceOf[GraftAggregation.TopK].k).max
+            val base = IncrementalTopK.serveAsOf(spark, dir,
+              IncrementalTopK.Config(keyCols, tsCol, "__graft_m",
+                bucketUs, cand), asOfUs, w, kMax, asOfVersion)
             fs.map { f =>
               val k = f.agg.asInstanceOf[GraftAggregation.TopK].k
               base.where(col("rank") <= k)

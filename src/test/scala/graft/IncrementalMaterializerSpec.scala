@@ -375,6 +375,63 @@ class IncrementalMaterializerSpec extends SparkTestBase {
       .sameElements(before))
   }
 
+  test("snapshotAsOf: state time travel across store kinds; tears above the boundary don't block") {
+    val root = Spill.newPath(spark)
+    val feats = Seq(
+      feat("s2", wa("SUM")),
+      AnchorFeature("tags", FeatureType.STRING, Transformation.WindowAgg("tag",
+        Aggregation.UNION, Durations.parse("2d")), Seq(key)))
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 0L)
+    val atV0 = IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select(col("k"), col("s2"), concat_ws(",", col("tags")).as("tags"))
+      .collect().map(_.toString).sorted
+    IncrementalMaterializer.refresh(events, root, feats,
+      Seq("k"), "ts", DayUs, 1L)
+    // the as-of view reproduces the v0 wide row EXACTLY — scalar and
+    // union stores truncated alike
+    assert(IncrementalMaterializer.snapshotAsOf(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs, asOfVersion = 0L)
+      .select(col("k"), col("s2"), concat_ws(",", col("tags")).as("tags"))
+      .collect().map(_.toString).sorted.sameElements(atV0))
+
+    // a torn refresh ABOVE the boundary cannot block the as-of read —
+    // its mixed versions are excluded by the truncation — while the
+    // live snapshot refuses
+    intercept[IllegalStateException] {
+      IncrementalMaterializer.refresh(events, root, feats,
+        Seq("k"), "ts", DayUs, 2L, unionCap = 1)
+    }
+    assert(IncrementalMaterializer.snapshotAsOf(spark, root, feats,
+      Seq("k"), "ts", DayUs, 2 * DayUs, asOfVersion = 0L).count() == 2)
+    intercept[IllegalArgumentException] {
+      IncrementalMaterializer.snapshot(spark, root, feats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+    }
+
+    // extension features time-travel the same way
+    import graft.model.GraftAggregation._
+    import IncrementalMaterializer.GraftFeature
+    val gRoot = Spill.newPath(spark)
+    val d2 = Durations.parse("2d")
+    val gFeats = Seq(
+      GraftFeature("g_p50", "v", Quantile(0.5, 0.0, 16.0, 16), d2),
+      GraftFeature("g_top1", "tag", TopK(1, 4), d2))
+    IncrementalMaterializer.refreshGraft(events, gRoot, gFeats,
+      Seq("k"), "ts", DayUs, 0L)
+    val gAtV0 = IncrementalMaterializer.snapshotGraft(spark, gRoot, gFeats,
+        Seq("k"), "ts", DayUs, 2 * DayUs)
+      .select(col("k"), col("g_p50"), concat_ws(",", col("g_top1")))
+      .collect().map(_.toString).sorted
+    IncrementalMaterializer.refreshGraft(events, gRoot, gFeats,
+      Seq("k"), "ts", DayUs, 1L)
+    assert(IncrementalMaterializer.snapshotGraftAsOf(spark, gRoot, gFeats,
+        Seq("k"), "ts", DayUs, 2 * DayUs, asOfVersion = 0L)
+      .select(col("k"), col("g_p50"), concat_ws(",", col("g_top1")))
+      .collect().map(_.toString).sorted.sameElements(gAtV0))
+  }
+
   test("torn multi-store refresh: serves refuse by name, replay repairs") {
     val root = Spill.newPath(spark)
     val feats = Seq(
