@@ -76,7 +76,15 @@ object Clustering {
     // n while contributing nothing to its sum (diluting the centroid
     // toward the origin each iteration), and surface in assignments as
     // cluster-0 rows with a null distance
+    //
+    // persisted for the run: Lloyd's is inherently iterative — the
+    // seed scan, every update iteration, and the final assignment each
+    // re-read the source and re-evaluate the caller's quantization
+    // otherwise (at scale that is iters+2 full parquet passes where
+    // one suffices). Projected to (id, q) first so the cache holds
+    // only the two columns the iterations touch.
     val df0 = df.where(col(qCol).isNotNull)
+      .select(col(idCol), col(qCol)).persist()
     val seed = df0.orderBy(col(idCol)).limit(k)
       .select(col(qCol)).collect()
     require(seed.length == k,
@@ -104,10 +112,18 @@ object Clustering {
       }
     }
 
-    val a = df0.select(col(idCol), col(qCol))
-      .withColumn("__a", assignExpr(col(qCol), cents))
-      .select(col(idCol), col("__a")("c").as("cluster"),
-        col("__a")("dist").as("dist"))
+    // the final assignment is SPILLED (narrow rows: id, cluster int,
+    // dist long): callers consume it more than once (pruning reads it
+    // for the histogram pass AND the cutoff join), and each lazy
+    // consumption would otherwise re-pay k integer dots per row; the
+    // sizes count then reads the same flat spill, after which the
+    // cached input is released
+    val a =
+      try Spill.roundTrip(df0
+        .withColumn("__a", assignExpr(col(qCol), cents))
+        .select(col(idCol), col("__a")("c").as("cluster"),
+          col("__a")("dist").as("dist")))
+      finally df0.unpersist()
     val sizeRows = a.groupBy(col("cluster")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     KmeansResult(a, cents, (0 until k).map(j => sizeRows.getOrElse(j, 0L)))
