@@ -63,10 +63,25 @@ object Retrieval {
 
     def toks(text: org.apache.spark.sql.Column) = bm25Toks(text)
 
-    // one row: corpus size + total token count (avgdl = sumdl/N, both
-    // integers, so the double division is identical cross-engine)
-    val stats = corpus.select(size(toks(col(textCol))).as("__dl"))
-      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    // ONE tokenization pass over the corpus (r15): the corpus-size /
+    // avgdl statistics and the query-pruned postings previously each
+    // tokenized the whole corpus (the stats subtree re-ran words()
+    // inside the final action's broadcast build — 2× the call's
+    // dominant kernel). The tokenized projection is persisted for the
+    // two consumers and released before ranking; the stats — two
+    // integers — are collected once and re-enter the plan as literals,
+    // bit-identical to the lazy one-row frame they replace (avgdl =
+    // sumdl/N on the same integer operands).
+    val tokd = corpus
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+      .persist()
+    try {
+    val sr = tokd
+      .agg(count(lit(1)).as("__n"), sum(size(col("__w"))).as("__sumdl"))
+      .head()
+    val stats = corpus.sparkSession.range(1).select(
+      lit(sr.getLong(0)).as("__n"),
+      lit(if (sr.isNullAt(1)) 0L else sr.getLong(1)).as("__sumdl"))
 
     // distinct query terms, spilled for an exact-bytes broadcast call
     val (qt, qBytes) = Spill.roundTripSized(
@@ -87,14 +102,14 @@ object Retrieval {
     // tokenization pass for each (measured 2× the call's corpus work
     // at sf0.1); the spill payload is the same bounded Σ df(query
     // terms) row set, never the corpus.
-    val tfQ = Spill.roundTrip(corpus
-      .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    val tfQ = Spill.roundTrip(tokd
       .select(col("__id"), size(col("__w")).as("__dl"),
         explode(col("__w")).as("__term"))
       .join(qTermsH, Seq("__term"))
       .groupBy(col("__id"), col("__term"), col("__dl"))
       .agg(count(lit(1)).as("__tf")))
     rankPostings(tfQ, stats, qtH, k, k1, b, maxDfFrac, bcLimit)
+    } finally tokd.unpersist()
   }
 
   /** Query tokenization shared with [[IncrementalBm25]] — the engine's
