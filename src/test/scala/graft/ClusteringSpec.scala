@@ -90,6 +90,33 @@ class ClusteringSpec extends SparkTestBase {
       e.getMessage.contains("embedding_q8"), e.getMessage)
   }
 
+  test("assignments are a stable reusable frame consistent with sizes " +
+      "(r15: input cached across iterations, final assignment spilled)") {
+    // the r15 rewrite persists the quantized input for the Lloyd's
+    // iterations and returns the final assignments as a spilled flat
+    // frame (multi-action consumers like pruneByCentroidDist read it
+    // twice). Pin: (a) repeated consumption yields identical rows —
+    // nothing depends on a cache that was released; (b) the sizes
+    // vector equals a recount over the returned frame; (c) every dist
+    // equals the exact integer distance to the returned centroid.
+    val r = Clustering.kmeansInt8(q8(planted), "vec_id", "embedding_q8",
+      k = 2, iters = 2)
+    val first = r.assignments.as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val second = r.assignments.as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(first == second)
+    val recount = first.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(r.sizes.zipWithIndex.forall { case (n, j) =>
+      recount.getOrElse(j, 0L) == n }, s"sizes=${r.sizes} recount=$recount")
+    val qv = q8(planted).as[(Long, Seq[Int])].collect().toMap
+    val S = Clustering.Scale
+    for ((id, c, dist) <- first) {
+      val x = qv(id); val cent = r.centroids(c)
+      val want = x.zip(cent).map { case (xi, ci) =>
+        val d = S * xi - ci; d * d }.sum
+      assert(dist == want, s"id $id: dist $dist != exact $want")
+    }
+  }
+
   test("k larger than the corpus is refused by name") {
     val e = intercept[IllegalArgumentException] {
       Clustering.kmeansInt8(q8(planted), "vec_id", "embedding_q8", 99, 1)

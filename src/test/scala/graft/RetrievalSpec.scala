@@ -106,6 +106,43 @@ class RetrievalSpec extends SparkTestBase {
     assert(fused.agg(max("rank")).as[Int].head() == 7)
   }
 
+  test("corpus statistics count zero-token and null-text documents " +
+      "(r15 single-pass stats collect the same N/sumdl the lazy frame did)") {
+    // the r15 rewrite collects (N, sumdl) once from the persisted
+    // tokenized projection and injects them as literals; docs whose
+    // token list is EMPTY or whose text is NULL must still count
+    // toward N (they did under the old lazy count(lit(1)) over the
+    // corpus), shifting every idf — pin the full ranked output against
+    // the same independent fold as above, with such docs present
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(Row(1L, "the quick brown fox"), Row(2L, "lazy dog"),
+      Row(3L, ""), Row(4L, null))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val c = spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
+      schema)
+    val queries = Seq((7L, "fox dog")).toDF("q_id", "q_text")
+    val got = Retrieval.bm25TopK(c, queries, k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // independent fold with N = 4 (empty and null docs count), sumdl = 6
+    val toks = Map(1L -> Seq("the", "quick", "brown", "fox"),
+      2L -> Seq("lazy", "dog"))
+    val n = 4; val avgdl = 6.0 / n
+    def df(t: String) = toks.values.count(_.contains(t))
+    def bm25(q: Seq[String], d: Long): Double =
+      q.distinct.filter(toks(d).contains).map { t =>
+        val tf = toks(d).count(_ == t)
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks(d).size / avgdl))
+      }.sum
+    val want = Seq(1L, 2L).map(id => id -> bm25(Seq("fox", "dog"), id)).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, s) <- want)
+      assert(math.abs(got(id) - s) < 1e-5, s"doc $id: got ${got(id)}, want $s")
+  }
+
   test("query terms absent from the corpus contribute nothing") {
     val queries = Seq((9L, "zzz unseen fox")).toDF("q_id", "q_text")
     val withUnseen = Retrieval.bm25TopK(corpus, queries, k = 5)
