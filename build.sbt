@@ -21,6 +21,17 @@ Test / unmanagedJars ++= sys.env.get("SPARK_GRAFT_KAFKA_JARS").toSeq
   .flatMap(d => (file(d) * "*.jar").get()).map(Attributed.blank)
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (r15 verdict #2): the forked program's
+// stdout must reach the caller RAW — sbt's default logger framed every
+// line with "[info] ", so json-parsing graft.Bench's summary line
+// failed in ALL 15 rounds (parsed:null in every BENCH_r*.json).
+// StdoutOutput passes forked stdout/stderr straight through…
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and dropping the "[success] Total time…" trailer makes the bench
+// summary the genuinely LAST stdout line. (Used by sbt's command layer,
+// not by settings — lint can't see that.)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -101,28 +101,23 @@ object Bench {
     val failed = results.filter(_._3 > 0)
       .map { case (k, _, f, _) => "\"" + k + "\":" + f }.mkString("{", ",", "}")
     val total = ms(results.map(_._2).filter(_ >= 0).sum)
-    // the stdout line must fit the driver's capture window whole: no
-    // prose note (BENCH_LOCAL.json carries the per-run detail and the
-    // host-load caveat), failed_runs only when something failed
-    // distinct metric name: a consumer scanning for metric=="total"
-    // must match ONLY the short trailer below, never this ~4 KB line
-    // (on a short run both survive the capture window whole)
-    val line = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs""" +
-      (if (results.exists(_._3 > 0)) s""","failed_runs":$failed""" else "") +
-      s""","sf":"$sfDir"}"""
-    // full per-query line first: useful to humans reading the log, and
-    // whole in BENCH_LOCAL-less partial runs
-    println(line)
-    Console.out.flush()
-    // ONE totals-only summary string, printed as the final stdout
-    // trailer AND written as BENCH_SUMMARY.json — built once so the
-    // two consumers can never see different fields (the file variant
-    // originally dropped failed_runs_n, silently laundering a partial
-    // total into a clean-looking full-suite result)
+    // ONE machine-readable stdout line (the driver contract):
+    // {"metric":"total","value":N,"unit":"sec","queries":{name:sec,…},
+    //  "sf":…} — totals AND the per-query median map in a single line,
+    // printed LAST and RAW. Every round through r15 had parsed:null in
+    // the driver's BENCH artifact because sbt framed program stdout
+    // with "[info] " and appended "[success] Total time…" after it, so
+    // json-parsing the last stdout line never succeeded; build.sbt now
+    // routes forked stdout through unframed (run/outputStrategy :=
+    // StdoutOutput) and suppresses the success trailer (showSuccess :=
+    // false). Built once, printed last AND written to
+    // BENCH_SUMMARY.json, so the two consumers can never see different
+    // fields; failed_runs only when something failed.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size}""" +
       (if (results.exists(_._3 > 0))
-        s""","failed_runs_n":${results.map(_._3).sum}""" else "") +
-      s""","sf":"$sfDir"}"""
+        s""","failed_runs_n":${results.map(_._3).sum},"failed_runs":$failed"""
+       else "") +
+      s""","queries":$qs,"sf":"$sfDir"}"""
     // complete artifact, immune to stdout-capture truncation: medians
     // plus all raw run times, overwritten on every full run (skipped
     // for SPARK_GRAFT_BENCH_ONLY partial runs so a targeted iteration
@@ -156,11 +151,11 @@ object Bench {
         System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}") }
     }
     spark.stop()
-    // the driver's stdout capture keeps only the LAST ~2000 chars, so
-    // the ~4 KB per-query line above survives decapitated (its head —
-    // metric/value — is what the capture drops). The machine-readable
-    // summary therefore goes LAST and SHORT (<200 chars, totals only);
-    // per-query detail lives in BENCH_LOCAL.json.
+    // LAST stdout line = the contract line. The driver's stored-tail
+    // diagnostic keeps only the final ~2000 chars, which may decapitate
+    // this ~4 KB line in the BENCH artifact's "tail" field — the
+    // parseable full line is what matters, and BENCH_SUMMARY.json /
+    // BENCH_LOCAL.json carry the same data as files regardless.
     println(summary)
     Console.out.flush()
   }

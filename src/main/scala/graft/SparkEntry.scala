@@ -177,6 +177,27 @@ object SparkEntry {
     dst
   }
 
+  /** Fingerprint of a state root's recursive file listing (relative
+    * path, length, mtime) — the q_curate_preview tripwire:
+    * previewRefresh reads the SHARED bootstrap directly because it is
+    * read-only by contract, and a regression that made it write (a
+    * lease, a log version, a meta row — all EAGER writes in this
+    * codebase) would silently cross-contaminate q_curate_incremental /
+    * q_stream_curate / q_curate_forget in the same JVM. The gate
+    * compares this before/after and fails loudly instead (r15 advice).
+    */
+  private def rootFingerprint(s: SparkSession, root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      b += s"${f.getPath.toString.stripPrefix(root)}|${f.getLen}|${f.getModificationTime}"
+    }
+    b.sorted.mkString("\n")
+  }
+
   /** [[curateDelta]] spilled once per JVM as a single parquet file —
     * the stream gate's source (re-written per run it cost a corpus
     * scan + single-threaded write each time, the [[bm25UpperDelta]]
@@ -2450,9 +2471,19 @@ object SparkEntry {
     "q_curate_preview" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       // previewRefresh touches NO state (dry run by contract), so it
-      // reads the shared bootstrap directly — no copy needed
+      // reads the shared bootstrap directly — no copy needed; the
+      // fingerprint tripwire turns any contract regression (state
+      // writes here are eager) into a loud failure instead of silent
+      // cross-gate contamination
       val root = curateBootstrapRoot(s, dir)
-      IncrementalCuration.previewRefresh(curateDelta(docs), root)
+      val before = rootFingerprint(s, root)
+      val out = IncrementalCuration.previewRefresh(curateDelta(docs), root)
+      val after = rootFingerprint(s, root)
+      require(after == before,
+        "previewRefresh wrote into the shared curate bootstrap — " +
+          "read-only contract violated; the shared root is now " +
+          "corrupt for the other curate gates in this JVM")
+      out
     }),
 
     // The STREAMED form of the same contract: the identical delta
@@ -4237,30 +4268,41 @@ object SparkEntry {
       // wall in state-store scan/commit fan-out). Skipping it is
       // output-identical for inner joins — and stays OFF for the
       // flatMapGroupsWithState gates, whose event-time timeouts NEED
-      // the no-data batch to fire.
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def streamOf(tpe: String) = fixTs(
-        s.readStream.schema(rawSchema).option("basePath", dir)
-          .parquet(s"$dir/events.parque*"))
-        .where(col("event_type") === tpe)
-      val p = streamOf("purchase").select(col("user_id"),
-        col("event_id").as("p_event_id"), col("ts").as("p_ts"))
-      val v = streamOf("view").select(col("user_id").as("v_user_id"),
-        col("event_id").as("v_event_id"), col("ts").as("v_ts"),
-        col("value").as("v_value"))
-      val name = s"stream_ij_${System.nanoTime()}"
-      val q = StreamingIngest.intervalJoin(p, v,
-          Seq("user_id" -> "v_user_id"), "p_ts", "v_ts",
-          lookbackSeconds = 6 * 3600L, watermarkDelay = "1 hour")
-        .select(col("user_id"), col("p_event_id"), col("v_event_id"),
-          unix_micros(col("p_ts")).as("p_ts_us"),
-          unix_micros(col("v_ts")).as("v_ts_us"),
-          round(col("v_value"), 4).as("v_value"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      q.processAllAvailable(); q.stop()
-      s.table(name)
+      // the no-data batch to fire. The conf is RESTORED in the finally:
+      // Verify/RunQuery/CountAudit run every gate on one shared
+      // session, and a leaked `false` would silently drop the
+      // timeout-fired final sessions of q_stream_session_state /
+      // q_stream_stateful_swa run after this gate (r15 verdict #1).
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = s.conf.getOption(ndKey)
+      s.conf.set(ndKey, "false")
+      try {
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def streamOf(tpe: String) = fixTs(
+          s.readStream.schema(rawSchema).option("basePath", dir)
+            .parquet(s"$dir/events.parque*"))
+          .where(col("event_type") === tpe)
+        val p = streamOf("purchase").select(col("user_id"),
+          col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        val v = streamOf("view").select(col("user_id").as("v_user_id"),
+          col("event_id").as("v_event_id"), col("ts").as("v_ts"),
+          col("value").as("v_value"))
+        val name = s"stream_ij_${System.nanoTime()}"
+        val q = StreamingIngest.intervalJoin(p, v,
+            Seq("user_id" -> "v_user_id"), "p_ts", "v_ts",
+            lookbackSeconds = 6 * 3600L, watermarkDelay = "1 hour")
+          .select(col("user_id"), col("p_event_id"), col("v_event_id"),
+            unix_micros(col("p_ts")).as("p_ts_us"),
+            unix_micros(col("v_ts")).as("v_ts_us"),
+            round(col("v_value"), 4).as("v_value"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        q.processAllAvailable(); q.stop()
+        s.table(name)
+      } finally ndPrev match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None => s.conf.unset(ndKey)
+      }
     }),
 
     // Batch point-in-interval range join: view events against

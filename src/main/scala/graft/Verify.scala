@@ -26,7 +26,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // fresh session per query, like Bench: session confs / temp views
+      // one gate sets cannot leak into a later gate's result — Map
+      // iteration order must never be load-bearing for correctness
+      // (r15 verdict #1: a leaked noDataMicroBatches=false would
+      // silently truncate the timeout-dependent streaming gates).
+      val sess = spark.newSession()
+      try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

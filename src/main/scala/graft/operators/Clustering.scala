@@ -82,9 +82,13 @@ object Clustering {
     // re-read the source and re-evaluate the caller's quantization
     // otherwise (at scale that is iters+2 full parquet passes where
     // one suffices). Projected to (id, q) first so the cache holds
-    // only the two columns the iterations touch.
+    // only the two columns the iterations touch; serialized
+    // MEMORY_AND_DISK_SER so a corpus-sized cache degrades to compact
+    // spilled blocks under executor memory pressure instead of
+    // thrashing the heap the iterations need (r15 advice).
     val df0 = df.where(col(qCol).isNotNull)
-      .select(col(idCol), col(qCol)).persist()
+      .select(col(idCol), col(qCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seed = df0.orderBy(col(idCol)).limit(k)
       .select(col(qCol)).collect()
     require(seed.length == k,

@@ -72,9 +72,13 @@ object Retrieval {
     // integers — are collected once and re-enter the plan as literals,
     // bit-identical to the lazy one-row frame they replace (avgdl =
     // sumdl/N on the same integer operands).
+    // serialized MEMORY_AND_DISK_SER: the tokenized corpus is
+    // corpus-sized — under memory pressure it must degrade to compact
+    // spilled blocks, not evict-and-recompute the tokenization pass the
+    // persist exists to save (r15 advice).
     val tokd = corpus
       .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
     val sr = tokd
       .agg(count(lit(1)).as("__n"), sum(size(col("__w"))).as("__sumdl"))
