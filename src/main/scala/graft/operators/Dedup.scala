@@ -226,9 +226,22 @@ object Dedup {
   private[operators] def candidatePairs(capped: DataFrame,
       bucketCols: Seq[String], idCol: String): DataFrame = {
     val ids = "__graft_ids"
+    // the packed bucket rows are TINY (≤ cap ids each), so AQE
+    // coalesces the post-groupBy partitions down to ~1 — but the pair
+    // expansion below FANS OUT each row to up to cap²/2 pairs, so in a
+    // boilerplate-heavy corpus (many capped hot buckets — the r16 sf10
+    // probe regime) the whole expansion ran as one straggler task
+    // (measured: maxTask ≈ job wall on 32 tasks). The explicit
+    // repartition spreads the packed rows across the session's shuffle
+    // parallelism BEFORE they explode: bytes moved are the bounded
+    // id-arrays, the count follows spark.sql.shuffle.partitions, and
+    // the explicit number keeps AQE from re-coalescing the exchange
+    // (guide §2.5 — the fan-out is invisible to size-based planning).
+    val numPart = capped.sparkSession.sessionState.conf.numShufflePartitions
     capped.groupBy(bucketCols.map(col): _*)
       .agg(array_sort(collect_list(col(idCol))).as(ids))
       .where(size(col(ids)) >= 2)
+      .repartition(numPart, bucketCols.map(col): _*)
       .select(explode(flatten(transform(col(ids), (x, i) =>
         transform(slice(col(ids), i + 2, size(col(ids))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -77,24 +77,37 @@ object IvfPqIndex {
     val spark = corpus.sparkSession
     val centroids = Similarity.trainCentroids(corpus, nCells, idCol, vecCol,
       kmeansIters, 1e-6, trainSampleCap)
-    centroids.write.mode("overwrite").parquet(s"$qPath/centroids")
     import spark.implicits._
-    Seq(Encoding).toDF("encoding").coalesce(1)
-      .write.mode("overwrite").parquet(s"$qPath/meta")
-    val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
-    val vhat = transform(col(vecCol),
-      x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
-    val res = Spill.roundTrip(
-      assigned.join(broadcast(centroids), Seq("cell_id"))
-        .select(col(idCol), col(vecCol), col("cell_id"),
-          zip_with(vhat, col("centroid"),
-            (a, b) => (a - b).cast("float")).as("__res")))
-    val cb = ProductQuant.trainCodebooks(res, m, kCodes, idCol, "__res",
-      pqIters, trainSampleCap, normalizeInput = false)
-    cb.zipWithIndex.flatMap { case (codes, s) =>
-      codes.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$qPath/codebooks")
+    // after the centroids exist, the remaining actions form two
+    // independent chains — {centroids, meta} layout writes vs the
+    // residual spill → PQ training → codebooks write — with no data
+    // dependency between them: overlapped, the wall is the heavy
+    // residual chain, not the sum (guide §2.6; the build was measured
+    // job-count-bound at the bench sf — ~35 sequential jobs × ~90 ms
+    // fixed driver cost each). Same arithmetic, same files, same
+    // determinism — only who waits for whom changes.
+    var cb: Array[Array[Array[Float]]] = null
+    var res: DataFrame = null
+    Par.run(
+      () => centroids.write.mode("overwrite").parquet(s"$qPath/centroids"),
+      () => Seq(Encoding).toDF("encoding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$qPath/meta"),
+      () => {
+        val assigned = Similarity.assignCells(corpus, centroids, idCol, vecCol)
+        val vhat = transform(col(vecCol),
+          x => (x / greatest(col("__vn"), lit(1e-30))).cast("float"))
+        res = Spill.roundTrip(
+          assigned.join(broadcast(centroids), Seq("cell_id"))
+            .select(col(idCol), col(vecCol), col("cell_id"),
+              zip_with(vhat, col("centroid"),
+                (a, b) => (a - b).cast("float")).as("__res")))
+        cb = ProductQuant.trainCodebooks(res, m, kCodes, idCol, "__res",
+          pqIters, trainSampleCap, normalizeInput = false)
+        cb.zipWithIndex.flatMap { case (codes, s) =>
+          codes.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+        }.toSeq.toDF("sub", "code", "centroid")
+          .write.mode("overwrite").parquet(s"$qPath/codebooks")
+      })
     TrainedQuantizers(centroids, cb, res)
   }
 
@@ -190,15 +203,27 @@ object IvfPqIndex {
       k: Int, nProbe: Int, rescoreFactor: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    requireEncoding(spark, path)
+    // the serve's three bounded driver materializations — encoding
+    // marker, codebooks, probed-cell set — are independent reads of
+    // different index files: overlapped (guide §2.6), the serve's
+    // fixed setup cost is the slowest of the three round-trips, not
+    // their sum. A requireEncoding failure still aborts before any
+    // result frame is built (Par.run rethrows the first error).
     val centroids = spark.read.parquet(s"$path/centroids")
-    val cb = loadCodebooks(spark, path)
+    var cb: Array[Array[Array[Float]]] = null
+    var probed: DataFrame = null
+    var cells: Array[Int] = null
+    Par.run(
+      () => requireEncoding(spark, path),
+      () => cb = loadCodebooks(spark, path),
+      () => {
+        probed = Similarity.probeCells(queries, centroids, nProbe,
+          qIdCol, qVecCol)
+        // bounded driver materialization (≤ nCells ints) for a literal
+        // partition filter — the IvfIndex.query discipline
+        cells = probed.select("cell_id").distinct().collect().map(_.getInt(0))
+      })
     val kCodes = cb.head.length
-
-    val probed = Similarity.probeCells(queries, centroids, nProbe, qIdCol, qVecCol)
-    // bounded driver materialization (≤ nCells ints) for a literal
-    // partition filter — the IvfIndex.query discipline
-    val cells = probed.select("cell_id").distinct().collect().map(_.getInt(0))
     val pruned = vectors
       .where(col("cell_id").isin(cells.map(c => c: Any): _*))
 

@@ -146,7 +146,23 @@ object Retrieval {
     val contrib = idf * (col("__tf") * lit(k1 + 1.0)) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
 
+    // the postings arrive as a SMALL flat parquet (an aggregated,
+    // query-pruned spill — a few MB even when the corpus is huge), so
+    // the scan yields ~1 input split (one parquet row group cannot be
+    // split across tasks), yet the query join below FANS OUT to one
+    // row per (query, matching doc, term) — in the stopword regime
+    // |queries|·df(term) rows from that one task. Measured at the
+    // sf1 probe: 66 s of an 83 s gate in a near-single-task stage,
+    // 8→32 cores moving the gate only 1.6×. An explicit repartition
+    // spreads the fan-out across the session's shuffle parallelism
+    // (guide §2.5 input skew / §2.2): the shuffled bytes are only the
+    // bounded postings themselves, the partition count follows
+    // spark.sql.shuffle.partitions (scale-adaptive conf, not a local
+    // constant), and the explicit count keeps AQE from re-coalescing
+    // the exchange back to one partition before the fan-out happens.
+    val numPart = tfQ.sparkSession.sessionState.conf.numShufflePartitions
     val scored = tfQ
+      .repartition(numPart, col("__id"))
       .join(dfH, Seq("__term"))
       .join(qtH, Seq("__term"))
       .crossJoin(broadcast(stats))

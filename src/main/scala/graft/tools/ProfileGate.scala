@@ -26,17 +26,41 @@ object ProfileGate {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = graft.SparkEntry.queries(name)
 
-    final case class J(id: Int, start: Long, var end: Long, site: String)
+    final case class J(id: Int, start: Long, var end: Long, site: String,
+      stages: Seq[Int])
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    // stageId → (tasks run, max single-task ms): a job whose heavy
+    // stage has 1-2 tasks is parallelism-starved no matter the cores
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageWall = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     @volatile var record = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         if (record) jobs.put(j.jobId, J(j.jobId, j.time, -1L,
           Option(j.properties).flatMap(p =>
-            Option(p.getProperty("callSite.short"))).getOrElse("?")))
+              Option(p.getProperty("callSite.short")))
+            .orElse(j.stageInfos.lastOption.map(_.name))
+            .getOrElse("?").linesIterator.next(),
+          j.stageInfos.map(_.stageId)))
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val r = jobs.get(j.jobId); if (r != null) r.end = j.time
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (record) {
+          stageTasks.merge(s.stageInfo.stageId,
+            (s.stageInfo.numTasks, 0L), (a, b) => (b._1, math.max(a._2, b._2)))
+          stageNames.put(s.stageInfo.stageId,
+            s.stageInfo.name.linesIterator.next())
+          for (t0 <- s.stageInfo.submissionTime; t1 <- s.stageInfo.completionTime)
+            stageWall.put(s.stageInfo.stageId, t1 - t0)
+        }
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (record && t.taskInfo != null)
+          stageTasks.merge(t.stageId, (0, t.taskInfo.duration),
+            (a, b) => (a._1, math.max(a._2, b._2)))
     })
 
     def once(tag: String, measured: Boolean): Unit = {
@@ -57,7 +81,16 @@ object ProfileGate {
           val wall = (j.end - j.start) / 1e3
           val gap = if (prevEnd < 0) 0.0 else (j.start - prevEnd) / 1e3
           jobSum += math.max(wall, 0); gapSum += math.max(gap, 0)
-          println(f"[profile]   job ${j.id}%-4d wall=$wall%7.3fs gap=$gap%7.3fs  ${j.site}")
+          val st = j.stages.flatMap(s => Option(stageTasks.get(s)))
+          val tasks = st.map(_._1).sum
+          val maxTask = if (st.isEmpty) 0L else st.map(_._2).max
+          println(f"[profile]   job ${j.id}%-4d wall=$wall%7.3fs gap=$gap%7.3fs tasks=$tasks%-4d maxTask=${maxTask / 1e3}%6.2fs  ${j.site}")
+          if (wall >= 1.0) for (s <- j.stages.sorted) {
+            val (n, mt) = Option(stageTasks.get(s)).getOrElse((0, 0L))
+            val sw = Option(stageWall.get(s)).map(_ / 1e3).getOrElse(0.0)
+            if (sw >= 0.3)
+              println(f"[profile]     stage $s%-4d wall=$sw%7.3fs tasks=$n%-4d maxTask=${mt / 1e3}%6.2fs  ${stageNames.getOrDefault(s, "?")}")
+          }
           prevEnd = math.max(prevEnd, j.end)
         }
         println(f"[profile] $name jobs=${js.size} jobWall=$jobSum%.2fs driverGaps=$gapSum%.2fs")
