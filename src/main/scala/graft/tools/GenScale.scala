@@ -27,9 +27,16 @@ import org.apache.spark.sql.functions._
   *  - the small TPC-H-ish dims (region…orders, lineitem) copy verbatim
   *    — the probed queries don't scale with them.
   *
-  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.GenScale <dst> <mult>
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.GenScale <dst> <mult> [nFiles]
   * (src defaults to /root/testdata/sf0.1). Deterministic: same src +
-  * mult ⇒ identical output data.
+  * mult ⇒ identical output data. `nFiles` (default = cpus) controls
+  * the output file count of the scaled tables: a real crawl-scale
+  * corpus is many-file, and scan parallelism on a generated fixture is
+  * bounded by split packing (`openCostInBytes` charges 4 MB/file, one
+  * parquet row group never splits) — at the default 32 files a 200 MB
+  * corpus scans with 2-3 tasks, which caps every per-document stage
+  * and understates how the plans use cores. ~1000 files gives ~30+
+  * splits at any size worth probing.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
@@ -37,6 +44,7 @@ object GenScale {
     val mult = args(1).toInt
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nFiles = args.drop(2).headOption.map(_.toInt).getOrElse(cpus.toInt)
     require(mult >= 1, s"mult must be >= 1: $mult")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,20 +70,20 @@ object GenScale {
         .withColumn("text", concat(translate(col("text"), "aeiou", vowelMap(i)),
           lit(" the of and to in is that with some more")))
         .withColumn("n_chars", length(col("text")).cast("long"))
-    }.repartition(cpus.toInt).write.mode("overwrite")
+    }.repartition(nFiles).write.mode("overwrite")
       .parquet(s"$dst/documents.parquet")
 
     val events = spark.read.parquet(s"$src/events.parquet")
     replicate(events) { (e, i) =>
       e.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 37} SECONDS"))
-    }.repartition(cpus.toInt).write.mode("overwrite")
+    }.repartition(nFiles).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     replicate(emb) { (e, i) =>
       e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
-    }.repartition(cpus.toInt).write.mode("overwrite")
+    }.repartition(nFiles).write.mode("overwrite")
       .parquet(s"$dst/embeddings.parquet")
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
