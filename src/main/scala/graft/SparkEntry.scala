@@ -127,6 +127,21 @@ object SparkEntry {
       docs.where(col("doc_id") > mid).coalesce(1).write.parquet(path)
     }
 
+  /** The documents id column spread across the session's shuffle
+    * parallelism — the input frame of the payload-SYNTHESIZING
+    * multimodal gates. Without it the whole generate→codec chain runs
+    * in the documents scan's 1-2 input splits (a 3 MB fixture parquet
+    * is one row group, and a row group never splits across tasks):
+    * profiled r16, q_multimodal_phash_dedup spent 2.0 s of its 2.9 s
+    * gate in ONE task on a 32-core session. The exchange moves only
+    * (doc_id) longs — 8 bytes/row ahead of a multi-ms/row codec — so
+    * it is the right trade at any scale; the partition count follows
+    * spark.sql.shuffle.partitions (conf, not a tuned constant).
+    */
+  private def parIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select("doc_id")
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+
   /** Real-codec dHash signatures over the planted pattern PNGs,
     * spilled once per JVM: the three hamming-INDEX gates consume them
     * as input (their operator is the index mechanics), so re-decoding
@@ -137,7 +152,7 @@ object SparkEntry {
   private def phashSigs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(cachedRoot(s, s"$dir|phash-sigs") { path =>
       Multimodal.dHash64(
-          t(s, dir, "documents").select("doc_id")
+          parIds(s, dir)
             .withColumn("payload", mkPatternPng(col("doc_id"))),
           "payload", batchSize = 32)
         .select("doc_id", "phash64")
@@ -2661,7 +2676,10 @@ object SparkEntry {
         javax.imageio.ImageIO.write(img, "png", bos)
         bos.toByteArray
       }
-      val packed = t(s, dir, "documents").select("doc_id")
+      // parIds: spread the id frame before the synth+codec chain —
+      // the exchange moves 8-byte ids ahead of a per-row PNG encode +
+      // ImageIO decode that otherwise runs in the scan's 1-2 splits
+      val packed = parIds(s, dir)
         .withColumn("payload", mkPng(col("doc_id")))
       Multimodal.decodeImages(packed, "payload", batchSize = 32)
         .select(col("doc_id"), Multimodal.sniffMime(col("payload")).as("mime"),
@@ -2677,7 +2695,7 @@ object SparkEntry {
     // parity proves the decode/downsample/hash pipeline computes the
     // mathematically expected signature for every document.
     "q_multimodal_phash" -> ((s, dir) => {
-      val packed = t(s, dir, "documents").select("doc_id")
+      val packed = parIds(s, dir)
         .withColumn("payload", mkPatternPng(col("doc_id")))
       Multimodal.dHash64(packed, "payload", batchSize = 32)
         .select(col("doc_id"), col("phash64"))
@@ -2690,7 +2708,8 @@ object SparkEntry {
     // distances the oracle derives from the generator.
     "q_multimodal_phash_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id")
-      val packed = docs.withColumn("payload", mkPatternPng(col("doc_id")))
+      val packed = parIds(s, dir)
+        .withColumn("payload", mkPatternPng(col("doc_id")))
       val hashes = Multimodal.dHash64(packed, "payload", batchSize = 32)
         .select("doc_id", "phash64")
       val found = Dedup.hamming64NearDuplicates(hashes, "doc_id", "phash64",
@@ -2799,7 +2818,7 @@ object SparkEntry {
         javax.imageio.ImageIO.write(img, "png", bos)
         bos.toByteArray
       }
-      val packed = t(s, dir, "documents").select("doc_id")
+      val packed = parIds(s, dir)
         .withColumn("payload", mkPng(col("doc_id")))
       val resized = Multimodal.resizeImages(packed, "payload", 24, 18,
         batchSize = 32)
