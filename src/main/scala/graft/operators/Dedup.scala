@@ -226,22 +226,20 @@ object Dedup {
   private[operators] def candidatePairs(capped: DataFrame,
       bucketCols: Seq[String], idCol: String): DataFrame = {
     val ids = "__graft_ids"
-    // the packed bucket rows are TINY (≤ cap ids each), so AQE
-    // coalesces the post-groupBy partitions down to ~1 — but the pair
-    // expansion below FANS OUT each row to up to cap²/2 pairs, so in a
-    // boilerplate-heavy corpus (many capped hot buckets — the r16 sf10
-    // probe regime) the whole expansion ran as one straggler task
-    // (measured: maxTask ≈ job wall on 32 tasks). The explicit
-    // repartition spreads the packed rows across the session's shuffle
-    // parallelism BEFORE they explode: bytes moved are the bounded
-    // id-arrays, the count follows spark.sql.shuffle.partitions, and
-    // the explicit number keeps AQE from re-coalescing the exchange
-    // (guide §2.5 — the fan-out is invisible to size-based planning).
-    val numPart = capped.sparkSession.sessionState.conf.numShufflePartitions
+    // NOT repartitioned before the expansion, measured twice (r16): an
+    // explicit repartition of the packed bucket rows (the rankPostings
+    // fan-out remedy) was prototyped against the cap²/2 worst case,
+    // but (a) the sf10 boilerplate-probe profile showed the expansion's
+    // heavy stages are EVEN task waves, not one straggler — the
+    // groupBy's hash partitioning already spreads buckets — and (b) the
+    // added exchange cost a same-window-measured ~0.2-0.3 s per
+    // pair-heavy gate at bench scale. If a real corpus ever
+    // concentrates its capped buckets onto few partitions, the lever
+    // is `spark.sql.shuffle.partitions` (the groupBy key space is
+    // (band_id, band_hash) — plenty of spread), not a second exchange.
     capped.groupBy(bucketCols.map(col): _*)
       .agg(array_sort(collect_list(col(idCol))).as(ids))
       .where(size(col(ids)) >= 2)
-      .repartition(numPart, bucketCols.map(col): _*)
       .select(explode(flatten(transform(col(ids), (x, i) =>
         transform(slice(col(ids), i + 2, size(col(ids))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
